@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -11,30 +12,207 @@ import graft.Tables
   * broadcast join, window functions, set ops, rollup, having, top-k,
   * offset pagination. All are Spark built-ins — SURVEY.md §2.3/§2.4/§2.6
   * notes the reference delegates these to PostgreSQL; here Catalyst plans
-  * them (broadcast for dims, partial aggregation, TakeOrderedAndProject).
+  * them (broadcast for genuinely-fixed-size dims, partial aggregation,
+  * TakeOrderedAndProject for top-k).
+  *
+  * Scale notes (100 TB design):
+  *  - only `region`/`nation` get explicit broadcast hints — they are
+  *    fixed-size; `customer`/`orders`/`lineitem` scale with SF, so their
+  *    joins are left to Catalyst/AQE (sort-merge or shuffled-hash, with
+  *    AQE skew splitting);
+  *  - every top-k goes through orderBy+limit so Catalyst plans
+  *    TakeOrderedAndProject (per-partition heap, no global sort);
+  *  - aggregates route doubles through DECIMAL(18,2) — exact, associative,
+  *    so partial (map-side) aggregation stays correct and the DuckDB
+  *    compare is bit-exact.
   */
 object Relational extends QueryPack {
 
-  /** Exact, order-insensitive sum of a double column: go through
-    * DECIMAL(18,2) (exact, associative) then back to DOUBLE so Spark and
-    * DuckDB produce bit-identical values regardless of row order.
-    */
-  private def dsum(c: String): org.apache.spark.sql.Column =
-    sum(col(c).cast(DecimalType(18, 2))).cast("double")
+  /** Exact, order-insensitive sum of a double column via DECIMAL(18,2). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsum(c: String): Column = dsum(col(c))
+
+  /** revenue = sum(extendedprice * (1 - discount)), decimal-exact. */
+  private def revenue: Column =
+    sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(18, 2))))
+      .cast("double")
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation -----------------------------------------------------
     "q1_pricing_summary" -> { (s, d) =>
       Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum("l_quantity").as("sum_qty"),
           dsum("l_extendedprice").as("sum_base_price"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast("double").as("sum_disc_price"),
+          revenue.as("sum_disc_price"),
+          (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // --- top-k scan (TakeOrderedAndProject) ------------------------------
+    "q2_top_orders" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // --- 3-way fact join + group + top-k ---------------------------------
+    "q3_shipping_priority" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // --- semi join (EXISTS) ----------------------------------------------
+    "q4_priority_count" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- 5-way join with broadcast dims ----------------------------------
+    "q5_nation_revenue" -> { (s, d) =>
+      val r = broadcast(Tables.region(s, d))
+      val n = broadcast(Tables.nation(s, d))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1999-01-01 00:00:00"))
+      val l = Tables.lineitem(s, d)
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // --- filter + global aggregate ---------------------------------------
+    "q6_forecast_revenue" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 24 &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(18, 2))).cast("double")
+            .as("promo_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // --- window: rank within group ---------------------------------------
+    "q7_top_customers_per_nation" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("rnk"))
+    },
+
+    // --- window: running total --------------------------------------------
+    "q8_running_order_total" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+
+    // --- distinct aggregation ---------------------------------------------
+    "q9_distinct_counts" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // --- set operations ----------------------------------------------------
+    "q10_setops" -> { (s, d) =>
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val withOrders = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val bigSpenders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(withOrders).except(bigSpenders)
+        .orderBy(col("c_custkey"))
+    },
+
+    // --- anti join ----------------------------------------------------------
+    "q11_customers_without_orders" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // --- rollup -------------------------------------------------------------
+    "q12_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // --- offset pagination (SURVEY §2.5 V3) ----------------------------------
+    "q13_offset_page" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(20)
+        .limit(10)
+    },
+
+    // --- group + having -------------------------------------------------------
+    "q14_brand_stats" -> { (s, d) =>
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          (dsum("p_retailprice") / count(lit(1))).as("avg_price"),
+          max(col("p_size")).as("max_size"))
+        .filter(col("n_parts") >= 5)
+        .orderBy(col("p_brand"))
+    },
+
+    // --- conditional aggregation ----------------------------------------------
+    "q15_conditional_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_quantity") >= 40, 1L).otherwise(0L)).as("n_high_qty"),
+          sum(when(col("l_discount") >= 0.05,
+            col("l_extendedprice").cast(DecimalType(18, 2))).otherwise(lit(BigDecimal(0))))
+            .cast("double").as("discounted_base"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -43,11 +221,127 @@ object Relational extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  %REV% AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("%REV%", revenueSql),
+
+    "q2_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, %REV% AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin.replace("%REV%", revenueSql),
+
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name, %REV% AS revenue, COUNT(*) AS n_items
+        |FROM region, nation, customer, orders, lineitem
+        |WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin.replace("%REV%", revenueSql),
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07""".stripMargin,
+
+    "q7_top_customers_per_nation" ->
+      """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3
+        |ORDER BY c_nationkey, rnk""".stripMargin,
+
+    "q8_running_order_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q9_distinct_counts" ->
+      """SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q10_setops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT o_custkey AS c_custkey FROM orders)
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_customers_without_orders" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q13_offset_page" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10 OFFSET 20""".stripMargin,
+
+    "q14_brand_stats" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  MAX(p_size) AS max_size
+        |FROM part
+        |GROUP BY p_brand
+        |HAVING COUNT(*) >= 5
+        |ORDER BY p_brand""".stripMargin,
+
+    "q15_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS n_high_qty,
+        |  CAST(SUM(CASE WHEN l_discount >= 0.05
+        |                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS discounted_base,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
