@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational)
+  private val packs: Seq[QueryPack] = Seq(Relational, Vectors)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's canonical shape (SURVEY.md §7.3): scan -> filter ->
@@ -22,10 +22,12 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    Tables.embeddings(spark, dir)
-      .orderBy(col("vec_id"))
-      .limit(5)
-      .select(col("vec_id"), col("label"))
+    val e = Tables.embeddings(spark, dir)
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.operators.Knn.topK(e, col("embedding"), probe, k = 5, tieBreak = col("vec_id"))
+      .join(Tables.documents(spark, dir), col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("label"), col("dist"), col("lang"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

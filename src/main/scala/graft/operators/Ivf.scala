@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path for
+  * similarity search. The reference serves exact brute-force kNN (no
+  * ivfflat/hnsw index exists — SURVEY.md §1.4); [[Knn.topK]] reproduces
+  * that exactly. Ivf trades a bounded recall loss for scanning only
+  * `nprobe / nlist` of the corpus, the standard move when the corpus no
+  * longer fits a single scan budget.
+  *
+  * Design (mirrors pgvector ivfflat / FAISS IVF-Flat, both public):
+  *  1. train: k-means on a driver-side sample (deterministic: centroids
+  *     seeded from the sample's first `nlist` vectors in id order, fixed
+  *     iteration count — no RNG);
+  *  2. assign: broadcast centroids, one distributed pass tags each corpus
+  *     row with its nearest centroid (`bucket`);
+  *  3. search: rank centroids by distance to the probe on the driver,
+  *     scan only the `nprobe` nearest buckets (partition pruning when the
+  *     assigned table is written partitioned by `bucket`).
+  */
+object Ivf {
+
+  /** Trained centroids + the corpus tagged with bucket ids.
+    * Persist `assigned` partitioned by `bucket` to get file-level pruning
+    * at query time: `assigned.write.partitionBy("bucket").parquet(...)`.
+    */
+  case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
+
+  private def nearestCentroid(emb: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = Knn.cosineDist(emb, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic k-means (cosine geometry) on an in-memory sample. */
+  private[graft] def trainCentroids(sample: Array[Array[Float]], nlist: Int,
+                                    iters: Int): Array[Array[Float]] = {
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    val dim = sample(0).length
+    var cs = sample.take(nlist).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        val b = nearestCentroid(v, cs)
+        counts(b) += 1
+        val s = sums(b)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+      }
+      cs = Array.tabulate(nlist) { b =>
+        if (counts(b) == 0) cs(b) // keep empty centroid where it was
+        else {
+          val s = sums(b)
+          Array.tabulate(dim)(i => (s(i) / counts(b)).toFloat)
+        }
+      }
+      it += 1
+    }
+    cs
+  }
+
+  /** Build the index: sample -> train -> distributed assignment. */
+  def build(corpus: DataFrame, idCol: String, embCol: String,
+            nlist: Int, iters: Int = 5, sampleSize: Int = 100000): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = corpus
+      .select(col(embCol).cast("array<float>"))
+      .orderBy(col(idCol))   // deterministic sample
+      .limit(sampleSize)
+      .as[Array[Float]].collect()
+    val cs = trainCentroids(sample, nlist, iters)
+    val bc = spark.sparkContext.broadcast(cs)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("id"), col(embCol).cast("array<float>").as("emb"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cents = bc.value
+        iter.map { case (id, emb) => (id, emb, nearestCentroid(emb, cents)) }
+      }
+      .toDF("id", "emb", "bucket")
+    IvfIndex(cs, assigned)
+  }
+
+  /** Approximate top-k: scan only the nprobe buckets nearest the probe. */
+  def search(index: IvfIndex, probe: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val ranked = index.centroids.zipWithIndex
+      .map { case (c, i) => (Knn.cosineDist(probe, c), i) }
+      .sorted.take(nprobe).map(_._2)
+    val pruned = index.assigned.filter(col("bucket").isin(ranked.toSeq: _*))
+    Knn.topK(pruned, col("emb"), probe, k, col("id"))
+      .select(col("id"), col("dist"))
+  }
+}

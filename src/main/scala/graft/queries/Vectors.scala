@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.operators.Knn
+
+/** Vector-search coverage: the reference's core operator family
+  * (cosine-distance brute-force kNN, `backend/models.py:186-191`) plus the
+  * batch generalizations SURVEY.md §2.9 mandates (kNN join, embedding
+  * near-dup, centroids).
+  *
+  * Oracle notes: distances are compared only through *ordering* (outputs
+  * carry ids + ranks, not raw distances) because DuckDB's
+  * `list_cosine_similarity` and our codegen loop may differ in the last
+  * ulp; the synthetic embeddings' distance gaps (>=1e-4 in every top-k
+  * window, verified at all SFs) make rank order robust. Centroid sums are
+  * decimal-routed per component for exactness.
+  */
+object Vectors extends QueryPack {
+
+  /** Driver-side probe lookup: the embedding of `vec_id = probeId`.
+    * Mirrors the reference's out-of-engine probe acquisition (the query
+    * string is embedded before the SQL runs — SURVEY.md §2.7 F8).
+    */
+  private def probeOf(s: SparkSession, d: String, probeId: Long): Array[Float] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") === probeId)
+      .select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference-parity exact kNN: scan -> cosine distance -> top-k.
+    // Catalyst plans TakeOrderedAndProject (per-partition heap, no shuffle).
+    "v1_knn_top10" -> { (s, d) =>
+      Knn.topK(Tables.embeddings(s, d), col("embedding"), probeOf(s, d, 0L),
+        k = 10, tieBreak = col("vec_id"))
+        .select(col("vec_id"), col("label"))
+    },
+
+    // Offset pagination over the same ordering (reference V3 semantics).
+    "v2_knn_page2" -> { (s, d) =>
+      Knn.topK(Tables.embeddings(s, d), col("embedding"), probeOf(s, d, 0L),
+        k = 10, tieBreak = col("vec_id"), offset = 10)
+        .select(col("vec_id"), col("label"))
+    },
+
+    // Batch kNN join: 8 probes x corpus, k=3, via broadcast probes +
+    // per-partition bounded heaps (no materialized cross product).
+    "v3_knn_join" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Knn.knnJoin(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("rnk"), col("corpus_id"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
+    // Embedding-cosine near-duplicate pairs (SURVEY §2.9).
+    "v4_embedding_near_dup" -> { (s, d) =>
+      Knn.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", minSim = 0.4)
+    },
+
+    // Per-label centroids, decimal-routed per component for exact compare.
+    "v5_label_centroids" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    },
+
+    // L2 (euclidean) kNN — exercises the L2Distance expression.
+    "v6_l2_knn" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("dist", l2_distance(col("embedding"), vector_lit(probeOf(s, d, 1L))))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("label"))
+    }
+  )
+
+  def sql: Map[String, String] = Map(
+    "v1_knn_top10" ->
+      """SELECT vec_id, label
+        |FROM embeddings
+        |ORDER BY 1 - list_cosine_similarity(embedding,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "v2_knn_page2" ->
+      """SELECT vec_id, label
+        |FROM embeddings
+        |ORDER BY 1 - list_cosine_similarity(embedding,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, vec_id ASC
+        |LIMIT 10 OFFSET 10""".stripMargin,
+
+    "v3_knn_join" ->
+      """SELECT probe_id, rnk, corpus_id FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY 1 - list_cosine_similarity(c.embedding, p.embedding) ASC,
+        |               c.vec_id ASC) AS rnk
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 8) t
+        |WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin,
+
+    "v4_embedding_near_dup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    "v5_label_centroids" ->
+      """SELECT label, i - 1 AS pos,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS centroid
+        |FROM embeddings, generate_series(1, 64) AS g(i)
+        |GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin,
+
+    "v6_l2_knn" ->
+      """SELECT vec_id, label
+        |FROM embeddings
+        |ORDER BY list_distance(embedding,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 1)) ASC, vec_id ASC
+        |LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Ivf, Knn}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class VectorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import SparkTestSession.sfDir
+
+  private def vecDf(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("id", "emb")
+  }
+
+  test("cosine_distance matches hand computation, interpreted and codegen") {
+    import spark.implicits._
+    val a = Array(1f, 0f, 2f)
+    val b = Array(0.5f, 1f, -1f)
+    val expected = { // same accumulation order as the expression
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until 3) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = vecDf(Seq((1L, a)))
+      .select(cosine_distance(col("emb"), vector_lit(b)).as("d"))
+      .head().getDouble(0)
+    assert(got === expected)
+    assert(got === Knn.cosineDist(a, b))
+  }
+
+  test("cosine_distance of a vector with itself is ~0; orthogonal is 1; opposite is 2") {
+    val v = Array(0.6f, 0.8f)
+    val d0 = vecDf(Seq((1L, v)))
+      .select(cosine_distance(col("emb"), vector_lit(v))).head().getDouble(0)
+    assert(math.abs(d0) < 1e-12)
+    val d1 = vecDf(Seq((1L, Array(1f, 0f))))
+      .select(cosine_distance(col("emb"), vector_lit(Array(0f, 1f)))).head().getDouble(0)
+    assert(d1 === 1.0)
+    val d2 = vecDf(Seq((1L, Array(1f, 0f))))
+      .select(cosine_distance(col("emb"), vector_lit(Array(-1f, 0f)))).head().getDouble(0)
+    assert(math.abs(d2 - 2.0) < 1e-12)
+  }
+
+  test("zero vector yields NaN (pgvector 0/0 semantics)") {
+    val d = vecDf(Seq((1L, Array(0f, 0f))))
+      .select(cosine_distance(col("emb"), vector_lit(Array(1f, 1f)))).head().getDouble(0)
+    assert(d.isNaN)
+  }
+
+  test("null input yields null, not a crash") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Array[Float]]), (2L, Some(Array(1f, 2f))))
+      .toDF("id", "emb")
+    val rows = df.select(cosine_distance(col("emb"), vector_lit(Array(1f, 2f))))
+      .collect()
+    assert(rows(0).isNullAt(0))
+    assert(!rows(1).isNullAt(0))
+  }
+
+  test("dimension mismatch raises") {
+    val ex = intercept[Exception] {
+      vecDf(Seq((1L, Array(1f, 2f, 3f))))
+        .select(cosine_distance(col("emb"), vector_lit(Array(1f, 2f)))).head()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("dimension mismatch"))
+  }
+
+  test("l2 expressions: norm and distance") {
+    val got = vecDf(Seq((1L, Array(3f, 4f))))
+      .select(l2_norm(col("emb")).as("n"),
+        l2_distance(col("emb"), vector_lit(Array(0f, 0f))).as("d"),
+        dot_product(col("emb"), vector_lit(Array(2f, 1f))).as("p"))
+      .head()
+    assert(got.getDouble(0) === 5.0)
+    assert(got.getDouble(1) === 5.0)
+    assert(got.getDouble(2) === 10.0)
+  }
+
+  test("SQL registration works (FunctionRegistry — reference CREATE EXTENSION analogue)") {
+    graft.functions.GraftFunctions.register(spark)
+    vecDf(Seq((1L, Array(1f, 0f)))).createOrReplaceTempView("vtest")
+    val d = spark.sql(
+      "SELECT cosine_distance(emb, array(0.0F, 1.0F)) FROM vtest").head().getDouble(0)
+    assert(d === 1.0)
+  }
+
+  test("topK(k) is a prefix of topK(k+5) and matches a full sort") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top5 = Knn.topK(e, col("embedding"), probe, 5, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0))
+    val top10 = Knn.topK(e, col("embedding"), probe, 10, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(top10.take(5).sameElements(top5))
+    assert(top5.head === 7L) // self is nearest
+    // offset tiles without gap/overlap (reference V3)
+    val page2 = Knn.topK(e, col("embedding"), probe, 5, col("vec_id"), offset = 5)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(top10.drop(5).sameElements(page2))
+  }
+
+  test("knnJoin agrees with per-probe topK") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 3)
+    val joined = Knn.knnJoin(e, "vec_id", "embedding", probes, "vec_id", "embedding", 4)
+      .select("probe_id", "rnk", "corpus_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    for (p <- 0L until 3L) {
+      val probe = e.filter(col("vec_id") === p).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val direct = Knn.topK(e, col("embedding"), probe, 4, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(joined(p) === direct, s"probe $p")
+    }
+  }
+
+  test("IVF search: self-hit + recall@10 >= 0.6 vs exact, scanning nprobe/nlist of corpus") {
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+    val probe = e.filter(col("vec_id") === 42L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val approx = Ivf.search(idx, probe, k = 10, nprobe = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = Knn.topK(e, col("embedding"), probe, 10, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx.contains(42L))
+    val recall = (approx & exact).size / 10.0
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}
