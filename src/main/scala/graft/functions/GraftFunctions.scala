@@ -24,12 +24,39 @@ object GraftFunctions {
   def vector_lit(xs: Array[Float]): Column =
     org.apache.spark.sql.functions.typedLit(xs)
 
+  // --- spatial (reference PostGIS surface, SURVEY.md §2.7) -----------------
+  def st_point(lon: Column, lat: Column): Column =
+    toCol(STPoint(toExpr(lon.cast("double")), toExpr(lat.cast("double"))))
+  def st_geomfromtext(wkt: Column): Column = toCol(STGeomFromText(toExpr(wkt)))
+  def st_astext(wkb: Column): Column = toCol(STAsText(toExpr(wkb)))
+  def st_intersects(a: Column, b: Column): Column = toCol(STIntersects(toExpr(a), toExpr(b)))
+  def st_contains(a: Column, b: Column): Column = toCol(STContains(toExpr(a), toExpr(b)))
+  def st_within(a: Column, b: Column): Column = toCol(STWithin(toExpr(a), toExpr(b)))
+  def st_distance(a: Column, b: Column): Column = toCol(STDistance(toExpr(a), toExpr(b)))
+  def st_transform_point(x: Column, y: Column, src: Column, dst: Column): Column =
+    toCol(STTransformPoint(Seq(toExpr(x.cast("double")), toExpr(y.cast("double")),
+      toExpr(src.cast("int")), toExpr(dst.cast("int")))))
+
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_distance" -> { es => CosineDistance(es(0), es(1)) },
     "dot_product"     -> { es => DotProduct(es(0), es(1)) },
     "l2_distance"     -> { es => L2Distance(es(0), es(1)) },
     "l2_norm"         -> { es => L2Norm(es(0)) },
+    "st_point"        -> { es => STPoint(cast(es(0), "double"), cast(es(1), "double")) },
+    "st_geomfromtext" -> { es => STGeomFromText(es(0)) },
+    "st_astext"       -> { es => STAsText(es(0)) },
+    "st_intersects"   -> { es => STIntersects(es(0), es(1)) },
+    "st_contains"     -> { es => STContains(es(0), es(1)) },
+    "st_within"       -> { es => STWithin(es(0), es(1)) },
+    "st_distance"     -> { es => STDistance(es(0), es(1)) },
+    "st_transform_point" -> { es => STTransformPoint(Seq(
+      cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },
   )
+
+  /** SQL-registry helper: cast an argument expression to the expected type. */
+  private def cast(e: Expression, to: String): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(to))
 
   /** Register every graft function for SQL use in this session. Idempotent. */
   def register(spark: SparkSession): Unit = synchronized {

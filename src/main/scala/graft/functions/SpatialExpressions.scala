@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, PrecisionModel}
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JTS-backed spatial expressions — the engine's replacement for the
+  * PostGIS functions the reference emits (`backend/models.py:167-174`:
+  * `ST_Intersects(geom, ST_SetSRID(ST_MakePoint(lon, lat), 4326))`).
+  *
+  * Geometry representation: WKB bytes in a `BinaryType` column, SRID fixed
+  * to 4326 (the reference's only SRID on the SQL side — SURVEY.md §2.7 F3;
+  * GeoParquet also stores WKB, so scans need no conversion). Expressions
+  * are CodegenFallback — JTS objects don't codegen — but constant operands
+  * (the probe point / query polygon) are parsed once per expression
+  * instance, not per row, which is what matters for scan-shaped predicates.
+  *
+  * CRS transforms ([[Geo.transformPoint]]) cover the identity and the Web
+  * Mercator pair (EPSG:3857 <-> 4326, the spherical-Mercator formulas from
+  * the public EPSG/OGC definition); other codes raise. The reference's
+  * pyproj covers more codes but its serving path only ever targets 4326
+  * (`backend/models.py:50`).
+  */
+private[graft] object Geo {
+  val SRID = 4326
+  private val factory = new GeometryFactory(new PrecisionModel(), SRID)
+
+  // JTS readers/writers are not thread-safe; executors run many tasks.
+  private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter())
+  private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
+
+  def fromWkb(b: Array[Byte]): Geometry = wkbReader.get().read(b)
+  def toWkb(g: Geometry): Array[Byte] = wkbWriter.get().write(g)
+  def fromWkt(s: String): Geometry = wktReader.get().read(s)
+  def toWkt(g: Geometry): String = wktWriter.get().write(g)
+  def point(lon: Double, lat: Double): Geometry =
+    factory.createPoint(new Coordinate(lon, lat))
+
+  private val EarthRadius = 6378137.0 // WGS84 semi-major axis (Web Mercator sphere)
+
+  /** Point CRS transform. Supported: identity, 4326 <-> 3857. */
+  def transformPoint(x: Double, y: Double, srcEpsg: Int, dstEpsg: Int): (Double, Double) =
+    (srcEpsg, dstEpsg) match {
+      case (a, b) if a == b => (x, y)
+      case (4326, 3857) =>
+        (math.toRadians(x) * EarthRadius,
+          math.log(math.tan(math.Pi / 4.0 + math.toRadians(y) / 2.0)) * EarthRadius)
+      case (3857, 4326) =>
+        (math.toDegrees(x / EarthRadius),
+          math.toDegrees(2.0 * math.atan(math.exp(y / EarthRadius)) - math.Pi / 2.0))
+      case _ => throw new IllegalArgumentException(
+        s"unsupported CRS transform: EPSG:$srcEpsg -> EPSG:$dstEpsg (supported: identity, 4326<->3857)")
+    }
+}
+
+/** st_point(lon, lat) -> WKB point (reference F2: ST_MakePoint). */
+case class STPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_point"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_point expects (double, double), got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    Geo.toWkb(Geo.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_geomfromtext(wkt) -> WKB. */
+case class STGeomFromText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_geomfromtext"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_geomfromtext expects string WKT, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(wkt: Any): Any =
+    Geo.toWkb(Geo.fromWkt(wkt.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_astext(wkb) -> WKT string. */
+case class STAsText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_astext"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_astext expects binary WKB, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(wkb: Any): Any =
+    UTF8String.fromString(Geo.toWkt(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Base for WKB x WKB -> T expressions with constant-operand caching. */
+abstract class GeoBinaryExpression extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, binary) WKB arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  // Parse foldable sides once per expression instance (e.g. the constant
+  // query polygon in a scan predicate), not once per row.
+  @transient private lazy val leftConst: Geometry =
+    if (left.foldable) {
+      val v = left.eval(null)
+      if (v == null) null else Geo.fromWkb(v.asInstanceOf[Array[Byte]])
+    } else null
+  @transient private lazy val rightConst: Geometry =
+    if (right.foldable) {
+      val v = right.eval(null)
+      if (v == null) null else Geo.fromWkb(v.asInstanceOf[Array[Byte]])
+    } else null
+
+  protected def compute(a: Geometry, b: Geometry): Any
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ga = if (leftConst != null) leftConst else Geo.fromWkb(a.asInstanceOf[Array[Byte]])
+    val gb = if (rightConst != null) rightConst else Geo.fromWkb(b.asInstanceOf[Array[Byte]])
+    compute(ga, gb)
+  }
+}
+
+/** OGC intersects — boundary-inclusive (reference P4/F4). */
+case class STIntersects(left: Expression, right: Expression) extends GeoBinaryExpression {
+  override def prettyName: String = "st_intersects"
+  override def dataType: DataType = BooleanType
+  protected def compute(a: Geometry, b: Geometry): Any = a.intersects(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** OGC contains: a contains b. */
+case class STContains(left: Expression, right: Expression) extends GeoBinaryExpression {
+  override def prettyName: String = "st_contains"
+  override def dataType: DataType = BooleanType
+  protected def compute(a: Geometry, b: Geometry): Any = a.contains(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** OGC within: a within b. */
+case class STWithin(left: Expression, right: Expression) extends GeoBinaryExpression {
+  override def prettyName: String = "st_within"
+  override def dataType: DataType = BooleanType
+  protected def compute(a: Geometry, b: Geometry): Any = a.within(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean distance in coordinate units (PostGIS ST_Distance on 4326). */
+case class STDistance(left: Expression, right: Expression) extends GeoBinaryExpression {
+  override def prettyName: String = "st_distance"
+  override def dataType: DataType = DoubleType
+  protected def compute(a: Geometry, b: Geometry): Any = a.distance(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_transform_point(x, y, src_epsg, dst_epsg) -> struct(x, y)
+  * (reference F6: pyproj point reprojection, `backend/models.py:37-42`).
+  */
+case class STTransformPoint(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 4, "st_transform_point(x, y, src_epsg, dst_epsg)")
+  override def prettyName: String = "st_transform_point"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(DoubleType, DoubleType, IntegerType, IntegerType)
+    if (children.map(_.dataType) == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_transform_point expects (double, double, int, int), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+  override def dataType: DataType =
+    new StructType().add("x", DoubleType, nullable = false).add("y", DoubleType, nullable = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val (x, y) = Geo.transformPoint(
+        vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+        vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int])
+      org.apache.spark.sql.catalyst.InternalRow(x, y)
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed replacement for the reference's single-process pandas
+  * ingest (`backend/load_data.py:173-190`: read_parquet ->
+  * drop_duplicates([id, metadata_text]) -> rename geometry->geom ->
+  * project 8 columns -> COPY), which SURVEY.md §3.3 flags as its clearest
+  * 100 TB liability (whole dataset in one process's memory).
+  *
+  * Dedup semantics (SURVEY.md §2.9 D1): pandas keeps the FIRST duplicate
+  * in file order; Spark's dropDuplicates keeps an arbitrary row. For
+  * deterministic keep-first parity, callers supply an ordering column
+  * (explicit ordinal, ingest timestamp, ...) and we take row_number()=1
+  * per key. With no ordering column we fall back to dropDuplicates and
+  * document the weaker guarantee.
+  */
+object Ingest {
+
+  /** The canonical 8-column layers schema, `backend/load_data.py:16-25`. */
+  val TableColumns: Seq[String] = Seq(
+    "id", "name", "type", "description", "url", "metadata_text",
+    "embeddings", "geom")
+
+  /** Deterministic keep-first dedup on a key subset. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** GeoParquet-shaped input -> canonical layers table:
+    * dedup on (id, metadata_text), rename geometry->geom, project the 8
+    * canonical columns (reference `backend/load_data.py:177-178`).
+    */
+  def prepare(raw: DataFrame, orderCol: Option[String] = None): DataFrame = {
+    val renamed =
+      if (raw.columns.contains("geometry")) raw.withColumnRenamed("geometry", "geom")
+      else raw
+    val deduped = orderCol match {
+      case Some(oc) => dedupKeepFirst(renamed, Seq("id", "metadata_text"), oc)
+      case None     => renamed.dropDuplicates(Seq("id", "metadata_text"))
+    }
+    deduped.select(TableColumns.map(col): _*)
+  }
+
+  /** One-shot idempotent load (reference S6 gate: skip when the target is
+    * already populated — `backend/load_data.py:130-136,203`). The parquet
+    * write commit protocol gives the same all-or-nothing visibility as the
+    * reference's single COPY transaction (SURVEY.md §2.1 S3).
+    */
+  def run(spark: SparkSession, inPath: String, outPath: String,
+          orderCol: Option[String] = None): Boolean = {
+    val alreadyLoaded =
+      try !spark.read.parquet(outPath).isEmpty
+      catch { case _: Exception => false } // target absent -> load
+    if (alreadyLoaded) false
+    else {
+      prepare(spark.read.parquet(inPath), orderCol)
+        .write.mode("errorifexists").parquet(outPath)
+      true
+    }
+  }
+}

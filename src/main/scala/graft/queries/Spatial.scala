@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Spatial predicate coverage with a DuckDB oracle and NO spatial
+  * extension on the oracle side: the Spark plans run the real JTS
+  * expressions (st_point / st_geomfromtext / st_intersects / st_contains /
+  * st_distance) while the oracle states the same predicate as plain
+  * arithmetic — exact for axis-aligned rectangles (OGC intersects on a
+  * rectangle == inclusive BETWEEN on both axes) and for point-point
+  * euclidean distance (identical IEEE expression). Non-rectangular
+  * geometry, boundary/vertex cases, and CRS transforms are covered in
+  * ScalaTest (SpatialSpec) instead.
+  *
+  * Synthetic coordinates are derived from customer keys with integer
+  * arithmetic + one double division — bit-identical on both engines.
+  */
+object Spatial extends QueryPack {
+
+  // lon in [-180, 179] + small fraction, lat in [-90, 89] + small fraction
+  private def xCol: Column =
+    ((col("c_custkey") * 7) % 360 - 180 + col("c_nationkey") / 100.0).as("x")
+  private def yCol: Column =
+    ((col("c_custkey") * 3) % 180 - 90 + col("c_nationkey") / 100.0).as("y")
+  private val xSql = "((c_custkey * 7) % 360 - 180 + c_nationkey / 100.0)"
+  private val ySql = "((c_custkey * 3) % 180 - 90 + c_nationkey / 100.0)"
+
+  private val RectWkt =
+    "POLYGON ((-50 -20, 40 -20, 40 35, -50 35, -50 -20))"
+
+  private def points(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"), xCol, yCol)
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Point-in-polygon via real JTS intersects against a constant polygon
+    // (the reference's P4 shape with geom/point roles exercised both ways).
+    "s1_point_in_rect" -> { (s, d) =>
+      points(s, d)
+        .filter(st_intersects(st_geomfromtext(lit(RectWkt)),
+          st_point(col("x"), col("y"))))
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // st_contains (strict interior test differs from intersects on the
+    // boundary; synthetic fractional coords make boundary hits impossible,
+    // so contains == BETWEEN here; boundary semantics tested in ScalaTest).
+    "s2_rect_contains" -> { (s, d) =>
+      points(s, d)
+        .filter(st_contains(st_geomfromtext(lit(RectWkt)),
+          st_point(col("x"), col("y"))))
+        .agg(count(lit(1)).as("n_inside"))
+    },
+
+    // Within-distance (point-point euclidean, identical IEEE both sides).
+    "s3_within_distance" -> { (s, d) =>
+      points(s, d)
+        .filter(st_distance(st_point(col("x"), col("y")),
+          st_point(lit(5.0), lit(5.0))) < 30.0)
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Spatial kNN: 20 nearest points to a probe location — the spatial
+    // twin of v1 (TakeOrderedAndProject again).
+    "s4_nearest_points" -> { (s, d) =>
+      points(s, d)
+        .withColumn("sdist", st_distance(st_point(col("x"), col("y")),
+          st_point(lit(-81.27), lit(28.80))))
+        .orderBy(col("sdist").asc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"))
+    }
+  )
+
+  def sql: Map[String, String] = Map(
+    "s1_point_in_rect" ->
+      s"""SELECT c_custkey FROM customer
+         |WHERE $xSql BETWEEN -50 AND 40 AND $ySql BETWEEN -20 AND 35
+         |ORDER BY c_custkey""".stripMargin,
+
+    "s2_rect_contains" ->
+      s"""SELECT COUNT(*) AS n_inside FROM customer
+         |WHERE $xSql BETWEEN -50 AND 40 AND $ySql BETWEEN -20 AND 35""".stripMargin,
+
+    "s3_within_distance" ->
+      s"""SELECT c_custkey FROM customer
+         |WHERE SQRT(($xSql - 5.0) * ($xSql - 5.0) + ($ySql - 5.0) * ($ySql - 5.0)) < 30.0
+         |ORDER BY c_custkey""".stripMargin,
+
+    "s4_nearest_points" ->
+      s"""SELECT c_custkey FROM customer
+         |ORDER BY SQRT(($xSql - (-81.27)) * ($xSql - (-81.27)) +
+         |              ($ySql - 28.80) * ($ySql - 28.80)) ASC, c_custkey ASC
+         |LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+import graft.functions.Geo
+
+class SpatialSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // POLY_SANFORD from FIXTURES.md: contains (-81.27, 28.80)
+  val PolySanford =
+    "POLYGON ((-81.4 28.7, -81.1 28.7, -81.1 28.9, -81.4 28.9, -81.4 28.7))"
+
+  private def onePoint(lon: Double, lat: Double) = {
+    import spark.implicits._
+    Seq((lon, lat)).toDF("lon", "lat")
+  }
+
+  private def intersectsResult(lon: Double, lat: Double): Boolean =
+    onePoint(lon, lat)
+      .select(st_intersects(st_geomfromtext(lit(PolySanford)),
+        st_point(col("lon"), col("lat"))).as("hit"))
+      .head().getBoolean(0)
+
+  test("st_point + st_astext round trip") {
+    val wkt = onePoint(1.5, 2.5)
+      .select(st_astext(st_point(col("lon"), col("lat")))).head().getString(0)
+    assert(wkt === "POINT (1.5 2.5)")
+  }
+
+  test("point-in-polygon: inside, outside, boundary edge, vertex (OGC intersects is boundary-inclusive)") {
+    assert(intersectsResult(-81.27, 28.80))        // inside (FIXTURES.md)
+    assert(!intersectsResult(-122.90, 46.15))      // Kelso point, disjoint
+    assert(intersectsResult(-81.25, 28.7))         // on an edge
+    assert(intersectsResult(-81.4, 28.7))          // on a vertex
+  }
+
+  test("st_contains excludes the boundary; st_within is its converse") {
+    import spark.implicits._
+    val df = Seq((-81.27, 28.80), (-81.25, 28.7)).toDF("lon", "lat")
+      .select(
+        st_contains(st_geomfromtext(lit(PolySanford)), st_point(col("lon"), col("lat"))).as("c"),
+        st_within(st_point(col("lon"), col("lat")), st_geomfromtext(lit(PolySanford))).as("w"))
+      .collect()
+    assert(df(0).getBoolean(0) && df(0).getBoolean(1))   // interior point
+    assert(!df(1).getBoolean(0) && !df(1).getBoolean(1)) // boundary point
+  }
+
+  test("st_distance: 3-4-5 triangle") {
+    val d = onePoint(3.0, 4.0)
+      .select(st_distance(st_point(col("lon"), col("lat")), st_point(lit(0.0), lit(0.0))))
+      .head().getDouble(0)
+    assert(d === 5.0)
+  }
+
+  test("null input yields null, not a crash") {
+    import spark.implicits._
+    val r = Seq((Option.empty[Double], 1.0)).toDF("lon", "lat")
+      .select(st_intersects(st_geomfromtext(lit(PolySanford)),
+        st_point(col("lon"), col("lat"))))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
+  test("CRS transform: 4326<->3857 known pair + round trip (reference F6)") {
+    // Known published value: (1 deg lon, 0 lat) -> x = 111319.4908 m
+    val (x, y) = Geo.transformPoint(1.0, 0.0, 4326, 3857)
+    assert(math.abs(x - 111319.49079327358) < 1e-4)
+    assert(math.abs(y) < 1e-9)
+    val (lon, lat) = Geo.transformPoint(x, 222684.20850554405, 3857, 4326)
+    assert(math.abs(lon - 1.0) < 1e-9)
+    assert(math.abs(lat - 2.0) < 1e-9) // 2 deg lat <-> 222684.2085 m
+    // identity
+    assert(Geo.transformPoint(10.0, 20.0, 4326, 4326) === ((10.0, 20.0)))
+    // unsupported
+    intercept[IllegalArgumentException](Geo.transformPoint(0, 0, 4326, 2154))
+  }
+
+  test("st_transform_point column expression") {
+    val r = onePoint(1.0, 0.0)
+      .select(st_transform_point(col("lon"), col("lat"), lit(4326), lit(3857)).as("p"))
+      .select(col("p.x"), col("p.y")).head()
+    assert(math.abs(r.getDouble(0) - 111319.49079327358) < 1e-4)
+  }
+
+  test("spatial functions usable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val hit = spark.sql(
+      s"SELECT st_intersects(st_geomfromtext('$PolySanford'), st_point(-81.27D, 28.80D))")
+      .head().getBoolean(0)
+    assert(hit)
+  }
+}
