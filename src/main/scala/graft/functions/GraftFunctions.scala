@@ -37,6 +37,11 @@ object GraftFunctions {
     toCol(STTransformPoint(Seq(toExpr(x.cast("double")), toExpr(y.cast("double")),
       toExpr(src.cast("int")), toExpr(dst.cast("int")))))
 
+  // --- sketch hashes (near-dup detection) ----------------------------------
+  def minhash_signature(tokens: Column, numHashes: Int): Column =
+    toCol(MinHashSignature(toExpr(tokens), numHashes))
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_distance" -> { es => CosineDistance(es(0), es(1)) },
     "dot_product"     -> { es => DotProduct(es(0), es(1)) },

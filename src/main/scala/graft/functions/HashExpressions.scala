@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch hashes for near-duplicate detection at scale: MinHash signatures
+  * (shingle-set Jaccard estimation, Broder 1997) and SimHash (Charikar
+  * 2002) over a token/shingle array column.
+  *
+  * All hashing is self-contained and deterministic (FNV-1a 64 base hash +
+  * splitmix64 per-permutation mixing — public-domain constructions), so
+  * signatures are stable across sessions, partitions, and replays; no
+  * dependence on Spark's internal hash functions.
+  */
+private[graft] object SketchHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+  final val Golden = 0x9e3779b97f4a7c15L
+
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates the per-permutation streams. */
+  def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+private[graft] trait TokenArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+}
+
+/** minhash_signature(tokens, k): array<long> of k minimums over the
+  * permuted token-hash stream. J(A,B) ~ fraction of agreeing slots.
+  * Empty input -> all Long.MaxValue (agrees only with other empties).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with TokenArrayInput with CodegenFallback {
+  require(numHashes > 0, "numHashes must be positive")
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val base = SketchHash.fnv1a64(arr.getUTF8String(t).getBytes)
+      var i = 0
+      while (i < numHashes) {
+        val h = SketchHash.mix(base + SketchHash.Golden * (i + 1))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(tokens): 64-bit locality-sensitive fingerprint; near-dup
+  * documents differ in few bits (compare with bit_count(a ^ b)).
+  * Empty input -> 0L.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with TokenArrayInput with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val h = SketchHash.fnv1a64(arr.getUTF8String(t).getBytes)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-data-pipeline work (BASELINE.json
+  * north star: token counting, quality scoring, language ID, document
+  * fingerprinting). Everything here composes Spark built-ins, so it stays
+  * inside whole-stage codegen — no UDFs, no fallback — and every function
+  * has an exactly-equivalent DuckDB SQL form for the oracle harness.
+  *
+  * Tokenization convention (shared with the oracle SQL): trim, split on
+  * `\s+`; empty/whitespace-only text yields an empty token array.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty array for empty/blank input. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def token_count(c: Column): Column = size(tokens(c))
+
+  def distinct_token_count(c: Column): Column = size(array_distinct(tokens(c)))
+
+  /** Word n-gram shingles (the unit of near-dup detection). */
+  def word_shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** Distinct word n-gram shingle set. */
+  def shingle_set(c: Column, n: Int): Column = array_distinct(word_shingles(c, n))
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    * text. Exact-dup detection key (SURVEY.md §2.9).
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** n-gram-marker language heuristic. Checks CJK characters first, then
+    * competes small stopword inventories; deterministic tie order
+    * en > fr > es > de. Returns one of en/fr/es/de/zh/unknown.
+    */
+  def lang_guess(c: Column): Column = {
+    val zh = regexp_count(c, lit("[\\u4e00-\\u9fff]"))
+    val en = regexp_count(c, lit("\\b(the|and|of|is|to)\\b"))
+    val fr = regexp_count(c, lit("\\b(le|la|et|les|des)\\b"))
+    val es = regexp_count(c, lit("\\b(el|los|las|y|es)\\b"))
+    val de = regexp_count(c, lit("\\b(der|die|und|das|ist)\\b"))
+    when(zh > 0, "zh")
+      .when(en >= fr && en >= es && en >= de && en > 0, "en")
+      .when(fr >= es && fr >= de && fr > 0, "fr")
+      .when(es >= de && es > 0, "es")
+      .when(de > 0, "de")
+      .otherwise("unknown")
+  }
+
+  /** Composite quality score in [0, 1]: length, lexical diversity,
+    * stopword presence, alphabetic ratio — equal weights. The exact
+    * formula is mirrored in the oracle SQL; what matters is that it is a
+    * pure per-row expression (codegen, no shuffle).
+    */
+  def quality_score(c: Column): Column = {
+    val nTok = token_count(c).cast("double")
+    val nTokSafe = greatest(nTok, lit(1.0))
+    val lengthScore = least(lit(1.0), nTok / 20.0)
+    val diversity = distinct_token_count(c).cast("double") / nTokSafe
+    val stopRatio = regexp_count(c, lit("\\b(the|a|of|to|and)\\b")).cast("double") / nTokSafe
+    val stopScore = least(lit(1.0), stopRatio * 5.0)
+    val alphaRatio = length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") /
+      greatest(length(c).cast("double"), lit(1.0))
+    (lengthScore + diversity + stopScore + alphaRatio) / 4.0
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{minhash_signature, simhash64}
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators (BASELINE.json north star: exact,
+  * MinHash-LSH, SimHash, n-gram Jaccard). The exact variants are the
+  * verified baselines; the sketch variants are the 100 TB scale paths —
+  * candidate generation touches only hash buckets, never the full pair
+  * space.
+  *
+  * Scale notes:
+  *  - [[jaccardNearDupPairs]] shuffles on shingle value; ubiquitous
+  *    shingles create both skew and candidate blow-up, so `maxDf` drops
+  *    shingles seen in more than that many docs (standard blocking trick;
+  *    a shingle shared by >maxDf docs carries ~no discriminating signal);
+  *  - [[minhashLshNearDupPairs]] shuffles (bands x docs) fixed-size keys
+  *    and verifies only bucket-colliding candidates — the pair space never
+  *    materializes. Band/row geometry tunes the S-curve:
+  *    P(candidate) = 1 - (1 - j^rows)^bands;
+  *  - [[simhashNearDupPairs]] blocks on 16-bit simhash chunks (pigeonhole:
+  *    hamming distance <= 3 over 64 bits guarantees one equal chunk).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by canonical-text fingerprint: one keeper
+    * (min id) per group plus the group size. The groupBy is a hash
+    * aggregate on a 32-char key — fully map-side combinable.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingle_set(col(textCol), n).as("shingles"))
+
+  /** Exact n-gram Jaccard near-dup pairs via a relational shingle join —
+    * no cross product: explode distinct shingles, self-join on shingle,
+    * count common per pair, compare against |A|+|B|-common.
+    */
+  def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, minJaccard: Double = 0.5,
+                          maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n).cache()
+    val sizes = sh.select(col("id"), size(col("shingles")).as("sz"))
+    var ex = sh.select(col("id"), explode(col("shingles")).as("s"))
+    maxDf.foreach { m =>
+      val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= m).select(col("s"))
+      ex = ex.join(keep, "s")
+    }
+    val a = ex.toDF("id1", "s")
+    val b = ex.toDF("id2", "s")
+    val common = a.join(b, Seq("s")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("id1", "sz1"), "id1")
+      .join(sizes.toDF("id2", "sz2"), "id2")
+      .filter(col("common").cast("double") /
+        (col("sz1") + col("sz2") - col("common")) >= minJaccard)
+      .select(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** MinHash-LSH near-dup pairs: signature -> banded buckets -> candidate
+    * pairs -> exact Jaccard verification on the candidates only.
+    */
+  def minhashLshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                             minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingled(docs, idCol, textCol, n).cache()
+    val sig = sh.withColumn("sig", minhash_signature(col("shingles"), numHashes))
+    // one row per (doc, band); bucket key = hash of the band's slice
+    // (static band count -> plain column expressions, no lambda needed)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    val banded = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.toDF("id1", "band", "bucket")
+      .join(banded.toDF("id2", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    // verify candidates with exact Jaccard (arrays are already distinct)
+    cand
+      .join(sh.toDF("id1", "sh1"), "id1")
+      .join(sh.toDF("id2", "sh2"), "id2")
+      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
+      .select(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, candidates from equal
+    * 16-bit chunks, verified by hamming distance <= maxHamming (<= 3 for
+    * the pigeonhole guarantee with 4 chunks).
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val withSim = docs.select(col(idCol).as("id"),
+      simhash64(shingle_set(col(textCol), n)).as("sim"))
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
+    }
+    val chunked = withSim
+      .select(col("id"), col("sim"), explode(array(chunkStructs: _*)).as("cc"))
+      .select(col("id"), col("sim"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    val cand = chunked.toDF("id1", "sim1", "chunk", "v")
+      .join(chunked.toDF("id2", "sim2", "chunk", "v"), Seq("chunk", "v"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("sim1"), col("id2"), col("sim2"))
+      .distinct()
+    cand
+      .filter(bit_count(col("sim1").bitwiseXOR(col("sim2"))) <= maxHamming)
+      .select(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2"))
+  }
+}

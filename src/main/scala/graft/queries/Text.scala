@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication coverage over the `documents` table
+  * (BASELINE.json north star: token counting, quality scoring, language
+  * ID, fingerprinting, exact + near dedup).
+  *
+  * The Spark side uses the TextFunctions / Dedup operators; the oracle
+  * states the identical algorithm in DuckDB SQL (token convention: trim +
+  * split on \s+; shingles: word 3-grams). MinHash-LSH and SimHash have no
+  * portable SQL form — they are verified in ScalaTest against the exact
+  * Jaccard baseline and surfaced as rows-only queries (d3/d4).
+  */
+object Text extends QueryPack {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token + distinct-token counts per document
+    "t1_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          token_count(col("text")).as("n_tokens"),
+          distinct_token_count(col("text")).as("n_distinct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // composite quality score (pure per-row arithmetic, codegen)
+    "t2_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), quality_score(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // n-gram-marker language heuristic vs the labeled lang column
+    "t3_lang_guess" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), lang_guess(col("text")).as("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))
+    },
+
+    // canonical-text fingerprint (md5) per document
+    "t4_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // distinct word-3-gram shingle count per document
+    "t5_shingle_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(shingle_set(col("text"), 3)).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
+    // exact dedup groups on (lang, source): keeper = min doc_id
+    "d1_exact_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // exact n-gram Jaccard near-dup pairs (relational shingle join)
+    "d2_jaccard_near_dup" -> { (s, d) =>
+      Dedup.jaccardNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+    },
+
+    // MinHash-LSH near-dups — rows-only oracle; ScalaTest asserts equality
+    // with d2's exact pairs at this threshold/geometry
+    "d3_minhash_lsh_near_dup" -> { (s, d) =>
+      Dedup.minhashLshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, minJaccard = 0.5)
+    },
+
+    // SimHash near-dups — rows-only oracle (sketch-specific recall)
+    "d4_simhash_near_dup" -> { (s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, maxHamming = 3)
+    }
+  )
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private def shinglesSql(w: String) =
+    s"list_distinct(list_transform(generate_series(1, len($w) - 2), i -> array_to_string($w[i:i+2], ' ')))"
+
+  def sql: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(list_distinct($toksSql)) END AS n_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      """SELECT doc_id,
+        |  (LEAST(1.0, n_tok / 20.0)
+        |   + n_distinct / GREATEST(n_tok, 1.0)
+        |   + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+        |   + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS DOUBLE) AS n_distinct,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS DOUBLE) AS n_stop,
+        |    CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |    CAST(len(text) AS DOUBLE) AS n_chars
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_guess" ->
+      """SELECT lang,
+        |  CASE WHEN zh > 0 THEN 'zh'
+        |       WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+        |       WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+        |       WHEN es >= de AND es > 0 THEN 'es'
+        |       WHEN de > 0 THEN 'de'
+        |       ELSE 'unknown' END AS guess,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS zh,
+        |    len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) AS en,
+        |    len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS fr,
+        |    len(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS de
+        |  FROM documents) t
+        |GROUP BY lang, guess
+        |ORDER BY lang, guess""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_shingle_stats" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(trim(text)) = 0 OR len($toksSql) < 3 THEN 0
+         |       ELSE len(${shinglesSql(toksSql)}) END AS n_shingles
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "d2_jaccard_near_dup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("w")} AS shingles FROM toks),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2
+         |FROM pairs
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5
+         |ORDER BY id1, id2""".stripMargin
+  )
+}

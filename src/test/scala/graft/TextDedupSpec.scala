@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.{minhash_signature, simhash64}
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import SparkTestSession.sfDir
+
+  private def textDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokens / token_count handle empty, blank, and multi-space input") {
+    val got = textDf((1L, "a  b\tc"), (2L, ""), (3L, "   "), (4L, "one"))
+      .select(col("doc_id"), token_count(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("word_shingles: n-grams in order; short docs yield empty") {
+    val got = textDf((1L, "a b c d"), (2L, "a b"))
+      .select(col("doc_id"), word_shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    assert(got(2L) === Seq())
+  }
+
+  test("fingerprint is case/whitespace-insensitive but content-sensitive") {
+    val fps = textDf((1L, "Hello  World"), (2L, "hello world"), (3L, "hello worlds"))
+      .select(fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("lang_guess picks marker-dominant language, zh first, unknown fallback") {
+    val got = textDf(
+      (1L, "the cat and the dog is here"),
+      (2L, "le chat et la maison les arbres"),
+      (3L, "el perro y los gatos"),
+      (4L, "der hund und die katze ist"),
+      (5L, "这是中文文本"),
+      (6L, "xyzzy plugh"))
+      .select(col("doc_id"), lang_guess(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de",
+      5L -> "zh", 6L -> "unknown"))
+  }
+
+  test("quality_score stays in [0,1] and ranks rich text above degenerate text") {
+    val got = textDf(
+      (1L, "the quick brown fox jumps over a lazy dog of the meadow and then rests to sleep"),
+      (2L, "aaa aaa aaa aaa"),
+      (3L, "!!! ??? ###"))
+      .select(col("doc_id"), quality_score(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+  }
+
+  test("minhash signature: identical sets agree everywhere; jaccard estimate tracks truth") {
+    val df = textDf(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),          // identical
+      (3L, "a b c d e f g h i j k z"),          // near-dup
+      (4L, "q r s t u v w x y z zz zzz"))       // disjoint
+      .select(col("doc_id"), minhash_signature(shingle_set(col("text"), 3), 256).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y } / 256.0
+    assert(agree(sigs(1L), sigs(2L)) === 1.0)
+    val nearSim = agree(sigs(1L), sigs(3L))
+    assert(nearSim > 0.5 && nearSim < 1.0, s"near-dup est $nearSim")
+    assert(agree(sigs(1L), sigs(4L)) === 0.0)
+  }
+
+  test("simhash: identical -> distance 0; one-token edit -> small distance; disjoint -> large") {
+    val df = textDf(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 zz"),
+      (4L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15 v16"))
+      .select(col("doc_id"), simhash64(shingle_set(col("text"), 3)).as("sim"))
+    val sims = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) === 0)
+    assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(4L)))
+  }
+
+  test("MinHash-LSH near-dups equal the exact Jaccard pairs on the documents table") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshNearDupPairs(docs, "doc_id", "text", 3, 128, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-dups in testdata")
+    // verification step makes LSH precise; banding geometry makes misses
+    // vanishingly rare at j>=0.5 -> expect exact equality here
+    assert(lsh === exact)
+  }
+
+  test("SimHash pairs docs with equal canonical shingle sets, not disjoint docs") {
+    // SimHash hamming distance is statistically meaningful only for large
+    // feature sets; the deterministic contract tested here is (a) equal
+    // distinct-shingle sets -> identical fingerprint -> paired via chunk
+    // blocking, (b) disjoint docs -> far fingerprints -> not paired.
+    val docs = textDf(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16"),
+      (2L, "t1  t2   t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16"), // same tokens, messy spacing
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16"))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("exact dup groups: synthetic exact dups collapse to one keeper") {
+    val docs = textDf((1L, "Same  Text"), (2L, "same text"), (3L, "other text"))
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(groups.length === 2)
+    val dupGroup = groups.find(_._3 == 2L).get
+    assert(dupGroup._2 === 1L) // min id kept
+  }
+}
