@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, Vectors, Spatial, Text)
+  private val packs: Seq[QueryPack] = Seq(Relational, Vectors, Spatial, Text, Events)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's canonical shape (SURVEY.md §7.3): scan -> filter ->

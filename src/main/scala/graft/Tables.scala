@@ -16,7 +16,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") readEvents(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    * Read it as a raw nanos long (legacy conf) and floor-convert to
+    * microsecond TimestampType — the same truncation DuckDB applies when
+    * it narrows nanos to its native microsecond timestamps, so oracle
+    * comparisons agree.
+    */
+  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

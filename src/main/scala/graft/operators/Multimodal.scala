@@ -1,0 +1,147 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchHash
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample operators (BASELINE.json north star).
+  *
+  * The Spark-side design is real and tested — schema, typed Dataset
+  * mapPartitions transforms (one decoder instance per partition, the same
+  * batch shape a JNI/FFI decoder would want), deterministic outputs. The
+  * actual media codecs are STUBBED: this container has no image/audio
+  * libraries, so [[FakeCodec]] implements a self-describing synthetic
+  * format ("GRFT" magic + kind + dimensions + payload) and all pixel/PCM
+  * math is a deterministic placeholder. Swapping in a real codec means
+  * reimplementing the three marked methods of [[FakeCodec]] only; every
+  * operator signature and the distribution strategy stay as-is.
+  *
+  * Scale notes: media blobs are large — operators never shuffle the bytes
+  * except where output semantics require new blobs; metadata extraction
+  * projects the struct and drops the payload as early as possible so
+  * downstream plans shuffle ~100 bytes/row, not megabytes.
+  */
+object Multimodal {
+
+  case class MediaMeta(kind: String, width: Int, height: Int, nFrames: Int)
+  case class MediaRow(media_id: Long, bytes: Array[Byte])
+  case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,
+      nFrames: Int, payload_size: Int)
+  case class FrameRow(media_id: Long, frame_idx: Int, bytes: Array[Byte])
+  case class FeatureRow(media_id: Long, features: Array[Float])
+
+  /** STUB codec for the synthetic GRFT container format:
+    * magic "GRFT" (4B) | kind (1B: 0=image,1=audio,2=video) |
+    * width (4B BE) | height (4B BE) | nFrames (4B BE) | payload.
+    */
+  object FakeCodec {
+    val Magic: Array[Byte] = "GRFT".getBytes("US-ASCII")
+    val HeaderLen: Int = 4 + 1 + 4 + 4 + 4
+    private val kinds = Array("image", "audio", "video")
+
+    def encode(kind: String, width: Int, height: Int, nFrames: Int,
+               payload: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(HeaderLen + payload.length)
+      buf.put(Magic).put(kinds.indexOf(kind).toByte)
+        .putInt(width).putInt(height).putInt(nFrames).put(payload)
+      buf.array()
+    }
+
+    /** STUB decode — a real implementation would parse JPEG/WAV/MP4. */
+    def decodeMeta(bytes: Array[Byte]): MediaMeta = {
+      require(bytes.length >= HeaderLen &&
+        bytes.startsWith(Magic), "not a GRFT blob")
+      val buf = ByteBuffer.wrap(bytes, 4, HeaderLen - 4)
+      MediaMeta(kinds(buf.get().toInt), buf.getInt, buf.getInt, buf.getInt)
+    }
+
+    def payload(bytes: Array[Byte]): Array[Byte] = bytes.drop(HeaderLen)
+
+    /** STUB resize — deterministic placeholder for pixel resampling:
+      * re-headers with the new dimensions and subsamples the payload
+      * proportionally. A real implementation would do bilinear/Lanczos.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val m = decodeMeta(bytes)
+      val p = payload(bytes)
+      val outLen = math.max(1, (p.length.toLong * w * h /
+        math.max(1L, m.width.toLong * m.height)).toInt)
+      val out = Array.tabulate(outLen)(i => p((i.toLong * p.length / outLen).toInt))
+      encode(m.kind, w, h, m.nFrames, out)
+    }
+
+    /** STUB feature extraction — deterministic placeholder for an
+      * embedding model: hashes payload chunks into a unit-norm vector.
+      */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val p = payload(bytes)
+      val raw = Array.tabulate(dim) { i =>
+        val h = SketchHash.mix(SketchHash.fnv1a64(p) + SketchHash.Golden * (i + 1))
+        (h.toDouble / Long.MaxValue).toFloat
+      }
+      val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      if (norm == 0f) raw else raw.map(_ / norm)
+    }
+  }
+
+  /** Decode metadata and DROP the payload bytes — do this first so later
+    * stages shuffle small rows.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition scope: a real codec would init its native context here
+      it.map { r =>
+        val m = FakeCodec.decodeMeta(r.bytes)
+        DecodedRow(r.media_id, m.kind, m.width, m.height, m.nFrames,
+          r.bytes.length - FakeCodec.HeaderLen)
+      }
+    }
+  }
+
+  /** Per-blob embedding vector (batch shape: one codec per partition). */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => FeatureRow(r.media_id, FakeCodec.features(r.bytes, dim))))
+  }
+
+  /** Resize images/frames to target dimensions (new blobs out). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => MediaRow(r.media_id, FakeCodec.resize(r.bytes, w, h))))
+  }
+
+  /** Sample up to `n` evenly-spaced frames from each video blob
+    * (non-videos pass through as frame 0). Emits one row per frame —
+    * a flatMap, no shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val m = FakeCodec.decodeMeta(r.bytes)
+      if (m.kind != "video" || m.nFrames <= 1) {
+        Seq(FrameRow(r.media_id, 0, r.bytes))
+      } else {
+        val take = math.min(n, m.nFrames)
+        val p = FakeCodec.payload(r.bytes)
+        val perFrame = math.max(1, p.length / m.nFrames)
+        (0 until take).map { j =>
+          val frameIdx = (j.toLong * m.nFrames / take).toInt
+          val start = math.min(frameIdx * perFrame, math.max(0, p.length - perFrame))
+          val frame = p.slice(start, start + perFrame)
+          FrameRow(r.media_id, frameIdx,
+            FakeCodec.encode("image", m.width, m.height, 1, frame))
+        }
+      }
+    }
+  }
+
+  /** Media-level near-dup: features -> cosine pairs (composes with Knn). */
+  def nearDupMedia(media: Dataset[MediaRow], dim: Int, minSim: Double): DataFrame =
+    Knn.nearDupPairs(extractFeatures(media, dim).toDF("id", "emb"), "id", "emb", minSim)
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventsStream
+
+/** Event-stream operator coverage in batch form (the streaming forms share
+  * the same transformations — StreamingSpec asserts batch/stream
+  * equivalence; the driver oracle checks the batch semantics here):
+  * tumbling-window aggregation, gap-based sessionization, JSON extraction.
+  */
+object Events extends QueryPack {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hourly tumbling window x event_type (streaming twin: hourlyByTypeStream)
+    "e1_hourly_by_type" -> { (s, d) =>
+      EventsStream.hourlyByTypeBatch(Tables.events(s, d))
+    },
+
+    // gap-based sessionization (streaming twin: sessionizeStream)
+    "e2_sessionization" -> { (s, d) =>
+      EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+    },
+
+    // JSON property extraction + aggregation (props is a JSON string)
+    "e3_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // per-user conditional event counts (funnel-style)
+    "e4_user_funnel" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+        .filter(col("n_views") > 0)
+        .orderBy(col("user_id"))
+    }
+  )
+
+  def sql: Map[String, String] = Map(
+    "e1_hourly_by_type" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "e2_sessionization" ->
+      """SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |            > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events) t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "e3_json_extract" ->
+      """SELECT event_type,
+        |  SUM(k) AS sum_k, COUNT(k) AS n_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "e4_user_funnel" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        |FROM events
+        |GROUP BY user_id
+        |HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming seam over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props). The reference has no
+  * streaming surface (SURVEY.md §2.8) — this is north-star scope: the same
+  * transformations exposed in batch form (oracle-checkable) and streaming
+  * form (incremental, watermarked), sharing semantics.
+  *
+  * Scale notes: tumbling-window aggregation is a streaming hash aggregate
+  * keyed on (window, event_type) — state size bounded by watermark
+  * retention; sessionization state is one small record per active user,
+  * dropped on timeout; streaming dedup state is bounded by the watermark
+  * horizon in production (here: explicit per-key state for the test
+  * harness).
+  */
+object EventsStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Batch form of the hourly tumbling aggregate (oracle-checked as e1). */
+  def hourlyByTypeBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Streaming form: same aggregate, incremental with a watermark. */
+  def hourlyByTypeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Batch sessionization: a session ends after `gapMinutes` of user
+    * inactivity (oracle-checked as e2 — lag + running flag sum).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > expr(s"INTERVAL '$gapMinutes' MINUTE"), 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
+
+  /** Streaming sessionization with explicit per-user state
+    * (mapGroupsWithState): emits the running (n_sessions, n_events) per
+    * user on every trigger; state is one record per user.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[SessState]) =>
+          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          // within a batch, process this user's events in time order
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val newSess = s.lastTs == Long.MinValue || tsMicros - s.lastTs > gapMicros
+            s = SessState(tsMicros, s.nSessions + (if (newSess) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          UserSessions(uid, s.nSessions, s.nEvents)
+      }
+  }
+
+  /** Streaming exact dedup on a key column: first occurrence wins, later
+    * duplicates are dropped (the streaming counterpart of
+    * Ingest.dedupKeepFirst). State: one boolean per seen key — bound it
+    * with a watermark + state TTL in production.
+    */
+  def streamingDedup(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            evs.take(1) // first occurrence only
+          }
+      }
+  }
+}

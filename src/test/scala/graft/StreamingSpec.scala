@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import SparkTestSession.sfDir
+
+  private def eventsDir: String = {
+    // file-source streams read a directory; stage the single parquet file
+    val dir = Files.createTempDirectory("graft-events").toString
+    // restage through Tables.events: converts the NANOS timestamps to
+    // Spark-native micros so the file stream source can read the schema
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly aggregate converges to the batch result") {
+    val dir = eventsDir
+    val stream = spark.readStream
+      .schema(EventsStream.eventsSchema)
+      .parquet(dir)
+    val q = EventsStream.hourlyByTypeStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventsStream.hourlyByTypeBatch(spark.read.parquet(dir))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization matches the batch window version") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionizeStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sess_out")
+      .start()
+    try {
+      // feed in two chronological chunks to exercise cross-batch state
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      val (first, second) = sorted.splitAt(sorted.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      // last update per user wins
+      val streamed = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.last }
+        .values.map(t => (t._1, t._2, t._3)).toSet
+      val batch = EventsStream.sessionizeBatch(Tables.events(spark, sfDir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence across batches") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, v: Double) = Event(id, t0, 1L, "view", v, "{}")
+    val input = MemoryStream[Event]
+    val q = EventsStream.streamingDedup(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      input.addData(Seq(ev(1, 1.0), ev(2, 2.0), ev(1, 99.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(2, 98.0), ev(3, 3.0)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).sortBy(_._1)
+      assert(out === Array((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+}
