@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Ad-hoc micro-profiler for plan-shape investigations (not part of the
+  * driver contract). Usage: runMain graft.Profile [sfDir]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    // repeat mode: runMain graft.Profile <sfDir> repeat <query> <times>
+    if (args.length >= 4 && args(1) == "repeat") {
+      val name = args(2)
+      val times = args(3).toInt
+      (1 to times).foreach { i =>
+        time(s"$name run $i")(SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      }
+      spark.stop()
+      return
+    }
+
+    val e = Tables.embeddings(spark, sfDir)
+    time("embeddings count")(e.count())
+    time("embeddings noop")(e.write.format("noop").mode("overwrite").save())
+    val exploded = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    time("posexplode count")(exploded.count())
+    val agg = exploded.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double") /
+        count(lit(1))).as("centroid"))
+    time("centroid agg noop")(agg.write.format("noop").mode("overwrite").save())
+    time("centroid agg + sort noop")(agg.orderBy(col("label"), col("pos"))
+      .write.format("noop").mode("overwrite").save())
+    time("v5 via SparkEntry")(SparkEntry.queries("v5_label_centroids")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    time("v1 via SparkEntry")(SparkEntry.queries("v1_knn_top10")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

@@ -23,16 +23,16 @@ object TextFunctions {
 
   def distinct_token_count(c: Column): Column = size(array_distinct(tokens(c)))
 
-  /** Word n-gram shingles (the unit of near-dup detection). */
-  def word_shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - n),
-        i => array_join(slice(t, i + 1, lit(n)), " ")))
-  }
+  /** Word n-gram shingles (the unit of near-dup detection). Native
+    * single-pass expression — see [[WordShingles]] for why the composed
+    * transform/slice form is quadratic on long documents.
+    */
+  def word_shingles(c: Column, n: Int): Column =
+    GraftFunctions.toCol(WordShingles(GraftFunctions.toExpr(c), n, distinct = false))
 
-  /** Distinct word n-gram shingle set. */
-  def shingle_set(c: Column, n: Int): Column = array_distinct(word_shingles(c, n))
+  /** Distinct word n-gram shingle set (first-occurrence order). */
+  def shingle_set(c: Column, n: Int): Column =
+    GraftFunctions.toCol(WordShingles(GraftFunctions.toExpr(c), n, distinct = true))
 
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text. Exact-dup detection key (SURVEY.md §2.9).

@@ -116,14 +116,14 @@ object Dedup {
     val chunked = withSim
       .select(col("id"), col("sim"), explode(array(chunkStructs: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
-    val cand = chunked.toDF("id1", "sim1", "chunk", "v")
+    // verify (cheap bit_count) BEFORE distinct so the dedup shuffle only
+    // carries true near-dups, not every bucket collision
+    chunked.toDF("id1", "sim1", "chunk", "v")
       .join(chunked.toDF("id2", "sim2", "chunk", "v"), Seq("chunk", "v"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("sim1"), col("id2"), col("sim2"))
-      .distinct()
-    cand
-      .filter(bit_count(col("sim1").bitwiseXOR(col("sim2"))) <= maxHamming)
+      .filter(col("id1") < col("id2") &&
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))) <= maxHamming)
       .select(col("id1"), col("id2"))
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 }

@@ -31,6 +31,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2L) === Seq())
   }
 
+  test("native WordShingles matches the composed transform/slice form on edge inputs") {
+    import org.apache.spark.sql.functions.{array_distinct, array_join, lit, sequence, size, slice, transform, when, split, trim, length, array}
+    def composed(c: org.apache.spark.sql.Column, n: Int) = {
+      val t = when(length(trim(c)) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(c), "\\s+"))
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + 1, lit(n)), " ")))
+    }
+    val inputs = Seq("a b c d e", "a  b\tc", " leading and trailing ", "", "   ",
+      "x", "x y", "\ttab first", "a b a b a b")
+    val df = textDf(inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }: _*)
+    val rows = df.select(
+      word_shingles(col("text"), 3).as("native"),
+      composed(col("text"), 3).as("comp"),
+      shingle_set(col("text"), 2).as("nativeSet"),
+      array_distinct(composed(col("text"), 2)).as("compSet")).collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"ordered mismatch for '$in'")
+      assert(r.getSeq[String](2) === r.getSeq[String](3), s"distinct mismatch for '$in'")
+    }
+  }
+
   test("fingerprint is case/whitespace-insensitive but content-sensitive") {
     val fps = textDf((1L, "Hello  World"), (2L, "hello world"), (3L, "hello worlds"))
       .select(fingerprint(col("text"))).collect().map(_.getString(0))
