@@ -30,6 +30,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.SpatialFilterPushdown)
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()

@@ -18,6 +18,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.SpatialFilterPushdown)
 
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

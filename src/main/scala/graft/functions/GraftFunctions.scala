@@ -41,6 +41,7 @@ object GraftFunctions {
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     toCol(MinHashSignature(toExpr(tokens), numHashes))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def rolling_hash(text: Column): Column = toCol(RollingHash64(toExpr(text)))
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_distance" -> { es => CosineDistance(es(0), es(1)) },
@@ -54,6 +55,8 @@ object GraftFunctions {
     "st_contains"     -> { es => STContains(es(0), es(1)) },
     "st_within"       -> { es => STWithin(es(0), es(1)) },
     "st_distance"     -> { es => STDistance(es(0), es(1)) },
+    "rolling_hash"    -> { es => RollingHash64(es(0)) },
+    "simhash64"       -> { es => SimHash64(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(
       cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },
   )
@@ -70,4 +73,16 @@ object GraftFunctions {
       fr.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
+
+  /** Builder-time registration for `withExtensions` / spark.sql.extensions
+    * (see [[graft.plans.GraftExtensions]]).
+    */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    registry.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name),
+        builder))
+    }
 }

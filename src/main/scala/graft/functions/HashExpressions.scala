@@ -79,6 +79,40 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rolling_hash(text): polynomial rolling hash over the UTF-8 bytes,
+  * h = (h * 131 + byte) mod 2^55 — small enough that every intermediate
+  * fits a signed 64-bit value, so the identical recurrence is expressible
+  * in portable SQL (the oracle uses list_reduce) and in any other engine.
+  * Null -> null; empty string -> 0.
+  */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rolling_hash"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 131L + (bytes(i) & 0xffL)) % RollingHash64.Mod
+      i += 1
+    }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RollingHash64 {
+  /** 2^55: h*131 + 255 stays below 2^63 for h < Mod. */
+  final val Mod: Long = 1L << 55
+}
+
 /** simhash64(tokens): 64-bit locality-sensitive fingerprint; near-dup
   * documents differ in few bits (compare with bit_count(a ^ b)).
   * Empty input -> 0L.

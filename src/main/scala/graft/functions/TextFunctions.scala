@@ -58,6 +58,33 @@ object TextFunctions {
       .otherwise("unknown")
   }
 
+  /** GPT-2-style pre-tokenizer segment count ("BPE-ish"): letter runs,
+    * digit runs, punctuation runs (each with optional leading space), and
+    * whitespace runs. Lookahead-free so the same pattern runs on Java
+    * regex (Spark) and RE2 (DuckDB oracle).
+    */
+  val BpePattern: String = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  def bpe_token_count(c: Column): Column = regexp_count(c, lit(BpePattern))
+
+  /** HTML -> plain-text-markdown-ish transform (reference F10: the MCP
+    * layer markdownifies every response string, `backend/mcp.py:12-20`):
+    * strip tags, decode the common entities (amp last so &amp;lt; does
+    * not double-decode), collapse whitespace.
+    */
+  def strip_html(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (from, to)) => replace(col0, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Polynomial rolling-hash fingerprint (north-star "document
+    * fingerprinting (rolling hash)") — see [[RollingHash64]].
+    */
+  def rolling_fingerprint(c: Column): Column =
+    GraftFunctions.toCol(RollingHash64(GraftFunctions.toExpr(c)))
+
   /** Composite quality score in [0, 1]: length, lexical diversity,
     * stopword presence, alphabetic ratio — equal weights. The exact
     * formula is mirrored in the oracle SQL; what matters is that it is a

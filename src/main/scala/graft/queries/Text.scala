@@ -58,6 +58,31 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // BPE-ish pre-tokenizer segment count (north-star token counting)
+    "t6_bpe_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), bpe_token_count(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
+    // HTML strip / markdownify (reference F10) — synthetic markup wrapped
+    // around the corpus text, stripped back to canonical form
+    "t7_strip_html" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          strip_html(concat(lit("<p><b>doc&nbsp;"), col("doc_id").cast("string"),
+            lit(":</b> "), col("text"), lit("</p>"))).as("stripped"))
+        .orderBy(col("doc_id"))
+    },
+
+    // polynomial rolling-hash fingerprint (native expression; oracle
+    // states the identical recurrence via list_reduce)
+    "t8_rolling_fp" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), rolling_fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -145,6 +170,28 @@ object Text extends QueryPack {
          |  CASE WHEN len(trim(text)) = 0 OR len($toksSql) < 3 THEN 0
          |       ELSE len(${shinglesSql(toksSql)}) END AS n_shingles
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t6_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t7_strip_html" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace('<p><b>doc&nbsp;' || CAST(doc_id AS VARCHAR) || ':</b> ' || text || '</p>',
+        |                     '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS stripped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t8_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 131 + b) % 36028797018963968) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS n_copies

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+import graft.plans.SpatialFilterPushdown
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  // separate session: extensions are builder-time configuration, and
+  // getOrCreate() would silently return the shared test session (ignoring
+  // withExtensions) unless the default/active slots are cleared first.
+  // The new session shares the existing SparkContext.
+  lazy val extSpark: SparkSession = {
+    val base = SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  test("extension-registered functions work from pure SQL") {
+    val d = extSpark.sql(
+      "SELECT cosine_distance(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS d, " +
+        "st_astext(st_point(1.5D, 2.5D)) AS wkt")
+      .head()
+    assert(d.getDouble(0) === 1.0)
+    assert(d.getString(1) === "POINT (1.5 2.5)")
+  }
+
+  test("SpatialFilterPushdown adds sargable bbox conjuncts that reach the parquet scan") {
+    import extSpark.implicits._
+    // parquet-backed so ConvertToLocalRelation can't fold the filter away
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbox").toString
+    Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 100.0, 100.0))
+      .toDF("id", "x", "y").write.mode("overwrite").parquet(dir)
+    val filtered = extSpark.read.parquet(dir).filter(
+      st_distance(st_point(col("x"), col("y")), st_point(lit(0.0), lit(0.0))) < 20.0)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    assert(optimized.contains(">=") && optimized.contains("<="),
+      s"expected bbox range conjuncts in:\n$optimized")
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") &&
+      physical.contains("GreaterThanOrEqual(x,"),
+      s"expected bbox bounds in PushedFilters:\n$physical")
+    // semantics unchanged
+    assert(filtered.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+  }
+
+  test("rule is a no-op without a constant center or without st_distance") {
+    import extSpark.implicits._
+    val df = Seq((1L, 1.0, 2.0, 3.0, 4.0)).toDF("id", "x", "y", "cx", "cy")
+    // variable center: no rewrite, still correct
+    val dynamic = df.filter(
+      st_distance(st_point(col("x"), col("y")), st_point(col("cx"), col("cy"))) < 5.0)
+    assert(dynamic.count() === 1)
+    val plain = df.filter(col("x") < 10.0)
+    val before = plain.queryExecution.optimizedPlan
+    assert(SpatialFilterPushdown(before) === before)
+  }
+
+  test("rule reaches fixpoint (no duplicate conjuncts on re-application)") {
+    import extSpark.implicits._
+    val df = Seq((1L, 0.0, 0.0)).toDF("id", "x", "y")
+    val filtered = df.filter(
+      st_distance(st_point(col("x"), col("y")), st_point(lit(0.0), lit(0.0))) < 1.0)
+    val once = filtered.queryExecution.optimizedPlan
+    val twice = SpatialFilterPushdown(once)
+    assert(twice === once)
+  }
+}

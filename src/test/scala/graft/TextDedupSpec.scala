@@ -86,6 +86,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(1L) > got(2L) && got(2L) > got(3L))
   }
 
+  test("bpe_token_count segments letters/digits/punctuation runs") {
+    val got = textDf((1L, "the cat's fur, isn't it? 42 times!"), (2L, ""), (3L, "a1b2 c3"))
+      .select(col("doc_id"), bpe_token_count(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 14, 2L -> 0, 3L -> 6)) // verified against RE2
+  }
+
+  test("strip_html removes tags, decodes entities (amp last), collapses whitespace") {
+    val got = textDf(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "a &amp;lt; b &lt; c&nbsp;&quot;d&quot;"),
+      (3L, "no markup"))
+      .select(strip_html(col("text"))).collect().map(_.getString(0))
+    assert(got(0) === "Hello world")
+    assert(got(1) === "a &lt; b < c \"d\"") // &amp;lt; must NOT double-decode
+    assert(got(2) === "no markup")
+  }
+
+  test("rolling_fingerprint matches the reference recurrence; empty -> 0") {
+    val expected = "abc".getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % (1L << 55))
+    val got = textDf((1L, "abc"), (2L, ""), (3L, "abd"))
+      .select(col("doc_id"), rolling_fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === expected)
+    assert(got(2L) === 0L)
+    assert(got(1L) !== got(3L))
+  }
+
   test("minhash signature: identical sets agree everywhere; jaccard estimate tracks truth") {
     val df = textDf(
       (1L, "a b c d e f g h i j k l"),
