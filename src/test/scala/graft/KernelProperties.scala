@@ -1,0 +1,104 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{Geo, PgVectorCodec, SketchHash}
+import graft.operators.{Embed, Knn}
+
+/** Property-based tests (SURVEY.md §5.3) over the driver-callable kernels.
+  * `Knn.cosineDist` is bit-identical to the CosineDistance expression
+  * (asserted in VectorSpec), so properties here cover the expression's
+  * math as well.
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val nonZeroVec: Gen[Array[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-5f, 5f)).map(_.toArray)
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  property("cosine(a, a) ~ 0") = forAll(nonZeroVec) { a =>
+    math.abs(Knn.cosineDist(a, a)) < 1e-9
+  }
+
+  property("cosine symmetry") = forAll(nonZeroVec, nonZeroVec) { (a, b) =>
+    Knn.cosineDist(a, b) == Knn.cosineDist(b, a)
+  }
+
+  property("cosine range [0, 2]") = forAll(nonZeroVec, nonZeroVec) { (a, b) =>
+    val d = Knn.cosineDist(a, b)
+    d >= -1e-9 && d <= 2.0 + 1e-9
+  }
+
+  property("cosine scale invariance") = forAll(nonZeroVec,
+    Gen.chooseNum(0.1f, 10f)) { (a, s) =>
+    val scaled = a.map(_ * s)
+    math.abs(Knn.cosineDist(a, scaled)) < 1e-6
+  }
+
+  private val lonLat: Gen[(Double, Double)] = for {
+    lon <- Gen.chooseNum(-179.9, 179.9)
+    lat <- Gen.chooseNum(-84.9, 84.9) // web mercator's defined band
+  } yield (lon, lat)
+
+  property("CRS 4326->3857->4326 round trip ~ identity") = forAll(lonLat) {
+    case (lon, lat) =>
+      val (x, y) = Geo.transformPoint(lon, lat, 4326, 3857)
+      val (lon2, lat2) = Geo.transformPoint(x, y, 3857, 4326)
+      math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' ')))
+      .map(_.mkString)
+
+  property("rolling hash concat recurrence: h(a++b) from h(a), h(b)") =
+    forAll(asciiText, asciiText) { (a, b) =>
+      val M = 1L << 55
+      def h(s: String): Long =
+        s.getBytes("UTF-8").foldLeft(0L)((acc, c) => (acc * 131 + (c & 0xff)) % M)
+      def powMod(base: Long, e: Int): Long =
+        (0 until e).foldLeft(1L)((acc, _) => (acc * base) % M)
+      // h matches the native expression's recurrence (asserted in
+      // TextDedupSpec); the algebra must compose:
+      val combined = (bigMulMod(h(a), powMod(131, b.getBytes("UTF-8").length), M) + h(b)) % M
+      h(a + b) == combined
+    }
+
+  /** (a*b) mod m without overflow, for m = 2^55 (a, b < 2^55). */
+  private def bigMulMod(a: Long, b: Long, m: Long): Long =
+    (BigInt(a) * BigInt(b) % BigInt(m)).toLong
+
+  property("minhash slots estimate jaccard of identical/disjoint sets exactly") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { tokens =>
+      val base = tokens.map(t => SketchHash.fnv1a64(t.getBytes("UTF-8")))
+      // per-slot minima of identical token sets agree on every slot
+      val sig1 = (1 to 16).map(i => base.map(h => SketchHash.mix(h + SketchHash.Golden * i)).min)
+      val sig2 = (1 to 16).map(i => base.map(h => SketchHash.mix(h + SketchHash.Golden * i)).min)
+      sig1 == sig2
+    }
+
+  property("pgvector literal round trip") = forAll(nonZeroVec) { v =>
+    val parsed = PgVectorCodec.fromLiteral(PgVectorCodec.toLiteral(v))
+    parsed.length == v.length &&
+      parsed.zip(v).forall { case (p, o) =>
+        math.abs(p - o) <= math.abs(o) * 1e-5 + 1e-6 // 6 significant digits
+      }
+  }
+
+  property("fake embedder: deterministic and unit-norm") = forAll(asciiText) { t =>
+    val a = Embed.FakeEmbedder.embed(t, 16)
+    val b = Embed.FakeEmbedder.embed(t, 16)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    a.sameElements(b) && math.abs(norm - 1.0) < 1e-5
+  }
+
+  property("pgvector formatG matches python format(x, 'g') on knowns") = Prop {
+    PgVectorCodec.formatG(0.05) == "0.05" &&
+      PgVectorCodec.formatG(1.0) == "1" &&
+      PgVectorCodec.formatG(-0.12345678) == "-0.123457" &&
+      PgVectorCodec.formatG(1e-5) == "1e-05" &&
+      PgVectorCodec.formatG(1234567.0) == "1.23457e+06" &&
+      PgVectorCodec.formatG(0.0) == "0"
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Embed, Knn, Search, Skew}
+import graft.sources.{BucketedTables, LayersTable}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import SparkTestSession.sfDir
+
+  test("bucketed fact-fact join plans with no shuffle Exchange on either side") {
+    val o = Tables.orders(spark, sfDir).limit(2000)
+    val l = Tables.lineitem(spark, sfDir).limit(2000)
+    BucketedTables.write(o, "b_orders", "o_orderkey", 4)
+    BucketedTables.write(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    // tiny test tables would be broadcast (hiding the bucketing effect);
+    // at fact-fact scale broadcast is off the table, so emulate that
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free co-located join, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("table identifier whitelist rejects injection-shaped names (reference models.py:131-136)") {
+    assert(LayersTable.validateIdentifier("layers_v2") === "layers_v2")
+    intercept[IllegalArgumentException](LayersTable.validateIdentifier("layers; DROP"))
+    intercept[IllegalArgumentException](LayersTable.validateIdentifier("1layers"))
+    intercept[IllegalArgumentException](LayersTable.validateIdentifier(""))
+  }
+
+  test("createIfNotExists is idempotent with the canonical schema (reference S4)") {
+    spark.sql("DROP TABLE IF EXISTS layers_test")
+    assert(LayersTable.createIfNotExists(spark, "layers_test") === true)
+    assert(LayersTable.createIfNotExists(spark, "layers_test") === false)
+    // parquet tables normalize nullability; names + types must survive
+    assert(spark.table("layers_test").schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ===
+      LayersTable.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+  }
+
+  test("salted join equals the plain join") {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val plain = o.join(c, "o_custkey")
+      .select(col("o_orderkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Skew.saltedJoin(o, c, "o_custkey", salts = 8)
+      .select(col("o_orderkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("full reference lifecycle: embed corpus + query, then search (F8 seam)") {
+    import spark.implicits._
+    val dim = 16
+    val texts = Seq(
+      Embed.TextRow(1L, "city parks and recreation areas"),
+      Embed.TextRow(2L, "city parks and recreation areas"), // same text as 1
+      Embed.TextRow(3L, "sewer pipeline infrastructure"),
+      Embed.TextRow(4L, "watershed hydrology layers"))
+    val embedded = Embed.embedText(texts.toDS(), dim)
+    val corpus = embedded.toDF("vec_id", "embedding")
+    // identical text -> identical embedding -> both top under its own probe
+    val probe = Embed.embedQuery("city parks and recreation areas", dim)
+    val top = Knn.topK(corpus, col("embedding"), probe, 3, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(top.take(2).sorted === Array(1L, 2L))
+  }
+}
