@@ -36,6 +36,8 @@ object GraftFunctions {
   def st_transform_point(x: Column, y: Column, src: Column, dst: Column): Column =
     toCol(STTransformPoint(Seq(toExpr(x.cast("double")), toExpr(y.cast("double")),
       toExpr(src.cast("int")), toExpr(dst.cast("int")))))
+  def morton_code(lon: Column, lat: Column): Column =
+    toCol(MortonCode(toExpr(lon.cast("double")), toExpr(lat.cast("double"))))
 
   // --- sketch hashes (near-dup detection) ----------------------------------
   def minhash_signature(tokens: Column, numHashes: Int): Column =
@@ -56,6 +58,7 @@ object GraftFunctions {
     "st_within"       -> { es => STWithin(es(0), es(1)) },
     "st_distance"     -> { es => STDistance(es(0), es(1)) },
     "rolling_hash"    -> { es => RollingHash64(es(0)) },
+    "morton_code"     -> { es => MortonCode(cast(es(0), "double"), cast(es(1), "double")) },
     "simhash64"       -> { es => SimHash64(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(
       cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },

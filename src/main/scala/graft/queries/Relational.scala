@@ -202,6 +202,50 @@ object Relational extends QueryPack {
         .orderBy(col("p_brand"))
     },
 
+    // --- string functions (reference F1 lower + friends) ----------------------
+    "q16_string_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(lower(col("p_name")).like("%gold%") ||
+          upper(col("p_brand")) === "BRAND#11")
+        .select(col("p_partkey"),
+          concat_ws("/", col("p_brand"), substring(col("p_name"), 1, 8)).as("tag"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // --- date part extraction --------------------------------------------------
+    "q17_orders_by_year" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy(col("yr"), col("mo"))
+    },
+
+    // --- per-group comparison (orders above their customer's average) ---------
+    "q18_above_avg_orders" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("cust_avg",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // --- union all across heterogeneous projections ----------------------------
+    "q19_union_all" -> { (s, d) =>
+      val buyers = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), lit("customer").as("kind"))
+      val sellers = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("key"), lit("supplier").as("kind"))
+      buyers.unionAll(sellers)
+        .groupBy(col("kind")).agg(count(lit(1)).as("n"), min(col("key")).as("min_key"))
+        .orderBy(col("kind"))
+    },
+
     // --- conditional aggregation ----------------------------------------------
     "q15_conditional_agg" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -332,6 +376,39 @@ object Relational extends QueryPack {
         |GROUP BY p_brand
         |HAVING COUNT(*) >= 5
         |ORDER BY p_brand""".stripMargin,
+
+    "q16_string_funcs" ->
+      """SELECT p_partkey,
+        |  concat_ws('/', p_brand, substring(p_name, 1, 8)) AS tag,
+        |  length(p_name) AS name_len
+        |FROM part
+        |WHERE lower(p_name) LIKE '%gold%' OR upper(p_brand) = 'BRAND#11'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q17_orders_by_year" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY yr, mo
+        |ORDER BY yr, mo""".stripMargin,
+
+    "q18_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders) t
+        |WHERE o_totalprice > cust_avg * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q19_union_all" ->
+      """SELECT kind, COUNT(*) AS n, MIN(key) AS min_key FROM (
+        |  SELECT c_custkey AS key, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier) t
+        |GROUP BY kind
+        |ORDER BY kind""".stripMargin,
 
     "q15_conditional_agg" ->
       """SELECT l_returnflag,

@@ -73,6 +73,17 @@ object Vectors extends QueryPack {
         .orderBy(col("label"), col("pos"))
     },
 
+    // IVF approximate kNN (rows-only oracle: the scale path; VectorSpec
+    // asserts recall against exact brute force). Deterministic: sample
+    // order, centroid init, and iteration count are all fixed.
+    "v7_ivf_knn" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      graft.operators.Ivf.search(idx, probeOf(s, d, 0L), k = 10, nprobe = 3)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // L2 (euclidean) kNN — exercises the L2Distance expression.
     "v6_l2_knn" -> { (s, d) =>
       Tables.embeddings(s, d)
