@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, Vectors, Spatial, Text, Events)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, Vectors, Spatial, Text, Events, Reference)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's canonical shape (SURVEY.md §7.3): scan -> filter ->

@@ -72,6 +72,9 @@ object Knn {
     val probeRows: Array[(Long, Array[Float])] = probes
       .select(col(probeId).cast("long"), col(probeEmb).cast("array<float>"))
       .as[(Long, Array[Float])].collect()
+    require(probeRows.length <= 100000,
+      s"knnJoin broadcasts the probe side (${probeRows.length} rows); for " +
+        "probe sets beyond ~100k, chunk the probes or use Ivf bucketing")
     val bc = spark.sparkContext.broadcast(probeRows)
 
     val partials = corpus

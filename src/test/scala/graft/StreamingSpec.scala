@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, window}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventsStream
@@ -68,6 +69,40 @@ class StreamingSpec extends AnyFunSuite {
       val batch = EventsStream.sessionizeBatch(Tables.events(spark, sfDir))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("watermark finalizes windows and drops too-late events (append mode)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), 1L, "view", v, "{}")
+    val input = MemoryStream[Event]
+    val agg = input.toDS().toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("hour"), $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      input.addData(Seq(ev(1, "2024-01-01 00:10:00", 1), ev(2, "2024-01-01 00:20:00", 1)))
+      q.processAllAvailable()
+      // advance event time far past the watermark -> 00:00 window finalizes
+      input.addData(Seq(ev(3, "2024-01-01 05:00:00", 1)))
+      q.processAllAvailable()
+      val afterFinalize = spark.table("wm_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+      assert(afterFinalize("2024-01-01 00:00:00.0") === 2L)
+      // an event 5 hours late lands in an already-finalized window: dropped
+      input.addData(Seq(ev(4, "2024-01-01 00:30:00", 1)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(5, "2024-01-01 09:00:00", 1))) // push watermark so 05:00 emits
+      q.processAllAvailable()
+      val fin = spark.table("wm_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+      assert(fin("2024-01-01 00:00:00.0") === 2L, "late event must not resurrect the window")
+      assert(fin("2024-01-01 05:00:00.0") === 1L)
     } finally q.stop()
   }
 
