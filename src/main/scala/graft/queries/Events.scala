@@ -35,6 +35,20 @@ object Events extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // as-of join: each purchase attached to the user's most recent
+    // at-or-before click value (graft.operators.AsOf — window composition,
+    // no range cross-product)
+    "e5_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.operators.AsOf.joinPrior(
+        left = ev.filter(col("event_type") === "purchase"),
+        right = ev.filter(col("event_type") === "click"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valueCol = "value", asofCol = "last_click_value")
+        .select(col("event_id"), col("user_id"), col("last_click_value"))
+        .orderBy(col("event_id"))
+    },
+
     // per-user conditional event counts (funnel-style)
     "e4_user_funnel" -> { (s, d) =>
       Tables.events(s, d)
@@ -76,6 +90,22 @@ object Events extends QueryPack {
         |      FROM events) t
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "e5_asof_join" ->
+      """SELECT event_id, user_id, last_click_value FROM (
+        |  SELECT event_id, user_id, is_left,
+        |    last_value(rv IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts ASC, is_left ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+        |  FROM (
+        |    SELECT event_id, ts, user_id, 1 AS is_left, CAST(NULL AS DOUBLE) AS rv
+        |    FROM events WHERE event_type = 'purchase'
+        |    UNION ALL
+        |    SELECT event_id, ts, user_id, 0 AS is_left, value AS rv
+        |    FROM events WHERE event_type = 'click') u) t
+        |WHERE is_left = 1
+        |ORDER BY event_id""".stripMargin,
 
     "e4_user_funnel" ->
       """SELECT user_id,

@@ -141,6 +141,19 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF assigned table written partitionBy(bucket) prunes partitions at query time") {
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.assigned.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("bucket").isin(0, 1))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"expected partition pruning on bucket:\n$plan")
+    val total = spark.read.parquet(dir).count()
+    assert(pruned.count() < total) // strictly fewer rows scanned
+  }
+
   test("IVF search: self-hit + recall@10 >= 0.6 vs exact, scanning nprobe/nlist of corpus") {
     val e = Tables.embeddings(spark, sfDir)
     val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
