@@ -86,15 +86,24 @@ object TextFunctions {
     GraftFunctions.toCol(RollingHash64(GraftFunctions.toExpr(c)))
 
   /** Composite quality score in [0, 1]: length, lexical diversity,
-    * stopword presence, alphabetic ratio — equal weights. The exact
-    * formula is mirrored in the oracle SQL; what matters is that it is a
-    * pure per-row expression (codegen, no shuffle).
+    * stopword presence, alphabetic ratio — equal weights. Native
+    * single-pass expression ([[QualityScore]]); the identical composed
+    * formula lives in the oracle SQL and in [[quality_score_composed]]
+    * (kept for the equivalence test).
     */
-  def quality_score(c: Column): Column = {
-    val nTok = token_count(c).cast("double")
+  def quality_score(c: Column): Column =
+    GraftFunctions.toCol(QualityScore(GraftFunctions.toExpr(c)))
+
+  /** The built-in-composed form of the same formula (4x re-splits the
+    * text; retained only to pin native/composed equivalence in tests).
+    */
+  private[graft] def quality_score_composed(c: Column): Column = {
+    val t = when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+    val nTok = size(t).cast("double")
     val nTokSafe = greatest(nTok, lit(1.0))
     val lengthScore = least(lit(1.0), nTok / 20.0)
-    val diversity = distinct_token_count(c).cast("double") / nTokSafe
+    val diversity = size(array_distinct(t)).cast("double") / nTokSafe
     val stopRatio = regexp_count(c, lit("\\b(the|a|of|to|and)\\b")).cast("double") / nTokSafe
     val stopScore = least(lit(1.0), stopRatio * 5.0)
     val alphaRatio = length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") /

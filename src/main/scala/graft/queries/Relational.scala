@@ -246,6 +246,17 @@ object Relational extends QueryPack {
         .orderBy(col("kind"))
     },
 
+    // --- grouping sets ---------------------------------------------------------
+    "q20_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
     // --- conditional aggregation ----------------------------------------------
     "q15_conditional_agg" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -409,6 +420,13 @@ object Relational extends QueryPack {
         |  SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier) t
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
+
+    "q20_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q15_conditional_agg" ->
       """SELECT l_returnflag,

@@ -75,6 +75,19 @@ class TextDedupSpec extends AnyFunSuite {
       5L -> "zh", 6L -> "unknown"))
   }
 
+  test("native QualityScore is bit-identical to the composed formula on real and edge docs") {
+    import graft.functions.TextFunctions.quality_score_composed
+    val edge = textDf((1L, ""), (2L, "   "), (3L, "the"), (4L, "a b the to and of"),
+      (5L, "!!!"), (6L, "x\ty  z"))
+      .select(quality_score(col("text")).as("n"), quality_score_composed(col("text")).as("c"))
+      .collect()
+    edge.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+      .select(quality_score(col("text")).as("n"), quality_score_composed(col("text")).as("c"))
+      .collect()
+    docs.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("quality_score stays in [0,1] and ranks rich text above degenerate text") {
     val got = textDf(
       (1L, "the quick brown fox jumps over a lazy dog of the meadow and then rests to sleep"),
