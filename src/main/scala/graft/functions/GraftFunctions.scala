@@ -19,6 +19,9 @@ object GraftFunctions {
   def dot_product(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
   def l2_distance(a: Column, b: Column): Column = toCol(L2Distance(toExpr(a), toExpr(b)))
   def l2_norm(a: Column): Column = toCol(L2Norm(toExpr(a)))
+  def l2_normalize(a: Column): Column = toCol(L2Normalize(toExpr(a)))
+  def quantize_int8(a: Column): Column = toCol(QuantizeInt8(toExpr(a)))
+  def dequantize_int8(a: Column): Column = toCol(DequantizeInt8(toExpr(a)))
 
   /** A float-array literal (probe vectors etc.). */
   def vector_lit(xs: Array[Float]): Column =
@@ -50,6 +53,9 @@ object GraftFunctions {
     "dot_product"     -> { es => DotProduct(es(0), es(1)) },
     "l2_distance"     -> { es => L2Distance(es(0), es(1)) },
     "l2_norm"         -> { es => L2Norm(es(0)) },
+    "l2_normalize"    -> { es => L2Normalize(es(0)) },
+    "quantize_int8"   -> { es => QuantizeInt8(es(0)) },
+    "dequantize_int8" -> { es => DequantizeInt8(es(0)) },
     "st_point"        -> { es => STPoint(cast(es(0), "double"), cast(es(1), "double")) },
     "st_geomfromtext" -> { es => STGeomFromText(es(0)) },
     "st_astext"       -> { es => STAsText(es(0)) },

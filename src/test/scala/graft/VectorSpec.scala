@@ -141,6 +141,38 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("l2_normalize produces unit vectors; zero vector stays zero") {
+    val rows = vecDf(Seq((1L, Array(3f, 4f)), (2L, Array(0f, 0f))))
+      .select(col("id"), l2_normalize(col("emb")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(1L) === Seq(0.6f, 0.8f))
+    assert(rows(2L) === Seq(0f, 0f))
+  }
+
+  test("int8 quantization: 4x smaller, bounded error, preserves kNN order on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val roundTripped = e.select(col("vec_id"), col("embedding"),
+      dequantize_int8(quantize_int8(col("embedding"))).as("rt"))
+    // per-component error bounded by scale/2 = max|x|/254
+    val maxErr = roundTripped
+      .select(max(expr(
+        "aggregate(zip_with(embedding, rt, (a, b) -> abs(a - b)), 0D, (acc, x) -> greatest(acc, CAST(x AS DOUBLE)))")))
+      .head().getDouble(0)
+    val maxVal = e.select(max(expr(
+      "aggregate(embedding, 0D, (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))")))
+      .head().getDouble(0)
+    assert(maxErr <= maxVal / 254.0 + 1e-7, s"maxErr $maxErr vs bound ${maxVal / 254.0}")
+    // top-10 under quantized embeddings matches exact top-10 closely
+    val probe = e.filter(col("vec_id") === 5L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = Knn.topK(e, col("embedding"), probe, 10, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Knn.topK(roundTripped.select(col("vec_id"), col("rt").as("embedding")),
+      col("embedding"), probe, 10, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact & quant).size >= 8, s"quantized recall too low: ${(exact & quant).size}/10")
+  }
+
   test("IVF assigned table written partitionBy(bucket) prunes partitions at query time") {
     val e = Tables.embeddings(spark, sfDir)
     val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 4, iters = 2)
