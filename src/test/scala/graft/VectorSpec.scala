@@ -125,6 +125,17 @@ class VectorSpec extends AnyFunSuite {
     assert(top10.drop(5).sameElements(page2))
   }
 
+  test("edge cases: k beyond corpus size returns all rows; empty probe set yields empty join") {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val probe = e.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(Knn.topK(e, col("embedding"), probe, (n + 100).toInt, col("vec_id")).count() === n)
+    val empty = Knn.knnJoin(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 0), "vec_id", "embedding", 3)
+    assert(empty.count() === 0)
+  }
+
   test("knnJoin agrees with per-probe topK") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 3)
