@@ -71,7 +71,7 @@ object Events extends QueryPack {
         |ORDER BY hour, event_type""".stripMargin,
 
     "e2_sessionization" ->
-      """SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
@@ -109,9 +109,9 @@ object Events extends QueryPack {
 
     "e4_user_funnel" ->
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
         |FROM events
         |GROUP BY user_id
         |HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0

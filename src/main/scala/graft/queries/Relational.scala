@@ -123,7 +123,7 @@ object Relational extends QueryPack {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       Tables.customer(s, d)
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_nationkey"), col("rnk"))
@@ -209,7 +209,7 @@ object Relational extends QueryPack {
           upper(col("p_brand")) === "BRAND#11")
         .select(col("p_partkey"),
           concat_ws("/", col("p_brand"), substring(col("p_name"), 1, 8)).as("tag"),
-          length(col("p_name")).as("name_len"))
+          length(col("p_name")).cast("long").as("name_len"))
         .orderBy(col("p_partkey"))
     },
 
@@ -430,7 +430,7 @@ object Relational extends QueryPack {
 
     "q15_conditional_agg" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS n_high_qty,
+        |  CAST(SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_qty,
         |  CAST(SUM(CASE WHEN l_discount >= 0.05
         |                THEN CAST(l_extendedprice AS DECIMAL(18,2))
         |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS discounted_base,

@@ -24,8 +24,8 @@ object Text extends QueryPack {
     "t1_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          token_count(col("text")).as("n_tokens"),
-          distinct_token_count(col("text")).as("n_distinct"))
+          token_count(col("text")).cast("long").as("n_tokens"),
+          distinct_token_count(col("text")).cast("long").as("n_distinct"))
         .orderBy(col("doc_id"))
     },
 
@@ -54,14 +54,14 @@ object Text extends QueryPack {
     // distinct word-3-gram shingle count per document
     "t5_shingle_stats" -> { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), size(shingle_set(col("text"), 3)).as("n_shingles"))
+        .select(col("doc_id"), size(shingle_set(col("text"), 3)).cast("long").as("n_shingles"))
         .orderBy(col("doc_id"))
     },
 
     // BPE-ish pre-tokenizer segment count (north-star token counting)
     "t6_bpe_tokens" -> { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), bpe_token_count(col("text")).as("n_bpe"))
+        .select(col("doc_id"), bpe_token_count(col("text")).cast("long").as("n_bpe"))
         .orderBy(col("doc_id"))
     },
 
@@ -173,7 +173,7 @@ object Text extends QueryPack {
 
     "t6_bpe_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe
+        |  len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t7_strip_html" ->

@@ -54,7 +54,7 @@ object Vectors extends QueryPack {
       val e = Tables.embeddings(s, d)
       Knn.knnJoin(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
-        .select(col("probe_id"), col("rnk"), col("corpus_id"))
+        .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"))
         .orderBy(col("probe_id"), col("rnk"))
     },
 
@@ -67,7 +67,7 @@ object Vectors extends QueryPack {
     "v5_label_centroids" -> { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double") /
           count(lit(1))).as("centroid"))
         .orderBy(col("label"), col("pos"))
