@@ -84,7 +84,7 @@ object Events extends QueryPack {
 
     "e3_json_extract" ->
       """SELECT event_type,
-        |  SUM(k) AS sum_k, COUNT(k) AS n_k, MAX(k) AS max_k
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k, MAX(k) AS max_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events) t

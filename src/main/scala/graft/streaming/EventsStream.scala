@@ -26,10 +26,15 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Batch form of the hourly tumbling aggregate (oracle-checked as e1). */
+  /** Batch form of the hourly tumbling aggregate (oracle-checked as e1).
+    * `hour` is cast to TIMESTAMP_NTZ so the parquet output matches the
+    * oracle's naive-microsecond timestamps (session TZ is UTC, so the
+    * cast is value-preserving).
+    */
   def hourlyByTypeBatch(events: DataFrame): DataFrame =
     events
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .orderBy(col("hour"), col("event_type"))

@@ -33,11 +33,17 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
+      // streaming window.start is LTZ Timestamp; batch hour is NTZ
+      // LocalDateTime (session TZ = UTC, so instants align)
+      def hourOf(r: org.apache.spark.sql.Row): java.time.LocalDateTime = r.get(0) match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case l: java.time.LocalDateTime => l
+      }
       val streamed = spark.table("hourly_out")
-        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .collect().map(r => (hourOf(r), r.getString(1), r.getLong(2), r.getDouble(3)))
         .toSet
       val batch = EventsStream.hourlyByTypeBatch(spark.read.parquet(dir))
-        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .collect().map(r => (hourOf(r), r.getString(1), r.getLong(2), r.getDouble(3)))
         .toSet
       assert(streamed === batch)
       assert(batch.nonEmpty)

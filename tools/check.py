@@ -37,6 +37,12 @@ def compare(spark_df, oracle_df):
         return f"SCHEMA MISMATCH spark={cols_s} oracle={cols_o}"
     if len(spark_df) != len(oracle_df):
         return f"ROWCOUNT MISMATCH spark={len(spark_df)} oracle={len(oracle_df)}"
+    # dtype drift is not a failure here (values are compared exactly),
+    # but a stricter driver-side compare could flag it -> surface it
+    for c in cols_s:
+        ds, do = str(spark_df[c].dtype), str(oracle_df[c].dtype)
+        if ds != do:
+            print(f"  [dtype warning] {c}: spark={ds} oracle={do}")
     s = spark_df[cols_s]
     o = oracle_df[cols_o]
     exact = True
