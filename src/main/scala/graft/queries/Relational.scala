@@ -246,6 +246,41 @@ object Relational extends QueryPack {
         .orderBy(col("kind"))
     },
 
+    // --- moment statistics from decimal-exact sums -----------------------------
+    // variance/stddev/correlation computed explicitly from exact decimal
+    // moments so both engines evaluate the identical double formula
+    // (built-in STDDEV/CORR accumulate doubles in row order — not
+    // reproducible across engines)
+    "q21_moment_stats" -> { (s, d) =>
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sq"),
+          sum(q * q).cast("double").as("sqq"),
+          sum(p).cast("double").as("sp"),
+          sum(p * p).cast("double").as("spp"),
+          sum(q * p).cast("double").as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)).as("var_qty"),
+          sqrt((col("spp") - col("sp") * col("sp") / col("n")) / (col("n") - 1)).as("sd_price"),
+          ((col("sqp") - col("sq") * col("sp") / col("n")) /
+            sqrt((col("sqq") - col("sq") * col("sq") / col("n")) *
+              (col("spp") - col("sp") * col("sp") / col("n")))).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // --- HLL sketch distinct (rows-only oracle: sketch internals are
+    // engine-specific; ScalaTest bounds the error vs exact) ------------------
+    "q22_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // --- grouping sets ---------------------------------------------------------
     "q20_grouping_sets" -> { (s, d) =>
       Tables.orders(s, d)
@@ -420,6 +455,23 @@ object Relational extends QueryPack {
         |  SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier) t
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
+
+    "q21_moment_stats" ->
+      """SELECT l_returnflag, n,
+        |  (sqq - sq * sq / n) / (n - 1) AS var_qty,
+        |  sqrt((spp - sp * sp / n) / (n - 1)) AS sd_price,
+        |  (sqp - sq * sp / n) / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)) AS corr_qp
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(q * q) AS DOUBLE) AS sqq,
+        |    CAST(SUM(p) AS DOUBLE) AS sp, CAST(SUM(p * p) AS DOUBLE) AS spp,
+        |    CAST(SUM(q * p) AS DOUBLE) AS sqp
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+        |        FROM lineitem) raw
+        |  GROUP BY l_returnflag) m
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q20_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

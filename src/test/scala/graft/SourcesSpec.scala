@@ -47,6 +47,14 @@ class SourcesSpec extends AnyFunSuite {
       LayersTable.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
   }
 
+  test("approx_count_distinct lands within 5% of exact (q22's sketch)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val approx = li.agg(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("salted join equals the plain join") {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
