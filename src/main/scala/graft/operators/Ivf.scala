@@ -93,10 +93,42 @@ object Ivf {
 
   /** Approximate top-k: scan only the nprobe buckets nearest the probe. */
   def search(index: IvfIndex, probe: Array[Float], k: Int, nprobe: Int): DataFrame = {
-    val ranked = index.centroids.zipWithIndex
+    val pruned = index.assigned.filter(
+      col("bucket").isin(nearestBuckets(index.centroids, probe, nprobe): _*))
+    Knn.topK(pruned, col("emb"), probe, k, col("id"))
+      .select(col("id"), col("dist"))
+  }
+
+  private def nearestBuckets(centroids: Array[Array[Float]], probe: Array[Float],
+                             nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
       .map { case (c, i) => (Knn.cosineDist(probe, c), i) }
-      .sorted.take(nprobe).map(_._2)
-    val pruned = index.assigned.filter(col("bucket").isin(ranked.toSeq: _*))
+      .sorted.take(nprobe).map(_._2).toSeq
+
+  /** Persist the index partitioned by bucket — queries then read only the
+    * nprobe matching directories (partition pruning, no full scan).
+    * Centroids ride along as a tiny `_centroids` parquet.
+    */
+  def save(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Query a saved index: centroid ranking on the driver, partition-pruned
+    * scan of the nprobe nearest buckets, exact top-k within them.
+    */
+  def searchSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                  probe: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .select(col("bucket"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val pruned = spark.read.parquet(s"$path/data")
+      .filter(col("bucket").isin(nearestBuckets(centroids, probe, nprobe): _*))
     Knn.topK(pruned, col("emb"), probe, k, col("id"))
       .select(col("id"), col("dist"))
   }

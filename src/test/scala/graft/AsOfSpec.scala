@@ -37,6 +37,38 @@ class AsOfSpec extends AnyFunSuite {
       13L -> None, 14L -> None))
   }
 
+  test("joinPrior equals the naive join-filter-argmax formulation on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    def randTs() = ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00")
+    val left = (1L to 300L).map(i => (i, randTs(), (i % 7) + 1, 0.0)).toDF("event_id", "ts", "user_id", "value")
+    val right = (1000L to 1200L).map(i => (i, randTs(), (i % 7) + 1, rng.nextDouble())).toDF("event_id", "ts", "user_id", "value")
+
+    val got = AsOf.joinPrior(left, right, "user_id", "ts", "event_id", "value", "v")
+      .select(col("event_id"), col("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    // naive reference: join all right rows at-or-before, keep the one with
+    // max (ts, event_id)
+    val l = left.select(col("event_id").as("lid"), col("ts").as("lts"), col("user_id"))
+    val r = right.select(col("event_id").as("rid"), col("ts").as("rts"),
+      col("user_id"), col("value").as("rv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lid")).orderBy(col("rts").desc, col("rid").desc)
+    val naive = l.join(r, Seq("user_id"), "left")
+      .filter(col("rts").isNull || col("rts") <= col("lts"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lid"), col("rv"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    // naive drops left rows whose every right match is later -> align
+    val expected = got.keys.map(k => k -> naive.getOrElse(k, None)).toMap
+    assert(got === expected)
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
   test("joinPrior output keeps all left rows exactly once") {
     import SparkTestSession.sfDir
     val ev = Tables.events(spark, sfDir)

@@ -184,17 +184,24 @@ class VectorSpec extends AnyFunSuite {
     assert((exact & quant).size >= 8, s"quantized recall too low: ${(exact & quant).size}/10")
   }
 
-  test("IVF assigned table written partitionBy(bucket) prunes partitions at query time") {
+  test("IVF saved index: partition pruning at query time, results equal in-memory search") {
     val e = Tables.embeddings(spark, sfDir)
     val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 4, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    idx.assigned.write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    val pruned = spark.read.parquet(dir).filter(col("bucket").isin(0, 1))
+    graft.operators.Ivf.save(idx, dir)
+    val pruned = spark.read.parquet(s"$dir/data").filter(col("bucket").isin(0, 1))
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
       s"expected partition pruning on bucket:\n$plan")
-    val total = spark.read.parquet(dir).count()
+    val total = spark.read.parquet(s"$dir/data").count()
     assert(pruned.count() < total) // strictly fewer rows scanned
+    val probe = e.filter(col("vec_id") === 9L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val mem = graft.operators.Ivf.search(idx, probe, 5, 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val saved = graft.operators.Ivf.searchSaved(spark, dir, probe, 5, 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(saved === mem)
   }
 
   test("IVF search: self-hit + recall@10 >= 0.6 vs exact, scanning nprobe/nlist of corpus") {
