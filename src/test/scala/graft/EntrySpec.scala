@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract directly: entry must return rows on
+  * sf0.001 (the driver's smoke check) and every query name must have
+  * either oracle SQL or an intentional rows-only designation.
+  */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val RowsOnly = Set(
+    "d3_minhash_lsh_near_dup", // MinHash internals not SQL-portable
+    "d4_simhash_near_dup",     // SimHash internals not SQL-portable
+    "v7_ivf_knn",              // ANN path; recall-tested vs exact
+    "q22_approx_distinct")     // HLL sketch; error-bound-tested vs exact
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle SQL unless intentionally rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing === RowsOnly,
+      s"unexpected rows-only queries: ${missing -- RowsOnly}; " +
+        s"stale RowsOnly entries: ${RowsOnly -- missing}")
+    // and no orphan SQL without a query
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("every rows-only query produces rows at sf0.001") {
+    RowsOnly.foreach { name =>
+      assert(SparkEntry.queries(name)(spark, SparkTestSession.sfDir).count() > 0,
+        s"$name returned no rows")
+    }
+  }
+}
