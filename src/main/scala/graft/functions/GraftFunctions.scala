@@ -47,6 +47,10 @@ object GraftFunctions {
     toCol(MinHashSignature(toExpr(tokens), numHashes))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def rolling_hash(text: Column): Column = toCol(RollingHash64(toExpr(text)))
+  def hashing_tf(tokens: Column, dim: Int): Column =
+    toCol(HashingTfVector(toExpr(tokens), dim))
+  def hyperplane_bands(emb: Column, bands: Int, rows: Int, seed: Long): Column =
+    toCol(HyperplaneBands(toExpr(emb), bands, rows, seed))
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_distance" -> { es => CosineDistance(es(0), es(1)) },

@@ -1,0 +1,131 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Expressions for embedding-space blocking: feature-hashed term-frequency
+  * vectors (Weinberger et al. 2009, "Feature Hashing for Large Scale
+  * Multitask Learning" — the construction behind Spark MLlib's HashingTF)
+  * and sign-random-projection LSH (Charikar 2002, SimHash over Gaussian
+  * hyperplanes), the standard candidate-blocking scheme for cosine
+  * similarity.
+  *
+  * Both are deterministic: token hashing uses the self-contained FNV-1a /
+  * splitmix64 stack from [[SketchHash]], and the Gaussian hyperplanes are
+  * generated from a fixed seed via a counter-mode splitmix64 stream +
+  * Box-Muller — stable across sessions, partitions, and replays.
+  *
+  * Scale notes (100 TB): `hyperplane_bands` reduces a D-dim float vector to
+  * `bands` fixed-size longs; the near-dup candidate join shuffles only
+  * (bands x rows) keys per document, never the pair space. The recall
+  * S-curve for a pair at angle theta (p = theta/pi bit-flip probability) is
+  *   P(candidate) = 1 - (1 - (1-p)^rows)^bands
+  * — at the defaults (64 bands x 12 rows) a sim-0.9 pair is caught with
+  * P ~ 1 - 1e-9 while an orthogonal pair collides with P ~ 0.016.
+  */
+private[graft] object HyperplaneLsh {
+
+  /** bands*rows hyperplanes, each `dim`-dimensional, flattened row-major as
+    * plane p = planes[p*dim ... p*dim+dim-1]. Cached per (seed,bands,rows,
+    * dim) per JVM — ~1.5 MB at the defaults with dim=256, built once per
+    * executor.
+    */
+  private val cache = new ConcurrentHashMap[(Long, Int, Int, Int), Array[Double]]()
+
+  def planes(seed: Long, bands: Int, rows: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((seed, bands, rows, dim), { _ =>
+      val out = new Array[Double](bands * rows * dim)
+      var i = 0
+      while (i < out.length) {
+        // counter-mode splitmix64 -> two uniforms -> Box-Muller normal
+        val h1 = SketchHash.mix(seed + SketchHash.Golden * (2L * i + 1))
+        val h2 = SketchHash.mix(seed + SketchHash.Golden * (2L * i + 2))
+        val u1 = ((h1 >>> 11) + 1).toDouble / (1L << 53).toDouble // (0, 1]
+        val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble       // [0, 1)
+        out(i) = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+        i += 1
+      }
+      out
+    })
+}
+
+/** hashing_tf(tokens, dim): signed feature-hashed term-frequency vector,
+  * array<string> -> array<float> of length `dim`. Each token adds +-1 to
+  * bucket fnv1a64(token) mod dim, sign from an independent hash bit (the
+  * signed variant keeps the inner product unbiased — Weinberger 2009 §3).
+  * Not normalized; compose with l2_normalize for cosine use.
+  * Null -> null; empty array -> zero vector.
+  */
+case class HashingTfVector(child: Expression, dim: Int)
+    extends UnaryExpression with TokenArrayInput with CodegenFallback {
+  require(dim > 0, "dim must be positive")
+  override def prettyName: String = "hashing_tf"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val vec = new Array[Float](dim)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val h = SketchHash.fnv1a64(arr.getUTF8String(t).getBytes)
+      val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
+      // sign from a mixed bit stream independent of the bucket index
+      val sign = if ((SketchHash.mix(h) & 1L) == 1L) 1f else -1f
+      vec(idx) += sign
+      t += 1
+    }
+    new GenericArrayData(vec)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** hyperplane_bands(emb, bands, rows, seed): array<long> of `bands` bucket
+  * ids; bucket b packs the sign bits of `rows` Gaussian-hyperplane
+  * projections of the embedding. Two embeddings land in the same (band,
+  * bucket) iff all `rows` signs in that band agree — the AND-OR
+  * amplification of sign-random-projection LSH.
+  * Null -> null. Dimension is read from the first evaluated vector and the
+  * plane matrix is cached per JVM; mixed dimensions in one column raise.
+  */
+case class HyperplaneBands(child: Expression, bands: Int, rows: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(bands > 0 && rows > 0 && rows <= 64,
+    "bands must be positive and 1 <= rows <= 64 (bucket bits pack one long)")
+  override def prettyName: String = "hyperplane_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkVectorTypes(Seq(child), prettyName)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val planes = HyperplaneLsh.planes(seed, bands, rows, dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < rows) {
+        val off = (b * rows + r) * dim
+        var dot = 0.0
+        var j = 0
+        while (j < dim) {
+          dot += VectorExprUtil.elemAt(child, x, j) * planes(off + j)
+          j += 1
+        }
+        if (dot >= 0.0) bucket |= (1L << r)
+        r += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

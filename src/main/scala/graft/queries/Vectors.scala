@@ -91,8 +91,33 @@ object Vectors extends QueryPack {
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
         .select(col("vec_id"), col("label"))
+    },
+
+    // Hyperplane-LSH-blocked embedding near-dup — the 100 TB scale path
+    // for v4 (rows-only oracle: VectorSpec asserts pair-set equality with
+    // the exact operator and candidates << n^2). Runs in the regime the
+    // blocking is designed for (sim >= 0.85): feature-hashed shingle
+    // vectors of the documents corpus, where true near-dups sit at
+    // sim >= 0.94 against a ~0 background. The synthetic `embeddings`
+    // table's sim-0.4 threshold is below any LSH-separable regime (see
+    // Knn.nearDupPairs scaladoc), so v4 stays the exact path there.
+    "v8_lsh_near_dup" -> { (s, d) =>
+      Knn.lshNearDupPairs(Vectors.docVectors(s, d), "doc_id", "vec",
+        minSim = 0.85, bands = 64, rowsPerBand = 12, seed = 42L)
     }
   )
+
+  /** Deterministic document embeddings: L2-normalized signed-feature-hashed
+    * word-3-gram TF vectors (dim 256). The stand-in for a model-embedded
+    * corpus that keeps the LSH path fully verifiable against the exact
+    * operator (near-dup texts -> cosine >= ~0.94).
+    */
+  private[graft] def docVectors(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        l2_normalize(hashing_tf(
+          graft.functions.TextFunctions.shingle_set(col("text"), 3), 256)).as("vec"))
+      .cache()
 
   def sql: Map[String, String] = Map(
     "v1_knn_top10" ->

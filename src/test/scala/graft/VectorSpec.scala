@@ -217,4 +217,43 @@ class VectorSpec extends AnyFunSuite {
     val recall = (approx & exact).size / 10.0
     assert(recall >= 0.6, s"recall $recall")
   }
+
+  test("hyperplane_bands: identical vectors share every band; orthogonal share few") {
+    val banded = vecDf(Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))))
+      .select(col("id"), hyperplane_bands(col("emb"), 16, 8, 7L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(banded(1L) === banded(2L)) // equal vectors -> equal signature
+    val shared = banded(1L).zip(banded(3L)).count { case (a, b) => a == b }
+    assert(shared < 4, s"orthogonal vectors shared $shared of 16 bands")
+  }
+
+  test("LSH near-dup pairs equal exact all-pairs on document vectors (sf0.001 + sf0.01)") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val dv = graft.queries.Vectors.docVectors(spark, dir)
+      val lsh = Knn.lshNearDupPairs(dv, "doc_id", "vec", minSim = 0.85)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Knn.nearDupPairs(dv, "doc_id", "vec", minSim = 0.85)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh === exact, s"pair sets differ at $dir")
+      assert(exact.nonEmpty, s"degenerate test: no near-dup pairs at $dir")
+      dv.unpersist()
+    }
+  }
+
+  test("LSH blocking prunes: candidates << n^2 and superset of true pairs") {
+    val dv = graft.queries.Vectors.docVectors(spark, "/root/testdata/sf0.01")
+    val n = dv.count()
+    val candDf = Knn.lshCandidatePairs(dv, "doc_id", "vec",
+      bands = 64, rowsPerBand = 12, seed = 42L).cache()
+    val cand = candDf.count()
+    val allPairs = n * (n - 1) / 2
+    assert(cand < allPairs / 10, s"candidates $cand not << $allPairs pairs")
+    val truePairs = Knn.nearDupPairs(dv, "doc_id", "vec", minSim = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candSet = candDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.subsetOf(candSet), "blocking missed a true pair")
+    candDf.unpersist(); dv.unpersist()
+  }
 }
