@@ -42,18 +42,28 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via a relational shingle join —
     * no cross product: explode distinct shingles, self-join on shingle,
     * count common per pair, compare against |A|+|B|-common.
+    *
+    * With `maxDf`, shingles present in more than that many documents are
+    * removed from the universe BEFORE both the numerator and the sizes —
+    * Jaccard is computed exactly over the df-filtered shingle sets (not a
+    * biased estimate of the unfiltered one), so blocking never drops a
+    * pair whose filtered-universe similarity clears the threshold.
     */
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, minJaccard: Double = 0.5,
                           maxDf: Option[Int] = None): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n).cache()
-    val sizes = sh.select(col("id"), size(col("shingles")).as("sz"))
+    val sh = shingled(docs, idCol, textCol, n)
     var ex = sh.select(col("id"), explode(col("shingles")).as("s"))
     maxDf.foreach { m =>
       val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= m).select(col("s"))
-      ex = ex.join(keep, "s")
+      // the USING join moves the key first; restore (id, s) order for the
+      // positional toDF renames below
+      ex = ex.join(keep, "s").select(col("id"), col("s"))
     }
+    ex = ex.cache()
+    // sizes over the same (possibly df-filtered) universe as the numerator
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = ex.toDF("id1", "s")
     val b = ex.toDF("id2", "s")
     val common = a.join(b, Seq("s")).filter(col("id1") < col("id2"))

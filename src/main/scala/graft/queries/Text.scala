@@ -91,10 +91,15 @@ object Text extends QueryPack {
         .orderBy(col("lang"), col("source"))
     },
 
-    // exact n-gram Jaccard near-dup pairs (relational shingle join)
+    // exact n-gram Jaccard near-dup pairs (relational shingle join).
+    // maxDf=100 blocks ubiquitous shingles: a shingle in m docs emits
+    // O(m^2) candidate rows on ONE join key, so an unbounded df is a
+    // quadratic hot-key failure at scale. The corpus' max df is 7 at
+    // sf0.01 / 25 at sf0.1, so the gate result is identical with or
+    // without blocking; the oracle states the same df filter.
     "d2_jaccard_near_dup" -> { (s, d) =>
       Dedup.jaccardNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, minJaccard = 0.5)
+        n = 3, minJaccard = 0.5, maxDf = Some(100))
     },
 
     // MinHash-LSH near-dups — rows-only oracle; ScalaTest asserts equality
@@ -202,8 +207,10 @@ object Text extends QueryPack {
     "d2_jaccard_near_dup" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
          |sh AS (SELECT doc_id, ${shinglesSql("w")} AS shingles FROM toks),
-         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 100),
+         |ex AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -182,6 +182,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("jaccard maxDf blocking: ubiquitous shingle pruned, sizes share the filtered universe") {
+    // every doc carries the boilerplate shingle "c1 c2 c3"; docs 1/2 are
+    // near-dups of each other beyond it, doc 3 shares ONLY the boilerplate
+    val docs = textDf(
+      (1L, "c1 c2 c3 a1 a2 a3 a4"),
+      (2L, "c1 c2 c3 a1 a2 a3 a5"),
+      (3L, "c1 c2 c3 z1 z2 z3 z4"))
+    // unblocked: boilerplate counts toward overlap everywhere
+    val unblocked = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxDf=2 prunes the df-3 boilerplate path: doc 3 shares nothing in the
+    // filtered universe, while (1,2) still clear 0.5 Jaccard on the
+    // filtered sets (numerator AND sizes both exclude pruned shingles)
+    val blocked = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5, Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unblocked.contains((1L, 2L)))
+    assert(blocked === Set((1L, 2L)))
+    // gate geometry: d2's maxDf=100 leaves the sf0.001 corpus untouched
+    val real = Tables.documents(spark, sfDir)
+    val gated = Dedup.jaccardNearDupPairs(real, "doc_id", "text", 3, 0.5, Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardNearDupPairs(real, "doc_id", "text", 3, 0.5, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated === exact)
+  }
+
   test("exact dup groups: synthetic exact dups collapse to one keeper") {
     val docs = textDf((1L, "Same  Text"), (2L, "same text"), (3L, "other text"))
     val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
