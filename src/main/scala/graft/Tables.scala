@@ -26,13 +26,17 @@ object Tables {
     * it narrows nanos to its native microsecond timestamps, so oracle
     * comparisons agree.
     */
-  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+  private def readEvents(spark: SparkSession, dir: String): DataFrame =
+    // An explicit LongType schema for the nanos column reads cleanly with
+    // no session-global conf mutation (the legacy nanosAsLong conf would
+    // leak LongType into every later nanos parquet read in the session).
+    spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

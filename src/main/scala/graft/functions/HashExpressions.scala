@@ -79,11 +79,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** rolling_hash(text): polynomial rolling hash over the UTF-8 bytes,
-  * h = (h * 131 + byte) mod 2^55 — small enough that every intermediate
-  * fits a signed 64-bit value, so the identical recurrence is expressible
-  * in portable SQL (the oracle uses list_reduce) and in any other engine.
-  * Null -> null; empty string -> 0.
+/** rolling_hash(text): polynomial rolling hash over the Unicode CODE
+  * POINTS, h = (h * 131 + codepoint) mod 2^55 — small enough that every
+  * intermediate fits a signed 64-bit value, so the identical recurrence is
+  * expressible in portable SQL: DuckDB's `string_split(text, '')` yields
+  * one element per code point and `ascii(c)` returns the code point, so
+  * the oracle's list_reduce walks the exact same sequence (verified on
+  * non-ASCII input). Iterating UTF-8 bytes instead would silently diverge
+  * on any multi-byte character. Null -> null; empty string -> 0.
   */
 case class RollingHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -96,12 +99,13 @@ case class RollingHash64(child: Expression)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val s = v.asInstanceOf[UTF8String].toString
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h = (h * 131L + (bytes(i) & 0xffL)) % RollingHash64.Mod
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % RollingHash64.Mod
+      i += Character.charCount(cp)
     }
     h
   }
@@ -109,7 +113,7 @@ case class RollingHash64(child: Expression)
 }
 
 object RollingHash64 {
-  /** 2^55: h*131 + 255 stays below 2^63 for h < Mod. */
+  /** 2^55: h*131 + 0x10FFFF stays below 2^63 for h < Mod. */
   final val Mod: Long = 1L << 55
 }
 

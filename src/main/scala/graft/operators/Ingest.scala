@@ -59,8 +59,13 @@ object Ingest {
       catch { case _: Exception => false } // target absent -> load
     if (alreadyLoaded) false
     else {
+      // The gate just established the target holds no committed rows, so
+      // overwrite: an absent path, an empty directory, and debris from a
+      // failed/partial earlier write all load cleanly (the reference's S6
+      // gate loads into an existing-but-empty table the same way);
+      // errorifexists would wedge the path permanently on leftovers.
       prepare(spark.read.parquet(inPath), orderCol)
-        .write.mode("errorifexists").parquet(outPath)
+        .write.mode("overwrite").parquet(outPath)
       true
     }
   }

@@ -100,7 +100,11 @@ object Search {
     */
   def plan(layers: DataFrame, req: SearchRequest): DataFrame = {
     validate(req)
-    val probes = req.typeFilter.getOrElse(Nil).filter(_.nonEmpty).map(_.toLowerCase)
+    // Locale.ROOT: Spark's lower() is locale-independent, so the client-side
+    // probe lowering must be too (default-locale toLowerCase turns 'I' into
+    // a dotless 'ı' under a Turkish JVM and silently matches nothing).
+    val probes = req.typeFilter.getOrElse(Nil).filter(_.nonEmpty)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
     val point = req.inputPoint.map(_.to4326)
 
     var df = layers

@@ -117,12 +117,14 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2) === "no markup")
   }
 
-  test("rolling_fingerprint matches the reference recurrence; empty -> 0") {
-    val expected = "abc".getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % (1L << 55))
-    val got = textDf((1L, "abc"), (2L, ""), (3L, "abd"))
+  test("rolling_fingerprint matches the oracle recurrence incl non-ASCII; empty -> 0") {
+    // pinned DuckDB values: list_reduce over string_split(text,'') + ascii
+    // (one step per Unicode code point) with (a*131+b) % 2^55
+    val got = textDf((1L, "abc"), (2L, ""), (3L, "abd"), (4L, "héllo 世界"))
       .select(col("doc_id"), rolling_fingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got(1L) === expected)
+    assert(got(1L) === 1677554L)           // duckdb-pinned
+    assert(got(4L) === 34007476064947596L) // duckdb-pinned, multi-byte chars
     assert(got(2L) === 0L)
     assert(got(1L) !== got(3L))
   }
