@@ -1,0 +1,301 @@
+package graft.functions
+
+/** Native CRS point transforms for the common EPSG codes (reference F6:
+  * pyproj `Transformer.from_proj(src, dst, always_xy=True)`,
+  * `backend/models.py:37-42`). No projection library ships in this
+  * environment, so the math is implemented directly from the public
+  * formulas:
+  *
+  *  - Transverse Mercator: the series in EPSG Guidance Note 7-2 §3.2.2 /
+  *    the Ordnance Survey "A guide to coordinate systems in Great Britain"
+  *    Annex C (mm-level inside a UTM zone width);
+  *  - Lambert Conformal Conic 2SP: EPSG Guidance Note 7-2 §3.1.1;
+  *  - Web Mercator: the spherical formulas from the EPSG:3857 definition;
+  *  - Datum shifts: geodetic -> geocentric -> 7-parameter Helmert
+  *    (position-vector convention, EPSG method 9606) -> geodetic.
+  *
+  * Accuracy contract: projection series are ~mm; Helmert datum shifts are
+  * the published single-transformation parameters (EPSG:1314 for OSGB36,
+  * EPSG:1133 for ED50) and carry their published ~2-10 m uncertainty —
+  * identical behavior to pyproj WITHOUT datum grids (the reference
+  * container installs no NTv2/OSTN grids either). ETRS89 / NAD83 / RGF93
+  * are treated as coincident with WGS84 (sub-metre plate drift ignored,
+  * the standard null-transformation assumption).
+  */
+private[graft] object Crs {
+
+  final case class Ellipsoid(a: Double, invF: Double) {
+    val f: Double = 1.0 / invF
+    val b: Double = a * (1.0 - f)
+    val e2: Double = f * (2.0 - f)
+    val e: Double = math.sqrt(e2)
+    val n: Double = (a - b) / (a + b)
+  }
+
+  val Wgs84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
+  val Grs80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
+  val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
+  val Intl1924: Ellipsoid = Ellipsoid(6378388.0, 297.0)
+
+  /** 7-parameter Helmert to WGS84, position-vector convention (EPSG 9606):
+    * rotations in arc-seconds, scale in ppm.
+    */
+  final case class Helmert(tx: Double, ty: Double, tz: Double,
+                           rxSec: Double, rySec: Double, rzSec: Double,
+                           ppm: Double) {
+    private val rx = math.toRadians(rxSec / 3600.0)
+    private val ry = math.toRadians(rySec / 3600.0)
+    private val rz = math.toRadians(rzSec / 3600.0)
+    private val s = 1.0 + ppm * 1e-6
+
+    def forward(p: (Double, Double, Double)): (Double, Double, Double) = {
+      val (x, y, z) = p
+      (tx + s * (x - rz * y + ry * z),
+       ty + s * (rz * x + y - rx * z),
+       tz + s * (-ry * x + rx * y + z))
+    }
+    /** Exact inverse of the forward rotation matrix application is a full
+      * matrix inverse; for the small angles involved the transpose form
+      * below is exact to well below the parameters' own uncertainty AND
+      * makes forward/inverse round-trips close to ~1e-9 m (it inverts the
+      * same linearized operator).
+      */
+    def inverse(p: (Double, Double, Double)): (Double, Double, Double) = {
+      val x = (p._1 - tx) / s; val y = (p._2 - ty) / s; val z = (p._3 - tz) / s
+      // solve the 3x3 rotation system R v = (x,y,z) with R as in forward
+      val det = 1.0 + rx * rx + ry * ry + rz * rz
+      ((x * (1 + rx * rx) + y * (rz + rx * ry) + z * (rx * rz - ry)) / det,
+       (x * (rx * ry - rz) + y * (1 + ry * ry) + z * (rx + ry * rz)) / det,
+       (x * (ry + rx * rz) + y * (ry * rz - rx) + z * (1 + rz * rz)) / det)
+    }
+  }
+
+  /** geodetic (deg, h=0) -> geocentric XYZ on `ell`. */
+  private def toGeocentric(lonDeg: Double, latDeg: Double, ell: Ellipsoid): (Double, Double, Double) = {
+    val lat = math.toRadians(latDeg); val lon = math.toRadians(lonDeg)
+    val nu = ell.a / math.sqrt(1.0 - ell.e2 * math.sin(lat) * math.sin(lat))
+    (nu * math.cos(lat) * math.cos(lon),
+     nu * math.cos(lat) * math.sin(lon),
+     nu * (1.0 - ell.e2) * math.sin(lat))
+  }
+
+  /** geocentric XYZ -> geodetic (deg) on `ell`, iterative (h discarded). */
+  private def toGeodetic(p: (Double, Double, Double), ell: Ellipsoid): (Double, Double) = {
+    val (x, y, z) = p
+    val lon = math.atan2(y, x)
+    val pr = math.hypot(x, y)
+    var lat = math.atan2(z, pr * (1.0 - ell.e2))
+    var i = 0
+    while (i < 8) { // converges to <1e-12 rad in ~4 iterations
+      val sinLat = math.sin(lat)
+      val nu = ell.a / math.sqrt(1.0 - ell.e2 * sinLat * sinLat)
+      lat = math.atan2(z + ell.e2 * nu * sinLat, pr)
+      i += 1
+    }
+    (math.toDegrees(lon), math.toDegrees(lat))
+  }
+
+  sealed trait Projection {
+    def ell: Ellipsoid
+    /** geographic degrees -> projected units */
+    def forward(lon: Double, lat: Double): (Double, Double)
+    /** projected units -> geographic degrees */
+    def inverse(x: Double, y: Double): (Double, Double)
+  }
+
+  final case class Geographic(ell: Ellipsoid) extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  /** EPSG:3857 spherical Web Mercator (sphere radius = WGS84 a). */
+  final case class WebMercator(ell: Ellipsoid) extends Projection {
+    private val R = ell.a
+    def forward(lon: Double, lat: Double): (Double, Double) =
+      (math.toRadians(lon) * R,
+       math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)) * R)
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(x / R),
+       math.toDegrees(2.0 * math.atan(math.exp(y / R)) - math.Pi / 2.0))
+  }
+
+  /** EPSG method 9807 via the Guidance Note 7-2 / OS Annex C series. */
+  final case class TransverseMercator(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+                                      k0: Double, e0: Double, n0: Double) extends Projection {
+    private val lat0 = math.toRadians(lat0Deg)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val aF = ell.a * k0
+    private val bF = ell.b * k0
+    private val e2 = ell.e2
+    private val n = ell.n
+    private val n2 = n * n
+    private val n3 = n2 * n
+
+    /** developed meridian arc from lat0, scaled (OS guide eq. "M"). */
+    private def arc(lat: Double): Double = {
+      val dp = lat - lat0; val sp = lat + lat0
+      bF * ((1 + n + 1.25 * n2 + 1.25 * n3) * dp
+        - (3 * n + 3 * n2 + 2.625 * n3) * math.sin(dp) * math.cos(sp)
+        + (1.875 * n2 + 1.875 * n3) * math.sin(2 * dp) * math.cos(2 * sp)
+        - (35.0 / 24.0) * n3 * math.sin(3 * dp) * math.cos(3 * sp))
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.toRadians(latDeg)
+      val dl = math.toRadians(lonDeg) - lon0
+      val sinLat = math.sin(lat); val cosLat = math.cos(lat); val tanLat = math.tan(lat)
+      val nu = aF / math.sqrt(1 - e2 * sinLat * sinLat)
+      val rho = aF * (1 - e2) / math.pow(1 - e2 * sinLat * sinLat, 1.5)
+      val eta2 = nu / rho - 1
+      val t2 = tanLat * tanLat
+      val i = arc(lat) + n0
+      val ii = nu / 2.0 * sinLat * cosLat
+      val iii = nu / 24.0 * sinLat * math.pow(cosLat, 3) * (5 - t2 + 9 * eta2)
+      val iiia = nu / 720.0 * sinLat * math.pow(cosLat, 5) * (61 - 58 * t2 + t2 * t2)
+      val iv = nu * cosLat
+      val v = nu / 6.0 * math.pow(cosLat, 3) * (nu / rho - t2)
+      val vi = nu / 120.0 * math.pow(cosLat, 5) *
+        (5 - 18 * t2 + t2 * t2 + 14 * eta2 - 58 * t2 * eta2)
+      (e0 + iv * dl + v * math.pow(dl, 3) + vi * math.pow(dl, 5),
+       i + ii * dl * dl + iii * math.pow(dl, 4) + iiia * math.pow(dl, 6))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val de = x - e0
+      var latP = lat0 + (y - n0) / aF
+      var m = arc(latP)
+      var iter = 0
+      while (math.abs(y - n0 - m) >= 1e-11 && iter < 20) {
+        latP += (y - n0 - m) / aF
+        m = arc(latP)
+        iter += 1
+      }
+      val sinLat = math.sin(latP); val tanLat = math.tan(latP)
+      val secLat = 1.0 / math.cos(latP)
+      val nu = aF / math.sqrt(1 - e2 * sinLat * sinLat)
+      val rho = aF * (1 - e2) / math.pow(1 - e2 * sinLat * sinLat, 1.5)
+      val eta2 = nu / rho - 1
+      val t2 = tanLat * tanLat
+      val vii = tanLat / (2 * rho * nu)
+      val viii = tanLat / (24 * rho * math.pow(nu, 3)) *
+        (5 + 3 * t2 + eta2 - 9 * t2 * eta2)
+      val ix = tanLat / (720 * rho * math.pow(nu, 5)) * (61 + 90 * t2 + 45 * t2 * t2)
+      val xc = secLat / nu
+      val xi = secLat / (6 * math.pow(nu, 3)) * (nu / rho + 2 * t2)
+      val xii = secLat / (120 * math.pow(nu, 5)) * (5 + 28 * t2 + 24 * t2 * t2)
+      val xiia = secLat / (5040 * math.pow(nu, 7)) *
+        (61 + 662 * t2 + 1320 * t2 * t2 + 720 * math.pow(t2, 3))
+      val lat = latP - vii * de * de + viii * math.pow(de, 4) - ix * math.pow(de, 6)
+      val lon = lon0 + xc * de - xi * math.pow(de, 3) + xii * math.pow(de, 5) -
+        xiia * math.pow(de, 7)
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
+  /** EPSG method 9802, Lambert Conformal Conic (2SP). */
+  final case class LambertConformal2SP(ell: Ellipsoid, latFDeg: Double, lon0Deg: Double,
+                                       sp1Deg: Double, sp2Deg: Double,
+                                       eF: Double, nF: Double) extends Projection {
+    private val e = ell.e
+    private val lon0 = math.toRadians(lon0Deg)
+
+    private def m(lat: Double): Double =
+      math.cos(lat) / math.sqrt(1 - ell.e2 * math.sin(lat) * math.sin(lat))
+    private def t(lat: Double): Double =
+      math.tan(math.Pi / 4 - lat / 2) /
+        math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+
+    private val sp1 = math.toRadians(sp1Deg)
+    private val sp2 = math.toRadians(sp2Deg)
+    private val latF = math.toRadians(latFDeg)
+    private val nC = (math.log(m(sp1)) - math.log(m(sp2))) / (math.log(t(sp1)) - math.log(t(sp2)))
+    private val fC = m(sp1) / (nC * math.pow(t(sp1), nC))
+    private def r(lat: Double): Double = ell.a * fC * math.pow(t(lat), nC)
+    private val rF = r(latF)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val theta = nC * (math.toRadians(lonDeg) - lon0)
+      val rr = r(math.toRadians(latDeg))
+      (eF + rr * math.sin(theta), nF + rF - rr * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val de = x - eF; val dn = rF - (y - nF)
+      val rP = math.signum(nC) * math.hypot(de, dn)
+      val tP = math.pow(rP / (ell.a * fC), 1.0 / nC)
+      val theta = math.atan2(de, dn)
+      var lat = math.Pi / 2 - 2 * math.atan(tP)
+      var i = 0
+      while (i < 8) {
+        lat = math.Pi / 2 - 2 * math.atan(
+          tP * math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2))
+        i += 1
+      }
+      (math.toDegrees(theta / nC + lon0), math.toDegrees(lat))
+    }
+  }
+
+  /** A CRS: its projection (carrying the ellipsoid) plus the datum's
+    * Helmert transformation to WGS84 (None = datum coincident with WGS84).
+    */
+  final case class CrsDef(proj: Projection, toWgs84: Option[Helmert])
+
+  // published single-transformation Helmert parameters (position vector):
+  // OSGB36 -> WGS84: EPSG:1314 (~2 m); ED50 -> WGS84: EPSG:1133 (~10 m)
+  private val Osgb36ToWgs84 = Helmert(446.448, -125.157, 542.060,
+    0.1502, 0.2470, 0.8421, -20.4894)
+  private val Ed50ToWgs84 = Helmert(-87.0, -96.0, -120.0, 0, 0, 0, 0)
+
+  private def utm(ell: Ellipsoid, zone: Int, south: Boolean): Projection =
+    TransverseMercator(ell, 0.0, zone * 6.0 - 183.0, 0.9996,
+      500000.0, if (south) 10000000.0 else 0.0)
+
+  /** EPSG code -> CRS definition. Raises (with the supported list) on
+    * codes we do not model — notably grid-shift-only datums like NAD27.
+    */
+  def lookup(epsg: Int): CrsDef = epsg match {
+    case 4326 => CrsDef(Geographic(Wgs84), None)
+    case 4258 | 4269 | 4171 => CrsDef(Geographic(Grs80), None) // ETRS89 / NAD83 / RGF93
+    case 4277 => CrsDef(Geographic(Airy1830), Some(Osgb36ToWgs84)) // OSGB36
+    case 4230 => CrsDef(Geographic(Intl1924), Some(Ed50ToWgs84))   // ED50
+    case 3857 => CrsDef(WebMercator(Wgs84), None)
+    case z if z >= 32601 && z <= 32660 => CrsDef(utm(Wgs84, z - 32600, south = false), None)
+    case z if z >= 32701 && z <= 32760 => CrsDef(utm(Wgs84, z - 32700, south = true), None)
+    case z if z >= 25828 && z <= 25838 => CrsDef(utm(Grs80, z - 25800, south = false), None) // ETRS89 UTM
+    case z if z >= 26901 && z <= 26923 => CrsDef(utm(Grs80, z - 26900, south = false), None) // NAD83 UTM
+    case 27700 => CrsDef( // OSGB36 / British National Grid
+      TransverseMercator(Airy1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0),
+      Some(Osgb36ToWgs84))
+    case 2157 => CrsDef( // IRENET95 / Irish Transverse Mercator
+      TransverseMercator(Grs80, 53.5, -8.0, 0.99982, 600000.0, 750000.0), None)
+    case 2154 => CrsDef( // RGF93 / Lambert-93
+      LambertConformal2SP(Grs80, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0), None)
+    case other => throw new IllegalArgumentException(
+      s"unsupported CRS: EPSG:$other (supported: 4326, 4258, 4269, 4171, 4277, 4230, " +
+        "3857, 27700, 2154, 2157, UTM 32601-32660/32701-32760/25828-25838/26901-26923; " +
+        "grid-shift-only datums such as NAD27 are not modeled)")
+  }
+
+  /** Point transform src EPSG -> dst EPSG (always_xy axis order, matching
+    * the reference's pyproj usage).
+    */
+  def transform(x: Double, y: Double, srcEpsg: Int, dstEpsg: Int): (Double, Double) = {
+    if (srcEpsg == dstEpsg) return (x, y)
+    val src = lookup(srcEpsg)
+    val dst = lookup(dstEpsg)
+    var (lon, lat) = src.proj.inverse(x, y)
+    // datum pipeline only when the datums differ
+    if (src.toWgs84 != dst.toWgs84) {
+      val wgs = src.toWgs84 match {
+        case Some(h) => toGeodetic(h.forward(toGeocentric(lon, lat, src.proj.ell)), Wgs84)
+        case None    => (lon, lat)
+      }
+      val onDst = dst.toWgs84 match {
+        case Some(h) => toGeodetic(h.inverse(toGeocentric(wgs._1, wgs._2, Wgs84)), dst.proj.ell)
+        case None    => wgs
+      }
+      lon = onDst._1; lat = onDst._2
+    }
+    dst.proj.forward(lon, lat)
+  }
+}

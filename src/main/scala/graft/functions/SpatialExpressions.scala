@@ -20,11 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the probe point / query polygon) are parsed once per expression
   * instance, not per row, which is what matters for scan-shaped predicates.
   *
-  * CRS transforms ([[Geo.transformPoint]]) cover the identity and the Web
-  * Mercator pair (EPSG:3857 <-> 4326, the spherical-Mercator formulas from
-  * the public EPSG/OGC definition); other codes raise. The reference's
-  * pyproj covers more codes but its serving path only ever targets 4326
-  * (`backend/models.py:50`).
+  * CRS transforms ([[Geo.transformPoint]]) delegate to [[Crs]]: Web
+  * Mercator, Transverse Mercator (UTM zones, British/Irish national
+  * grids), Lambert-93, and Helmert datum shifts, implemented natively
+  * from the public EPSG Guidance Note 7-2 formulas — the same coverage a
+  * grid-less pyproj gives the reference (`backend/models.py:37-42`);
+  * unmodeled codes raise.
   */
 private[graft] object Geo {
   val SRID = 4326
@@ -43,21 +44,11 @@ private[graft] object Geo {
   def point(lon: Double, lat: Double): Geometry =
     factory.createPoint(new Coordinate(lon, lat))
 
-  private val EarthRadius = 6378137.0 // WGS84 semi-major axis (Web Mercator sphere)
-
-  /** Point CRS transform. Supported: identity, 4326 <-> 3857. */
+  /** Point CRS transform across the common EPSG codes (see [[Crs]] for the
+    * registry, formulas, and accuracy contract).
+    */
   def transformPoint(x: Double, y: Double, srcEpsg: Int, dstEpsg: Int): (Double, Double) =
-    (srcEpsg, dstEpsg) match {
-      case (a, b) if a == b => (x, y)
-      case (4326, 3857) =>
-        (math.toRadians(x) * EarthRadius,
-          math.log(math.tan(math.Pi / 4.0 + math.toRadians(y) / 2.0)) * EarthRadius)
-      case (3857, 4326) =>
-        (math.toDegrees(x / EarthRadius),
-          math.toDegrees(2.0 * math.atan(math.exp(y / EarthRadius)) - math.Pi / 2.0))
-      case _ => throw new IllegalArgumentException(
-        s"unsupported CRS transform: EPSG:$srcEpsg -> EPSG:$dstEpsg (supported: identity, 4326<->3857)")
-    }
+    Crs.transform(x, y, srcEpsg, dstEpsg)
 }
 
 /** st_point(lon, lat) -> WKB point (reference F2: ST_MakePoint). */

@@ -89,6 +89,18 @@ class SearchSpec extends AnyFunSuite {
     assert(got === Seq("L6"))
   }
 
+  test("reprojection: non-3857 EPSG (OSGB36 geographic) datum-shifts before filtering") {
+    // pick OSGB36 coordinates whose WGS84 image is the canonical probe point
+    // (-81.27, 28.80): search with them + epsg=4277 must equal the 4326 search
+    val (rawLon, rawLat) = graft.functions.Geo.transformPoint(-81.27, 28.80, 4326, 4277)
+    val expected = ids(SearchRequest(probe,
+      inputPoint = Some(Point(-81.27, 28.80)), limit = 10))
+    val got = ids(SearchRequest(probe,
+      inputPoint = Some(Point(rawLon, rawLat, epsg = 4277)), limit = 10))
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("validate-before-reproject quirk: raw 3857 coords beyond +-180/+-90 are rejected") {
     // Would reproject to a perfectly valid ~8.98 deg lon, but the reference
     // validates the RAW fields first (backend/models.py:45-64) -> error.

@@ -74,8 +74,59 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(lat - 2.0) < 1e-9) // 2 deg lat <-> 222684.2085 m
     // identity
     assert(Geo.transformPoint(10.0, 20.0, 4326, 4326) === ((10.0, 20.0)))
-    // unsupported
-    intercept[IllegalArgumentException](Geo.transformPoint(0, 0, 4326, 2154))
+    // unsupported (grid-shift-only datum)
+    val e = intercept[IllegalArgumentException](Geo.transformPoint(0, 0, 4326, 4267))
+    assert(e.getMessage.contains("unsupported CRS"))
+  }
+
+  test("CRS transform: published known pairs for TM / LCC / UTM (reference F6, arbitrary EPSG)") {
+    // Ordnance Survey worked example (OS guide Annex C / EPSG GN 7-2):
+    // OSGB36 geographic 52deg39'27.2531"N 1deg43'4.5177"E -> British National
+    // Grid E 651409.903 N 313177.270 (pure projection, no datum shift)
+    val (e1, n1) = Geo.transformPoint(
+      1 + 43.0 / 60 + 4.5177 / 3600, 52 + 39.0 / 60 + 27.2531 / 3600, 4277, 27700)
+    assert(math.abs(e1 - 651409.903) < 0.005, s"OSGB E $e1")
+    assert(math.abs(n1 - 313177.270) < 0.005, s"OSGB N $n1")
+    // definitional anchors: projection natural/false origins map exactly
+    val (le, ln) = Geo.transformPoint(3.0, 46.5, 4326, 2154) // Lambert-93 false origin
+    assert(math.abs(le - 700000.0) < 1e-6 && math.abs(ln - 6600000.0) < 1e-6)
+    val (e2, n2) = Geo.transformPoint(15.0, 0.0, 4326, 32633) // UTM 33N natural origin
+    assert(math.abs(e2 - 500000.0) < 1e-6 && math.abs(n2) < 1e-6)
+    // meridian arc pin: published WGS84 meridian distance at 45 deg is
+    // 4984944.38 m; UTM northing = 0.9996 * that
+    val (_, n3) = Geo.transformPoint(15.0, 45.0, 4326, 32633)
+    assert(math.abs(n3 - 4984944.38 * 0.9996) < 0.05, s"UTM lat45 N $n3")
+    // published UTM example (CN Tower, Wikipedia UTM article, 1 m rounding):
+    // 43deg38'33.24"N 79deg23'13.7"W -> zone 17N E 630084 N 4833438
+    val (e4, n4) = Geo.transformPoint(
+      -(79 + 23.0 / 60 + 13.7 / 3600), 43 + 38.0 / 60 + 33.24 / 3600, 4326, 32617)
+    assert(math.abs(e4 - 630084.0) < 1.0 && math.abs(n4 - 4833438.0) < 1.0,
+      s"CN Tower ($e4, $n4)")
+  }
+
+  test("CRS transform: round trips and datum-shift consistency across the registry") {
+    val cases = Seq(
+      3857 -> (12.49, 41.90), 32633 -> (12.49, 41.90), 32733 -> (17.1, -22.5),
+      27700 -> (-3.19, 55.95), 2154 -> (2.35, 48.85), 25832 -> (9.0, 52.0),
+      26917 -> (-79.4, 43.6), 2157 -> (-6.26, 53.35), 4258 -> (9.0, 52.0),
+      4277 -> (-1.0, 52.0), 4230 -> (10.0, 50.0))
+    for ((code, (lon, lat)) <- cases) {
+      val (x, y) = Geo.transformPoint(lon, lat, 4326, code)
+      val (lon2, lat2) = Geo.transformPoint(x, y, code, 4326)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"round trip 4326<->$code drifted: ($lon2, $lat2) vs ($lon, $lat)")
+    }
+    // Helmert magnitude sanity: OSGB36 datum shift moves points by tens of
+    // metres (~1e-3 deg), never zero, never kilometres
+    val (dlon, dlat) = Geo.transformPoint(-1.0, 52.0, 4277, 4326)
+    val shiftDeg = math.hypot(dlon - -1.0, dlat - 52.0)
+    assert(shiftDeg > 1e-4 && shiftDeg < 0.01, s"OSGB36 shift $shiftDeg deg")
+    // projected->projected across datums == going through 4326
+    val (bx, by) = Geo.transformPoint(-0.1276, 51.5074, 4326, 27700)
+    val direct = Geo.transformPoint(bx, by, 27700, 3857)
+    val via = Geo.transformPoint(-0.1276, 51.5074, 4326, 3857)
+    assert(math.hypot(direct._1 - via._1, direct._2 - via._2) < 0.01,
+      s"cross-datum path divergence: $direct vs $via")
   }
 
   test("st_transform_point column expression") {
