@@ -36,6 +36,7 @@ object GraftFunctions {
   def st_contains(a: Column, b: Column): Column = toCol(STContains(toExpr(a), toExpr(b)))
   def st_within(a: Column, b: Column): Column = toCol(STWithin(toExpr(a), toExpr(b)))
   def st_distance(a: Column, b: Column): Column = toCol(STDistance(toExpr(a), toExpr(b)))
+  def st_geometrytype(a: Column): Column = toCol(STGeometryType(toExpr(a)))
   def st_transform_point(x: Column, y: Column, src: Column, dst: Column): Column =
     toCol(STTransformPoint(Seq(toExpr(x.cast("double")), toExpr(y.cast("double")),
       toExpr(src.cast("int")), toExpr(dst.cast("int")))))
@@ -67,6 +68,7 @@ object GraftFunctions {
     "st_contains"     -> { es => STContains(es(0), es(1)) },
     "st_within"       -> { es => STWithin(es(0), es(1)) },
     "st_distance"     -> { es => STDistance(es(0), es(1)) },
+    "st_geometrytype" -> { es => STGeometryType(es(0)) },
     "rolling_hash"    -> { es => RollingHash64(es(0)) },
     "morton_code"     -> { es => MortonCode(cast(es(0), "double"), cast(es(1), "double")) },
     "simhash64"       -> { es => SimHash64(es(0)) },

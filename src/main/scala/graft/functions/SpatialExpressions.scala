@@ -95,6 +95,24 @@ case class STAsText(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** st_geometrytype(wkb) -> JTS type name ("Polygon", "Point", ...) —
+  * PostGIS ST_GeometryType analogue (sans the "ST_" prefix), used by
+  * ingest validation to enforce the reference's `geometry(Polygon,4326)`
+  * column constraint (`backend/load_data.py:78`).
+  */
+case class STGeometryType(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_geometrytype"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_geometrytype expects binary WKB, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(wkb: Any): Any =
+    UTF8String.fromString(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]).getGeometryType)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Base for WKB x WKB -> T expressions with constant-operand caching. */
 abstract class GeoBinaryExpression extends BinaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -35,8 +35,18 @@ object Ingest {
   /** GeoParquet-shaped input -> canonical layers table:
     * dedup on (id, metadata_text), rename geometry->geom, project the 8
     * canonical columns (reference `backend/load_data.py:177-178`).
+    *
+    * `validateDim`: enforce the reference DDL's column constraints —
+    * `vector(1024)` and `geometry(Polygon,4326)`
+    * (`backend/load_data.py:67-81`; there a malformed row fails the COPY
+    * transaction). Strict mode mirrors that: the load fails on the first
+    * violating row, via a codegen'd raise_error branch — single pass, no
+    * extra validation job. NULL embedding/geom pass (the DDL columns are
+    * nullable). For quarantine-instead-of-fail semantics use
+    * [[quarantineInvalid]] before the load.
     */
-  def prepare(raw: DataFrame, orderCol: Option[String] = None): DataFrame = {
+  def prepare(raw: DataFrame, orderCol: Option[String] = None,
+              validateDim: Option[Int] = None): DataFrame = {
     val renamed =
       if (raw.columns.contains("geometry")) raw.withColumnRenamed("geometry", "geom")
       else raw
@@ -44,7 +54,39 @@ object Ingest {
       case Some(oc) => dedupKeepFirst(renamed, Seq("id", "metadata_text"), oc)
       case None     => renamed.dropDuplicates(Seq("id", "metadata_text"))
     }
-    deduped.select(TableColumns.map(col): _*)
+    val projected = deduped.select(TableColumns.map(col): _*)
+    validateDim.fold(projected)(dim => validated(projected, dim))
+  }
+
+  import graft.functions.GraftFunctions.st_geometrytype
+
+  private def badEmbedding(dim: Int) =
+    col("embeddings").isNotNull && size(col("embeddings")) =!= dim
+  private val badGeom =
+    col("geom").isNotNull && st_geometrytype(col("geom")) =!= "Polygon"
+
+  /** Strict DDL-constraint enforcement: first violating row fails the job
+    * with a descriptive error (the COPY-transaction-abort analogue).
+    */
+  private def validated(df: DataFrame, dim: Int): DataFrame = df
+    .withColumn("embeddings",
+      when(badEmbedding(dim), raise_error(concat(
+        lit(s"embedding dimension violation (expected $dim, got "),
+        size(col("embeddings")).cast("string"), lit(") for id "), col("id"))))
+        .otherwise(col("embeddings")))
+    .withColumn("geom",
+      when(badGeom, raise_error(concat(
+        lit("geometry type violation (expected Polygon, got "),
+        st_geometrytype(col("geom")), lit(") for id "), col("id"))))
+        .otherwise(col("geom")))
+
+  /** Split off DDL-constraint violators instead of failing: returns
+    * (valid rows, rejected rows) for load + quarantine sinks.
+    */
+  def quarantineInvalid(df: DataFrame, dim: Int = graft.sources.LayersTable.EmbeddingDim)
+      : (DataFrame, DataFrame) = {
+    val bad = badEmbedding(dim) || badGeom
+    (df.filter(!bad), df.filter(bad))
   }
 
   /** One-shot idempotent load (reference S6 gate: skip when the target is
@@ -53,7 +95,7 @@ object Ingest {
     * reference's single COPY transaction (SURVEY.md §2.1 S3).
     */
   def run(spark: SparkSession, inPath: String, outPath: String,
-          orderCol: Option[String] = None): Boolean = {
+          orderCol: Option[String] = None, validateDim: Option[Int] = None): Boolean = {
     val alreadyLoaded =
       try !spark.read.parquet(outPath).isEmpty
       catch { case _: Exception => false } // target absent -> load
@@ -64,7 +106,7 @@ object Ingest {
       // failed/partial earlier write all load cleanly (the reference's S6
       // gate loads into an existing-but-empty table the same way);
       // errorifexists would wedge the path permanently on leftovers.
-      prepare(spark.read.parquet(inPath), orderCol)
+      prepare(spark.read.parquet(inPath), orderCol, validateDim)
         .write.mode("overwrite").parquet(outPath)
       true
     }

@@ -60,4 +60,56 @@ object LayersTable {
     */
   def fromGeoParquet(raw: DataFrame): DataFrame =
     graft.operators.Ingest.prepare(raw)
+
+  /** GeoParquet footer metadata: primary geometry column name and its
+    * encoding, parsed from the `geo` file-level key (GeoParquet spec
+    * §file metadata). */
+  final case class GeoMeta(primaryColumn: String, encoding: String)
+
+  /** Read the `geo` footer metadata of a GeoParquet file (or of the first
+    * part-file of a directory). None when the file carries no geo key
+    * (plain parquet).
+    */
+  def geoMetadata(spark: SparkSession, path: String): Option[GeoMeta] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).minBy(_.getName.toString)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+      Option(kv.get("geo")).map { json =>
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        implicit val fmts: Formats = DefaultFormats
+        val j = JsonMethods.parse(json)
+        val primary = (j \ "primary_column").extract[String]
+        val encoding = (j \ "columns" \ primary \ "encoding").extract[String]
+        GeoMeta(primary, encoding)
+      }
+    } finally reader.close()
+  }
+
+  /** GeoParquet scan (reference S1): verify the file IS GeoParquet (geo
+    * footer present, WKB encoding), then read it with the primary geometry
+    * column normalized to the name `geometry`. Fails loudly on plain
+    * parquet or non-WKB encodings (native-arrow GeoParquet 1.1 point
+    * encodings are not WKB and would corrupt downstream WKB parsing).
+    */
+  def readGeoParquet(spark: SparkSession, path: String): DataFrame = {
+    val meta = geoMetadata(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"$path is not GeoParquet: no 'geo' footer metadata"))
+    require(meta.encoding.equalsIgnoreCase("WKB"),
+      s"unsupported GeoParquet geometry encoding '${meta.encoding}' (only WKB)")
+    val df = spark.read.parquet(path)
+    if (meta.primaryColumn == "geometry") df
+    else df.withColumnRenamed(meta.primaryColumn, "geometry")
+  }
 }

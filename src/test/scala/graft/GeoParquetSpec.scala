@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ingest, Search}
+import graft.operators.Search.{Point, SearchRequest}
+import graft.sources.LayersTable
+
+/** End-to-end golden replay of the reference's only e2e evidence
+  * (`agent.ipynb` cells 3-4 over the GeoParquet loaded by
+  * `backend/load_data.py:173-190`): a real GeoParquet fixture (geo footer
+  * metadata + WKB polygon geometry) ingested through the canonical path
+  * and searched with the notebook's two requests in spirit — parcel data
+  * near Sanford, FL (Seminole County) and Kelso, WA (Cowlitz County),
+  * type-filtered to Feature Layers, top-5.
+  */
+class GeoParquetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val fixture = getClass.getResource("/golden_layers.geoparquet").getPath
+  private val parcelProbe = Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.1f)
+
+  test("geo footer metadata is detected; plain parquet is refused") {
+    val meta = LayersTable.geoMetadata(spark, fixture)
+    assert(meta === Some(LayersTable.GeoMeta("geometry", "WKB")))
+    val plain = s"${SparkTestSession.sfDir}/documents.parquet"
+    assert(LayersTable.geoMetadata(spark, plain) === None)
+    val e = intercept[IllegalArgumentException](LayersTable.readGeoParquet(spark, plain))
+    assert(e.getMessage.contains("not GeoParquet"))
+  }
+
+  test("golden replay: GeoParquet -> ingest (dedup + validate) -> the notebook's two searches") {
+    val raw = LayersTable.readGeoParquet(spark, fixture)
+    assert(raw.count() === 7)
+    // ingest: dedup on (id, metadata_text) drops the planted duplicate;
+    // DDL validation (dim 8 here, Polygon geometry) passes every row
+    val layers = Ingest.prepare(raw, validateDim = Some(8)).cache()
+    assert(layers.count() === 6)
+    assert(layers.columns.toSeq === Ingest.TableColumns)
+
+    // cell-3 request in spirit: parcel data near Sanford, FL (Seminole Cty)
+    val sanford = Search.search(layers, SearchRequest(parcelProbe,
+      typeFilter = Some(Seq("Feature Layer")),
+      inputPoint = Some(Point(-81.27, 28.80)), limit = 5))
+    assert(sanford.error === None)
+    assert(sanford.layers.get.map(_.id) === Seq("seminole_parcels", "seminole_roads"))
+    assert(sanford.layers.get.head.name === "Seminole County Parcels")
+
+    // cell-3/4 follow-up in spirit: parcel data near Kelso, WA (Cowlitz Cty)
+    // (the zoning layer intersects too but is a Map Service -> filtered out)
+    val kelso = Search.search(layers, SearchRequest(parcelProbe,
+      typeFilter = Some(Seq("Feature Layer")),
+      inputPoint = Some(Point(-122.91, 46.15)), limit = 5))
+    assert(kelso.error === None)
+    assert(kelso.layers.get.map(_.id) === Seq("cowlitz_parcels"))
+    layers.unpersist()
+  }
+
+  test("DDL validation: wrong embedding dimension fails the load (COPY-abort analogue)") {
+    val raw = LayersTable.readGeoParquet(spark, fixture)
+    val e = intercept[Exception] {
+      Ingest.prepare(raw, validateDim = Some(1024)).collect()
+    }
+    assert(e.getMessage.contains("embedding dimension violation"))
+  }
+}

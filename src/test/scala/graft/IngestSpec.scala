@@ -52,4 +52,62 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.run(spark, in, out, Some("ord")) === false)  // gated
     assert(spark.read.parquet(out).count() === 3)
   }
+
+  test("run: empty/debris target does not wedge the gate (mode overwrite after gate)") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    raw.write.parquet(in)
+    Files.createDirectories(java.nio.file.Paths.get(out))
+    Files.writeString(java.nio.file.Paths.get(s"$out/_started"), "debris") // failed-write leftover
+    assert(Ingest.run(spark, in, out, Some("ord")) === true)   // loads, not wedged
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  // WKB for POLYGON((0 0,1 0,1 1,0 1,0 0)) and POINT(1 2), little-endian
+  private def wkbPolygon: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + 5 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(3).putInt(1).putInt(5)
+    for ((x, y) <- Seq((0, 0), (1, 0), (1, 1), (0, 1), (0, 0)))
+      bb.putDouble(x.toDouble).putDouble(y.toDouble)
+    bb.array()
+  }
+  private def wkbPoint: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(1).putDouble(1.0).putDouble(2.0)
+    bb.array()
+  }
+
+  private def constrained(embLen: Int, geom: Array[Byte]): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "ok", "good", "Feature Layer", "d", "u", "m-ok",
+          Seq.tabulate(4)(_.toFloat), wkbPolygon),
+        Row(1L, "bad", "bad", "Feature Layer", "d", "u", "m-bad",
+          Seq.tabulate(embLen)(_.toFloat), geom)),
+      schema)
+
+  test("DDL validation: non-Polygon geometry fails strict prepare; nulls pass") {
+    val e = intercept[Exception] {
+      Ingest.prepare(constrained(4, wkbPoint), validateDim = Some(4)).collect()
+    }
+    assert(e.getMessage.contains("geometry type violation"))
+    // null embedding + null geom sail through (nullable DDL columns)
+    val nulls = spark.createDataFrame(
+      java.util.Arrays.asList(Row(0L, "n", "x", "t", "d", "u", "m", null, null)), schema)
+    assert(Ingest.prepare(nulls, validateDim = Some(4)).count() === 1)
+  }
+
+  test("DDL validation: wrong embedding dim fails strict prepare; quarantine splits instead") {
+    val e = intercept[Exception] {
+      Ingest.prepare(constrained(7, wkbPolygon), validateDim = Some(4)).collect()
+    }
+    assert(e.getMessage.contains("embedding dimension violation"))
+    val (good, bad) = Ingest.quarantineInvalid(
+      Ingest.prepare(constrained(7, wkbPoint)), dim = 4)
+    assert(good.collect().map(_.getString(0)).toSeq === Seq("ok"))
+    assert(bad.collect().map(_.getString(0)).toSeq === Seq("bad"))
+  }
 }
