@@ -79,6 +79,24 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** HTML -> markdown conversion for the tags the reference's markdownify
+    * pass actually renders in its responses (reference F10,
+    * `backend/mcp.py:12-20`): bold/strong -> **..**, i/em -> *..*,
+    * links -> [text](url), list items -> "- ", <br> -> break; remaining
+    * tags are stripped and entities decoded ([[strip_html]]). Whitespace
+    * is normalized to single spaces (markdownify keeps layout newlines;
+    * the engine's canonical text form is space-collapsed). Nested inline
+    * tags are outside the regex subset and fall back to tag-strip.
+    */
+  def html_to_markdown(c: Column): Column = {
+    var x = regexp_replace(c, "(?i)<br\\s*/?>", " ")
+    x = regexp_replace(x, "(?i)<(?:b|strong)\\b[^>]*>([^<]*)</(?:b|strong)>", "**$1**")
+    x = regexp_replace(x, "(?i)<(?:i|em)\\b[^>]*>([^<]*)</(?:i|em)>", "*$1*")
+    x = regexp_replace(x, "(?i)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>", "[$2]($1)")
+    x = regexp_replace(x, "(?i)<li\\b[^>]*>", "- ")
+    strip_html(x)
+  }
+
   /** Polynomial rolling-hash fingerprint (north-star "document
     * fingerprinting (rolling hash)") — see [[RollingHash64]].
     */

@@ -83,6 +83,21 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // HTML -> markdown (reference F10 markdownify semantics): bold, em,
+    // link, list items rendered over synthetic markup around the corpus
+    "t9_html_to_markdown" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          html_to_markdown(concat(
+            lit("<p><b>Doc "), col("doc_id").cast("string"),
+            lit("</b> <em>note</em>: "), col("text"),
+            lit(" <a href=\"https://docs.example/"), col("doc_id").cast("string"),
+            lit("\">link</a></p><ul><li>lang "), col("lang"),
+            lit("</li><li>source "), col("source"), lit("</li></ul>")))
+            .as("markdown"))
+        .orderBy(col("doc_id"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -196,6 +211,29 @@ object Text extends QueryPack {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 131 + b) % 36028797018963968) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t9_html_to_markdown" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |        '<p><b>Doc ' || CAST(doc_id AS VARCHAR) || '</b> <em>note</em>: ' || text
+        |          || ' <a href="https://docs.example/' || CAST(doc_id AS VARCHAR)
+        |          || '">link</a></p><ul><li>lang ' || lang || '</li><li>source ' || source || '</li></ul>',
+        |        '(?i)<br\s*/?>', ' ', 'g'),
+        |        '(?i)<(?:b|strong)\b[^>]*>([^<]*)</(?:b|strong)>', '**\1**', 'g'),
+        |        '(?i)<(?:i|em)\b[^>]*>([^<]*)</(?:i|em)>', '*\1*', 'g'),
+        |        '(?i)<a\b[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', '[\2](\1)', 'g'),
+        |        '(?i)<li\b[^>]*>', '- ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS markdown
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->

@@ -117,6 +117,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2) === "no markup")
   }
 
+  test("html_to_markdown renders bold/em/links/list items, strips the rest (reference F10)") {
+    val got = textDf(
+      (1L, """<p><b>Title</b> and <em>tone</em>: see <a href="https://x.org/a?b=1">the docs</a></p>"""),
+      (2L, """<ul><li>first</li><li>second &amp; third</li></ul>"""),
+      (3L, """plain text stays"""),
+      (4L, """<STRONG>caps tag</STRONG> <br/> after break"""))
+      .select(col("doc_id"), graft.functions.TextFunctions.html_to_markdown(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "**Title** and *tone*: see [the docs](https://x.org/a?b=1)")
+    assert(got(2L) === "- first - second & third")
+    assert(got(3L) === "plain text stays")
+    assert(got(4L) === "**caps tag** after break")
+  }
+
   test("rolling_fingerprint matches the oracle recurrence incl non-ASCII; empty -> 0") {
     // pinned DuckDB values: list_reduce over string_split(text,'') + ascii
     // (one step per Unicode code point) with (a*131+b) % 2^55
