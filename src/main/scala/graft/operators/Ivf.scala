@@ -68,16 +68,34 @@ object Ivf {
     cs
   }
 
-  /** Build the index: sample -> train -> distributed assignment. */
+  /** Build the index: sample -> train -> distributed assignment.
+    *
+    * Sampling is a seeded Bernoulli `sample()` — a single filtering pass
+    * with NO global sort (the previous `orderBy(id).limit(n)` was a
+    * TakeOrdered with n-row heaps over the whole corpus). The collected
+    * sample is sorted by id on the driver (trivial at <= sampleSize rows)
+    * so k-means initialization stays deterministic regardless of partition
+    * arrival order. Determinism scope: fixed seed + fixed input layout =>
+    * identical index; corpora at or below sampleSize train on every row,
+    * fully layout-independent.
+    */
   def build(corpus: DataFrame, idCol: String, embCol: String,
-            nlist: Int, iters: Int = 5, sampleSize: Int = 100000): IvfIndex = {
+            nlist: Int, iters: Int = 5, sampleSize: Int = 100000,
+            seed: Long = 42L): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Float]] = corpus
-      .select(col(embCol).cast("array<float>"))
-      .orderBy(col(idCol))   // deterministic sample
-      .limit(sampleSize)
-      .as[Array[Float]].collect()
+    val pairs = corpus
+      .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val n = pairs.count()
+    // 1.2x oversample keeps P(sample < sampleSize) negligible; the exact
+    // size is irrelevant to k-means, only determinism matters
+    val sample: Array[Array[Float]] =
+      (if (n <= sampleSize) pairs
+       else pairs.sample(withReplacement = false, math.min(1.0, 1.2 * sampleSize / n), seed))
+        .collect().sortBy(_._1).take(sampleSize).map(_._2)
+    require(sample.length >= nlist,
+      s"sample ${sample.length} < nlist $nlist — raise sampleSize")
     val cs = trainCentroids(sample, nlist, iters)
     val bc = spark.sparkContext.broadcast(cs)
     val assigned = corpus
