@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the flagship queries: PLANS.md
+  * documents the intended shapes; these asserts keep later edits from
+  * silently regressing them (e.g. a refactor that breaks the
+  * TakeOrderedAndProject pattern into a global sort, or loses the
+  * region/nation broadcasts to shuffle joins).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    // same rule injection as Verify/Bench (builder extensions can't attach
+    // to the shared test session)
+    if (!s.experimental.extraOptimizations.contains(graft.plans.SpatialFilterPushdown))
+      s.experimental.extraOptimizations ++= Seq(graft.plans.SpatialFilterPushdown)
+    s
+  }
+  import SparkTestSession.sfDir
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def assertNoShuffle(plan: String, label: String): Unit =
+    for (marker <- Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition"))
+      assert(!plan.contains(marker), s"$label grew a shuffle ($marker):\n$plan")
+
+  test("v1 kNN: per-partition top-k heaps, zero corpus shuffle") {
+    val plan = planOf("v1_knn_top10")
+    assert(plan.contains("TakeOrderedAndProject"), s"v1 lost TakeOrderedAndProject:\n$plan")
+    assertNoShuffle(plan, "v1")
+  }
+
+  test("x1 reference search: top-k heaps + broadcast join only, zero corpus shuffle") {
+    val plan = planOf("x1_reference_search")
+    assert(plan.contains("TakeOrderedAndProject"), s"x1 lost TakeOrderedAndProject:\n$plan")
+    assertNoShuffle(plan, "x1")
+  }
+
+  test("q5 five-way join: region and nation arrive broadcast, not shuffled") {
+    val plan = planOf("q5_nation_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"q5 expected >=2 broadcast joins, got $broadcasts:\n$plan")
+  }
+
+  test("s3 radius query: derived bbox conjuncts survive optimization (row-reducing pre-filter)") {
+    val df = SparkEntry.queries("s3_within_distance")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains(">=") && optimized.contains("<="),
+      s"s3 lost the derived bbox range conjuncts:\n$optimized")
+    assert(optimized.contains("st_distance"),
+      s"s3 must retain the exact JTS predicate:\n$optimized")
+  }
+}
