@@ -48,15 +48,16 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Two passes, min per query: pass 1 warms JIT/codegen per query and
-    // absorbs one-off VM stalls (this box shows rare 100x exogenous
-    // hiccups); min-of-2 is the stable cost of the plan itself.
+    // Three passes, min per query: pass 1 warms JIT/codegen per query;
+    // min-of-3 makes one exogenous VM stall per query unable to leak into
+    // the recorded number even if it hits the same query twice (round 1
+    // recorded a 26 s figure for a 2 s rollup exactly that way) — the min
+    // is the stable cost of the plan itself.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val pass1 = names.map(n => n -> exec(n)).toMap
+    val passes = (1 to 3).map(_ => names.map(n => n -> exec(n)).toMap)
     val results = names.map { n =>
-      val t2 = exec(n)
-      val t1 = pass1(n)
-      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

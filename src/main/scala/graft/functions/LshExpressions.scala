@@ -102,9 +102,18 @@ case class HyperplaneBands(child: Expression, bands: Int, rows: Int, seed: Long)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprUtil.checkVectorTypes(Seq(child), prettyName)
 
+  @transient private lazy val isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
   override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    val dim = x.numElements()
+    val arr = v.asInstanceOf[ArrayData]
+    // one bulk copy to a primitive array: the hot loop below reads it
+    // bands*rows times, and per-element ArrayData getters don't inline
+    val x: Array[Double] =
+      if (isDouble) arr.toDoubleArray()
+      else { val f = arr.toFloatArray(); val d = new Array[Double](f.length)
+             var i = 0; while (i < f.length) { d(i) = f(i); i += 1 }; d }
+    val dim = x.length
     val planes = HyperplaneLsh.planes(seed, bands, rows, dim)
     val out = new Array[Long](bands)
     var b = 0
@@ -116,7 +125,7 @@ case class HyperplaneBands(child: Expression, bands: Int, rows: Int, seed: Long)
         var dot = 0.0
         var j = 0
         while (j < dim) {
-          dot += VectorExprUtil.elemAt(child, x, j) * planes(off + j)
+          dot += x(j) * planes(off + j)
           j += 1
         }
         if (dot >= 0.0) bucket |= (1L << r)

@@ -123,6 +123,46 @@ object Ivf {
       .map { case (c, i) => (Knn.cosineDist(probe, c), i) }
       .sorted.take(nprobe).map(_._2).toSeq
 
+  /** Approximate batch kNN join — the documented escape hatch for probe
+    * sets beyond [[Knn.knnJoin]]'s broadcast guard (~100k). Both sides
+    * scale out:
+    *  1. each probe is tagged with its `nprobe` nearest centroid buckets
+    *     (distributed map over the probes, centroids broadcast);
+    *  2. probes join the bucket-assigned corpus ON bucket — a plain
+    *     shuffle join whose key cardinality is `nlist`, or a co-located
+    *     join when the corpus side is the saved bucket-partitioned index;
+    *  3. exact distances within the probed buckets, window top-k per probe.
+    * Recall matches single-probe IVF search at the same nprobe (identical
+    * bucket selection); output matches [[Knn.knnJoin]]'s
+    * (probe_id, corpus_id, dist, rnk) contract.
+    */
+  def knnJoinApprox(index: IvfIndex, probes: DataFrame, probeId: String,
+                    probeEmb: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val probeBuckets = probes
+      .select(col(probeId).cast("long"), col(probeEmb).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cents = bc.value
+        iter.flatMap { case (pid, emb) =>
+          nearestBuckets(cents, emb, nprobe).map(b => (pid, emb, b))
+        }
+      }
+      .toDF("probe_id", "probe_emb", "bucket")
+    val joined = probeBuckets
+      .join(index.assigned, "bucket")
+      .withColumn("dist", graft.functions.GraftFunctions.cosine_distance(
+        col("probe_emb"), col("emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("dist").asc, col("corpus_id").asc)
+    joined
+      .select(col("probe_id"), col("id").as("corpus_id"), col("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Persist the index partitioned by bucket — queries then read only the
     * nprobe matching directories (partition pruning, no full scan).
     * Centroids ride along as a tiny `_centroids` parquet.

@@ -93,6 +93,19 @@ object Vectors extends QueryPack {
         .select(col("vec_id"), col("label"))
     },
 
+    // IVF-bucketed approximate batch kNN join — the scale path for probe
+    // sets beyond knnJoin's broadcast guard (rows-only oracle; VectorSpec
+    // asserts per-probe agreement with single-probe IVF search and recall
+    // vs the exact join).
+    "v9_ivf_knn_join" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      graft.operators.Ivf.knnJoinApprox(idx, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
     // Hyperplane-LSH-blocked embedding near-dup — the 100 TB scale path
     // for v4 (rows-only oracle: VectorSpec asserts pair-set equality with
     // the exact operator and candidates << n^2). Runs in the regime the

@@ -14,6 +14,7 @@ class EntrySpec extends AnyFunSuite {
     "d4_simhash_near_dup",     // SimHash internals not SQL-portable
     "v7_ivf_knn",              // ANN path; recall-tested vs exact
     "v8_lsh_near_dup",         // LSH blocking; pair-equality-tested vs exact
+    "v9_ivf_knn_join",         // ANN join; recall-tested vs exact join
     "q22_approx_distinct")     // HLL sketch; error-bound-tested vs exact
 
   test("entry returns rows (driver smoke)") {

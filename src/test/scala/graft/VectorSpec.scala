@@ -218,6 +218,30 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF batch kNN join: per-probe agreement with single-probe search + recall vs exact join") {
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+    val probes = e.filter(col("vec_id") < 8)
+    val approx = Ivf.knnJoinApprox(idx, probes, "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // bucket selection identical to single-probe search -> same result set
+    val p0 = e.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val single = Ivf.search(idx, p0, k = 3, nprobe = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(approx(0L) === single)
+    // recall against the exact broadcast join
+    val exact = Knn.knnJoin(e, "vec_id", "embedding", probes, "vec_id", "embedding", 3)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map { pid =>
+      (approx.getOrElse(pid, Set.empty) & exact(pid)).size.toDouble / exact(pid).size
+    }.sum / exact.size
+    assert(recall >= 0.6, s"batch recall $recall")
+  }
+
   test("hyperplane_bands: identical vectors share every band; orthogonal share few") {
     val banded = vecDf(Seq(
       (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
