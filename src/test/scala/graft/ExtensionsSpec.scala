@@ -54,6 +54,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(filtered.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
   }
 
+  test("SpatialFilterPushdown derives envelope conjuncts from st_intersects/contains/within") {
+    import extSpark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-env").toString
+    Seq((1L, 1.0, 1.0), (2L, 5.0, 5.0), (3L, 50.0, 50.0))
+      .toDF("id", "x", "y").write.mode("overwrite").parquet(dir)
+    val rect = lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    for ((label, pred) <- Seq(
+        "intersects" -> st_intersects(st_geomfromtext(rect), st_point(col("x"), col("y"))),
+        "intersects-flipped" -> st_intersects(st_point(col("x"), col("y")), st_geomfromtext(rect)),
+        "contains" -> st_contains(st_geomfromtext(rect), st_point(col("x"), col("y"))),
+        "within" -> st_within(st_point(col("x"), col("y")), st_geomfromtext(rect)))) {
+      val filtered = extSpark.read.parquet(dir).filter(pred)
+      val physical = filtered.queryExecution.executedPlan.toString
+      assert(physical.contains("PushedFilters: [") &&
+        physical.contains("GreaterThanOrEqual(x,"),
+        s"$label: expected envelope bounds in PushedFilters:\n$physical")
+      assert(filtered.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 2L),
+        s"$label changed semantics")
+    }
+  }
+
   test("rule is a no-op without a constant center or without st_distance") {
     import extSpark.implicits._
     val df = Seq((1L, 1.0, 2.0, 3.0, 4.0)).toDF("id", "x", "y", "cx", "cy")

@@ -45,6 +45,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(broadcasts >= 2, s"q5 expected >=2 broadcast joins, got $broadcasts:\n$plan")
   }
 
+  test("s1 point-in-polygon: derived envelope conjuncts survive optimization") {
+    val df = SparkEntry.queries("s1_point_in_rect")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains(">=") && optimized.contains("<="),
+      s"s1 lost the derived envelope conjuncts:\n$optimized")
+    assert(optimized.contains("st_intersects"),
+      s"s1 must retain the exact JTS predicate:\n$optimized")
+  }
+
   test("s3 radius query: derived bbox conjuncts survive optimization (row-reducing pre-filter)") {
     val df = SparkEntry.queries("s3_within_distance")(spark, sfDir)
     val optimized = df.queryExecution.optimizedPlan.toString
