@@ -59,6 +59,13 @@ object Events extends QueryPack {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
         .filter(col("n_views") > 0)
         .orderBy(col("user_id"))
+    },
+
+    // click->purchase attribution pairs within a 1-hour window (batch
+    // twin of EventsStream.attributionStream — the stream-stream join;
+    // StreamingSpec pins batch/stream equality)
+    "e6_attribution_join" -> { (s, d) =>
+      graft.streaming.EventsStream.attributionBatch(Tables.events(s, d))
     }
   )
 
@@ -90,6 +97,13 @@ object Events extends QueryPack {
         |      FROM events) t
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "e6_attribution_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "e5_asof_join" ->
       """SELECT event_id, user_id, last_click_value FROM (

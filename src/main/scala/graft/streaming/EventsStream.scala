@@ -92,6 +92,44 @@ object EventsStream {
       }
   }
 
+  /** Batch form of click->purchase attribution (oracle-checked as e6):
+    * every (purchase, click) pair for the same user with the click in the
+    * hour before (inclusive) the purchase. Equality join on user_id with
+    * the time bound as a post-join range filter — Spark plans a hash/SMJ
+    * on user_id, never a cross product.
+    */
+  def attributionBatch(events: DataFrame, window: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    p.join(c, "user_id")
+      .filter(col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Streaming form: watermarked stream-stream inner join with a time-
+    * interval condition. The watermark + interval bound lets Spark expire
+    * click state older than window+watermark — state stays O(recent
+    * events), the requirement for an unbounded stream.
+    */
+  def attributionStream(events: DataFrame, window: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"))
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming exact dedup on a key column: first occurrence wins, later
     * duplicates are dropped (the streaming counterpart of
     * Ingest.dedupKeepFirst). State: one boolean per seen key — bound it

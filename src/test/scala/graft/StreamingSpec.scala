@@ -50,6 +50,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch range join") {
+    val dir = eventsDir
+    val stream = spark.readStream
+      .schema(EventsStream.eventsSchema)
+      .parquet(dir)
+    val q = EventsStream.attributionStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventsStream.attributionBatch(spark.read.parquet(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
