@@ -48,6 +48,27 @@ object KernelProperties extends Properties("graft.kernels") {
       math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9
   }
 
+  /** Domain-restricted round trips for the projected CRS registry: each
+    * code over its area of use (TM series accuracy degrades far outside
+    * the zone; these bands are the codes' published domains).
+    */
+  private def crsRoundTrip(code: Int, lonR: (Double, Double), latR: (Double, Double)): Prop =
+    forAll(Gen.chooseNum(lonR._1, lonR._2), Gen.chooseNum(latR._1, latR._2)) {
+      (lon, lat) =>
+        val (x, y) = Geo.transformPoint(lon, lat, 4326, code)
+        val (lon2, lat2) = Geo.transformPoint(x, y, code, 4326)
+        math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7
+    }
+
+  property("CRS 4326<->32633 (UTM 33N) round trip") =
+    crsRoundTrip(32633, (12.0, 18.0), (0.0, 80.0)) // zone 33's actual extent
+  property("CRS 4326<->27700 (British National Grid, Helmert datum) round trip") =
+    crsRoundTrip(27700, (-8.0, 2.0), (49.5, 61.0))
+  property("CRS 4326<->2154 (Lambert-93) round trip") =
+    crsRoundTrip(2154, (-5.0, 10.0), (41.0, 51.0))
+  property("CRS 4326<->32717 (UTM 17S, southern hemisphere) round trip") =
+    crsRoundTrip(32717, (-84.0, -78.0), (-56.0, 0.0)) // zone 17's actual extent
+
   private val asciiText: Gen[String] =
     Gen.listOf(Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' ')))
       .map(_.mkString)
