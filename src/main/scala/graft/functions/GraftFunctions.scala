@@ -37,6 +37,9 @@ object GraftFunctions {
   def st_within(a: Column, b: Column): Column = toCol(STWithin(toExpr(a), toExpr(b)))
   def st_distance(a: Column, b: Column): Column = toCol(STDistance(toExpr(a), toExpr(b)))
   def st_geometrytype(a: Column): Column = toCol(STGeometryType(toExpr(a)))
+  def st_setsrid(a: Column, srid: Column): Column =
+    toCol(STSetSrid(toExpr(a), toExpr(srid.cast("int"))))
+  def st_srid(a: Column): Column = toCol(STSrid(toExpr(a)))
   def st_transform_point(x: Column, y: Column, src: Column, dst: Column): Column =
     toCol(STTransformPoint(Seq(toExpr(x.cast("double")), toExpr(y.cast("double")),
       toExpr(src.cast("int")), toExpr(dst.cast("int")))))
@@ -69,6 +72,8 @@ object GraftFunctions {
     "st_within"       -> { es => STWithin(es(0), es(1)) },
     "st_distance"     -> { es => STDistance(es(0), es(1)) },
     "st_geometrytype" -> { es => STGeometryType(es(0)) },
+    "st_setsrid"      -> { es => STSetSrid(es(0), cast(es(1), "int")) },
+    "st_srid"         -> { es => STSrid(es(0)) },
     "rolling_hash"    -> { es => RollingHash64(es(0)) },
     "morton_code"     -> { es => MortonCode(cast(es(0), "double"), cast(es(1), "double")) },
     "simhash64"       -> { es => SimHash64(es(0)) },

@@ -37,8 +37,12 @@ private[graft] object Geo {
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
 
+  private val ewkbWriter = ThreadLocal.withInitial[WKBWriter](
+    () => new WKBWriter(2, true)) // includeSRID -> EWKB
+
   def fromWkb(b: Array[Byte]): Geometry = wkbReader.get().read(b)
   def toWkb(g: Geometry): Array[Byte] = wkbWriter.get().write(g)
+  def toEwkb(g: Geometry): Array[Byte] = ewkbWriter.get().write(g)
   def fromWkt(s: String): Geometry = wktReader.get().read(s)
   def toWkt(g: Geometry): String = wktWriter.get().write(g)
   def point(lon: Double, lat: Double): Geometry =
@@ -92,6 +96,48 @@ case class STAsText(child: Expression)
   override def dataType: DataType = StringType
   override def nullSafeEval(wkb: Any): Any =
     UTF8String.fromString(Geo.toWkt(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_setsrid(wkb, srid) -> EWKB with the SRID flag set (reference F2/F3:
+  * `ST_SetSRID(ST_MakePoint(lon, lat), 4326)`, `backend/models.py:173`).
+  * PostGIS stores the SRID inside the geometry value; the EWKB encoding
+  * (JTS WKBWriter includeSRID) carries it the same way, so round trips
+  * through st_srid preserve it. Geometries without an EWKB tag read as
+  * the engine default 4326 (the factory SRID — the reference's only SRID,
+  * SURVEY §2.7 F3), not PostGIS's 0/unknown.
+  */
+case class STSetSrid(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_setsrid"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_setsrid expects (binary, int), got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(wkb: Any, srid: Any): Any = {
+    val g = Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])
+    g.setSRID(srid.asInstanceOf[Int])
+    Geo.toEwkb(g)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_srid(wkb) -> the geometry's SRID (engine default 4326 when no EWKB
+  * tag is present; an EWKB tag overrides it).
+  */
+case class STSrid(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_srid"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_srid expects binary WKB, got ${child.dataType.simpleString}")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(wkb: Any): Any =
+    Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]).getSRID
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

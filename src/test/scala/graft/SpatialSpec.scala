@@ -79,6 +79,31 @@ class SpatialSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported CRS"))
   }
 
+  test("st_setsrid/st_srid: EWKB SRID round trip; untagged reads engine default; geometry preserved") {
+    import spark.implicits._
+    // Spark 4.1 ships same-named built-ins for its native GEOMETRY type
+    // (codec boundary only — no predicates); qualify ours, which run on
+    // the engine's WKB binary representation.
+    import graft.functions.GraftFunctions.{st_setsrid, st_srid}
+    val df = Seq(("POINT (1.5 2.5)", 4326), ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 27700))
+      .toDF("wkt", "srid")
+      .select(st_geomfromtext(col("wkt")).as("g"), col("srid"))
+    val tagged = df.select(
+      st_srid(col("g")).as("before"),
+      st_srid(st_setsrid(col("g"), col("srid"))).as("after"),
+      st_astext(st_setsrid(col("g"), col("srid"))).as("wkt"))
+      .collect()
+    assert(tagged.map(_.getInt(0)).toSeq === Seq(4326, 4326))    // untagged -> engine default
+    assert(tagged.map(_.getInt(1)).toSeq === Seq(4326, 27700))   // EWKB tag overrides
+    assert(tagged.map(_.getString(2)).head === "POINT (1.5 2.5)") // geometry unchanged
+    // spatial predicates still work on EWKB input (reference's
+    // ST_Intersects(geom, ST_SetSRID(ST_MakePoint(...), 4326)) shape)
+    val hit = df.limit(1).select(st_intersects(
+      st_setsrid(st_point(lit(1.5), lit(2.5)), lit(4326)),
+      st_geomfromtext(lit("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))")))).head().getBoolean(0)
+    assert(hit)
+  }
+
   test("CRS transform: published known pairs for TM / LCC / UTM (reference F6, arbitrary EPSG)") {
     // Ordnance Survey worked example (OS guide Annex C / EPSG GN 7-2):
     // OSGB36 geographic 52deg39'27.2531"N 1deg43'4.5177"E -> British National
