@@ -37,6 +37,8 @@ object GraftFunctions {
   def st_within(a: Column, b: Column): Column = toCol(STWithin(toExpr(a), toExpr(b)))
   def st_distance(a: Column, b: Column): Column = toCol(STDistance(toExpr(a), toExpr(b)))
   def st_geometrytype(a: Column): Column = toCol(STGeometryType(toExpr(a)))
+  def st_try_geometrytype(a: Column): Column =
+    toCol(STGeometryType(toExpr(a), failOnError = false))
   def st_setsrid(a: Column, srid: Column): Column =
     toCol(STSetSrid(toExpr(a), toExpr(srid.cast("int"))))
   def st_srid(a: Column): Column = toCol(STSrid(toExpr(a)))

@@ -90,8 +90,12 @@ case class HashingTfVector(child: Expression, dim: Int)
   * projections of the embedding. Two embeddings land in the same (band,
   * bucket) iff all `rows` signs in that band agree — the AND-OR
   * amplification of sign-random-projection LSH.
-  * Null -> null. Dimension is read from the first evaluated vector and the
-  * plane matrix is cached per JVM; mixed dimensions in one column raise.
+  * Null -> null. The plane matrix is derived from (seed, dim) and cached
+  * per JVM, so every vector of a given dimension sees the same
+  * hyperplanes. Mixed dimensions in one column each get their own plane
+  * set — their signatures are mutually meaningless (cross-dim candidate
+  * pairs then fail loudly at the cosine verification's dimension check);
+  * keep one dimension per column.
   */
 case class HyperplaneBands(child: Expression, bands: Int, rows: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {

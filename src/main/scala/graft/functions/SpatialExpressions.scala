@@ -145,17 +145,25 @@ case class STSrid(child: Expression)
   * PostGIS ST_GeometryType analogue (sans the "ST_" prefix), used by
   * ingest validation to enforce the reference's `geometry(Polygon,4326)`
   * column constraint (`backend/load_data.py:78`).
+  *
+  * `failOnError = false` (st_try_geometrytype) returns null for bytes
+  * that are not parseable WKB instead of raising — the quarantine path
+  * needs malformed geometry to land in the rejected split, not abort the
+  * job.
   */
-case class STGeometryType(child: Expression)
+case class STGeometryType(child: Expression, failOnError: Boolean = true)
     extends UnaryExpression with CodegenFallback {
-  override def prettyName: String = "st_geometrytype"
+  override def prettyName: String =
+    if (failOnError) "st_geometrytype" else "st_try_geometrytype"
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"st_geometrytype expects binary WKB, got ${child.dataType.simpleString}")
+      s"$prettyName expects binary WKB, got ${child.dataType.simpleString}")
   override def dataType: DataType = StringType
+  override def nullable: Boolean = !failOnError || super.nullable
   override def nullSafeEval(wkb: Any): Any =
-    UTF8String.fromString(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]).getGeometryType)
+    try UTF8String.fromString(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]).getGeometryType)
+    catch { case e: Exception => if (failOnError) throw e else null }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -81,11 +81,16 @@ object Ingest {
         .otherwise(col("geom")))
 
   /** Split off DDL-constraint violators instead of failing: returns
-    * (valid rows, rejected rows) for load + quarantine sinks.
+    * (valid rows, rejected rows) for load + quarantine sinks. Uses the
+    * try-parse geometry read so malformed WKB — the most invalid input
+    * this path exists for — lands in the rejected split rather than
+    * aborting the job.
     */
   def quarantineInvalid(df: DataFrame, dim: Int = graft.sources.LayersTable.EmbeddingDim)
       : (DataFrame, DataFrame) = {
-    val bad = badEmbedding(dim) || badGeom
+    val tryType = graft.functions.GraftFunctions.st_try_geometrytype(col("geom"))
+    val bad = badEmbedding(dim) ||
+      (col("geom").isNotNull && (tryType.isNull || tryType =!= "Polygon"))
     (df.filter(!bad), df.filter(bad))
   }
 
@@ -96,16 +101,28 @@ object Ingest {
     */
   def run(spark: SparkSession, inPath: String, outPath: String,
           orderCol: Option[String] = None, validateDim: Option[Int] = None): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val fs = out.getFileSystem(hconf)
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS"))
     val alreadyLoaded =
-      try !spark.read.parquet(outPath).isEmpty
-      catch { case _: Exception => false } // target absent -> load
+      if (!fs.exists(out)) false // absent -> load
+      else
+        try !spark.read.parquet(outPath).isEmpty
+        catch {
+          // A COMMITTED target that fails to read is corruption — never
+          // clobber it (the old errorifexists fail-safe); without the
+          // commit marker the leftovers are debris from a failed partial
+          // write and the gate may reclaim the path.
+          case e: Exception if committed => throw new IllegalStateException(
+            s"$outPath carries a commit marker but is unreadable — refusing to overwrite", e)
+          case _: Exception => false
+        }
     if (alreadyLoaded) false
     else {
-      // The gate just established the target holds no committed rows, so
-      // overwrite: an absent path, an empty directory, and debris from a
-      // failed/partial earlier write all load cleanly (the reference's S6
-      // gate loads into an existing-but-empty table the same way);
-      // errorifexists would wedge the path permanently on leftovers.
+      // The gate established the target holds no committed rows (absent,
+      // empty, or uncommitted debris), so overwrite loads cleanly where
+      // errorifexists would wedge the path permanently.
       prepare(spark.read.parquet(inPath), orderCol, validateDim)
         .write.mode("overwrite").parquet(outPath)
       true

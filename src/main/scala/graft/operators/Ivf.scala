@@ -88,12 +88,15 @@ object Ivf {
       .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
       .as[(Long, Array[Float])]
     val n = pairs.count()
-    // 1.2x oversample keeps P(sample < sampleSize) negligible; the exact
-    // size is irrelevant to k-means, only determinism matters
+    // Train on EVERYTHING the Bernoulli sample returns (~1.2x sampleSize):
+    // truncating the id-sorted sample would deterministically exclude the
+    // top of the id range from training — biased centroids on
+    // append-ordered corpora. The id sort is for deterministic k-means
+    // initialization only.
     val sample: Array[Array[Float]] =
       (if (n <= sampleSize) pairs
        else pairs.sample(withReplacement = false, math.min(1.0, 1.2 * sampleSize / n), seed))
-        .collect().sortBy(_._1).take(sampleSize).map(_._2)
+        .collect().sortBy(_._1).map(_._2)
     require(sample.length >= nlist,
       s"sample ${sample.length} < nlist $nlist — raise sampleSize")
     val cs = trainCentroids(sample, nlist, iters)

@@ -78,10 +78,13 @@ object LayersTable {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).minBy(_.getName.toString)
-      else p
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        if (parts.isEmpty) throw new IllegalArgumentException(
+          s"$path is not GeoParquet: directory contains no parquet files")
+        parts.minBy(_.getName.toString)
+      } else p
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
@@ -110,6 +113,11 @@ object LayersTable {
       s"unsupported GeoParquet geometry encoding '${meta.encoding}' (only WKB)")
     val df = spark.read.parquet(path)
     if (meta.primaryColumn == "geometry") df
-    else df.withColumnRenamed(meta.primaryColumn, "geometry")
+    else {
+      require(!df.columns.contains("geometry"),
+        s"cannot normalize primary geometry column '${meta.primaryColumn}': " +
+          "a different column named 'geometry' already exists")
+      df.withColumnRenamed(meta.primaryColumn, "geometry")
+    }
   }
 }

@@ -27,6 +27,10 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(LayersTable.geoMetadata(spark, plain) === None)
     val e = intercept[IllegalArgumentException](LayersTable.readGeoParquet(spark, plain))
     assert(e.getMessage.contains("not GeoParquet"))
+    // empty directory: descriptive error, not empty.minBy
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val e2 = intercept[IllegalArgumentException](LayersTable.geoMetadata(spark, empty))
+    assert(e2.getMessage.contains("no parquet files"))
   }
 
   test("golden replay: GeoParquet -> ingest (dedup + validate) -> the notebook's two searches") {

@@ -89,6 +89,34 @@ class IngestSpec extends AnyFunSuite {
           Seq.tabulate(embLen)(_.toFloat), geom)),
       schema)
 
+  test("run: committed-but-unreadable target refuses to overwrite (no data loss)") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    raw.write.parquet(in)
+    // a commit marker plus a corrupt part file = committed data that fails
+    // to read; the gate must fail safe, never reclaim the path
+    Files.createDirectories(java.nio.file.Paths.get(out))
+    Files.writeString(java.nio.file.Paths.get(s"$out/_SUCCESS"), "")
+    Files.writeString(java.nio.file.Paths.get(s"$out/part-00000.parquet"), "not parquet")
+    val e = intercept[IllegalStateException](Ingest.run(spark, in, out, Some("ord")))
+    assert(e.getMessage.contains("refusing to overwrite"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/part-00000.parquet")))
+  }
+
+  test("quarantine: corrupt WKB lands in the rejected split instead of failing the job") {
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "ok", "good", "t", "d", "u", "m1",
+          Seq.tabulate(4)(_.toFloat), wkbPolygon),
+        Row(1L, "corrupt", "bad", "t", "d", "u", "m2",
+          Seq.tabulate(4)(_.toFloat), Array[Byte](9, 9, 9))), // not WKB
+      schema)
+    val (good, bad) = Ingest.quarantineInvalid(Ingest.prepare(docs), dim = 4)
+    assert(good.collect().map(_.getString(0)).toSeq === Seq("ok"))
+    assert(bad.collect().map(_.getString(0)).toSeq === Seq("corrupt"))
+  }
+
   test("DDL validation: non-Polygon geometry fails strict prepare; nulls pass") {
     val e = intercept[Exception] {
       Ingest.prepare(constrained(4, wkbPoint), validateDim = Some(4)).collect()
