@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Lookaround-free PII patterns, valid in both Java regex (Spark) and
+    * RE2 (the DuckDB oracle) with identical semantics.
+    */
+  object TextPatterns {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Url = "https?://[^\\s]+"
+  }
+
   /** Whitespace tokens; empty array for empty/blank input. */
   def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))

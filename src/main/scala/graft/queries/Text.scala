@@ -98,6 +98,50 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // token-window chunking (context-window prep): overlapping chunks of
+    // 40 tokens with stride 30; each chunk fingerprinted (md5) so the
+    // oracle compare stays compact. The standard document -> training
+    // sample transform.
+    "t10_token_chunks" -> { (s, d) =>
+      val chunkSize = 40
+      val stride = 30
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")), lit(stride))).as("start"))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          md5(array_join(slice(col("w"), col("start"), lit(chunkSize)), " ")).as("chunk_fp"),
+          size(slice(col("w"), col("start"), lit(chunkSize))).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("start"))
+    },
+
+    // URL / email extraction + redaction (PII scrub before training):
+    // synthetic contact line appended per doc, then counted and redacted
+    "t11_redact_pii" -> { (s, d) =>
+      val withContact = concat(col("text"),
+        lit(" Contact: user"), col("doc_id").cast("string"),
+        lit("@example.org or https://docs.example/"), col("doc_id").cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(withContact, lit(TextPatterns.Email)).cast("long").as("n_emails"),
+          regexp_count(withContact, lit(TextPatterns.Url)).cast("long").as("n_urls"),
+          md5(regexp_replace(regexp_replace(withContact,
+            TextPatterns.Email, "<EMAIL>"), TextPatterns.Url, "<URL>")).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style repetition signal: fraction of duplicate word bigrams
+    "t12_repetition_ratio" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(shingle_set(col("text"), 2)).cast("long").as("n_distinct_bigrams"),
+          greatest(token_count(col("text")) - 1, lit(0)).cast("long").as("n_bigrams"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct_bigrams") / greatest(col("n_bigrams"), lit(1L)))
+        .orderBy(col("doc_id"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -212,6 +256,47 @@ object Text extends QueryPack {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 131 + b) % 36028797018963968) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_token_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id, w, unnest(generate_series(1, len(w), 30)) AS start
+         |  FROM toks WHERE len(w) > 0)
+         |SELECT doc_id, CAST(start AS BIGINT) AS start,
+         |  md5(array_to_string(w[start:start+39], ' ')) AS chunk_fp,
+         |  CAST(len(w[start:start+39]) AS BIGINT) AS n_tokens
+         |FROM ex
+         |ORDER BY doc_id, start""".stripMargin,
+
+    "t11_redact_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(c, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(c, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(c,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g')) AS redacted_fp
+        |FROM (SELECT doc_id,
+        |        text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+        |             || '@example.org or https://docs.example/' || CAST(doc_id AS VARCHAR) AS c
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t12_repetition_ratio" ->
+      s"""SELECT doc_id, n_distinct_bigrams, n_bigrams,
+         |  1.0 - n_distinct_bigrams / GREATEST(n_bigrams, 1) AS rep_ratio
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 OR len($toksSql) < 2 THEN 0
+         |         ELSE len(list_distinct(list_transform(
+         |           generate_series(1, len($toksSql) - 1),
+         |           i -> array_to_string(($toksSql)[i:i+1], ' ')))) END AS BIGINT) AS n_distinct_bigrams,
+         |    CAST(GREATEST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END - 1, 0) AS BIGINT) AS n_bigrams
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
 
     "t9_html_to_markdown" ->
       """SELECT doc_id,
