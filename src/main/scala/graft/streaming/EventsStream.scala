@@ -132,19 +132,39 @@ object EventsStream {
 
   /** Streaming exact dedup on a key column: first occurrence wins, later
     * duplicates are dropped (the streaming counterpart of
-    * Ingest.dedupKeepFirst). State: one boolean per seen key — bound it
-    * with a watermark + state TTL in production.
+    * Ingest.dedupKeepFirst). State: one record per seen key.
+    *
+    * `ttl` bounds the state for unbounded streams: each key's state
+    * expires once the event-time watermark passes its first-seen ts + ttl
+    * (the caller must set `withWatermark` on the input). The documented
+    * tradeoff: a duplicate arriving after expiry is re-emitted — dedup is
+    * exact within the TTL horizon, best-effort beyond it, which is the
+    * standard contract (Spark's own dropDuplicates-with-watermark works
+    * the same way). `ttl = None` keeps state forever (exact, unbounded).
     */
-  def streamingDedup(events: Dataset[Event]): Dataset[Event] = {
+  def streamingDedup(events: Dataset[Event], ttl: Option[String] = None): Dataset[Event] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    // state = first-seen event-time millis. Spark CLEARS the registered
+    // timeout on every function invocation, so each duplicate arrival
+    // must re-arm it from the stored first-seen time (otherwise one dup
+    // would silently pin the state forever).
     events
       .groupByKey(_.event_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, evs: Iterator[Event], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            evs.take(1) // first occurrence only
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: Long, evs: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            for (t <- ttl) state.setTimeoutTimestamp(state.get, t)
+            Iterator.empty
+          } else {
+            val first = evs.take(1).toSeq
+            for (e <- first.headOption) {
+              state.update(e.ts.getTime)
+              for (t <- ttl) state.setTimeoutTimestamp(e.ts.getTime, t)
+            }
+            first.iterator
           }
       }
   }

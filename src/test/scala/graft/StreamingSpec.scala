@@ -132,6 +132,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup TTL: state expires with the watermark; post-expiry dup re-emits") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def ev(id: Long, t: String) =
+      Event(id, java.sql.Timestamp.valueOf(t), 1L, "view", 1.0, "{}")
+    val input = MemoryStream[Event]
+    val q = EventsStream.streamingDedup(
+      input.toDS().withWatermark("ts", "10 minutes"), ttl = Some("1 hour"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ttl_out")
+      .start()
+    try {
+      input.addData(Seq(ev(1L, "2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // within the TTL horizon: duplicate dropped
+      input.addData(Seq(ev(1L, "2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_ttl_out").count() === 1)
+      // advance the watermark past first-seen + 1h...
+      input.addData(Seq(ev(2L, "2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      // ...and run one more batch: timed-out groups fire only on batches
+      // where they receive no data (flatMapGroupsWithState semantics)
+      input.addData(Seq(ev(3L, "2024-01-01 03:05:00")))
+      q.processAllAvailable()
+      // post-expiry duplicate re-emits (the documented TTL tradeoff:
+      // exact within the horizon, best-effort beyond — state stays bounded)
+      input.addData(Seq(ev(1L, "2024-01-01 03:10:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ttl_out").collect().map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 1L) === 2)
+      assert(ids.count(_ == 2L) === 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence across batches") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
