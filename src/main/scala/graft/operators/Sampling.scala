@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling operators for training-mixture construction.
+  *
+  * The core primitive is HASH-ordered selection: ordering rows by
+  * `md5(salt || id)` is a deterministic pseudo-random permutation, so
+  * "take k per stratum" and "take fraction p" become exact, replayable,
+  * engine-independent operations — unlike `rand()`-based sampling, the
+  * same (salt, data) always yields the same sample on any engine, any
+  * partitioning, any retry. This is the standard reproducible-pipeline
+  * trick for assembling corpus mixtures.
+  *
+  * Scale: both operators are a single hash + one shuffle (window by
+  * stratum / filter); no driver-side collection, no skew beyond the
+  * stratum sizes themselves.
+  */
+object Sampling {
+
+  private def hashKey(idCol: Column, salt: String): Column =
+    md5(concat(lit(salt), idCol.cast("string")))
+
+  /** k pseudo-random rows per stratum, deterministic in (salt, data).
+    * Output carries `sample_rank` in [1, k] within each stratum.
+    */
+  def stratifiedHead(df: DataFrame, strataCol: String, idCol: String,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Approximate-fraction Bernoulli sample, deterministic in (salt, data):
+    * keeps rows whose hash falls below the threshold. Unlike
+    * `df.sample()`, membership is a pure function of the row id — stable
+    * across partitionings, retries, and engines.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: String = "graft"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    // first 8 hex chars -> uniform 32-bit value
+    val bucket = conv(substring(hashKey(col(idCol), salt), 1, 8), 16, 10).cast("long")
+    df.filter(bucket < (fraction * (1L << 32)).toLong)
+  }
+}

@@ -142,6 +142,18 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // deterministic hash-stratified sampling (training-mixture
+    // construction): 5 pseudo-random docs per language, reproducible in
+    // (salt, data) on any engine — the oracle states the identical
+    // md5-ordered selection
+    "t13_stratified_sample" -> { (s, d) =>
+      graft.operators.Sampling.stratifiedHead(
+        Tables.documents(s, d), "lang", "doc_id", k = 5)
+        .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -256,6 +268,16 @@ object Text extends QueryPack {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 131 + b) % 36028797018963968) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t13_stratified_sample" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 5
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     "t10_token_chunks" ->
       s"""WITH toks AS (

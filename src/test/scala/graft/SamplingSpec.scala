@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import SparkTestSession.sfDir
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("hashSample: deterministic, partition-independent, nested across fractions") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(Sampling.hashSample(docs, "doc_id", 0.3))
+    val b = ids(Sampling.hashSample(docs.repartition(7), "doc_id", 0.3))
+    assert(a === b, "membership must be a pure function of the id, not the partitioning")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.08, s"fraction ${a.size / n}")
+    // hash thresholding gives NESTED samples: sample(0.1) subset of
+    // sample(0.3) — the property scaling-law subset experiments rely on
+    val small = ids(Sampling.hashSample(docs, "doc_id", 0.1))
+    assert(small.subsetOf(a))
+    assert(ids(Sampling.hashSample(docs, "doc_id", 0.0)).isEmpty)
+    assert(ids(Sampling.hashSample(docs, "doc_id", 1.0)).size === n.toInt)
+  }
+
+  test("stratifiedHead: exactly k per stratum, deterministic, salt-sensitive") {
+    val s1 = Sampling.stratifiedHead(docs, "lang", "doc_id", k = 5)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ === 5L), s"per-stratum counts: $counts")
+    val again = Sampling.stratifiedHead(docs, "lang", "doc_id", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === first) // replayable
+    val other = Sampling.stratifiedHead(docs, "lang", "doc_id", k = 5, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other !== first) // salt rotates the permutation
+  }
+}
