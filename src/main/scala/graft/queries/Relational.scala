@@ -281,6 +281,17 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // exact interpolated percentiles per group (corpus length/value
+    // distribution stats — the exact sibling of q22's sketch)
+    "q23_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // --- grouping sets ---------------------------------------------------------
     "q20_grouping_sets" -> { (s, d) =>
       Tables.orders(s, d)
@@ -307,6 +318,16 @@ object Relational extends QueryPack {
   )
 
   def sql: Map[String, String] = Map(
+    // quantile_cont uses the same sorted-interpolation formula as Spark's
+    // exact percentile; l_quantity values are small integers stored as
+    // double, so the interpolation arithmetic is IEEE-identical
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.95) AS p95_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
