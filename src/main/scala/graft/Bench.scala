@@ -13,7 +13,17 @@ import org.apache.spark.sql.SparkSession
   *  - one small warmup query runs first so JVM/codegen warmup is not
   *    charged to the first measured query;
   *  - AQE is on (as it would be on a real cluster) and shuffle
-  *    partitions match the local core count, not the 200 default.
+  *    partitions match the local core count, not the 200 default;
+  *  - STALL-PROOFING: this host's disk intermittently stalls 30-100x for
+  *    epochs that outlast three consecutive passes of a query, so plain
+  *    min-of-N can still record a stalled number (round 2 recorded
+  *    112.9 s for a ~35 s workload that way). Every measurement is
+  *    bracketed by a cheap sentinel query; if either surrounding sentinel
+  *    exceeds 3x the sentinel's own observed minimum, the measurement is
+  *    marked stall-contaminated. The recorded figure is the min over
+  *    clean measurements; queries left with no clean measurement (or a
+  *    min >3x their BASELINE.md standing entry) get targeted re-runs at
+  *    the end, waiting out stall epochs, under a bounded extra budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,21 +54,87 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: JVM + codegen + parquet footer caches
+    // Standing per-query baseline (BASELINE.md round-2 table) for the
+    // targeted re-run pass. Parsed, not hardcoded, so the table stays the
+    // single source of truth; absent entries just skip that trigger.
+    val baseline: Map[String, Double] = {
+      val row = """^\|\s*([a-z][a-z0-9_]*)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|\s*$""".r
+      val f = Seq("BASELINE.md", "/root/repo/BASELINE.md")
+        .map(new java.io.File(_)).find(_.isFile)
+      f.map { file =>
+        val src = scala.io.Source.fromFile(file)
+        try src.getLines().collect { case row(n, s) => n -> s.toDouble }.toMap
+        finally src.close()
+      }.getOrElse(Map.empty)
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // Sentinel: the cheapest query in the suite (~0.13 s warm). A sentinel
+    // run that takes >3x the sentinel's own observed minimum (+50 ms
+    // absolute slack against timer jitter) means the host is in a stall
+    // epoch and any measurement it brackets is untrustworthy.
+    val sentinel = if (SparkEntry.queries.contains("q13_offset_page"))
+      "q13_offset_page" else names.head
+    var sentMin = Double.MaxValue
+    def sentinelQuiet(): Boolean = {
+      val t = exec(sentinel)
+      if (t >= 0 && t < sentMin) sentMin = t
+      t >= 0 && t <= 3 * sentMin + 0.05
+    }
+
+    // warmup: JVM + codegen + parquet footer caches, then seed the
+    // sentinel's minimum with a few quiet-host observations
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    (1 to 3).foreach(_ => sentinelQuiet())
 
-    // Three passes, min per query: pass 1 warms JIT/codegen per query;
-    // min-of-3 makes one exogenous VM stall per query unable to leak into
-    // the recorded number even if it hits the same query twice (round 1
-    // recorded a 26 s figure for a 2 s rollup exactly that way) — the min
-    // is the stable cost of the plan itself.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val passes = (1 to 3).map(_ => names.map(n => n -> exec(n)).toMap)
-    val results = names.map { n =>
-      val ts = passes.map(_(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    // Three sentinel-bracketed passes. A measurement is clean iff the
+    // sentinel runs on BOTH sides were quiet (the trailing sentinel
+    // catches a stall that began mid-measurement, and doubles as the
+    // leading sentinel of the next query).
+    val meas = scala.collection.mutable.Map[String, List[(Double, Boolean)]]()
+      .withDefaultValue(Nil)
+    for (_ <- 1 to 3) {
+      var prevQuiet = sentinelQuiet()
+      for (n <- names) {
+        val t = exec(n)
+        val nextQuiet = sentinelQuiet()
+        if (t >= 0) meas(n) = (t, prevQuiet && nextQuiet) :: meas(n)
+        prevQuiet = nextQuiet
+      }
     }
+
+    def bestOf(l: List[(Double, Boolean)]): Double = {
+      val clean = l.collect { case (t, true) => t }
+      if (clean.nonEmpty) clean.min
+      else if (l.nonEmpty) l.map(_._1).min
+      else -1.0
+    }
+
+    // Targeted re-runs: a query is suspect if it has no clean measurement,
+    // never ran, or its min still exceeds 3x its standing BASELINE.md
+    // entry. Wait out stall epochs between attempts; the extra budget is
+    // bounded so a permanently sick host cannot hang the bench.
+    val deadline = System.nanoTime() + (7L * 60 * 1000000000L)
+    for (n <- names) {
+      def suspect: Boolean = {
+        val b = bestOf(meas(n))
+        b < 0 || !meas(n).exists(_._2) ||
+          baseline.get(n).exists(s => b > 3 * s + 0.05)
+      }
+      var tries = 0
+      while (suspect && tries < 8 && System.nanoTime() < deadline) {
+        tries += 1
+        if (sentinelQuiet()) {
+          val t = exec(n)
+          val quiet = sentinelQuiet()
+          if (t >= 0) meas(n) = (t, quiet) :: meas(n)
+        } else Thread.sleep(5000)
+      }
+    }
+
+    val results = names.map(n => n -> bestOf(meas(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

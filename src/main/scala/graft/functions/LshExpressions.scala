@@ -37,21 +37,34 @@ private[graft] object HyperplaneLsh {
     */
   private val cache = new ConcurrentHashMap[(Long, Int, Int, Int), Array[Double]]()
 
-  def planes(seed: Long, bands: Int, rows: Int, dim: Int): Array[Double] =
-    cache.computeIfAbsent((seed, bands, rows, dim), { _ =>
-      val out = new Array[Double](bands * rows * dim)
-      var i = 0
-      while (i < out.length) {
-        // counter-mode splitmix64 -> two uniforms -> Box-Muller normal
-        val h1 = SketchHash.mix(seed + SketchHash.Golden * (2L * i + 1))
-        val h2 = SketchHash.mix(seed + SketchHash.Golden * (2L * i + 2))
-        val u1 = ((h1 >>> 11) + 1).toDouble / (1L << 53).toDouble // (0, 1]
-        val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble       // [0, 1)
-        out(i) = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
-        i += 1
-      }
-      out
-    })
+  /** Cache bound: workloads that churn seeds or dims would otherwise pin
+    * ~1.5 MB per key for the executor lifetime. Past the bound the cache
+    * is simply cleared — plane generation is deterministic and cheap
+    * relative to a query, so a rare full rebuild beats LRU bookkeeping on
+    * the hot path (the race with concurrent readers is benign: both
+    * rebuild identical arrays).
+    */
+  private val MaxEntries = 8
+
+  def planes(seed: Long, bands: Int, rows: Int, dim: Int): Array[Double] = {
+    val key = (seed, bands, rows, dim)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val out = new Array[Double](bands * rows * dim)
+    var i = 0
+    while (i < out.length) {
+      // counter-mode splitmix64 -> two uniforms -> Box-Muller normal
+      val h1 = SketchHash.mix(seed + SketchHash.Golden * (2L * i + 1))
+      val h2 = SketchHash.mix(seed + SketchHash.Golden * (2L * i + 2))
+      val u1 = ((h1 >>> 11) + 1).toDouble / (1L << 53).toDouble // (0, 1]
+      val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble       // [0, 1)
+      out(i) = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      i += 1
+    }
+    if (cache.size >= MaxEntries) cache.clear()
+    cache.put(key, out)
+    out
+  }
 }
 
 /** hashing_tf(tokens, dim): signed feature-hashed term-frequency vector,

@@ -119,7 +119,16 @@ object Knn {
     * the LSH path.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
-                   minSim: Double): DataFrame = {
+                   minSim: Double, maxRows: Int = 100000): DataFrame = {
+    // The corpus is broadcast whole and compared all-pairs: fail loudly
+    // before OOMing the executors if someone points this at a big table.
+    // limit(n+1).count() bounds the guard's own cost — it never scans far
+    // past the threshold.
+    val n = corpus.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"nearDupPairs is the exact O(n^2) baseline and broadcasts the full " +
+        s"corpus (> $maxRows rows found); use lshNearDupPairs for corpora " +
+        "at scale (thresholds >= ~0.7), or raise maxRows deliberately")
     val a = corpus.select(col(idCol).as("id1"), col(embCol).as("emb1"))
     val b = corpus.select(col(idCol).as("id2"), col(embCol).as("emb2"))
     a.join(broadcast(b), col("id1") < col("id2"))

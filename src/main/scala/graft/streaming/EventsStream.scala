@@ -15,11 +15,41 @@ import org.apache.spark.sql.types._
   * Scale notes: tumbling-window aggregation is a streaming hash aggregate
   * keyed on (window, event_type) — state size bounded by watermark
   * retention; sessionization state is one small record per active user,
-  * dropped on timeout; streaming dedup state is bounded by the watermark
-  * horizon in production (here: explicit per-key state for the test
-  * harness).
+  * dropped once the user is idle past `stateTtl` (event-time timeout);
+  * streaming dedup state is bounded the same way via `ttl`. Both TTLs
+  * are opt-in because expiry trades exactness for the bound — the
+  * no-TTL forms stay exact on finite key domains.
   */
 object EventsStream {
+
+  /** Parse the TTL strings this module accepts ("90 seconds", "2 hours")
+    * into millis — needed because timeout re-arms must be clamped against
+    * the numeric watermark, which the string-based setTimeoutTimestamp
+    * overload cannot do.
+    */
+  private val TtlPattern = """(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$""".r
+  private def ttlMillis(s: String): Long = s match {
+    case TtlPattern(n, u) =>
+      val mult = u.toLowerCase(java.util.Locale.ROOT) match {
+        case "second" => 1000L
+        case "minute" => 60000L
+        case "hour"   => 3600000L
+        case "day"    => 86400000L
+      }
+      n.toLong * mult
+    case _ => throw new IllegalArgumentException(
+      s"unparseable TTL '$s' (use e.g. '30 minutes', '2 hours')")
+  }
+
+  /** Arm an event-time timeout at base+ttl, clamped above the current
+    * watermark. GroupStateImpl rejects timestamps at or below the
+    * watermark, so a duplicate arriving on live state whose base+ttl the
+    * watermark has already passed would crash the query instead of being
+    * dropped. Clamping to watermark+1 makes the group time out on the
+    * next data-less batch — the intended best-effort expiry.
+    */
+  private[graft] def armTimeout(state: GroupState[_], baseMs: Long, ttlMs: Long): Unit =
+    state.setTimeoutTimestamp(math.max(baseMs + ttlMs, state.getCurrentWatermarkMs() + 1))
 
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
@@ -69,26 +99,48 @@ object EventsStream {
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
 
-  /** Streaming sessionization with explicit per-user state
-    * (mapGroupsWithState): emits the running (n_sessions, n_events) per
-    * user on every trigger; state is one record per user.
+  /** Streaming sessionization with explicit per-user state: emits the
+    * running (n_sessions, n_events) per user on every trigger; state is
+    * one record per user.
+    *
+    * `stateTtl` bounds that state for unbounded streams with churning
+    * users: a user idle past the TTL (by event time — the caller must set
+    * `withWatermark` on the input) has their record dropped, and a later
+    * return restarts their counts from zero. That is the bounded-state
+    * contract: running totals are exact within the TTL horizon,
+    * best-effort beyond it. `stateTtl = None` keeps state forever
+    * (exact, unbounded — only safe on finite key domains).
     */
-  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSessions] = {
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+                       stateTtl: Option[String] = None): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
+    val ttlMs = stateTtl.map(ttlMillis)
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, timeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[SessState]) =>
-          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
-          // within a batch, process this user's events in time order
-          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val tsMicros = e.ts.getTime * 1000L
-            val newSess = s.lastTs == Long.MinValue || tsMicros - s.lastTs > gapMicros
-            s = SessState(tsMicros, s.nSessions + (if (newSess) 1 else 0), s.nEvents + 1)
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the per-user record (nothing to emit
+            // — the last update already carried the final counts)
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+            // within a batch, process this user's events in time order
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val tsMicros = e.ts.getTime * 1000L
+              val newSess = s.lastTs == Long.MinValue || tsMicros - s.lastTs > gapMicros
+              s = SessState(tsMicros, s.nSessions + (if (newSess) 1 else 0), s.nEvents + 1)
+            }
+            state.update(s)
+            // Spark clears the registered timeout on every invocation:
+            // re-arm from the latest event time, clamped above the watermark
+            for (t <- ttlMs) armTimeout(state, s.lastTs / 1000L, t)
+            Iterator.single(UserSessions(uid, s.nSessions, s.nEvents))
           }
-          state.update(s)
-          UserSessions(uid, s.nSessions, s.nEvents)
       }
   }
 
@@ -144,25 +196,28 @@ object EventsStream {
     */
   def streamingDedup(events: Dataset[Event], ttl: Option[String] = None): Dataset[Event] = {
     import events.sparkSession.implicits._
+    val ttlMs = ttl.map(ttlMillis)
     val timeout =
-      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     // state = first-seen event-time millis. Spark CLEARS the registered
     // timeout on every function invocation, so each duplicate arrival
     // must re-arm it from the stored first-seen time (otherwise one dup
-    // would silently pin the state forever).
+    // would silently pin the state forever). The re-arm goes through
+    // armTimeout: a dup arriving on live state whose first-seen+ttl the
+    // watermark has already passed must clamp, not crash.
     events
       .groupByKey(_.event_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (_: Long, evs: Iterator[Event], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else if (state.exists) {
-            for (t <- ttl) state.setTimeoutTimestamp(state.get, t)
+            for (t <- ttlMs) armTimeout(state, state.get, t)
             Iterator.empty
           } else {
             val first = evs.take(1).toSeq
             for (e <- first.headOption) {
               state.update(e.ts.getTime)
-              for (t <- ttl) state.setTimeoutTimestamp(e.ts.getTime, t)
+              for (t <- ttlMs) armTimeout(state, e.ts.getTime, t)
             }
             first.iterator
           }

@@ -167,6 +167,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization state expires after the TTL; a returning user restarts counts") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long = 7L) =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, "view", 1.0, "{}")
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionizeStream(
+        input.toDS().withWatermark("ts", "10 minutes"),
+        gapMinutes = 30, stateTtl = Some("1 hour"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sess_ttl_out")
+      .start()
+    try {
+      input.addData(Seq(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:10:00")))
+      q.processAllAvailable() // user 7: 1 session, 2 events
+      // push the watermark far past 00:10 + TTL with a different user...
+      input.addData(Seq(ev(3, "2024-01-01 05:00:00", uid = 8L)))
+      q.processAllAvailable()
+      // ...then a batch with no data for user 7 fires their timeout
+      // (timed-out groups fire only on batches where they receive no data)
+      input.addData(Seq(ev(4, "2024-01-01 05:05:00", uid = 8L)))
+      q.processAllAvailable()
+      // user 7 returns after the gap: state was dropped, counts restart
+      input.addData(Seq(ev(5, "2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      val user7 = spark.table("sess_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 == 7L)
+      assert(user7.head === ((7L, 1L, 2L)))
+      assert(user7.last === ((7L, 1L, 1L)),
+        "post-expiry return must restart counts from dropped state")
+    } finally q.stop()
+  }
+
+  test("timeout re-arm clamps a below-watermark timestamp instead of throwing") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // the ADVICE r2 crash: a duplicate on live state re-arms from
+    // first-seen+ttl, which the watermark has already passed —
+    // GroupStateImpl rejects such timestamps with IllegalArgumentException
+    val wm = 10200000L
+    val state = TestGroupState.create[Long](
+      optionalState = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(0L)), timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(wm)), hasTimedOut = false)
+    EventsStream.armTimeout(state, 0L, 3600000L) // desired 01:00 < wm: must clamp, not throw
+    assert(state.getTimeoutTimestampMs.get() === wm + 1)
+    // the un-clamped path still arms at base+ttl
+    val state2 = TestGroupState.create[Long](
+      optionalState = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(0L)), timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(1000L)), hasTimedOut = false)
+    EventsStream.armTimeout(state2, 0L, 3600000L)
+    assert(state2.getTimeoutTimestampMs.get() === 3600000L)
+  }
+
   test("streaming dedup keeps first occurrence across batches") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext

@@ -266,6 +266,16 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupPairs size guard fails loudly and names the LSH escape hatch") {
+    val dv = graft.queries.Vectors.docVectors(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      Knn.nearDupPairs(dv, "doc_id", "vec", minSim = 0.85, maxRows = 3).collect()
+    }
+    assert(e.getMessage.contains("lshNearDupPairs"),
+      s"guard message must name the scale path: ${e.getMessage}")
+    dv.unpersist()
+  }
+
   test("LSH blocking prunes: candidates << n^2 and superset of true pairs") {
     val dv = graft.queries.Vectors.docVectors(spark, "/root/testdata/sf0.01")
     val n = dv.count()
