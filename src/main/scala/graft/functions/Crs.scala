@@ -36,6 +36,7 @@ private[graft] object Crs {
   val Grs80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
   val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
   val Intl1924: Ellipsoid = Ellipsoid(6378388.0, 297.0)
+  val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
 
   /** 7-parameter Helmert to WGS84, position-vector convention (EPSG 9606):
     * rotations in arc-seconds, scale in ppm.
@@ -235,6 +236,69 @@ private[graft] object Crs {
     }
   }
 
+  /** Swiss Oblique Mercator (EPSG method 9815 as instantiated by
+    * CH1903 / CH1903+): the rigorous sphere-intermediate formulas from the
+    * public swisstopo projection document ("Formulas and constants for the
+    * calculation of the Swiss conformal cylindrical projection"). The
+    * ellipsoid is conformally mapped to a sphere, the sphere rotated so
+    * the projection centre (Bern old observatory) sits on the pseudo-
+    * equator, then a normal Mercator is applied. Exact (no series
+    * truncation); the only iteration is the conformal-latitude inverse.
+    */
+  final case class SwissObliqueMercator(ell: Ellipsoid, e0: Double, n0: Double)
+      extends Projection {
+    private val phi0 = math.toRadians(46.0 + 57.0 / 60 + 8.66 / 3600)   // 46deg57'08.66"N
+    private val lam0 = math.toRadians(7.0 + 26.0 / 60 + 22.50 / 3600)   // 7deg26'22.50"E
+    private val e = ell.e
+    private val sin0 = math.sin(phi0)
+    private val cos0 = math.cos(phi0)
+    private val R = ell.a * math.sqrt(1 - ell.e2) / (1 - ell.e2 * sin0 * sin0)
+    private val alpha = math.sqrt(1 + ell.e2 / (1 - ell.e2) * math.pow(cos0, 4))
+    private val b0 = math.asin(sin0 / alpha)
+    private val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) -
+      alpha * math.log(math.tan(math.Pi / 4 + phi0 / 2)) +
+      alpha * e / 2 * math.log((1 + e * sin0) / (1 - e * sin0))
+    private val sinB0 = math.sin(b0)
+    private val cosB0 = math.cos(b0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sinPhi = math.sin(phi)
+      // ellipsoid -> conformal sphere
+      val s = alpha * math.log(math.tan(math.Pi / 4 + phi / 2)) -
+        alpha * e / 2 * math.log((1 + e * sinPhi) / (1 - e * sinPhi)) + bigK
+      val b = 2 * (math.atan(math.exp(s)) - math.Pi / 4)
+      val l = alpha * (math.toRadians(lonDeg) - lam0)
+      // rotate the sphere: projection centre -> pseudo-equator origin
+      val sinB = math.sin(b); val cosB = math.cos(b); val cosL = math.cos(l)
+      val lBar = math.atan2(cosB * math.sin(l), sinB0 * sinB + cosB0 * cosB * cosL)
+      val sinBBar = cosB0 * sinB - sinB0 * cosB * cosL
+      // normal Mercator on the rotated sphere
+      (e0 + R * lBar, n0 + R / 2 * math.log((1 + sinBBar) / (1 - sinBBar)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lBar = (x - e0) / R
+      val bBar = 2 * (math.atan(math.exp((y - n0) / R)) - math.Pi / 4)
+      // rotate back
+      val sinBB = math.sin(bBar); val cosBB = math.cos(bBar); val cosLB = math.cos(lBar)
+      val b = math.asin(cosB0 * sinBB + sinB0 * cosBB * cosLB)
+      val l = math.atan2(cosBB * math.sin(lBar), cosB0 * cosBB * cosLB - sinB0 * sinBB)
+      val lon = lam0 + l / alpha
+      // conformal sphere -> ellipsoid latitude, fixed-point iteration
+      val s = math.log(math.tan(math.Pi / 4 + b / 2))
+      var phi = b
+      var i = 0
+      while (i < 10) { // converges to <1e-13 rad in ~5 iterations
+        val sinPhi = math.sin(phi)
+        phi = 2 * math.atan(math.exp((s - bigK) / alpha +
+          e / 2 * math.log((1 + e * sinPhi) / (1 - e * sinPhi)))) - math.Pi / 2
+        i += 1
+      }
+      (math.toDegrees(lon), math.toDegrees(phi))
+    }
+  }
+
   /** A CRS: its projection (carrying the ellipsoid) plus the datum's
     * Helmert transformation to WGS84 (None = datum coincident with WGS84).
     */
@@ -245,6 +309,9 @@ private[graft] object Crs {
   private val Osgb36ToWgs84 = Helmert(446.448, -125.157, 542.060,
     0.1502, 0.2470, 0.8421, -20.4894)
   private val Ed50ToWgs84 = Helmert(-87.0, -96.0, -120.0, 0, 0, 0, 0)
+  // CH1903+ -> ETRS89 is the published pure translation (EPSG:1676); the
+  // same parameters serve CH1903 (EPSG:1753, ~1 m stated accuracy)
+  private val Ch1903ToWgs84 = Helmert(674.374, 15.056, 405.346, 0, 0, 0, 0)
 
   private def utm(ell: Ellipsoid, zone: Int, south: Boolean): Projection =
     TransverseMercator(ell, 0.0, zone * 6.0 - 183.0, 0.9996,
@@ -270,9 +337,22 @@ private[graft] object Crs {
       TransverseMercator(Grs80, 53.5, -8.0, 0.99982, 600000.0, 750000.0), None)
     case 2154 => CrsDef( // RGF93 / Lambert-93
       LambertConformal2SP(Grs80, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0), None)
+    // GDA94 / GDA2020: EPSG's own published WGS84 transformations for both
+    // are null (EPSG:1150, EPSG:8450 — 3 m stated accuracy, which absorbs
+    // the ~1.8 m GDA94/GDA2020 plate-motion offset). MGA zones are plain
+    // UTM-south on GRS80.
+    case 4283 | 7844 => CrsDef(Geographic(Grs80), None) // GDA94 / GDA2020 geographic
+    case z if z >= 28348 && z <= 28358 => CrsDef(utm(Grs80, z - 28300, south = true), None) // GDA94 / MGA
+    case z if z >= 7846 && z <= 7859 => CrsDef(utm(Grs80, z - 7800, south = true), None) // GDA2020 / MGA
+    case 4149 | 4150 => CrsDef(Geographic(Bessel1841), Some(Ch1903ToWgs84)) // CH1903 / CH1903+
+    case 2056 => CrsDef( // CH1903+ / LV95
+      SwissObliqueMercator(Bessel1841, 2600000.0, 1200000.0), Some(Ch1903ToWgs84))
+    case 21781 => CrsDef( // CH1903 / LV03
+      SwissObliqueMercator(Bessel1841, 600000.0, 200000.0), Some(Ch1903ToWgs84))
     case other => throw new IllegalArgumentException(
       s"unsupported CRS: EPSG:$other (supported: 4326, 4258, 4269, 4171, 4277, 4230, " +
-        "3857, 27700, 2154, 2157, UTM 32601-32660/32701-32760/25828-25838/26901-26923; " +
+        "4283, 7844, 4149, 4150, 3857, 27700, 2154, 2157, 2056, 21781, " +
+        "UTM 32601-32660/32701-32760/25828-25838/26901-26923, MGA 28348-28358/7846-7859; " +
         "grid-shift-only datums such as NAD27 are not modeled)")
   }
 

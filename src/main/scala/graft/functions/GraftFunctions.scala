@@ -20,6 +20,13 @@ object GraftFunctions {
   def l2_distance(a: Column, b: Column): Column = toCol(L2Distance(toExpr(a), toExpr(b)))
   def l2_norm(a: Column): Column = toCol(L2Norm(toExpr(a)))
   def l2_normalize(a: Column): Column = toCol(L2Normalize(toExpr(a)))
+
+  /** Per-group element-wise vector mean (decimal-exact; see
+    * [[VectorCentroid]]) — one fixed-width buffer per group instead of a
+    * rows x dim posexplode shuffle.
+    */
+  def vector_centroid(emb: Column): Column =
+    toCol(VectorCentroid(toExpr(emb)).toAggregateExpression())
   def quantize_int8(a: Column): Column = toCol(QuantizeInt8(toExpr(a)))
   def dequantize_int8(a: Column): Column = toCol(DequantizeInt8(toExpr(a)))
 

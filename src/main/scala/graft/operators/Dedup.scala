@@ -48,10 +48,21 @@ object Dedup {
     * Jaccard is computed exactly over the df-filtered shingle sets (not a
     * biased estimate of the unfiltered one), so blocking never drops a
     * pair whose filtered-universe similarity clears the threshold.
+    *
+    * Memory model: the exploded (doc x shingle) table is reused by three
+    * consumers (the sizes aggregate and both sides of the self-join), so
+    * by default it is cached via `shingleStorage` —
+    * MEMORY_AND_DISK-shaped levels are right at gate scale where the
+    * exploded table fits the cluster. At 100 TB the exploded table is far
+    * larger than the input; pass `StorageLevel.NONE` to recompute the
+    * cheap explode per consumer (or checkpoint to a bucketed table
+    * upstream) instead of caching rows x shingles.
     */
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, minJaccard: Double = 0.5,
-                          maxDf: Option[Int] = None): DataFrame = {
+                          maxDf: Option[Int] = None,
+                          shingleStorage: org.apache.spark.storage.StorageLevel =
+                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
     var ex = sh.select(col("id"), explode(col("shingles")).as("s"))
     maxDf.foreach { m =>
@@ -61,7 +72,8 @@ object Dedup {
       // positional toDF renames below
       ex = ex.join(keep, "s").select(col("id"), col("s"))
     }
-    ex = ex.cache()
+    if (shingleStorage != org.apache.spark.storage.StorageLevel.NONE)
+      ex = ex.persist(shingleStorage)
     // sizes over the same (possibly df-filtered) universe as the numerator
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = ex.toDF("id1", "s")

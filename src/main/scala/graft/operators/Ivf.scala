@@ -70,14 +70,17 @@ object Ivf {
 
   /** Build the index: sample -> train -> distributed assignment.
     *
-    * Sampling is a seeded Bernoulli `sample()` — a single filtering pass
-    * with NO global sort (the previous `orderBy(id).limit(n)` was a
-    * TakeOrdered with n-row heaps over the whole corpus). The collected
-    * sample is sorted by id on the driver (trivial at <= sampleSize rows)
-    * so k-means initialization stays deterministic regardless of partition
-    * arrival order. Determinism scope: fixed seed + fixed input layout =>
-    * identical index; corpora at or below sampleSize train on every row,
-    * fully layout-independent.
+    * Sampling is a seeded per-partition reservoir (Vitter's algorithm R,
+    * capacity ~1.2*sampleSize/partitions per partition): ONE scan of the
+    * corpus, bounded executor memory, and — unlike a Bernoulli
+    * `sample(fraction)` — no prior `count()` pass to size the fraction
+    * (round-2 advice: the build used to scan the corpus twice). Partitions
+    * smaller than the reservoir contribute every row, so gate-scale
+    * corpora train on everything. The collected sample is sorted by id on
+    * the driver (trivial at ~sampleSize rows) so k-means initialization
+    * stays deterministic regardless of partition arrival order.
+    * Determinism scope: fixed seed + fixed input layout => identical
+    * index (same contract as the Bernoulli form: per-partition RNG).
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
             nlist: Int, iters: Int = 5, sampleSize: Int = 100000,
@@ -87,16 +90,31 @@ object Ivf {
     val pairs = corpus
       .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
       .as[(Long, Array[Float])]
-    val n = pairs.count()
-    // Train on EVERYTHING the Bernoulli sample returns (~1.2x sampleSize):
+    // Train on everything the reservoirs return (~1.2x sampleSize):
     // truncating the id-sorted sample would deterministically exclude the
     // top of the id range from training — biased centroids on
     // append-ordered corpora. The id sort is for deterministic k-means
     // initialization only.
-    val sample: Array[Array[Float]] =
-      (if (n <= sampleSize) pairs
-       else pairs.sample(withReplacement = false, math.min(1.0, 1.2 * sampleSize / n), seed))
-        .collect().sortBy(_._1).map(_._2)
+    val rdd = pairs.rdd
+    val parts = math.max(1, rdd.getNumPartitions)
+    val perPart = math.max(nlist, ((1.2 * sampleSize).toLong / parts + 1).toInt)
+    val sample: Array[Array[Float]] = rdd
+      .mapPartitionsWithIndex { (pid, iter) =>
+        val rng = new java.util.Random(
+          graft.functions.SketchHash.mix(seed + 0x9E3779B97F4A7C15L * (pid + 1)))
+        val buf = new Array[(Long, Array[Float])](perPart)
+        var seen = 0L
+        iter.foreach { row =>
+          if (seen < perPart) buf(seen.toInt) = row
+          else {
+            val j = (rng.nextDouble() * (seen + 1)).toLong
+            if (j < perPart) buf(j.toInt) = row
+          }
+          seen += 1
+        }
+        buf.iterator.take(math.min(seen, perPart.toLong).toInt)
+      }
+      .collect().sortBy(_._1).map(_._2)
     require(sample.length >= nlist,
       s"sample ${sample.length} < nlist $nlist — raise sampleSize")
     val cs = trainCentroids(sample, nlist, iters)

@@ -95,6 +95,15 @@ object Search {
     }
   }
 
+  /** Beyond this many skipped rows, the offset path's physical plan
+    * (TakeOrdered heaps of skip+limit rows per partition, skip+limit rows
+    * collected to the driver) becomes the SURVEY §7.5 liability. The
+    * reference's own caps (skip is unbounded but limit <= 10 and real
+    * requests page shallowly) keep gate traffic on the offset path; the
+    * deep path serves lifted-cap deployments.
+    */
+  val DeepSkipThreshold = 1000
+
   /** Assemble the logical plan. Filters absent from the request are
     * omitted from the plan (not evaluated as no-ops) — reference P5.
     */
@@ -114,11 +123,34 @@ object Search {
       df = df.filter(st_intersects(col("geom"),
         st_point(lit(p.longitude), lit(p.latitude))))
     }
-    df.withColumn("dist", cosine_distance(col("embeddings"), vector_lit(req.probe)))
+    val ranked = df.withColumn("dist",
+      cosine_distance(col("embeddings"), vector_lit(req.probe)))
+    if (req.skip <= DeepSkipThreshold)
+      ranked
+        .orderBy(col("dist").asc, col("id").asc)
+        .offset(req.skip)
+        .limit(req.limit)
+        .select(TextFields.map(col): _*)
+    else deepPage(ranked, req)
+  }
+
+  /** Deep-skip pagination: a range-partitioned global sort plus
+    * distributed ordinal assignment (`zipWithIndex` — one per-partition
+    * count pass, order-preserving), then a filter to the requested
+    * ordinal window. Total work is a full sort instead of top-k heaps —
+    * more than the offset path for shallow pages, but no skip-sized state
+    * ever concentrates on one executor or the driver: only `limit` rows
+    * leave the cluster regardless of skip depth.
+    */
+  private def deepPage(ranked: DataFrame, req: SearchRequest): DataFrame = {
+    val spark = ranked.sparkSession
+    val sorted = ranked
       .orderBy(col("dist").asc, col("id").asc)
-      .offset(req.skip)
-      .limit(req.limit)
       .select(TextFields.map(col): _*)
+    val page = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => i >= req.skip && i < req.skip.toLong + req.limit }
+      .map(_._1)
+    spark.createDataFrame(page, sorted.schema)
   }
 
   /** Execute with the reference's error envelope: validation errors

@@ -2,8 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.Tables
 import graft.functions.GraftFunctions._
 import graft.operators.Knn
@@ -63,13 +61,18 @@ object Vectors extends QueryPack {
       Knn.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", minSim = 0.4)
     },
 
-    // Per-label centroids, decimal-routed per component for exact compare.
+    // Per-label centroids via the vector_centroid TypedImperativeAggregate:
+    // the aggregation shuffles one dim-width buffer per (label, partition)
+    // instead of posexplode's rows x dim rows (at 1024-dim production scale
+    // a 1000x row amplification). Decimal(18,9)-routed per component inside
+    // the buffer, so the compare stays exact; the explode to (label, pos)
+    // rows happens AFTER the aggregate, on |labels| rows.
     "v5_label_centroids" -> { (s, d) =>
       Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos").cast("long").as("pos"))
-        .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double") /
-          count(lit(1))).as("centroid"))
+        .groupBy(col("label"))
+        .agg(vector_centroid(col("embedding")).as("cent"))
+        .select(col("label"), posexplode(col("cent")).as(Seq("pos", "centroid")))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
         .orderBy(col("label"), col("pos"))
     },
 

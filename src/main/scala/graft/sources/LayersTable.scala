@@ -100,6 +100,70 @@ object LayersTable {
     } finally reader.close()
   }
 
+  /** Write a DataFrame as GeoParquet: plain parquet with the `geo`
+    * file-level footer key stamped on every part file, closing the
+    * read/write asymmetry with the reference's input format
+    * (`backend/load_data.py:176` reads GeoParquet; [[readGeoParquet]]
+    * verifies the footer — this emits it).
+    *
+    * Spark's parquet writer exposes no hook for custom file-level
+    * key-value metadata, so the footer is stamped in a post-pass: each
+    * part file's row groups are BYTE-COPIED into a rewritten file via
+    * `ParquetFileWriter.appendFile` (no decode/re-encode — pages move
+    * verbatim) and the footer is re-serialized with the `geo` key merged
+    * in. The pass is one sequential copy per part file; at cluster scale
+    * the same stamping runs inside a `foreachPartition` over file paths —
+    * here it loops on the driver (local filesystems, gate-scale files).
+    */
+  def writeGeoParquet(df: DataFrame, path: String, geomCol: String = "geometry"): Unit = {
+    require(df.columns.contains(geomCol),
+      s"writeGeoParquet: no geometry column '$geomCol' in ${df.columns.mkString(", ")}")
+    require(df.schema(geomCol).dataType == BinaryType,
+      s"writeGeoParquet: column '$geomCol' must be WKB binary, " +
+        s"found ${df.schema(geomCol).dataType.simpleString}")
+    df.write.mode("overwrite").parquet(path)
+    stampGeoFooter(df.sparkSession, path, geomCol)
+  }
+
+  /** GeoParquet 1.0.0 `geo` footer JSON for a WKB geometry column. */
+  private[graft] def geoFooterJson(geomCol: String): String =
+    s"""{"version":"1.0.0","primary_column":"$geomCol",""" +
+      s""""columns":{"$geomCol":{"encoding":"WKB","geometry_types":[]}}}"""
+
+  /** Rewrite every part file under `path` with the `geo` footer key added
+    * (row groups byte-copied, existing key-value metadata preserved).
+    */
+  private def stampGeoFooter(spark: SparkSession, path: String, geomCol: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val geoJson = geoFooterJson(geomCol)
+    parts.foreach { part =>
+      val in = HadoopInputFile.fromPath(part, conf)
+      val (schema, existingKv) = {
+        val r = ParquetFileReader.open(in)
+        try (r.getFooter.getFileMetaData.getSchema,
+          r.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap)
+        finally r.close()
+      }
+      val tmp = new Path(part.getParent, s".${part.getName}.geo.tmp")
+      val writer = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf),
+        schema, ParquetFileWriter.Mode.OVERWRITE,
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+        org.apache.parquet.hadoop.ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+      writer.start()
+      writer.appendFile(in)
+      writer.end((existingKv + ("geo" -> geoJson)).asJava)
+      if (!fs.delete(part, false) || !fs.rename(tmp, part))
+        throw new java.io.IOException(s"geo footer stamp failed for $part")
+    }
+  }
+
   /** GeoParquet scan (reference S1): verify the file IS GeoParquet (geo
     * footer present, WKB encoding), then read it with the primary geometry
     * column normalized to the name `geometry`. Fails loudly on plain

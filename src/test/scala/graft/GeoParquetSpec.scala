@@ -60,6 +60,27 @@ class GeoParquetSpec extends AnyFunSuite {
     layers.unpersist()
   }
 
+  test("writeGeoParquet round trip: engine write -> readGeoParquet -> golden replay") {
+    val out = java.nio.file.Files.createTempDirectory("graft-geowrite").toString + "/layers"
+    // write the golden fixture back out through the engine, geometry under
+    // a non-default column name to exercise primary-column normalization
+    val original = LayersTable.readGeoParquet(spark, fixture)
+    LayersTable.writeGeoParquet(original.withColumnRenamed("geometry", "geom"), out, "geom")
+    // the footer is a real GeoParquet footer...
+    assert(LayersTable.geoMetadata(spark, out) === Some(LayersTable.GeoMeta("geom", "WKB")))
+    // ...rows and values survive the byte-copy rewrite...
+    val back = LayersTable.readGeoParquet(spark, out)
+    assert(back.columns.contains("geometry")) // normalized back from 'geom'
+    assert(back.count() === original.count())
+    // ...and the golden replay still passes on the round-tripped data
+    val layers = Ingest.prepare(back, validateDim = Some(8)).cache()
+    val sanford = Search.search(layers, SearchRequest(parcelProbe,
+      typeFilter = Some(Seq("Feature Layer")),
+      inputPoint = Some(Point(-81.27, 28.80)), limit = 5))
+    assert(sanford.layers.get.map(_.id) === Seq("seminole_parcels", "seminole_roads"))
+    layers.unpersist()
+  }
+
   test("DDL validation: wrong embedding dimension fails the load (COPY-abort analogue)") {
     val raw = LayersTable.readGeoParquet(spark, fixture)
     val e = intercept[Exception] {

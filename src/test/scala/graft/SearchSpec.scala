@@ -117,6 +117,30 @@ class SearchSpec extends AnyFunSuite {
     assert(p1 ++ p2 === all)
   }
 
+  test("deep-skip pagination (distributed ordinals) matches the offset path exactly") {
+    import org.apache.spark.sql.functions._
+    // 12k rows so skip=10000 is a real deep page; distances strictly
+    // ordered by construction (emb = (1, i/20000)), ids tie-break-stable
+    val wkbPoly = wkb(PolyOrigin)
+    val big = spark.range(12000).selectExpr(
+      "format_string('D%05d', id) AS id", "'n' AS name", "'Feature Layer' AS type",
+      "'d' AS description", "'u' AS url", "'m' AS metadata_text",
+      "array(CAST(1.0 AS FLOAT), CAST(id / 20000.0 AS FLOAT)) AS embeddings")
+      .withColumn("geom", lit(wkbPoly))
+    val probe2 = Array(1f, 0f)
+    val deep = Search.search(big, SearchRequest(probe2, skip = 10000, limit = 5))
+    assert(deep.error.isEmpty, s"deep page failed: ${deep.error}")
+    // the offset formulation on the same ranking (ground truth)
+    val expected = big
+      .withColumn("dist", graft.functions.GraftFunctions.cosine_distance(
+        col("embeddings"), graft.functions.GraftFunctions.vector_lit(probe2)))
+      .orderBy(col("dist").asc, col("id").asc)
+      .offset(10000).limit(5)
+      .select(col("id")).collect().map(_.getString(0)).toSeq
+    assert(deep.layers.get.map(_.id) === expected)
+    assert(expected === (10000 until 10005).map(i => f"D$i%05d"))
+  }
+
   test("bounds violations are request-level errors, not clamps (reference P6)") {
     intercept[IllegalArgumentException](Search.search(layers, SearchRequest(probe, limit = 0)))
     intercept[IllegalArgumentException](Search.search(layers, SearchRequest(probe, limit = 11)))

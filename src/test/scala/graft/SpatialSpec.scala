@@ -129,12 +129,50 @@ class SpatialSpec extends AnyFunSuite {
       s"CN Tower ($e4, $n4)")
   }
 
+  test("CRS transform: published known pairs for MGA (GDA94/GDA2020) and Swiss LV95/LV03") {
+    // GDA94 Technical Manual worked examples (ICSM, MGA zone 55):
+    // Flinders Peak -37deg57'03.72030" 144deg25'29.52440" ->
+    //   E 273741.297 N 5796489.777
+    val (fe, fn) = Geo.transformPoint(
+      144 + 25.0 / 60 + 29.52440 / 3600, -(37 + 57.0 / 60 + 3.72030 / 3600), 4283, 28355)
+    assert(math.abs(fe - 273741.297) < 0.01 && math.abs(fn - 5796489.777) < 0.01,
+      s"Flinders Peak ($fe, $fn)")
+    // Buninyong -37deg39'10.15610" 143deg55'35.38390" -> E 228854.052 N 5828259.038
+    val (be, bn) = Geo.transformPoint(
+      143 + 55.0 / 60 + 35.38390 / 3600, -(37 + 39.0 / 60 + 10.15610 / 3600), 4283, 28355)
+    assert(math.abs(be - 228854.052) < 0.01 && math.abs(bn - 5828259.038) < 0.01,
+      s"Buninyong ($be, $bn)")
+    // MGA2020 zones share the projection (datum difference is inside the
+    // EPSG-published null-transformation accuracy)
+    val (ge, gn) = Geo.transformPoint(
+      144 + 25.0 / 60 + 29.52440 / 3600, -(37 + 57.0 / 60 + 3.72030 / 3600), 7844, 7855)
+    assert(math.abs(ge - fe) < 1e-6 && math.abs(gn - fn) < 1e-6)
+    // Swiss definitional anchor: the projection centre (Bern old
+    // observatory, CH1903+ 46deg57'08.66"N 7deg26'22.50"E) maps exactly to
+    // LV95 (2600000, 1200000) / LV03 (600000, 200000)
+    val (se, sn) = Geo.transformPoint(
+      7 + 26.0 / 60 + 22.50 / 3600, 46 + 57.0 / 60 + 8.66 / 3600, 4150, 2056)
+    assert(math.abs(se - 2600000.0) < 1e-6 && math.abs(sn - 1200000.0) < 1e-6,
+      s"LV95 origin ($se, $sn)")
+    val (oe, on) = Geo.transformPoint(
+      7 + 26.0 / 60 + 22.50 / 3600, 46 + 57.0 / 60 + 8.66 / 3600, 4149, 21781)
+    assert(math.abs(oe - 600000.0) < 1e-6 && math.abs(on - 200000.0) < 1e-6)
+    // swisstopo publishes the LV95 origin in WGS84 as 46deg57'03.90"N
+    // 7deg26'19.08"E — the full datum pipeline must land within ~1 m
+    val (we, wn) = Geo.transformPoint(
+      7 + 26.0 / 60 + 19.08 / 3600, 46 + 57.0 / 60 + 3.90 / 3600, 4326, 2056)
+    assert(math.hypot(we - 2600000.0, wn - 1200000.0) < 1.0,
+      s"LV95 origin from WGS84 ($we, $wn)")
+  }
+
   test("CRS transform: round trips and datum-shift consistency across the registry") {
     val cases = Seq(
       3857 -> (12.49, 41.90), 32633 -> (12.49, 41.90), 32733 -> (17.1, -22.5),
       27700 -> (-3.19, 55.95), 2154 -> (2.35, 48.85), 25832 -> (9.0, 52.0),
       26917 -> (-79.4, 43.6), 2157 -> (-6.26, 53.35), 4258 -> (9.0, 52.0),
-      4277 -> (-1.0, 52.0), 4230 -> (10.0, 50.0))
+      4277 -> (-1.0, 52.0), 4230 -> (10.0, 50.0),
+      28355 -> (144.96, -37.81), 7855 -> (144.96, -37.81), 4283 -> (133.0, -25.0),
+      2056 -> (8.54, 47.38), 21781 -> (7.45, 46.95), 4150 -> (8.0, 46.8))
     for ((code, (lon, lat)) <- cases) {
       val (x, y) = Geo.transformPoint(lon, lat, 4326, code)
       val (lon2, lat2) = Geo.transformPoint(x, y, code, 4326)

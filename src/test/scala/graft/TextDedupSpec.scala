@@ -224,6 +224,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(gated === exact)
   }
 
+  test("jaccard shingleStorage=NONE (recompute, no cache) matches the cached default") {
+    val real = Tables.documents(spark, sfDir)
+    val cached = Dedup.jaccardNearDupPairs(real, "doc_id", "text", 3, 0.5, Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncached = Dedup.jaccardNearDupPairs(real, "doc_id", "text", 3, 0.5, Some(100),
+        shingleStorage = org.apache.spark.storage.StorageLevel.NONE)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncached === cached)
+  }
+
   test("exact dup groups: synthetic exact dups collapse to one keeper") {
     val docs = textDf((1L, "Same  Text"), (2L, "same text"), (3L, "other text"))
     val groups = Dedup.exactDupGroups(docs, "doc_id", "text")

@@ -266,6 +266,30 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("vector_centroid aggregate equals the posexplode decimal formulation") {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(spark, sfDir)
+    val viaAgg = graft.queries.Vectors.defs("v5_label_centroids")(spark, sfDir)
+      .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2)))
+    val viaExplode = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double") /
+        count(lit(1))).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+      .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2)))
+    assert(viaAgg === viaExplode) // bit-exact, not approximate
+    // null vectors are skipped, all-null groups yield null
+    import spark.implicits._
+    val withNulls = Seq(("a", Array(1f, 3f)), ("a", null), ("b", null))
+      .toDF("label", "emb")
+    val rows = withNulls.groupBy($"label")
+      .agg(graft.functions.GraftFunctions.vector_centroid($"emb").as("c"))
+      .orderBy($"label").collect()
+    assert(rows(0).getSeq[Double](1) === Seq(1.0, 3.0))
+    assert(rows(1).isNullAt(1))
+  }
+
   test("nearDupPairs size guard fails loudly and names the LSH escape hatch") {
     val dv = graft.queries.Vectors.docVectors(spark, sfDir)
     val e = intercept[IllegalArgumentException] {
