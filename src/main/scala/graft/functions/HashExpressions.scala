@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,13 +54,24 @@ private[graft] trait TokenArrayInput { self: UnaryExpression =>
   * Empty input -> all Long.MaxValue (agrees only with other empties).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with TokenArrayInput with CodegenFallback {
+    extends UnaryExpression with TokenArrayInput {
   require(numHashes > 0, "numHashes must be positive")
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    MinHashSignature.compute(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSignature.compute($c, $numHashes);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignature {
+  /** Shared eval/codegen kernel (static forwarder for generated code). */
+  def compute(arr: ArrayData, numHashes: Int): GenericArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var t = 0
@@ -76,7 +87,6 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** rolling_hash(text): polynomial rolling hash over the Unicode CODE
@@ -89,7 +99,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * on any multi-byte character. Null -> null; empty string -> 0.
   */
 case class RollingHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -98,23 +108,32 @@ case class RollingHash64(child: Expression)
       s"$prettyName expects string, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * 131L + cp) % RollingHash64.Mod
-      i += Character.charCount(cp)
-    }
-    h
-  }
+  override def nullSafeEval(v: Any): Any =
+    RollingHash64.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHash64.compute($c);")
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object RollingHash64 {
   /** 2^55: h*131 + 0x10FFFF stays below 2^63 for h < Mod. */
   final val Mod: Long = 1L << 55
+
+  /** Shared eval/codegen kernel (static forwarder for generated code). */
+  def compute(v: UTF8String): Long = {
+    val s = v.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
 }
 
 /** simhash64(tokens): 64-bit locality-sensitive fingerprint; near-dup
@@ -122,12 +141,23 @@ object RollingHash64 {
   * Empty input -> 0L.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with TokenArrayInput with CodegenFallback {
+    extends UnaryExpression with TokenArrayInput {
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** Shared eval/codegen kernel (static forwarder for generated code). */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var t = 0
@@ -148,5 +178,4 @@ case class SimHash64(child: Expression)
     }
     out
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

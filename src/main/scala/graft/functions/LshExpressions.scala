@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -75,13 +75,24 @@ private[graft] object HyperplaneLsh {
   * Null -> null; empty array -> zero vector.
   */
 case class HashingTfVector(child: Expression, dim: Int)
-    extends UnaryExpression with TokenArrayInput with CodegenFallback {
+    extends UnaryExpression with TokenArrayInput {
   require(dim > 0, "dim must be positive")
   override def prettyName: String = "hashing_tf"
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    HashingTfVector.compute(v.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingTfVector.compute($c, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HashingTfVector {
+  /** Shared eval/codegen kernel (static forwarder for generated code). */
+  def compute(arr: ArrayData, dim: Int): GenericArrayData = {
     val vec = new Array[Float](dim)
     val n = arr.numElements()
     var t = 0
@@ -95,7 +106,6 @@ case class HashingTfVector(child: Expression, dim: Int)
     }
     new GenericArrayData(vec)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** hyperplane_bands(emb, bands, rows, seed): array<long> of `bands` bucket
@@ -111,7 +121,7 @@ case class HashingTfVector(child: Expression, dim: Int)
   * keep one dimension per column.
   */
 case class HyperplaneBands(child: Expression, bands: Int, rows: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bands > 0 && rows > 0 && rows <= 64,
     "bands must be positive and 1 <= rows <= 64 (bucket bits pack one long)")
   override def prettyName: String = "hyperplane_bands"
@@ -122,8 +132,20 @@ case class HyperplaneBands(child: Expression, bands: Int, rows: Int, seed: Long)
   @transient private lazy val isDouble: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneBands.compute(v.asInstanceOf[ArrayData], isDouble, bands, rows, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneBands.compute($c, $isDouble, $bands, $rows, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HyperplaneBands {
+  /** Shared eval/codegen kernel (static forwarder for generated code). */
+  def compute(arr: ArrayData, isDouble: Boolean, bands: Int, rows: Int,
+              seed: Long): GenericArrayData = {
     // one bulk copy to a primitive array: the hot loop below reads it
     // bands*rows times, and per-element ArrayData getters don't inline
     val x: Array[Double] =
@@ -153,5 +175,4 @@ case class HyperplaneBands(child: Expression, bands: Int, rows: Int, seed: Long)
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * every statistic in one evaluation.
   */
 case class QualityScore(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "quality_score"
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -31,15 +31,29 @@ case class QualityScore(child: Expression)
       s"$prettyName expects string, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val u = v.asInstanceOf[UTF8String]
+  override def nullSafeEval(v: Any): Any =
+    QualityScore.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QualityScore.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object QualityScore {
+  private val Whitespace = Pattern.compile("\\s+")
+  private val Stopwords = Pattern.compile("\\b(the|a|of|to|and)\\b")
+
+  /** Shared eval/codegen kernel (static forwarder for generated code). */
+  def compute(u: UTF8String): Double = {
     val raw = u.toString
     val trimmed = u.trim().toString
 
     var nTok = 0.0
     var nDistinct = 0.0
     if (trimmed.nonEmpty) {
-      val toks = QualityScore.Whitespace.split(trimmed, -1)
+      val toks = Whitespace.split(trimmed, -1)
       nTok = toks.length.toDouble
       val seen = new java.util.HashSet[String]()
       var i = 0
@@ -48,7 +62,7 @@ case class QualityScore(child: Expression)
     }
 
     var nStop = 0.0
-    val m = QualityScore.Stopwords.matcher(raw)
+    val m = Stopwords.matcher(raw)
     while (m.find()) nStop += 1.0
 
     val lower = raw.toLowerCase(java.util.Locale.ROOT)
@@ -68,11 +82,4 @@ case class QualityScore(child: Expression)
     val alphaRatio = nAlpha / math.max(nChars, 1.0)
     (lengthScore + diversity + stopScore + alphaRatio) / 4.0
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object QualityScore {
-  private val Whitespace = Pattern.compile("\\s+")
-  private val Stopwords = Pattern.compile("\\b(the|a|of|to|and)\\b")
 }

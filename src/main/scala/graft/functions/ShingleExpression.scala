@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * spaces only; split keeps trailing empties (limit -1).
   */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def prettyName: String = "word_shingles"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -32,10 +32,29 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
       s"$prettyName expects string, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val trimmed = v.asInstanceOf[UTF8String].trim().toString
+  override def nullSafeEval(v: Any): Any =
+    WordShingles.compute(v.asInstanceOf[UTF8String], n, distinct)
+
+  // codegen emits a static call into the compiled kernel: the expression
+  // stays inside the WholeStageCodegen span (CodegenFallback would split
+  // it) and the JIT sees one monomorphic call, same as the eval path
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingles {
+  private val Whitespace = Pattern.compile("\\s+")
+
+  /** The shingling kernel (shared by eval and codegen — static forwarder
+    * makes it callable as a plain Java static from generated code).
+    */
+  def compute(v: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
+    val trimmed = v.trim().toString
     if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val toks = WordShingles.Whitespace.split(trimmed, -1)
+    val toks = Whitespace.split(trimmed, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[Any](toks.length - n + 1)
     val seen = if (distinct) new java.util.HashSet[String]() else null
@@ -55,10 +74,4 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     }
     new GenericArrayData(out.toArray)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object WordShingles {
-  private val Whitespace = Pattern.compile("\\s+")
 }

@@ -107,24 +107,33 @@ object Ingest {
     val committed = fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS"))
     val alreadyLoaded =
       if (!fs.exists(out)) false // absent -> load
-      else
-        try !spark.read.parquet(outPath).isEmpty
+      else if (committed) {
+        // The commit marker IS the loaded state: a committed-but-EMPTY
+        // result (a legitimate zero-row load) must read as loaded, not be
+        // reclaimed. The read is a corruption probe only — a committed
+        // target that fails to read is corruption, never clobbered.
+        try { spark.read.parquet(outPath).isEmpty; true }
         catch {
-          // A COMMITTED target that fails to read is corruption — never
-          // clobber it (the old errorifexists fail-safe); without the
-          // commit marker the leftovers are debris from a failed partial
-          // write and the gate may reclaim the path.
-          case e: Exception if committed => throw new IllegalStateException(
+          case e: Exception => throw new IllegalStateException(
             s"$outPath carries a commit marker but is unreadable — refusing to overwrite", e)
-          case _: Exception => false
         }
+      } else
+        // no marker: externally-written non-empty data still gates the
+        // load; empty or unreadable leftovers are debris from a failed
+        // partial write and the gate may reclaim the path
+        try !spark.read.parquet(outPath).isEmpty
+        catch { case _: Exception => false }
     if (alreadyLoaded) false
     else {
-      // The gate established the target holds no committed rows (absent,
-      // empty, or uncommitted debris), so overwrite loads cleanly where
-      // errorifexists would wedge the path permanently.
+      // The gate established the target holds only uncommitted debris (or
+      // nothing): delete it explicitly, then write with errorifexists so
+      // two CONCURRENT loaders that both passed the gate race to create
+      // the path — the loser fails loudly instead of silently clobbering
+      // the winner's committed output (the overwrite mode this replaces
+      // let both proceed).
+      if (fs.exists(out)) fs.delete(out, true)
       prepare(spark.read.parquet(inPath), orderCol, validateDim)
-        .write.mode("overwrite").parquet(outPath)
+        .write.mode("errorifexists").parquet(outPath)
       true
     }
   }

@@ -64,6 +64,17 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("run: committed EMPTY target reads as loaded, not reclaimed") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    raw.write.parquet(in)
+    // a legitimate zero-row load: _SUCCESS marker + schema-only part file
+    raw.limit(0).write.parquet(out)
+    assert(Ingest.run(spark, in, out, Some("ord")) === false) // gated
+    assert(spark.read.parquet(out).count() === 0)             // not overwritten
+  }
+
   // WKB for POLYGON((0 0,1 0,1 1,0 1,0 0)) and POINT(1 2), little-endian
   private def wkbPolygon: Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + 5 * 16)

@@ -68,6 +68,10 @@ object KernelProperties extends Properties("graft.kernels") {
     crsRoundTrip(2154, (-5.0, 10.0), (41.0, 51.0))
   property("CRS 4326<->32717 (UTM 17S, southern hemisphere) round trip") =
     crsRoundTrip(32717, (-84.0, -78.0), (-56.0, 0.0)) // zone 17's actual extent
+  property("CRS 4326<->28355 (GDA94 / MGA zone 55) round trip") =
+    crsRoundTrip(28355, (144.0, 150.0), (-45.0, -10.0))
+  property("CRS 4326<->2056 (Swiss LV95, oblique Mercator + datum shift) round trip") =
+    crsRoundTrip(2056, (5.9, 10.5), (45.8, 47.8))
 
   private val asciiText: Gen[String] =
     Gen.listOf(Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' ')))

@@ -234,6 +234,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(uncached === cached)
   }
 
+  test("promoted codegen kernels agree across NO_CODEGEN and CODEGEN_ONLY") {
+    import graft.functions.GraftFunctions.{minhash_signature, simhash64, rolling_hash, hashing_tf, hyperplane_bands}
+    import graft.functions.TextFunctions.{shingle_set, quality_score}
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    def run(): Seq[String] = docs.select(
+        shingle_set(col("text"), 3).as("sh"),
+        minhash_signature(shingle_set(col("text"), 3), 16).as("mh"),
+        simhash64(shingle_set(col("text"), 3)).as("sim"),
+        rolling_hash(col("text")).as("rh"),
+        quality_score(col("text")).as("q"),
+        hyperplane_bands(hashing_tf(shingle_set(col("text"), 3), 64), 8, 8, 7L).as("hb"))
+      .collect().map(_.toString).toSeq
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      val interpreted = run()
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val codegen = run()
+      assert(interpreted === codegen)
+      assert(interpreted.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("exact dup groups: synthetic exact dups collapse to one keeper") {
     val docs = textDf((1L, "Same  Text"), (2L, "same text"), (3L, "other text"))
     val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
