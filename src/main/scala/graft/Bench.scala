@@ -61,11 +61,16 @@ object Bench {
       val row = """^\|\s*([a-z][a-z0-9_]*)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|\s*$""".r
       val f = Seq("BASELINE.md", "/root/repo/BASELINE.md")
         .map(new java.io.File(_)).find(_.isFile)
-      f.map { file =>
-        val src = scala.io.Source.fromFile(file)
+      try f.map { file =>
+        val src = scala.io.Source.fromFile(file, "UTF-8")
         try src.getLines().collect { case row(n, s) => n -> s.toDouble }.toMap
         finally src.close()
       }.getOrElse(Map.empty)
+      catch { // a mangled table must degrade the re-run trigger, not the bench
+        case e: Exception =>
+          System.err.println(s"[bench] baseline table unreadable: ${e.getMessage}")
+          Map.empty[String, Double]
+      }
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

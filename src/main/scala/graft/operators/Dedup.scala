@@ -90,6 +90,22 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Incremental-load dedup (cross-dataset): rows of `incoming` whose
+    * canonical fingerprint does not appear anywhere in `existing` — the
+    * "is this new batch already in the corpus" step of a continuously-fed
+    * training pipeline. A LEFT ANTI join on a 32-char md5 key: the
+    * existing side reduces to distinct fingerprints (no payload), so at
+    * 100 TB the join shuffles two narrow fingerprint columns — or none at
+    * all when the fingerprint set of the standing corpus is maintained as
+    * a bucketed table the anti-join co-locates with.
+    */
+  def incrementalNew(incoming: DataFrame, existing: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val inc = incoming.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+    val seen = existing.select(fingerprint(col(textCol)).as("fp")).distinct()
+    inc.join(seen, Seq("fp"), "left_anti").select(col("id"))
+  }
+
   /** MinHash-LSH near-dup pairs: signature -> banded buckets -> candidate
     * pairs -> exact Jaccard verification on the candidates only.
     */

@@ -184,6 +184,48 @@ object Text extends QueryPack {
     "d4_simhash_near_dup" -> { (s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, maxHamming = 3)
+    },
+
+    // Benchmark-contamination check: every 20th doc plays the eval set;
+    // each remaining (train) doc reports what fraction of its distinct
+    // 3-gram shingles appear in the eval universe. The eval shingle set
+    // broadcasts; train streams through — no pairwise materialization.
+    "d5_contamination" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Contamination.scores(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("n_contaminated"), col("contamination"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Incremental-load dedup: odd doc_ids arrive as the new batch, even
+    // doc_ids are the standing corpus; keep only genuinely-new content
+    // (fingerprint anti-join — the cross-dataset exact-dedup step).
+    "d6_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-language corpus report: doc counts, total tokens, decimal-routed
+    // mean quality — the mixture-construction summary over a partitioned
+    // corpus (map-side-combinable hash aggregate, |langs| groups).
+    "t14_corpus_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          token_count(col("text")).cast("long").as("n_tok"),
+          quality_score(col("text"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("q"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          (sum(col("q")).cast("double") / count(lit(1))).as("avg_quality"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -348,6 +390,56 @@ object Text extends QueryPack {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+
+    "d5_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |ex AS (SELECT doc_id, unnest(${shinglesSql("w")}) AS s FROM toks),
+         |ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id, s FROM ex WHERE doc_id % 20 <> 0)
+         |SELECT tr.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(COUNT(ev.s) AS BIGINT) AS n_contaminated,
+         |  COUNT(ev.s) * 1.0 / COUNT(*) AS contamination
+         |FROM tr LEFT JOIN ev ON tr.s = ev.s
+         |GROUP BY tr.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "d6_incremental_dedup" ->
+      """SELECT a.doc_id
+        |FROM documents a
+        |WHERE a.doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents b
+        |    WHERE b.doc_id % 2 = 0
+        |      AND md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) =
+        |          md5(regexp_replace(lower(trim(a.text)), '\s+', ' ', 'g')))
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "t14_corpus_stats" ->
+      """WITH q AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+        |    CAST((LEAST(1.0, n_tok0 / 20.0)
+        |     + n_distinct0 / GREATEST(n_tok0, 1.0)
+        |     + LEAST(1.0, n_stop0 / GREATEST(n_tok0, 1.0) * 5.0)
+        |     + n_alpha0 / GREATEST(n_chars0, 1.0)) / 4.0 AS DECIMAL(18,9)) AS q
+        |  FROM (
+        |    SELECT lang, text,
+        |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok0,
+        |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |           ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS DOUBLE) AS n_distinct0,
+        |      CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS DOUBLE) AS n_stop0,
+        |      CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha0,
+        |      CAST(len(text) AS DOUBLE) AS n_chars0
+        |    FROM documents) t)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality
+        |FROM q
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "d2_jaccard_near_dup" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -261,6 +261,29 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: full overlap scores 1, disjoint scores 0, short docs absent") {
+    val train = textDf(
+      (1L, "alpha beta gamma delta"),      // both shingles in eval -> 1.0
+      (2L, "zz yy xx ww vv"),              // disjoint -> 0.0
+      (3L, "one two"))                     // < 3 tokens: no shingles, absent
+    val eval = textDf((100L, "alpha beta gamma delta epsilon"))
+    val rows = graft.operators.Contamination.scores(train, "doc_id", "text", eval, "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) === ((2L, 2L, 1.0)))
+    assert(rows(2L) === ((3L, 0L, 0.0)))
+    assert(!rows.contains(3L))
+  }
+
+  test("incremental dedup: only genuinely-new content survives the anti-join") {
+    val existing = textDf((1L, "Shared  Doc"), (2L, "old content"))
+    val incoming = textDf(
+      (10L, "shared doc"),   // canonical dup of 1 (case/whitespace) -> dropped
+      (11L, "fresh content"))
+    val ids = Dedup.incrementalNew(incoming, existing, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(11L))
+  }
+
   test("exact dup groups: synthetic exact dups collapse to one keeper") {
     val docs = textDf((1L, "Same  Text"), (2L, "same text"), (3L, "other text"))
     val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
