@@ -66,6 +66,22 @@ object Events extends QueryPack {
     // StreamingSpec pins batch/stream equality)
     "e6_attribution_join" -> { (s, d) =>
       graft.streaming.EventsStream.attributionBatch(Tables.events(s, d))
+    },
+
+    // cohort aggregation through the SALTED join (Skew.saltedJoin):
+    // fact rows scatter across `salts` replicas of the per-user dim so a
+    // hot user cannot straggle one task — semantics equal the plain
+    // inner join, which is exactly what the oracle states.
+    "e7_salted_cohort" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+      graft.operators.Skew.saltedJoin(ev, firstSeen, "user_id", salts = 8)
+        .groupBy(date_trunc("day", col("first_ts")).cast("timestamp_ntz").as("cohort_day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_value"))
+        .orderBy(col("cohort_day"))
     }
   )
 
@@ -88,6 +104,15 @@ object Events extends QueryPack {
         |  FROM events) t
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "e7_salted_cohort" ->
+      """WITH fs AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT date_trunc('day', fs.first_ts) AS cohort_day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN fs ON e.user_id = fs.user_id
+        |GROUP BY 1
+        |ORDER BY cohort_day""".stripMargin,
 
     "e3_json_extract" ->
       """SELECT event_type,
