@@ -236,6 +236,105 @@ private[graft] object Crs {
     }
   }
 
+  /** Authalic-latitude helper q(phi) shared by the equal-area projections
+    * (EPSG GN 7-2 §1.3.3.1 / methods 9820, 9822).
+    */
+  private def authalicQ(ell: Ellipsoid, sinPhi: Double): Double = {
+    val e = ell.e; val e2 = ell.e2
+    (1 - e2) * (sinPhi / (1 - e2 * sinPhi * sinPhi) -
+      (1 / (2 * e)) * math.log((1 - e * sinPhi) / (1 + e * sinPhi)))
+  }
+
+  /** Inverse of authalicQ: geodetic latitude from q, the GN 7-2 fixed-point
+    * iteration (converges to <1e-12 rad in a handful of steps).
+    */
+  private def phiFromQ(ell: Ellipsoid, q: Double): Double = {
+    val e = ell.e; val e2 = ell.e2
+    var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+    var i = 0
+    while (i < 12) {
+      val s = math.sin(phi)
+      phi += math.pow(1 - e2 * s * s, 2) / (2 * math.cos(phi)) *
+        (q / (1 - e2) - s / (1 - e2 * s * s) +
+          1 / (2 * e) * math.log((1 - e * s) / (1 + e * s)))
+      i += 1
+    }
+    phi
+  }
+
+  /** Lambert Azimuthal Equal Area, oblique aspect (EPSG method 9820) —
+    * the ETRS89-LAEA Europe (EPSG:3035) instantiation used for EU
+    * statistical grids. Formulas from GN 7-2 §3.1.2.
+    */
+  final case class LambertAzimuthalEqualArea(ell: Ellipsoid, lat0Deg: Double,
+      lon0Deg: Double, fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val qP = authalicQ(ell, 1.0)
+    private val q0 = authalicQ(ell, math.sin(phi0))
+    private val beta0 = math.asin(q0 / qP)
+    private val rQ = ell.a * math.sqrt(qP / 2)
+    private val d = ell.a * (math.cos(phi0) /
+      math.sqrt(1 - ell.e2 * math.sin(phi0) * math.sin(phi0))) / (rQ * math.cos(beta0))
+    private val sinB0 = math.sin(beta0); private val cosB0 = math.cos(beta0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lam = math.toRadians(lonDeg) - lam0
+      val beta = math.asin(authalicQ(ell, math.sin(math.toRadians(latDeg))) / qP)
+      val sinB = math.sin(beta); val cosB = math.cos(beta)
+      val b = rQ * math.sqrt(2 / (1 + sinB0 * sinB + cosB0 * cosB * math.cos(lam)))
+      (fe + b * d * cosB * math.sin(lam),
+       fn + (b / d) * (cosB0 * sinB - sinB0 * cosB * math.cos(lam)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val ex = (x - fe) / d
+      val ny = d * (y - fn)
+      val rho = math.hypot(ex, ny)
+      if (rho < 1e-12) return (math.toDegrees(lam0), math.toDegrees(phi0))
+      val c = 2 * math.asin(rho / (2 * rQ))
+      val q = qP * (math.cos(c) * sinB0 + ny * math.sin(c) * cosB0 / rho)
+      val lam = lam0 + math.atan2(ex * math.sin(c),
+        rho * cosB0 * math.cos(c) - ny * sinB0 * math.sin(c))
+      (math.toDegrees(lam), math.toDegrees(phiFromQ(ell, q)))
+    }
+  }
+
+  /** Albers Equal Area conic, 2SP (EPSG method 9822) — the NAD83 / Conus
+    * Albers (EPSG:5070) instantiation. Formulas from GN 7-2 §3.1.3.
+    */
+  final case class AlbersEqualArea(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      sp1Deg: Double, sp2Deg: Double, fe: Double, fn: Double) extends Projection {
+    private val lam0 = math.toRadians(lon0Deg)
+    private def m(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - ell.e2 * math.sin(phi) * math.sin(phi))
+    private val sp1 = math.toRadians(sp1Deg)
+    private val sp2 = math.toRadians(sp2Deg)
+    private val q1 = authalicQ(ell, math.sin(sp1))
+    private val q2 = authalicQ(ell, math.sin(sp2))
+    private val n = (m(sp1) * m(sp1) - m(sp2) * m(sp2)) / (q2 - q1)
+    private val cC = m(sp1) * m(sp1) + n * q1
+    private def rho(q: Double): Double = ell.a * math.sqrt(cC - n * q) / n
+    private val rho0 = rho(authalicQ(ell, math.sin(math.toRadians(lat0Deg))))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val theta = n * (math.toRadians(lonDeg) - lam0)
+      val r = rho(authalicQ(ell, math.sin(math.toRadians(latDeg))))
+      (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val ex = x - fe
+      val ny = rho0 - (y - fn)
+      // for n<0 (southern-parallel instantiations) the atan2 arguments flip
+      // sign with rho'; Conus-style n>0 keeps the plain form
+      val rhoP = math.signum(n) * math.hypot(ex, ny)
+      val theta = math.atan2(math.signum(n) * ex, math.signum(n) * ny)
+      val q = (cC - rhoP * rhoP * n * n / (ell.a * ell.a)) / n
+      (math.toDegrees(lam0 + theta / n), math.toDegrees(phiFromQ(ell, q)))
+    }
+  }
+
   /** Swiss Oblique Mercator (EPSG method 9815 as instantiated by
     * CH1903 / CH1903+): the rigorous sphere-intermediate formulas from the
     * public swisstopo projection document ("Formulas and constants for the
@@ -345,13 +444,17 @@ private[graft] object Crs {
     case z if z >= 28348 && z <= 28358 => CrsDef(utm(Grs80, z - 28300, south = true), None) // GDA94 / MGA
     case z if z >= 7846 && z <= 7859 => CrsDef(utm(Grs80, z - 7800, south = true), None) // GDA2020 / MGA
     case 4149 | 4150 => CrsDef(Geographic(Bessel1841), Some(Ch1903ToWgs84)) // CH1903 / CH1903+
+    case 3035 => CrsDef( // ETRS89-extended / LAEA Europe
+      LambertAzimuthalEqualArea(Grs80, 52.0, 10.0, 4321000.0, 3210000.0), None)
+    case 5070 => CrsDef( // NAD83 / Conus Albers
+      AlbersEqualArea(Grs80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0), None)
     case 2056 => CrsDef( // CH1903+ / LV95
       SwissObliqueMercator(Bessel1841, 2600000.0, 1200000.0), Some(Ch1903ToWgs84))
     case 21781 => CrsDef( // CH1903 / LV03
       SwissObliqueMercator(Bessel1841, 600000.0, 200000.0), Some(Ch1903ToWgs84))
     case other => throw new IllegalArgumentException(
       s"unsupported CRS: EPSG:$other (supported: 4326, 4258, 4269, 4171, 4277, 4230, " +
-        "4283, 7844, 4149, 4150, 3857, 27700, 2154, 2157, 2056, 21781, " +
+        "4283, 7844, 4149, 4150, 3857, 27700, 2154, 2157, 2056, 21781, 3035, 5070, " +
         "UTM 32601-32660/32701-32760/25828-25838/26901-26923, MGA 28348-28358/7846-7859; " +
         "grid-shift-only datums such as NAD27 are not modeled)")
   }

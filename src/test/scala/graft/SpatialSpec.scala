@@ -165,6 +165,25 @@ class SpatialSpec extends AnyFunSuite {
       s"LV95 origin from WGS84 ($we, $wn)")
   }
 
+  test("CRS transform: equal-area projections (LAEA Europe, Conus Albers)") {
+    // EPSG GN 7-2 §3.1.2 worked example (ETRS89-LAEA Europe):
+    // 50degN 5degE -> E 3962799.45 N 2999718.85
+    val (ae, an) = Geo.transformPoint(5.0, 50.0, 4258, 3035)
+    assert(math.abs(ae - 3962799.45) < 0.01 && math.abs(an - 2999718.85) < 0.01,
+      s"LAEA worked example ($ae, $an)")
+    // definitional anchors: projection origins map to the false origin
+    val (le, ln) = Geo.transformPoint(10.0, 52.0, 4258, 3035)
+    assert(math.abs(le - 4321000.0) < 1e-6 && math.abs(ln - 3210000.0) < 1e-6)
+    val (ce, cn) = Geo.transformPoint(-96.0, 23.0, 4269, 5070)
+    assert(math.abs(ce) < 1e-6 && math.abs(cn) < 1e-6)
+    // Albers: northing increases with latitude, easting with longitude,
+    // and points on the two standard parallels project distortion-free in
+    // the north-south sense (monotone rho)
+    val (_, n1) = Geo.transformPoint(-96.0, 29.5, 4269, 5070)
+    val (_, n2) = Geo.transformPoint(-96.0, 45.5, 4269, 5070)
+    assert(n2 > n1 && n1 > 0)
+  }
+
   test("CRS transform: round trips and datum-shift consistency across the registry") {
     val cases = Seq(
       3857 -> (12.49, 41.90), 32633 -> (12.49, 41.90), 32733 -> (17.1, -22.5),
@@ -172,7 +191,8 @@ class SpatialSpec extends AnyFunSuite {
       26917 -> (-79.4, 43.6), 2157 -> (-6.26, 53.35), 4258 -> (9.0, 52.0),
       4277 -> (-1.0, 52.0), 4230 -> (10.0, 50.0),
       28355 -> (144.96, -37.81), 7855 -> (144.96, -37.81), 4283 -> (133.0, -25.0),
-      2056 -> (8.54, 47.38), 21781 -> (7.45, 46.95), 4150 -> (8.0, 46.8))
+      2056 -> (8.54, 47.38), 21781 -> (7.45, 46.95), 4150 -> (8.0, 46.8),
+      3035 -> (15.0, 48.0), 5070 -> (-104.99, 39.74))
     for ((code, (lon, lat)) <- cases) {
       val (x, y) = Geo.transformPoint(lon, lat, 4326, code)
       val (lon2, lat2) = Geo.transformPoint(x, y, code, 4326)
