@@ -68,6 +68,29 @@ object Events extends QueryPack {
       graft.streaming.EventsStream.attributionBatch(Tables.events(s, d))
     },
 
+    // time-series densification (gap fill): the hourly event counts of e1
+    // re-gridded onto the complete hour range per event_type, missing
+    // hours filled with zero — the resampling step before any windowed
+    // model sees the series. sequence() generates the grid (one row per
+    // type, exploded), the observed counts LEFT-join onto it; at scale
+    // the grid side is |types| x |hours| rows, trivially broadcastable.
+    "e8_gap_fill" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val grid = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      grid.join(hourly, Seq("hour", "event_type"), "left")
+        .select(col("hour").cast("timestamp_ntz").as("hour"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
     // cohort aggregation through the SALTED join (Skew.saltedJoin):
     // fact rows scatter across `salts` replicas of the per-user dim so a
     // hot user cannot straggle one task — semantics equal the plain
@@ -104,6 +127,22 @@ object Events extends QueryPack {
         |  FROM events) t
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "e8_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour, t.event_type
+        |  FROM bounds, (SELECT DISTINCT event_type FROM events) t)
+        |SELECT g.hour, g.event_type,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.hour = h.hour AND g.event_type = h.event_type
+        |ORDER BY g.hour, g.event_type""".stripMargin,
 
     "e7_salted_cohort" ->
       """WITH fs AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)

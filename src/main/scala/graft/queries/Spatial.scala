@@ -74,6 +74,23 @@ object Spatial extends QueryPack {
         .orderBy(col("sdist").asc, col("c_custkey").asc)
         .limit(20)
         .select(col("c_custkey"))
+    },
+
+    // Web-Mercator grid binning (heatmap/tiling aggregation): points
+    // reprojected through the engine's CRS stack (st_transform_point ->
+    // EPSG:3857), bucketed into 1000 km cells, counted per cell. The
+    // oracle restates the spherical Mercator formulas arithmetically;
+    // FLOOR at megameter scale absorbs last-ulp libm differences (a cell
+    // flip would need a point within ~1e-7 m of a cell edge). Mercator's
+    // defined band only (|lat| <= ~85) — poles excluded by the filter.
+    "s5_mercator_grid" -> { (s, d) =>
+      points(s, d)
+        .filter(col("y").between(-85.0, 85.0))
+        .select(st_transform_point(col("x"), col("y"), lit(4326), lit(3857)).as("p"))
+        .groupBy(floor(col("p.x") / 1e6).cast("long").as("cell_x"),
+          floor(col("p.y") / 1e6).cast("long").as("cell_y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("cell_x"), col("cell_y"))
     }
   )
 
@@ -96,6 +113,16 @@ object Spatial extends QueryPack {
       s"""SELECT c_custkey FROM customer
          |ORDER BY SQRT(($xSql - (-81.27)) * ($xSql - (-81.27)) +
          |              ($ySql - 28.80) * ($ySql - 28.80)) ASC, c_custkey ASC
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "s5_mercator_grid" ->
+      s"""SELECT
+         |  CAST(FLOOR(radians($xSql) * 6378137.0 / 1000000.0) AS BIGINT) AS cell_x,
+         |  CAST(FLOOR(ln(tan(pi() / 4 + radians($ySql) / 2)) * 6378137.0 / 1000000.0) AS BIGINT) AS cell_y,
+         |  COUNT(*) AS n
+         |FROM customer
+         |WHERE $ySql BETWEEN -85.0 AND 85.0
+         |GROUP BY 1, 2
+         |ORDER BY cell_x, cell_y""".stripMargin
   )
 }

@@ -212,6 +212,20 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary/boilerplate report: the 20 highest-document-frequency
+    // 3-gram shingles (the df distribution that motivates d2's maxDf
+    // blocking — a shingle near the top of this list is exactly the kind
+    // the near-dup join must prune). Map-side-combinable hash aggregate
+    // on the shingle, then a 20-row TakeOrdered.
+    "t15_top_shingles" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingle_set(col("text"), 3)).as("s"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("s").asc)
+        .limit(20)
+    },
+
     // Per-language corpus report: doc counts, total tokens, decimal-routed
     // mean quality — the mixture-construction summary over a partitioned
     // corpus (map-side-combinable hash aggregate, |langs| groups).
@@ -403,6 +417,15 @@ object Text extends QueryPack {
          |FROM tr LEFT JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "t15_top_shingles" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |ex AS (SELECT doc_id, unnest(${shinglesSql("w")}) AS s FROM toks)
+         |SELECT s, COUNT(*) AS df
+         |FROM ex
+         |GROUP BY s
+         |ORDER BY df DESC, s ASC
+         |LIMIT 20""".stripMargin,
 
     "d6_incremental_dedup" ->
       """SELECT a.doc_id
