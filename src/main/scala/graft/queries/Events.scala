@@ -68,6 +68,13 @@ object Events extends QueryPack {
       graft.streaming.EventsStream.attributionBatch(Tables.events(s, d))
     },
 
+    // hopping (sliding) window counts: 1-hour windows every 30 minutes,
+    // each event contributing to two windows (streaming twin:
+    // hoppingByTypeStream; StreamingSpec pins batch/stream equality)
+    "e9_hopping_counts" -> { (s, d) =>
+      EventsStream.hoppingByTypeBatch(Tables.events(s, d))
+    },
+
     // time-series densification (gap fill): the hourly event counts of e1
     // re-gridded onto the complete hour range per event_type, missing
     // hours filled with zero — the resampling step before any windowed
@@ -127,6 +134,17 @@ object Events extends QueryPack {
         |  FROM events) t
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "e9_hopping_counts" ->
+      """WITH e2 AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+        |            time_bucket(INTERVAL 30 MINUTE, ts)]) AS win_start
+        |  FROM events)
+        |SELECT win_start, event_type, COUNT(*) AS n
+        |FROM e2
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "e8_gap_fill" ->
       """WITH hourly AS (

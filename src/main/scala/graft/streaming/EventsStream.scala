@@ -78,6 +78,29 @@ object EventsStream {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Batch form of the HOPPING (sliding) window count: 1-hour windows
+    * every 30 minutes — each event lands in two windows (oracle-checked
+    * as e9; Spark's window() is usable in batch plans directly).
+    */
+  def hoppingByTypeBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Streaming form: same hopping aggregate, incremental with a
+    * watermark; state is bounded by watermark retention x (window/slide)
+    * open windows per key.
+    */
+  def hoppingByTypeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** Batch sessionization: a session ends after `gapMinutes` of user
     * inactivity (oracle-checked as e2 — lag + running flag sum).
     */

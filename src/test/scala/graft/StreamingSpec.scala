@@ -50,6 +50,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping-window aggregate converges to the batch result") {
+    val dir = eventsDir
+    val stream = spark.readStream
+      .schema(EventsStream.eventsSchema)
+      .parquet(dir)
+    val q = EventsStream.hoppingByTypeStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hopping_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      def winOf(r: org.apache.spark.sql.Row): java.time.LocalDateTime = r.get(0) match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case l: java.time.LocalDateTime => l
+      }
+      val streamed = spark.table("hopping_out")
+        .collect().map(r => (winOf(r), r.getString(1), r.getLong(2))).toSet
+      val batch = EventsStream.hoppingByTypeBatch(spark.read.parquet(dir))
+        .collect().map(r => (winOf(r), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+      // every event lands in exactly two 1h/30m windows: total count 2x
+      val total = batch.toSeq.map(_._3).sum
+      assert(total === 2 * spark.read.parquet(dir).count())
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch range join") {
     val dir = eventsDir
     val stream = spark.readStream
