@@ -62,4 +62,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(optimized.contains("st_distance"),
       s"s3 must retain the exact JTS predicate:\n$optimized")
   }
+
+  test("v5 centroids: one vector_centroid buffer per label, no posexplode before the aggregate") {
+    val plan = planOf("v5_label_centroids")
+    assert(plan.contains("vector_centroid"), s"v5 lost the typed aggregate:\n$plan")
+    // the explode to (label, pos) rows must sit ABOVE the aggregate — a
+    // posexplode below it would restore the rows x dim shuffle
+    val aggIdx = plan.indexOf("ObjectHashAggregate")
+    val explodeIdx = plan.indexOf("Generate posexplode")
+    assert(aggIdx >= 0, s"v5 expected ObjectHashAggregate:\n$plan")
+    assert(explodeIdx >= 0 && explodeIdx < aggIdx,
+      s"v5 explode must be above (planned before) the aggregate:\n$plan")
+  }
+
+  test("d5 contamination: the eval shingle universe arrives broadcast") {
+    val plan = planOf("d5_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"d5 lost the broadcast eval-universe join:\n$plan")
+  }
+
+  test("promoted kernels compile to direct static calls in generated code") {
+    // the round-3 promotion replaced CodegenFallback's boxed
+    // references[i].eval(row) with a static kernel call — assert the
+    // generated code actually contains it, per hot query
+    import org.apache.spark.sql.execution.ExplainMode
+    // AQE leaves the codegen explain empty until execution; turn it off
+    // just for this plan derivation
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    def codegenOf(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    try {
+      spark.conf.set(key, "false")
+      assert(codegenOf("t5_shingle_stats").contains("graft.functions.WordShingles.compute"))
+      assert(codegenOf("t8_rolling_fp").contains("graft.functions.RollingHash64.compute"))
+      assert(codegenOf("t2_quality_score").contains("graft.functions.QualityScore.compute"))
+    } finally spark.conf.set(key, prev)
+  }
 }
