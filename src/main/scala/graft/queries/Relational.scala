@@ -292,6 +292,18 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // pivot (long -> wide): order counts per priority x status. The
+    // explicit value list keeps the schema static (no extra distinct-scan
+    // job at scale); empty cells fill 0 to match the oracle's FILTER form
+    "q24_pivot_status" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    },
+
     // --- grouping sets ---------------------------------------------------------
     "q20_grouping_sets" -> { (s, d) =>
       Tables.orders(s, d)
@@ -321,6 +333,15 @@ object Relational extends QueryPack {
     // quantile_cont uses the same sorted-interpolation formula as Spark's
     // exact percentile; l_quantity values are small integers stored as
     // double, so the interpolation arithmetic is IEEE-identical
+    "q24_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q23_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,
