@@ -444,6 +444,8 @@ private[graft] object Crs {
     case z if z >= 28348 && z <= 28358 => CrsDef(utm(Grs80, z - 28300, south = true), None) // GDA94 / MGA
     case z if z >= 7846 && z <= 7859 => CrsDef(utm(Grs80, z - 7800, south = true), None) // GDA2020 / MGA
     case 4149 | 4150 => CrsDef(Geographic(Bessel1841), Some(Ch1903ToWgs84)) // CH1903 / CH1903+
+    case 2193 => CrsDef( // NZGD2000 / New Zealand Transverse Mercator
+      TransverseMercator(Grs80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0), None)
     case 3035 => CrsDef( // ETRS89-extended / LAEA Europe
       LambertAzimuthalEqualArea(Grs80, 52.0, 10.0, 4321000.0, 3210000.0), None)
     case 5070 => CrsDef( // NAD83 / Conus Albers
@@ -454,7 +456,7 @@ private[graft] object Crs {
       SwissObliqueMercator(Bessel1841, 600000.0, 200000.0), Some(Ch1903ToWgs84))
     case other => throw new IllegalArgumentException(
       s"unsupported CRS: EPSG:$other (supported: 4326, 4258, 4269, 4171, 4277, 4230, " +
-        "4283, 7844, 4149, 4150, 3857, 27700, 2154, 2157, 2056, 21781, 3035, 5070, " +
+        "4283, 7844, 4149, 4150, 3857, 27700, 2154, 2157, 2056, 21781, 2193, 3035, 5070, " +
         "UTM 32601-32660/32701-32760/25828-25838/26901-26923, MGA 28348-28358/7846-7859; " +
         "grid-shift-only datums such as NAD27 are not modeled)")
   }

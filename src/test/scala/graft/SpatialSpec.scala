@@ -182,6 +182,9 @@ class SpatialSpec extends AnyFunSuite {
     val (_, n1) = Geo.transformPoint(-96.0, 29.5, 4269, 5070)
     val (_, n2) = Geo.transformPoint(-96.0, 45.5, 4269, 5070)
     assert(n2 > n1 && n1 > 0)
+    // NZTM natural origin: 173E 0S -> (1600000, 10000000) exactly
+    val (ze, zn) = Geo.transformPoint(173.0, 0.0, 4326, 2193)
+    assert(math.abs(ze - 1600000.0) < 1e-6 && math.abs(zn - 10000000.0) < 1e-6)
   }
 
   test("CRS transform: round trips and datum-shift consistency across the registry") {
@@ -192,7 +195,7 @@ class SpatialSpec extends AnyFunSuite {
       4277 -> (-1.0, 52.0), 4230 -> (10.0, 50.0),
       28355 -> (144.96, -37.81), 7855 -> (144.96, -37.81), 4283 -> (133.0, -25.0),
       2056 -> (8.54, 47.38), 21781 -> (7.45, 46.95), 4150 -> (8.0, 46.8),
-      3035 -> (15.0, 48.0), 5070 -> (-104.99, 39.74))
+      3035 -> (15.0, 48.0), 5070 -> (-104.99, 39.74), 2193 -> (174.78, -41.29))
     for ((code, (lon, lat)) <- cases) {
       val (x, y) = Geo.transformPoint(lon, lat, 4326, code)
       val (lon2, lat2) = Geo.transformPoint(x, y, code, 4326)
