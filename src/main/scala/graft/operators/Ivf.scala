@@ -197,6 +197,39 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** Append new vectors to a saved index WITHOUT retraining: load the
+    * stored centroids, assign the new rows distributively, and append
+    * them to the bucket-partitioned data files. This is the standard IVF
+    * maintenance path (pgvector's ivfflat handles inserts the same way —
+    * rows join existing lists); recall degrades only if the data
+    * distribution drifts from the training sample, at which point
+    * [[build]] + [[save]] rebuilds. Returns the number of rows appended.
+    */
+  def appendSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                  newRows: DataFrame, idCol: String, embCol: String): Long = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .select(col("bucket"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, s"$path carries no _centroids — not a saved IVF index")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = newRows
+      .select(col(idCol).cast("long").as("id"), col(embCol).cast("array<float>").as("emb"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cents = bc.value
+        iter.map { case (id, emb) => (id, emb, nearestCentroid(emb, cents)) }
+      }
+      .toDF("id", "emb", "bucket")
+    // persist so the returned count reuses the assignment instead of
+    // re-scanning newRows (the round-2 double-scan lesson)
+    assigned.persist()
+    try {
+      assigned.write.mode("append").partitionBy("bucket").parquet(s"$path/data")
+      assigned.count()
+    } finally assigned.unpersist()
+  }
+
   /** Query a saved index: centroid ranking on the driver, partition-pruned
     * scan of the nprobe nearest buckets, exact top-k within them.
     */

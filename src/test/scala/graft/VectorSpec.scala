@@ -204,6 +204,37 @@ class VectorSpec extends AnyFunSuite {
     assert(saved === mem)
   }
 
+  test("IVF appendSaved: new vectors join existing buckets; searches find them without retraining") {
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val extra = e.filter(col("vec_id") % 2 === 1)
+    val idx = graft.operators.Ivf.build(base, "vec_id", "embedding", nlist = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    graft.operators.Ivf.save(idx, dir)
+    val before = spark.read.parquet(s"$dir/data").count()
+    val appended = graft.operators.Ivf.appendSaved(spark, dir, extra, "vec_id", "embedding")
+    assert(appended === extra.count())
+    assert(spark.read.parquet(s"$dir/data").count() === before + appended)
+    // appended rows landed in their nearest existing bucket (same
+    // assignment the in-memory index would produce)
+    val stored = spark.read.parquet(s"$dir/data")
+      .filter(col("id") % 2 === 1)
+      .select(col("id"), col("emb"), col("bucket"))
+      .collect()
+    stored.foreach { r =>
+      val emb = r.getSeq[Float](1).toArray
+      val expected = idx.centroids.zipWithIndex
+        .minBy { case (c, _) => Knn.cosineDist(emb, c) }._2
+      assert(r.getInt(2) === expected, s"row ${r.getLong(0)} in wrong bucket")
+    }
+    // an appended vector is its own nearest neighbor through the saved index
+    val probe = extra.filter(col("vec_id") === 1L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val hit = graft.operators.Ivf.searchSaved(spark, dir, probe, k = 1, nprobe = 2)
+      .select("id").head().getLong(0)
+    assert(hit === 1L)
+  }
+
   test("IVF search: self-hit + recall@10 >= 0.6 vs exact, scanning nprobe/nlist of corpus") {
     val e = Tables.embeddings(spark, sfDir)
     val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
