@@ -186,6 +186,18 @@ object Text extends QueryPack {
         n = 3, maxHamming = 3)
     },
 
+    // Near-dup clusters: d2's verified pairs resolved into connected
+    // components, one keeper (min doc_id) per component — the decision
+    // step of the dedup pipeline. Min-label propagation (O(diameter)
+    // rounds); the oracle states the same closure as a recursive CTE.
+    "d7_dedup_clusters" -> { (s, d) =>
+      Dedup.nearDupClusters(
+        Dedup.jaccardNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDf = Some(100)))
+        .select(col("id").as("doc_id"), col("keeper"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark-contamination check: every 20th doc plays the eval set;
     // each remaining (train) doc reports what fraction of its distinct
     // 3-gram shingles appear in the eval universe. The eval shingle set
@@ -404,6 +416,32 @@ object Text extends QueryPack {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("w")} AS shingles FROM toks),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 100),
+         |ex AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+         |prs AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM prs
+         |          UNION SELECT id2, id1 FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper
+         |FROM reach
+         |GROUP BY src
+         |ORDER BY doc_id""".stripMargin,
 
     "d5_contamination" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),

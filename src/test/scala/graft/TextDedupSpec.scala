@@ -274,6 +274,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!rows.contains(3L))
   }
 
+  test("nearDupClusters: chains and cliques collapse to min-id components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("incremental dedup: only genuinely-new content survives the anti-join") {
     val existing = textDf((1L, "Shared  Doc"), (2L, "old content"))
     val incoming = textDf(
