@@ -286,6 +286,36 @@ class TextDedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("nearDupClusters equals union-find on random graphs (seeded)") {
+    import spark.implicits._
+    // kept small: every propagation round is a real shuffle job, so trial
+    // count x graph diameter bounds this test's wall time
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 2) {
+      val n = 16
+      val edges = Seq.fill(12)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // in-memory union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // after all unions, path-compress to the true minimum root
+      val expected = nodes.map(v => v -> find(v)).toMap
+      val got = Dedup.nearDupClusters(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: $edges")
+    }
+  }
+
   test("incremental dedup: only genuinely-new content survives the anti-join") {
     val existing = textDf((1L, "Shared  Doc"), (2L, "old content"))
     val incoming = textDf(
