@@ -34,6 +34,25 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Training-MIXTURE sampling: per-stratum quotas instead of a uniform k
+    * — the "3 parts web, 1 part code, 1 part books" step of corpus
+    * assembly. Strata absent from `quotas` contribute nothing; strata
+    * smaller than their quota contribute everything (with a rank, so the
+    * shortfall is visible downstream). Same determinism contract as
+    * [[stratifiedHead]]: a pure function of (salt, data).
+    */
+  def mixtureHead(df: DataFrame, strataCol: String, idCol: String,
+                  quotas: Map[String, Int], salt: String = "graft"): DataFrame = {
+    require(quotas.nonEmpty, "mixtureHead needs at least one stratum quota")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol), salt).asc, col(idCol).asc)
+    val quota = quotas.foldLeft(lit(0)) { case (acc, (s, k)) =>
+      when(col(strataCol) === s, lit(k)).otherwise(acc)
+    }
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+  }
+
   /** Approximate-fraction Bernoulli sample, deterministic in (salt, data):
     * keeps rows whose hash falls below the threshold. Unlike
     * `df.sample()`, membership is a pure function of the row id — stable

@@ -154,6 +154,18 @@ object Text extends QueryPack {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // Training-mixture sampling: per-language quotas (en 10 / fr 5 /
+    // de 3; other languages contribute nothing) via the deterministic
+    // md5-ordered head — the corpus-assembly step after t14's report
+    "t16_mixture_sample" -> { (s, d) =>
+      graft.operators.Sampling.mixtureHead(
+        Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 10, "fr" -> 5, "de" -> 3))
+        .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -464,6 +476,17 @@ object Text extends QueryPack {
          |GROUP BY s
          |ORDER BY df DESC, s ASC
          |LIMIT 20""".stripMargin,
+
+    "t16_mixture_sample" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= CASE lang WHEN 'en' THEN 10 WHEN 'fr' THEN 5
+        |                               WHEN 'de' THEN 3 ELSE 0 END
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     "d6_incremental_dedup" ->
       """SELECT a.doc_id

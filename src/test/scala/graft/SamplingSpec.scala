@@ -6,6 +6,24 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Sampling
 
 class SamplingSpec extends AnyFunSuite {
+
+  test("mixtureHead: quotas honored, absent strata excluded, short strata capped") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val df = ((1 to 20).map(i => (i.toLong, "en")) ++
+      (21 to 24).map(i => (i.toLong, "fr")) ++
+      (25 to 26).map(i => (i.toLong, "zh"))).toDF("doc_id", "lang")
+    val got = graft.operators.Sampling
+      .mixtureHead(df, "lang", "doc_id", Map("en" -> 5, "fr" -> 10))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val byLang = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 5, "fr" -> 4)) // fr capped at its size; zh absent
+    // deterministic: same call, same rows
+    val again = graft.operators.Sampling
+      .mixtureHead(df, "lang", "doc_id", Map("en" -> 5, "fr" -> 10))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.sorted.sameElements(again.sorted))
+  }
   lazy val spark = SparkTestSession.spark
   import SparkTestSession.sfDir
 
