@@ -142,6 +142,23 @@ object Relational extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     },
 
+    // --- window: RANGE frame (trailing time window) -----------------------
+    // 7-day trailing revenue per ship day: daily pre-aggregation first, so
+    // the unpartitioned RANGE window runs over |days| rows, not the fact
+    // table — the standard shape for time-frame windows at scale
+    "q25_trailing_revenue" -> { (s, d) =>
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"))
+        .withColumn("epoch", col("day").cast("timestamp").cast("long"))
+      val w = Window.orderBy(col("epoch"))
+        .rangeBetween(-6L * 86400L, Window.currentRow)
+      daily
+        .withColumn("trailing_7d", sum(col("rev")).over(w).cast("double"))
+        .select(col("day"), col("rev").cast("double").as("rev"), col("trailing_7d"))
+        .orderBy(col("day"))
+    },
+
     // --- distinct aggregation ---------------------------------------------
     "q9_distinct_counts" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -421,6 +438,17 @@ object Relational extends QueryPack {
         |FROM orders
         |WHERE o_custkey <= 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q25_trailing_revenue" ->
+      """WITH daily AS (
+        |  SELECT l_shipdate AS day,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(SUM(rev) OVER (ORDER BY epoch(day)
+        |    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+        |FROM daily
+        |ORDER BY day""".stripMargin,
 
     "q9_distinct_counts" ->
       """SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
