@@ -166,6 +166,27 @@ object Text extends QueryPack {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // Fuzzy entity matching: per-brand count of part-name pairs within
+    // edit distance 5, BLOCKED on (brand, type) so the comparison
+    // space is per-block pairs, never the global n^2 — the standard
+    // multi-key blocking of entity resolution (like d2's maxDf, blocking
+    // bounds the candidate space by construction). Spark evaluates the
+    // THRESHOLDED levenshtein (3-arg form, banded O(len*k) instead of
+    // O(len^2)) once per pair in the filter; the aggregate output stays
+    // |brands| rows regardless of match volume.
+    "t17_fuzzy_name_pairs" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
+      val a = p.toDF("id1", "brand", "ptype", "name1")
+      val b = p.toDF("id2", "brand", "ptype", "name2")
+      a.join(b, Seq("brand", "ptype"))
+        .filter(col("id1") < col("id2") &&
+          expr("levenshtein(name1, name2, 5)").between(0, 5))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_near_pairs"))
+        .orderBy(col("brand"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -476,6 +497,15 @@ object Text extends QueryPack {
          |GROUP BY s
          |ORDER BY df DESC, s ASC
          |LIMIT 20""".stripMargin,
+
+    "t17_fuzzy_name_pairs" ->
+      """SELECT a.p_brand AS brand, COUNT(*) AS n_near_pairs
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |GROUP BY 1
+        |ORDER BY brand""".stripMargin,
 
     "t16_mixture_sample" ->
       """SELECT lang, sample_rank, doc_id FROM (
