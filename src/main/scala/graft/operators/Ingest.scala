@@ -94,6 +94,35 @@ object Ingest {
     (df.filter(!bad), df.filter(bad))
   }
 
+  /** Compact a parquet table directory into ~targetBytes files — the
+    * small-file maintenance op every long-lived table needs (streaming
+    * sinks and incremental appends accumulate files whose per-file
+    * overhead eventually dominates scan cost). One distributed
+    * round-robin repartition to ceil(bytes/target) files, written beside
+    * the original and swapped in only after a successful commit, so a
+    * failed compaction leaves the table untouched. Returns the new file
+    * count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(hconf)
+    val totalBytes = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".${dir.getName}.compact.tmp")
+    spark.read.parquet(path)
+      .repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // the swap is the only non-atomic window; the compacted data is fully
+    // committed (tmp/_SUCCESS) before the original is touched
+    if (!fs.delete(dir, true) || !fs.rename(tmp, dir))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    n
+  }
+
   /** One-shot idempotent load (reference S6 gate: skip when the target is
     * already populated — `backend/load_data.py:130-136,203`). The parquet
     * write commit protocol gives the same all-or-nothing visibility as the

@@ -64,6 +64,21 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("compact: many small files collapse to few, rows and values intact") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 16 tiny files
+    spark.range(1000).selectExpr("id", "id * 2 AS v")
+      .repartition(16).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles === 16)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val n = Ingest.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(n === 1 && parquetFiles === 1)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after === before)
+  }
+
   test("run: committed EMPTY target reads as loaded, not reclaimed") {
     val dir = Files.createTempDirectory("graft-ingest").toString
     val in = s"$dir/in"
