@@ -247,6 +247,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(state2.getTimeoutTimestampMs.get() === 3600000L)
   }
 
+  test("streaming dedup writes exactly-once to a parquet sink (file sink + checkpoint)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, v: Double) = Event(id, t0, 1L, "view", v, "{}")
+    val outDir = Files.createTempDirectory("graft-stream-sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val input = MemoryStream[Event]
+    val q = EventsStream.streamingDedup(input.toDS())
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(Seq(ev(1, 1.0), ev(2, 2.0), ev(1, 99.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(2, 98.0), ev(3, 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the file sink's commit log makes the output exactly-once: batch
+    // reads see each first-occurrence exactly once, duplicates never
+    // (restart-resume against the same checkpoint requires a durable
+    // replayable source — MemoryStream is neither, so that path is
+    // covered by the sink's commit-log contract, not re-tested here)
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).sortBy(_._1)
+    assert(rows === Array((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("streaming dedup keeps first occurrence across batches") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
