@@ -144,6 +144,79 @@ object Dedup {
       .orderBy(col("id"))
   }
 
+  /** The giant-component scale path for [[nearDupClusters]]: alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — public), which converge in
+    * O(log n) rounds regardless of component diameter, where plain
+    * min-label propagation needs O(diameter). Same output contract:
+    * (id, keeper = component minimum) for every id in a pair.
+    *
+    *  - large-star(u): every strictly-larger neighbor of u re-attaches to
+    *    min(neighbors(u) + u);
+    *  - small-star(u): every not-larger neighbor (and u itself)
+    *    re-attaches to that min.
+    *
+    * Each operation is one shuffle (group per node for the min + an
+    * edge-side join) — no neighbor lists are ever collected, so hot nodes
+    * cost a join key, not memory. Convergence witness: (count, hash sum)
+    * of the canonical edge set, checked per round; rounds are also capped.
+    */
+  def nearDupClustersStars(pairs: DataFrame, idCol1: String = "id1",
+                           idCol2: String = "id2", maxRounds: Int = 30): DataFrame = {
+    // canonical undirected edges, no self loops. Each round references
+    // its input ~16 times (two star ops, each reading the edge set for
+    // both orientations and the per-node min), so lineage MUST be
+    // truncated per round — localCheckpoint materializes the round and
+    // resets the plan, keeping Catalyst analysis O(1) per round instead
+    // of O(16^rounds).
+    var e = pairs
+      .select(least(col(idCol1), col(idCol2)).as("a"),
+        greatest(col(idCol1), col(idCol2)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    // one star operation: re-attach `keepLarger` (large-star) or the
+    // complementary (small-star) neighbors of every node to that node's
+    // min-neighborhood label
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val dir = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val m = dir.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val attach = dir.join(m, "u")
+        .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+        .select(col("v"), col("m"))
+      val self = m.select(col("u").as("v"), col("m"))
+      attach.union(if (large) self.limit(0) else self)
+        .filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
+        .distinct()
+    }
+
+    def witness(edges: DataFrame): (Long, Long) = {
+      val r = edges.agg(count(lit(1)), sum(hash(col("a"), col("b")).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = witness(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val w = witness(next)
+      e = next
+      converged = w == prev
+      prev = w
+      rounds += 1
+    }
+    // converged edge set is a star forest rooted at component minima
+    e.select(col("b").as("id"), col("a").as("keeper"))
+      .union(e.select(col("a").as("id"), col("a").as("keeper")))
+      .groupBy(col("id")).agg(min(col("keeper")).as("keeper"))
+      .orderBy(col("id"))
+  }
+
   /** Incremental-load dedup (cross-dataset): rows of `incoming` whose
     * canonical fingerprint does not appear anywhere in `existing` — the
     * "is this new batch already in the corpus" step of a continuously-fed

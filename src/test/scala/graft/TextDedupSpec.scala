@@ -286,6 +286,28 @@ class TextDedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("nearDupClustersStars (large-star/small-star) equals min-label propagation") {
+    import spark.implicits._
+    // chain (worst case for propagation, easy for star contraction),
+    // triangle, isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val viaStars = Dedup.nearDupClustersStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLabels = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaLabels)
+    // one seeded random graph as cross-validation
+    val rng = new scala.util.Random(11)
+    val rand = Seq.fill(12)((rng.nextInt(14).toLong, rng.nextInt(14).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("id1", "id2")
+    val s2 = Dedup.nearDupClustersStars(rand)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l2 = Dedup.nearDupClusters(rand)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2 === l2)
+  }
+
   test("nearDupClusters equals union-find on random graphs (seeded)") {
     import spark.implicits._
     // kept small: every propagation round is a real shuffle job, so trial
