@@ -43,6 +43,10 @@ object GraftFunctions {
   def st_contains(a: Column, b: Column): Column = toCol(STContains(toExpr(a), toExpr(b)))
   def st_within(a: Column, b: Column): Column = toCol(STWithin(toExpr(a), toExpr(b)))
   def st_distance(a: Column, b: Column): Column = toCol(STDistance(toExpr(a), toExpr(b)))
+  def st_area(g: Column): Column = toCol(STArea(toExpr(g)))
+  def st_centroid(g: Column): Column = toCol(STCentroid(toExpr(g)))
+  def st_buffer(g: Column, d: Column): Column =
+    toCol(STBuffer(toExpr(g), toExpr(d.cast("double"))))
   def st_geometrytype(a: Column): Column = toCol(STGeometryType(toExpr(a)))
   def st_try_geometrytype(a: Column): Column =
     toCol(STGeometryType(toExpr(a), failOnError = false))
@@ -81,6 +85,9 @@ object GraftFunctions {
     "st_within"       -> { es => STWithin(es(0), es(1)) },
     "st_distance"     -> { es => STDistance(es(0), es(1)) },
     "st_geometrytype" -> { es => STGeometryType(es(0)) },
+    "st_area"         -> { es => STArea(es(0)) },
+    "st_centroid"     -> { es => STCentroid(es(0)) },
+    "st_buffer"       -> { es => STBuffer(es(0), es(1)) },
     "st_setsrid"      -> { es => STSetSrid(es(0), cast(es(1), "int")) },
     "st_srid"         -> { es => STSrid(es(0)) },
     "rolling_hash"    -> { es => RollingHash64(es(0)) },

@@ -167,6 +167,53 @@ case class STGeometryType(child: Expression, failOnError: Boolean = true)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** st_area(geom): planar area in squared coordinate units (PostGIS
+  * ST_Area on the raw coordinates; geodesic area needs a projected CRS —
+  * compose with the CRS transforms).
+  */
+case class STArea(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_area"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary WKB, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(wkb: Any): Any =
+    Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]).getArea
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_centroid(geom): centroid point as WKB. */
+case class STCentroid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_centroid"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary WKB, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(wkb: Any): Any =
+    Geo.toWkb(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]).getCentroid)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_buffer(geom, dist): JTS buffer polygon as WKB (planar units). */
+case class STBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_buffer"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary WKB, double), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(wkb: Any, d: Any): Any =
+    Geo.toWkb(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])
+      .buffer(d.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Base for WKB x WKB -> T expressions with constant-operand caching. */
 abstract class GeoBinaryExpression extends BinaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -165,6 +165,35 @@ class SpatialSpec extends AnyFunSuite {
       s"LV95 origin from WGS84 ($we, $wn)")
   }
 
+  test("st_area / st_centroid / st_buffer: known geometry, known values") {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.range(1).select(
+      st_geomfromtext(lit("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")).as("rect"),
+      st_geomfromtext(lit("POINT (1 2)")).as("pt"))
+    val row = df.select(
+      st_area(col("rect")).as("area"),
+      st_astext(st_centroid(col("rect"))).as("cent"),
+      st_area(st_buffer(col("pt"), lit(2.0))).as("buf_area"),
+      st_intersects(st_buffer(col("pt"), lit(2.0)),
+        st_geomfromtext(lit("POINT (2.5 2)"))).as("near_in"),
+      st_intersects(st_buffer(col("pt"), lit(2.0)),
+        st_geomfromtext(lit("POINT (9 9)"))).as("far_in"))
+      .head()
+    assert(row.getDouble(0) === 12.0)
+    assert(row.getString(1) === "POINT (2 1.5)")
+    // JTS buffer approximates the circle with 8 segments/quadrant:
+    // area slightly below pi*r^2, well above the inscribed square
+    assert(row.getDouble(2) > 12.0 && row.getDouble(2) < math.Pi * 4.0 + 1e-9)
+    assert(row.getBoolean(3) && !row.getBoolean(4))
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT st_area(st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))")
+      .head().getDouble(0)
+    assert(viaSql === 4.0)
+  }
+
   test("CRS transform: equal-area projections (LAEA Europe, Conus Albers)") {
     // EPSG GN 7-2 §3.1.2 worked example (ETRS89-LAEA Europe):
     // 50degN 5degE -> E 3962799.45 N 2999718.85
