@@ -139,6 +139,14 @@ object Bench {
       }
     }
 
+    // stall diagnostics for the run record: how much the detector threw out
+    val all = names.flatMap(meas(_))
+    val contaminated = all.count(!_._2)
+    val noClean = names.count(n => meas(n).nonEmpty && !meas(n).exists(_._2))
+    System.err.println(s"[bench] ${all.size} measurements, $contaminated " +
+      s"stall-contaminated (discarded from minima), $noClean queries " +
+      s"without a clean measurement after re-runs, sentinel min ${sentMin}s")
+
     val results = names.map(n => n -> bestOf(meas(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
