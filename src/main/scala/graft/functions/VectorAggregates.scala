@@ -34,9 +34,11 @@ final class CentroidBuffer(var count: Long, var sums: Array[Long])
   * result is partial-agg- and order-insensitive). The final value is
   * decimal-sum -> double -> / count, the same float path as the DuckDB
   * oracle's `CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)`.
-  * A value whose scaled magnitude exceeds Long range throws
-  * (ArithmeticException) rather than silently degrading — embeddings are
-  * unit-scale, so that bound (~9.2e9) is never approached in practice.
+  * A value — or a per-group running SUM — whose scaled magnitude exceeds
+  * Long range throws (ArithmeticException, via longValueExact/addExact)
+  * rather than silently degrading — embeddings are unit-scale, so the
+  * bound (~9.2e9 unit-scale rows per group) is never approached in
+  * practice, but a group that does cross it fails loudly.
   */
 case class VectorCentroid(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -67,7 +69,11 @@ case class VectorCentroid(child: Expression,
         s"$prettyName: vector dimension mismatch: ${b.sums.length} vs $n")
       var i = 0
       while (i < n) {
-        b.sums(i) += scaled(if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble)
+        // addExact: sum overflow throws like the per-value longValueExact
+        // path, honoring the "throws rather than silently degrading"
+        // contract for billion-row groups
+        b.sums(i) = Math.addExact(b.sums(i),
+          scaled(if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble))
         i += 1
       }
       b.count += 1
@@ -82,7 +88,9 @@ case class VectorCentroid(child: Expression,
         require(b.sums.length == o.sums.length,
           s"$prettyName: vector dimension mismatch: ${b.sums.length} vs ${o.sums.length}")
         var i = 0
-        while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
+        while (i < b.sums.length) {
+          b.sums(i) = Math.addExact(b.sums(i), o.sums(i)); i += 1
+        }
         b.count += o.count
       }
     }

@@ -117,9 +117,16 @@ object Dedup {
       .agg(least(min(col("b")), col("a")).as("label"))
       .select(col("a").as("node"), col("label"))
       .persist()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // type-agnostic convergence witness (works for string/any id types and
+    // null-safe on empty input, unlike sum(label)): count is constant
+    // across rounds, the hash sum changes iff any label moved
+    def witness(ls: DataFrame): (Long, Long) = {
+      val r = ls.agg(count(lit(1)), sum(hash(col("node"), col("label")).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = witness(labels)
     var rounds = 0
-    var converged = false
+    var converged = prev._1 == 0L // empty pair list: nothing to propagate
     while (!converged && rounds < maxRounds) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "b"), "b")
@@ -129,14 +136,11 @@ object Dedup {
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
         .persist()
-      // labels only ever decrease, so the label sum is a strictly
-      // decreasing convergence witness — one cheap agg action per round
-      // instead of a join + count
-      val s = next.agg(sum(col("label"))).head().getLong(0)
+      val w = witness(next)
       labels.unpersist()
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = w == prev
+      prev = w
       rounds += 1
     }
     edges.unpersist()

@@ -99,9 +99,17 @@ object Ingest {
     * sinks and incremental appends accumulate files whose per-file
     * overhead eventually dominates scan cost). One distributed
     * round-robin repartition to ceil(bytes/target) files, written beside
-    * the original and swapped in only after a successful commit, so a
-    * failed compaction leaves the table untouched. Returns the new file
-    * count.
+    * the original and swapped in via rename-aside: dir -> .old, tmp ->
+    * dir, delete .old. A crash at ANY point leaves the data intact in a
+    * recoverable directory (dir, tmp, or .old — never gone), unlike the
+    * delete-then-rename it replaces, whose mid-swap crash lost the table
+    * path. The swap window for concurrent readers is two metadata renames
+    * (microseconds); a reader that listed the pre-compaction files can
+    * still lose them mid-scan — full snapshot isolation needs a
+    * manifest-versioned table format, out of scope for a plain parquet
+    * directory. Partitioned (nested-directory) layouts are rejected: the
+    * flat rewrite would silently discard the partitioning — compact each
+    * leaf partition directory instead. Returns the new file count.
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
@@ -109,17 +117,32 @@ object Ingest {
     val hconf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(hconf)
-    val totalBytes = fs.listStatus(dir)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val entries = fs.listStatus(dir)
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"compact: $path contains subdirectories (${subdirs.take(3).mkString(", ")}" +
+        s"${if (subdirs.length > 3) ", ..." else ""}) — a partitioned layout; " +
+        "compact each leaf partition directory instead of flattening it")
+    val totalBytes = entries
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".${dir.getName}.compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(dir.getParent, s".${dir.getName}.compact.old")
+    require(!fs.exists(old),
+      s"compact: leftover $old from an interrupted compaction — inspect and remove it first")
     spark.read.parquet(path)
       .repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    // the swap is the only non-atomic window; the compacted data is fully
-    // committed (tmp/_SUCCESS) before the original is touched
-    if (!fs.delete(dir, true) || !fs.rename(tmp, dir))
-      throw new java.io.IOException(s"compaction swap failed for $path")
+    // compacted data is fully committed (tmp/_SUCCESS) before the original
+    // is touched; then the three-step swap, recoverable at every boundary
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compaction swap failed renaming $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // best-effort rollback to the original
+      throw new java.io.IOException(s"compaction swap failed installing $tmp at $dir")
+    }
+    fs.delete(old, true)
     n
   }
 

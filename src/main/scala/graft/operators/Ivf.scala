@@ -71,16 +71,25 @@ object Ivf {
   /** Build the index: sample -> train -> distributed assignment.
     *
     * Sampling is a seeded per-partition reservoir (Vitter's algorithm R,
-    * capacity ~1.2*sampleSize/partitions per partition): ONE scan of the
-    * corpus, bounded executor memory, and — unlike a Bernoulli
-    * `sample(fraction)` — no prior `count()` pass to size the fraction
-    * (round-2 advice: the build used to scan the corpus twice). Partitions
-    * smaller than the reservoir contribute every row, so gate-scale
-    * corpora train on everything. The collected sample is sorted by id on
-    * the driver (trivial at ~sampleSize rows) so k-means initialization
-    * stays deterministic regardless of partition arrival order.
-    * Determinism scope: fixed seed + fixed input layout => identical
-    * index (same contract as the Bernoulli form: per-partition RNG).
+    * capacity ~1.2*sampleSize/partitions per partition) followed by a
+    * size-weighted driver-side merge: ONE scan of the corpus, bounded
+    * executor memory, and — unlike a Bernoulli `sample(fraction)` — no
+    * prior `count()` pass to size the fraction (round-2 advice: the build
+    * used to scan the corpus twice). Each partition returns (rows seen,
+    * reservoir); the driver allocates the ~1.2*sampleSize budget across
+    * partitions PROPORTIONALLY to rows seen, so the final sample is
+    * unbiased across skewed partition layouts and the driver never holds
+    * more than ~1.2*sampleSize + #partitions vectors (round-3 advice: the
+    * old per-partition nlist floor grew the collect as parts x nlist).
+    * Residual bias bound: a partition can contribute at most its reservoir
+    * capacity, so a single partition holding far more than 1/parts of the
+    * corpus is represented by capacity rows, not its full proportional
+    * share — still a uniform sample of that partition.
+    * The merged sample is sorted by id on the driver (trivial at
+    * ~sampleSize rows) so k-means initialization stays deterministic
+    * regardless of partition arrival order. Determinism scope: fixed seed
+    * + fixed input layout => identical index (same contract as the
+    * Bernoulli form: per-partition RNG).
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
             nlist: Int, iters: Int = 5, sampleSize: Int = 100000,
@@ -90,15 +99,11 @@ object Ivf {
     val pairs = corpus
       .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
       .as[(Long, Array[Float])]
-    // Train on everything the reservoirs return (~1.2x sampleSize):
-    // truncating the id-sorted sample would deterministically exclude the
-    // top of the id range from training — biased centroids on
-    // append-ordered corpora. The id sort is for deterministic k-means
-    // initialization only.
     val rdd = pairs.rdd
     val parts = math.max(1, rdd.getNumPartitions)
-    val perPart = math.max(nlist, ((1.2 * sampleSize).toLong / parts + 1).toInt)
-    val sample: Array[Array[Float]] = rdd
+    val budget = math.max(nlist, math.ceil(1.2 * sampleSize).toInt)
+    val perPart = (budget.toLong / parts + 1).toInt
+    val partSamples: Array[(Int, Long, Array[(Long, Array[Float])])] = rdd
       .mapPartitionsWithIndex { (pid, iter) =>
         val rng = new java.util.Random(
           graft.functions.SketchHash.mix(seed + 0x9E3779B97F4A7C15L * (pid + 1)))
@@ -112,9 +117,32 @@ object Ivf {
           }
           seen += 1
         }
-        buf.iterator.take(math.min(seen, perPart.toLong).toInt)
+        Iterator.single((pid, seen, buf.take(math.min(seen, perPart.toLong).toInt)))
       }
-      .collect().sortBy(_._1).map(_._2)
+      .collect()
+    val totalSeen = math.max(1L, partSamples.map(_._2).sum)
+    val sample: Array[Array[Float]] = partSamples
+      .flatMap { case (pid, seen, res) =>
+        // proportional quota (ceil: total overshoot <= #partitions). A
+        // reservoir is a uniform sample of its partition, but its array
+        // order is not uniform — seeded Fisher-Yates before truncating so
+        // the quota rows are a uniform subsample of the reservoir.
+        val quota = math.min(res.length.toLong,
+          math.ceil(budget.toDouble * seen / totalSeen).toLong).toInt
+        if (quota >= res.length) res
+        else {
+          val rng = new java.util.Random(
+            graft.functions.SketchHash.mix(seed ^ (0xC2B2AE3D27D4EB4FL * (pid + 1))))
+          var i = res.length - 1
+          while (i > 0) {
+            val j = rng.nextInt(i + 1)
+            val t = res(i); res(i) = res(j); res(j) = t
+            i -= 1
+          }
+          res.take(quota)
+        }
+      }
+      .sortBy(_._1).map(_._2)
     require(sample.length >= nlist,
       s"sample ${sample.length} < nlist $nlist — raise sampleSize")
     val cs = trainCentroids(sample, nlist, iters)
