@@ -13,9 +13,13 @@ import graft.operators.Dedup
   *
   * The Spark side uses the TextFunctions / Dedup operators; the oracle
   * states the identical algorithm in DuckDB SQL (token convention: trim +
-  * split on \s+; shingles: word 3-grams). MinHash-LSH and SimHash have no
-  * portable SQL form — they are verified in ScalaTest against the exact
-  * Jaccard baseline and surfaced as rows-only queries (d3/d4).
+  * split on \s+; shingles: word 3-grams). That includes the sketch
+  * pipelines: MinHash-LSH (d3) and SimHash (d4) oracles restate the
+  * engine's exact FNV-1a/splitmix64 kernel arithmetic with masked
+  * 64-bit-wraparound SQL (see mulModU below) — the same precedent as t8's
+  * rolling hash — so the full signature -> banding -> verify dataflow is
+  * differentially checked, not just its ScalaTest equivalence to the
+  * exact baseline.
   */
 object Text extends QueryPack {
 
@@ -206,14 +210,17 @@ object Text extends QueryPack {
         n = 3, minJaccard = 0.5, maxDf = Some(100))
     },
 
-    // MinHash-LSH near-dups — rows-only oracle; ScalaTest asserts equality
-    // with d2's exact pairs at this threshold/geometry
+    // MinHash-LSH near-dups — full-pipeline SQL oracle (identical FNV-1a +
+    // splitmix64 signature math, band-slice blocking, exact verify);
+    // ScalaTest additionally asserts equality with d2's exact pairs at
+    // this threshold/geometry
     "d3_minhash_lsh_near_dup" -> { (s, d) =>
       Dedup.minhashLshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, minJaccard = 0.5)
     },
 
-    // SimHash near-dups — rows-only oracle (sketch-specific recall)
+    // SimHash near-dups — full-pipeline SQL oracle (identical FNV-1a bit
+    // votes, chunk blocking, hamming verify)
     "d4_simhash_near_dup" -> { (s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, maxHamming = 3)
@@ -291,6 +298,50 @@ object Text extends QueryPack {
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
   private def shinglesSql(w: String) =
     s"list_distinct(list_transform(generate_series(1, len($w) - 2), i -> array_to_string($w[i:i+2], ' ')))"
+
+  // ---- 64-bit unsigned arithmetic in portable DuckDB SQL (the sketch
+  // oracles: d3 MinHash, d4 SimHash). Values live as UBIGINT in [0, 2^64);
+  // wraparound multiplication is decomposed into 32-bit halves so every
+  // intermediate fits 64 bits, with one HUGEINT add per step for the final
+  // carry. Deliberately NO `% 2^64` on HUGEINT anywhere: 128-bit division
+  // is ~20x slower than masked adds (measured 36 s -> 1.7 s for the d3
+  // signature pipeline at sf0.01), while `&`/`>>`/`xor` are single vector
+  // ops. Same t8 precedent (rolling hash): restating the engine's exact
+  // kernel arithmetic in SQL the oracle engine can vectorize. ----
+  private val mask64 = "18446744073709551615"
+
+  /** (x * c) mod 2^64 for UBIGINT expression `x` and constant c:
+    * x*c = x_lo*c_lo + (x_hi*c_lo + x_lo*c_hi)*2^32 (+ overflow bits that
+    * vanish mod 2^64); each partial product of 32-bit halves is < 2^64.
+    */
+  private def mulModU(x: String, c: Long): String = {
+    val ch = c >>> 32; val cl = c & 0xffffffffL
+    val t1 = s"((($x) & 4294967295) * $cl)"
+    val t2 = s"(((($x) >> 32) * $cl) & 4294967295) * 4294967296"
+    val t3 = s"(((($x) & 4294967295) * $ch) & 4294967295) * 4294967296"
+    s"CAST((CAST($t1 AS HUGEINT) + ($t2) + ($t3)) & $mask64 AS UBIGINT)"
+  }
+
+  private def addModU(a: String, b: String): String =
+    s"CAST((CAST($a AS HUGEINT) + ($b)) & $mask64 AS UBIGINT)"
+
+  /** FNV-1a 64 (SketchHash.fnv1a64) over the UTF-8 BYTES of column `s`:
+    * bytes come from hex(encode(s)) two hex digits at a time, so multi-byte
+    * characters hash identically to the JVM's getBytes("UTF-8") — unlike a
+    * code-point walk, which would diverge on any non-ASCII token.
+    */
+  private val fnvSql: String =
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), " +
+      "list_transform([hex(encode(s))], hx -> list_transform(generate_series(1, len(hx)//2), " +
+      "i -> CAST(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1])-1 AS UBIGINT)*16 " +
+      "+ (strpos('0123456789ABCDEF', hx[2*i:2*i])-1)))[1]), " +
+      s"(h, b) -> ${mulModU("xor(h, b)", 0x100000001b3L)})"
+
+  /** UBIGINT -> the signed BIGINT with the same bit pattern (MinHash slot
+    * minima compare in the SIGNED domain, matching the JVM's Long order).
+    */
+  private def signedSql(u: String): String =
+    s"CAST(CASE WHEN ($u) >= 9223372036854775808 THEN CAST($u AS HUGEINT) - 18446744073709551616 ELSE CAST($u AS HUGEINT) END AS BIGINT)"
 
   def sql: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -571,6 +622,78 @@ object Text extends QueryPack {
          |JOIN sizes s1 ON id1 = s1.doc_id
          |JOIN sizes s2 ON id2 = s2.doc_id
          |WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5
-         |ORDER BY id1, id2""".stripMargin
+         |ORDER BY id1, id2""".stripMargin,
+
+    // The full MinHash-LSH pipeline restated in SQL: identical FNV-1a
+    // bases, splitmix64 permutation streams (three layered projections so
+    // the oracle engine vectorizes instead of re-evaluating nested
+    // lambdas), signed-domain slot minima, 32 x 4 band slices, and exact
+    // Jaccard verification of band-colliding candidates. Candidates are
+    // blocked on band-slice EQUALITY where the engine blocks on
+    // hash(slice) — equal slices always share a bucket, so the sets agree
+    // except on a 32-bit hash collision between UNEQUAL slices that also
+    // passes exact verification (~2^-32 per colliding pair, and the
+    // collision would have to join two true near-dups the bands missed).
+    // Docs with no shingles (sig = 128 x Long.MaxValue, mutual candidates
+    // in every band) are dropped by verification on both sides: 0/0
+    // Jaccard is NaN in the JVM and NULL here, neither >= 0.5.
+    "d3_minhash_lsh_near_dup" ->
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${shinglesSql(toksSql)} AS shingles FROM documents),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |bases AS (SELECT doc_id, $fnvSql AS base FROM ex),
+         |m0 AS (SELECT doc_id, i, ${addModU("base", mulModU("CAST(i AS UBIGINT)", 0x9e3779b97f4a7c15L))} AS z
+         |       FROM bases, generate_series(1, 128) AS g(i)),
+         |m1 AS (SELECT doc_id, i, ${mulModU("xor(z, z >> 30)", 0xbf58476d1ce4e5b9L)} AS z FROM m0),
+         |m2 AS (SELECT doc_id, i, ${mulModU("xor(z, z >> 27)", 0x94d049bb133111ebL)} AS z FROM m1),
+         |m3 AS (SELECT doc_id, i, xor(z, z >> 31) AS u FROM m2),
+         |slots AS (
+         |  SELECT doc_id, i, MIN(${signedSql("u")}) AS slot
+         |  FROM m3 GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+         |banded AS MATERIALIZED (
+         |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS slc
+         |  FROM sig, generate_series(0, 31) AS g(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.slc = b.slc AND a.doc_id < b.doc_id)
+         |SELECT id1, id2
+         |FROM cand
+         |JOIN sh s1 ON s1.doc_id = id1
+         |JOIN sh s2 ON s2.doc_id = id2
+         |WHERE len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+         |      / len(list_distinct(s1.shingles || s2.shingles)) >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+
+    // SimHash restated in SQL: FNV-1a per shingle, per-bit +/-1 majority
+    // vote over 64 bits, fingerprint rebuilt as UBIGINT, 4 x 16-bit chunk
+    // blocking and hamming <= 3 verification — an EXACT reproduction of
+    // the engine's candidate set (the engine blocks on raw chunk values,
+    // no hash bucketing, so there is no collision caveat here). Docs with
+    // no shingles get fingerprint 0 via the LEFT JOIN (the kernel's
+    // empty-input contract) and so pair with each other if present, as in
+    // the engine.
+    "d4_simhash_near_dup" ->
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${shinglesSql(toksSql)} AS shingles FROM documents),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |bases AS (SELECT doc_id, $fnvSql AS base FROM ex),
+         |bits AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN (base >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM bases, generate_series(0, 63) AS g(b)
+         |  GROUP BY doc_id, b),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END) & $mask64 AS UBIGINT) AS u
+         |  FROM bits GROUP BY doc_id),
+         |sims AS MATERIALIZED (
+         |  SELECT s.doc_id, COALESCE(a.u, CAST(0 AS UBIGINT)) AS u
+         |  FROM sh s LEFT JOIN agg a ON s.doc_id = a.doc_id),
+         |chunked AS (
+         |  SELECT doc_id, u, c, (u >> (c*16)) & 65535 AS v
+         |  FROM sims, generate_series(0, 3) AS g(c)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM chunked a JOIN chunked b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.u, b.u)) <= 3)
+         |SELECT id1, id2 FROM cand ORDER BY id1, id2""".stripMargin
   )
 }

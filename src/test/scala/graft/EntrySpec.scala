@@ -10,8 +10,8 @@ class EntrySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   val RowsOnly = Set(
-    "d3_minhash_lsh_near_dup", // MinHash internals not SQL-portable
-    "d4_simhash_near_dup",     // SimHash internals not SQL-portable
+    // (d3/d4 graduated: MinHash/SimHash kernels restated in masked-64-bit
+    // DuckDB SQL since round 4 — see Text.sql)
     "v7_ivf_knn",              // ANN path; recall-tested vs exact
     "v8_lsh_near_dup",         // LSH blocking; pair-equality-tested vs exact
     "v9_ivf_knn_join",         // ANN join; recall-tested vs exact join
