@@ -111,9 +111,11 @@ object LayersTable {
     * part file's row groups are BYTE-COPIED into a rewritten file via
     * `ParquetFileWriter.appendFile` (no decode/re-encode — pages move
     * verbatim) and the footer is re-serialized with the `geo` key merged
-    * in. The pass is one sequential copy per part file; at cluster scale
-    * the same stamping runs inside a `foreachPartition` over file paths —
-    * here it loops on the driver (local filesystems, gate-scale files).
+    * in. Tables above a handful of part files stamp DISTRIBUTED — a Spark
+    * job over the file list, one independent rewrite per file — so a
+    * 10k-file table re-footers at cluster width instead of serializing
+    * through the driver; small tables take a driver loop to skip the job
+    * overhead. Both paths run the identical per-file kernel.
     */
   def writeGeoParquet(df: DataFrame, path: String, geomCol: String = "geometry"): Unit = {
     require(df.columns.contains(geomCol),
@@ -130,38 +132,71 @@ object LayersTable {
     s"""{"version":"1.0.0","primary_column":"$geomCol",""" +
       s""""columns":{"$geomCol":{"encoding":"WKB","geometry_types":[]}}}"""
 
+  /** Part-file count at or below which stamping loops on the driver: the
+    * per-file rewrite is ~ms on local files, so a Spark job only pays off
+    * once there are more files than a scheduler round-trip is worth.
+    */
+  private val DriverStampMax = 4
+
   /** Rewrite every part file under `path` with the `geo` footer key added
     * (row groups byte-copied, existing key-value metadata preserved).
+    * Distributed over executors beyond [[DriverStampMax]] files.
     */
   private def stampGeoFooter(spark: SparkSession, path: String, geomCol: String): Unit = {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
-    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
-    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val parts = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
     val geoJson = geoFooterJson(geomCol)
-    parts.foreach { part =>
-      val in = HadoopInputFile.fromPath(part, conf)
-      val (schema, existingKv) = {
-        val r = ParquetFileReader.open(in)
-        try (r.getFooter.getFileMetaData.getSchema,
-          r.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap)
-        finally r.close()
-      }
-      val tmp = new Path(part.getParent, s".${part.getName}.geo.tmp")
-      val writer = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf),
-        schema, ParquetFileWriter.Mode.OVERWRITE,
-        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
-        org.apache.parquet.hadoop.ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
-      writer.start()
-      writer.appendFile(in)
-      writer.end((existingKv + ("geo" -> geoJson)).asJava)
-      if (!fs.delete(part, false) || !fs.rename(tmp, part))
-        throw new java.io.IOException(s"geo footer stamp failed for $part")
+    if (parts.length <= DriverStampMax)
+      parts.foreach(p => stampOneFile(conf, p, geoJson))
+    else {
+      // ship the Hadoop conf as plain key-value pairs (Configuration is
+      // not serializable); each task rebuilds it and rewrites its files
+      // independently — per-file work has no cross-file state
+      val confKv = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+      val sc = spark.sparkContext
+      sc.parallelize(parts.toSeq, math.min(parts.length, sc.defaultParallelism))
+        .foreachPartition { files =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => c.set(k, v) }
+          files.foreach(p => stampOneFile(c, p, geoJson))
+        }
     }
+  }
+
+  /** The per-file stamping kernel (runs on the driver or inside an
+    * executor task): byte-copy row groups, merge the `geo` key into the
+    * footer, swap into place.
+    */
+  private def stampOneFile(conf: org.apache.hadoop.conf.Configuration,
+                           pathStr: String, geoJson: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val part = new Path(pathStr)
+    val fs = part.getFileSystem(conf)
+    val in = HadoopInputFile.fromPath(part, conf)
+    val (schema, existingKv) = {
+      val r = ParquetFileReader.open(in)
+      try (r.getFooter.getFileMetaData.getSchema,
+        r.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap)
+      finally r.close()
+    }
+    val tmp = new Path(part.getParent, s".${part.getName}.geo.tmp")
+    val writer = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf),
+      schema, ParquetFileWriter.Mode.OVERWRITE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+      org.apache.parquet.hadoop.ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+    writer.start()
+    writer.appendFile(in)
+    writer.end((existingKv + ("geo" -> geoJson)).asJava)
+    if (!fs.delete(part, false) || !fs.rename(tmp, part))
+      throw new java.io.IOException(s"geo footer stamp failed for $part")
   }
 
   /** GeoParquet scan (reference S1): verify the file IS GeoParquet (geo

@@ -81,6 +81,28 @@ class GeoParquetSpec extends AnyFunSuite {
     layers.unpersist()
   }
 
+  test("writeGeoParquet stamps many part files via the distributed path") {
+    val out = java.nio.file.Files.createTempDirectory("graft-geomulti").toString + "/layers"
+    // repartition(8) spreads the 7 fixture rows one-per-partition; empty
+    // partitions write no file, so 7 part files land — above the
+    // driver-loop threshold, so the footer stamping runs as a Spark job
+    // over the file list
+    val original = LayersTable.readGeoParquet(spark, fixture)
+    LayersTable.writeGeoParquet(original.repartition(8), out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parts.length === 7)
+    // EVERY part file carries the geo footer (geoMetadata reads only the
+    // first part; check each file directly)
+    parts.foreach { f =>
+      val meta = LayersTable.geoMetadata(spark, f.getPath)
+      assert(meta === Some(LayersTable.GeoMeta("geometry", "WKB")),
+        s"missing/wrong geo footer on ${f.getName}")
+    }
+    // rows survive the distributed rewrite
+    assert(LayersTable.readGeoParquet(spark, out).count() === original.count())
+  }
+
   test("DDL validation: wrong embedding dimension fails the load (COPY-abort analogue)") {
     val raw = LayersTable.readGeoParquet(spark, fixture)
     val e = intercept[Exception] {
