@@ -16,11 +16,11 @@ package graft.functions
   *
   * Accuracy contract: projection series are ~mm; Helmert datum shifts are
   * the published single-transformation parameters (EPSG:1314 for OSGB36,
-  * EPSG:1133 for ED50) and carry their published ~2-10 m uncertainty —
-  * identical behavior to pyproj WITHOUT datum grids (the reference
-  * container installs no NTv2/OSTN grids either). ETRS89 / NAD83 / RGF93
-  * are treated as coincident with WGS84 (sub-metre plate drift ignored,
-  * the standard null-transformation assumption).
+  * EPSG:1133 for ED50, EPSG:1173 for NAD27) and carry their published
+  * ~2-10 m uncertainty — identical behavior to pyproj WITHOUT datum grids
+  * (the reference container installs no NTv2/OSTN/NADCON grids either).
+  * ETRS89 / NAD83 / RGF93 are treated as coincident with WGS84 (sub-metre
+  * plate drift ignored, the standard null-transformation assumption).
   */
 private[graft] object Crs {
 
@@ -37,6 +37,7 @@ private[graft] object Crs {
   val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
   val Intl1924: Ellipsoid = Ellipsoid(6378388.0, 297.0)
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
+  val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 294.978698214)
 
   /** 7-parameter Helmert to WGS84, position-vector convention (EPSG 9606):
     * rotations in arc-seconds, scale in ppm.
@@ -411,6 +412,12 @@ private[graft] object Crs {
   // CH1903+ -> ETRS89 is the published pure translation (EPSG:1676); the
   // same parameters serve CH1903 (EPSG:1753, ~1 m stated accuracy)
   private val Ch1903ToWgs84 = Helmert(674.374, 15.056, 405.346, 0, 0, 0, 0)
+  // NAD27 -> WGS84: the published CONUS geocentric translation (EPSG:1173).
+  // NAD27 is properly a GRID datum (NADCON/NTv2 — per-point shift tables
+  // the reference's pyproj would download); this single Helmert is the
+  // EPSG-published approximation with ~10 m stated accuracy over CONUS,
+  // the standard fallback when no grids are installed.
+  private val Nad27ToWgs84 = Helmert(-8.0, 160.0, 176.0, 0, 0, 0, 0)
 
   private def utm(ell: Ellipsoid, zone: Int, south: Boolean): Projection =
     TransverseMercator(ell, 0.0, zone * 6.0 - 183.0, 0.9996,
@@ -454,11 +461,16 @@ private[graft] object Crs {
       SwissObliqueMercator(Bessel1841, 2600000.0, 1200000.0), Some(Ch1903ToWgs84))
     case 21781 => CrsDef( // CH1903 / LV03
       SwissObliqueMercator(Bessel1841, 600000.0, 200000.0), Some(Ch1903ToWgs84))
+    // NAD27: Helmert-approximated (EPSG:1173, ~10 m over CONUS — exact
+    // NAD27 needs NADCON grid files, see Nad27ToWgs84)
+    case 4267 => CrsDef(Geographic(Clarke1866), Some(Nad27ToWgs84))
+    case z if z >= 26701 && z <= 26722 => // NAD27 / UTM zones 1N-22N
+      CrsDef(utm(Clarke1866, z - 26700, south = false), Some(Nad27ToWgs84))
     case other => throw new IllegalArgumentException(
       s"unsupported CRS: EPSG:$other (supported: 4326, 4258, 4269, 4171, 4277, 4230, " +
-        "4283, 7844, 4149, 4150, 3857, 27700, 2154, 2157, 2056, 21781, 2193, 3035, 5070, " +
-        "UTM 32601-32660/32701-32760/25828-25838/26901-26923, MGA 28348-28358/7846-7859; " +
-        "grid-shift-only datums such as NAD27 are not modeled)")
+        "4283, 7844, 4149, 4150, 4267, 3857, 27700, 2154, 2157, 2056, 21781, 2193, 3035, 5070, " +
+        "UTM 32601-32660/32701-32760/25828-25838/26901-26923/26701-26722, " +
+        "MGA 28348-28358/7846-7859)")
   }
 
   /** Point transform src EPSG -> dst EPSG (always_xy axis order, matching

@@ -74,9 +74,34 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(lat - 2.0) < 1e-9) // 2 deg lat <-> 222684.2085 m
     // identity
     assert(Geo.transformPoint(10.0, 20.0, 4326, 4326) === ((10.0, 20.0)))
-    // unsupported (grid-shift-only datum)
-    val e = intercept[IllegalArgumentException](Geo.transformPoint(0, 0, 4326, 4267))
+    // unsupported code raises descriptively with the supported list
+    val e = intercept[IllegalArgumentException](Geo.transformPoint(0, 0, 4326, 29902))
     assert(e.getMessage.contains("unsupported CRS"))
+  }
+
+  test("CRS transform: NAD27 Helmert approximation (EPSG:1173, ~10 m contract)") {
+    // NAD27 geographic -> WGS84 over CONUS: the NADCON-exact shift is tens
+    // of metres; the published single Helmert reproduces it to ~10 m. Pin
+    // the magnitude envelope (never zero, never hundreds of metres) at
+    // three well-separated CONUS points, and exact round-trips.
+    for ((lon, lat) <- Seq((-75.0, 40.0), (-95.0, 38.0), (-120.0, 45.0))) {
+      val (wlon, wlat) = Geo.transformPoint(lon, lat, 4267, 4326)
+      val metres = math.hypot((wlon - lon) * 111320 * math.cos(math.toRadians(lat)),
+        (wlat - lat) * 110574)
+      assert(metres > 5 && metres < 300, s"NAD27 shift at ($lon,$lat): $metres m")
+      val (blon, blat) = Geo.transformPoint(wlon, wlat, 4326, 4267)
+      assert(math.abs(blon - lon) < 1e-7 && math.abs(blat - lat) < 1e-7)
+    }
+    // NAD27 UTM 14N (EPSG:26714) near its central meridian (99W): northing
+    // close to the WGS84-UTM value (same TM geometry, Clarke 1866
+    // ellipsoid + datum shift differences stay well under 400 m)
+    val (e14, n14) = Geo.transformPoint(-99.0, 38.0, 4326, 26714)
+    assert(math.abs(e14 - 500000.0) < 2000, s"UTM14N easting $e14")
+    val (_, n84) = Geo.transformPoint(-99.0, 38.0, 4326, 32614)
+    assert(math.abs(n14 - n84) < 400, s"NAD27 vs WGS84 UTM northing: $n14 vs $n84")
+    // projected round trip
+    val (rlon, rlat) = Geo.transformPoint(e14, n14, 26714, 4326)
+    assert(math.abs(rlon - -99.0) < 1e-7 && math.abs(rlat - 38.0) < 1e-7)
   }
 
   test("st_setsrid/st_srid: EWKB SRID round trip; untagged reads engine default; geometry preserved") {
