@@ -40,4 +40,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     packs.map(_.sql).reduce(_ ++ _)
+
+  /** Bench-only queries (production-width 1024-dim vector variants):
+    * measured by `graft.Bench` with standing minima in BASELINE.md, but
+    * not part of the oracle gate — their semantics are pinned by the
+    * 64-dim gate siblings (see Vectors.widened).
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    Vectors.benchDefs
 }

@@ -127,13 +127,76 @@ object Vectors extends QueryPack {
     * word-3-gram TF vectors (dim 256). The stand-in for a model-embedded
     * corpus that keeps the LSH path fully verifiable against the exact
     * operator (near-dup texts -> cosine >= ~0.94).
+    *
+    * Deliberately NOT cached: the expression chain is fully codegen'd and
+    * cheap relative to the LSH joins that consume it, and a `.cache()`
+    * here (as in rounds 2-3) had no unpersist hook — a slow leak of pinned
+    * blocks in a long-lived session. Callers that reuse the vectors across
+    * many actions should cache AND unpersist in their own scope.
     */
   private[graft] def docVectors(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         l2_normalize(hashing_tf(
           graft.functions.TextFunctions.shingle_set(col("text"), 3), 256)).as("vec"))
-      .cache()
+
+  /** Name of the materialized production-width table `graft.Bench` writes
+    * beside its staged inputs (see widenInline).
+    */
+  val WidenedTable = "embeddings1024.parquet"
+
+  /** The 1024-dim widened corpus: each 64-dim embedding tiled x16,
+    * matching the reference's production width (`vector(1024)`,
+    * `/root/reference/backend/load_data.py:78`). Tiling multiplies dot
+    * products and both norms by 16, so cosine ordering — and therefore
+    * every widened query's semantics — is pinned by the 64-dim gate
+    * siblings; what changes is the kernel work per row, which is the
+    * point. Reads the pre-materialized parquet when the bench has staged
+    * it (so measurements see real 1024-dim columnar input, not inline
+    * widening), deriving on the fly otherwise.
+    */
+  private[graft] def widened(s: SparkSession, d: String): DataFrame = {
+    val p = s"$d/$WidenedTable"
+    if (new java.io.File(p).exists()) s.read.parquet(p)
+    else widenInline(s, d)
+  }
+
+  private[graft] def widenInline(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        flatten(array_repeat(col("embedding"), 16)).as("embedding"))
+
+  /** Bench-only variants at production vector width (1024-dim): the gate
+    * corpus is 64-dim, so without these the CosineDistance codegen loop,
+    * knnJoin's bounded heaps, and VectorCentroid's fixed-width buffer were
+    * never measured at the width the design claims. Not oracle-gated
+    * (semantics pinned by v1/v3/v5, see `widened`); measured by
+    * `graft.Bench` with standing minima in BASELINE.md.
+    */
+  def benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1w_knn_1024" -> { (s, d) =>
+      val e = widened(s, d)
+      val probe = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Knn.topK(e, col("embedding"), probe, k = 10, tieBreak = col("vec_id"))
+        .select(col("vec_id"), col("label"))
+    },
+    "v3w_knn_join_1024" -> { (s, d) =>
+      val e = widened(s, d)
+      Knn.knnJoin(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+    "v5w_centroids_1024" -> { (s, d) =>
+      widened(s, d)
+        .groupBy(col("label"))
+        .agg(vector_centroid(col("embedding")).as("cent"))
+        .select(col("label"), posexplode(col("cent")).as(Seq("pos", "centroid")))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
+        .orderBy(col("label"), col("pos"))
+    }
+  )
 
   def sql: Map[String, String] = Map(
     "v1_knn_top10" ->

@@ -345,4 +345,28 @@ class VectorSpec extends AnyFunSuite {
     assert(truePairs.subsetOf(candSet), "blocking missed a true pair")
     candDf.unpersist(); dv.unpersist()
   }
+
+  test("bench-only 1024-dim widened variants agree with their 64-dim gate siblings") {
+    import graft.queries.Vectors
+    // x16 tiling scales dot products and both norms by 16, so cosine
+    // ordering is unchanged (corpus distance gaps >= 1e-4 dwarf any
+    // last-ulp accumulation differences) — v1w/v3w emit identical rows
+    val v1 = SparkEntry.queries("v1_knn_top10")(spark, sfDir).collect().toSeq
+    val v1w = Vectors.benchDefs("v1w_knn_1024")(spark, sfDir).collect().toSeq
+    assert(v1w === v1)
+    val v3 = SparkEntry.queries("v3_knn_join")(spark, sfDir).collect().toSeq
+    val v3w = Vectors.benchDefs("v3w_knn_join_1024")(spark, sfDir).collect().toSeq
+    assert(v3w === v3)
+    // centroids: slot p of the widened centroid equals slot p % 64 of the
+    // 64-dim centroid EXACTLY (VectorCentroid's decimal-routed sums are
+    // order-exact per slot, and each widened slot sums the same values)
+    val v5 = SparkEntry.queries("v5_label_centroids")(spark, sfDir).collect()
+      .map(r => (r.get(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val v5w = Vectors.benchDefs("v5w_centroids_1024")(spark, sfDir).collect()
+    assert(v5w.length === v5.size * 16)
+    v5w.foreach { r =>
+      assert(r.getDouble(2) === v5((r.get(0), r.getLong(1) % 64)),
+        s"widened centroid mismatch at label=${r.get(0)} pos=${r.getLong(1)}")
+    }
+  }
 }
