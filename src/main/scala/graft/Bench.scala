@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"stall":{...},
+  * "sf":...}. The full record (including every raw measurement) is also
+  * written to BENCH_LAST.json in the repo, so the round artifact survives
+  * even if the driver's stdout tail window truncates the line.
   *
   * Methodology:
   *  - results are written to the `noop` datasource so the FULL plan
@@ -14,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   *    charged to the first measured query;
   *  - AQE is on (as it would be on a real cluster) and shuffle
   *    partitions match the local core count, not the 200 default;
+  *  - INPUT STAGING: the sf directory (~17 MB at sf0.1) is copied into
+  *    tmpfs once at start, so parquet scans stop sampling this host's
+  *    intermittently-stalling disk (shuffle dirs were already tmpfs; the
+  *    inputs were the remaining exogenous term in recorded scan times);
   *  - STALL-PROOFING: this host's disk intermittently stalls 30-100x for
   *    epochs that outlast three consecutive passes of a query, so plain
   *    min-of-N can still record a stalled number (round 2 recorded
@@ -23,11 +30,72 @@ import org.apache.spark.sql.SparkSession
   *    marked stall-contaminated. The recorded figure is the min over
   *    clean measurements; queries left with no clean measurement (or a
   *    min >3x their BASELINE.md standing entry) get targeted re-runs at
-  *    the end, waiting out stall epochs, under a bounded extra budget.
+  *    the end, waiting out stall epochs, under an extra budget that
+  *    SCALES with the contamination observed in the main passes (a host
+  *    that stalled through most of the run earns proportionally more
+  *    re-run time; round 3's fixed 7 min was exhausted on such a host);
+  *  - stall-detector statistics are part of the emitted JSON (round 3
+  *    printed them to stderr, where the driver's capture truncated them
+  *    away).
+  *
+  * Besides SparkEntry.queries (the oracle gate), the bench also measures
+  * SparkEntry.benchOnly — production-width (1024-dim) vector variants whose
+  * semantics are pinned by their 64-dim gate siblings.
   */
 object Bench {
+
+  /** Copy the sf directory's parquet files into tmpfs. Best-effort: any
+    * failure (no /dev/shm, out of space) falls back to the original dir —
+    * staging is a measurement-hygiene optimization, never a correctness
+    * dependency. Re-entrant: files already staged with matching length are
+    * not recopied.
+    */
+  private def stageInputs(sfDir: String): (String, Boolean) = {
+    try {
+      val src = new java.io.File(sfDir)
+      val shm = new java.io.File("/dev/shm")
+      if (!src.isDirectory || !shm.isDirectory) return (sfDir, false)
+      val files = src.listFiles().filter(_.isFile)
+      val need = files.map(_.length).sum
+      if (shm.getUsableSpace < 4 * need) return (sfDir, false) // 4x: widened table + slack
+      val dst = new java.io.File(shm, s"graft-bench-input/${src.getName}")
+      dst.mkdirs()
+      for (f <- files) {
+        val t = new java.io.File(dst, f.getName)
+        if (!t.isFile || t.length != f.length)
+          java.nio.file.Files.copy(f.toPath, t.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      (dst.getAbsolutePath, true)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] input staging failed, reading $sfDir directly: ${e.getMessage}")
+        (sfDir, false)
+    }
+  }
+
+  /** Materialize the 1024-dim widened embeddings table (x16 tile of the
+    * 64-dim corpus) beside the staged inputs, so the benchOnly queries read
+    * real production-width parquet instead of widening inline per pass.
+    * Only attempted when the dir is writable (i.e. staging succeeded).
+    */
+  private def prepareWidened(spark: SparkSession, dir: String): Unit = {
+    try {
+      val path = s"$dir/${graft.queries.Vectors.WidenedTable}"
+      if (!new java.io.File(path).exists())
+        graft.queries.Vectors.widenInline(spark, dir)
+          .write.mode("overwrite").parquet(path)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] widened-table prep failed (benchOnly queries will widen inline): ${e.getMessage}")
+    }
+  }
+
+  private def round3(v: Double): Double =
+    if (v < 0) v else math.rint(v * 1000.0) / 1000.0
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDirEnv = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,9 +110,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations ++= Seq(graft.plans.SpatialFilterPushdown)
 
+    val (sfDir, staged) = stageInputs(sfDirEnv)
+    if (staged) prepareWidened(spark, sfDir)
+
+    val queryMap = SparkEntry.queries ++ SparkEntry.benchOnly
+
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try queryMap(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
@@ -54,9 +127,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Standing per-query baseline (BASELINE.md round-2 table) for the
-    // targeted re-run pass. Parsed, not hardcoded, so the table stays the
-    // single source of truth; absent entries just skip that trigger.
+    // Standing per-query baseline (BASELINE.md table) for the targeted
+    // re-run pass. Parsed, not hardcoded, so the table stays the single
+    // source of truth; absent entries just skip that trigger.
     val baseline: Map[String, Double] = {
       val row = """^\|\s*([a-z][a-z0-9_]*)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|\s*$""".r
       val f = Seq("BASELINE.md", "/root/repo/BASELINE.md")
@@ -73,13 +146,13 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = queryMap.keys.toSeq.sorted
 
     // Sentinel: the cheapest query in the suite (~0.13 s warm). A sentinel
     // run that takes >3x the sentinel's own observed minimum (+50 ms
     // absolute slack against timer jitter) means the host is in a stall
     // epoch and any measurement it brackets is untrustworthy.
-    val sentinel = if (SparkEntry.queries.contains("q13_offset_page"))
+    val sentinel = if (queryMap.contains("q13_offset_page"))
       "q13_offset_page" else names.head
     var sentMin = Double.MaxValue
     def sentinelQuiet(): Boolean = {
@@ -119,9 +192,17 @@ object Bench {
 
     // Targeted re-runs: a query is suspect if it has no clean measurement,
     // never ran, or its min still exceeds 3x its standing BASELINE.md
-    // entry. Wait out stall epochs between attempts; the extra budget is
-    // bounded so a permanently sick host cannot hang the bench.
-    val deadline = System.nanoTime() + (7L * 60 * 1000000000L)
+    // entry. Wait out stall epochs between attempts. The extra budget
+    // scales with the contamination the main passes observed — a host that
+    // stalled through most of the run earns up to 45 min, a quiet host
+    // keeps the old 7 — so the bench stays bounded but is no longer
+    // starved exactly when it needs the budget most.
+    val mainMeas = names.flatMap(meas(_))
+    val mainContaminated = mainMeas.count(!_._2)
+    val contamFrac =
+      if (mainMeas.isEmpty) 0.0 else mainContaminated.toDouble / mainMeas.size
+    val rerunBudgetSec = math.min(45 * 60, (7 + 50 * contamFrac).toInt * 60)
+    val deadline = System.nanoTime() + rerunBudgetSec * 1000000000L
     for (n <- names) {
       def suspect: Boolean = {
         val b = bestOf(meas(n))
@@ -139,19 +220,43 @@ object Bench {
       }
     }
 
-    // stall diagnostics for the run record: how much the detector threw out
+    // stall diagnostics: part of the emitted record, not stderr-only
     val all = names.flatMap(meas(_))
     val contaminated = all.count(!_._2)
     val noClean = names.count(n => meas(n).nonEmpty && !meas(n).exists(_._2))
-    System.err.println(s"[bench] ${all.size} measurements, $contaminated " +
-      s"stall-contaminated (discarded from minima), $noClean queries " +
-      s"without a clean measurement after re-runs, sentinel min ${sentMin}s")
+    val stallJson =
+      s"""{"measurements":${all.size},"contaminated":$contaminated,""" +
+      s""""no_clean":$noClean,"sentinel_min":${round3(sentMin)},""" +
+      s""""rerun_budget_sec":$rerunBudgetSec,"staged":$staged}"""
 
-    val results = names.map(n => n -> bestOf(meas(n)))
+    val results = names.map(n => n -> round3(bestOf(meas(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = round3(results.map(_._2).filter(_ >= 0).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stall":$stallJson,"sf":"$sfDirEnv"}"""
+    println(line)
+
+    // Full record to a repo file: the driver's stdout tail window truncated
+    // round 3's line, losing 13 entries and the total — the file is the
+    // durable copy, with every raw (seconds, clean) measurement for audit.
+    try {
+      val raw = names.map { n =>
+        val ms = meas(n).reverse
+          .map { case (t, c) => s"[${round3(t)},$c]" }.mkString("[", ",", "]")
+        "\"" + n + "\":" + ms
+      }.mkString("{", ",", "}")
+      val full = line.dropRight(1) + s""","raw":$raw}"""
+      val dir = Seq("/root/repo", ".").map(new java.io.File(_))
+        .find(d => d.isDirectory && d.canWrite).getOrElse(new java.io.File("."))
+      java.nio.file.Files.write(
+        new java.io.File(dir, "BENCH_LAST.json").toPath,
+        full.getBytes("UTF-8"))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] BENCH_LAST.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
