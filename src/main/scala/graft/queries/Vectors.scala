@@ -128,17 +128,21 @@ object Vectors extends QueryPack {
     * corpus that keeps the LSH path fully verifiable against the exact
     * operator (near-dup texts -> cosine >= ~0.94).
     *
-    * Deliberately NOT cached: the expression chain is fully codegen'd and
-    * cheap relative to the LSH joins that consume it, and a `.cache()`
-    * here (as in rounds 2-3) had no unpersist hook — a slow leak of pinned
-    * blocks in a long-lived session. Callers that reuse the vectors across
-    * many actions should cache AND unpersist in their own scope.
+    * Materialized via lazy `localCheckpoint`, NOT `.cache()`: the LSH
+    * consumer evaluates the vector column three times (banding + both
+    * verify joins — measured 2.6 s -> 4.0 s without reuse at sf0.1), but
+    * rounds 2-3's `.cache()` had no unpersist hook, leaking pinned blocks
+    * in a long-lived session because CacheManager holds cached plans
+    * forever. A localCheckpoint materializes once on first action and its
+    * blocks are released by the ContextCleaner as soon as the DataFrame
+    * is garbage-collected — reuse with an automatic lifecycle.
     */
   private[graft] def docVectors(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         l2_normalize(hashing_tf(
           graft.functions.TextFunctions.shingle_set(col("text"), 3), 256)).as("vec"))
+      .localCheckpoint(false)
 
   /** Name of the materialized production-width table `graft.Bench` writes
     * beside its staged inputs (see widenInline).

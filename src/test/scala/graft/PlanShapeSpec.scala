@@ -33,6 +33,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoShuffle(plan, "v1")
   }
 
+  test("v1w widened kNN keeps the v1 shape at 1024-dim: top-k heaps, zero corpus shuffle") {
+    val plan = graft.queries.Vectors.benchDefs("v1w_knn_1024")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"v1w lost TakeOrderedAndProject:\n$plan")
+    assertNoShuffle(plan, "v1w")
+  }
+
   test("x1 reference search: top-k heaps + broadcast join only, zero corpus shuffle") {
     val plan = planOf("x1_reference_search")
     assert(plan.contains("TakeOrderedAndProject"), s"x1 lost TakeOrderedAndProject:\n$plan")
