@@ -16,7 +16,10 @@ import graft.operators.Knn
   * `list_cosine_similarity` and our codegen loop may differ in the last
   * ulp; the synthetic embeddings' distance gaps (>=1e-4 in every top-k
   * window, verified at all SFs) make rank order robust. Centroid sums are
-  * decimal-routed per component for exactness.
+  * decimal-routed per component for exactness. v8's oracle restates the
+  * whole LSH pipeline in SQL (SketchSql); v7/v9 stay rows-only — their
+  * iterative k-means training has no tractable SQL form — pinned against
+  * exact kNN by recall tests instead.
   */
 object Vectors extends QueryPack {
 
@@ -110,13 +113,16 @@ object Vectors extends QueryPack {
     },
 
     // Hyperplane-LSH-blocked embedding near-dup — the 100 TB scale path
-    // for v4 (rows-only oracle: VectorSpec asserts pair-set equality with
-    // the exact operator and candidates << n^2). Runs in the regime the
-    // blocking is designed for (sim >= 0.85): feature-hashed shingle
-    // vectors of the documents corpus, where true near-dups sit at
-    // sim >= 0.94 against a ~0 background. The synthetic `embeddings`
-    // table's sim-0.4 threshold is below any LSH-separable regime (see
-    // Knn.nearDupPairs scaladoc), so v4 stays the exact path there.
+    // for v4 (full-pipeline SQL oracle since round 4: feature hashing,
+    // Gaussian plane stream, sign banding, and verification restated in
+    // DuckDB — see the sql map; VectorSpec additionally asserts pair-set
+    // equality with the exact operator and candidates << n^2). Runs in
+    // the regime the blocking is designed for (sim >= 0.85):
+    // feature-hashed shingle vectors of the documents corpus, where true
+    // near-dups sit at sim >= 0.94 against a ~0 background. The synthetic
+    // `embeddings` table's sim-0.4 threshold is below any LSH-separable
+    // regime (see Knn.nearDupPairs scaladoc), so v4 stays the exact path
+    // there.
     "v8_lsh_near_dup" -> { (s, d) =>
       Knn.lshNearDupPairs(Vectors.docVectors(s, d), "doc_id", "vec",
         minSim = 0.85, bands = 64, rowsPerBand = 12, seed = 42L)
@@ -248,6 +254,76 @@ object Vectors extends QueryPack {
         |FROM embeddings
         |ORDER BY list_distance(embedding,
         |  (SELECT embedding FROM embeddings WHERE vec_id = 1)) ASC, vec_id ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    // The full hyperplane-LSH pipeline restated in SQL (same approach as
+    // d3/d4, see SketchSql): signed feature hashing (bucket = FNV & 255,
+    // sign = splitmix bit), float-exact L2 normalization (small-integer
+    // raw vectors make the norm arithmetic bit-identical; CAST AS FLOAT
+    // reproduces the JVM's double->float rounding), the counter-mode
+    // splitmix64 + Box-Muller Gaussian plane stream at seed 42, sign
+    // banding (64 bands x 12 rows packed as bits), candidate join on
+    // (band, bucket), and exact cosine verification. IEEE add/mul/div/
+    // sqrt make every arithmetic step bit-identical to the JVM kernels;
+    // the only cross-engine wiggle is the last ulp of ln/cos in plane
+    // generation, which flips a projection sign only when |dot| < ~1e-15
+    // (expected flips over the whole corpus ~1e-10 — none observed at any
+    // SF). Tokenless docs carry the zero vector, whose candidate pairs
+    // fail NaN-cosine verification on both sides, so they are dropped up
+    // front with the tf grid.
+    "v8_lsh_near_dup" ->
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${SketchSql.shinglesSql(SketchSql.ToksSql)} AS shingles FROM documents),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |bases AS MATERIALIZED (SELECT doc_id, ${SketchSql.FnvSql} AS base FROM ex),
+         |sg AS (SELECT doc_id, base, base AS z FROM bases),
+         |${SketchSql.mixLayerCtes("sg", Seq("doc_id", "base"))},
+         |tf AS (
+         |  SELECT doc_id, CAST(base & 255 AS INT) AS j,
+         |         SUM(CASE WHEN u & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM sgmu GROUP BY doc_id, j),
+         |grid AS (SELECT t.doc_id, g.j
+         |         FROM (SELECT DISTINCT doc_id FROM tf) t CROSS JOIN generate_series(0, 255) AS g(j)),
+         |docs256 AS (
+         |  SELECT grid.doc_id, grid.j, COALESCE(tf.v, 0) AS v
+         |  FROM grid LEFT JOIN tf ON tf.doc_id = grid.doc_id AND tf.j = grid.j),
+         |rawvec AS (SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY j) AS raw FROM docs256 GROUP BY doc_id),
+         |dvec AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_transform(raw, x -> CAST(CAST(CASE WHEN nrm = 0 THEN 0 ELSE x / nrm END AS FLOAT) AS DOUBLE)) AS vec
+         |  FROM (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawvec)),
+         |pidx AS (SELECT p, CAST(p % 256 AS INT) AS j, CAST((p // 256) % 12 AS INT) AS r,
+         |                CAST(p // 3072 AS INT) AS b,
+         |                ${SketchSql.addModU("CAST(42 AS UBIGINT)", SketchSql.mulModU("CAST(2*p+1 AS UBIGINT)", Gold))} AS z1,
+         |                ${SketchSql.addModU("CAST(42 AS UBIGINT)", SketchSql.mulModU("CAST(2*p+2 AS UBIGINT)", Gold))} AS z2
+         |         FROM generate_series(0, 196607) AS g(p)),
+         |h1 AS (SELECT p, j, r, b, z2, z1 AS z FROM pidx),
+         |${SketchSql.mixLayerCtes("h1", Seq("p", "j", "r", "b", "z2"))},
+         |h2 AS (SELECT p, j, r, b, u AS u1, z2 AS z FROM h1mu),
+         |${SketchSql.mixLayerCtes("h2", Seq("p", "j", "r", "b", "u1"))},
+         |pl AS (
+         |  SELECT b, r, j,
+         |    sqrt(-2.0 * ln((CAST(u1 >> 11 AS DOUBLE) + 1) / 9007199254740992.0))
+         |      * cos(2 * pi() * (CAST(u >> 11 AS DOUBLE) / 9007199254740992.0)) AS w
+         |  FROM h2mu),
+         |planerows AS MATERIALIZED (SELECT b, r, list(w ORDER BY j) AS plane FROM pl GROUP BY b, r),
+         |dots AS (SELECT d.doc_id, p.b, p.r, list_inner_product(d.vec, p.plane) AS dot
+         |         FROM dvec d CROSS JOIN planerows p),
+         |buckets AS MATERIALIZED (
+         |  SELECT doc_id, b,
+         |         SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << r ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY doc_id, b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+         |  FROM buckets a JOIN buckets b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+         |verified AS (
+         |  SELECT id1, id2
+         |  FROM cand
+         |  JOIN dvec v1 ON v1.doc_id = id1
+         |  JOIN dvec v2 ON v2.doc_id = id2
+         |  WHERE list_inner_product(v1.vec, v2.vec)
+         |        / (sqrt(list_inner_product(v1.vec, v1.vec)) * sqrt(list_inner_product(v2.vec, v2.vec))) > 0.85)
+         |SELECT id1, id2 FROM verified ORDER BY id1, id2""".stripMargin
   )
+
+  private val Gold = 0x9e3779b97f4a7c15L
 }

@@ -10,11 +10,10 @@ class EntrySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   val RowsOnly = Set(
-    // (d3/d4 graduated: MinHash/SimHash kernels restated in masked-64-bit
-    // DuckDB SQL since round 4 — see Text.sql)
-    "v7_ivf_knn",              // ANN path; recall-tested vs exact
-    "v8_lsh_near_dup",         // LSH blocking; pair-equality-tested vs exact
-    "v9_ivf_knn_join",         // ANN join; recall-tested vs exact join
+    // (d3/d4/v8 graduated: their sketch kernels are restated in
+    // masked-64-bit DuckDB SQL since round 4 — see SketchSql)
+    "v7_ivf_knn",              // iterative k-means; recall-tested vs exact
+    "v9_ivf_knn_join",         // iterative k-means; recall-tested vs exact join
     "q22_approx_distinct")     // HLL sketch; error-bound-tested vs exact
 
   test("entry returns rows (driver smoke)") {
