@@ -12,8 +12,9 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val queryMap = SparkEntry.queries ++ SparkEntry.benchOnly
     val names = if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+      else queryMap.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -23,7 +24,7 @@ object Explain {
     spark.experimental.extraOptimizations ++= Seq(graft.plans.SpatialFilterPushdown)
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      try queryMap(n)(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
     }
     spark.stop()
