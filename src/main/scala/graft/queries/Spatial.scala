@@ -11,10 +11,11 @@ import graft.functions.GraftFunctions._
   * expressions (st_point / st_geomfromtext / st_intersects / st_contains /
   * st_distance) while the oracle states the same predicate as plain
   * arithmetic — exact for axis-aligned rectangles (OGC intersects on a
-  * rectangle == inclusive BETWEEN on both axes) and for point-point
-  * euclidean distance (identical IEEE expression). Non-rectangular
-  * geometry, boundary/vertex cases, and CRS transforms are covered in
-  * ScalaTest (SpatialSpec) instead.
+  * rectangle == inclusive BETWEEN on both axes; OGC contains == strict
+  * inequalities, boundary excluded) and for point-point euclidean
+  * distance (identical IEEE expression). Non-rectangular geometry,
+  * vertex cases, and CRS transforms are covered in ScalaTest
+  * (SpatialSpec) instead.
   *
   * Synthetic coordinates are derived from customer keys with integer
   * arithmetic + one double division — bit-identical on both engines.
@@ -46,9 +47,12 @@ object Spatial extends QueryPack {
         .orderBy(col("c_custkey"))
     },
 
-    // st_contains (strict interior test differs from intersects on the
-    // boundary; synthetic fractional coords make boundary hits impossible,
-    // so contains == BETWEEN here; boundary semantics tested in ScalaTest).
+    // st_contains: the strict interior test — boundary points are NOT
+    // contained (OGC/JTS), so the oracle states strict inequalities where
+    // s1's intersects states inclusive BETWEEN. The distinction is live:
+    // c_nationkey = 0 rows have integer coordinates, and at sf0.1 two of
+    // them land exactly on the rectangle's x = 40 edge (s1 counts them,
+    // s2 must not — an inclusive oracle here overcounted by 2).
     "s2_rect_contains" -> { (s, d) =>
       points(s, d)
         .filter(st_contains(st_geomfromtext(lit(RectWkt)),
@@ -102,7 +106,7 @@ object Spatial extends QueryPack {
 
     "s2_rect_contains" ->
       s"""SELECT COUNT(*) AS n_inside FROM customer
-         |WHERE $xSql BETWEEN -50 AND 40 AND $ySql BETWEEN -20 AND 35""".stripMargin,
+         |WHERE $xSql > -50 AND $xSql < 40 AND $ySql > -20 AND $ySql < 35""".stripMargin,
 
     "s3_within_distance" ->
       s"""SELECT c_custkey FROM customer
