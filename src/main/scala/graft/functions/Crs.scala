@@ -418,6 +418,11 @@ private[graft] object Crs {
   // EPSG-published approximation with ~10 m stated accuracy over CONUS,
   // the standard fallback when no grids are installed.
   private val Nad27ToWgs84 = Helmert(-8.0, 160.0, 176.0, 0, 0, 0, 0)
+  // Tokyo datum -> WGS84: the published geocentric translation
+  // ("Tokyo to WGS 84 (1)", ~10 m class). Like NAD27, exact Tokyo-datum
+  // work uses grid files (GSI's TKY2JGD); the single Helmert carries the
+  // famous ~400-500 m Tokyo-vs-WGS84 offset to datum-level accuracy.
+  private val TokyoToWgs84 = Helmert(-148.0, 507.0, 685.0, 0, 0, 0, 0)
 
   private def utm(ell: Ellipsoid, zone: Int, south: Boolean): Projection =
     TransverseMercator(ell, 0.0, zone * 6.0 - 183.0, 0.9996,
@@ -466,9 +471,14 @@ private[graft] object Crs {
     case 4267 => CrsDef(Geographic(Clarke1866), Some(Nad27ToWgs84))
     case z if z >= 26701 && z <= 26722 => // NAD27 / UTM zones 1N-22N
       CrsDef(utm(Clarke1866, z - 26700, south = false), Some(Nad27ToWgs84))
+    // Japan: Tokyo datum (Helmert-approximated, see TokyoToWgs84) and the
+    // modern JGD2000/JGD2011 (GRS80, WGS84-coincident to sub-metre)
+    case 4301 => CrsDef(Geographic(Bessel1841), Some(TokyoToWgs84))
+    case 4612 | 6668 => CrsDef(Geographic(Grs80), None) // JGD2000 / JGD2011
     case other => throw new IllegalArgumentException(
       s"unsupported CRS: EPSG:$other (supported: 4326, 4258, 4269, 4171, 4277, 4230, " +
-        "4283, 7844, 4149, 4150, 4267, 3857, 27700, 2154, 2157, 2056, 21781, 2193, 3035, 5070, " +
+        "4283, 7844, 4149, 4150, 4267, 4301, 4612, 6668, 3857, 27700, 2154, 2157, 2056, " +
+        "21781, 2193, 3035, 5070, " +
         "UTM 32601-32660/32701-32760/25828-25838/26901-26923/26701-26722, " +
         "MGA 28348-28358/7846-7859)")
   }

@@ -104,6 +104,22 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(rlon - -99.0) < 1e-7 && math.abs(rlat - 38.0) < 1e-7)
   }
 
+  test("CRS transform: Tokyo datum (~450 m offset) and JGD2000/JGD2011 null shift") {
+    // The Tokyo-vs-WGS84 offset over Japan is famously ~400-500 m; pin the
+    // envelope at Tokyo and Osaka plus exact round trips
+    for ((lon, lat) <- Seq((139.77, 35.68), (135.50, 34.69))) {
+      val (wlon, wlat) = Geo.transformPoint(lon, lat, 4301, 4326)
+      val metres = math.hypot((wlon - lon) * 111320 * math.cos(math.toRadians(lat)),
+        (wlat - lat) * 110574)
+      assert(metres > 250 && metres < 700, s"Tokyo-datum shift at ($lon,$lat): $metres m")
+      val (blon, blat) = Geo.transformPoint(wlon, wlat, 4326, 4301)
+      assert(math.abs(blon - lon) < 1e-7 && math.abs(blat - lat) < 1e-7)
+    }
+    // JGD2000/JGD2011 are WGS84-coincident (null transformation)
+    assert(Geo.transformPoint(139.77, 35.68, 4612, 4326) === ((139.77, 35.68)))
+    assert(Geo.transformPoint(139.77, 35.68, 6668, 4326) === ((139.77, 35.68)))
+  }
+
   test("st_setsrid/st_srid: EWKB SRID round trip; untagged reads engine default; geometry preserved") {
     import spark.implicits._
     // Spark 4.1 ships same-named built-ins for its native GEOMETRY type
