@@ -38,6 +38,27 @@ object Profile {
       return
     }
 
+    // stage mode: runMain graft.Profile <sfDir> v8stages — break v8 into
+    // vectorization / banding / candidates / full pipeline
+    if (args.length >= 2 && args(1) == "v8stages") {
+      import graft.functions.GraftFunctions._
+      (1 to 2).foreach { pass =>
+        val dv = graft.queries.Vectors.docVectors(spark, sfDir)
+        time(s"pass $pass docVectors materialize")(dv.count())
+        time(s"pass $pass banding only")(
+          dv.select(col("doc_id"),
+            hyperplane_bands(col("vec"), 64, 12, 42L).as("bb"))
+            .write.format("noop").mode("overwrite").save())
+        val cand = graft.operators.Knn.lshCandidatePairs(dv, "doc_id", "vec",
+          bands = 64, rowsPerBand = 12, seed = 42L)
+        time(s"pass $pass candidates")(println(s"  candidates: ${cand.count()}"))
+        time(s"pass $pass full v8")(SparkEntry.queries("v8_lsh_near_dup")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      }
+      spark.stop()
+      return
+    }
+
     val e = Tables.embeddings(spark, sfDir)
     time("embeddings count")(e.count())
     time("embeddings noop")(e.write.format("noop").mode("overwrite").save())

@@ -36,8 +36,20 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Round-robin-spread a corpus whose scan arrived in fewer partitions
+    * than the cluster has cores (a small-file artifact: one parquet file
+    * under maxPartitionBytes scans as ONE partition, so every pre-shuffle
+    * kernel — shingling, signatures, explode — runs single-threaded). At
+    * real scale inputs already arrive wide and this is a no-op; it never
+    * adds a shuffle to an already-parallel input.
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+  }
+
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingle_set(col(textCol), n).as("shingles"))
+    spread(docs).select(col(idCol).as("id"), shingle_set(col(textCol), n).as("shingles"))
 
   /** Exact n-gram Jaccard near-dup pairs via a relational shingle join —
     * no cross product: explode distinct shingles, self-join on shingle,
@@ -276,7 +288,7 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"),
+    val withSim = spread(docs).select(col(idCol).as("id"),
       simhash64(shingle_set(col(textCol), n)).as("sim"))
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),

@@ -143,12 +143,21 @@ object Vectors extends QueryPack {
     * blocks are released by the ContextCleaner as soon as the DataFrame
     * is garbage-collected — reuse with an automatic lifecycle.
     */
-  private[graft] def docVectors(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[graft] def docVectors(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // The gate corpus is one small parquet file -> one scan partition, so
+    // the 64x12x256-FMA banding downstream would run on a single core
+    // (measured 1.3 s of the 4 s v8 cost). Spread the rows ONLY when the
+    // scan is narrower than the cluster — at real scale the input already
+    // arrives in many partitions and this is a no-op, never a shuffle tax.
+    val par = s.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread
       .select(col("doc_id"),
         l2_normalize(hashing_tf(
           graft.functions.TextFunctions.shingle_set(col("text"), 3), 256)).as("vec"))
       .localCheckpoint(false)
+  }
 
   /** Name of the materialized production-width table `graft.Bench` writes
     * beside its staged inputs (see widenInline).
