@@ -90,6 +90,26 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // kNN over the int8-quantized storage path (quantize -> dequantize ->
+    // exact L2): the 4x-smaller scan format a 100 TB brute-force pass
+    // would read. The oracle replicates the quantization float math
+    // bit-for-bit: scale = float(maxAbs/127), q = clamp(floor(x/scale +
+    // 0.5)) (Math.round semantics), dequant = float(q * scale) — float
+    // products of these magnitudes are exact in double, so one final
+    // rounding matches the JVM on both engines and the dequantized
+    // vectors (hence distances, hence ordering) are identical.
+    "v10_quantized_knn" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          dequantize_int8(quantize_int8(col("embedding"))).as("de"))
+      val probe = e.filter(col("vec_id") === 2L)
+        .select(col("de")).head().getSeq[Float](0).toArray
+      e.withColumn("dist", l2_distance(col("de"), vector_lit(probe)))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("label"))
+    },
+
     // L2 (euclidean) kNN — exercises the L2Distance expression.
     "v6_l2_knn" -> { (s, d) =>
       Tables.embeddings(s, d)
@@ -263,6 +283,24 @@ object Vectors extends QueryPack {
         |FROM embeddings
         |ORDER BY list_distance(embedding,
         |  (SELECT embedding FROM embeddings WHERE vec_id = 1)) ASC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "v10_quantized_knn" ->
+      """WITH sc AS (
+        |  SELECT vec_id, label, embedding,
+        |    CASE WHEN m = 0 THEN CAST(1 AS FLOAT) ELSE CAST(m / 127.0 AS FLOAT) END AS scale
+        |  FROM (SELECT vec_id, label, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |        FROM embeddings)),
+        |dq AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(
+        |      GREATEST(-127, LEAST(127, CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
+        |        * scale AS FLOAT)) AS de
+        |  FROM sc)
+        |SELECT vec_id, label
+        |FROM dq
+        |ORDER BY list_distance(de, (SELECT de FROM dq WHERE vec_id = 2)) ASC, vec_id ASC
         |LIMIT 10""".stripMargin,
 
     // The full hyperplane-LSH pipeline restated in SQL (same approach as
