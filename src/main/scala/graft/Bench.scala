@@ -82,8 +82,14 @@ object Bench {
   private def prepareWidened(spark: SparkSession, dir: String): Unit = {
     try {
       val path = s"$dir/${graft.queries.Vectors.WidenedTable}"
-      if (!new java.io.File(path).exists())
+      // _SUCCESS, not the directory: a crashed partial write must
+      // regenerate, not be mistaken for a complete table
+      if (!new java.io.File(path, "_SUCCESS").exists())
         graft.queries.Vectors.widenInline(spark, dir)
+          // pre-spread: the source is one small file (one scan partition),
+          // and the point of the widened entries is to measure the kernels
+          // at cluster parallelism, not a single-core artifact
+          .repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(path)
     } catch {
       case e: Exception =>
