@@ -82,6 +82,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"v5 explode must be above (planned before) the aggregate:\n$plan")
   }
 
+  test("v3w/v5w keep their 64-dim shapes at 1024-dim: no cross product; buffer-per-label aggregate") {
+    val v3w = graft.queries.Vectors.benchDefs("v3w_knn_join_1024")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!v3w.contains("CartesianProduct"), s"v3w grew a cross product:\n$v3w")
+    assert(v3w.contains("MapPartitions"), s"v3w lost the bounded-heap partials:\n$v3w")
+    val v5w = graft.queries.Vectors.benchDefs("v5w_centroids_1024")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val aggIdx = v5w.indexOf("ObjectHashAggregate")
+    val explodeIdx = v5w.indexOf("Generate posexplode")
+    assert(aggIdx >= 0 && explodeIdx >= 0 && explodeIdx < aggIdx,
+      s"v5w lost the buffer-per-label aggregate shape:\n$v5w")
+  }
+
   test("d5 contamination: the eval shingle universe arrives broadcast") {
     val plan = planOf("d5_contamination")
     assert(plan.contains("BroadcastHashJoin"),
