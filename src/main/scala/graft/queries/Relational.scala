@@ -263,26 +263,34 @@ object Relational extends QueryPack {
         .orderBy(col("kind"))
     },
 
-    // --- moment statistics from decimal-exact sums -----------------------------
-    // variance/stddev/correlation computed explicitly from exact decimal
-    // moments so both engines evaluate the identical double formula
-    // (built-in STDDEV/CORR accumulate doubles in row order — not
-    // reproducible across engines)
+    // --- moment statistics from integer-exact cent sums ------------------------
+    // variance/stddev/correlation computed explicitly from exact moments so
+    // both engines evaluate the identical double formula (built-in
+    // STDDEV/CORR accumulate doubles in row order — not reproducible across
+    // engines). Quantization goes through round(x * 100) CENTS, not a
+    // double->decimal cast: x * 100 and its round are IEEE/shortest-repr
+    // identical on both engines, whereas each engine's double->decimal cast
+    // rounds through its own path (the last cross-engine wiggle — sd_price
+    // differed by ~7e-12 at sf0.001 under the old DECIMAL(18,2) cast).
+    // Squared-cent sums route through DECIMAL(38,0): pc^2 reaches 1e14 and
+    // a 600k-row group sum would overflow a long.
     "q21_moment_stats" -> { (s, d) =>
-      val q = col("l_quantity").cast(DecimalType(18, 2))
-      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      val dec38 = DecimalType(38, 0)
       Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("qc"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(q).cast("double").as("sq"),
-          sum(q * q).cast("double").as("sqq"),
-          sum(p).cast("double").as("sp"),
-          sum(p * p).cast("double").as("spp"),
-          sum(q * p).cast("double").as("sqp"))
+          sum(col("qc")).cast("double").as("sq"),
+          sum((col("qc") * col("qc")).cast(dec38)).cast("double").as("sqq"),
+          sum(col("pc")).cast("double").as("sp"),
+          sum((col("pc") * col("pc")).cast(dec38)).cast("double").as("spp"),
+          sum((col("qc") * col("pc")).cast(dec38)).cast("double").as("sqp"))
         .select(col("l_returnflag"), col("n"),
-          ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)).as("var_qty"),
-          sqrt((col("spp") - col("sp") * col("sp") / col("n")) / (col("n") - 1)).as("sd_price"),
+          ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1) / 10000.0).as("var_qty"),
+          (sqrt((col("spp") - col("sp") * col("sp") / col("n")) / (col("n") - 1)) / 100.0).as("sd_price"),
           ((col("sqp") - col("sq") * col("sp") / col("n")) /
             sqrt((col("sqq") - col("sq") * col("sq") / col("n")) *
               (col("spp") - col("sp") * col("sp") / col("n")))).as("corr_qp"))
@@ -528,17 +536,19 @@ object Relational extends QueryPack {
 
     "q21_moment_stats" ->
       """SELECT l_returnflag, n,
-        |  (sqq - sq * sq / n) / (n - 1) AS var_qty,
-        |  sqrt((spp - sp * sp / n) / (n - 1)) AS sd_price,
+        |  (sqq - sq * sq / n) / (n - 1) / 10000.0 AS var_qty,
+        |  sqrt((spp - sp * sp / n) / (n - 1)) / 100.0 AS sd_price,
         |  (sqp - sq * sp / n) / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)) AS corr_qp
         |FROM (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(q * q) AS DOUBLE) AS sqq,
-        |    CAST(SUM(p) AS DOUBLE) AS sp, CAST(SUM(p * p) AS DOUBLE) AS spp,
-        |    CAST(SUM(q * p) AS DOUBLE) AS sqp
+        |    CAST(SUM(qc) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(qc * qc AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(pc) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(pc * pc AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(qc * pc AS DECIMAL(38,0))) AS DOUBLE) AS sqp
         |  FROM (SELECT l_returnflag,
-        |          CAST(l_quantity AS DECIMAL(18,2)) AS q,
-        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+        |          CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
         |        FROM lineitem) raw
         |  GROUP BY l_returnflag) m
         |ORDER BY l_returnflag""".stripMargin,
