@@ -282,15 +282,18 @@ object Text extends QueryPack {
     // mean quality — the mixture-construction summary over a partitioned
     // corpus (map-side-combinable hash aggregate, |langs| groups).
     "t14_corpus_stats" -> { (s, d) =>
+      // quality quantized via floor(q * 1e9 + 0.5) nano-units, not a
+      // double->DECIMAL cast: the multiply and floor are IEEE-identical on
+      // both engines, whereas each engine's double->decimal cast rounds
+      // through its own path (same portability fix as q21's cents)
       Tables.documents(s, d)
         .select(col("lang"),
           token_count(col("text")).cast("long").as("n_tok"),
-          quality_score(col("text"))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("q"))
+          floor(quality_score(col("text")) * 1000000000.0 + 0.5).cast("long").as("qn"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
-          (sum(col("q")).cast("double") / count(lit(1))).as("avg_quality"))
+          (sum(col("qn")).cast("double") / count(lit(1)) / 1000000000.0).as("avg_quality"))
         .orderBy(col("lang"))
     }
   )
@@ -546,10 +549,10 @@ object Text extends QueryPack {
         |  SELECT lang,
         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
         |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
-        |    CAST((LEAST(1.0, n_tok0 / 20.0)
+        |    CAST(floor((LEAST(1.0, n_tok0 / 20.0)
         |     + n_distinct0 / GREATEST(n_tok0, 1.0)
         |     + LEAST(1.0, n_stop0 / GREATEST(n_tok0, 1.0) * 5.0)
-        |     + n_alpha0 / GREATEST(n_chars0, 1.0)) / 4.0 AS DECIMAL(18,9)) AS q
+        |     + n_alpha0 / GREATEST(n_chars0, 1.0)) / 4.0 * 1000000000.0 + 0.5) AS BIGINT) AS qn
         |  FROM (
         |    SELECT lang, text,
         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
@@ -562,7 +565,7 @@ object Text extends QueryPack {
         |    FROM documents) t)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-        |  CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality
+        |  CAST(SUM(qn) AS DOUBLE) / COUNT(*) / 1000000000.0 AS avg_quality
         |FROM q
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
