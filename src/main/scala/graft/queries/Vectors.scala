@@ -270,9 +270,17 @@ object Vectors extends QueryPack {
         |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
         |ORDER BY id1, id2""".stripMargin,
 
+    // The double->decimal quantization goes through CAST(... AS VARCHAR):
+    // DuckDB prints doubles in shortest round-trip form — the same decimal
+    // the JVM's BigDecimal.valueOf(double) starts from — and its
+    // string->DECIMAL(18,9) parse rounds ties away from zero like Java's
+    // HALF_UP, so the per-value nano quantization matches VectorCentroid's
+    // buffer bit-for-bit at every scale factor. A direct double->decimal
+    // cast rounds through DuckDB's own binary path and drifted ~1e-9 at
+    // sf0.1.
     "v5_label_centroids" ->
       """SELECT label, i - 1 AS pos,
-        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |  CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DOUBLE)
         |    / COUNT(*) AS centroid
         |FROM embeddings, generate_series(1, 64) AS g(i)
         |GROUP BY label, i
