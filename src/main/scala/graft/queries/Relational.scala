@@ -299,10 +299,22 @@ object Relational extends QueryPack {
 
     // --- HLL sketch distinct (rows-only oracle: sketch internals are
     // engine-specific; ScalaTest bounds the error vs exact) ------------------
+    // HLL sketch under a bounded-error oracle: DuckDB's HLL is a different
+    // sketch, so a hash-match on the approximate value is impossible —
+    // instead the compared relation carries the EXACT distinct count (a
+    // real cross-engine check) plus the assertion |approx-exact|/exact
+    // within 3x the sketch's rsd (0.05 default -> 0.15), which the oracle
+    // states as TRUE. The exact sibling rides along only to make the bound
+    // checkable; the production shape at scale is the sketch alone.
     "q22_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) / col("exact_parts") < 0.15)
+            .as("within_bound"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -366,6 +378,16 @@ object Relational extends QueryPack {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the exact count is the cross-engine check; the bound assertion is
+    // stated TRUE by the oracle and computed by the engine (see defs)
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,

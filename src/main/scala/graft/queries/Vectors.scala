@@ -17,9 +17,10 @@ import graft.operators.Knn
   * ulp; the synthetic embeddings' distance gaps (>=1e-4 in every top-k
   * window, verified at all SFs) make rank order robust. Centroid sums are
   * decimal-routed per component for exactness. v8's oracle restates the
-  * whole LSH pipeline in SQL (SketchSql); v7/v9 stay rows-only — their
-  * iterative k-means training has no tractable SQL form — pinned against
-  * exact kNN by recall tests instead.
+  * whole LSH pipeline in SQL (SketchSql); since round 5 v7/v9 are fully
+  * oracled too — the deterministic k-means unrolls into chained DuckDB
+  * CTEs (see [[IvfSql]]) because the gate corpus fits the sample budget,
+  * collapsing Ivf.build's reservoir sample to the identity.
   */
 object Vectors extends QueryPack {
 
@@ -79,8 +80,9 @@ object Vectors extends QueryPack {
         .orderBy(col("label"), col("pos"))
     },
 
-    // IVF approximate kNN (rows-only oracle: the scale path; VectorSpec
-    // asserts recall against exact brute force). Deterministic: sample
+    // IVF approximate kNN — the scale path, fully oracled: VectorSpec
+    // asserts recall against exact brute force AND the driver replays the
+    // deterministic k-means in DuckDB (IvfSql). Deterministic: sample
     // order, centroid init, and iteration count are all fixed.
     "v7_ivf_knn" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -120,9 +122,9 @@ object Vectors extends QueryPack {
     },
 
     // IVF-bucketed approximate batch kNN join — the scale path for probe
-    // sets beyond knnJoin's broadcast guard (rows-only oracle; VectorSpec
-    // asserts per-probe agreement with single-probe IVF search and recall
-    // vs the exact join).
+    // sets beyond knnJoin's broadcast guard (full k-means oracle, see
+    // IvfSql; VectorSpec additionally asserts per-probe agreement with
+    // single-probe IVF search and recall vs the exact join).
     "v9_ivf_knn_join" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
@@ -326,6 +328,63 @@ object Vectors extends QueryPack {
     // SF). Tokenless docs carry the zero vector, whose candidate pairs
     // fail NaN-cosine verification on both sides, so they are dropped up
     // front with the tf grid.
+    // The IVF build+search pipeline restated in SQL: Ivf.build's reservoir
+    // sample degenerates to the FULL corpus in vec_id order whenever the
+    // corpus fits the sample budget (<= ~budget/parts rows per partition;
+    // the gate corpus is <= 2000 rows vs a 120k budget, verified at all
+    // three SFs), so the k-means is a pure function of the table and the
+    // five fixed iterations unroll as chained CTEs: init = first-nlist
+    // vectors in id order, assign (ROW_NUMBER over (dist, b) — ties keep
+    // the lower bucket, like nearestCentroid's strict `<`), update
+    // (double mean per component cast to FLOAT, exactly the JVM's
+    // `(sum/count).toFloat`; empty buckets keep their centroid via the
+    // LEFT JOIN COALESCE). Float wiggle budget: DuckDB's
+    // list_inner_product sums pairwise vs the kernel's sequential loop
+    // and SUM() order is engine-chosen, so last-ulp drift exists in
+    // principle — but every compared value is an id/rank downstream of a
+    // float cast or an ordering with gaps >= 1e-4, the same robustness
+    // argument as v1 (validated hash-exact at sf0.001/0.01/0.1).
+    "v7_ivf_knn" ->
+      s"""WITH ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b
+         |  LIMIT 3),
+         |topk AS (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e JOIN af USING (vec_id) CROSS JOIN probe p
+         |  WHERE af.b IN (SELECT b FROM pb)
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, e.vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // knnJoinApprox under the same unrolled k-means: each probe tags its
+    // nprobe nearest buckets, joins the final assignment ON bucket, exact
+    // distances within, window top-k per probe — the af JOIN guarantees
+    // each corpus row appears at most once per probe (one bucket per row).
+    "v9_ivf_knn_join" ->
+      s"""WITH ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v, nn FROM emb WHERE vec_id < 8),
+         |pbk AS (
+         |  SELECT p.probe_id, c.b
+         |  FROM probes p CROSS JOIN ${IvfSql.cent} c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |    ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b) <= 3),
+         |cand AS (
+         |  SELECT pb.probe_id, af.vec_id AS corpus_id,
+         |         ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")} AS dist
+         |  FROM pbk pb
+         |  JOIN probes p USING (probe_id)
+         |  JOIN af ON af.b = pb.b
+         |  JOIN emb e ON e.vec_id = af.vec_id)
+         |SELECT probe_id, rnk, corpus_id FROM (
+         |  SELECT probe_id, corpus_id,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, corpus_id) AS rnk
+         |  FROM cand) t
+         |WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin,
+
     "v8_lsh_near_dup" ->
       s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${SketchSql.shinglesSql(SketchSql.ToksSql)} AS shingles FROM documents),
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -381,4 +440,66 @@ object Vectors extends QueryPack {
   )
 
   private val Gold = 0x9e3779b97f4a7c15L
+}
+
+/** DuckDB-SQL builder for the IVF k-means oracle (v7/v9): the engine's
+  * deterministic training loop ([[graft.operators.Ivf.trainCentroids]] —
+  * first-nlist init in id order, fixed iteration count, cosine geometry,
+  * float-cast means) unrolled as chained CTEs. Valid exactly when the
+  * corpus fits Ivf.build's sample budget, which collapses the reservoir
+  * sample to the identity — the precondition the gate corpus satisfies at
+  * every SF (<= 2000 rows vs a 120k budget). Same precedent as
+  * [[SketchSql]]: restate the kernel arithmetic in SQL the oracle engine
+  * executes natively.
+  */
+private[queries] object IvfSql {
+
+  /** Name of the final-centroid CTE emitted by [[kmeansCtes]]. */
+  def cent = "c5"
+
+  /** Cosine distance in the kernel's exact formula shape
+    * (`Knn.cosineDist`): 1 - dot/(sqrt(na)*sqrt(nb)). Overloads take a
+    * precomputed self-inner-product where the caller has one.
+    */
+  def dist(av: String, ann: String, bv: String, bnn: String): String =
+    s"1 - list_inner_product($av, $bv) / (sqrt($ann) * sqrt($bnn))"
+  def dist(av: String, ann: String, bc: String): String =
+    s"1 - list_inner_product($av, $bc) / (sqrt($ann) * sqrt(list_inner_product($bc, $bc)))"
+
+  /** The WITH-body prefix: `emb` (corpus as double lists + self inner
+    * product), `c0..c{iters}` (centroid tables, MATERIALIZED — each is
+    * consumed twice and default CTE inlining would re-expand the whole
+    * chain per reference), and `af` (the final corpus->bucket assignment
+    * Ivf.build computes with the trained centroids).
+    */
+  def kmeansCtes(nlist: Int, iters: Int, dim: Int): String = {
+    val init =
+      s"""emb0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |emb AS MATERIALIZED (SELECT vec_id, v, list_inner_product(v, v) AS nn FROM emb0),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS b, v AS c
+         |  FROM emb QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $nlist)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = s"c${k - 1}"
+      s"""a$k AS (
+         |  SELECT e.vec_id, c.b
+         |  FROM emb e CROSS JOIN $p c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dist("e.v", "e.nn", "c.c")}, c.b) = 1),
+         |m$k AS (
+         |  SELECT a.b, g.i, CAST(CAST(SUM(e.v[g.i]) / COUNT(*) AS FLOAT) AS DOUBLE) AS mc
+         |  FROM a$k a JOIN emb e USING (vec_id), generate_series(1, $dim) AS g(i)
+         |  GROUP BY a.b, g.i),
+         |c$k AS MATERIALIZED (
+         |  SELECT p.b, COALESCE(m.c, p.c) AS c
+         |  FROM $p p LEFT JOIN (SELECT b, list(mc ORDER BY i) AS c FROM m$k GROUP BY b) m USING (b))""".stripMargin
+    }
+    val fin =
+      s"""af AS MATERIALIZED (
+         |  SELECT e.vec_id, c.b
+         |  FROM emb e CROSS JOIN c$iters c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dist("e.v", "e.nn", "c.c")}, c.b) = 1)""".stripMargin
+    (Seq(init) ++ rounds ++ Seq(fin)).mkString(",\n")
+  }
 }

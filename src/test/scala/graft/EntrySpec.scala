@@ -9,12 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class EntrySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  val RowsOnly = Set(
-    // (d3/d4/v8 graduated: their sketch kernels are restated in
-    // masked-64-bit DuckDB SQL since round 4 — see SketchSql)
-    "v7_ivf_knn",              // iterative k-means; recall-tested vs exact
-    "v9_ivf_knn_join",         // iterative k-means; recall-tested vs exact join
-    "q22_approx_distinct")     // HLL sketch; error-bound-tested vs exact
+  // Every query is oracle-checked as of round 5: d3/d4/v8 graduated in
+  // round 4 via SketchSql, v7/v9 in round 5 via IvfSql's unrolled k-means,
+  // q22 in round 5 via the bounded-error assertion relation.
+  val RowsOnly = Set.empty[String]
 
   test("entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
