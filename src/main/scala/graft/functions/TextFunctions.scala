@@ -87,20 +87,52 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** HTML -> markdown conversion for the tags the reference's markdownify
-    * pass actually renders in its responses (reference F10,
+  /** HTML -> markdown conversion for the tag set the reference's
+    * markdownify pass renders in its responses (reference F10,
     * `backend/mcp.py:12-20`): bold/strong -> **..**, i/em -> *..*,
-    * links -> [text](url), list items -> "- ", <br> -> break; remaining
-    * tags are stripped and entities decoded ([[strip_html]]). Whitespace
-    * is normalized to single spaces (markdownify keeps layout newlines;
-    * the engine's canonical text form is space-collapsed). Nested inline
-    * tags are outside the regex subset and fall back to tag-strip.
+    * links -> [text](url), code -> `..`, headings h1-h6 -> ATX "#"-runs
+    * (markdownify's default Setext underlines are meaningless once
+    * whitespace is canonicalized, so the ATX form carries the level),
+    * blockquote -> "> ", ordered-list items numbered "1. 2. ...", other
+    * list items -> "- ", <br> -> break; remaining tags are stripped and
+    * entities decoded ([[strip_html]]). Whitespace is normalized to
+    * single spaces (markdownify keeps layout newlines; the engine's
+    * canonical text form is space-collapsed).
+    *
+    * Nested inline tags convert by iterating the inline rules to a
+    * depth-3 fixpoint (innermost first: `<b><i>x</i></b>` -> `***x***`);
+    * markdownify recurses to arbitrary depth, beyond-3 nesting falls back
+    * to tag-strip. Nested lists likewise restart numbering (the segment
+    * split assumes non-nested `<ol>` scopes). The oracle states the
+    * identical staged pipeline in SQL (see Text.t9).
     */
   def html_to_markdown(c: Column): Column = {
     var x = regexp_replace(c, "(?i)<br\\s*/?>", " ")
-    x = regexp_replace(x, "(?i)<(?:b|strong)\\b[^>]*>([^<]*)</(?:b|strong)>", "**$1**")
-    x = regexp_replace(x, "(?i)<(?:i|em)\\b[^>]*>([^<]*)</(?:i|em)>", "*$1*")
-    x = regexp_replace(x, "(?i)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>", "[$2]($1)")
+    // inline rules, iterated so inner tags convert before their parents
+    for (_ <- 1 to 3) {
+      x = regexp_replace(x, "(?i)<(?:b|strong)\\b[^>]*>([^<]*)</(?:b|strong)>", "**$1**")
+      x = regexp_replace(x, "(?i)<(?:i|em)\\b[^>]*>([^<]*)</(?:i|em)>", "*$1*")
+      x = regexp_replace(x, "(?i)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>", "[$2]($1)")
+      x = regexp_replace(x, "(?i)<code\\b[^>]*>([^<]*)</code>", "`$1`")
+    }
+    // block rules after inline, so their content groups see no inner
+    // tags; surrounding spaces keep adjacent blocks apart (markdownify
+    // separates blocks with newlines — collapsed to one space here)
+    for (h <- 1 to 6)
+      x = regexp_replace(x, s"(?i)<h$h\\b[^>]*>([^<]*)</h$h>", " " + ("#" * h) + " $1 ")
+    x = regexp_replace(x, "(?i)<blockquote\\b[^>]*>([^<]*)</blockquote>", " > $1 ")
+    // ordered lists: segments between <ol>/</ol> tags alternate
+    // outside/inside (non-nested scopes); inside segments number their
+    // <li>s 1..n, everything else falls through to the "- " rule below
+    x = array_join(
+      transform(split(x, "(?i)</?ol\\b[^>]*>", -1), (seg, i) =>
+        when(i % 2 === 1,
+          array_join(
+            transform(split(seg, "(?i)<li\\b[^>]*>", -1), (item, j) =>
+              when(j === 0, item)
+                .otherwise(concat(lit(" "), j.cast("string"), lit(". "), item))),
+            "")).otherwise(seg)),
+      " ")
     x = regexp_replace(x, "(?i)<li\\b[^>]*>", "- ")
     strip_html(x)
   }

@@ -87,17 +87,23 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
-    // HTML -> markdown (reference F10 markdownify semantics): bold, em,
-    // link, list items rendered over synthetic markup around the corpus
+    // HTML -> markdown (reference F10 markdownify semantics): headings,
+    // depth-2/3 nested inline tags, bold, em, link, code, blockquote,
+    // numbered <ol> items, and a plain <ul> — the full round-5 tag set —
+    // rendered over synthetic markup around the corpus
     "t9_html_to_markdown" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           html_to_markdown(concat(
-            lit("<p><b>Doc "), col("doc_id").cast("string"),
+            lit("<h1>Doc "), col("doc_id").cast("string"),
+            lit("</h1><h2><b><i>meta</i></b></h2><p><b>Doc "), col("doc_id").cast("string"),
             lit("</b> <em>note</em>: "), col("text"),
             lit(" <a href=\"https://docs.example/"), col("doc_id").cast("string"),
-            lit("\">link</a></p><ul><li>lang "), col("lang"),
-            lit("</li><li>source "), col("source"), lit("</li></ul>")))
+            lit("\">link</a></p><blockquote>quoted from "), col("source"),
+            lit("</blockquote><p>run <code>fetch "), col("doc_id").cast("string"),
+            lit("</code></p><ol><li>lang "), col("lang"),
+            lit("</li><li>source "), col("source"),
+            lit("</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>")))
             .as("markdown"))
         .orderBy(col("doc_id"))
     },
@@ -299,6 +305,44 @@ object Text extends QueryPack {
   )
 
   // masked-64-bit SQL builders shared with the v8 oracle — see SketchSql
+  /** DuckDB restatement of [[graft.functions.TextFunctions.html_to_markdown]],
+    * stage for stage: br, three inline passes (bold/em/link/code — inner
+    * tags convert before parents), ATX headings, blockquote, <ol> segment
+    * numbering (string_split_regex + indexed lambdas; DuckDB indexes are
+    * 1-based where Spark's transform is 0-based, hence i%2=0 / j-1),
+    * remaining <li> -> "- ", then strip_html's tag removal, entity
+    * decode, and whitespace collapse.
+    */
+  private def mdSql(input: String): String = {
+    def rr(x: String, pat: String, rep: String) =
+      s"regexp_replace($x, '$pat', '$rep', 'g')"
+    var x = rr(input, """(?i)<br\s*/?>""", " ")
+    for (_ <- 1 to 3) {
+      x = rr(x, """(?i)<(?:b|strong)\b[^>]*>([^<]*)</(?:b|strong)>""", """**\1**""")
+      x = rr(x, """(?i)<(?:i|em)\b[^>]*>([^<]*)</(?:i|em)>""", """*\1*""")
+      x = rr(x, """(?i)<a\b[^>]*href="([^"]*)"[^>]*>([^<]*)</a>""", """[\2](\1)""")
+      x = rr(x, """(?i)<code\b[^>]*>([^<]*)</code>""", """`\1`""")
+    }
+    for (h <- 1 to 6)
+      // NB the s-interpolator processes escapes even in triple quotes,
+      // so the word boundary needs a doubled backslash here (the plain
+      // triple-quoted patterns above keep \b literal)
+      x = rr(x, s"""(?i)<h$h\\b[^>]*>([^<]*)</h$h>""", " " + ("#" * h) + """ \1 """)
+    x = rr(x, """(?i)<blockquote\b[^>]*>([^<]*)</blockquote>""", """ > \1 """)
+    x = s"""array_to_string(list_transform(string_split_regex($x, '(?i)</?ol\\b[^>]*>'),
+           |  (seg, i) -> CASE WHEN i % 2 = 0 THEN
+           |      array_to_string(list_transform(string_split_regex(seg, '(?i)<li\\b[^>]*>'),
+           |        (item, j) -> CASE WHEN j = 1 THEN item
+           |                     ELSE ' ' || CAST(j - 1 AS VARCHAR) || '. ' || item END), '')
+           |    ELSE seg END), ' ')""".stripMargin
+    x = rr(x, """(?i)<li\b[^>]*>""", "- ")
+    x = rr(x, "<[^>]*>", " ")
+    x = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(x) { case (acc, (from, to)) => s"replace($acc, '$from', '$to')" }
+    s"trim(${rr(x, """\s+""", " ")})"
+  }
+
   private val toksSql = SketchSql.ToksSql
   private def shinglesSql(w: String) = SketchSql.shinglesSql(w)
   private val mask64 = SketchSql.Mask64
@@ -436,28 +480,20 @@ object Text extends QueryPack {
          |  FROM documents) t
          |ORDER BY doc_id""".stripMargin,
 
+    // the staged pipeline mirrors html_to_markdown stage for stage (see
+    // mdSql); the input expression matches the Spark-side concat exactly
     "t9_html_to_markdown" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(
-        |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(
-        |      regexp_replace(
-        |      regexp_replace(
-        |      regexp_replace(
-        |      regexp_replace(
-        |      regexp_replace(
-        |        '<p><b>Doc ' || CAST(doc_id AS VARCHAR) || '</b> <em>note</em>: ' || text
-        |          || ' <a href="https://docs.example/' || CAST(doc_id AS VARCHAR)
-        |          || '">link</a></p><ul><li>lang ' || lang || '</li><li>source ' || source || '</li></ul>',
-        |        '(?i)<br\s*/?>', ' ', 'g'),
-        |        '(?i)<(?:b|strong)\b[^>]*>([^<]*)</(?:b|strong)>', '**\1**', 'g'),
-        |        '(?i)<(?:i|em)\b[^>]*>([^<]*)</(?:i|em)>', '*\1*', 'g'),
-        |        '(?i)<a\b[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', '[\2](\1)', 'g'),
-        |        '(?i)<li\b[^>]*>', '- ', 'g'),
-        |      '<[^>]*>', ' ', 'g'),
-        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |    '\s+', ' ', 'g')) AS markdown
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, ${mdSql(
+           "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+           "'</h1><h2><b><i>meta</i></b></h2><p><b>Doc ' || CAST(doc_id AS VARCHAR) || " +
+           "'</b> <em>note</em>: ' || text || " +
+           "' <a href=\"https://docs.example/' || CAST(doc_id AS VARCHAR) || " +
+           "'\">link</a></p><blockquote>quoted from ' || source || " +
+           "'</blockquote><p>run <code>fetch ' || CAST(doc_id AS VARCHAR) || " +
+           "'</code></p><ol><li>lang ' || lang || " +
+           "'</li><li>source ' || source || " +
+           "'</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>'")} AS markdown
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS n_copies

@@ -131,6 +131,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(4L) === "**caps tag** after break")
   }
 
+  test("html_to_markdown round-5 tag set: headings, nesting, ol numbering, blockquote, code") {
+    val got = textDf(
+      (1L, """<h1>Top</h1><h3>Sub</h3> body"""),
+      (2L, """<h2><b><i>deep</i></b></h2>"""),              // depth-3 nesting
+      (3L, """<ol><li>alpha</li><li><b>beta</b></li><li>gamma</li></ol>"""),
+      (4L, """<blockquote>wise words</blockquote> then <code>x = 1</code>"""),
+      (5L, """<ol><li>a</li></ol><p>mid</p><ol><li>b</li><li>c</li></ol>"""),
+      (6L, """<b><i><em>four</em></i></b>"""))               // depth-3 fixpoint
+      .select(col("doc_id"), graft.functions.TextFunctions.html_to_markdown(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "# Top ### Sub body")
+    assert(got(2L) === "## ***deep***")
+    assert(got(3L) === "1. alpha 2. **beta** 3. gamma")
+    assert(got(4L) === "> wise words then `x = 1`")
+    // numbering restarts per <ol> scope
+    assert(got(5L) === "1. a mid 1. b 2. c")
+    // em, then i, then b each wrap: *four* -> **four** -> ****four****
+    assert(got(6L) === "****four****")
+  }
+
   test("rolling_fingerprint matches the oracle recurrence incl non-ASCII; empty -> 0") {
     // pinned DuckDB values: list_reduce over string_split(text,'') + ascii
     // (one step per Unicode code point) with (a*131+b) % 2^55
