@@ -173,8 +173,9 @@ object Ivf {
       .sorted.take(nprobe).map(_._2).toSeq
 
   /** Approximate batch kNN join — the documented escape hatch for probe
-    * sets beyond [[Knn.knnJoin]]'s broadcast guard (~100k). Both sides
-    * scale out:
+    * sets beyond [[Knn.knnJoin]]'s economical chunk count (each 100k
+    * chunk re-scans the corpus; past ~10M probes the re-scans dominate).
+    * Both sides scale out:
     *  1. each probe is tagged with its `nprobe` nearest centroid buckets
     *     (distributed map over the probes, centroids broadcast);
     *  2. probes join the bucket-assigned corpus ON bucket — a plain

@@ -59,48 +59,78 @@ object Knn {
       .limit(k)
 
   /** Batch kNN join: the k nearest corpus rows for every probe row.
-    * Probes are a small batch by definition (they are collected and
-    * broadcast); the corpus streams through once.
     * Output: (probe_id, corpus_id, dist, rnk) with rnk in [1, k],
     * deterministic via (dist, corpus_id) ordering.
+    *
+    * Probe batches up to `probeChunk` rows are collected and broadcast
+    * whole — one corpus scan, per-partition bounded heaps, the
+    * cross-product never materializes. Larger probe sets auto-chunk:
+    * probe partitions stream to the driver (`toLocalIterator` — the
+    * driver holds ONE chunk, never the full probe set), each chunk runs
+    * its own corpus pass whose partials are materialized eagerly so the
+    * chunk's broadcast can be released before the next begins, and one
+    * global window ranks the union. Exactness is preserved because every
+    * probe lives in exactly one chunk and each chunk scans the full
+    * corpus. Cost model: ceil(probes/probeChunk) corpus scans — fine in
+    * the 100k-10M probe regime; beyond that prefer [[Ivf.knnJoinApprox]],
+    * which shuffles both sides instead of re-scanning.
     */
   def knnJoin(corpus: DataFrame, corpusId: String, corpusEmb: String,
               probes: DataFrame, probeId: String, probeEmb: String,
-              k: Int): DataFrame = {
+              k: Int, probeChunk: Int = 100000): DataFrame = {
+    require(probeChunk > 0, s"probeChunk must be positive, got $probeChunk")
     val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val probeRows: Array[(Long, Array[Float])] = probes
+    val probeDs = probes
       .select(col(probeId).cast("long"), col(probeEmb).cast("array<float>"))
-      .as[(Long, Array[Float])].collect()
-    require(probeRows.length <= 100000,
-      s"knnJoin broadcasts the probe side (${probeRows.length} rows); for " +
-        "probe sets beyond ~100k, chunk the probes or use Ivf bucketing")
-    val bc = spark.sparkContext.broadcast(probeRows)
-
-    val partials = corpus
-      .select(col(corpusId).cast("long"), col(corpusEmb).cast("array<float>"))
       .as[(Long, Array[Float])]
-      .mapPartitions { iter =>
-        val ps = bc.value
-        // max-heap on (dist, id): worst candidate at head, evicted first
-        val ord = Ordering.Tuple2[Double, Long]
-        val heaps = Array.fill(ps.length)(PriorityQueue.empty[(Double, Long)](ord))
-        iter.foreach { case (cid, emb) =>
-          var p = 0
-          while (p < ps.length) {
-            val d = cosineDist(emb, ps(p)._2)
-            val h = heaps(p)
-            if (h.size < k) h.enqueue((d, cid))
-            else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
-            p += 1
+    val grouped = probeDs.toLocalIterator().asScala.grouped(probeChunk)
+    val chunks = // an empty probe set still runs one (empty) pass
+      if (grouped.hasNext) grouped
+      else Iterator.single(Seq.empty[(Long, Array[Float])])
+    val passes = chunks.map { chunk =>
+      val arr = chunk.toArray
+      val bc = spark.sparkContext.broadcast(arr)
+      val partials = corpus
+        .select(col(corpusId).cast("long"), col(corpusEmb).cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { iter =>
+          val ps = bc.value
+          // max-heap on (dist, id): worst candidate at head, evicted first
+          val ord = Ordering.Tuple2[Double, Long]
+          val heaps = Array.fill(ps.length)(PriorityQueue.empty[(Double, Long)](ord))
+          iter.foreach { case (cid, emb) =>
+            var p = 0
+            while (p < ps.length) {
+              val d = cosineDist(emb, ps(p)._2)
+              val h = heaps(p)
+              if (h.size < k) h.enqueue((d, cid))
+              else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
+              p += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, p) =>
+            h.iterator.map { case (d, cid) => (ps(p)._1, cid, d) }
           }
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, p) =>
-          h.iterator.map { case (d, cid) => (ps(p)._1, cid, d) }
-        }
+        .toDF("probe_id", "corpus_id", "dist")
+      (partials, bc)
+    }
+    val first = passes.next()
+    val partials =
+      if (!passes.hasNext) first._1 // single chunk: today's lazy one-pass plan
+      else {
+        // multi-chunk: run each pass eagerly (localCheckpoint bounds the
+        // kept state to <= partitions x chunkProbes x k candidate rows,
+        // spilling to disk past memory) and release its broadcast before
+        // collecting the next chunk
+        (Iterator.single(first) ++ passes).map { case (df, bc) =>
+          val out = df.localCheckpoint(true)
+          bc.destroy()
+          out
+        }.reduce(_ union _)
       }
-      .toDF("probe_id", "corpus_id", "dist")
-
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist").asc, col("corpus_id").asc)
     partials

@@ -60,6 +60,18 @@ object Vectors extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // The chunked probe path: probeChunk=3 forces the 8 probes through
+    // three broadcast chunks + the eager-union path — the exact regime
+    // knnJoin enters past its single-broadcast comfort zone (~100k). Same
+    // oracle shape as v3: chunking must be invisible in the result.
+    "v3c_knn_join_chunked" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Knn.knnJoin(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3, probeChunk = 3)
+        .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
     // Embedding-cosine near-duplicate pairs (SURVEY §2.9).
     "v4_embedding_near_dup" -> { (s, d) =>
       Knn.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", minSim = 0.4)
@@ -255,6 +267,18 @@ object Vectors extends QueryPack {
         |LIMIT 10 OFFSET 10""".stripMargin,
 
     "v3_knn_join" ->
+      """SELECT probe_id, rnk, corpus_id FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY 1 - list_cosine_similarity(c.embedding, p.embedding) ASC,
+        |               c.vec_id ASC) AS rnk
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 8) t
+        |WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin,
+
+    // identical relation to v3 — chunking must not change the result
+    "v3c_knn_join_chunked" ->
       """SELECT probe_id, rnk, corpus_id FROM (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id

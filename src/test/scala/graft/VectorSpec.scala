@@ -152,6 +152,17 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin chunked probe path matches the single-broadcast result") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 7) // 7 probes, chunk=2 -> 4 passes
+    def run(chunk: Int) =
+      Knn.knnJoin(e, "vec_id", "embedding", probes, "vec_id", "embedding",
+        k = 3, probeChunk = chunk)
+        .select("probe_id", "rnk", "corpus_id")
+        .orderBy("probe_id", "rnk").collect().toSeq
+    assert(run(2) === run(100000))
+  }
+
   test("l2_normalize produces unit vectors; zero vector stays zero") {
     val rows = vecDf(Seq((1L, Array(3f, 4f)), (2L, Array(0f, 0f))))
       .select(col("id"), l2_normalize(col("emb")).as("n"))
