@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing harness for local iteration: the same session
+  * config and noop-sink methodology as [[Bench]], but one named query,
+  * N warm repetitions, per-rep seconds on stdout. Not part of the driver
+  * contract — `Bench` remains the measured record.
+  *
+  * Usage: runMain graft.BenchOne <sfDir> <queryName> [reps=5]
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.SpatialFilterPushdown)
+    val fn = (SparkEntry.queries ++ SparkEntry.benchOnly)(name)
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val times = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[benchone] $name rep $i: $t%.3f s")
+      t
+    }
+    println(f"[benchone] $name min of $reps: ${times.min}%.3f s")
+    spark.stop()
+  }
+}

@@ -111,51 +111,54 @@ object Dedup {
     * Algorithm: iterative min-label propagation (each round every node
     * takes the min of its own and its neighbors' labels), which converges
     * in O(component diameter) rounds — near-dup components are tiny
-    * chains/cliques in practice, so a handful. Each round is one shuffle
-    * join + map-side-combinable min aggregate; labels persist per round
-    * and the previous round is unpersisted, so lineage and memory stay
-    * bounded. For graphs with giant components, swap in the
-    * large-star/small-star variant (O(log n) rounds) — same interface.
+    * chains/cliques in practice, so a handful. The edge set carries
+    * TAGGED SELF-LOOPS (own = a==b), so one join + one aggregate per
+    * round computes min over N(a) ∪ {a} AND recovers a's previous label
+    * (the self-loop row) in the same pass — the convergence witness
+    * piggybacks on the propagation aggregate (round-4 advice: the old
+    * shape ran a separate union branch plus a hash-sum witness scan per
+    * round). Labels persist per round and the previous round is
+    * unpersisted, so lineage and memory stay bounded. For graphs with
+    * giant components, swap in the large-star/small-star variant
+    * (O(log n) rounds) — same interface.
     */
   def nearDupClusters(pairs: DataFrame, idCol1: String = "id1",
                       idCol2: String = "id2", maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .distinct()
+    val withSelf = edges.select(col("a"), col("b"), lit(false).as("own"))
+      .union(edges.select(col("a"), col("a").as("b"), lit(true).as("own")).distinct())
       .persist()
-    // seed = one propagation already applied: label(n) = min(n, neighbors)
-    var labels = edges
+    // seed = one propagation over identity labels: label(n) = min(n, N(n))
+    var labels = withSelf
       .groupBy(col("a"))
-      .agg(least(min(col("b")), col("a")).as("label"))
+      .agg(min(col("b")).as("label"))
       .select(col("a").as("node"), col("label"))
       .persist()
-    // type-agnostic convergence witness (works for string/any id types and
-    // null-safe on empty input, unlike sum(label)): count is constant
-    // across rounds, the hash sum changes iff any label moved
-    def witness(ls: DataFrame): (Long, Long) = {
-      val r = ls.agg(count(lit(1)), sum(hash(col("node"), col("label")).cast("long"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var prev = witness(labels)
+    var kept = labels // persisted handle (labels later drops the flag column)
     var rounds = 0
-    var converged = prev._1 == 0L // empty pair list: nothing to propagate
+    var converged = false
     while (!converged && rounds < maxRounds) {
-      val neighborLabels = edges
+      val next = withSelf
         .join(labels.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label"))
-        .union(neighborLabels)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
+        .groupBy(col("a"))
+        .agg(min(col("label")).as("label"),
+          // a's own previous label rides the self-loop row
+          min(when(col("own"), col("label"))).as("prev"))
+        .select(col("a").as("node"), col("label"),
+          (col("label") =!= col("prev")).as("moved"))
         .persist()
-      val w = witness(next)
-      labels.unpersist()
-      labels = next
-      converged = w == prev
-      prev = w
+      // the materializing action IS the convergence check (null on empty)
+      val moved = next.agg(sum(when(col("moved"), 1L).otherwise(0L))).head()
+      val changed = if (moved.isNullAt(0)) 0L else moved.getLong(0)
+      kept.unpersist()
+      kept = next
+      labels = next.select(col("node"), col("label"))
+      converged = changed == 0L
       rounds += 1
     }
-    edges.unpersist()
+    withSelf.unpersist()
     labels.select(col("node").as("id"), col("label").as("keeper"))
       .orderBy(col("id"))
   }
