@@ -44,9 +44,17 @@ object Ingest {
     * extra validation job. NULL embedding/geom pass (the DDL columns are
     * nullable). For quarantine-instead-of-fail semantics use
     * [[quarantineInvalid]] before the load.
+    *
+    * `allowMultiPolygon`: the reference DDL is Polygon-only
+    * (`backend/load_data.py:79`), so the default keeps strict parity —
+    * but real GIS servers routinely serve MultiPolygon layers, so the
+    * flag widens the accepted set to {Polygon, MultiPolygon} (the WKB
+    * codec, bbox derivation, and the JTS-backed predicates all handle
+    * MultiPolygon already; only this DDL gate was Polygon-only).
     */
   def prepare(raw: DataFrame, orderCol: Option[String] = None,
-              validateDim: Option[Int] = None): DataFrame = {
+              validateDim: Option[Int] = None,
+              allowMultiPolygon: Boolean = false): DataFrame = {
     val renamed =
       if (raw.columns.contains("geometry")) raw.withColumnRenamed("geometry", "geom")
       else raw
@@ -55,28 +63,31 @@ object Ingest {
       case None     => renamed.dropDuplicates(Seq("id", "metadata_text"))
     }
     val projected = deduped.select(TableColumns.map(col): _*)
-    validateDim.fold(projected)(dim => validated(projected, dim))
+    validateDim.fold(projected)(dim => validated(projected, dim, allowMultiPolygon))
   }
 
   import graft.functions.GraftFunctions.st_geometrytype
 
   private def badEmbedding(dim: Int) =
     col("embeddings").isNotNull && size(col("embeddings")) =!= dim
-  private val badGeom =
-    col("geom").isNotNull && st_geometrytype(col("geom")) =!= "Polygon"
+  private def allowedTypes(allowMulti: Boolean): Seq[String] =
+    if (allowMulti) Seq("Polygon", "MultiPolygon") else Seq("Polygon")
+  private def badGeom(allowMulti: Boolean) =
+    col("geom").isNotNull &&
+      !st_geometrytype(col("geom")).isin(allowedTypes(allowMulti): _*)
 
   /** Strict DDL-constraint enforcement: first violating row fails the job
     * with a descriptive error (the COPY-transaction-abort analogue).
     */
-  private def validated(df: DataFrame, dim: Int): DataFrame = df
+  private def validated(df: DataFrame, dim: Int, allowMulti: Boolean): DataFrame = df
     .withColumn("embeddings",
       when(badEmbedding(dim), raise_error(concat(
         lit(s"embedding dimension violation (expected $dim, got "),
         size(col("embeddings")).cast("string"), lit(") for id "), col("id"))))
         .otherwise(col("embeddings")))
     .withColumn("geom",
-      when(badGeom, raise_error(concat(
-        lit("geometry type violation (expected Polygon, got "),
+      when(badGeom(allowMulti), raise_error(concat(
+        lit(s"geometry type violation (expected ${allowedTypes(allowMulti).mkString("|")}, got "),
         st_geometrytype(col("geom")), lit(") for id "), col("id"))))
         .otherwise(col("geom")))
 
@@ -84,13 +95,16 @@ object Ingest {
     * (valid rows, rejected rows) for load + quarantine sinks. Uses the
     * try-parse geometry read so malformed WKB — the most invalid input
     * this path exists for — lands in the rejected split rather than
-    * aborting the job.
+    * aborting the job. `allowMultiPolygon` widens the accepted geometry
+    * set exactly as in [[prepare]].
     */
-  def quarantineInvalid(df: DataFrame, dim: Int = graft.sources.LayersTable.EmbeddingDim)
+  def quarantineInvalid(df: DataFrame, dim: Int = graft.sources.LayersTable.EmbeddingDim,
+                        allowMultiPolygon: Boolean = false)
       : (DataFrame, DataFrame) = {
     val tryType = graft.functions.GraftFunctions.st_try_geometrytype(col("geom"))
     val bad = badEmbedding(dim) ||
-      (col("geom").isNotNull && (tryType.isNull || tryType =!= "Polygon"))
+      (col("geom").isNotNull &&
+        (tryType.isNull || !tryType.isin(allowedTypes(allowMultiPolygon): _*)))
     (df.filter(!bad), df.filter(bad))
   }
 

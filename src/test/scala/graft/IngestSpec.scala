@@ -152,6 +152,15 @@ class IngestSpec extends AnyFunSuite {
     bb.put(1.toByte).putInt(1).putDouble(1.0).putDouble(2.0)
     bb.array()
   }
+  // WKB for MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0))): type 6 wrapping the
+  // polygon above as its single member
+  private def wkbMultiPolygon: Array[Byte] = {
+    val poly = wkbPolygon
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + 4 + poly.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(6).putInt(1).put(poly)
+    bb.array()
+  }
 
   private def constrained(embLen: Int, geom: Array[Byte]): org.apache.spark.sql.DataFrame =
     spark.createDataFrame(
@@ -199,6 +208,53 @@ class IngestSpec extends AnyFunSuite {
     val nulls = spark.createDataFrame(
       java.util.Arrays.asList(Row(0L, "n", "x", "t", "d", "u", "m", null, null)), schema)
     assert(Ingest.prepare(nulls, validateDim = Some(4)).count() === 1)
+  }
+
+  test("MultiPolygon ingest: rejected by default (reference DDL parity), accepted under the flag") {
+    // default = strict Polygon-only, the reference's geometry(Polygon,4326)
+    val e = intercept[Exception] {
+      Ingest.prepare(constrained(4, wkbMultiPolygon), validateDim = Some(4)).collect()
+    }
+    assert(e.getMessage.contains("geometry type violation"))
+    // widened: MultiPolygon passes strict validation...
+    val widened = Ingest.prepare(constrained(4, wkbMultiPolygon),
+      validateDim = Some(4), allowMultiPolygon = true)
+    assert(widened.count() === 2)
+    // ...and quarantine keeps it while still rejecting anything else
+    val mixed = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "poly", "a", "t", "d", "u", "m1", Seq.tabulate(4)(_.toFloat), wkbPolygon),
+        Row(1L, "multi", "b", "t", "d", "u", "m2", Seq.tabulate(4)(_.toFloat), wkbMultiPolygon),
+        Row(2L, "point", "c", "t", "d", "u", "m3", Seq.tabulate(4)(_.toFloat), wkbPoint)),
+      schema)
+    val (good, bad) = Ingest.quarantineInvalid(
+      Ingest.prepare(mixed), dim = 4, allowMultiPolygon = true)
+    assert(good.collect().map(_.getString(0)).sorted.toSeq === Seq("multi", "poly"))
+    assert(bad.collect().map(_.getString(0)).toSeq === Seq("point"))
+  }
+
+  test("MultiPolygon GeoParquet round trip: write -> read -> widened ingest -> spatial predicate") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-geomulti-ingest").toString + "/layers"
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "mp1", "multi layer", "Feature Layer", "d", "u", "m1",
+          Seq.tabulate(4)(_.toFloat), wkbMultiPolygon),
+        Row(1L, "p1", "poly layer", "Feature Layer", "d", "u", "m2",
+          Seq.tabulate(4)(_.toFloat), wkbPolygon)),
+      schema)
+    graft.sources.LayersTable.writeGeoParquet(src, out)
+    val back = graft.sources.LayersTable.readGeoParquet(spark, out)
+    val prepared = Ingest.prepare(back, orderCol = None,
+      validateDim = Some(4), allowMultiPolygon = true)
+    assert(prepared.count() === 2)
+    // the JTS-backed predicates work on the MultiPolygon as-is: the point
+    // (0.5, 0.5) lies inside its single member
+    val hit = prepared.filter(graft.functions.GraftFunctions.st_intersects(
+        col("geom"), graft.functions.GraftFunctions.st_point(
+          org.apache.spark.sql.functions.lit(0.5), org.apache.spark.sql.functions.lit(0.5))))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(hit === Seq("mp1", "p1"))
   }
 
   test("DDL validation: wrong embedding dim fails strict prepare; quarantine splits instead") {
