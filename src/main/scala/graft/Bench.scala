@@ -47,8 +47,11 @@ object Bench {
   /** Copy the sf directory's parquet files into tmpfs. Best-effort: any
     * failure (no /dev/shm, out of space) falls back to the original dir —
     * staging is a measurement-hygiene optimization, never a correctness
-    * dependency. Re-entrant: files already staged with matching length are
-    * not recopied.
+    * dependency. Re-entrant: files already staged with matching length
+    * AND no-older mtime are not recopied (length alone kept a stale copy
+    * alive when testdata was regenerated at identical byte size — round-4
+    * advice); any recopy also invalidates the derived widened table so
+    * prepareWidened regenerates it from the fresh inputs.
     */
   private def stageInputs(sfDir: String): (String, Boolean) = {
     try {
@@ -60,11 +63,21 @@ object Bench {
       if (shm.getUsableSpace < 4 * need) return (sfDir, false) // 4x: widened table + slack
       val dst = new java.io.File(shm, s"graft-bench-input/${src.getName}")
       dst.mkdirs()
+      var recopied = false
       for (f <- files) {
         val t = new java.io.File(dst, f.getName)
-        if (!t.isFile || t.length != f.length)
+        if (!t.isFile || t.length != f.length || t.lastModified < f.lastModified) {
           java.nio.file.Files.copy(f.toPath, t.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          recopied = true
+        }
+      }
+      if (recopied) { // stale derived table would survive via its _SUCCESS
+        val widenedDir = new java.io.File(dst, graft.queries.Vectors.WidenedTable)
+        if (widenedDir.isDirectory) {
+          widenedDir.listFiles().foreach(_.delete())
+          widenedDir.delete()
+        }
       }
       (dst.getAbsolutePath, true)
     } catch {
@@ -254,7 +267,11 @@ object Bench {
         "\"" + n + "\":" + ms
       }.mkString("{", ",", "}")
       val full = line.dropRight(1) + s""","raw":$raw}"""
-      val dir = Seq("/root/repo", ".").map(new java.io.File(_))
+      // the current checkout first: a bench run from another working copy
+      // must not overwrite a different repo's durable record (round-4
+      // advice); SPARK_GRAFT_BENCH_DIR overrides for detached runs
+      val dir = (sys.env.get("SPARK_GRAFT_BENCH_DIR").toSeq ++ Seq(".", "/root/repo"))
+        .map(new java.io.File(_))
         .find(d => d.isDirectory && d.canWrite).getOrElse(new java.io.File("."))
       java.nio.file.Files.write(
         new java.io.File(dir, "BENCH_LAST.json").toPath,

@@ -71,8 +71,12 @@ case class QuantizeInt8(child: Expression)
     val bytes = new Array[Byte](n)
     i = 0
     while (i < n) {
-      val q = math.round(VectorExprUtil.elemAt(child, arr, i) / scale)
-      bytes(i) = math.max(-127, math.min(127, q)).toByte
+      // floor(x + 0.5), NOT Math.round: since Java 7 Math.round special-
+      // cases the 0.49999999999999994 edge (returns 0 where floor(x+0.5)
+      // crosses to 1), and the v10 oracle states floor(x/scale + 0.5) —
+      // both engines must state the identical expression
+      val q = math.floor(VectorExprUtil.elemAt(child, arr, i) / scale + 0.5).toLong
+      bytes(i) = math.max(-127L, math.min(127L, q)).toByte
       i += 1
     }
     InternalRow(scale, bytes)

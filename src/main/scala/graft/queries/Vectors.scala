@@ -108,10 +108,12 @@ object Vectors extends QueryPack {
     // exact L2): the 4x-smaller scan format a 100 TB brute-force pass
     // would read. The oracle replicates the quantization float math
     // bit-for-bit: scale = float(maxAbs/127), q = clamp(floor(x/scale +
-    // 0.5)) (Math.round semantics), dequant = float(q * scale) — float
-    // products of these magnitudes are exact in double, so one final
-    // rounding matches the JVM on both engines and the dequantized
-    // vectors (hence distances, hence ordering) are identical.
+    // 0.5)) — the kernel states the identical floor form (NOT Math.round,
+    // which special-cases the 0.49999999999999994 edge since Java 7) —
+    // dequant = float(q * scale); float products of these magnitudes are
+    // exact in double, so one final rounding matches the JVM on both
+    // engines and the dequantized vectors (hence distances, hence
+    // ordering) are identical.
     "v10_quantized_knn" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
@@ -206,11 +208,19 @@ object Vectors extends QueryPack {
     * siblings; what changes is the kernel work per row, which is the
     * point. Reads the pre-materialized parquet when the bench has staged
     * it (so measurements see real 1024-dim columnar input, not inline
-    * widening), deriving on the fly otherwise.
+    * widening), deriving on the fly otherwise. The probe goes through the
+    * Hadoop FS API (not java.io.File — works under any default FS) and
+    * requires the _SUCCESS commit marker: a crashed partial write must
+    * fall back to inline widening, not silently serve a truncated corpus.
     */
   private[graft] def widened(s: SparkSession, d: String): DataFrame = {
-    val p = s"$d/$WidenedTable"
-    if (new java.io.File(p).exists()) s.read.parquet(p)
+    val p = new org.apache.hadoop.fs.Path(s"$d/$WidenedTable")
+    val committed =
+      try {
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      } catch { case _: Exception => false }
+    if (committed) s.read.parquet(p.toString)
     else widenInline(s, d)
   }
 
