@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""10x scale sweep for the d/t/v query families (round-5 verdict item 5).
+
+No sf1 testdata ships, so this derives one from sf0.1: documents and
+embeddings are replicated 10x with offset ids; document copies k>=1 get a
+' rep<k>' text suffix (n_chars updated in lockstep), which turns every
+document into a 10-member NEAR-dup cluster — a harder, more realistic
+workload for the dedup family than byte-identical copies. Embedding
+copies stay exact (tie-breaks are deterministic on both engines). The
+remaining tables are copied unscaled so the oracle's views resolve.
+
+Usage:
+  python3 tools/scale_sweep.py build [dir=/dev/shm/graft-sf1x]
+  sbt -batch 'runMain graft.Verify /dev/shm/graft-sf1x /tmp/sweep_out <d/t/v queries>'
+  python3 tools/check.py /tmp/sweep_out /dev/shm/graft-sf1x
+
+`build` prints the d/t/v query list for the Verify invocation.
+"""
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+
+SRC = Path("/root/testdata/sf0.1")
+COPIES = 10
+
+
+def build(dst: Path):
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT doc_id + 10000 * k AS doc_id,
+                 CASE WHEN k = 0 THEN text
+                      ELSE text || ' rep' || CAST(k AS VARCHAR) END AS text,
+                 lang, source,
+                 n_chars + CASE WHEN k = 0 THEN 0
+                                ELSE len(' rep' || CAST(k AS VARCHAR)) END AS n_chars
+          FROM '{SRC}/documents.parquet', generate_series(0, {COPIES - 1}) AS g(k)
+          ORDER BY doc_id
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
+    """)
+    # small row groups keep per-scan-partition row counts far below
+    # Ivf.build's reservoir capacity, preserving the v7/v9 oracle's
+    # sample==corpus precondition at 20k rows
+    con.execute(f"""
+        COPY (
+          SELECT vec_id + 10000 * k AS vec_id, embedding, label
+          FROM '{SRC}/embeddings.parquet', generate_series(0, {COPIES - 1}) AS g(k)
+          ORDER BY vec_id
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000)
+    """)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"]:
+        shutil.copyfile(SRC / f"{t}.parquet", dst / f"{t}.parquet")
+    for t in ["documents", "embeddings"]:
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+def dtv_queries():
+    # names from the last Verify dump if present, else a static list
+    for p in [Path("/tmp/verify_full/oracle_sql.json")]:
+        if p.exists():
+            return sorted(n for n in json.loads(p.read_text())
+                          if n[0] in "dtv")
+    return []
+
+
+if __name__ == "__main__":
+    d = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/dev/shm/graft-sf1x")
+    build(d)
+    qs = dtv_queries()
+    print("\nd/t/v queries:\n" + " ".join(qs))
