@@ -63,17 +63,18 @@ object Knn {
     * deterministic via (dist, corpus_id) ordering.
     *
     * Probe batches up to `probeChunk` rows are collected and broadcast
-    * whole — one corpus scan, per-partition bounded heaps, the
-    * cross-product never materializes. Larger probe sets auto-chunk:
-    * probe partitions stream to the driver (`toLocalIterator` — the
-    * driver holds ONE chunk, never the full probe set), each chunk runs
-    * its own corpus pass whose partials are materialized eagerly so the
-    * chunk's broadcast can be released before the next begins, and one
-    * global window ranks the union. Exactness is preserved because every
-    * probe lives in exactly one chunk and each chunk scans the full
-    * corpus. Cost model: ceil(probes/probeChunk) corpus scans — fine in
-    * the 100k-10M probe regime; beyond that prefer [[Ivf.knnJoinApprox]],
-    * which shuffles both sides instead of re-scanning.
+    * whole — ONE probe-side job (a bounded limit-collect), one corpus
+    * scan, per-partition bounded heaps, the cross-product never
+    * materializes. Larger probe sets auto-chunk: probe partitions stream
+    * to the driver (`toLocalIterator` — the driver holds ONE chunk, never
+    * the full probe set), each chunk runs its own corpus pass whose
+    * partials are materialized eagerly so the chunk's broadcast can be
+    * released before the next begins, and one global window ranks the
+    * union. Exactness is preserved because every probe lives in exactly
+    * one chunk and each chunk scans the full corpus. Cost model:
+    * ceil(probes/probeChunk) corpus scans — fine in the 100k-10M probe
+    * regime; beyond that prefer [[Ivf.knnJoinApprox]], which shuffles
+    * both sides instead of re-scanning.
     */
   def knnJoin(corpus: DataFrame, corpusId: String, corpusEmb: String,
               probes: DataFrame, probeId: String, probeEmb: String,
@@ -85,10 +86,15 @@ object Knn {
     val probeDs = probes
       .select(col(probeId).cast("long"), col(probeEmb).cast("array<float>"))
       .as[(Long, Array[Float])]
-    val grouped = probeDs.toLocalIterator().asScala.grouped(probeChunk)
-    val chunks = // an empty probe set still runs one (empty) pass
-      if (grouped.hasNext) grouped
-      else Iterator.single(Seq.empty[(Long, Array[Float])])
+    // Probe the single-chunk case with ONE bounded job: toLocalIterator
+    // schedules a job per probe partition, which turned the common small
+    // batch into dozens of serial no-op jobs (measured 2x on v3w). The
+    // limit-collect holds at most probeChunk+1 rows on the driver.
+    val firstChunk = probeDs.limit(probeChunk + 1).collect()
+    val chunks =
+      if (firstChunk.length <= probeChunk)
+        Iterator.single(firstChunk.toSeq) // empty probe set: one empty pass
+      else probeDs.toLocalIterator().asScala.grouped(probeChunk)
     val passes = chunks.map { chunk =>
       val arr = chunk.toArray
       val bc = spark.sparkContext.broadcast(arr)
