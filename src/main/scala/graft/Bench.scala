@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"stall":{...},
-  * "sf":...}. The full record (including every raw measurement) is also
-  * written to BENCH_LAST.json in the repo, so the round artifact survives
-  * even if the driver's stdout tail window truncates the line.
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...} —
+  * kept under ~1.9 KB (2-decimal, gate queries) because the driver
+  * records only the last ~2000 stdout chars. The full record (3-decimal
+  * values incl. the benchOnly width variants, stall diagnostics, every
+  * raw bracketed measurement) is written to BENCH_LAST.json in the repo.
   *
   * Methodology:
   *  - results are written to the `noop` datasource so the FULL plan
@@ -239,7 +240,7 @@ object Bench {
       }
     }
 
-    // stall diagnostics: part of the emitted record, not stderr-only
+    // stall diagnostics: part of the durable record (BENCH_LAST.json)
     val all = names.flatMap(meas(_))
     val contaminated = all.count(!_._2)
     val noClean = names.count(n => meas(n).nonEmpty && !meas(n).exists(_._2))
@@ -255,7 +256,37 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""stall":$stallJson,"sf":"$sfDirEnv"}"""
-    println(line)
+    // The driver records only the LAST ~2000 chars of stdout, and sbt's
+    // own success trailer consumes ~72 of them — round 4's full line
+    // (2.2 KB) was beheaded into parsed:null. The stdout line therefore
+    // carries the contract fields at 2-decimal precision for the GATE
+    // queries only (~1.9 KB, fits with margin); the 3-decimal values for
+    // everything incl. the benchOnly width variants, the stall stats,
+    // and the raw bracketed measurements live in BENCH_LAST.json.
+    val gateNames = SparkEntry.queries.keySet
+    def compactLine(subSecDecimals: Int): String = {
+      // hybrid precision: 1-decimal past 1 s (resolution proportional to
+      // magnitude), subSecDecimals below — the sub-second entries are
+      // where a lost digit would blur a 3x-regression comparison
+      def r(v: Double): Double =
+        if (v < 0) v
+        else if (v >= 1.0) math.rint(v * 10.0) / 10.0
+        else {
+          val s = math.pow(10.0, subSecDecimals)
+          math.rint(v * s) / s
+        }
+      val qsCompact = results.collect { case (k, v) if gateNames(k) =>
+        "\"" + k + "\":" + r(v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.rint(total * 10.0) / 10.0},"unit":"sec",""" +
+        s""""queries":$qsCompact,"sf":"$sfDirEnv"}"""
+    }
+    val two = compactLine(2)
+    // 1900 leaves room for sbt's "[info] " prefix (~7) plus its ~80-char
+    // success trailer inside the driver's 2000-char stdout window (no
+    // round has ever had its line parse — every BENCH_rN.json carries
+    // parsed:null from the truncation); degrade precision, never truncate
+    println(if (two.length <= 1900) two else compactLine(1))
 
     // Full record to a repo file: the driver's stdout tail window truncated
     // round 3's line, losing 13 entries and the total — the file is the
