@@ -260,6 +260,25 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF build's sample degenerates to the full corpus at gate scale (v7/v9 oracle precondition)") {
+    // The IvfSql DuckDB oracle replays the k-means over the FULL corpus
+    // in vec_id order, which is only the engine's computation while every
+    // scan partition fits Ivf.build's reservoir capacity. Pin it: the
+    // built centroids must equal trainCentroids over the collected corpus
+    // sorted by id — if a layout change ever makes the reservoir sample
+    // for real at gate scale, this fails before the driver's oracle does.
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+    val full = e.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val direct = Ivf.trainCentroids(full, nlist = 8, iters = 5)
+    assert(idx.centroids.length === direct.length)
+    idx.centroids.zip(direct).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"centroid $i differs — sample != full corpus")
+    }
+  }
+
   test("IVF batch kNN join: per-probe agreement with single-probe search + recall vs exact join") {
     val e = Tables.embeddings(spark, sfDir)
     val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
