@@ -38,6 +38,19 @@ object Tables {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
 
+  /** Round-robin-spread a scan that is narrower than the cluster: a
+    * single small parquet file scans as ONE partition, which serializes
+    * any heavy per-row kernel downstream (regex ladders, levenshtein
+    * blocks, LSH banding — the round-4 v8 lesson). At real scale the
+    * input already arrives in many partitions and this is a no-op —
+    * never a shuffle tax. Apply ONLY where per-row kernel work dominates
+    * the query; cheap scans don't earn the exchange.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

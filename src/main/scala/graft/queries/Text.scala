@@ -92,7 +92,9 @@ object Text extends QueryPack {
     // numbered <ol> items, and a plain <ul> — the full round-5 tag set —
     // rendered over synthetic markup around the corpus
     "t9_html_to_markdown" -> { (s, d) =>
-      Tables.documents(s, d)
+      // ~25 regex passes per row since the round-5 parity widening: the
+      // dominant cost is the ladder, so the narrow scan must spread
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           html_to_markdown(concat(
             lit("<h1>Doc "), col("doc_id").cast("string"),
@@ -132,7 +134,7 @@ object Text extends QueryPack {
       val withContact = concat(col("text"),
         lit(" Contact: user"), col("doc_id").cast("string"),
         lit("@example.org or https://docs.example/"), col("doc_id").cast("string"))
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d)) // five regex passes per row
         .select(col("doc_id"),
           regexp_count(withContact, lit(TextPatterns.Email)).cast("long").as("n_emails"),
           regexp_count(withContact, lit(TextPatterns.Url)).cast("long").as("n_urls"),
@@ -187,7 +189,14 @@ object Text extends QueryPack {
     "t17_fuzzy_name_pairs" -> { (s, d) =>
       val p = Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
-      val a = p.toDF("id1", "brand", "ptype", "name1")
+      // the probe (streaming) side of the broadcast join carries ALL the
+      // per-pair levenshtein work; a single small parquet file scans as
+      // one partition and ran the ~1.3M banded comparisons on one core
+      // (the v8-banding pathology). Spread only when the scan is narrower
+      // than the cluster — a no-op at real scale, never a shuffle tax.
+      val par = s.sparkContext.defaultParallelism
+      val pa = if (p.rdd.getNumPartitions < par) p.repartition(par) else p
+      val a = pa.toDF("id1", "brand", "ptype", "name1")
       val b = p.toDF("id2", "brand", "ptype", "name2")
       a.join(b, Seq("brand", "ptype"))
         .filter(col("id1") < col("id2") &&
