@@ -165,7 +165,12 @@ object Knn {
       s"nearDupPairs is the exact O(n^2) baseline and broadcasts the full " +
         s"corpus (> $maxRows rows found); use lshNearDupPairs for corpora " +
         "at scale (thresholds >= ~0.7), or raise maxRows deliberately")
-    val a = corpus.select(col(idCol).as("id1"), col(embCol).as("emb1"))
+    // the streaming side carries ALL n^2/2 cosine evaluations; a single
+    // small parquet file scans as one partition and would run them on one
+    // core (the v8-banding pathology) — spread only when narrower than
+    // the cluster, a no-op on real multi-partition inputs
+    val a = graft.Tables.spread(
+      corpus.select(col(idCol).as("id1"), col(embCol).as("emb1")))
     val b = corpus.select(col(idCol).as("id2"), col(embCol).as("emb2"))
     a.join(broadcast(b), col("id1") < col("id2"))
       .withColumn("sim", lit(1.0) - cosine_distance(col("emb1"), col("emb2")))
