@@ -33,7 +33,10 @@ object Contamination {
       .select(explode(shingle_set(col(evalTextCol), n)).as("s"))
       .distinct()
       .withColumn("hit", lit(1))
-    val trainShingles = train
+    // shingling + the broadcast probe are per-row kernel work: spread a
+    // train scan narrower than the cluster (no-op on real multi-partition
+    // inputs — see Tables.spread)
+    val trainShingles = graft.Tables.spread(train)
       .select(col(idCol).as("id"), explode(shingle_set(col(textCol), n)).as("s"))
     trainShingles
       .join(broadcast(evalShingles), Seq("s"), "left")
