@@ -94,7 +94,8 @@ object TextFunctions {
     * (markdownify's default Setext underlines are meaningless once
     * whitespace is canonicalized, so the ATX form carries the level),
     * blockquote -> "> ", ordered-list items numbered "1. 2. ...", other
-    * list items -> "- ", <br> -> break; remaining tags are stripped and
+    * list items -> "- ", images -> ![alt](src) (either attribute
+    * order), <hr> -> ---, <br> -> break; remaining tags are stripped and
     * entities decoded ([[strip_html]]). Whitespace is normalized to
     * single spaces (markdownify keeps layout newlines; the engine's
     * canonical text form is space-collapsed).
@@ -115,6 +116,12 @@ object TextFunctions {
       x = regexp_replace(x, "(?i)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>", "[$2]($1)")
       x = regexp_replace(x, "(?i)<code\\b[^>]*>([^<]*)</code>", "`$1`")
     }
+    // img (self-closing; both attribute orders) and hr
+    x = regexp_replace(x,
+      "(?i)<img\\b[^>]*alt=\"([^\"]*)\"[^>]*src=\"([^\"]*)\"[^>]*/?>", "![$1]($2)")
+    x = regexp_replace(x,
+      "(?i)<img\\b[^>]*src=\"([^\"]*)\"[^>]*alt=\"([^\"]*)\"[^>]*/?>", "![$2]($1)")
+    x = regexp_replace(x, "(?i)<hr\\s*/?>", " --- ")
     // block rules after inline, so their content groups see no inner
     // tags; surrounding spaces keep adjacent blocks apart (markdownify
     // separates blocks with newlines — collapsed to one space here)

@@ -166,7 +166,8 @@ object Ingest {
     * reference's single COPY transaction (SURVEY.md §2.1 S3).
     */
   def run(spark: SparkSession, inPath: String, outPath: String,
-          orderCol: Option[String] = None, validateDim: Option[Int] = None): Boolean = {
+          orderCol: Option[String] = None, validateDim: Option[Int] = None,
+          allowMultiPolygon: Boolean = false): Boolean = {
     val hconf = spark.sessionState.newHadoopConf()
     val out = new org.apache.hadoop.fs.Path(outPath)
     val fs = out.getFileSystem(hconf)
@@ -198,7 +199,7 @@ object Ingest {
       // the winner's committed output (the overwrite mode this replaces
       // let both proceed).
       if (fs.exists(out)) fs.delete(out, true)
-      prepare(spark.read.parquet(inPath), orderCol, validateDim)
+      prepare(spark.read.parquet(inPath), orderCol, validateDim, allowMultiPolygon)
         .write.mode("errorifexists").parquet(outPath)
       true
     }

@@ -103,7 +103,8 @@ object Text extends QueryPack {
             lit(" <a href=\"https://docs.example/"), col("doc_id").cast("string"),
             lit("\">link</a></p><blockquote>quoted from "), col("source"),
             lit("</blockquote><p>run <code>fetch "), col("doc_id").cast("string"),
-            lit("</code></p><ol><li>lang "), col("lang"),
+            lit("</code></p><img src=\"https://img.example/"), col("doc_id").cast("string"),
+            lit(".png\" alt=\"thumb\"/><hr/><ol><li>lang "), col("lang"),
             lit("</li><li>source "), col("source"),
             lit("</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>")))
             .as("markdown"))
@@ -332,6 +333,9 @@ object Text extends QueryPack {
       x = rr(x, """(?i)<a\b[^>]*href="([^"]*)"[^>]*>([^<]*)</a>""", """[\2](\1)""")
       x = rr(x, """(?i)<code\b[^>]*>([^<]*)</code>""", """`\1`""")
     }
+    x = rr(x, """(?i)<img\b[^>]*alt="([^"]*)"[^>]*src="([^"]*)"[^>]*/?>""", """![\1](\2)""")
+    x = rr(x, """(?i)<img\b[^>]*src="([^"]*)"[^>]*alt="([^"]*)"[^>]*/?>""", """![\2](\1)""")
+    x = rr(x, """(?i)<hr\s*/?>""", " --- ")
     for (h <- 1 to 6)
       // NB the s-interpolator processes escapes even in triple quotes,
       // so the word boundary needs a doubled backslash here (the plain
@@ -499,7 +503,8 @@ object Text extends QueryPack {
            "' <a href=\"https://docs.example/' || CAST(doc_id AS VARCHAR) || " +
            "'\">link</a></p><blockquote>quoted from ' || source || " +
            "'</blockquote><p>run <code>fetch ' || CAST(doc_id AS VARCHAR) || " +
-           "'</code></p><ol><li>lang ' || lang || " +
+           "'</code></p><img src=\"https://img.example/' || CAST(doc_id AS VARCHAR) || " +
+           "'.png\" alt=\"thumb\"/><hr/><ol><li>lang ' || lang || " +
            "'</li><li>source ' || source || " +
            "'</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>'")} AS markdown
          |FROM documents ORDER BY doc_id""".stripMargin,

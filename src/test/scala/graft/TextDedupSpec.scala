@@ -138,7 +138,9 @@ class TextDedupSpec extends AnyFunSuite {
       (3L, """<ol><li>alpha</li><li><b>beta</b></li><li>gamma</li></ol>"""),
       (4L, """<blockquote>wise words</blockquote> then <code>x = 1</code>"""),
       (5L, """<ol><li>a</li></ol><p>mid</p><ol><li>b</li><li>c</li></ol>"""),
-      (6L, """<b><i><em>four</em></i></b>"""))               // depth-3 fixpoint
+      (6L, """<b><i><em>four</em></i></b>"""),               // depth-3 fixpoint
+      (7L, """<img src="https://x.org/i.png" alt="pic"/> then <img alt="alt2" src="u2">"""),
+      (8L, """before <hr/> after"""))
       .select(col("doc_id"), graft.functions.TextFunctions.html_to_markdown(col("text")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) === "# Top ### Sub body")
@@ -149,6 +151,8 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(5L) === "1. a mid 1. b 2. c")
     // em, then i, then b each wrap: *four* -> **four** -> ****four****
     assert(got(6L) === "****four****")
+    assert(got(7L) === "![pic](https://x.org/i.png) then ![alt2](u2)")
+    assert(got(8L) === "before --- after")
   }
 
   test("rolling_fingerprint matches the oracle recurrence incl non-ASCII; empty -> 0") {
