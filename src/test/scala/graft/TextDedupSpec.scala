@@ -155,6 +155,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(8L) === "before --- after")
   }
 
+  test("html_to_markdown property: tag-free text is whitespace-collapse identity (seeded)") {
+    // markdown metacharacters in plain text must pass through untouched —
+    // the rules only fire on real tags
+    val rng = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "*", "**x**", "#", "##", "-", "1.",
+      "(x)", "[y]", "a_b", ">", "---", "`tick`")
+    val docs = (1L to 40L).map { i =>
+      val n = 1 + rng.nextInt(8)
+      (i, Seq.fill(n)(words(rng.nextInt(words.length))).mkString("  "))
+    }
+    val got = textDf(docs: _*)
+      .select(col("doc_id"), graft.functions.TextFunctions.html_to_markdown(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (i, s) =>
+      assert(got(i) === s.trim.replaceAll("\\s+", " "), s"doc $i: <$s>")
+    }
+  }
+
+  test("html_to_markdown property: every supported inline tag marks arbitrary tag-free content (seeded)") {
+    val rng = new scala.util.Random(7)
+    val inner = Seq("x", "two words", "punct, and.", "1. not a list", "d-ash")
+    val cases = Seq[(String, String => String)](
+      "b" -> (c => s"**$c**"), "strong" -> (c => s"**$c**"),
+      "i" -> (c => s"*$c*"), "em" -> (c => s"*$c*"),
+      "code" -> (c => s"`$c`"))
+    val docs = (1L to 30L).map { i =>
+      val (tag, render) = cases(rng.nextInt(cases.length))
+      val c = inner(rng.nextInt(inner.length))
+      (i, s"pre <$tag>$c</$tag> post", s"pre ${render(c)} post")
+    }
+    val got = textDf(docs.map(d => (d._1, d._2)): _*)
+      .select(col("doc_id"), graft.functions.TextFunctions.html_to_markdown(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (i, in, want) => assert(got(i) === want, s"doc $i: <$in>") }
+  }
+
   test("rolling_fingerprint matches the oracle recurrence incl non-ASCII; empty -> 0") {
     // pinned DuckDB values: list_reduce over string_split(text,'') + ascii
     // (one step per Unicode code point) with (a*131+b) % 2^55
