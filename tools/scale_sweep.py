@@ -61,12 +61,25 @@ def build(dst: Path):
 
 
 def dtv_queries():
-    # names from the last Verify dump if present, else a static list
+    # names from the last Verify dump if present, else the static list
     for p in [Path("/tmp/verify_full/oracle_sql.json")]:
         if p.exists():
             return sorted(n for n in json.loads(p.read_text())
                           if n[0] in "dtv")
-    return []
+    return [
+        "d1_exact_dedup", "d2_jaccard_near_dup", "d3_minhash_lsh_near_dup",
+        "d4_simhash_near_dup", "d5_contamination", "d6_incremental_dedup",
+        "d7_dedup_clusters",
+        "t1_token_stats", "t2_quality_score", "t3_lang_guess",
+        "t4_fingerprint", "t5_shingle_stats", "t6_bpe_tokens",
+        "t7_strip_html", "t8_rolling_fp", "t9_html_to_markdown",
+        "t10_token_chunks", "t11_redact_pii", "t12_repetition_ratio",
+        "t13_stratified_sample", "t14_corpus_stats", "t15_top_shingles",
+        "t16_mixture_sample", "t17_fuzzy_name_pairs",
+        "v1_knn_top10", "v2_knn_page2", "v3_knn_join",
+        "v3c_knn_join_chunked", "v4_embedding_near_dup",
+        "v5_label_centroids", "v6_l2_knn", "v7_ivf_knn",
+        "v8_lsh_near_dup", "v9_ivf_knn_join", "v10_quantized_knn"]
 
 
 if __name__ == "__main__":
