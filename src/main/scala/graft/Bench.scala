@@ -76,8 +76,18 @@ object Bench {
       if (recopied) { // stale derived table would survive via its _SUCCESS
         val widenedDir = new java.io.File(dst, graft.queries.Vectors.WidenedTable)
         if (widenedDir.isDirectory) {
-          widenedDir.listFiles().foreach(_.delete())
-          widenedDir.delete()
+          // recursive: a flat listFiles().delete() silently failed on any
+          // nested dir (e.g. a _temporary left by a crashed write), which
+          // left the stale dir behind and silently flipped benchOnly to
+          // the inline-widening fallback (round-5 advice)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(widenedDir)
+          if (widenedDir.exists)
+            System.err.println(
+              s"[bench] widened-table invalidation incomplete: $widenedDir")
         }
       }
       (dst.getAbsolutePath, true)
@@ -113,6 +123,37 @@ object Bench {
 
   private def round3(v: Double): Double =
     if (v < 0) v else math.rint(v * 1000.0) / 1000.0
+
+  /** Best recorded figure for a query: min over clean measurements when
+    * any exist, min over everything otherwise, -1 when it never ran.
+    */
+  private[graft] def bestOf(l: List[(Double, Boolean)]): Double = {
+    val clean = l.collect { case (t, true) => t }
+    if (clean.nonEmpty) clean.min
+    else if (l.nonEmpty) l.map(_._1).min
+    else -1.0
+  }
+
+  /** Priority order for the targeted re-run pass — pure, so the
+    * allocation logic is unit-testable (BenchSpec). Tier 1: queries with
+    * NO clean measurement (or none at all) — without a re-run they ship
+    * with zero perf evidence, the round-5 q5_nation_revenue failure mode
+    * when plain name order spent the budget on already-clean queries
+    * first. Tier 2: queries whose clean min still exceeds 3x their
+    * standing BASELINE.md entry (+50 ms jitter slack). Queries in neither
+    * tier are excluded. Name order within a tier keeps runs reproducible.
+    */
+  private[graft] def rerunOrder(
+      names: Seq[String],
+      meas: Map[String, List[(Double, Boolean)]],
+      baseline: Map[String, Double]): Seq[String] = {
+    def m(n: String) = meas.getOrElse(n, Nil)
+    val noClean = names.filter(n => !m(n).exists(_._2))
+    val slow = names.filter { n =>
+      m(n).exists(_._2) && baseline.get(n).exists(s => bestOf(m(n)) > 3 * s + 0.05)
+    }
+    noClean ++ slow
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDirEnv = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -203,39 +244,37 @@ object Bench {
       }
     }
 
-    def bestOf(l: List[(Double, Boolean)]): Double = {
-      val clean = l.collect { case (t, true) => t }
-      if (clean.nonEmpty) clean.min
-      else if (l.nonEmpty) l.map(_._1).min
-      else -1.0
-    }
-
-    // Targeted re-runs: a query is suspect if it has no clean measurement,
-    // never ran, or its min still exceeds 3x its standing BASELINE.md
-    // entry. Wait out stall epochs between attempts. The extra budget
-    // scales with the contamination the main passes observed — a host that
-    // stalled through most of the run earns up to 45 min, a quiet host
-    // keeps the old 7 — so the bench stays bounded but is no longer
-    // starved exactly when it needs the budget most.
+    // Targeted re-runs, in rerunOrder's priority: no-clean queries FIRST
+    // (before any 3x-standing re-run — round-5 advice: the old name-order
+    // walk let already-clean queries burn the budget while q5 starved),
+    // then the >3x-standing tier. A no-clean query retries until a clean
+    // measurement lands or the budget truly exhausts (no fixed try cap —
+    // only repeated execution FAILURES bail early); the 3x tier keeps the
+    // bounded 8-try cap. Wait out stall epochs between attempts. The
+    // extra budget scales with the contamination the main passes
+    // observed — a host that stalled through most of the run earns up to
+    // 45 min, a quiet host keeps the old 7 — so the bench stays bounded
+    // but is no longer starved exactly when it needs the budget most.
     val mainMeas = names.flatMap(meas(_))
     val mainContaminated = mainMeas.count(!_._2)
     val contamFrac =
       if (mainMeas.isEmpty) 0.0 else mainContaminated.toDouble / mainMeas.size
     val rerunBudgetSec = math.min(45 * 60, (7 + 50 * contamFrac).toInt * 60)
     val deadline = System.nanoTime() + rerunBudgetSec * 1000000000L
-    for (n <- names) {
-      def suspect: Boolean = {
-        val b = bestOf(meas(n))
-        b < 0 || !meas(n).exists(_._2) ||
-          baseline.get(n).exists(s => b > 3 * s + 0.05)
-      }
+    for (n <- rerunOrder(names, meas.toMap, baseline)) {
+      def noClean: Boolean = !meas(n).exists(_._2)
+      def suspect: Boolean = noClean ||
+        baseline.get(n).exists(s => bestOf(meas(n)) > 3 * s + 0.05)
       var tries = 0
-      while (suspect && tries < 8 && System.nanoTime() < deadline) {
+      var fails = 0
+      while (suspect && (noClean || tries < 8) && fails < 3 &&
+             System.nanoTime() < deadline) {
         tries += 1
         if (sentinelQuiet()) {
           val t = exec(n)
           val quiet = sentinelQuiet()
           if (t >= 0) meas(n) = (t, quiet) :: meas(n)
+          else fails += 1 // a query that ERRORS must not eat the budget
         } else Thread.sleep(5000)
       }
     }

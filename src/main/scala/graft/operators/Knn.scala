@@ -127,14 +127,27 @@ object Knn {
     val partials =
       if (!passes.hasNext) first._1 // single chunk: today's lazy one-pass plan
       else {
-        // multi-chunk: run each pass eagerly (localCheckpoint bounds the
-        // kept state to <= partitions x chunkProbes x k candidate rows,
-        // spilling to disk past memory) and release its broadcast before
-        // collecting the next chunk
+        // multi-chunk: run each pass eagerly (the kept state is bounded to
+        // <= partitions x chunkProbes x k candidate rows, spilling to disk
+        // past memory) and release its broadcast's executor copies before
+        // collecting the next chunk. The materialization is a
+        // lineage-PRESERVING persist, not a localCheckpoint: a truncated
+        // checkpoint block lost to executor loss/eviction would fail the
+        // final window job unrecoverably — exactly in the cluster regime
+        // this path is documented for (round-5 advice). The broadcast is
+        // unpersisted (executor copies dropped) but NOT destroyed: the
+        // driver retains the value, so a lost persisted partition
+        // recomputes its corpus pass and re-fetches the broadcast.
+        // RDD-level persist (not Dataset.persist): the ContextCleaner
+        // frees the blocks and the retained broadcasts once the result is
+        // garbage-collected, where CacheManager would pin them for the
+        // session's lifetime.
         (Iterator.single(first) ++ passes).map { case (df, bc) =>
-          val out = df.localCheckpoint(true)
-          bc.destroy()
-          out
+          val rdd = df.rdd.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rdd.count() // materialize before the next chunk's broadcast ships
+          bc.unpersist(false)
+          spark.createDataFrame(rdd, df.schema)
         }.reduce(_ union _)
       }
     val w = Window.partitionBy(col("probe_id"))

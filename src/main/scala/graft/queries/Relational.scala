@@ -42,6 +42,16 @@ object Relational extends QueryPack {
 
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
+  /** q22's sketch geometry: relative standard deviation passed to
+    * approx_count_distinct, and the gate's error bound at 3x that rsd.
+    * HLL error has no hard bound, so the 3-sigma assertion is a
+    * statistical gate; deriving the Spark rsd, the Spark predicate, and
+    * the oracle SQL's documented bound from this ONE pair keeps them in
+    * lockstep if the geometry ever changes (round-5 advice).
+    */
+  private val HllRsd = 0.05
+  private[graft] val HllErrorBound = 3 * HllRsd
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation -----------------------------------------------------
     "q1_pricing_summary" -> { (s, d) =>
@@ -303,17 +313,19 @@ object Relational extends QueryPack {
     // sketch, so a hash-match on the approximate value is impossible —
     // instead the compared relation carries the EXACT distinct count (a
     // real cross-engine check) plus the assertion |approx-exact|/exact
-    // within 3x the sketch's rsd (0.05 default -> 0.15), which the oracle
+    // within 3x the sketch's rsd (HllRsd/HllErrorBound — ONE constant
+    // feeds the Spark rsd, the Spark-side predicate, and the oracle SQL's
+    // documentation, so the pieces cannot desync), which the oracle
     // states as TRUE. The exact sibling rides along only to make the bound
     // checkable; the production shape at scale is the sketch alone.
     "q22_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx"),
+          approx_count_distinct(col("l_partkey"), HllRsd).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
-          (abs(col("approx") - col("exact_parts")) / col("exact_parts") < 0.15)
+          (abs(col("approx") - col("exact_parts")) / col("exact_parts") < HllErrorBound)
             .as("within_bound"))
         .orderBy(col("l_returnflag"))
     },
@@ -380,14 +392,16 @@ object Relational extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin,
 
     // the exact count is the cross-engine check; the bound assertion is
-    // stated TRUE by the oracle and computed by the engine (see defs)
+    // stated TRUE by the oracle and computed by the engine (see defs) —
+    // the interpolated comment pins the bound the engine actually applied
     "q22_approx_distinct" ->
-      """SELECT l_returnflag,
-        |  COUNT(DISTINCT l_partkey) AS exact_parts,
-        |  TRUE AS within_bound
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag,
+         |  COUNT(DISTINCT l_partkey) AS exact_parts,
+         |  -- engine-computed |approx - exact| / exact < $HllErrorBound (3 x rsd $HllRsd)
+         |  TRUE AS within_bound
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,

@@ -193,11 +193,8 @@ object Text extends QueryPack {
       // the probe (streaming) side of the broadcast join carries ALL the
       // per-pair levenshtein work; a single small parquet file scans as
       // one partition and ran the ~1.3M banded comparisons on one core
-      // (the v8-banding pathology). Spread only when the scan is narrower
-      // than the cluster — a no-op at real scale, never a shuffle tax.
-      val par = s.sparkContext.defaultParallelism
-      val pa = if (p.rdd.getNumPartitions < par) p.repartition(par) else p
-      val a = pa.toDF("id1", "brand", "ptype", "name1")
+      // (the v8-banding pathology) — the shared adaptive spread fixes it
+      val a = Tables.spread(p).toDF("id1", "brand", "ptype", "name1")
       val b = p.toDF("id2", "brand", "ptype", "name2")
       a.join(b, Seq("brand", "ptype"))
         .filter(col("id1") < col("id2") &&

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The bench harness's targeted re-run allocation (Bench.rerunOrder /
+  * Bench.bestOf) — pure logic, no SparkSession. Round-5 advice: queries
+  * that end the main passes with no clean measurement must outrank the
+  * >3x-standing tier, or a stall-heavy host ships a query with zero perf
+  * evidence (q5_nation_revenue in BENCH_r05).
+  */
+class BenchSpec extends AnyFunSuite with Matchers {
+
+  private val clean = true
+  private val dirty = false
+
+  test("bestOf prefers the clean minimum, falls back to the overall minimum") {
+    Bench.bestOf(List((2.0, clean), (1.0, dirty), (3.0, clean))) shouldBe 2.0
+    Bench.bestOf(List((9.0, dirty), (8.0, dirty))) shouldBe 8.0
+    Bench.bestOf(Nil) shouldBe -1.0
+  }
+
+  test("no-clean queries come before 3x-standing queries, in name order") {
+    val names = Seq("a_fast", "b_noclean", "c_slow", "d_noruns", "e_fast")
+    val meas = Map(
+      "a_fast" -> List((0.5, clean)),          // clean and within standing
+      "b_noclean" -> List((9.0, dirty)),       // measured, never clean
+      "c_slow" -> List((10.0, clean)),         // clean but > 3x standing
+      "d_noruns" -> Nil,                       // never ran at all
+      "e_fast" -> List((0.2, clean)))
+    val baseline = Map(
+      "a_fast" -> 0.5, "b_noclean" -> 1.0, "c_slow" -> 1.0, "e_fast" -> 0.2)
+    Bench.rerunOrder(names, meas, baseline) shouldBe
+      Seq("b_noclean", "d_noruns", "c_slow")
+  }
+
+  test("a query absent from the standing table only re-runs when no-clean") {
+    val names = Seq("a_new_slow", "b_new_noclean")
+    val meas = Map(
+      "a_new_slow" -> List((100.0, clean)), // slow, but nothing to compare to
+      "b_new_noclean" -> List((1.0, dirty)))
+    Bench.rerunOrder(names, meas, Map.empty) shouldBe Seq("b_new_noclean")
+  }
+
+  test("the 3x trigger carries the 50 ms jitter slack") {
+    val names = Seq("q")
+    val base = Map("q" -> 0.02)
+    // 3x standing = 0.06; +0.05 slack puts the threshold at 0.11
+    Bench.rerunOrder(names, Map("q" -> List((0.10, clean))), base) shouldBe Nil
+    Bench.rerunOrder(names, Map("q" -> List((0.12, clean))), base) shouldBe Seq("q")
+  }
+}

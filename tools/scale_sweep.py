@@ -30,9 +30,16 @@ COPIES = 10
 def build(dst: Path):
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
+    # id stride computed from the data, not hardcoded: a larger source
+    # with a fixed 10000 stride would silently collide replica ids,
+    # corrupting dedup clusters and knn tie-breaks (round-5 advice)
+    doc_stride = con.sql(
+        f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+    vec_stride = con.sql(
+        f"SELECT max(vec_id) + 1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
     con.execute(f"""
         COPY (
-          SELECT doc_id + 10000 * k AS doc_id,
+          SELECT doc_id + {doc_stride} * k AS doc_id,
                  CASE WHEN k = 0 THEN text
                       ELSE text || ' rep' || CAST(k AS VARCHAR) END AS text,
                  lang, source,
@@ -47,7 +54,7 @@ def build(dst: Path):
     # sample==corpus precondition at 20k rows
     con.execute(f"""
         COPY (
-          SELECT vec_id + 10000 * k AS vec_id, embedding, label
+          SELECT vec_id + {vec_stride} * k AS vec_id, embedding, label
           FROM '{SRC}/embeddings.parquet', generate_series(0, {COPIES - 1}) AS g(k)
           ORDER BY vec_id
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000)
