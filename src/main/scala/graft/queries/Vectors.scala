@@ -251,6 +251,17 @@ object Vectors extends QueryPack {
         .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"))
         .orderBy(col("probe_id"), col("rnk"))
     },
+    // the multi-chunk path at production width: probeChunk=3 forces the
+    // 8 probes through three eager persist-and-release corpus passes, so
+    // the chunked regime (100k-10M probes on a cluster) has a recorded
+    // cost — expected ~chunkCount x v3w plus the per-chunk materialize
+    "v3cw_knn_join_chunked_1024" -> { (s, d) =>
+      val e = widened(s, d)
+      Knn.knnJoin(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3, probeChunk = 3)
+        .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
     "v5w_centroids_1024" -> { (s, d) =>
       widened(s, d)
         .groupBy(col("label"))
