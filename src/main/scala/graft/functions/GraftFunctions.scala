@@ -93,6 +93,7 @@ object GraftFunctions {
     "rolling_hash"    -> { es => RollingHash64(es(0)) },
     "morton_code"     -> { es => MortonCode(cast(es(0), "double"), cast(es(1), "double")) },
     "simhash64"       -> { es => SimHash64(es(0)) },
+    "html_to_markdown" -> { es => HtmlToMarkdown(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(
       cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },
   )

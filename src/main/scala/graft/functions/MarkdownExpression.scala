@@ -1,0 +1,166 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML -> markdown conversion (reference F10: the MCP layer markdownifies
+  * every response string, `backend/mcp.py:12-20`) as a single native
+  * expression. The composed-Column form this replaces ran ~25 separate
+  * regexp passes per row with a fixed depth-3 inline unroll; this kernel
+  * precompiles every pattern once and iterates the same staged rules to a
+  * TRUE fixpoint, so arbitrarily nested inline tags and nested `<ol>`
+  * scopes convert completely:
+  *
+  *   1. `<br>` -> space.
+  *   2. Inline rules looped until nothing changes (bounded by
+  *      [[HtmlToMarkdown.MaxIters]]): bold/strong -> `**..**`, i/em ->
+  *      `*..*`, links -> `[text](url)`, code -> `` `..` ``. Inner tags
+  *      convert before their parents because each rule's content group
+  *      is `[^<]*`.
+  *   3. Images (either attribute order) -> `![alt](src)`, `<hr>` -> `---`.
+  *   4. Headings h1-h6 -> ATX `#`-runs (markdownify's Setext underlines
+  *      are meaningless once whitespace is canonicalized, so the ATX form
+  *      carries the level); blockquote -> `> `.
+  *   5. Ordered lists innermost-first: the innermost `<ol>` scope (its
+  *      content contains no other `<ol>`/`</ol>`) has its `<li>` items
+  *      numbered `1. 2. ...`, then is spliced back and the search repeats,
+  *      so NESTED list numbering is scoped per `<ol>` (each scope restarts
+  *      at 1). Remaining `<li>` (unordered lists) -> `- `.
+  *   6. Remaining tags stripped, entities decoded (amp last so `&amp;lt;`
+  *      does not double-decode), whitespace collapsed to single spaces
+  *      (markdownify keeps layout newlines; the engine's canonical text
+  *      form is space-collapsed).
+  *
+  * Every pattern is lookaround-free, so the DuckDB oracle (Text.mdSql)
+  * states the identical staged pipeline — the two fixpoint loops become
+  * recursive CTEs over the same regexes, sharing [[HtmlToMarkdown.MaxIters]]
+  * and [[HtmlToMarkdown.InnerOlPattern]] verbatim.
+  */
+case class HtmlToMarkdown(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "html_to_markdown"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HtmlToMarkdown.convert(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlToMarkdown.convert($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HtmlToMarkdown {
+
+  /** Iteration bound for both fixpoint loops — shared with the oracle's
+    * recursive CTEs so a pathological document hits the same cutoff on
+    * both engines. Real nesting depth is tiny; 30 is head-room, not a
+    * semantic knob.
+    */
+  val MaxIters: Int = 30
+
+  /** Innermost-`<ol>` matcher: group 1 is scope content containing no
+    * other `<ol>`/`</ol>` tag. RE2-safe "does not contain substring"
+    * construction (no lookahead, which RE2 lacks): every `<` inside the
+    * content must be followed by characters that break both `ol` and
+    * `/ol`, and those follower characters are themselves not `<` so the
+    * next tag start is never consumed.
+    */
+  val InnerOlPattern: String =
+    "(?i)<ol\\b[^>]*>((?:[^<]|<(?:[^o/<]|o[^l<]|/[^o<]|/o[^l<]))*)</ol>"
+
+  private val Br = Pattern.compile("(?i)<br\\s*/?>")
+  private val Bold = Pattern.compile("(?i)<(?:b|strong)\\b[^>]*>([^<]*)</(?:b|strong)>")
+  private val Em = Pattern.compile("(?i)<(?:i|em)\\b[^>]*>([^<]*)</(?:i|em)>")
+  private val Link = Pattern.compile("(?i)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>")
+  private val Code = Pattern.compile("(?i)<code\\b[^>]*>([^<]*)</code>")
+  private val ImgAltSrc =
+    Pattern.compile("(?i)<img\\b[^>]*alt=\"([^\"]*)\"[^>]*src=\"([^\"]*)\"[^>]*/?>")
+  private val ImgSrcAlt =
+    Pattern.compile("(?i)<img\\b[^>]*src=\"([^\"]*)\"[^>]*alt=\"([^\"]*)\"[^>]*/?>")
+  private val Hr = Pattern.compile("(?i)<hr\\s*/?>")
+  private val Headings: Array[Pattern] = (1 to 6).map { h =>
+    Pattern.compile(s"(?i)<h$h\\b[^>]*>([^<]*)</h$h>")
+  }.toArray
+  private val Blockquote =
+    Pattern.compile("(?i)<blockquote\\b[^>]*>([^<]*)</blockquote>")
+  private val InnerOl = Pattern.compile(InnerOlPattern)
+  private val Li = Pattern.compile("(?i)<li\\b[^>]*>")
+  private val AnyTag = Pattern.compile("<[^>]*>")
+  private val Ws = Pattern.compile("\\s+")
+
+  /** Number the `<li>` items of one (innermost) `<ol>` scope: split on the
+    * open tags; segment 0 precedes the first item, segment j >= 1 becomes
+    * `" j. " + segment`. Mirrors the oracle's indexed list_transform.
+    */
+  private def numberItems(content: String): String = {
+    val parts = Li.split(content, -1)
+    val sb = new java.lang.StringBuilder(content.length + 8 * parts.length)
+    sb.append(parts(0))
+    var j = 1
+    while (j < parts.length) {
+      sb.append(' ').append(j).append(". ").append(parts(j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Shared eval/codegen kernel (static forwarder for generated code). */
+  def convert(u: UTF8String): UTF8String = {
+    var x = Br.matcher(u.toString).replaceAll(" ")
+
+    // inline rules to fixpoint: inner tags convert before parents
+    var prev: String = null
+    var it = 0
+    while (x != prev && it < MaxIters) {
+      prev = x
+      x = Bold.matcher(x).replaceAll("**$1**")
+      x = Em.matcher(x).replaceAll("*$1*")
+      x = Link.matcher(x).replaceAll("[$2]($1)")
+      x = Code.matcher(x).replaceAll("`$1`")
+      it += 1
+    }
+
+    x = ImgAltSrc.matcher(x).replaceAll("![$1]($2)")
+    x = ImgSrcAlt.matcher(x).replaceAll("![$2]($1)")
+    x = Hr.matcher(x).replaceAll(" --- ")
+
+    // block rules after inline, so their content groups see no inner tags;
+    // surrounding spaces keep adjacent blocks apart (markdownify separates
+    // blocks with newlines — collapsed to one space here)
+    var h = 0
+    while (h < Headings.length) {
+      x = Headings(h).matcher(x).replaceAll(" " + ("#" * (h + 1)) + " $1 ")
+      h += 1
+    }
+    x = Blockquote.matcher(x).replaceAll(" > $1 ")
+
+    // ordered lists innermost-first: number one scope, splice, repeat
+    it = 0
+    var m = InnerOl.matcher(x)
+    while (m.find() && it < MaxIters) {
+      x = x.substring(0, m.start()) + " " + numberItems(m.group(1)) + " " +
+        x.substring(m.end())
+      m = InnerOl.matcher(x)
+      it += 1
+    }
+    x = Li.matcher(x).replaceAll("- ")
+
+    // strip_html tail: tag removal, entity decode (amp last), collapse
+    x = AnyTag.matcher(x).replaceAll(" ")
+    x = x.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+    UTF8String.fromString(Ws.matcher(x).replaceAll(" ").trim)
+  }
+}

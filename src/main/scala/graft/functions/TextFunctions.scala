@@ -89,25 +89,22 @@ object TextFunctions {
 
   /** HTML -> markdown conversion for the tag set the reference's
     * markdownify pass renders in its responses (reference F10,
-    * `backend/mcp.py:12-20`): bold/strong -> **..**, i/em -> *..*,
-    * links -> [text](url), code -> `..`, headings h1-h6 -> ATX "#"-runs
-    * (markdownify's default Setext underlines are meaningless once
-    * whitespace is canonicalized, so the ATX form carries the level),
-    * blockquote -> "> ", ordered-list items numbered "1. 2. ...", other
-    * list items -> "- ", images -> ![alt](src) (either attribute
-    * order), <hr> -> ---, <br> -> break; remaining tags are stripped and
-    * entities decoded ([[strip_html]]). Whitespace is normalized to
-    * single spaces (markdownify keeps layout newlines; the engine's
-    * canonical text form is space-collapsed).
-    *
-    * Nested inline tags convert by iterating the inline rules to a
-    * depth-3 fixpoint (innermost first: `<b><i>x</i></b>` -> `***x***`);
-    * markdownify recurses to arbitrary depth, beyond-3 nesting falls back
-    * to tag-strip. Nested lists likewise restart numbering (the segment
-    * split assumes non-nested `<ol>` scopes). The oracle states the
-    * identical staged pipeline in SQL (see Text.t9).
+    * `backend/mcp.py:12-20`). Native single-pass kernel — see
+    * [[HtmlToMarkdown]] for the staged rules: unlike the old depth-3
+    * unroll, inline nesting converts to arbitrary depth (true fixpoint)
+    * and nested `<ol>` scopes number innermost-first, each scope
+    * restarting at 1, matching markdownify's recursive conversion. The
+    * oracle states the identical staged pipeline in SQL with recursive
+    * CTEs for the two fixpoint loops (see Text.mdSql).
     */
-  def html_to_markdown(c: Column): Column = {
+  def html_to_markdown(c: Column): Column =
+    GraftFunctions.toCol(HtmlToMarkdown(GraftFunctions.toExpr(c)))
+
+  /** The old composed-Column form (depth-3 inline unroll, non-nested
+    * `<ol>` segment split). Retained only to pin native/composed
+    * equivalence on depth<=3 non-nested corpora in tests.
+    */
+  private[graft] def html_to_markdown_composed(c: Column): Column = {
     var x = regexp_replace(c, "(?i)<br\\s*/?>", " ")
     // inline rules, iterated so inner tags convert before their parents
     for (_ <- 1 to 3) {

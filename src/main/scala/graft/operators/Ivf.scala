@@ -68,6 +68,37 @@ object Ivf {
     cs
   }
 
+  /** Per-partition reservoir seed (draws) — splitmix-decorrelated from the
+    * build seed. Public within graft so the oracle SQL builder interpolates
+    * the IDENTICAL constants (see queries/Vectors.IvfSampleSql).
+    */
+  private[graft] def reservoirSeed(seed: Long, pid: Int): Long =
+    graft.functions.SketchHash.mix(seed + 0x9E3779B97F4A7C15L * (pid + 1))
+
+  /** Per-partition quota-selection seed — independent stream. */
+  private[graft] def quotaSeed(seed: Long, pid: Int): Long =
+    graft.functions.SketchHash.mix(seed ^ (0xC2B2AE3D27D4EB4FL * (pid + 1)))
+
+  /** The uniform [0,1) draw for row index `i` (0-based) of a partition:
+    * counter-based splitmix64 (Steele et al. 2014), NOT a stateful RNG —
+    * the draw is a pure function of (partition seed, i), so the whole
+    * reservoir is restatable as set-based SQL for the oracle (each row's
+    * draw and slot are computable independently; the "last writer wins"
+    * slot content becomes a max_by). A stateful java.util.Random here
+    * would force the oracle to simulate the call sequence row by row.
+    */
+  private[graft] def rowDraw(resSeed: Long, i: Long): Double =
+    (graft.functions.SketchHash.mix(resSeed + (i + 1) * 0x9E3779B97F4A7C15L) >>> 11)
+      .toDouble / 9007199254740992.0 // 2^53
+
+  /** Quota-selection sort key for a sampled id: elements of an over-quota
+    * reservoir are kept in ascending key order (a seeded "random sort"
+    * subsample — uniform over the reservoir, like the Fisher-Yates prefix
+    * it replaces, but stateless so the oracle states it as an ORDER BY).
+    */
+  private[graft] def quotaKey(qSeed: Long, id: Long): Long =
+    graft.functions.SketchHash.mix(qSeed + id * 0x9E3779B97F4A7C15L)
+
   /** Build the index: sample -> train -> distributed assignment.
     *
     * Sampling is a seeded per-partition reservoir (Vitter's algorithm R,
@@ -90,6 +121,11 @@ object Ivf {
     * regardless of partition arrival order. Determinism scope: fixed seed
     * + fixed input layout => identical index (same contract as the
     * Bernoulli form: per-partition RNG).
+    *
+    * All randomness is counter-based splitmix64 ([[rowDraw]]/[[quotaKey]]),
+    * so the SUBSAMPLING regime (corpus > budget) is itself under a
+    * hash-exact DuckDB oracle (v7s) — the round-5 gap where only the
+    * degenerate sample-equals-corpus regime was oracled.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
             nlist: Int, iters: Int = 5, sampleSize: Int = 100000,
@@ -105,14 +141,13 @@ object Ivf {
     val perPart = (budget.toLong / parts + 1).toInt
     val partSamples: Array[(Int, Long, Array[(Long, Array[Float])])] = rdd
       .mapPartitionsWithIndex { (pid, iter) =>
-        val rng = new java.util.Random(
-          graft.functions.SketchHash.mix(seed + 0x9E3779B97F4A7C15L * (pid + 1)))
+        val resSeed = reservoirSeed(seed, pid)
         val buf = new Array[(Long, Array[Float])](perPart)
         var seen = 0L
         iter.foreach { row =>
           if (seen < perPart) buf(seen.toInt) = row
           else {
-            val j = (rng.nextDouble() * (seen + 1)).toLong
+            val j = (rowDraw(resSeed, seen) * (seen + 1)).toLong
             if (j < perPart) buf(j.toInt) = row
           }
           seen += 1
@@ -125,21 +160,15 @@ object Ivf {
       .flatMap { case (pid, seen, res) =>
         // proportional quota (ceil: total overshoot <= #partitions). A
         // reservoir is a uniform sample of its partition, but its array
-        // order is not uniform — seeded Fisher-Yates before truncating so
-        // the quota rows are a uniform subsample of the reservoir.
+        // order is not uniform — keep the quota rows in seeded-hash key
+        // order ([[quotaKey]]) so they are a uniform subsample of the
+        // reservoir regardless of slot order.
         val quota = math.min(res.length.toLong,
           math.ceil(budget.toDouble * seen / totalSeen).toLong).toInt
         if (quota >= res.length) res
         else {
-          val rng = new java.util.Random(
-            graft.functions.SketchHash.mix(seed ^ (0xC2B2AE3D27D4EB4FL * (pid + 1))))
-          var i = res.length - 1
-          while (i > 0) {
-            val j = rng.nextInt(i + 1)
-            val t = res(i); res(i) = res(j); res(j) = t
-            i -= 1
-          }
-          res.take(quota)
+          val qs = quotaSeed(seed, pid)
+          res.sortBy { case (id, _) => (quotaKey(qs, id), id) }.take(quota)
         }
       }
       .sortBy(_._1).map(_._2)

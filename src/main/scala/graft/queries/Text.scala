@@ -88,12 +88,14 @@ object Text extends QueryPack {
     },
 
     // HTML -> markdown (reference F10 markdownify semantics): headings,
-    // depth-2/3 nested inline tags, bold, em, link, code, blockquote,
-    // numbered <ol> items, and a plain <ul> — the full round-5 tag set —
-    // rendered over synthetic markup around the corpus
+    // arbitrary-depth nested inline tags (incl a depth-6 same-tag nest
+    // only the fixpoint converts), bold, em, link, code, blockquote,
+    // numbered <ol> items with a 3-level NESTED <ol> (numbering scoped
+    // per <ol>, restarting at 1), and a plain <ul> — rendered over
+    // synthetic markup around the corpus. Native single-pass kernel
+    // (HtmlToMarkdown) with precompiled patterns.
     "t9_html_to_markdown" -> { (s, d) =>
-      // ~25 regex passes per row since the round-5 parity widening: the
-      // dominant cost is the ladder, so the narrow scan must spread
+      // the regex ladder dominates the cost, so the narrow scan must spread
       Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           html_to_markdown(concat(
@@ -106,7 +108,10 @@ object Text extends QueryPack {
             lit("</code></p><img src=\"https://img.example/"), col("doc_id").cast("string"),
             lit(".png\" alt=\"thumb\"/><hr/><ol><li>lang "), col("lang"),
             lit("</li><li>source "), col("source"),
-            lit("</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>")))
+            lit("</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>" +
+              "<p><b><b><b><b><b><b>deep "), col("lang"),
+            lit("</b></b></b></b></b></b></p><ol><li>one<ol><li>inner "), col("source"),
+            lit("</li><li>two<ol><li>core</li></ol></li></ol></li><li>outer2</li></ol>")))
             .as("markdown"))
         .orderBy(col("doc_id"))
     },
@@ -312,45 +317,85 @@ object Text extends QueryPack {
   )
 
   // masked-64-bit SQL builders shared with the v8 oracle — see SketchSql
-  /** DuckDB restatement of [[graft.functions.TextFunctions.html_to_markdown]],
-    * stage for stage: br, three inline passes (bold/em/link/code — inner
-    * tags convert before parents), ATX headings, blockquote, <ol> segment
-    * numbering (string_split_regex + indexed lambdas; DuckDB indexes are
-    * 1-based where Spark's transform is 0-based, hence i%2=0 / j-1),
-    * remaining <li> -> "- ", then strip_html's tag removal, entity
-    * decode, and whitespace collapse.
+  /** DuckDB restatement of [[graft.functions.HtmlToMarkdown]], stage for
+    * stage: br, the inline FIXPOINT (a recursive CTE iterating the same
+    * four bold/em/link/code rules until nothing changes — arbitrary-depth
+    * nesting, not the old 3-pass unroll), img/hr, ATX headings,
+    * blockquote, then the innermost-first `<ol>` numbering loop (a second
+    * recursive CTE matching the SAME RE2-safe innermost-scope pattern,
+    * numbering items with an indexed lambda — DuckDB list indexes are
+    * 1-based where the kernel's split array is 0-based, hence j-1 — and
+    * splicing by strpos; the regex's leftmost match is also the first
+    * literal occurrence of its own matched text, so strpos splices at the
+    * match position), remaining `<li>` -> "- ", then strip_html's tag
+    * removal, entity decode, and whitespace collapse. The iteration bound
+    * and the innermost-ol pattern are interpolated from the kernel's
+    * constants so the engines cannot drift.
+    *
+    * NB the s-interpolator processes escapes even in triple quotes, so
+    * regex `\b` needs a doubled backslash in interpolated literals; the
+    * plain triple-quoted patterns keep `\b` literal.
     */
-  private def mdSql(input: String): String = {
+  private def mdOracleSql(input: String): String = {
     def rr(x: String, pat: String, rep: String) =
       s"regexp_replace($x, '$pat', '$rep', 'g')"
-    var x = rr(input, """(?i)<br\s*/?>""", " ")
-    for (_ <- 1 to 3) {
+    val maxIt = graft.functions.HtmlToMarkdown.MaxIters
+    val olPat = graft.functions.HtmlToMarkdown.InnerOlPattern
+    val afterBr = rr(input, """(?i)<br\s*/?>""", " ")
+    val step = {
+      var x = "x"
       x = rr(x, """(?i)<(?:b|strong)\b[^>]*>([^<]*)</(?:b|strong)>""", """**\1**""")
       x = rr(x, """(?i)<(?:i|em)\b[^>]*>([^<]*)</(?:i|em)>""", """*\1*""")
       x = rr(x, """(?i)<a\b[^>]*href="([^"]*)"[^>]*>([^<]*)</a>""", """[\2](\1)""")
       x = rr(x, """(?i)<code\b[^>]*>([^<]*)</code>""", """`\1`""")
+      x
     }
-    x = rr(x, """(?i)<img\b[^>]*alt="([^"]*)"[^>]*src="([^"]*)"[^>]*/?>""", """![\1](\2)""")
-    x = rr(x, """(?i)<img\b[^>]*src="([^"]*)"[^>]*alt="([^"]*)"[^>]*/?>""", """![\2](\1)""")
-    x = rr(x, """(?i)<hr\s*/?>""", " --- ")
-    for (h <- 1 to 6)
-      // NB the s-interpolator processes escapes even in triple quotes,
-      // so the word boundary needs a doubled backslash here (the plain
-      // triple-quoted patterns above keep \b literal)
-      x = rr(x, s"""(?i)<h$h\\b[^>]*>([^<]*)</h$h>""", " " + ("#" * h) + """ \1 """)
-    x = rr(x, """(?i)<blockquote\b[^>]*>([^<]*)</blockquote>""", """ > \1 """)
-    x = s"""array_to_string(list_transform(string_split_regex($x, '(?i)</?ol\\b[^>]*>'),
-           |  (seg, i) -> CASE WHEN i % 2 = 0 THEN
-           |      array_to_string(list_transform(string_split_regex(seg, '(?i)<li\\b[^>]*>'),
-           |        (item, j) -> CASE WHEN j = 1 THEN item
-           |                     ELSE ' ' || CAST(j - 1 AS VARCHAR) || '. ' || item END), '')
-           |    ELSE seg END), ' ')""".stripMargin
-    x = rr(x, """(?i)<li\b[^>]*>""", "- ")
-    x = rr(x, "<[^>]*>", " ")
-    x = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(x) { case (acc, (from, to)) => s"replace($acc, '$from', '$to')" }
-    s"trim(${rr(x, """\s+""", " ")})"
+    val blocks = {
+      var x = "x"
+      x = rr(x, """(?i)<img\b[^>]*alt="([^"]*)"[^>]*src="([^"]*)"[^>]*/?>""", """![\1](\2)""")
+      x = rr(x, """(?i)<img\b[^>]*src="([^"]*)"[^>]*alt="([^"]*)"[^>]*/?>""", """![\2](\1)""")
+      x = rr(x, """(?i)<hr\s*/?>""", " --- ")
+      for (h <- 1 to 6)
+        x = rr(x, s"""(?i)<h$h\\b[^>]*>([^<]*)</h$h>""", " " + ("#" * h) + """ \1 """)
+      x = rr(x, """(?i)<blockquote\b[^>]*>([^<]*)</blockquote>""", """ > \1 """)
+      x
+    }
+    val tail = {
+      var x = rr("x", """(?i)<li\b[^>]*>""", "- ")
+      x = rr(x, "<[^>]*>", " ")
+      x = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(x) { case (acc, (from, to)) => s"replace($acc, '$from', '$to')" }
+      s"trim(${rr(x, """\s+""", " ")})"
+    }
+    s"""WITH RECURSIVE md_base AS (
+       |  SELECT doc_id, $afterBr AS x FROM documents),
+       |md_inl(doc_id, x, it) AS (
+       |  SELECT doc_id, x, 0 FROM md_base
+       |  UNION ALL
+       |  SELECT doc_id, nx, it + 1 FROM (
+       |    SELECT doc_id, $step AS nx, x, it FROM md_inl) s
+       |  WHERE nx <> x AND it < $maxIt),
+       |md_inld AS (SELECT doc_id, max_by(x, it) AS x FROM md_inl GROUP BY doc_id),
+       |md_blk AS (SELECT doc_id, $blocks AS x FROM md_inld),
+       |md_ol(doc_id, x, it) AS (
+       |  SELECT doc_id, x, 0 FROM md_blk
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    substr(x, 1, strpos(x, m) - 1) || ' ' ||
+       |      array_to_string(list_transform(string_split_regex(g, '(?i)<li\\b[^>]*>'),
+       |        (item, j) -> CASE WHEN j = 1 THEN item
+       |                     ELSE ' ' || CAST(j - 1 AS VARCHAR) || '. ' || item END), '')
+       |      || ' ' || substr(x, strpos(x, m) + len(m)),
+       |    it + 1
+       |  FROM (SELECT doc_id, x, it,
+       |          regexp_extract(x, '$olPat', 0) AS m,
+       |          regexp_extract(x, '$olPat', 1) AS g
+       |        FROM md_ol) s
+       |  WHERE m <> '' AND it < $maxIt),
+       |md_old AS (SELECT doc_id, max_by(x, it) AS x FROM md_ol GROUP BY doc_id)
+       |SELECT doc_id, $tail AS markdown
+       |FROM md_old ORDER BY doc_id""".stripMargin
   }
 
   private val toksSql = SketchSql.ToksSql
@@ -491,20 +536,24 @@ object Text extends QueryPack {
          |ORDER BY doc_id""".stripMargin,
 
     // the staged pipeline mirrors html_to_markdown stage for stage (see
-    // mdSql); the input expression matches the Spark-side concat exactly
+    // mdOracleSql); the input expression matches the Spark-side concat
+    // exactly, including the depth-6 same-tag inline nest and the
+    // 3-level nested <ol> that exercise the fixpoint loops
     "t9_html_to_markdown" ->
-      s"""SELECT doc_id, ${mdSql(
-           "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
-           "'</h1><h2><b><i>meta</i></b></h2><p><b>Doc ' || CAST(doc_id AS VARCHAR) || " +
-           "'</b> <em>note</em>: ' || text || " +
-           "' <a href=\"https://docs.example/' || CAST(doc_id AS VARCHAR) || " +
-           "'\">link</a></p><blockquote>quoted from ' || source || " +
-           "'</blockquote><p>run <code>fetch ' || CAST(doc_id AS VARCHAR) || " +
-           "'</code></p><img src=\"https://img.example/' || CAST(doc_id AS VARCHAR) || " +
-           "'.png\" alt=\"thumb\"/><hr/><ol><li>lang ' || lang || " +
-           "'</li><li>source ' || source || " +
-           "'</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>'")} AS markdown
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      mdOracleSql(
+        "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</h1><h2><b><i>meta</i></b></h2><p><b>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</b> <em>note</em>: ' || text || " +
+        "' <a href=\"https://docs.example/' || CAST(doc_id AS VARCHAR) || " +
+        "'\">link</a></p><blockquote>quoted from ' || source || " +
+        "'</blockquote><p>run <code>fetch ' || CAST(doc_id AS VARCHAR) || " +
+        "'</code></p><img src=\"https://img.example/' || CAST(doc_id AS VARCHAR) || " +
+        "'.png\" alt=\"thumb\"/><hr/><ol><li>lang ' || lang || " +
+        "'</li><li>source ' || source || " +
+        "'</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>" +
+        "<p><b><b><b><b><b><b>deep ' || lang || " +
+        "'</b></b></b></b></b></b></p><ol><li>one<ol><li>inner ' || source || " +
+        "'</li><li>two<ol><li>core</li></ol></li></ol></li><li>outer2</li></ol>'"),
 
     "d1_exact_dedup" ->
       """SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS n_copies

@@ -390,7 +390,7 @@ object Vectors extends QueryPack {
     // float cast or an ordering with gaps >= 1e-4, the same robustness
     // argument as v1 (validated hash-exact at sf0.001/0.01/0.1).
     "v7_ivf_knn" ->
-      s"""WITH ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
          |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
          |pb AS (
          |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
@@ -409,7 +409,7 @@ object Vectors extends QueryPack {
     // distances within, window top-k per probe — the af JOIN guarantees
     // each corpus row appears at most once per probe (one bucket per row).
     "v9_ivf_knn_join" ->
-      s"""WITH ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
          |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v, nn FROM emb WHERE vec_id < 8),
          |pbk AS (
          |  SELECT p.probe_id, c.b
@@ -511,29 +511,35 @@ private[queries] object IvfSql {
   def dist(av: String, ann: String, bc: String): String =
     s"1 - list_inner_product($av, $bc) / (sqrt($ann) * sqrt(list_inner_product($bc, $bc)))"
 
-  /** The WITH-body prefix: `emb` (corpus as double lists + self inner
-    * product), `c0..c{iters}` (centroid tables, MATERIALIZED — each is
-    * consumed twice and default CTE inlining would re-expand the whole
-    * chain per reference), and `af` (the final corpus->bucket assignment
-    * Ivf.build computes with the trained centroids).
+  /** The corpus CTEs: `emb` = vectors as double lists + self inner
+    * product. Shared prefix of every IVF oracle.
     */
-  def kmeansCtes(nlist: Int, iters: Int, dim: Int): String = {
+  def embCtes: String =
+    s"""emb0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |emb AS MATERIALIZED (SELECT vec_id, v, list_inner_product(v, v) AS nn FROM emb0)""".stripMargin
+
+  /** The k-means CTEs: `c0..c{iters}` (centroid tables, MATERIALIZED —
+    * each is consumed twice and default CTE inlining would re-expand the
+    * whole chain per reference) trained on `trainSrc` (a CTE with
+    * vec_id/v/nn — the full corpus `emb` in the degenerate regime, the
+    * reservoir sample `smp` under v7s), and `af` (the final FULL-corpus
+    * bucket assignment Ivf.build computes with the trained centroids).
+    */
+  def kmeansCtes(nlist: Int, iters: Int, dim: Int, trainSrc: String = "emb"): String = {
     val init =
-      s"""emb0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |emb AS MATERIALIZED (SELECT vec_id, v, list_inner_product(v, v) AS nn FROM emb0),
-         |c0 AS MATERIALIZED (
+      s"""c0 AS MATERIALIZED (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS b, v AS c
-         |  FROM emb QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $nlist)""".stripMargin
+         |  FROM $trainSrc QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $nlist)""".stripMargin
     val rounds = (1 to iters).map { k =>
       val p = s"c${k - 1}"
       s"""a$k AS (
          |  SELECT e.vec_id, c.b
-         |  FROM emb e CROSS JOIN $p c
+         |  FROM $trainSrc e CROSS JOIN $p c
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${dist("e.v", "e.nn", "c.c")}, c.b) = 1),
          |m$k AS (
          |  SELECT a.b, g.i, CAST(CAST(SUM(e.v[g.i]) / COUNT(*) AS FLOAT) AS DOUBLE) AS mc
-         |  FROM a$k a JOIN emb e USING (vec_id), generate_series(1, $dim) AS g(i)
+         |  FROM a$k a JOIN $trainSrc e USING (vec_id), generate_series(1, $dim) AS g(i)
          |  GROUP BY a.b, g.i),
          |c$k AS MATERIALIZED (
          |  SELECT p.b, COALESCE(m.c, p.c) AS c
@@ -546,5 +552,70 @@ private[queries] object IvfSql {
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${dist("e.v", "e.nn", "c.c")}, c.b) = 1)""".stripMargin
     (Seq(init) ++ rounds ++ Seq(fin)).mkString(",\n")
+  }
+
+  /** Ivf.build's SAMPLING pipeline restated in SQL — the subsampling
+    * regime the round-5 oracle could not reach. Emits CTEs ending in
+    * `smp` (the merged sample as vec_id/v/nn), assuming `emb` exists.
+    *
+    * Restatable at all only because every random draw in Ivf.build is
+    * counter-based splitmix64 (pure function of partition seed + row
+    * index / id — [[graft.operators.Ivf.rowDraw]]/
+    * [[graft.operators.Ivf.quotaKey]]): the reservoir's "last writer
+    * wins" slot content becomes a max_by over independently-computable
+    * writes, and the quota subselection an ORDER BY over per-id keys.
+    * The per-partition seeds are computed by the ENGINE's own seed
+    * functions and inlined, so the streams cannot drift.
+    *
+    * @param pidExpr SQL over `vec_id` mapping each row to its Spark
+    *                partition id — must mirror the query's explicit
+    *                corpus construction (filter + coalesce(1) pieces).
+    */
+  def sampleCtes(seed: Long, nlist: Int, sampleSize: Int, parts: Int,
+                 pidExpr: String): String = {
+    import graft.operators.Ivf.{reservoirSeed, quotaSeed}
+    def uns(l: Long) = java.lang.Long.toUnsignedString(l)
+    val budget = math.max(nlist, math.ceil(1.2 * sampleSize).toInt)
+    val perPart = (budget.toLong / parts + 1).toInt
+    val golden = 0x9E3779B97F4A7C15L
+    val seedRows = (0 until parts).map { p =>
+      s"($p, CAST(${uns(reservoirSeed(seed, p))} AS UBIGINT), " +
+        s"CAST(${uns(quotaSeed(seed, p))} AS UBIGINT))"
+    }.mkString(", ")
+    val u01 = "(CAST(u >> 11 AS DOUBLE) / 9007199254740992.0)"
+    s"""pseed(pid, rs, qs) AS (VALUES $seedRows),
+       |rws AS (
+       |  SELECT vec_id, pid, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY vec_id) - 1 AS i
+       |  FROM (SELECT vec_id, $pidExpr AS pid FROM emb)),
+       |pstat AS (SELECT pid, COUNT(*) AS seen FROM rws GROUP BY pid),
+       |dz AS (
+       |  SELECT r.vec_id, r.pid, r.i,
+       |         ${SketchSql.addModU("p.rs", SketchSql.mulModU("CAST(r.i + 1 AS UBIGINT)", golden))} AS z
+       |  FROM rws r JOIN pseed p USING (pid) WHERE r.i >= $perPart),
+       |${SketchSql.mixLayerCtes("dz", Seq("vec_id", "pid", "i"))},
+       |wrt AS (
+       |  SELECT vec_id, pid, i, i AS slot FROM rws WHERE i < $perPart
+       |  UNION ALL
+       |  SELECT vec_id, pid, i, CAST(floor($u01 * (i + 1)) AS BIGINT) AS slot
+       |  FROM dzmu WHERE floor($u01 * (i + 1)) < $perPart),
+       |res AS (SELECT pid, slot, max_by(vec_id, i) AS vec_id FROM wrt GROUP BY pid, slot),
+       |rstat AS (SELECT pid, COUNT(*) AS rlen FROM res GROUP BY pid),
+       |tot AS (SELECT GREATEST(SUM(seen), 1) AS total FROM pstat),
+       |qta AS (
+       |  SELECT p.pid, LEAST(r.rlen, CAST(CEIL($budget.0 * p.seen / t.total) AS BIGINT)) AS quota
+       |  FROM pstat p JOIN rstat r USING (pid) CROSS JOIN tot t),
+       |qk0 AS (
+       |  SELECT r.vec_id, r.pid,
+       |         ${SketchSql.addModU("p.qs", SketchSql.mulModU("CAST(r.vec_id AS UBIGINT)", golden))} AS z
+       |  FROM res r JOIN pseed p USING (pid)),
+       |${SketchSql.mixLayerCtes("qk0", Seq("vec_id", "pid"))},
+       |sel AS (
+       |  SELECT vec_id, pid,
+       |         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ${SketchSql.signedSql("u")}, vec_id) AS rk
+       |  FROM qk0mu),
+       |smp AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, e.nn
+       |  FROM sel s JOIN qta q USING (pid) JOIN emb e ON e.vec_id = s.vec_id
+       |  WHERE s.rk <= q.quota)""".stripMargin
   }
 }

@@ -155,6 +155,56 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(8L) === "before --- after")
   }
 
+  test("html_to_markdown fixpoint: arbitrary-depth inline nesting converts completely") {
+    val got = textDf(
+      // depth-6 same-tag nest: each pass peels ONE level, so the old
+      // 3-pass unroll left tags behind; the fixpoint converts all six
+      (1L, "<b><b><b><b><b><b>deep</b></b></b></b></b></b>"),
+      // depth-5 alternating with a late-rule (code) pivot inside
+      (2L, "<b><i><b><i><code>x</code></i></b></i></b>"),
+      (3L, "<em><em><em><em>quad</em></em></em></em>"))
+      .select(col("doc_id"), graft.functions.TextFunctions.html_to_markdown(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "************deep************")
+    // b+i+b+i wrapping = 2+1+2+1 = 6 asterisks per side around `x`
+    assert(got(2L) === "******`x`******")
+    assert(got(3L) === "****quad****")
+  }
+
+  test("html_to_markdown nested <ol>: numbering is scoped per list, innermost first") {
+    val got = textDf(
+      (1L, "<ol><li>one<ol><li>inner</li><li>two<ol><li>core</li></ol></li></ol></li>" +
+        "<li>outer2</li></ol>"),
+      // nested ol inside a ul: the ol numbers, the ul items dash
+      (2L, "<ul><li>u1<ol><li>n1</li><li>n2</li></ol></li><li>u2</li></ul>"),
+      // sibling scopes still restart (the round-5 behavior, preserved)
+      (3L, "<ol><li>a</li></ol><ol><li>b</li></ol>"))
+      .select(col("doc_id"), graft.functions.TextFunctions.html_to_markdown(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "1. one 1. inner 2. two 1. core 2. outer2")
+    assert(got(2L) === "- u1 1. n1 2. n2 - u2")
+    assert(got(3L) === "1. a 1. b")
+  }
+
+  test("html_to_markdown native kernel matches the old composed form on depth<=3 non-nested corpora") {
+    // the composed ladder is the round-5 semantics; on its own supported
+    // regime (inline depth <=3, non-nested <ol>) the kernel is identical
+    val markup = Seq(
+      "<h1>T</h1><p><b>Doc</b> <em>note</em>: body text</p>",
+      "<h2><b><i>meta</i></b></h2><blockquote>q</blockquote>",
+      "<ol><li>a</li><li><b>b</b></li></ol><ul><li>c</li></ul>",
+      "<a href=\"https://x.org/p\">go</a> <code>run</code> <hr/> tail",
+      "<img src=\"u.png\" alt=\"alt\"/> plain &amp; entities &lt;ok&gt;")
+    val df = textDf(markup.zipWithIndex.map { case (s, i) => (i.toLong, s) }: _*)
+    val native = df.select(col("doc_id"),
+        graft.functions.TextFunctions.html_to_markdown(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val composed = df.select(col("doc_id"),
+        graft.functions.TextFunctions.html_to_markdown_composed(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native === composed)
+  }
+
   test("html_to_markdown property: tag-free text is whitespace-collapse identity (seeded)") {
     // markdown metacharacters in plain text must pass through untouched —
     // the rules only fire on real tags
@@ -296,10 +346,12 @@ class TextDedupSpec extends AnyFunSuite {
 
   test("promoted codegen kernels agree across NO_CODEGEN and CODEGEN_ONLY") {
     import graft.functions.GraftFunctions.{minhash_signature, simhash64, rolling_hash, hashing_tf, hyperplane_bands}
-    import graft.functions.TextFunctions.{shingle_set, quality_score}
+    import graft.functions.TextFunctions.{shingle_set, quality_score, html_to_markdown}
     val docs = Tables.documents(spark, sfDir).limit(50)
     def run(): Seq[String] = docs.select(
         shingle_set(col("text"), 3).as("sh"),
+        html_to_markdown(concat(lit("<b><b><i>x</i></b></b><ol><li>"), col("text"),
+          lit("</li></ol>"))).as("md"),
         minhash_signature(shingle_set(col("text"), 3), 16).as("mh"),
         simhash64(shingle_set(col("text"), 3)).as("sim"),
         rolling_hash(col("text")).as("rh"),
