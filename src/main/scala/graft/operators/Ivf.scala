@@ -127,9 +127,13 @@ object Ivf {
     * hash-exact DuckDB oracle (v7s) — the round-5 gap where only the
     * degenerate sample-equals-corpus regime was oracled.
     */
-  def build(corpus: DataFrame, idCol: String, embCol: String,
-            nlist: Int, iters: Int = 5, sampleSize: Int = 100000,
-            seed: Long = 42L): IvfIndex = {
+  /** The reservoir + quota sampling pass of [[build]], exposed so tests
+    * and the oracle harness can inspect the sampled ids. Returns the
+    * merged sample sorted by id.
+    */
+  private[graft] def drawSample(corpus: DataFrame, idCol: String, embCol: String,
+                                nlist: Int, sampleSize: Int,
+                                seed: Long): Array[(Long, Array[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val pairs = corpus
@@ -156,7 +160,7 @@ object Ivf {
       }
       .collect()
     val totalSeen = math.max(1L, partSamples.map(_._2).sum)
-    val sample: Array[Array[Float]] = partSamples
+    partSamples
       .flatMap { case (pid, seen, res) =>
         // proportional quota (ceil: total overshoot <= #partitions). A
         // reservoir is a uniform sample of its partition, but its array
@@ -171,7 +175,16 @@ object Ivf {
           res.sortBy { case (id, _) => (quotaKey(qs, id), id) }.take(quota)
         }
       }
-      .sortBy(_._1).map(_._2)
+      .sortBy(_._1)
+  }
+
+  def build(corpus: DataFrame, idCol: String, embCol: String,
+            nlist: Int, iters: Int = 5, sampleSize: Int = 100000,
+            seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] =
+      drawSample(corpus, idCol, embCol, nlist, sampleSize, seed).map(_._2)
     require(sample.length >= nlist,
       s"sample ${sample.length} < nlist $nlist — raise sampleSize")
     val cs = trainCentroids(sample, nlist, iters)

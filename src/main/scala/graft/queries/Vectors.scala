@@ -20,7 +20,10 @@ import graft.operators.Knn
   * whole LSH pipeline in SQL (SketchSql); since round 5 v7/v9 are fully
   * oracled too — the deterministic k-means unrolls into chained DuckDB
   * CTEs (see [[IvfSql]]) because the gate corpus fits the sample budget,
-  * collapsing Ivf.build's reservoir sample to the identity.
+  * collapsing Ivf.build's reservoir sample to the identity. Round 6
+  * closes the remaining regime: v7s pins a corpus LARGER than the budget
+  * under a deterministic skewed layout, with the reservoir + quota
+  * sampling itself restated in SQL ([[IvfSql.sampleCtes]]).
   */
 object Vectors extends QueryPack {
 
@@ -99,6 +102,32 @@ object Vectors extends QueryPack {
     "v7_ivf_knn" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      graft.operators.Ivf.search(idx, probeOf(s, d, 0L), k = 10, nprobe = 3)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
+    // IVF under a corpus that EXCEEDS the sample budget — the round-5
+    // oracle gap. sampleSize=64 forces a 77-vector budget against >=500
+    // corpus rows, so the per-partition reservoir, proportional quota,
+    // and seeded-hash quota subselection all actually fire. The corpus is
+    // laid out by an EXPLICIT hash repartition on a skewed derived key
+    // (6.25% / 18.75% / 75% slices; key values chosen so Murmur3 sends
+    // them to three distinct reducers — mapping pinned by VectorSpec) +
+    // sortWithinPartitions, so the partition layout — the only
+    // non-SQL-expressible input to the sample — is deterministic and the
+    // oracle restates the whole sampling pipeline (IvfSql.sampleCtes:
+    // counter-based splitmix draws, last-writer-wins slots as max_by,
+    // quota ORDER BY) before the same unrolled k-means. The 6.25% and
+    // 18.75% slices TRUNCATE to quota (the subsample path), the 75%
+    // slice keeps its capped reservoir, and one reducer stays empty.
+    "v7s_ivf_subsample_knn" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val m16 = col("vec_id") % 16
+      val skewKey = when(m16 === 0, 2L).when(m16 <= 3, 3L).otherwise(0L)
+      val corpus = e.repartition(4, skewKey).sortWithinPartitions("vec_id")
+      val idx = graft.operators.Ivf.build(corpus, "vec_id", "embedding",
+        nlist = 8, iters = 5, sampleSize = 64)
       graft.operators.Ivf.search(idx, probeOf(s, d, 0L), k = 10, nprobe = 3)
         .select(col("id"))
         .orderBy(col("id"))
@@ -391,6 +420,31 @@ object Vectors extends QueryPack {
     // argument as v1 (validated hash-exact at sf0.001/0.01/0.1).
     "v7_ivf_knn" ->
       s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b
+         |  LIMIT 3),
+         |topk AS (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e JOIN af USING (vec_id) CROSS JOIN probe p
+         |  WHERE af.b IN (SELECT b FROM pb)
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, e.vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // the subsampling regime: reservoir-sample CTEs (sampleCtes) feed the
+    // k-means as training source `smp`; assignment + search are over the
+    // full corpus as in v7. pidExpr mirrors the Spark side's
+    // HashPartitioning of the skewed key: key 2 (vec_id%16=0) -> reducer
+    // 0, key 3 (%16 in 1..3) -> reducer 3, key 0 (rest) -> reducer 1
+    // (pmod(murmur3_42(key), 4) — constants pinned by VectorSpec).
+    "v7s_ivf_subsample_knn" ->
+      s"""WITH ${IvfSql.embCtes},
+         |${IvfSql.sampleCtes(seed = 42L, nlist = 8, sampleSize = 64, parts = 4,
+             pidExpr = "CASE WHEN vec_id % 16 = 0 THEN 0 WHEN vec_id % 16 <= 3 THEN 3 " +
+               "ELSE 1 END")},
+         |${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64, trainSrc = "smp")},
          |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
          |pb AS (
          |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p

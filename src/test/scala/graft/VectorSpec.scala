@@ -279,6 +279,46 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("v7s layout pins: murmur3 key->reducer map, skewed sizes, sample regime") {
+    import spark.implicits._
+    // the oracle's pidExpr hardcodes pmod(murmur3_42(key), 4) for the
+    // three skew-key values — pin the mapping so a Spark hash change
+    // (or a key-type change) fails here before the driver gate does
+    val hm = Seq(0L, 2L, 3L).map { k =>
+      k -> spark.range(1).select(pmod(hash(lit(k)), lit(4))).head().getInt(0)
+    }.toMap
+    assert(hm === Map(0L -> 1, 2L -> 0, 3L -> 3), s"murmur3 mapping drifted: $hm")
+    // the constructed corpus really lands keys on those reducers, sorted
+    val e = Tables.embeddings(spark, sfDir)
+    val m16 = col("vec_id") % 16
+    val skewKey = when(m16 === 0, 2L).when(m16 <= 3, 3L).otherwise(0L)
+    val corpus = e.repartition(4, skewKey).sortWithinPartitions("vec_id")
+    val layout = corpus.select(col("vec_id").cast("long"))
+      .as[Long].rdd.mapPartitionsWithIndex { (pid, it) =>
+        val ids = it.toArray
+        Iterator.single(pid -> (ids.length, ids.sameElements(ids.sorted)))
+      }.collect().toMap
+    val n = layout.values.map(_._1).sum
+    assert(layout(2)._1 === 0, "reducer 2 should be empty")
+    assert(layout(0)._1 === (n + 15) / 16 || layout(0)._1 === n / 16,
+      s"reducer 0 should hold the 1/16 slice, got ${layout(0)._1} of $n")
+    layout.values.foreach { case (cnt, sorted) => assert(cnt === 0 || sorted) }
+    // subsampling regime actually fires: sample < corpus, >= nlist, and
+    // the two small slices truncate below the reservoir cap (budget 77,
+    // perPart 20 at 4 partitions)
+    val sample = Ivf.drawSample(corpus, "vec_id", "embedding",
+      nlist = 8, sampleSize = 64, seed = 42L)
+    assert(sample.length < n && sample.length >= 8)
+    val ids = sample.map(_._1)
+    assert(ids.sameElements(ids.sorted))
+    val slice0 = ids.count(_ % 16 == 0)
+    assert(slice0 < 20, s"1/16 slice should truncate to quota, kept $slice0")
+    // determinism: a second draw is identical
+    val again = Ivf.drawSample(corpus, "vec_id", "embedding",
+      nlist = 8, sampleSize = 64, seed = 42L).map(_._1)
+    assert(again.sameElements(ids))
+  }
+
   test("IVF batch kNN join: per-probe agreement with single-probe search + recall vs exact join") {
     val e = Tables.embeddings(spark, sfDir)
     val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
