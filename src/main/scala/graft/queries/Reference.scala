@@ -56,6 +56,20 @@ object Reference extends QueryPack {
     Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** The committed GeoParquet golden fixture (real geo footer, WKB
+    * Polygon geometry, 8-dim embeddings — see FIXTURES.md §A and
+    * GeoParquetSpec). Absolute path: the driver's gate and the oracle's
+    * DuckDB both run on this host.
+    */
+  private val GoldenFixture =
+    "/root/repo/src/test/resources/golden_layers.geoparquet"
+
+  /** The notebook replay's probe (agent.ipynb cell 3 in spirit), stated
+    * in the oracle as the float32-exact double values so both engines
+    * rank with identical probe coordinates.
+    */
+  private val ParcelProbe = Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.1f)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_reference_search" -> { (s, d) =>
       Search.plan(layersFrom(s, d), SearchRequest(
@@ -64,8 +78,52 @@ object Reference extends QueryPack {
         inputPoint = Some(Point(0.5, 0.5)),
         skip = 2,
         limit = 8))
+    },
+
+    // The full real-schema GeoParquet path under the driver gate: read
+    // the committed golden fixture (footer-validated, WKB geometry),
+    // ingest through the canonical path (keep-first dedup on
+    // (id, metadata_text) ordered by name, DDL validation at dim 8),
+    // and run the notebook's canonical search — Feature Layer filter,
+    // point-in-polygon at Sanford FL, cosine top-5. The oracle reads the
+    // SAME parquet bytes in DuckDB and decodes the WKB ring arithmetically
+    // (hex -> little-endian u64 -> IEEE-754 double, exact for normal
+    // doubles), so the geometry bytes themselves are under the gate —
+    // point-in-rectangle is inclusive-BETWEEN over the decoded ring's
+    // bbox, exact for the fixture's axis-aligned polygons (s1 precedent).
+    "x2_geoparquet_search" -> { (s, d) =>
+      val raw = graft.sources.LayersTable.readGeoParquet(s, GoldenFixture)
+      val layers = graft.operators.Ingest.prepare(raw,
+        orderCol = Some("name"), validateDim = Some(8))
+      Search.plan(layers, SearchRequest(
+        probe = ParcelProbe,
+        typeFilter = Some(Seq("Feature Layer")),
+        inputPoint = Some(Point(-81.27, 28.80)),
+        limit = 5))
     }
   )
+
+  /** DuckDB SQL decoding the IEEE-754 double stored little-endian at
+    * 0-based byte offset `off` of the hex-encoded blob column `hexCol`.
+    * Exact for normal doubles and +-0 (the only values in geographic
+    * WKB): sign * (1 + mantissa/2^52) * 2^(exp-1023) — every factor is a
+    * power-of-two scale or an exactly representable <= 2^52 integer, so
+    * no rounding anywhere.
+    */
+  private def wkbDouble(hexCol: String, off: String): String = {
+    def hexDigit(pos: String) =
+      s"(strpos('0123456789ABCDEF', $hexCol[$pos:$pos]) - 1)"
+    val u64 = (0 to 7).map { k =>
+      val p = s"(($off) + $k)"
+      val byte = s"(${hexDigit(s"2 * $p + 1")} * 16 + ${hexDigit(s"2 * $p + 2")})"
+      s"CAST($byte AS UBIGINT) * ${java.lang.Long.toUnsignedString(1L << (8 * k))}"
+    }.mkString(" + ")
+    s"""(SELECT CASE WHEN (u & 9223372036854775807) = 0 THEN 0.0
+       |  ELSE (CASE WHEN (u >> 63) = 1 THEN -1.0 ELSE 1.0 END)
+       |    * (1.0 + CAST(u & 4503599627370495 AS DOUBLE) / 4503599627370496.0)
+       |    * power(2.0, CAST((u >> 52) & 2047 AS BIGINT) - 1023) END
+       | FROM (SELECT $u64 AS u))""".stripMargin
+  }
 
   def sql: Map[String, String] = Map(
     "x1_reference_search" ->
@@ -80,6 +138,37 @@ object Reference extends QueryPack {
          |ORDER BY 1 - list_cosine_similarity(embedding,
          |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC,
          |  CAST(doc_id AS VARCHAR) ASC
-         |LIMIT 8 OFFSET 2""".stripMargin
+         |LIMIT 8 OFFSET 2""".stripMargin,
+
+    // dedup (keep-first by name per (id, metadata_text)), WKB ring bbox
+    // decoded from the raw geometry bytes (wkbDouble: header is
+    // 1 byte order + 4 type + 4 nrings + 4 npts = 13 bytes, then 5
+    // little-endian (x, y) double pairs), inclusive point-in-bbox,
+    // lowered type filter, float32-exact probe literals, (dist, id)
+    // tie-broken top-5 — clause for clause the engine's x2 plan.
+    "x2_geoparquet_search" -> {
+      val probeSql = ParcelProbe.map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"""WITH raw AS (
+         |  SELECT *, hex(geometry) AS gh
+         |  FROM read_parquet('$GoldenFixture')),
+         |ded AS (
+         |  SELECT * FROM raw
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id, metadata_text ORDER BY name ASC) = 1),
+         |pts AS (
+         |  SELECT id, ${wkbDouble("gh", "13 + g.i * 16")} AS px,
+         |         ${wkbDouble("gh", "21 + g.i * 16")} AS py
+         |  FROM ded, generate_series(0, 4) AS g(i)),
+         |bbox AS (
+         |  SELECT id, MIN(px) AS xmin, MAX(px) AS xmax,
+         |         MIN(py) AS ymin, MAX(py) AS ymax
+         |  FROM pts GROUP BY id)
+         |SELECT d.id, d.name, d.type, d.description, d.url, d.metadata_text
+         |FROM ded d JOIN bbox b USING (id)
+         |WHERE lower(d.type) IN ('feature layer')
+         |  AND -81.27 BETWEEN b.xmin AND b.xmax
+         |  AND 28.80 BETWEEN b.ymin AND b.ymax
+         |ORDER BY 1 - list_cosine_similarity(d.embeddings, $probeSql) ASC, d.id ASC
+         |LIMIT 5""".stripMargin
+    }
   )
 }
