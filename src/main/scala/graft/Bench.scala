@@ -228,13 +228,18 @@ object Bench {
     catch { case _: Throwable => () }
     (1 to 3).foreach(_ => sentinelQuiet())
 
-    // Three sentinel-bracketed passes. A measurement is clean iff the
-    // sentinel runs on BOTH sides were quiet (the trailing sentinel
-    // catches a stall that began mid-measurement, and doubles as the
-    // leading sentinel of the next query).
+    // Three sentinel-bracketed passes (SPARK_GRAFT_BENCH_PASSES overrides —
+    // e.g. the one-shot sf1 scale pass, where 3x every heavy query buys
+    // nothing: that record is evidence-at-scale, not a standing minimum).
+    // A measurement is clean iff the sentinel runs on BOTH sides were
+    // quiet (the trailing sentinel catches a stall that began
+    // mid-measurement, and doubles as the leading sentinel of the next
+    // query).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     val meas = scala.collection.mutable.Map[String, List[(Double, Boolean)]]()
       .withDefaultValue(Nil)
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to passes) {
       var prevQuiet = sentinelQuiet()
       for (n <- names) {
         val t = exec(n)

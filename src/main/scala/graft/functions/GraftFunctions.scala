@@ -59,6 +59,10 @@ object GraftFunctions {
   def morton_code(lon: Column, lat: Column): Column =
     toCol(MortonCode(toExpr(lon.cast("double")), toExpr(lat.cast("double"))))
 
+  // --- multimodal ----------------------------------------------------------
+  /** Real image-container header parse (PNG/JPEG/GIF) — see [[ImageMeta]]. */
+  def image_meta(bytes: Column): Column = toCol(ImageMeta(toExpr(bytes)))
+
   // --- sketch hashes (near-dup detection) ----------------------------------
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     toCol(MinHashSignature(toExpr(tokens), numHashes))
@@ -94,6 +98,7 @@ object GraftFunctions {
     "morton_code"     -> { es => MortonCode(cast(es(0), "double"), cast(es(1), "double")) },
     "simhash64"       -> { es => SimHash64(es(0)) },
     "html_to_markdown" -> { es => HtmlToMarkdown(es(0)) },
+    "image_meta"      -> { es => ImageMeta(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(
       cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },
   )

@@ -13,13 +13,17 @@ import graft.functions.SketchHash
   *
   * The Spark-side design is real and tested — schema, typed Dataset
   * mapPartitions transforms (one decoder instance per partition, the same
-  * batch shape a JNI/FFI decoder would want), deterministic outputs. The
-  * actual media codecs are STUBBED: this container has no image/audio
-  * libraries, so [[FakeCodec]] implements a self-describing synthetic
-  * format ("GRFT" magic + kind + dimensions + payload) and all pixel/PCM
-  * math is a deterministic placeholder. Swapping in a real codec means
-  * reimplementing the three marked methods of [[FakeCodec]] only; every
-  * operator signature and the distribution strategy stay as-is.
+  * batch shape a JNI/FFI decoder would want), deterministic outputs.
+  * Container HEADER parsing is real since round 6: [[imageMeta]] reads
+  * PNG/JPEG/GIF dimensions+channels straight from the public header
+  * layouts ([[graft.functions.ImageMeta]], codegen expression — no
+  * libraries needed). Pixel/PCM DECODE is still stubbed: this container
+  * has no image/audio libraries, so [[FakeCodec]] implements a
+  * self-describing synthetic format ("GRFT" magic + kind + dimensions +
+  * payload) and the pixel math is a deterministic placeholder. Swapping
+  * in a real pixel codec means reimplementing the marked methods of
+  * [[FakeCodec]] only; every operator signature and the distribution
+  * strategy stay as-is.
   *
   * Scale notes: media blobs are large — operators never shuffle the bytes
   * except where output semantics require new blobs; metadata extraction
@@ -88,6 +92,20 @@ object Multimodal {
       if (norm == 0f) raw else raw.map(_ / norm)
     }
   }
+
+  /** REAL-container metadata extraction: PNG/JPEG/GIF headers parsed by
+    * the [[graft.functions.ImageMeta]] native expression (no stub — the
+    * container formats' own header layouts, public specs). Unlike
+    * [[decodeMeta]]'s typed mapPartitions, this is a codegen'd column
+    * expression, so it stays inside whole-stage codegen and the payload
+    * column drops out of the projection immediately — the 100 TB shape
+    * for "scan a media lake, keep 16 bytes per blob". Unknown containers
+    * yield NULL metadata (quarantine-friendly).
+    */
+  def imageMeta(media: DataFrame, idCol: String, bytesCol: String): DataFrame =
+    media.select(col(idCol),
+      graft.functions.GraftFunctions.image_meta(col(bytesCol)).as("meta"),
+      length(col(bytesCol)).as("payload_size"))
 
   /** Decode metadata and DROP the payload bytes — do this first so later
     * stages shuffle small rows.

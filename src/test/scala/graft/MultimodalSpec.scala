@@ -63,4 +63,122 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs === Array((1L, 4L)))
   }
+
+  // ---- REAL container headers (round 6): build a fully valid PNG with
+  // java.util.zip (correct chunk CRCs + deflated IDAT — any viewer would
+  // open it), a spec-shaped JPEG marker stream, and a GIF89a descriptor.
+
+  /** A real (decodable) PNG: w x h, RGBA, all-gray pixels. */
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.{CRC32, Deflater}
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be32(body.length))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(body)
+      val crc = new CRC32(); crc.update(tb); crc.update(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(6.toByte) // bit depth 8, RGBA
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    // raw scanlines: filter byte 0 + w RGBA pixels per row
+    val raw = new Array[Byte](h * (1 + 4 * w))
+    var i = 0
+    while (i < raw.length) { raw(i) = if (i % (1 + 4 * w) == 0) 0 else 127.toByte; i += 1 }
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](512)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** JPEG marker stream: SOI, APP0 (JFIF), DQT filler, SOF0 frame header. */
+  private def jpegHeader(w: Int, h: Int, comps: Int): Array[Byte] = {
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((body.length + 2) >>> 8).toByte, ((body.length + 2) & 0xff).toByte) ++ body
+    val app0 = seg(0xe0, "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xdb, Array.fill[Byte](65)(1))
+    val sofBody = Array[Byte](8,
+      (h >>> 8).toByte, (h & 0xff).toByte, (w >>> 8).toByte, (w & 0xff).toByte,
+      comps.toByte) ++ Array.fill[Byte](3 * comps)(0x11)
+    Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ seg(0xc0, sofBody)
+  }
+
+  private def gifHeader(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ Array[Byte](
+      (w & 0xff).toByte, (w >>> 8).toByte, (h & 0xff).toByte, (h >>> 8).toByte,
+      0, 0, 0)
+
+  test("image_meta parses real PNG/JPEG/GIF headers; garbage and GRFT blobs yield NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, realPng(640, 480)),
+      (2L, jpegHeader(1024, 768, 3)),
+      (3L, gifHeader(320, 200)),
+      (4L, blob("image", 64, 48, 1, 1)),           // GRFT: not a real container
+      (5L, "not an image at all".getBytes("UTF-8")),
+      (6L, realPng(1, 1).take(20)))                // truncated PNG
+      .toDF("media_id", "bytes")
+    val got = Multimodal.imageMeta(df, "media_id", "bytes")
+      .selectExpr("media_id", "meta.format", "meta.width", "meta.height", "meta.channels")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got(1L) === ("png", 640, 480, 4))
+    assert(got(2L) === ("jpeg", 1024, 768, 3))
+    assert(got(3L) === ("gif", 320, 200, 3))
+    assert(got(4L) === null)
+    assert(got(5L) === null)
+    assert(got(6L) === null)
+    // the PNG really is a valid PNG: java's ImageIO-free sanity check —
+    // IDAT inflates back to the exact scanline byte count
+    val png = realPng(3, 2)
+    val idatStart = {
+      var i = 8
+      while (!(png(i + 4) == 'I' && png(i + 5) == 'D' && png(i + 6) == 'A' && png(i + 7) == 'T'))
+        i += 8 + ((png(i) & 0xff) << 24 | (png(i + 1) & 0xff) << 16 |
+          (png(i + 2) & 0xff) << 8 | (png(i + 3) & 0xff)) + 4
+      i
+    }
+    val idatLen = (png(idatStart) & 0xff) << 24 | (png(idatStart + 1) & 0xff) << 16 |
+      (png(idatStart + 2) & 0xff) << 8 | (png(idatStart + 3) & 0xff)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(png, idatStart + 8, idatLen)
+    val outBuf = new Array[Byte](1024)
+    val n = inf.inflate(outBuf)
+    assert(n === 2 * (1 + 4 * 3)) // h * (filter byte + w RGBA pixels)
+  }
+
+  test("image_meta SQL registration + codegen/interpreted agreement") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, realPng(12, 34)), (2L, gifHeader(5, 6))).toDF("id", "bytes")
+    df.createOrReplaceTempView("media_tmp")
+    def run(): Seq[String] =
+      spark.sql("SELECT id, image_meta(bytes) AS m FROM media_tmp ORDER BY id")
+        .collect().map(_.toString).toSeq
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = run()
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = run()
+      assert(interp === gen)
+      assert(interp.head.contains("png") && interp.head.contains("12"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
