@@ -108,10 +108,14 @@ write("lineitem", pa.table({
     "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, NL)][perm],
     "l_shipdate": pa.array(ship[perm].astype("datetime64[us]"))}))
 
-# events — one January-2024 month, globally ts-ascending, exp(50) values
-ts0 = np.datetime64("2024-01-01T00:00:00.000000")
+# events — one January-2024 month, globally ts-ascending, exp(50) values.
+# ts MUST be parquet TIMESTAMP(NANOS) like the driver's files:
+# Tables.readEvents reads the column as a raw nanos long and floor-divides
+# by 1000, so a microsecond-encoded file would come out 1000x compressed.
+ts0 = np.datetime64("2024-01-01T00:00:00.000000000")
 span_us = 30 * 24 * 3600 * 1_000_000
-ts = ts0 + np.sort(rng.integers(0, span_us, N_EVT)).astype("timedelta64[us]")
+ts = ts0 + (np.sort(rng.integers(0, span_us, N_EVT))
+            * 1000).astype("timedelta64[ns]")
 write("events", pa.table({
     "event_id": pa.array(range(N_EVT), pa.int64()),
     "ts": pa.array(ts),
