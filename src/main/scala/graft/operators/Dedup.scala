@@ -124,8 +124,20 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame, idCol1: String = "id1",
                       idCol2: String = "id2", maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
-      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+    // Materialize the incoming pair list ONCE before anything references
+    // it. The pair plan is typically the expensive near-dup join
+    // (d2/d3/d4/v8); it appears under BOTH the edge orientation union
+    // branches and again under the seed-label subtree, and the first
+    // round's job would otherwise evaluate the whole join per reference
+    // (the sf1 sweep measured d7 at ~260 s against d2's ~14 s for this
+    // reason — the pair list itself is a few thousand rows). persist +
+    // count, not localCheckpoint: lineage stays recomputable on block
+    // loss (the round-5 knnJoin advice), and the count is O(|pairs|).
+    val pc = pairs.select(col(idCol1).as("a0"), col(idCol2).as("b0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pc.count(): Unit
+    val edges = pc.select(col("a0").as("a"), col("b0").as("b"))
+      .union(pc.select(col("b0").as("a"), col("a0").as("b")))
       .distinct()
     val withSelf = edges.select(col("a"), col("b"), lit(false).as("own"))
       .union(edges.select(col("a"), col("a").as("b"), lit(true).as("own")).distinct())
@@ -159,6 +171,7 @@ object Dedup {
       rounds += 1
     }
     withSelf.unpersist()
+    pc.unpersist()
     labels.select(col("node").as("id"), col("label").as("keeper"))
       .orderBy(col("id"))
   }
