@@ -80,6 +80,38 @@ object Reference extends QueryPack {
         limit = 8))
     },
 
+    // image_meta under the driver gate: per document, CONSTRUCT real
+    // GIF89a and PNG-IHDR header bytes whose dimensions derive from
+    // doc_id (LE16 for GIF, BE32 for PNG, built with format_string +
+    // unhex + binary concat — all codegen built-ins), parse them back
+    // with the native expression, and emit the decoded metadata. The
+    // oracle states the EXPECTED dimensions by arithmetic — an
+    // independent inversion check on the parser, not a restatement.
+    "m1_image_meta" -> { (s, d) =>
+      import graft.functions.GraftFunctions.image_meta
+      val w = (col("doc_id") % 1000 + 1).cast("int")
+      val h = (col("doc_id") % 700 + 1).cast("int")
+      val gif = concat(
+        lit("GIF89a").cast("binary"),
+        unhex(format_string("%02X%02X%02X%02X",
+          w % 256, (w / 256).cast("int"), h % 256, (h / 256).cast("int"))),
+        lit(Array[Byte](0, 0, 0)))
+      val png = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13)),
+        lit("IHDR").cast("binary"),
+        unhex(format_string("%08X%08X", w, h)),
+        lit(Array[Byte](8, 2))) // bit depth 8, colour type 2 (truecolour)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          image_meta(gif).as("g"), image_meta(png).as("p"))
+        .select(col("doc_id"),
+          col("g.format").as("gif_format"), col("g.width").as("gif_w"),
+          col("g.height").as("gif_h"), col("g.channels").as("gif_c"),
+          col("p.format").as("png_format"), col("p.width").as("png_w"),
+          col("p.height").as("png_h"), col("p.channels").as("png_c"))
+        .orderBy(col("doc_id"))
+    },
+
     // The full real-schema GeoParquet path under the driver gate: read
     // the committed golden fixture (footer-validated, WKB geometry),
     // ingest through the canonical path (keep-first dedup on
@@ -139,6 +171,16 @@ object Reference extends QueryPack {
          |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC,
          |  CAST(doc_id AS VARCHAR) ASC
          |LIMIT 8 OFFSET 2""".stripMargin,
+
+    // independent expectation: the parser must invert the header
+    // construction exactly (GIF LE16, PNG BE32, colour-type-2 -> 3)
+    "m1_image_meta" ->
+      """SELECT doc_id,
+        |  'gif' AS gif_format, CAST(doc_id % 1000 + 1 AS INT) AS gif_w,
+        |  CAST(doc_id % 700 + 1 AS INT) AS gif_h, CAST(3 AS INT) AS gif_c,
+        |  'png' AS png_format, CAST(doc_id % 1000 + 1 AS INT) AS png_w,
+        |  CAST(doc_id % 700 + 1 AS INT) AS png_h, CAST(3 AS INT) AS png_c
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // dedup (keep-first by name per (id, metadata_text)), WKB ring bbox
     // decoded from the raw geometry bytes (wkbDouble: header is
