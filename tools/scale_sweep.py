@@ -86,6 +86,7 @@ def dtv_queries():
         "v1_knn_top10", "v2_knn_page2", "v3_knn_join",
         "v3c_knn_join_chunked", "v4_embedding_near_dup",
         "v5_label_centroids", "v6_l2_knn", "v7_ivf_knn",
+        "v7s_ivf_subsample_knn",
         "v8_lsh_near_dup", "v9_ivf_knn_join", "v10_quantized_knn"]
 
 
