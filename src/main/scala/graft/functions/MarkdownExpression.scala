@@ -38,8 +38,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Every pattern is lookaround-free, so the DuckDB oracle (Text.mdSql)
   * states the identical staged pipeline — the two fixpoint loops become
-  * recursive CTEs over the same regexes, sharing [[HtmlToMarkdown.MaxIters]]
-  * and [[HtmlToMarkdown.InnerOlPattern]] verbatim.
+  * recursive CTEs over the same regexes, sharing [[HtmlToMarkdown.MaxIters]],
+  * [[HtmlToMarkdown.OlMaxIters]] and [[HtmlToMarkdown.InnerOlPattern]]
+  * verbatim.
   */
 case class HtmlToMarkdown(child: Expression)
     extends UnaryExpression {
@@ -63,12 +64,23 @@ case class HtmlToMarkdown(child: Expression)
 
 object HtmlToMarkdown {
 
-  /** Iteration bound for both fixpoint loops — shared with the oracle's
-    * recursive CTEs so a pathological document hits the same cutoff on
-    * both engines. Real nesting depth is tiny; 30 is head-room, not a
-    * semantic knob.
+  /** Iteration bound for the INLINE fixpoint loop — shared with the
+    * oracle's recursive CTE so a pathological document hits the same
+    * cutoff on both engines. One iteration unwraps one nesting LEVEL of
+    * bold/em/link/code, so this bounds inline nesting depth; real depth
+    * is tiny and 30 is head-room, not a semantic knob.
     */
   val MaxIters: Int = 30
+
+  /** Iteration bound for the `<ol>` loop. Each iteration splices exactly
+    * ONE innermost scope (the leftmost match) — on both engines, because
+    * the oracle's computed numbering can only splice the leftmost match
+    * per recursion step — so this bounds the TOTAL `<ol>` COUNT in the
+    * document (siblings included), NOT nesting depth. 512 keeps the
+    * cutoff far beyond any real document while the shared constant keeps
+    * the two engines in lockstep past it.
+    */
+  val OlMaxIters: Int = 512
 
   /** Innermost-`<ol>` matcher: group 1 is scope content containing no
     * other `<ol>`/`</ol>` tag. RE2-safe "does not contain substring"
@@ -147,9 +159,10 @@ object HtmlToMarkdown {
     x = Blockquote.matcher(x).replaceAll(" > $1 ")
 
     // ordered lists innermost-first: number one scope, splice, repeat
+    // (one splice per iteration => OlMaxIters bounds total scope count)
     it = 0
     var m = InnerOl.matcher(x)
-    while (m.find() && it < MaxIters) {
+    while (m.find() && it < OlMaxIters) {
       x = x.substring(0, m.start()) + " " + numberItems(m.group(1)) + " " +
         x.substring(m.end())
       m = InnerOl.matcher(x)

@@ -69,20 +69,47 @@ object Dedup {
     * larger than the input; pass `StorageLevel.NONE` to recompute the
     * cheap explode per consumer (or checkpoint to a bucketed table
     * upstream) instead of caching rows x shingles.
+    *
+    * Pair-volume guard: the self-join's candidate volume is EXACTLY
+    * sum over post-blocking shingles of df*(df-1)/2 — a one-row aggregate
+    * over the df table the blocking step needs anyway. When a corpus's
+    * vocabulary is too small for `maxDf` to prune (the regime the sf1
+    * sweep entered silently at ~1e8 pairs), this operator now refuses
+    * loudly with the scale path named, instead of absorbing a quadratic
+    * shuffle — same posture as `Knn.nearDupPairs`' row guard. Raise
+    * `maxPairEstimate` deliberately to run the exact baseline anyway.
     */
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, minJaccard: Double = 0.5,
                           maxDf: Option[Int] = None,
                           shingleStorage: org.apache.spark.storage.StorageLevel =
-                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+                          maxPairEstimate: Long = 50000000L): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
     var ex = sh.select(col("id"), explode(col("shingles")).as("s"))
-    maxDf.foreach { m =>
-      val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= m).select(col("s"))
-      // the USING join moves the key first; restore (id, s) order for the
-      // positional toDF renames below
-      ex = ex.join(keep, "s").select(col("id"), col("s"))
+    // one df row per distinct shingle — tiny next to the exploded table;
+    // cached because the guard aggregate and the blocking filter both read it
+    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = maxDf.fold(dfs)(m => dfs.filter(col("df") <= m))
+      // long arithmetic end-to-end (Spark's `/` is double division); the
+      // halving happens driver-side on the summed long
+      val est = kept.agg(sum(col("df") * (col("df") - lit(1L)))).head()
+      val pairVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+      require(pairVolume <= maxPairEstimate,
+        s"jaccardNearDupPairs is the exact baseline and would shuffle ~" +
+          s"$pairVolume candidate pairs after maxDf=$maxDf blocking " +
+          s"(> $maxPairEstimate): the corpus vocabulary is too small for " +
+          "df blocking to prune. Use minhashLshNearDupPairs for corpora " +
+          "at scale, or raise maxPairEstimate deliberately")
+      maxDf.foreach { _ =>
+        // the USING join moves the key first; restore (id, s) order for the
+        // positional toDF renames below
+        ex = ex.join(kept.select(col("s")), "s").select(col("id"), col("s"))
+      }
+    } catch {
+      case e: Throwable => dfs.unpersist(); throw e
     }
     if (shingleStorage != org.apache.spark.storage.StorageLevel.NONE)
       ex = ex.persist(shingleStorage)
@@ -136,44 +163,63 @@ object Dedup {
     val pc = pairs.select(col(idCol1).as("a0"), col(idCol2).as("b0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pc.count(): Unit
-    val edges = pc.select(col("a0").as("a"), col("b0").as("b"))
-      .union(pc.select(col("b0").as("a"), col("a0").as("b")))
-      .distinct()
-    val withSelf = edges.select(col("a"), col("b"), lit(false).as("own"))
-      .union(edges.select(col("a"), col("a").as("b"), lit(true).as("own")).distinct())
-      .persist()
-    // seed = one propagation over identity labels: label(n) = min(n, N(n))
-    var labels = withSelf
-      .groupBy(col("a"))
-      .agg(min(col("b")).as("label"))
-      .select(col("a").as("node"), col("label"))
-      .persist()
-    var kept = labels // persisted handle (labels later drops the flag column)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      val next = withSelf
-        .join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a"))
-        .agg(min(col("label")).as("label"),
-          // a's own previous label rides the self-loop row
-          min(when(col("own"), col("label"))).as("prev"))
-        .select(col("a").as("node"), col("label"),
-          (col("label") =!= col("prev")).as("moved"))
+    // every persisted handle the loop holds, unpersisted in the finally on
+    // ANY exit path except the final `labels` on success (the result reads
+    // its already-materialized cache; the caller's action releases it with
+    // the session). Without this, a failed round leaked pc/withSelf/round
+    // caches for the session's lifetime (round-6 advice).
+    var withSelf: DataFrame = null
+    var kept: DataFrame = null // persisted handle (labels drops the flag column)
+    var prevKept: DataFrame = null
+    var done = false
+    try {
+      val edges = pc.select(col("a0").as("a"), col("b0").as("b"))
+        .union(pc.select(col("b0").as("a"), col("a0").as("b")))
+        .distinct()
+      withSelf = edges.select(col("a"), col("b"), lit(false).as("own"))
+        .union(edges.select(col("a"), col("a").as("b"), lit(true).as("own")).distinct())
         .persist()
-      // the materializing action IS the convergence check (null on empty)
-      val moved = next.agg(sum(when(col("moved"), 1L).otherwise(0L))).head()
-      val changed = if (moved.isNullAt(0)) 0L else moved.getLong(0)
-      kept.unpersist()
-      kept = next
-      labels = next.select(col("node"), col("label"))
-      converged = changed == 0L
-      rounds += 1
+      // seed = one propagation over identity labels: label(n) = min(n, N(n))
+      var labels = withSelf
+        .groupBy(col("a"))
+        .agg(min(col("b")).as("label"))
+        .select(col("a").as("node"), col("label"))
+        .persist()
+      kept = labels
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxRounds) {
+        val next = withSelf
+          .join(labels.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a"))
+          .agg(min(col("label")).as("label"),
+            // a's own previous label rides the self-loop row
+            min(when(col("own"), col("label"))).as("prev"))
+          .select(col("a").as("node"), col("label"),
+            (col("label") =!= col("prev")).as("moved"))
+          .persist()
+        prevKept = kept
+        kept = next
+        // the materializing action IS the convergence check (null on empty)
+        val moved = next.agg(sum(when(col("moved"), 1L).otherwise(0L))).head()
+        val changed = if (moved.isNullAt(0)) 0L else moved.getLong(0)
+        prevKept.unpersist()
+        prevKept = null
+        labels = next.select(col("node"), col("label"))
+        converged = changed == 0L
+        rounds += 1
+      }
+      done = true
+      labels.select(col("node").as("id"), col("label").as("keeper"))
+        .orderBy(col("id"))
+    } finally {
+      if (withSelf != null) withSelf.unpersist()
+      pc.unpersist()
+      if (!done) {
+        if (kept != null) kept.unpersist()
+        if (prevKept != null) prevKept.unpersist()
+      }
     }
-    withSelf.unpersist()
-    pc.unpersist()
-    labels.select(col("node").as("id"), col("label").as("keeper"))
-      .orderBy(col("id"))
   }
 
   /** The giant-component scale path for [[nearDupClusters]]: alternating

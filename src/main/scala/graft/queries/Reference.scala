@@ -58,11 +58,14 @@ object Reference extends QueryPack {
 
   /** The committed GeoParquet golden fixture (real geo footer, WKB
     * Polygon geometry, 8-dim embeddings — see FIXTURES.md §A and
-    * GeoParquetSpec). Absolute path: the driver's gate and the oracle's
-    * DuckDB both run on this host.
+    * GeoParquetSpec). Resolved from `GRAFT_FIXTURE_DIR` (the directory
+    * holding the fixture) so other checkouts can point at their own copy;
+    * defaults to this repo's test-resources path because the driver's
+    * gate and the oracle's DuckDB both run on this host.
     */
-  private val GoldenFixture =
-    "/root/repo/src/test/resources/golden_layers.geoparquet"
+  private val GoldenFixture: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+      "/root/repo/src/test/resources") + "/golden_layers.geoparquet"
 
   /** The notebook replay's probe (agent.ipynb cell 3 in spirit), stated
     * in the oracle as the float32-exact double values so both engines

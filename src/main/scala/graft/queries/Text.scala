@@ -340,6 +340,7 @@ object Text extends QueryPack {
     def rr(x: String, pat: String, rep: String) =
       s"regexp_replace($x, '$pat', '$rep', 'g')"
     val maxIt = graft.functions.HtmlToMarkdown.MaxIters
+    val olMaxIt = graft.functions.HtmlToMarkdown.OlMaxIters
     val olPat = graft.functions.HtmlToMarkdown.InnerOlPattern
     val afterBr = rr(input, """(?i)<br\s*/?>""", " ")
     val step = {
@@ -392,7 +393,7 @@ object Text extends QueryPack {
        |          regexp_extract(x, '$olPat', 0) AS m,
        |          regexp_extract(x, '$olPat', 1) AS g
        |        FROM md_ol) s
-       |  WHERE m <> '' AND it < $maxIt),
+       |  WHERE m <> '' AND it < $olMaxIt),
        |md_old AS (SELECT doc_id, max_by(x, it) AS x FROM md_ol GROUP BY doc_id)
        |SELECT doc_id, $tail AS markdown
        |FROM md_old ORDER BY doc_id""".stripMargin

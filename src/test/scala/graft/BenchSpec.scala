@@ -49,4 +49,24 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.rerunOrder(names, Map("q" -> List((0.10, clean))), base) shouldBe Nil
     Bench.rerunOrder(names, Map("q" -> List((0.12, clean))), base) shouldBe Seq("q")
   }
+
+  test("stdout line fits the 1820 budget for the REAL gate query set") {
+    // worst realistic widths: every query 2+ digits before the decimal
+    val entries = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 12.345)
+    val line = Bench.fitStdoutLine(entries, entries.size * 12.345, "sf0.1")
+    assert(line.length <= 1820, s"line is ${line.length} chars")
+    // it must still parse as the driver's contract shape
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith(""","sf":"sf0.1"}"""))
+    // queries survive (possibly minus omitted cheapest; here all equal-cost
+    // so any subset works) and an omitted count appears iff entries dropped
+    val kept = "\"([a-z0-9_]+)\":12\\.3".r.findAllMatchIn(line).size
+    if (kept < entries.size) assert(line.contains("\"omitted\":"))
+  }
+
+  test("stdout line keeps every entry when the set is small, at 2-decimal precision") {
+    val line = Bench.fitStdoutLine(Seq("q1" -> 0.123, "q2" -> 4.567), 4.69, "sf0.01")
+    line shouldBe
+      """{"metric":"total","value":4.7,"unit":"sec","queries":{"q1":0.12,"q2":4.6},"sf":"sf0.01"}"""
+  }
 }

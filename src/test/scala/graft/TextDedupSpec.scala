@@ -186,6 +186,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(3L) === "1. a 1. b")
   }
 
+  test("html_to_markdown list-heavy document: >30 sibling <ol> scopes all number (OlMaxIters)") {
+    // one splice per iteration bounds SCOPE COUNT, not depth — 40 sibling
+    // lists exceed the old shared MaxIters=30 and every one must convert
+    val html = (1 to 40).map(i => s"<ol><li>a$i</li><li>b$i</li></ol>").mkString(" ")
+    val got = textDf((1L, html))
+      .select(col("doc_id"), graft.functions.TextFunctions.html_to_markdown(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (1 to 40).map(i => s"1. a$i 2. b$i").mkString(" ")
+    assert(got(1L) === want)
+  }
+
   test("html_to_markdown native kernel matches the old composed form on depth<=3 non-nested corpora") {
     // the composed ladder is the round-5 semantics; on its own supported
     // regime (inline depth <=3, non-nested <ol>) the kernel is identical
@@ -332,6 +343,22 @@ class TextDedupSpec extends AnyFunSuite {
     val exact = Dedup.jaccardNearDupPairs(real, "doc_id", "text", 3, 0.5, None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gated === exact)
+  }
+
+  test("jaccard pair-volume guard: quadratic regime refuses loudly toward the LSH path") {
+    // 40 identical docs -> 2 distinct shingles, each df=40: post-blocking
+    // pair volume = 2 * 40*39/2 = 1560, and maxDf=1000 cannot prune it
+    // (the sf1 regime — vocabulary too small for df blocking to bite)
+    val docs = textDf((1L to 40L).map(i => (i, "c1 c2 c3 c4")): _*)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5, Some(1000),
+        maxPairEstimate = 100L)
+    }
+    assert(e.getMessage.contains("minhashLshNearDupPairs"))
+    // the named escape hatch runs the exact baseline deliberately
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5, Some(1000),
+      maxPairEstimate = 2000L)
+    assert(pairs.count() === 780L) // all 40-choose-2 pairs at jaccard 1.0
   }
 
   test("jaccard shingleStorage=NONE (recompute, no cache) matches the cached default") {
