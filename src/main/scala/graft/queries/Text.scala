@@ -256,6 +256,25 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // The giant-component SCALE path for cluster resolution, under the
+    // oracle on a corpus where plain min-label propagation CANNOT finish:
+    // chain pairs (doc_id, doc_id+1) within blocks of 64 consecutive ids
+    // build path components of diameter up to 63 — past nearDupClusters'
+    // 20-round default — while large-star/small-star contraction closes
+    // them in O(log 64) ~ 6 rounds. Component count scales with the
+    // corpus (one per 64 ids), so the oracle's reachability closure stays
+    // LINEAR (<= 63 reach rows per node) at every sf.
+    "d8_dedup_clusters_stars" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            col("a.doc_id") % 64 =!= lit(63))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      Dedup.nearDupClustersStars(pairs)
+        .select(col("id").as("doc_id"), col("keeper"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark-contamination check: every 20th doc plays the eval set;
     // each remaining (train) doc reports what fraction of its distinct
     // 3-gram shingles appear in the eval universe. The eval shingle set
@@ -587,6 +606,22 @@ object Text extends QueryPack {
          |FROM reach
          |GROUP BY src
          |ORDER BY doc_id""".stripMargin,
+
+    "d8_dedup_clusters_stars" ->
+      """WITH RECURSIVE prs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 64 <> 63),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM prs
+        |          UNION SELECT id2, id1 FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper
+        |FROM reach
+        |GROUP BY src
+        |ORDER BY doc_id""".stripMargin,
 
     "d5_contamination" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),

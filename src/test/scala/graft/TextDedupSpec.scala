@@ -447,6 +447,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(s2 === l2)
   }
 
+  test("nearDupClustersStars closes a 64-chain exactly where default-round propagation cannot") {
+    import spark.implicits._
+    // the d8 gate geometry: a path of diameter 63 needs ~63 propagation
+    // rounds (> nearDupClusters' 20-round default) but only O(log 64)
+    // star-contraction rounds — the designed giant-component scale story
+    val chain = (100L until 163L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val viaStars = Dedup.nearDupClustersStars(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === (100L to 163L).map(_ -> 100L).toMap)
+    // propagation inside its round budget has NOT reached the chain tail:
+    // the far end still carries a non-minimum label
+    val viaLabels = Dedup.nearDupClusters(chain, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLabels(163L) !== 100L)
+  }
+
   test("nearDupClusters equals union-find on random graphs (seeded)") {
     import spark.implicits._
     // kept small: every propagation round is a real shuffle job, so trial
