@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** audio_meta(binary) -> struct(format, channels, sample_rate, bits,
+  * kbps) — audio-container header parser, the WAV/MP3 sibling of
+  * [[ImageMeta]] (same 100 TB posture: a codegen'd expression reads the
+  * leading bytes, the projection drops the payload, stragglers NULL out
+  * instead of poisoning the scan):
+  *
+  *  - WAV (RIFF, Microsoft/IBM 1991 spec): "RIFF" | LE32 size | "WAVE",
+  *    then word-aligned chunks walked to "fmt " — format code LE16
+  *    (PCM 1 / IEEE-float 3 accepted), channels LE16, sample rate LE32,
+  *    byte rate LE32, block align LE16, bits-per-sample LE16. kbps is
+  *    derived from the byte-rate FIELD (byte_rate * 8 / 1000, integer),
+  *    not recomputed, so a lying header surfaces as-is for quarantine
+  *    rules to catch.
+  *  - MP3 (ISO/IEC 11172-3 §2.4.1.3 frame header): 11-bit sync, then
+  *    version/layer — MPEG-1 Layer III only (the "MP3" regime; other
+  *    version x layer grids have different bitrate tables and NULL out),
+  *    bitrate index -> the public 14-entry kbps table, sample-rate index
+  *    -> {44100, 48000, 32000}, channel mode 3 (single) -> 1 channel,
+  *    else 2. bits = 0: not a PCM container, bit depth is undefined.
+  *
+  * Free-format (bitrate index 0), `bad` (15), reserved sample-rate index
+  * 3, truncated chunks, and unknown containers all yield NULL.
+  */
+case class AudioMeta(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "audio_meta"
+  override def dataType: DataType = AudioMeta.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    AudioMeta.parse(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioMeta.parse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AudioMeta {
+  val Schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("kbps", IntegerType)))
+
+  /** MPEG-1 Layer III bitrates (kbps) by bitrate index 1-14
+    * (ISO/IEC 11172-3 table B.2; index 0 = free, 15 = forbidden).
+    */
+  val Mp3Kbps: Array[Int] =
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates (Hz) by sample-rate index 0-2 (index 3 reserved). */
+  val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def row(format: String, ch: Int, sr: Long, bits: Int, kbps: Long): InternalRow =
+    if (ch <= 0 || sr <= 0 || sr > Int.MaxValue || kbps < 0 || kbps > Int.MaxValue) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(format), ch, sr.toInt, bits, kbps.toInt))
+
+  /** Shared eval/codegen kernel; null for anything unrecognized. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    // WAV: RIFF container, chunk walk to "fmt "
+    if (b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+          if (size < 16 || i + 8 + 16 > b.length) return null
+          val fmtCode = le16(b, i + 8)
+          if (fmtCode != 1 && fmtCode != 3) return null // PCM / IEEE float
+          val ch = le16(b, i + 10)
+          val sr = le32(b, i + 12)
+          val byteRate = le32(b, i + 16)
+          val bits = le16(b, i + 22)
+          return row("wav", ch, sr, bits, byteRate * 8 / 1000)
+        }
+        if (size > Int.MaxValue - 9) return null
+        // chunks are word-aligned: odd sizes carry a pad byte (RIFF spec)
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      return null
+    }
+    // MP3: 11-bit frame sync, MPEG-1 (version bits 11) Layer III (01)
+    if (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0) {
+      val version = (u8(b, 1) >> 3) & 3
+      val layer = (u8(b, 1) >> 1) & 3
+      if (version != 3 || layer != 1) return null
+      val bitrateIdx = (u8(b, 2) >> 4) & 0xf
+      val srIdx = (u8(b, 2) >> 2) & 3
+      if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return null
+      val mode = (u8(b, 3) >> 6) & 3
+      return row("mp3", if (mode == 3) 1 else 2, Mp3SampleRates(srIdx),
+        0, Mp3Kbps(bitrateIdx - 1))
+    }
+    null
+  }
+}

@@ -62,6 +62,8 @@ object GraftFunctions {
   // --- multimodal ----------------------------------------------------------
   /** Real image-container header parse (PNG/JPEG/GIF) — see [[ImageMeta]]. */
   def image_meta(bytes: Column): Column = toCol(ImageMeta(toExpr(bytes)))
+  /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
+  def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
 
   // --- sketch hashes (near-dup detection) ----------------------------------
   def minhash_signature(tokens: Column, numHashes: Int): Column =
@@ -99,6 +101,7 @@ object GraftFunctions {
     "simhash64"       -> { es => SimHash64(es(0)) },
     "html_to_markdown" -> { es => HtmlToMarkdown(es(0)) },
     "image_meta"      -> { es => ImageMeta(es(0)) },
+    "audio_meta"      -> { es => AudioMeta(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(
       cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },
   )

@@ -100,8 +100,14 @@ object ImageMeta {
           return row("jpeg", be16(b, seg + 5), be16(b, seg + 3), u8(b, seg + 7))
         }
         if (m == 0xd9 || m == 0xda) return null // EOI/SOS before any SOF
-        if (seg0len(b, j + 1) < 2) return null
-        i = j + 1 + seg0len(b, j + 1)
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          // TEM/RSTn are STANDALONE (ITU-T T.81 §B.1.1.3: no length
+          // field); treating them as length-prefixed desynced the walk
+          i = j + 1
+        } else {
+          if (seg0len(b, j + 1) < 2) return null
+          i = j + 1 + seg0len(b, j + 1)
+        }
       }
       return null
     }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -115,6 +115,50 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // audio_meta under the driver gate, same inversion pattern as m1:
+    // per document, CONSTRUCT a real RIFF/WAVE header (LE16/LE32 fields
+    // from doc_id arithmetic, built with format_string + unhex — all
+    // codegen built-ins, independent of the parser) and an MPEG-1
+    // Layer III frame header (bitrate/sample-rate indices packed into
+    // byte 2, channel mode into byte 3), parse both back natively, and
+    // emit the decoded fields. The oracle states the EXPECTED values
+    // arithmetically — the WAV ones from the same field arithmetic, the
+    // MP3 ones through the PUBLIC ISO 11172-3 bitrate/sample-rate tables
+    // restated as SQL list literals.
+    "m2_audio_meta" -> { (s, d) =>
+      import graft.functions.GraftFunctions.audio_meta
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val sr = element_at(array(lit(8000), lit(22050), lit(44100), lit(48000)),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val bits = ((col("doc_id") % 3 + 1) * 8).cast("int")
+      val byteRate = (sr * ch * bits / 8).cast("int")
+      val blockAlign = (ch * bits / 8).cast("int")
+      def le16h(v: Column) =
+        format_string("%02X%02X", v % 256, (v / 256).cast("int"))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        v % 256, (v / 256).cast("int") % 256,
+        (v / 65536).cast("int") % 256, (v / 16777216).cast("int") % 256)
+      val wav = concat(
+        lit("RIFF").cast("binary"), unhex(lit("24000000")),
+        lit("WAVEfmt ").cast("binary"),
+        unhex(concat(lit("100000000100"), // fmt size 16 LE32, PCM code LE16
+          le16h(ch), le32h(sr), le32h(byteRate), le16h(blockAlign), le16h(bits))))
+      val bi = (col("doc_id") % 14 + 1).cast("int")
+      val si = (col("doc_id") % 3).cast("int")
+      val mode = (col("doc_id") % 4).cast("int")
+      val mp3 = unhex(format_string("FFFB%02X%02X", bi * 16 + si * 4, mode * 64))
+      Tables.documents(s, d)
+        .select(col("doc_id"), audio_meta(wav).as("w"), audio_meta(mp3).as("m"))
+        .select(col("doc_id"),
+          col("w.format").as("wav_format"), col("w.channels").as("wav_ch"),
+          col("w.sample_rate").as("wav_sr"), col("w.bits").as("wav_bits"),
+          col("w.kbps").as("wav_kbps"),
+          col("m.format").as("mp3_format"), col("m.channels").as("mp3_ch"),
+          col("m.sample_rate").as("mp3_sr"), col("m.bits").as("mp3_bits"),
+          col("m.kbps").as("mp3_kbps"))
+        .orderBy(col("doc_id"))
+    },
+
     // The full real-schema GeoParquet path under the driver gate: read
     // the committed golden fixture (footer-validated, WKB geometry),
     // ingest through the canonical path (keep-first dedup on
@@ -184,6 +228,28 @@ object Reference extends QueryPack {
         |  'png' AS png_format, CAST(doc_id % 1000 + 1 AS INT) AS png_w,
         |  CAST(doc_id % 700 + 1 AS INT) AS png_h, CAST(3 AS INT) AS png_c
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the inversion expectations: WAV fields restated from the same
+    // doc_id arithmetic (kbps = byte_rate*8/1000 where byte_rate =
+    // sr*ch*bits/8, i.e. sr*ch*bits // 1000 in exact integer math); MP3
+    // fields through the public ISO 11172-3 tables as 1-indexed SQL lists
+    "m2_audio_meta" ->
+      """SELECT doc_id,
+        |  'wav' AS wav_format, ch AS wav_ch, sr AS wav_sr, bits AS wav_bits,
+        |  CAST(sr * ch * bits // 1000 AS INT) AS wav_kbps,
+        |  'mp3' AS mp3_format,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INT) AS mp3_ch,
+        |  CAST(([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1] AS INT) AS mp3_sr,
+        |  CAST(0 AS INT) AS mp3_bits,
+        |  CAST(([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])
+        |    [CAST(doc_id % 14 AS INT) + 1] AS INT) AS mp3_kbps
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |    CAST(([8000, 22050, 44100, 48000])[CAST(doc_id % 4 AS INT) + 1] AS INT) AS sr,
+        |    CAST((doc_id % 3 + 1) * 8 AS INT) AS bits
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     // dedup (keep-first by name per (id, metadata_text)), WKB ring bbox
     // decoded from the raw geometry bytes (wkbDouble: header is

@@ -159,6 +159,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n === 2 * (1 + 4 * 3)) // h * (filter byte + w RGBA pixels)
   }
 
+  /** RIFF/WAVE with a junk chunk BEFORE fmt (odd-sized, so the walk must
+    * word-align) — exercises the chunk scan, not just a fixed layout.
+    */
+  private def wavHeader(ch: Int, sr: Int, bits: Int, junkLen: Int = 0): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    val byteRate = sr * ch * bits / 8
+    val junk =
+      if (junkLen == 0) Array.empty[Byte]
+      else "JUNK".getBytes("US-ASCII") ++ le32(junkLen) ++
+        Array.fill[Byte](junkLen + (junkLen & 1))(7) // pad byte when odd
+    "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WAVE".getBytes("US-ASCII") ++
+      junk ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(ch) ++
+      le32(sr) ++ le32(byteRate) ++ le16(ch * bits / 8) ++ le16(bits)
+  }
+
+  private def mp3Header(bitrateIdx: Int, srIdx: Int, mode: Int): Array[Byte] =
+    Array(0xff.toByte, 0xfb.toByte,
+      ((bitrateIdx << 4) | (srIdx << 2)).toByte, (mode << 6).toByte)
+
+  test("audio_meta parses WAV (chunk walk, odd-pad) and MP3 headers; stragglers NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, wavHeader(2, 44100, 16)),
+      (2L, wavHeader(1, 22050, 8, junkLen = 11)),   // fmt behind an odd junk chunk
+      (3L, mp3Header(9, 0, 0)),                     // 128 kbps, 44100, stereo
+      (4L, mp3Header(14, 2, 3)),                    // 320 kbps, 32000, mono
+      (5L, mp3Header(0, 0, 0)),                     // free-format -> quarantine
+      (6L, Array(0xff.toByte, 0xf3.toByte, 0x90.toByte, 0x00.toByte)), // MPEG-2 -> null
+      (7L, wavHeader(2, 44100, 16).take(20)),       // truncated before fmt body
+      (8L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val got = df.select(col("media_id"),
+        graft.functions.GraftFunctions.audio_meta(col("bytes")).as("a"))
+      .selectExpr("media_id", "a.format", "a.channels", "a.sample_rate", "a.bits", "a.kbps")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    assert(got(1L) === ("wav", 2, 44100, 16, 1411))  // 176400 B/s * 8 / 1000
+    assert(got(2L) === ("wav", 1, 22050, 8, 176))
+    assert(got(3L) === ("mp3", 2, 44100, 0, 128))
+    assert(got(4L) === ("mp3", 1, 32000, 0, 320))
+    assert(got(5L) === null)
+    assert(got(6L) === null)
+    assert(got(7L) === null)
+    assert(got(8L) === null)
+  }
+
+  test("image_meta JPEG walk skips standalone TEM/RST markers (no length field)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // SOI, TEM (standalone), RST0 (standalone), then a normal SOF0 —
+    // the old walk read a phantom length from the next marker's bytes
+    val tail = jpegHeader(77, 55, 3).drop(2) // strip SOI, keep segments
+    val withStandalone = Array(0xff.toByte, 0xd8.toByte, // SOI
+      0xff.toByte, 0x01.toByte,                          // TEM
+      0xff.toByte, 0xd0.toByte) ++ tail                  // RST0
+    val got = Seq((1L, withStandalone)).toDF("id", "bytes")
+      .select(graft.functions.GraftFunctions.image_meta(col("bytes")).as("m"))
+      .selectExpr("m.format", "m.width", "m.height").head()
+    assert((got.getString(0), got.getInt(1), got.getInt(2)) === ("jpeg", 77, 55))
+  }
+
   test("image_meta SQL registration + codegen/interpreted agreement") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
