@@ -133,6 +133,29 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // The IVF MAINTENANCE path under the oracle: build on 80% of the
+    // corpus (vec_id % 5 <> 0), save bucket-partitioned, append the held
+    // -out 20% WITHOUT retraining (assignment against the STORED
+    // centroids — appendSaved), then search the saved index. Equivalent
+    // spec: k-means trained on the base subset, final assignment over the
+    // FULL corpus — appendSaved's nearest-stored-centroid rule is exactly
+    // the af rule, so the v7 oracle extends by swapping the train source.
+    // The saved files live under /dev/shm (this host's root disk stalls;
+    // the index is a few MB) keyed by sf so runs stay isolated.
+    "v11_ivf_append_search" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val extra = e.filter(col("vec_id") % 5 === 0)
+      val idx = graft.operators.Ivf.build(base, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      val path = s"/dev/shm/graft_ivf_v11_${new java.io.File(d).getName}"
+      graft.operators.Ivf.save(idx, path)
+      graft.operators.Ivf.appendSaved(s, path, extra, "vec_id", "embedding")
+      graft.operators.Ivf.searchSaved(s, path, probeOf(s, d, 0L), k = 10, nprobe = 3)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // kNN over the int8-quantized storage path (quantize -> dequantize ->
     // exact L2): the 4x-smaller scan format a 100 TB brute-force pass
     // would read. The oracle replicates the quantization float math
@@ -445,6 +468,27 @@ object Vectors extends QueryPack {
              pidExpr = "CASE WHEN vec_id % 16 = 0 THEN 0 WHEN vec_id % 16 <= 3 THEN 3 " +
                "ELSE 1 END")},
          |${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64, trainSrc = "smp")},
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b
+         |  LIMIT 3),
+         |topk AS (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e JOIN af USING (vec_id) CROSS JOIN probe p
+         |  WHERE af.b IN (SELECT b FROM pb)
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, e.vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // build-on-base / append-the-rest: identical to v7's oracle except
+    // the k-means trains on the base subset while af (and the search)
+    // cover the full corpus — the append path's stored-centroid
+    // assignment restated as the standard final-assignment rule
+    "v11_ivf_append_search" ->
+      s"""WITH ${IvfSql.embCtes},
+         |base AS MATERIALIZED (SELECT vec_id, v, nn FROM emb WHERE vec_id % 5 <> 0),
+         |${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64, trainSrc = "base")},
          |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
          |pb AS (
          |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
