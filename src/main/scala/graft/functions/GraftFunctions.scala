@@ -100,6 +100,7 @@ object GraftFunctions {
     "morton_code"     -> { es => MortonCode(cast(es(0), "double"), cast(es(1), "double")) },
     "simhash64"       -> { es => SimHash64(es(0)) },
     "html_to_markdown" -> { es => HtmlToMarkdown(es(0)) },
+    "html_to_markdown_blocks" -> { es => HtmlToMarkdownBlocks(es(0)) },
     "image_meta"      -> { es => ImageMeta(es(0)) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(

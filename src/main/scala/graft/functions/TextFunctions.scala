@@ -100,6 +100,13 @@ object TextFunctions {
   def html_to_markdown(c: Column): Column =
     GraftFunctions.toCol(HtmlToMarkdown(GraftFunctions.toExpr(c)))
 
+  /** Block-layout variant: markdownify's newline block separation and
+    * nested-list indentation (see [[HtmlToMarkdownBlocks]]); the
+    * space-collapsed [[html_to_markdown]] stays the engine canonical.
+    */
+  def html_to_markdown_blocks(c: Column): Column =
+    GraftFunctions.toCol(HtmlToMarkdownBlocks(GraftFunctions.toExpr(c)))
+
   /** The old composed-Column form (depth-3 inline unroll, non-nested
     * `<ol>` segment split). Retained only to pin native/composed
     * equivalence on depth<=3 non-nested corpora in tests.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -97,22 +97,19 @@ object Text extends QueryPack {
     "t9_html_to_markdown" -> { (s, d) =>
       // the regex ladder dominates the cost, so the narrow scan must spread
       Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"),
-          html_to_markdown(concat(
-            lit("<h1>Doc "), col("doc_id").cast("string"),
-            lit("</h1><h2><b><i>meta</i></b></h2><p><b>Doc "), col("doc_id").cast("string"),
-            lit("</b> <em>note</em>: "), col("text"),
-            lit(" <a href=\"https://docs.example/"), col("doc_id").cast("string"),
-            lit("\">link</a></p><blockquote>quoted from "), col("source"),
-            lit("</blockquote><p>run <code>fetch "), col("doc_id").cast("string"),
-            lit("</code></p><img src=\"https://img.example/"), col("doc_id").cast("string"),
-            lit(".png\" alt=\"thumb\"/><hr/><ol><li>lang "), col("lang"),
-            lit("</li><li>source "), col("source"),
-            lit("</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>" +
-              "<p><b><b><b><b><b><b>deep "), col("lang"),
-            lit("</b></b></b></b></b></b></p><ol><li>one<ol><li>inner "), col("source"),
-            lit("</li><li>two<ol><li>core</li></ol></li></ol></li><li>outer2</li></ol>")))
-            .as("markdown"))
+        .select(col("doc_id"), html_to_markdown(t9Markup).as("markdown"))
+        .orderBy(col("doc_id"))
+    },
+
+    // the BLOCK-LAYOUT markdown variant over the same markup: newline
+    // block separation, items each on their own line, nested lists
+    // indented 2 spaces per level (markdownify's layout; the canonical
+    // space-collapsed form stays t9). Same fixpoint bounds; the oracle
+    // restates the staged pipeline with chr(31)/chr(30) newline/indent
+    // markers (mdBlocksOracleSql).
+    "t9b_markdown_blocks" -> { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), html_to_markdown_blocks(t9Markup).as("markdown"))
         .orderBy(col("doc_id"))
     },
 
@@ -335,6 +332,44 @@ object Text extends QueryPack {
     }
   )
 
+  /** The t9/t9b synthetic markup around the corpus (Spark side): depth-6
+    * same-tag inline nest, 3-level nested `<ol>`, a `<ul>`, headings,
+    * blockquote, code, img, hr — every staged rule fires. One definition,
+    * two renderers (canonical t9, block-layout t9b).
+    */
+  private def t9Markup: Column = concat(
+    lit("<h1>Doc "), col("doc_id").cast("string"),
+    lit("</h1><h2><b><i>meta</i></b></h2><p><b>Doc "), col("doc_id").cast("string"),
+    lit("</b> <em>note</em>: "), col("text"),
+    lit(" <a href=\"https://docs.example/"), col("doc_id").cast("string"),
+    lit("\">link</a></p><blockquote>quoted from "), col("source"),
+    lit("</blockquote><p>run <code>fetch "), col("doc_id").cast("string"),
+    lit("</code></p><img src=\"https://img.example/"), col("doc_id").cast("string"),
+    lit(".png\" alt=\"thumb\"/><hr/><ol><li>lang "), col("lang"),
+    lit("</li><li>source "), col("source"),
+    lit("</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>" +
+      "<p><b><b><b><b><b><b>deep "), col("lang"),
+    lit("</b></b></b></b></b></b></p><ol><li>one<ol><li>inner "), col("source"),
+    lit("</li><li>two<ol><li>core</li></ol></li></ol></li><li>outer2</li></ol>"))
+
+  /** The same markup as a DuckDB SQL expression (shared by the t9 and
+    * t9b oracles — matches [[t9Markup]] byte for byte).
+    */
+  private val T9MarkupSql: String =
+    "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+    "'</h1><h2><b><i>meta</i></b></h2><p><b>Doc ' || CAST(doc_id AS VARCHAR) || " +
+    "'</b> <em>note</em>: ' || text || " +
+    "' <a href=\"https://docs.example/' || CAST(doc_id AS VARCHAR) || " +
+    "'\">link</a></p><blockquote>quoted from ' || source || " +
+    "'</blockquote><p>run <code>fetch ' || CAST(doc_id AS VARCHAR) || " +
+    "'</code></p><img src=\"https://img.example/' || CAST(doc_id AS VARCHAR) || " +
+    "'.png\" alt=\"thumb\"/><hr/><ol><li>lang ' || lang || " +
+    "'</li><li>source ' || source || " +
+    "'</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>" +
+    "<p><b><b><b><b><b><b>deep ' || lang || " +
+    "'</b></b></b></b></b></b></p><ol><li>one<ol><li>inner ' || source || " +
+    "'</li><li>two<ol><li>core</li></ol></li></ol></li><li>outer2</li></ol>'"
+
   // masked-64-bit SQL builders shared with the v8 oracle — see SketchSql
   /** DuckDB restatement of [[graft.functions.HtmlToMarkdown]], stage for
     * stage: br, the inline FIXPOINT (a recursive CTE iterating the same
@@ -416,6 +451,98 @@ object Text extends QueryPack {
        |md_old AS (SELECT doc_id, max_by(x, it) AS x FROM md_ol GROUP BY doc_id)
        |SELECT doc_id, $tail AS markdown
        |FROM md_old ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB restatement of [[graft.functions.HtmlToMarkdownBlocks]] —
+    * the block-layout pipeline with the SAME marker scheme: newlines ride
+    * as chr(31), indent units as chr(30) (one per wrapping list level,
+    * two spaces at the final step), introduced only after source
+    * whitespace collapses so the cleanup regexes distinguish layout from
+    * structure exactly as the kernel does. The shared list loop matches
+    * the kernel's [[graft.functions.HtmlToMarkdown.InnerListPattern]]
+    * (ol|ul alternation — group 1 vs 2 picks the numbering style via the
+    * matched text's own prefix) and splices one innermost scope per
+    * iteration under the same [[graft.functions.HtmlToMarkdown.OlMaxIters]]
+    * bound.
+    */
+  private def mdBlocksOracleSql(input: String): String = {
+    def rr(x: String, pat: String, rep: String) =
+      s"regexp_replace($x, '$pat', '$rep', 'g')"
+    // replacement as a SQL EXPRESSION — for chr(31)/chr(30) splices
+    def rrE(x: String, pat: String, repExpr: String) =
+      s"regexp_replace($x, '$pat', $repExpr, 'g')"
+    val maxIt = graft.functions.HtmlToMarkdown.MaxIters
+    val olMaxIt = graft.functions.HtmlToMarkdown.OlMaxIters
+    val listPat = graft.functions.HtmlToMarkdown.InnerListPattern
+    val nl = "chr(31)"
+    val mm = "chr(31) || chr(31)"
+    val afterBr = rrE(rr(input, """\s+""", " "), """(?i)<br\s*/?>""", nl)
+    val step = {
+      var x = "x"
+      x = rr(x, """(?i)<(?:b|strong)\b[^>]*>([^<]*)</(?:b|strong)>""", """**\1**""")
+      x = rr(x, """(?i)<(?:i|em)\b[^>]*>([^<]*)</(?:i|em)>""", """*\1*""")
+      x = rr(x, """(?i)<a\b[^>]*href="([^"]*)"[^>]*>([^<]*)</a>""", """[\2](\1)""")
+      x = rr(x, """(?i)<code\b[^>]*>([^<]*)</code>""", """`\1`""")
+      x
+    }
+    val blocks = {
+      var x = "x"
+      x = rr(x, """(?i)<img\b[^>]*alt="([^"]*)"[^>]*src="([^"]*)"[^>]*/?>""", """![\1](\2)""")
+      x = rr(x, """(?i)<img\b[^>]*src="([^"]*)"[^>]*alt="([^"]*)"[^>]*/?>""", """![\2](\1)""")
+      x = rrE(x, """(?i)<hr\s*/?>""", s"$mm || '---' || $mm")
+      for (h <- 1 to 6)
+        x = rrE(x, s"""(?i)<h$h\\b[^>]*>([^<]*)</h$h>""",
+          s"$mm || '${"#" * h} \\1' || $mm")
+      x = rrE(x, """(?i)<blockquote\b[^>]*>([^<]*)</blockquote>""", s"$mm || '> \\1' || $mm")
+      x = rrE(x, """(?i)</?p\b[^>]*>""", mm)
+      x
+    }
+    val tail = {
+      var x = rrE("x", """(?i)<li\b[^>]*>""", s"$nl || '- '")
+      x = rr(x, "<[^>]*>", " ")
+      x = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(x) { case (acc, (from, to)) => s"replace($acc, '$from', '$to')" }
+      x = rr(x, " +", " ")
+      x = rrE(x, """ *\x1f *""", nl)
+      x = rrE(x, """\x1f{3,}""", mm)
+      x = rr(x, """^[\x1e\x1f ]+|[\x1e\x1f ]+$""", "")
+      s"replace(replace($x, chr(30), '  '), chr(31), chr(10))"
+    }
+    s"""WITH RECURSIVE mdb_base AS (
+       |  SELECT doc_id, $afterBr AS x FROM documents),
+       |mdb_inl(doc_id, x, it) AS (
+       |  SELECT doc_id, x, 0 FROM mdb_base
+       |  UNION ALL
+       |  SELECT doc_id, nx, it + 1 FROM (
+       |    SELECT doc_id, $step AS nx, x, it FROM mdb_inl) s
+       |  WHERE nx <> x AND it < $maxIt),
+       |mdb_inld AS (SELECT doc_id, max_by(x, it) AS x FROM mdb_inl GROUP BY doc_id),
+       |mdb_blk AS (SELECT doc_id, $blocks AS x FROM mdb_inld),
+       |mdb_ls(doc_id, x, it) AS (
+       |  SELECT doc_id, x, 0 FROM mdb_blk
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    substr(x, 1, strpos(x, m) - 1) ||
+       |      array_to_string(list_transform(string_split_regex(g, '(?i)<li\\b[^>]*>'),
+       |        (item, j) -> CASE WHEN j = 1 THEN item
+       |                     ELSE chr(31) ||
+       |                          CASE WHEN ord THEN CAST(j - 1 AS VARCHAR) || '. '
+       |                               ELSE '- ' END ||
+       |                          replace(item, chr(31), chr(31) || chr(30)) END), '')
+       |      || substr(x, strpos(x, m) + len(m)),
+       |    it + 1
+       |  FROM (SELECT doc_id, x, it,
+       |          regexp_extract(x, '$listPat', 0) AS m,
+       |          CASE WHEN lower(substr(regexp_extract(x, '$listPat', 0), 1, 3)) = '<ol'
+       |               THEN regexp_extract(x, '$listPat', 1)
+       |               ELSE regexp_extract(x, '$listPat', 2) END AS g,
+       |          lower(substr(regexp_extract(x, '$listPat', 0), 1, 3)) = '<ol' AS ord
+       |        FROM mdb_ls) s
+       |  WHERE m <> '' AND it < $olMaxIt),
+       |mdb_lsd AS (SELECT doc_id, max_by(x, it) AS x FROM mdb_ls GROUP BY doc_id)
+       |SELECT doc_id, $tail AS markdown
+       |FROM mdb_lsd ORDER BY doc_id""".stripMargin
   }
 
   private val toksSql = SketchSql.ToksSql
@@ -559,21 +686,11 @@ object Text extends QueryPack {
     // mdOracleSql); the input expression matches the Spark-side concat
     // exactly, including the depth-6 same-tag inline nest and the
     // 3-level nested <ol> that exercise the fixpoint loops
-    "t9_html_to_markdown" ->
-      mdOracleSql(
-        "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
-        "'</h1><h2><b><i>meta</i></b></h2><p><b>Doc ' || CAST(doc_id AS VARCHAR) || " +
-        "'</b> <em>note</em>: ' || text || " +
-        "' <a href=\"https://docs.example/' || CAST(doc_id AS VARCHAR) || " +
-        "'\">link</a></p><blockquote>quoted from ' || source || " +
-        "'</blockquote><p>run <code>fetch ' || CAST(doc_id AS VARCHAR) || " +
-        "'</code></p><img src=\"https://img.example/' || CAST(doc_id AS VARCHAR) || " +
-        "'.png\" alt=\"thumb\"/><hr/><ol><li>lang ' || lang || " +
-        "'</li><li>source ' || source || " +
-        "'</li><li><b>end</b></li></ol><ul><li>tail item</li></ul>" +
-        "<p><b><b><b><b><b><b>deep ' || lang || " +
-        "'</b></b></b></b></b></b></p><ol><li>one<ol><li>inner ' || source || " +
-        "'</li><li>two<ol><li>core</li></ol></li></ol></li><li>outer2</li></ol>'"),
+    "t9_html_to_markdown" -> mdOracleSql(T9MarkupSql),
+
+    // same input, block-layout pipeline (chr(31) newline / chr(30)
+    // indent markers — see mdBlocksOracleSql)
+    "t9b_markdown_blocks" -> mdBlocksOracleSql(T9MarkupSql),
 
     "d1_exact_dedup" ->
       """SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS n_copies

@@ -197,6 +197,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(1L) === want)
   }
 
+  test("html_to_markdown_blocks: blank-line block separation + nested list indentation") {
+    val got = textDf(
+      (1L, "<h1>T</h1><p>body <b>x</b></p><ol><li>one<ol><li>inner</li></ol></li>" +
+        "<li>two</li></ol><ul><li>u1<ul><li>u2</li></ul></li></ul>"),
+      // a <ul> nested in an <ol> indents too (the shared innermost loop)
+      (2L, "<ol><li>a<ul><li>b</li></ul></li></ol>"),
+      // source newlines are layout, not structure: collapsed before markers
+      (3L, "<p>x\n\n\ny</p><p>z</p>"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.html_to_markdown_blocks(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) ===
+      "# T\n\nbody **x**\n\n1. one\n  1. inner\n2. two\n- u1\n  - u2")
+    assert(got(2L) === "1. a\n  - b")
+    assert(got(3L) === "x y\n\nz")
+  }
+
   test("html_to_markdown native kernel matches the old composed form on depth<=3 non-nested corpora") {
     // the composed ladder is the round-5 semantics; on its own supported
     // regime (inline depth <=3, non-nested <ol>) the kernel is identical
