@@ -101,6 +101,52 @@ class PlanShapeSpec extends AnyFunSuite {
       s"d5 lost the broadcast eval-universe join:\n$plan")
   }
 
+  test("knnJoinApprox hot-centroid skew: AQE splits the skewed bucket partition") {
+    // The 100 TB claim assumes the bucket-keyed shuffle join tolerates a
+    // hot centroid (bucket sizes follow the data distribution). Build a
+    // corpus where ~94% of vectors share one direction -> one bucket
+    // holds almost everything, lower the AQE skew thresholds so the hot
+    // partition qualifies at spec scale, force the non-broadcast path,
+    // and assert the ADAPTIVE plan actually performed the skew split —
+    // documentation-by-test that no shape in knnJoinApprox (window
+    // included) blocks OptimizeSkewedJoin.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 16
+    val corpus = (0 until 4000).map { i =>
+      val v = new Array[Float](dim)
+      if (i % 16 == 0) { v(i % dim) = 1f }                   // spread minority
+      else { v(0) = 1f; v(1 + i % (dim - 1)) = 0.05f }       // hot direction
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 100 === 0)
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val idx = graft.operators.Ivf.build(corpus, "vec_id", "embedding",
+        nlist = 4, iters = 3, sampleSize = 100000)
+      val joined = graft.operators.Ivf.knnJoinApprox(idx, probes,
+        "vec_id", "embedding", k = 3, nprobe = 1)
+      val rows = joined.collect()
+      assert(rows.nonEmpty)
+      // the FINAL adaptive plan carries the skew marker on the join
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"hot-centroid join did not skew-split under AQE:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("promoted kernels compile to direct static calls in generated code") {
     // the round-3 promotion replaced CodegenFallback's boxed
     // references[i].eval(row) with a static kernel call — assert the
