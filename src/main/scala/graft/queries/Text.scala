@@ -246,9 +246,14 @@ object Text extends QueryPack {
     // step of the dedup pipeline. Min-label propagation (O(diameter)
     // rounds); the oracle states the same closure as a recursive CTE.
     "d7_dedup_clusters" -> { (s, d) =>
+      // maxPairEstimate raised DELIBERATELY (the named escape hatch):
+      // d7's subject is cluster resolution, so it keeps the exact pair
+      // baseline underneath at every sweep scale — at sf1 that is the
+      // ~1e8-pair regime d2 itself now refuses to enter silently
       Dedup.nearDupClusters(
         Dedup.jaccardNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, minJaccard = 0.5, maxDf = Some(100)))
+          n = 3, minJaccard = 0.5, maxDf = Some(100),
+          maxPairEstimate = 500000000L))
         .select(col("id").as("doc_id"), col("keeper"))
         .orderBy(col("doc_id"))
     },
