@@ -20,23 +20,78 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read it as a raw nanos long (legacy conf) and floor-convert to
-    * microsecond TimestampType — the same truncation DuckDB applies when
-    * it narrows nanos to its native microsecond timestamps, so oracle
-    * comparisons agree.
+  /** events.ts has shipped as both parquet TIMESTAMP(MICROS) and
+    * TIMESTAMP(NANOS) across testdata generations. Spark reads micros
+    * natively but rejects nanos, so branch on the footer's declared unit
+    * rather than baking either generation's quirk into the reader:
+    *
+    *   - micros (or anything Spark reads natively): plain
+    *     `spark.read.parquet` — footer schema, pushdown, pruning all work.
+    *   - nanos: read the column as a raw long via an explicit schema (no
+    *     session-global legacy conf that would leak LongType into every
+    *     later nanos read) and floor-convert `div 1000` to microsecond
+    *     TimestampType — the same truncation DuckDB applies when it
+    *     narrows nanos to its native micros, so oracle comparisons agree.
     */
   private def readEvents(spark: SparkSession, dir: String): DataFrame =
-    // An explicit LongType schema for the nanos column reads cleanly with
-    // no session-global conf mutation (the legacy nanosAsLong conf would
-    // leak LongType into every later nanos parquet read in the session).
-    spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    readEventsPath(spark, s"$dir/events.parquet")
+
+  private[graft] def readEventsPath(spark: SparkSession, path: String): DataFrame =
+    if (tsIsNanos(spark, path))
+      spark.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(path)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    else {
+      // Micros with isAdjustedToUTC=false infers as TimestampNTZType;
+      // normalize to TimestampType so downstream window/session/watermark
+      // logic sees one type regardless of which unit the data shipped in.
+      // Every entry point pins spark.sql.session.timeZone=UTC, so the
+      // NTZ->TZ cast is numerically the identity and matches DuckDB's
+      // naive-timestamp reading of the same file.
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    }
+
+  /** True iff the parquet footer annotates `ts` as TIMESTAMP(NANOS).
+    * Inspects one data file's footer with parquet-mr directly — cheaper
+    * and more explicit than provoking Spark's nanos rejection and
+    * branching on the exception text.
+    */
+  private[graft] def tsIsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .minBy(_.getName) // deterministic pick; one footer decides for all
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) false
+      else schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+        .getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+        case _ => false
+      }
+    } finally reader.close()
+  }
 
   /** Round-robin-spread a scan that is narrower than the cluster: a
     * single small parquet file scans as ONE partition, which serializes

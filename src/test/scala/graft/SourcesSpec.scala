@@ -99,6 +99,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("events reader branches on the footer timestamp unit (micros vs nanos)") {
+    // Two committed fixtures carry the SAME eight instants, one written as
+    // parquet TIMESTAMP(MICROS) and one as TIMESTAMP(NANOS). The testdata
+    // has shipped as both units across generations (r7 regression); this
+    // pins that readEvents yields identical micros values from either.
+    val micros = getClass.getResource("/events_micros.parquet").getPath
+    val nanos = getClass.getResource("/events_nanos.parquet").getPath
+    assert(!Tables.tsIsNanos(spark, micros))
+    assert(Tables.tsIsNanos(spark, nanos))
+    def rows(p: String) = Tables.readEventsPath(spark, p)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val viaMicros = rows(micros)
+    val viaNanos = rows(nanos)
+    assert(viaMicros.length === 8)
+    assert(viaNanos === viaMicros)
+    // micros survive exactly: fixture instants carry sub-millisecond parts
+    assert(viaMicros.exists(_._2 % 1000 != 0))
+    // both paths yield TimestampType so downstream window/session logic
+    // is unit-agnostic
+    assert(Tables.readEventsPath(spark, micros).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(Tables.readEventsPath(spark, nanos).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("full reference lifecycle: embed corpus + query, then search (F8 seam)") {
     import spark.implicits._
     val dim = 16
