@@ -257,7 +257,9 @@ object Ivf {
 
   /** Persist the index partitioned by bucket — queries then read only the
     * nprobe matching directories (partition pruning, no full scan).
-    * Centroids ride along as a tiny `_centroids` parquet.
+    * Centroids ride along as a tiny `centroids` parquet beside `data/` —
+    * deliberately NOT `_`-prefixed: Spark's file index skips `_` paths,
+    * which made every sidecar read emit a "All paths were ignored" WARN.
     */
   def save(index: IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
@@ -265,7 +267,25 @@ object Ivf {
     index.assigned.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
     index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("bucket", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load the centroid sidecar, sorted by bucket id. Falls back to the
+    * legacy `_centroids` location so indexes saved by earlier versions
+    * stay readable.
+    */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Float]] = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecar =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
+        s"$path/centroids"
+      else s"$path/_centroids"
+    spark.read.parquet(sidecar)
+      .select(col("bucket"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
   }
 
   /** Append new vectors to a saved index WITHOUT retraining: load the
@@ -279,10 +299,8 @@ object Ivf {
   def appendSaved(spark: org.apache.spark.sql.SparkSession, path: String,
                   newRows: DataFrame, idCol: String, embCol: String): Long = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/_centroids")
-      .select(col("bucket"), col("centroid"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
-    require(centroids.nonEmpty, s"$path carries no _centroids — not a saved IVF index")
+    val centroids = loadCentroids(spark, path)
+    require(centroids.nonEmpty, s"$path carries no centroid sidecar — not a saved IVF index")
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = newRows
       .select(col(idCol).cast("long").as("id"), col(embCol).cast("array<float>").as("emb"))
@@ -307,9 +325,7 @@ object Ivf {
   def searchSaved(spark: org.apache.spark.sql.SparkSession, path: String,
                   probe: Array[Float], k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/_centroids")
-      .select(col("bucket"), col("centroid"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val centroids = loadCentroids(spark, path)
     val pruned = spark.read.parquet(s"$path/data")
       .filter(col("bucket").isin(nearestBuckets(centroids, probe, nprobe): _*))
     Knn.topK(pruned, col("emb"), probe, k, col("id"))

@@ -213,6 +213,13 @@ class VectorSpec extends AnyFunSuite {
     val saved = graft.operators.Ivf.searchSaved(spark, dir, probe, 5, 2)
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(saved === mem)
+    // legacy layout: indexes saved before the sidecar rename carry
+    // `_centroids`; the loader falls back and still reads them
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(p.resolve("centroids"), p.resolve("_centroids"))
+    val legacy = graft.operators.Ivf.searchSaved(spark, dir, probe, 5, 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(legacy === mem)
   }
 
   test("IVF appendSaved: new vectors join existing buckets; searches find them without retraining") {
