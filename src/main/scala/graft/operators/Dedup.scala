@@ -240,19 +240,27 @@ object Dedup {
     * of the canonical edge set, checked per round; rounds are also capped.
     */
   def nearDupClustersStars(pairs: DataFrame, idCol1: String = "id1",
-                           idCol2: String = "id2", maxRounds: Int = 30): DataFrame = {
+                           idCol2: String = "id2", maxRounds: Int = 30,
+                           checkpointDir: Option[String] = None): DataFrame = {
     // canonical undirected edges, no self loops. Each round references
     // its input ~16 times (two star ops, each reading the edge set for
     // both orientations and the per-node min), so lineage MUST be
-    // truncated per round — localCheckpoint materializes the round and
+    // truncated per round — checkpointing materializes the round and
     // resets the plan, keeping Catalyst analysis O(1) per round instead
-    // of O(16^rounds).
-    var e = pairs
+    // of O(16^rounds). Default is localCheckpoint (executor-local blocks,
+    // no durable storage needed — right for the gate and for clusters
+    // without a shared checkpoint FS); pass `checkpointDir` to use
+    // reliable checkpoint() instead, so a multi-hour 100 TB contraction
+    // survives executor loss at the cost of one FS round-trip per round.
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var e = truncate(pairs
       .select(least(col(idCol1), col(idCol2)).as("a"),
         greatest(col(idCol1), col(idCol2)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // one star operation: re-attach `keepLarger` (large-star) or the
     // complementary (small-star) neighbors of every node to that node's
@@ -272,16 +280,23 @@ object Dedup {
         .distinct()
     }
 
-    def witness(edges: DataFrame): (Long, Long) = {
-      val r = edges.agg(count(lit(1)), sum(hash(col("a"), col("b")).cast("long"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // Four independent aggregates of the canonical edge set: cardinality,
+    // a hash sum, and the two endpoint sums. A (count, hash-sum) pair can
+    // in principle collide across different edge sets; requiring the
+    // endpoint sums to also match makes a false convergence practically
+    // impossible while still costing one aggregate pass.
+    def witness(edges: DataFrame): (Long, Long, Long, Long) = {
+      val r = edges.agg(count(lit(1)), sum(hash(col("a"), col("b")).cast("long")),
+        sum(col("a")), sum(col("b"))).head()
+      def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (r.getLong(0), at(1), at(2), at(3))
     }
 
     var prev = witness(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val next = truncate(star(star(e, large = true), large = false))
       val w = witness(next)
       e = next
       converged = w == prev

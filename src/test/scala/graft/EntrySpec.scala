@@ -27,6 +27,26 @@ class EntrySpec extends AnyFunSuite {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("each query pack's defs and sql keys stay aligned; no cross-pack collisions") {
+    // SparkEntry merges packs with `++`, so the global keyset check above
+    // cannot see (a) a def/sql pair drifting apart INSIDE one pack when
+    // another pack happens to fill the hole, or (b) two packs claiming the
+    // same name (later pack silently wins). Pin both per pack.
+    val packs: Seq[(String, queries.QueryPack)] = Seq(
+      "Relational" -> queries.Relational, "Vectors" -> queries.Vectors,
+      "Spatial" -> queries.Spatial, "Text" -> queries.Text,
+      "Events" -> queries.Events, "Reference" -> queries.Reference)
+    packs.foreach { case (name, p) =>
+      val defsOnly = p.defs.keySet -- p.sql.keySet -- RowsOnly
+      val sqlOnly = p.sql.keySet -- p.defs.keySet
+      assert(defsOnly.isEmpty, s"$name defs without sql: $defsOnly")
+      assert(sqlOnly.isEmpty, s"$name sql without defs: $sqlOnly")
+    }
+    val dupes = packs.flatMap(_._2.defs.keySet)
+      .groupBy(identity).filter(_._2.size > 1).keySet
+    assert(dupes.isEmpty, s"query names defined by more than one pack: $dupes")
+  }
+
   test("every rows-only query produces rows at sf0.001") {
     RowsOnly.foreach { name =>
       assert(SparkEntry.queries(name)(spark, SparkTestSession.sfDir).count() > 0,

@@ -473,11 +473,32 @@ class TextDedupSpec extends AnyFunSuite {
     val viaStars = Dedup.nearDupClustersStars(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStars === (100L to 163L).map(_ -> 100L).toMap)
+    // the fixture genuinely needs more than 3 contraction rounds — a
+    // 3-round cap leaves part of the chain attached to a non-minimum, so
+    // the widened 4-way convergence witness is exercised on real rounds,
+    // never on an instantly-stable graph
+    val capped = Dedup.nearDupClustersStars(chain, maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped !== viaStars)
     // propagation inside its round budget has NOT reached the chain tail:
     // the far end still carries a non-minimum label
     val viaLabels = Dedup.nearDupClusters(chain, maxRounds = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaLabels(163L) !== 100L)
+  }
+
+  test("nearDupClustersStars reliable-checkpoint path matches localCheckpoint") {
+    import spark.implicits._
+    // the fault-tolerant variant for long-running 100 TB contractions:
+    // same algorithm, rounds truncated via durable checkpoint() files
+    val chain = (100L until 163L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val durable = Dedup.nearDupClustersStars(chain, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable === (100L to 163L).map(_ -> 100L).toMap)
+    // the rounds really went through the reliable checkpoint dir
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data under $dir")
   }
 
   test("nearDupClusters equals union-find on random graphs (seeded)") {
