@@ -7,7 +7,14 @@ generated data, so gate validity needs schema + structural parity (planted
 near-dup pairs, label-clustered embeddings, session-shaped events), not
 bit-parity with the driver's own generator.
 
-Usage: python3 tools/gen_sf.py <sf> <out_dir>   e.g. 1 /root/repo/data/sf1
+Usage: python3 tools/gen_sf.py <sf> <out_dir> [ts_unit]
+  e.g. 1 /root/repo/data/sf1 us
+
+ts_unit ('us' default, or 'ns') picks the parquet timestamp encoding for
+events.ts — the driver's testdata has shipped as BOTH across generations
+(TIMESTAMP(NANOS) through round 6, TIMESTAMP(MICROS) from round 7) and
+Tables.readEvents branches on the footer, so either unit yields the same
+timeline; default mirrors the driver's current files.
 """
 import json
 import sys
@@ -109,13 +116,18 @@ write("lineitem", pa.table({
     "l_shipdate": pa.array(ship[perm].astype("datetime64[us]"))}))
 
 # events — one January-2024 month, globally ts-ascending, exp(50) values.
-# ts MUST be parquet TIMESTAMP(NANOS) like the driver's files:
-# Tables.readEvents reads the column as a raw nanos long and floor-divides
-# by 1000, so a microsecond-encoded file would come out 1000x compressed.
-ts0 = np.datetime64("2024-01-01T00:00:00.000000000")
+# The instants are drawn at microsecond resolution either way; TS_UNIT
+# only changes the parquet encoding (footer-branched by Tables.readEvents).
+TS_UNIT = sys.argv[3] if len(sys.argv) > 3 else "us"
+assert TS_UNIT in ("us", "ns"), TS_UNIT
 span_us = 30 * 24 * 3600 * 1_000_000
-ts = ts0 + (np.sort(rng.integers(0, span_us, N_EVT))
-            * 1000).astype("timedelta64[ns]")
+off_us = np.sort(rng.integers(0, span_us, N_EVT))
+if TS_UNIT == "ns":
+    ts = (np.datetime64("2024-01-01T00:00:00.000000000")
+          + (off_us * 1000).astype("timedelta64[ns]"))
+else:
+    ts = (np.datetime64("2024-01-01T00:00:00.000000", "us")
+          + off_us.astype("timedelta64[us]"))
 write("events", pa.table({
     "event_id": pa.array(range(N_EVT), pa.int64()),
     "ts": pa.array(ts),
