@@ -159,6 +159,63 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // video_meta under the driver gate, same inversion pattern as m1/m2:
+    // per document, CONSTRUCT a minimal-but-spec-shaped MP4 (ftyp + moov
+    // with mvhd timescale/duration and one trak whose tkhd carries 16.16
+    // fixed-point width x height, all BE32 per ISO 14496-12) and an AVI
+    // (RIFF/LIST-hdrl/avih with LE32 fields), parse both back natively,
+    // and emit the decoded metadata. The oracle restates the EXPECTED
+    // values arithmetically — duration_ms through the same integer
+    // division the spec implies (units * 1000 / timescale for MP4,
+    // frames * usPerFrame / 1000 for AVI).
+    "m3_video_meta" -> { (s, d) =>
+      import graft.functions.GraftFunctions.video_meta
+      val ts = element_at(array(lit(600), lit(1000), lit(90000), lit(24000)),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val dur = (col("doc_id") % 100000 + 1000).cast("int")
+      val w = (col("doc_id") % 1920 + 16).cast("int")
+      val h = (col("doc_id") % 1080 + 16).cast("int")
+      def be32h(v: Column) = format_string("%08X", v)
+      val mp4 = unhex(concat(
+        lit("000000106674797069736F6D00000000"), // ftyp(16): isom, minor 0
+        lit("000000886D6F6F76"),                 // moov(136)
+        lit("0000001C6D766864000000000000000000000000"), // mvhd(28) v0 +creation+mod
+        be32h(ts), be32h(dur),
+        lit("000000647472616B"),                 // trak(100)
+        lit("0000005C746B68640000000000000000000000000000000100000000"),
+        be32h(dur),                              // tkhd(92) v0: track duration
+        lit("0000000000000000" + "00000000" + "00000000" + // reserved, layer/alt, volume
+          "000100000000000000000000000000000001000000000000000000000000000040000000"), // identity matrix
+        format_string("%04X0000", w), format_string("%04X0000", h)))
+      val mspf = element_at(array(lit(33333), lit(40000), lit(16667), lit(41708)),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val frames = (col("doc_id") % 5000 + 1).cast("int")
+      val streams = (col("doc_id") % 3 + 1).cast("int")
+      val w2 = (col("doc_id") % 1280 + 32).cast("int")
+      val h2 = (col("doc_id") % 720 + 32).cast("int")
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        v % 256, (v / 256).cast("int") % 256,
+        (v / 65536).cast("int") % 256, (v / 16777216).cast("int") % 256)
+      val avi = unhex(concat(
+        lit("52494646"), le32h(lit(80)), lit("41564920"), // RIFF(80) "AVI "
+        lit("4C495354"), le32h(lit(68)), lit("6864726C"), // LIST(68) hdrl
+        lit("61766968"), le32h(lit(56)),                  // avih(56)
+        le32h(mspf), le32h(lit(0)), le32h(lit(0)), le32h(lit(0)),
+        le32h(frames), le32h(lit(0)), le32h(streams), le32h(lit(0)),
+        le32h(w2), le32h(h2),
+        lit("00000000000000000000000000000000"))) // 4 reserved LE32s
+      Tables.documents(s, d)
+        .select(col("doc_id"), video_meta(mp4).as("v"), video_meta(avi).as("a"))
+        .select(col("doc_id"),
+          col("v.format").as("mp4_format"), col("v.width").as("mp4_w"),
+          col("v.height").as("mp4_h"), col("v.duration_ms").as("mp4_dur_ms"),
+          col("v.tracks").as("mp4_tracks"),
+          col("a.format").as("avi_format"), col("a.width").as("avi_w"),
+          col("a.height").as("avi_h"), col("a.duration_ms").as("avi_dur_ms"),
+          col("a.tracks").as("avi_tracks"))
+        .orderBy(col("doc_id"))
+    },
+
     // The full real-schema GeoParquet path under the driver gate: read
     // the committed golden fixture (footer-validated, WKB geometry),
     // ingest through the canonical path (keep-first dedup on
@@ -250,6 +307,24 @@ object Reference extends QueryPack {
         |    CAST((doc_id % 3 + 1) * 8 AS INT) AS bits
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // the inversion expectations: MP4 fields from the same doc_id
+    // arithmetic with duration_ms = units * 1000 // timescale (the ISO
+    // 14496-12 movie-header semantics in exact integer math); AVI from
+    // frames * usPerFrame // 1000 per the RIFF avih fields
+    "m3_video_meta" ->
+      """SELECT doc_id,
+        |  'mp4' AS mp4_format, CAST(doc_id % 1920 + 16 AS INT) AS mp4_w,
+        |  CAST(doc_id % 1080 + 16 AS INT) AS mp4_h,
+        |  CAST((doc_id % 100000 + 1000) * 1000
+        |    // ([600, 1000, 90000, 24000])[CAST(doc_id % 4 AS INT) + 1] AS BIGINT) AS mp4_dur_ms,
+        |  CAST(1 AS INT) AS mp4_tracks,
+        |  'avi' AS avi_format, CAST(doc_id % 1280 + 32 AS INT) AS avi_w,
+        |  CAST(doc_id % 720 + 32 AS INT) AS avi_h,
+        |  CAST((doc_id % 5000 + 1)
+        |    * ([33333, 40000, 16667, 41708])[CAST(doc_id % 4 AS INT) + 1] // 1000 AS BIGINT) AS avi_dur_ms,
+        |  CAST(doc_id % 3 + 1 AS INT) AS avi_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // dedup (keep-first by name per (id, metadata_text)), WKB ring bbox
     // decoded from the raw geometry bytes (wkbDouble: header is

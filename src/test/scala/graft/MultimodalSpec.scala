@@ -225,6 +225,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert((got.getString(0), got.getInt(1), got.getInt(2)) === ("jpeg", 77, 55))
   }
 
+  // ---- video containers (round 8): spec-shaped ISO-BMFF box trees and
+  // RIFF/AVI headers, built byte-by-byte per ISO 14496-12 / the 1991
+  // RIFF spec so the parser is exercised on real structure, not fixed
+  // offsets.
+
+  private def vbe32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+    (v >>> 8).toByte, v.toByte)
+  private def vbe64(v: Long) = vbe32((v >>> 32).toInt) ++ vbe32(v.toInt)
+  private def mbox(tag: String, body: Array[Byte]): Array[Byte] =
+    vbe32(body.length + 8) ++ tag.getBytes("US-ASCII") ++ body
+  private def ftypBox = mbox("ftyp", "isom".getBytes("US-ASCII") ++ vbe32(0))
+  private def mvhdV0(ts: Int, dur: Int) =
+    mbox("mvhd", Array[Byte](0, 0, 0, 0) ++ vbe32(0) ++ vbe32(0) ++ vbe32(ts) ++ vbe32(dur))
+  private def mvhdV1(ts: Int, dur: Long) =
+    mbox("mvhd", Array[Byte](1, 0, 0, 0) ++ vbe64(0) ++ vbe64(0) ++ vbe32(ts) ++ vbe64(dur))
+  private def trakV0(w: Int, h: Int) = mbox("trak",
+    mbox("tkhd", Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](72)(0) ++
+      vbe32(w << 16) ++ vbe32(h << 16)))
+  private def trakV1(w: Int, h: Int) = mbox("trak",
+    mbox("tkhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](84)(0) ++
+      vbe32(w << 16) ++ vbe32(h << 16)))
+
+  private def aviHeader(mspf: Int, frames: Int, streams: Int, w: Int, h: Int,
+                        junkLen: Int = 0): Array[Byte] = {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    val avih = "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(mspf) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(frames) ++ le32(0) ++
+      le32(streams) ++ le32(0) ++ le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    val list = "LIST".getBytes("US-ASCII") ++ le32(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    val junk =
+      if (junkLen == 0) Array.empty[Byte]
+      else "JUNK".getBytes("US-ASCII") ++ le32(junkLen) ++
+        Array.fill[Byte](junkLen + (junkLen & 1))(7)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + junk.length + list.length) ++
+      "AVI ".getBytes("US-ASCII") ++ junk ++ list
+  }
+
+  test("video_meta parses MP4 box trees (v0/v1, largesize, to-EOF) and AVI; stragglers NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // audio-only trak first (zero w x h), video trak second: dimensions
+    // must come from the video trak, tracks counts both
+    val plain = ftypBox ++ mbox("moov", mvhdV0(600, 1234) ++ trakV0(0, 0) ++ trakV0(640, 480))
+    val v1 = ftypBox ++ mbox("moov", mvhdV1(90000, 270000L) ++ trakV1(1920, 1080))
+    // 64-bit largesize on moov (size == 1) and a to-EOF moov (size == 0)
+    val moovBody = mvhdV0(1000, 5000) ++ trakV0(320, 240)
+    val largesize = ftypBox ++ vbe32(1) ++ "moov".getBytes("US-ASCII") ++
+      vbe64(16L + moovBody.length) ++ moovBody
+    val toEof = ftypBox ++ vbe32(0) ++ "moov".getBytes("US-ASCII") ++ moovBody
+    val df = Seq(
+      (1L, plain),
+      (2L, v1),
+      (3L, largesize),
+      (4L, toEof),
+      (5L, aviHeader(33333, 900, 2, 720, 576)),
+      (6L, aviHeader(40000, 250, 1, 320, 240, junkLen = 11)), // odd junk pad
+      (7L, ftypBox ++ mbox("moov", mvhdV0(0, 100) ++ trakV0(1, 1))), // timescale 0
+      (8L, plain.take(40)),                                   // truncated mid-moov
+      (9L, "not a video".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val got = df.select(col("media_id"),
+        graft.functions.GraftFunctions.video_meta(col("bytes")).as("v"))
+      .selectExpr("media_id", "v.format", "v.width", "v.height", "v.duration_ms", "v.tracks")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5))))
+      .toMap
+    assert(got(1L) === ("mp4", 640, 480, 2056L, 2)) // 1234 * 1000 / 600
+    assert(got(2L) === ("mp4", 1920, 1080, 3000L, 1))
+    assert(got(3L) === ("mp4", 320, 240, 5000L, 1))
+    assert(got(4L) === ("mp4", 320, 240, 5000L, 1))
+    assert(got(5L) === ("avi", 720, 576, 29999L, 2)) // 900 * 33333 / 1000
+    assert(got(6L) === ("avi", 320, 240, 10000L, 1))
+    assert(got(7L) === null)
+    assert(got(8L) === null)
+    assert(got(9L) === null)
+  }
+
   test("image_meta SQL registration + codegen/interpreted agreement") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
