@@ -98,6 +98,25 @@ object Events extends QueryPack {
         .orderBy(col("hour"), col("event_type"))
     },
 
+    // keyLESS interval-containment join (RangeJoin.bucketed): every
+    // purchase inside ANY error's 30-minute aftermath window — no user
+    // equi-key exists, so a naive theta join is a BroadcastNestedLoop/
+    // cartesian (PlanShapeSpec pins that ours is not); the bucket
+    // rewrite makes it a shuffled equi-join on the time bin
+    "e10_range_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val win = 30L * 60 * 1000000 // 30 min in micros
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("lo_us"),
+          (unix_micros(col("ts")) + win).as("hi_us"))
+      graft.operators.RangeJoin.bucketed(purchases, windows,
+        "p_us", "lo_us", "hi_us", bucketWidth = win)
+        .select(col("error_id"), col("purchase_id"))
+        .orderBy(col("error_id"), col("purchase_id"))
+    },
+
     // cohort aggregation through the SALTED join (Skew.saltedJoin):
     // fact rows scatter across `salts` replicas of the per-user dim so a
     // hot user cannot straggle one task — semantics equal the plain
@@ -134,6 +153,15 @@ object Events extends QueryPack {
         |  FROM events) t
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // the plain theta join the bucket rewrite must equal (DuckDB's IEJoin
+    // executes it directly); inclusive on both window ends
+    "e10_range_join" ->
+      """SELECT e.event_id AS error_id, p.event_id AS purchase_id
+        |FROM events e JOIN events p
+        |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+        |ORDER BY error_id, purchase_id""".stripMargin,
 
     "e9_hopping_counts" ->
       """WITH e2 AS (

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import SparkTestSession.sfDir
+
+  test("bucketed equals the naive theta join, inclusive bounds, any width") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 30L), (5L, -3L))
+      .toDF("pid", "v")
+    val intervals = Seq((10L, 5L, 10L), (11L, 9L, 20L), (12L, -5L, -1L),
+      (13L, 40L, 50L)).toDF("iid", "lo", "hi")
+    val expected = points.crossJoin(intervals)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // widths below, at, and above the typical span — bucketing must be
+    // invisible to the result; width 7 exercises negative-domain floor
+    // division (a truncating div would misbucket v = -3)
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.bucketed(points, intervals, "v", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"width $w duplicated pairs")
+      assert(got.toSet === expected, s"width $w")
+    }
+    assert(expected.contains((5L, 12L))) // the negative-domain pair is real
+  }
+
+  test("expansion guard refuses loudly, naming the wider bucket") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "v")
+    val intervals = Seq((10L, 0L, 1000000L)).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.bucketed(points, intervals, "v", "lo", "hi",
+        bucketWidth = 1L, maxExpandedRows = 100L)
+    }
+    assert(e.getMessage.contains("bucketWidth"))
+    // same inputs at a sane width sail through
+    assert(RangeJoin.bucketed(points, intervals, "v", "lo", "hi",
+      bucketWidth = 1000000L).count() === 1L)
+  }
+
+  test("shared column names are rejected") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("v", "x")
+    val b = Seq((1L, 2L, 3L)).toDF("x", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.bucketed(a, b, "v", "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("x"))
+  }
+
+  test("e10 plans as an equi-join on the bucket, never a nested loop") {
+    val plan = SparkEntry.queries("e10_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"e10 fell back to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"e10 fell back to a cartesian product:\n$plan")
+    assert(plan.contains("__bucket"), s"e10 lost the bucket equi-key:\n$plan")
+  }
+}
