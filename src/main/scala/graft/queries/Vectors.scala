@@ -156,6 +156,27 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Product-quantized kNN (Jégou et al. 2011) — the vector COMPRESSION
+    // scale path beside IVF's scan pruning: the corpus stores as m=4
+    // codebook indices per vector (64x smaller than 64 floats at
+    // production dims) and the search runs on codes alone via ADC table
+    // lookups. The WHOLE path is under the oracle: per-subspace k-means
+    // unrolled in DuckDB (PqSql — the IvfSql pattern over list slices,
+    // squared-L2 in the dot-product shape both engines share), encoding
+    // as per-subspace argmin, ADC as an explicit left-to-right addition
+    // chain matching the engine's ascending-subspace loop. Output is ids
+    // only (v7's last-ulp robustness argument).
+    "v12_pq_knn" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val model = graft.operators.Pq.train(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 3)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+      graft.operators.Pq.searchADC(codes, "code", "vec_id", model,
+        probeOf(s, d, 0L), k = 10)
+        .select(col("vec_id").as("id"))
+        .orderBy(col("id"))
+    },
+
     // kNN over the int8-quantized storage path (quantize -> dequantize ->
     // exact L2): the 4x-smaller scan format a 100 TB brute-force pass
     // would read. The oracle replicates the quantization float math
@@ -481,6 +502,31 @@ object Vectors extends QueryPack {
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
 
+    // the full PQ path unrolled: per-subspace k-means over list slices
+    // (PqSql — IvfSql's pattern with L2 in the shared dot-product
+    // shape), per-vector argmin codes, probe ADC tables, and a
+    // left-to-right addition chain matching the engine's ascending-
+    // subspace accumulation. Ids only (v7's robustness argument).
+    "v12_pq_knn" ->
+      s"""WITH ${IvfSql.embCtes},
+         |${(0 until 4).map(j => PqSql.subspaceCtes(j, k = 8, iters = 3,
+              subDim = 16, probeId = 0L)).mkString(",\n")},
+         |adc AS (
+         |  SELECT c0.vec_id, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+         |  FROM code0 c0
+         |  JOIN code1 c1 USING (vec_id)
+         |  JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN tab0 t0 ON c0.b = t0.b
+         |  JOIN tab1 t1 ON c1.b = t1.b
+         |  JOIN tab2 t2 ON c2.b = t2.b
+         |  JOIN tab3 t3 ON c3.b = t3.b),
+         |topk AS (
+         |  SELECT vec_id AS id FROM adc
+         |  ORDER BY dist, vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
     // build-on-base / append-the-rest: identical to v7's oracle except
     // the k-means trains on the base subset while af (and the search)
     // cover the full corpus — the append path's stored-centroid
@@ -595,6 +641,70 @@ object Vectors extends QueryPack {
   * [[SketchSql]]: restate the kernel arithmetic in SQL the oracle engine
   * executes natively.
   */
+/** PQ oracle CTE generator — the [[IvfSql]] pattern applied per
+  * subspace over DuckDB list slices. Every distance is squared L2 in
+  * the dot-product shape `nn_a - 2*dot(a,b) + dot(b,b)` — the exact
+  * double arithmetic [[graft.functions.PqCodec.l2sq]] computes, through
+  * the same list_inner_product primitive the v7 oracle validated.
+  */
+private[queries] object PqSql {
+
+  def l2(av: String, ann: String, c: String): String =
+    s"$ann - 2 * list_inner_product($av, $c) + list_inner_product($c, $c)"
+
+  /** CTEs for subspace j (0-based) over `emb`: `s{j}` (slice + self
+    * inner product), `s{j}c0..c{iters}` (k-means — init from the first k
+    * rows in vec_id order, L2 assignment with first-index tie-breaks,
+    * float-cast means, empty clusters kept), `code{j}` (per-vector
+    * argmin), `p{j}` (probe slice), `tab{j}` (ADC table entries `dd`).
+    * DuckDB list slicing is 1-based inclusive.
+    */
+  def subspaceCtes(j: Int, k: Int, iters: Int, subDim: Int,
+                   probeId: Long): String = {
+    val lo = j * subDim + 1
+    val hi = (j + 1) * subDim
+    val slice =
+      s"""s$j AS MATERIALIZED (
+         |  SELECT vec_id, v[$lo:$hi] AS v,
+         |         list_inner_product(v[$lo:$hi], v[$lo:$hi]) AS nn
+         |  FROM emb)""".stripMargin
+    val init =
+      s"""s${j}c0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS b, v AS c
+         |  FROM s$j QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val p = s"s${j}c${r - 1}"
+      s"""s${j}a$r AS (
+         |  SELECT e.vec_id, c.b
+         |  FROM s$j e CROSS JOIN $p c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${l2("e.v", "e.nn", "c.c")}, c.b) = 1),
+         |s${j}m$r AS (
+         |  SELECT a.b, g.i, CAST(CAST(SUM(e.v[g.i]) / COUNT(*) AS FLOAT) AS DOUBLE) AS mc
+         |  FROM s${j}a$r a JOIN s$j e USING (vec_id), generate_series(1, $subDim) AS g(i)
+         |  GROUP BY a.b, g.i),
+         |s${j}c$r AS MATERIALIZED (
+         |  SELECT p.b, COALESCE(m.c, p.c) AS c
+         |  FROM $p p LEFT JOIN (SELECT b, list(mc ORDER BY i) AS c FROM s${j}m$r GROUP BY b) m USING (b))""".stripMargin
+    }
+    val codes =
+      s"""code$j AS MATERIALIZED (
+         |  SELECT e.vec_id, c.b
+         |  FROM s$j e CROSS JOIN s${j}c$iters c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${l2("e.v", "e.nn", "c.c")}, c.b) = 1)""".stripMargin
+    val probe =
+      s"""p$j AS MATERIALIZED (
+         |  SELECT v[$lo:$hi] AS v, list_inner_product(v[$lo:$hi], v[$lo:$hi]) AS nn
+         |  FROM emb WHERE vec_id = $probeId)""".stripMargin
+    val tab =
+      s"""tab$j AS (
+         |  SELECT c.b, ${l2("p.v", "p.nn", "c.c")} AS dd
+         |  FROM s${j}c$iters c CROSS JOIN p$j p)""".stripMargin
+    (Seq(slice, init) ++ rounds ++ Seq(codes, probe, tab)).mkString(",\n")
+  }
+}
+
 private[queries] object IvfSql {
 
   /** Name of the final-centroid CTE emitted by [[kmeansCtes]]. */

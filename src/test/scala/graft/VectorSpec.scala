@@ -267,6 +267,76 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("PQ: 16x code compression, encode = brute-force argmin, deterministic train") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.Pq.train(e, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    assert(model.m === 4 && model.k === 8 && model.subDim === 16)
+    // deterministic: identical second training
+    val model2 = graft.operators.Pq.train(e, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    assert(model.codebooks.flatten.flatten.toSeq === model2.codebooks.flatten.flatten.toSeq)
+    // codes are m=4 ints per 64-float vector: 16x fewer values, 64x fewer
+    // bytes once stored as uint8 (k <= 256)
+    val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(codes.values.forall(c => c.length === 4 && c.forall(x => x >= 0 && x < 8)))
+    // encoding equals brute-force per-subspace argmin on a sample
+    val vecs = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    for ((id, v) <- vecs; j <- 0 until 4) {
+      val expected = (0 until 8).minBy { c =>
+        graft.functions.PqCodec.l2sq(v, j * 16, model.codebooks(j)(c), 0, 16)
+      }
+      assert(codes(id)(j) === expected, s"vec $id subspace $j")
+    }
+  }
+
+  test("PQ ADC search: self-hit first; zero-error regime reproduces exact L2 order") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 42L).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+    // lossy regime (the v12 gate params): the probe's own vector must
+    // rank FIRST — it quantizes to the cells nearest the probe's exact
+    // subvectors, so every other code's table entry is >= its own.
+    // Recall@10 on this corpus is intrinsically weak (normalize(2c + N(0,1))
+    // puts ~85% of each vector's energy in isotropic noise, so the ~20
+    // same-cluster neighbors are near-equidistant and 8^4 cells cannot
+    // separate them) — the ZERO-ERROR regime below is the correctness
+    // pin; this block pins the mechanism, not a flattering recall number.
+    val model = graft.operators.Pq.train(e, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+    val approx = graft.operators.Pq.searchADC(codes, "code", "vec_id", model, probe, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(approx.head === 42L, s"self not first: ${approx.toSeq}")
+    // plan shape: ADC is a TakeOrderedAndProject over the code scan — the
+    // v1 kNN shape on a table 16x narrower
+    val plan = graft.operators.Pq.searchADC(codes, "code", "vec_id", model, probe, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"ADC lost top-k heaps:\n$plan")
+
+    // zero-quantization-error regime: k = corpus size makes every
+    // subvector its own reconstruction (init IS the corpus, means are
+    // fixpoints), so ADC distances equal exact squared L2 and the top-10
+    // must match the exact ranking under the same (dist, id) tie-break
+    val all = e.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = all.length
+    // expected distances accumulated EXACTLY as ADC does: per-subspace
+    // dot-shape l2, summed ascending j (a full-dim dot-shape would group
+    // the additions differently and could drift a last ulp)
+    val exactIds = all.map { case (id, v) =>
+      var s = 0.0
+      for (j <- 0 until 4)
+        s += graft.functions.PqCodec.l2sq(probe, j * 16, v, j * 16, 16)
+      (s, id)
+    }.sorted.take(10).map(_._2)
+    val full = graft.operators.Pq.train(e, "vec_id", "embedding", m = 4, k = n, iters = 1)
+    val fullCodes = graft.operators.Pq.encode(e, "vec_id", "embedding", full)
+    val adcExact = graft.operators.Pq.searchADC(fullCodes, "code", "vec_id", full, probe, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(adcExact.toSeq === exactIds.toSeq)
+  }
+
   test("IVF build's sample degenerates to the full corpus at gate scale (v7/v9 oracle precondition)") {
     // The IvfSql DuckDB oracle replays the k-means over the FULL corpus
     // in vec_id order, which is only the engine's computation while every
