@@ -206,6 +206,20 @@ object Text extends QueryPack {
         .orderBy(col("brand"))
     },
 
+    // BM25 lexical retrieval (Okapi formula, public) over the document
+    // corpus — the lexical sibling of the vector search paths. Output is
+    // ids only (the v7 last-ulp robustness argument: Spark's Math.log
+    // and DuckDB's ln may differ in the last ulp, which cannot reorder
+    // docs whose score gaps come from integer tf/dl differences, and
+    // exact ties carry identical arithmetic on both sides + id
+    // tie-break).
+    "t18_bm25_search" -> { (s, d) =>
+      graft.operators.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "join", "fast", "window"), k = 10)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -766,6 +780,32 @@ object Text extends QueryPack {
          |GROUP BY s
          |ORDER BY df DESC, s ASC
          |LIMIT 20""".stripMargin,
+
+    // the Okapi formula restated verbatim: same tokenization (whitespace
+    // split of lowercased text, empties dropped), same N (docs with >= 1
+    // token), same association in every float expression; ids only
+    "t18_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |q(term) AS (VALUES ('spark'), ('join'), ('fast'), ('window')),
+        |dft AS (
+        |  SELECT term, COUNT(DISTINCT id) AS df
+        |  FROM toks JOIN q USING (term) GROUP BY term),
+        |tf AS (
+        |  SELECT id, term, COUNT(*) AS tf
+        |  FROM toks JOIN q USING (term) GROUP BY id, term),
+        |sc AS (
+        |  SELECT tf.id,
+        |    SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / s.avgdl))) AS score
+        |  FROM tf JOIN dft d USING (term) JOIN dl USING (id) CROSS JOIN stats s
+        |  GROUP BY tf.id),
+        |topk AS (SELECT id FROM sc ORDER BY score DESC, id ASC LIMIT 10)
+        |SELECT id FROM topk ORDER BY id""".stripMargin,
 
     "t17_fuzzy_name_pairs" ->
       """SELECT a.p_brand AS brand, COUNT(*) AS n_near_pairs

@@ -487,6 +487,43 @@ class TextDedupSpec extends AnyFunSuite {
     assert(viaLabels(163L) !== 100L)
   }
 
+  test("BM25 matches hand-computed scores; tf raises, length normalizes, absent term drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join"),             // both terms, short
+      (2L, "spark spark join"),       // higher tf
+      (3L, "spark a a a a a a join"), // same tf as 1, longer -> penalized
+      (4L, "nothing relevant here"),  // no query terms
+      (5L, "JOIN")                    // case-folded single term
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Bm25.topK(docs, "doc_id", "text",
+      Seq("spark", "join"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // hand computation: N=5, avgdl = (2+3+8+3+1)/5 = 3.4
+    val n = 5L
+    val avgdl = 3.4
+    def idf(df: Long) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def ts(idfV: Double, tf: Long, dl: Long) =
+      idfV * tf * 2.2 / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+    val iSpark = idf(3) // docs 1,2,3
+    val iJoin = idf(4)  // docs 1,2,3,5
+    val expected = Map(
+      1L -> (ts(iSpark, 1, 2) + ts(iJoin, 1, 2)),
+      2L -> (ts(iSpark, 2, 3) + ts(iJoin, 1, 3)),
+      3L -> (ts(iSpark, 1, 8) + ts(iJoin, 1, 8)),
+      5L -> ts(iJoin, 1, 1))
+    assert(got.map(_._1).toSet === expected.keySet) // doc 4 never scores
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-12, s"doc $id: $s vs ${expected(id)}")
+    }
+    val rank = got.map(_._1)
+    // tf monotonicity and length normalization: 2 > 1 > 3 among the
+    // both-term docs; the single-term doc 5 ranks where its one
+    // (shortest-doc-boosted) contribution lands — just check 2 first
+    assert(rank.head === 2L)
+    assert(rank.indexOf(1L) < rank.indexOf(3L))
+  }
+
   test("nearDupClustersStars reliable-checkpoint path matches localCheckpoint") {
     import spark.implicits._
     // the fault-tolerant variant for long-running 100 TB contractions:
