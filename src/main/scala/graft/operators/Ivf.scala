@@ -208,6 +208,12 @@ object Ivf {
       .select(col("id"), col("dist"))
   }
 
+  /** The nprobe buckets a probe would scan — exposed for compositions
+    * (IVF-PQ: prune buckets here, rank the survivors by ADC).
+    */
+  def probeBuckets(index: IvfIndex, probe: Array[Float], nprobe: Int): Seq[Int] =
+    nearestBuckets(index.centroids, probe, nprobe)
+
   private def nearestBuckets(centroids: Array[Array[Float]], probe: Array[Float],
                              nprobe: Int): Seq[Int] =
     centroids.zipWithIndex

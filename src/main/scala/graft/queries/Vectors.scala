@@ -177,6 +177,31 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // IVF-PQ — the two vector scale paths COMPOSED (the standard FAISS
+    // IVFPQ shape, public): IVF's centroids prune the corpus to nprobe
+    // buckets, PQ's codes answer distances inside them via ADC — at
+    // 100 TB the scan reads nprobe/nlist of a table that is itself 16x
+    // narrower than the floats. With the encoded table stored
+    // partitioned by bucket (the v11 save layout), the code/bucket join
+    // below disappears into partition pruning. Oracle: the v7 k-means
+    // CTEs and the v12 subspace CTEs compose verbatim — bucket
+    // selection from IvfSql, ADC ranking from PqSql, candidates =
+    // af-assignment filtered to the probed buckets.
+    "v13_ivfpq_knn" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      val model = graft.operators.Pq.train(e, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+      val buckets = graft.operators.Ivf.probeBuckets(idx, probeOf(s, d, 0L), nprobe = 3)
+      val cand = idx.assigned.filter(col("bucket").isin(buckets: _*)).select(col("id"))
+      val prunedCodes = codes.join(cand, codes("vec_id") === cand("id"))
+        .select(col("vec_id"), col("code"))
+      graft.operators.Pq.searchADC(prunedCodes, "code", "vec_id", model,
+        probeOf(s, d, 0L), k = 10)
+        .select(col("vec_id").as("id"))
+        .orderBy(col("id"))
+    },
+
     // kNN over the int8-quantized storage path (quantize -> dequantize ->
     // exact L2): the 4x-smaller scan format a 100 TB brute-force pass
     // would read. The oracle replicates the quantization float math
@@ -499,6 +524,36 @@ object Vectors extends QueryPack {
          |  FROM emb e JOIN af USING (vec_id) CROSS JOIN probe p
          |  WHERE af.b IN (SELECT b FROM pb)
          |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, e.vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // IVF-PQ: the v7 and v12 CTE generators composed verbatim — pb
+    // selects the probe's 3 buckets (IvfSql), af supplies assignments,
+    // the PqSql codes/tabs rank the bucket survivors by ADC
+    "v13_ivfpq_knn" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |${(0 until 4).map(j => PqSql.subspaceCtes(j, k = 8, iters = 3,
+              subDim = 16, probeId = 0L)).mkString(",\n")},
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b
+         |  LIMIT 3),
+         |adc AS (
+         |  SELECT c0.vec_id, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+         |  FROM code0 c0
+         |  JOIN code1 c1 USING (vec_id)
+         |  JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN tab0 t0 ON c0.b = t0.b
+         |  JOIN tab1 t1 ON c1.b = t1.b
+         |  JOIN tab2 t2 ON c2.b = t2.b
+         |  JOIN tab3 t3 ON c3.b = t3.b
+         |  JOIN af ON af.vec_id = c0.vec_id
+         |  WHERE af.b IN (SELECT b FROM pb)),
+         |topk AS (
+         |  SELECT vec_id AS id FROM adc
+         |  ORDER BY dist, vec_id
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
 

@@ -337,6 +337,31 @@ class VectorSpec extends AnyFunSuite {
     assert(adcExact.toSeq === exactIds.toSeq)
   }
 
+  test("IVF-PQ composition: results = full ADC ranking restricted to the probed buckets") {
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+    val model = graft.operators.Pq.train(e, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+    val probe = e.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val buckets = Ivf.probeBuckets(idx, probe, 3).toSet
+    assert(buckets.size === 3)
+    val inBuckets = idx.assigned.filter(col("bucket").isin(buckets.toSeq: _*))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: rank ALL codes by ADC, drop non-bucket ids, take 10
+    val fullRank = graft.operators.Pq.searchADC(codes, "code", "vec_id", model,
+      probe, k = e.count().toInt)
+      .collect().map(_.getLong(0)).filter(inBuckets).take(10).toSeq
+    val composed = graft.operators.Pq.searchADC(
+      codes.join(idx.assigned.filter(col("bucket").isin(buckets.toSeq: _*))
+        .select(col("id")), codes("vec_id") === col("id"))
+        .select(col("vec_id"), col("code")),
+      "code", "vec_id", model, probe, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(composed === fullRank)
+    assert(composed.forall(inBuckets))
+  }
+
   test("IVF build's sample degenerates to the full corpus at gate scale (v7/v9 oracle precondition)") {
     // The IvfSql DuckDB oracle replays the k-means over the FULL corpus
     // in vec_id order, which is only the engine's computation while every
