@@ -31,6 +31,29 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(expected.contains((5L, 12L))) // the negative-domain pair is real
   }
 
+  test("bucketed equals the naive join on seeded random inputs (property)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      // mixed-sign domain, spans from empty-ish to many-bucket
+      val points = Seq.tabulate(60)(i => (i.toLong, rng.between(-500L, 500L)))
+        .toDF("pid", "v")
+      val intervals = Seq.tabulate(25) { i =>
+        val lo = rng.between(-500L, 480L)
+        (1000L + i, lo, lo + rng.between(0L, 120L))
+      }.toDF("iid", "lo", "hi")
+      val expected = points.crossJoin(intervals)
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = rng.between(1L, 200L)
+      val got = RangeJoin.bucketed(points, intervals, "v", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"trial $trial width $w duplicated pairs")
+      assert(got.toSet === expected, s"trial $trial width $w")
+    }
+  }
+
   test("expansion guard refuses loudly, naming the wider bucket") {
     import spark.implicits._
     val points = Seq((1L, 5L)).toDF("pid", "v")
