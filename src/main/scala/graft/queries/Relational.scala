@@ -330,6 +330,32 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // approximate percentile sketch under the gate — the q22 pattern
+    // applied to rank sketches: approx_percentile (Greenwald-Khanna
+    // style) guarantees rank error <= 1/accuracy, so each approx value
+    // must lie between the EXACT interpolated percentiles at q -+ 0.01
+    // (accuracy 100). The engine computes the brackets and emits the
+    // booleans; the oracle states the exact percentiles (q23 already
+    // pins percentile == quantile_cont hash-exact) plus TRUE.
+    "q26_approx_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, array(0.5, 0.95), 100)").as("ap"),
+          expr("percentile(l_quantity, 0.49)").as("p50lo"),
+          expr("percentile(l_quantity, 0.51)").as("p50hi"),
+          expr("percentile(l_quantity, 0.94)").as("p95lo"),
+          expr("percentile(l_quantity, 0.96)").as("p95hi"),
+          expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+          expr("percentile(l_quantity, 0.95)").as("p95_exact"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+          (element_at(col("ap"), 1).between(col("p50lo"), col("p50hi")))
+            .as("p50_within"),
+          (element_at(col("ap"), 2).between(col("p95lo"), col("p95hi")))
+            .as("p95_within"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // exact interpolated percentiles per group (corpus length/value
     // distribution stats — the exact sibling of q22's sketch)
     "q23_percentiles" -> { (s, d) =>
@@ -402,6 +428,16 @@ object Relational extends QueryPack {
          |FROM lineitem
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+
+    "q26_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_exact,
+        |  quantile_cont(l_quantity, 0.95) AS p95_exact,
+        |  -- engine-computed: approx value within the exact q -+ 0.01 bracket
+        |  TRUE AS p50_within, TRUE AS p95_within
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,
