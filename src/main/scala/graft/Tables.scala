@@ -75,12 +75,16 @@ object Tables {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
+      if (fs.getFileStatus(p).isDirectory) {
+        val dataFiles = fs.listStatus(p).map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet") &&
             !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .minBy(_.getName) // deterministic pick; one footer decides for all
-      else p
+        if (dataFiles.isEmpty)
+          throw new IllegalArgumentException(
+            s"no parquet data files under $path (only markers/hidden files) — " +
+              "cannot inspect the ts footer unit")
+        dataFiles.minBy(_.getName) // deterministic pick; one footer decides for all
+      } else p
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema

@@ -129,10 +129,13 @@ case class PqAdcDistance(child: Expression, table: Array[Double], m: Int, k: Int
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tab = ctx.addReferenceObj("adcTable", table, "double[]")
+    // freshName: two pq_adc calls can inline into one codegen function
+    // when the child is non-nullable — a fixed local name would collide.
+    val res = ctx.freshName("adcRes")
     nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Double adcRes = graft.functions.PqCodec.adc($c, $tab, $m, $k);
-      ${ev.isNull} = adcRes == null;
-      ${ev.value} = ${ev.isNull} ? -1.0 : adcRes.doubleValue();
+      java.lang.Double $res = graft.functions.PqCodec.adc($c, $tab, $m, $k);
+      ${ev.isNull} = $res == null;
+      ${ev.value} = ${ev.isNull} ? -1.0 : $res.doubleValue();
     """)
   }
 

@@ -165,16 +165,16 @@ object VideoMeta {
     // AVI: RIFF container with form type "AVI ", chunk walk to LIST/hdrl,
     // then inside it to avih (word-aligned, as in AudioMeta's WAV walk)
     if (b.length >= 12 && is4cc(b, 0, "RIFF") && is4cc(b, 8, "AVI ")) {
+      // All offset advances computed in Long: a corrupt size near Int.MaxValue
+      // must quarantine to NULL, never wrap negative into a live array index.
       var i = 12
       while (i + 8 <= b.length) {
         val size = le32(b, i + 4)
-        if (size > Int.MaxValue - 9) return null
         if (is4cc(b, i, "LIST") && i + 12 <= b.length && is4cc(b, i + 8, "hdrl")) {
-          val listEnd = math.min(b.length.toLong, i + 8 + size).toInt
+          val listEnd = math.min(b.length.toLong, i.toLong + 8 + size).toInt
           var k = i + 12
           while (k + 8 <= listEnd) {
             val s2 = le32(b, k + 4)
-            if (s2 > Int.MaxValue - 9) return null
             if (is4cc(b, k, "avih")) {
               if (s2 < 40 || k + 8 + 40 > listEnd) return null
               val p = k + 8
@@ -185,11 +185,15 @@ object VideoMeta {
               return row("avi", le32(b, p + 32), le32(b, p + 36),
                 frames * usPerFrame / 1000L, streams.toInt)
             }
-            k += 8 + s2.toInt + (s2.toInt & 1)
+            val nextK = k.toLong + 8 + s2 + (s2 & 1)
+            if (nextK <= k || nextK > listEnd) return null
+            k = nextK.toInt
           }
           return null
         }
-        i += 8 + size.toInt + (size.toInt & 1)
+        val next = i.toLong + 8 + size + (size & 1)
+        if (next <= i || next > b.length) return null
+        i = next.toInt
       }
       return null
     }

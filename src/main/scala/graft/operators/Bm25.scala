@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BM25 relevance ranking (Robertson/Sparck Jones probabilistic
@@ -11,19 +11,27 @@ import org.apache.spark.sql.functions._
   *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
   *   idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
   *
-  * Scale shape: one tokenize+explode pass computes document lengths and
-  * the query-term postings; df/N/avgdl reduce to a handful of scalars
-  * (collected — bounded by |terms| + 2, never by corpus size); the
-  * per-(doc, term) score is a map-side expression over the postings and
-  * the final per-doc sum is one hash aggregate + top-k heap. Nothing
-  * shuffles more than the query-term postings (|terms| ≤ a few dozen →
-  * a tiny fraction of the corpus), and the idf table broadcasts.
+  * Scale shape — ONE conditional-aggregation pass, fully lazy:
+  * tokenize+explode feeds a single `groupBy(id)` computing the document
+  * length AND one `sum(when(term = t, 1))` column per query term
+  * (|terms| ≤ a few dozen → a fixed-width row per doc, partial-agg
+  * combinable map-side). N / avgdl / per-term dfs reduce that per-doc
+  * table to ONE row, kept as a broadcast DataFrame and cross-joined
+  * back — no driver collect, no action before the final top-k, and the
+  * per-doc aggregation exchange is shared between the stats branch and
+  * the scoring branch (ReusedExchange), so the token stream is scanned
+  * once with nothing materialized. This replaces the earlier design
+  * that localCheckpoint'ed the full (id, term) token stream — the
+  * corpus-sized materialization a 100 TB run cannot afford.
   *
   * Tokenization is the engine's canonical whitespace split of the
   * lowercased text (empty tokens dropped) — the same token stream the
   * t1 token counts and t5 shingles are built on. N counts documents
   * with ≥ 1 token (a token-free document can never match and would
-  * only shift avgdl).
+  * only shift avgdl). Documents matching no query term are filtered
+  * out, as in the posting-list formulation; an all-miss query yields an
+  * empty result whose schema (id of the corpus' id type, double score)
+  * comes from the same plan as the non-empty case.
   */
 object Bm25 {
 
@@ -31,49 +39,46 @@ object Bm25 {
            terms: Seq[String], k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val qTerms = terms.map(_.toLowerCase).distinct
 
     val toks = docs
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    // evaluated three times below (dl, df, tf) — materialize the one
-    // tokenize pass; blocks release with the DataFrame (docVectors
-    // precedent: localCheckpoint over cache for automatic lifecycle)
-    val cached = toks.localCheckpoint(false)
 
-    val dl = cached.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
-    val n = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
-    require(n > 0, "empty corpus")
-
-    val qTerms = terms.map(_.toLowerCase)
-    val dfRows = cached
-      .filter(col("term").isin(qTerms: _*))
-      .select(col("term"), col("id")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .collect() // bounded by |terms|
-    val idf = dfRows.map { r =>
-      val df = r.getLong(1)
-      r.getString(0) -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    // the single pass: per-doc length + one tf column per query term
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf_$i")
     }
-    if (idf.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("id", "score")
-    val idfDf = idf.toSeq.toDF("term", "idf")
+    val perDoc = toks.groupBy(col("id"))
+      .agg(count(lit(1)).as("__dl"), tfCols: _*)
 
-    val tf = cached
-      .filter(col("term").isin(qTerms: _*))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    // global stats: one row — corpus size, mean length, per-term dfs
+    val dfCols = qTerms.indices.map { i =>
+      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i")
+    }
+    val stats = perDoc.agg(count(lit(1)).as("__n"),
+      (avg(col("__dl")).as("__avgdl") +: dfCols): _*)
 
     // association mirrors the oracle's SQL text exactly:
-    // (idf * tf) * (k1+1) / (tf + k1 * ((1-b) + (b * dl) / avgdl))
-    tf.join(broadcast(idfDf), "term")
-      .join(dl, "id")
-      .withColumn("ts",
-        col("idf") * col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
-      .groupBy(col("id")).agg(sum(col("ts")).as("score"))
+    // (idf * tf) * (k1+1) / (tf + k1 * ((1-b) + (b * dl) / avgdl));
+    // a term with tf = 0 contributes an exact 0.0 (the product's tf
+    // factor), so the per-doc Σ over the fixed term list equals the
+    // posting-list sum over matched terms.
+    val termScore: Int => Column = { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val dft = col(s"__df_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n").cast("double") - dft + lit(0.5)) / (dft + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }
+    val anyMatch = qTerms.indices.map(i => col(s"__tf_$i") > 0).reduce(_ || _)
+
+    perDoc.crossJoin(broadcast(stats))
+      .filter(anyMatch)
+      .withColumn("score", qTerms.indices.map(termScore).reduce(_ + _))
+      .select(col("id"), col("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }

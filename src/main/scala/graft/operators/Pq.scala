@@ -27,8 +27,11 @@ import graft.functions.{PqAdcDistance, PqCodec, PqEncode}
   *
   * Recall behavior is the standard PQ tradeoff (bounded by subspace
   * quantization error); the exact kNN (v1) and IVF (v7) paths remain
-  * for higher-recall regimes, and re-ranking ADC candidates against the
-  * original vectors composes with [[Knn.topK]] when needed.
+  * for higher-recall regimes, and [[searchRefine]] implements the
+  * standard production mitigation (FAISS IVFPQ+R, public): ADC top-R →
+  * exact re-rank of those r originals → top-k. [[save]]/[[loadModel]]/
+  * [[appendSaved]]/[[searchSavedADC]] give the index the same
+  * encode-once persistence lifecycle as [[Ivf.save]].
   */
 object Pq {
 
@@ -137,5 +140,92 @@ object Pq {
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("dist"))
+  }
+
+  /** ADC top-R → exact re-rank (the public FAISS IVFPQ+refine shape):
+    * the code scan nominates `r` candidates cheaply, then ONLY those
+    * r rows of the original float corpus are read — an `isin` filter
+    * that pushes to the parquet scan — and ranked by exact L2 for the
+    * final top-k. This caps the recall loss of subspace quantization at
+    * the cost of one r-row lookup: the 100 TB scan still touches codes
+    * only, and r is a driver-side constant (bounded collect, the
+    * Ivf.searchSaved precedent). `r >= k`; larger r trades one narrow
+    * point-lookup pass for recall.
+    */
+  def searchRefine(encoded: DataFrame, codeCol: String, idCol: String,
+                   corpus: DataFrame, corpusIdCol: String, embCol: String,
+                   model: PqModel, probe: Array[Float], k: Int, r: Int): DataFrame = {
+    require(r >= k, s"refine pool r=$r must be >= k=$k")
+    import graft.functions.GraftFunctions.{l2_distance, vector_lit}
+    val candIds = searchADC(encoded, codeCol, idCol, model, probe, r)
+      .select(col(idCol)).collect().map(_.get(0)) // bounded by r
+    corpus
+      .filter(col(corpusIdCol).isin(candIds: _*))
+      .withColumn("dist",
+        l2_distance(col(embCol).cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("dist").asc, col(corpusIdCol).asc)
+      .limit(k)
+      .select(col(corpusIdCol), col("dist"))
+  }
+
+  /** Persist the PQ index: the encoded corpus under `codes/` plus a
+    * tiny `codebooks/` sidecar (m*k rows) — deliberately not
+    * `_`-prefixed, the [[Ivf.save]] sidecar lesson. Encode once, scan
+    * codes forever: without this a 100 TB corpus would re-train and
+    * re-encode every session.
+    */
+  def save(model: PqModel, codes: DataFrame, idCol: String, path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.select(col(idCol).cast("long").as("id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val rows = for (j <- 0 until model.m; c <- 0 until model.k)
+      yield (j, c, model.codebooks(j)(c).toSeq)
+    rows.toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load the codebook sidecar back into a [[PqModel]] (m*k rows — a
+    * bounded collect).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("centroid_id"), col("centroid"))
+      .as[(Int, Int, Array[Float])].collect()
+    require(rows.nonEmpty, s"$path carries no codebooks sidecar — not a saved PQ index")
+    val byKey = rows.map(t => (t._1, t._2) -> t._3).toMap
+    val m = rows.iterator.map(_._1).max + 1
+    val k = rows.iterator.map(_._2).max + 1
+    PqModel(Array.tabulate(m)(j => Array.tabulate(k)(c => byKey((j, c)))))
+  }
+
+  /** Append new vectors to a saved PQ index WITHOUT retraining: encode
+    * them against the STORED codebooks and append to `codes/` — the
+    * same maintenance contract as [[Ivf.appendSaved]] (recall degrades
+    * only under distribution drift, at which point retrain + re-encode
+    * rebuilds). Returns the number of rows appended.
+    */
+  def appendSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                  newRows: DataFrame, idCol: String, embCol: String): Long = {
+    val model = loadModel(spark, path)
+    val encoded = encode(newRows, idCol, embCol, model)
+      .select(col(idCol).cast("long").as("id"), col("code"))
+    // persist so the returned count reuses the encoding instead of
+    // re-scanning newRows (the round-2 double-scan lesson)
+    encoded.persist()
+    try {
+      encoded.write.mode("append").parquet(s"$path/codes")
+      encoded.count()
+    } finally encoded.unpersist()
+  }
+
+  /** Query a saved PQ index: load the codebooks, ADC over the stored
+    * codes — the original vectors are never touched.
+    */
+  def searchSavedADC(spark: org.apache.spark.sql.SparkSession, path: String,
+                     probe: Array[Float], k: Int): DataFrame = {
+    val model = loadModel(spark, path)
+    searchADC(spark.read.parquet(s"$path/codes"), "code", "id", model, probe, k)
   }
 }

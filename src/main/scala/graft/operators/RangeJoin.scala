@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    // `div` is integral division — Spark's `/` (Divide) casts to double,
+    // which is exact only below 2^53 and would misbucket unix-nanos longs.
+    call_function("div", c - pmod(c, lit(w)), lit(w)).cast("long")
 
   /** Join `points` to every row of `intervals` whose [loCol, hiCol]
     * (inclusive both ends) contains pointCol. All three columns must be

@@ -202,6 +202,52 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // The PQ PERSISTENCE path — v11's maintenance lifecycle applied to
+    // the compression index: train codebooks on 80% of the corpus
+    // (vec_id % 5 <> 0), encode the base and save codes + codebook
+    // sidecar, append the held-out 20% encoded against the STORED
+    // codebooks (appendSaved — no retraining), then ADC-search the
+    // saved codes alone. Encode-once economics: a 100 TB corpus is
+    // encoded one time and every later session scans the 4D/M-fold
+    // smaller code table. Equivalent spec: per-subspace k-means trained
+    // on the base slice, codes = argmin over the FULL corpus — the
+    // stored-codebook encode rule is exactly the final-assignment rule,
+    // so the v12 oracle extends by swapping the train source (the v11
+    // pattern). Saved files under /dev/shm keyed by sf (v11 precedent).
+    "v14_pq_save_append_search" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val extra = e.filter(col("vec_id") % 5 === 0)
+      val model = graft.operators.Pq.train(base, "vec_id", "embedding",
+        m = 4, k = 8, iters = 3)
+      val codes = graft.operators.Pq.encode(base, "vec_id", "embedding", model)
+      val path = s"/dev/shm/graft_pq_v14_${new java.io.File(d).getName}"
+      graft.operators.Pq.save(model, codes, "vec_id", path)
+      graft.operators.Pq.appendSaved(s, path, extra, "vec_id", "embedding")
+      graft.operators.Pq.searchSavedADC(s, path, probeOf(s, d, 0L), k = 10)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
+    // PQ + refine — the standard recall mitigation (FAISS IVFPQ+R,
+    // public): ADC nominates r=40 candidates from the codes, the
+    // original vectors of ONLY those 40 rows are read back and ranked
+    // by exact L2 for the final top-10. The oracle states the same
+    // two-stage selection: the v12 ADC CTEs pick the candidate set,
+    // then the exact dot-shape L2 (with the engine's sqrt included —
+    // both engines' sqrt is IEEE correctly-rounded) orders it. Ids
+    // only (v7's robustness argument).
+    "v15_pq_refine_knn" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val model = graft.operators.Pq.train(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 3)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+      graft.operators.Pq.searchRefine(codes, "code", "vec_id",
+        e, "vec_id", "embedding", model, probeOf(s, d, 0L), k = 10, r = 40)
+        .select(col("vec_id").as("id"))
+        .orderBy(col("id"))
+    },
+
     // kNN over the int8-quantized storage path (quantize -> dequantize ->
     // exact L2): the 4x-smaller scan format a 100 TB brute-force pass
     // would read. The oracle replicates the quantization float math
@@ -582,6 +628,59 @@ object Vectors extends QueryPack {
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
 
+    // v12's oracle with the train source swapped to the 80% base slice
+    // (the v11 pattern): the stored-codebook encode of the appended 20%
+    // is exactly the final-assignment argmin over the full corpus
+    "v14_pq_save_append_search" ->
+      s"""WITH ${IvfSql.embCtes},
+         |base AS MATERIALIZED (SELECT vec_id, v FROM emb WHERE vec_id % 5 <> 0),
+         |${(0 until 4).map(j => PqSql.subspaceCtes(j, k = 8, iters = 3,
+              subDim = 16, probeId = 0L, trainSrc = "base")).mkString(",\n")},
+         |adc AS (
+         |  SELECT c0.vec_id, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+         |  FROM code0 c0
+         |  JOIN code1 c1 USING (vec_id)
+         |  JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN tab0 t0 ON c0.b = t0.b
+         |  JOIN tab1 t1 ON c1.b = t1.b
+         |  JOIN tab2 t2 ON c2.b = t2.b
+         |  JOIN tab3 t3 ON c3.b = t3.b),
+         |topk AS (
+         |  SELECT vec_id AS id FROM adc
+         |  ORDER BY dist, vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // the two-stage refine selection stated verbatim: v12's ADC CTEs
+    // nominate the 40 candidates, exact dot-shape L2 (sqrt included —
+    // IEEE correctly-rounded in both engines) orders the final 10
+    "v15_pq_refine_knn" ->
+      s"""WITH ${IvfSql.embCtes},
+         |${(0 until 4).map(j => PqSql.subspaceCtes(j, k = 8, iters = 3,
+              subDim = 16, probeId = 0L)).mkString(",\n")},
+         |adc AS (
+         |  SELECT c0.vec_id, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+         |  FROM code0 c0
+         |  JOIN code1 c1 USING (vec_id)
+         |  JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN tab0 t0 ON c0.b = t0.b
+         |  JOIN tab1 t1 ON c1.b = t1.b
+         |  JOIN tab2 t2 ON c2.b = t2.b
+         |  JOIN tab3 t3 ON c3.b = t3.b),
+         |cand AS (
+         |  SELECT vec_id FROM adc
+         |  ORDER BY dist, vec_id
+         |  LIMIT 40),
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |topk AS (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e JOIN cand USING (vec_id) CROSS JOIN probe p
+         |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
     // build-on-base / append-the-rest: identical to v7's oracle except
     // the k-means trains on the base subset while af (and the search)
     // cover the full corpus — the append path's stored-centroid
@@ -715,7 +814,7 @@ private[queries] object PqSql {
     * DuckDB list slicing is 1-based inclusive.
     */
   def subspaceCtes(j: Int, k: Int, iters: Int, subDim: Int,
-                   probeId: Long): String = {
+                   probeId: Long, trainSrc: String = "emb"): String = {
     val lo = j * subDim + 1
     val hi = (j + 1) * subDim
     val slice =
@@ -723,20 +822,32 @@ private[queries] object PqSql {
          |  SELECT vec_id, v[$lo:$hi] AS v,
          |         list_inner_product(v[$lo:$hi], v[$lo:$hi]) AS nn
          |  FROM emb)""".stripMargin
+    // training slice: the k-means sees only `trainSrc` rows (the v11
+    // swap-the-train-source pattern) while codes cover all of `emb`;
+    // the default emits no extra CTE so v12/v13's oracle text is
+    // unchanged byte-for-byte
+    val trn = if (trainSrc == "emb") s"s$j" else s"s${j}t"
+    val trainSlice =
+      if (trainSrc == "emb") Seq.empty[String]
+      else Seq(
+        s"""s${j}t AS MATERIALIZED (
+           |  SELECT vec_id, v[$lo:$hi] AS v,
+           |         list_inner_product(v[$lo:$hi], v[$lo:$hi]) AS nn
+           |  FROM $trainSrc)""".stripMargin)
     val init =
       s"""s${j}c0 AS MATERIALIZED (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS b, v AS c
-         |  FROM s$j QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $k)""".stripMargin
+         |  FROM $trn QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $k)""".stripMargin
     val rounds = (1 to iters).map { r =>
       val p = s"s${j}c${r - 1}"
       s"""s${j}a$r AS (
          |  SELECT e.vec_id, c.b
-         |  FROM s$j e CROSS JOIN $p c
+         |  FROM $trn e CROSS JOIN $p c
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${l2("e.v", "e.nn", "c.c")}, c.b) = 1),
          |s${j}m$r AS (
          |  SELECT a.b, g.i, CAST(CAST(SUM(e.v[g.i]) / COUNT(*) AS FLOAT) AS DOUBLE) AS mc
-         |  FROM s${j}a$r a JOIN s$j e USING (vec_id), generate_series(1, $subDim) AS g(i)
+         |  FROM s${j}a$r a JOIN $trn e USING (vec_id), generate_series(1, $subDim) AS g(i)
          |  GROUP BY a.b, g.i),
          |s${j}c$r AS MATERIALIZED (
          |  SELECT p.b, COALESCE(m.c, p.c) AS c
@@ -756,7 +867,7 @@ private[queries] object PqSql {
       s"""tab$j AS (
          |  SELECT c.b, ${l2("p.v", "p.nn", "c.c")} AS dd
          |  FROM s${j}c$iters c CROSS JOIN p$j p)""".stripMargin
-    (Seq(slice, init) ++ rounds ++ Seq(codes, probe, tab)).mkString(",\n")
+    (Seq(slice) ++ trainSlice ++ Seq(init) ++ rounds ++ Seq(codes, probe, tab)).mkString(",\n")
   }
 }
 

@@ -285,7 +285,21 @@ class MultimodalSpec extends AnyFunSuite {
       (6L, aviHeader(40000, 250, 1, 320, 240, junkLen = 11)), // odd junk pad
       (7L, ftypBox ++ mbox("moov", mvhdV0(0, 100) ++ trakV0(1, 1))), // timescale 0
       (8L, plain.take(40)),                                   // truncated mid-moov
-      (9L, "not a video".getBytes("UTF-8")))
+      (9L, "not a video".getBytes("UTF-8")),
+      // corrupt chunk sizes near Int.MaxValue: the offset advance must
+      // not wrap negative into a live array index (quarantine to NULL)
+      (10L, "RIFF".getBytes("US-ASCII") ++
+        Array[Byte](16, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII") ++
+        "JUNK".getBytes("US-ASCII") ++
+        Array[Byte](0xf6.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+        Array.fill[Byte](4)(0)),
+      (11L, "RIFF".getBytes("US-ASCII") ++
+        Array[Byte](32, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++
+        Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+        "hdrl".getBytes("US-ASCII") ++ "strl".getBytes("US-ASCII") ++
+        Array[Byte](0xf6.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+        Array.fill[Byte](8)(0)))
       .toDF("media_id", "bytes")
     val got = df.select(col("media_id"),
         graft.functions.GraftFunctions.video_meta(col("bytes")).as("v"))
@@ -303,6 +317,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(7L) === null)
     assert(got(8L) === null)
     assert(got(9L) === null)
+    assert(got(10L) === null) // outer chunk-size overflow
+    assert(got(11L) === null) // inner hdrl chunk-size overflow
   }
 
   test("image_meta SQL registration + codegen/interpreted agreement") {

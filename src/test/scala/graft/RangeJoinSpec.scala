@@ -54,6 +54,29 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("exact bucketing above 2^53 (unix-nanos magnitudes)") {
+    import spark.implicits._
+    // at ~1.7e18 a double-valued division misbuckets (spacing 256 at
+    // that magnitude); the integral `div` must keep point and interval
+    // bounds in agreeing buckets for every width
+    val base = 1700000000000000000L
+    val points = Seq.tabulate(20)(i => (i.toLong, base + i * 7L - 3L)).toDF("pid", "v")
+    val intervals = Seq.tabulate(10) { i =>
+      val lo = base + i * 13L - 5L
+      (1000L + i, lo, lo + 11L)
+    }.toDF("iid", "lo", "hi")
+    val expected = points.crossJoin(intervals)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(3L, 5L, 64L, 1000L)) {
+      val got = RangeJoin.bucketed(points, intervals, "v", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"width $w duplicated pairs")
+      assert(got.toSet === expected, s"width $w")
+    }
+  }
+
   test("expansion guard refuses loudly, naming the wider bucket") {
     import spark.implicits._
     val points = Seq((1L, 5L)).toDF("pid", "v")

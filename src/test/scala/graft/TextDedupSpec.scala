@@ -524,6 +524,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rank.indexOf(1L) < rank.indexOf(3L))
   }
 
+  test("BM25 all-miss query returns empty with the plan's schema (string ids too)") {
+    import spark.implicits._
+    val docs = Seq(("a", "spark join"), ("b", "nothing")).toDF("doc_id", "text")
+    val res = graft.operators.Bm25.topK(docs, "doc_id", "text",
+      Seq("zzzabsent"), k = 5)
+    // schema derives from the real plan in both the empty and non-empty
+    // cases: id keeps the corpus' id type (string here), score is double
+    assert(res.schema.map(f => (f.name, f.dataType.typeName)) ===
+      Seq("id" -> "string", "score" -> "double"))
+    assert(res.count() === 0L)
+    val hit = graft.operators.Bm25.topK(docs, "doc_id", "text",
+      Seq("spark"), k = 5)
+    assert(hit.schema === res.schema)
+    assert(hit.collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("nearDupClustersStars reliable-checkpoint path matches localCheckpoint") {
     import spark.implicits._
     // the fault-tolerant variant for long-running 100 TB contractions:

@@ -337,6 +337,82 @@ class VectorSpec extends AnyFunSuite {
     assert(adcExact.toSeq === exactIds.toSeq)
   }
 
+  test("PQ saved index: codebooks round-trip, appendSaved encodes against stored books, search = in-memory ADC") {
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val extra = e.filter(col("vec_id") % 2 === 1)
+    val model = graft.operators.Pq.train(base, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val codes = graft.operators.Pq.encode(base, "vec_id", "embedding", model)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    graft.operators.Pq.save(model, codes, "vec_id", dir)
+    // the sidecar restores the exact model
+    val loaded = graft.operators.Pq.loadModel(spark, dir)
+    assert(loaded.m === model.m && loaded.k === model.k && loaded.subDim === model.subDim)
+    assert(loaded.codebooks.flatten.flatten.toSeq === model.codebooks.flatten.flatten.toSeq)
+    // append encodes against the STORED codebooks — byte-identical to an
+    // in-memory encode with the original model
+    val before = spark.read.parquet(s"$dir/codes").count()
+    val appended = graft.operators.Pq.appendSaved(spark, dir, extra, "vec_id", "embedding")
+    assert(appended === extra.count())
+    assert(spark.read.parquet(s"$dir/codes").count() === before + appended)
+    val storedExtra = spark.read.parquet(s"$dir/codes")
+      .filter(col("id") % 2 === 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val memExtra = graft.operators.Pq.encode(extra, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(storedExtra === memExtra)
+    // searching the saved codes = in-memory ADC over the same union
+    val probe = e.filter(col("vec_id") === 9L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val allCodes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+    val mem = graft.operators.Pq.searchADC(allCodes, "code", "vec_id", model, probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val saved = graft.operators.Pq.searchSavedADC(spark, dir, probe, 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(saved === mem)
+    // a directory without the sidecar is refused loudly
+    val err = intercept[Exception] {
+      graft.operators.Pq.loadModel(spark,
+        java.nio.file.Files.createTempDirectory("graft-pq-empty").toString + "/codebooks-missing")
+    }
+    assert(err.getMessage.nonEmpty)
+  }
+
+  test("PQ refine: equals exact re-rank of the ADC pool; recall strictly improves on the lossy regime") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.Pq.train(e, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+    val probe = e.filter(col("vec_id") === 42L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val k = 10; val r = 40
+    val refined = graft.operators.Pq.searchRefine(codes, "code", "vec_id",
+      e, "vec_id", "embedding", model, probe, k, r)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // two-stage contract: identical to hand-composing ADC top-r -> exact
+    // L2 order over exactly that candidate set
+    val pool = graft.operators.Pq.searchADC(codes, "code", "vec_id", model, probe, r)
+      .select("vec_id").collect().map(_.getLong(0))
+    val expected = e.filter(col("vec_id").isin(pool: _*))
+      .withColumn("dist", l2_distance(col("embedding").cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(refined === expected)
+    // recall vs the exact-L2 truth: refine must strictly beat ADC-only
+    // in this lossy regime (m=4, k=8 over 64 dims quantizes hard)
+    val exact = e
+      .withColumn("dist", l2_distance(col("embedding").cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val adcOnly = graft.operators.Pq.searchADC(codes, "code", "vec_id", model, probe, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recallRefine = refined.count(exact.contains)
+    val recallAdc = adcOnly.count(exact.contains)
+    assert(recallRefine > recallAdc,
+      s"refine recall $recallRefine/$k vs ADC-only $recallAdc/$k")
+    // self-hit survives refinement
+    assert(refined.contains(42L))
+  }
+
   test("IVF-PQ composition: results = full ADC ranking restricted to the probed buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
