@@ -107,7 +107,12 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // queryExecution.toRdd reads the partition count off the Dataset's
+    // OWN lazily-cached physical plan — df.rdd would wrap the tree in a
+    // second QueryExecution (row deserializer) and re-plan it per call.
+    // When no repartition is needed the later action reuses the same
+    // cached plan, so the check costs nothing extra.
+    if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

@@ -44,6 +44,9 @@ object GraftFunctions {
   def st_within(a: Column, b: Column): Column = toCol(STWithin(toExpr(a), toExpr(b)))
   def st_distance(a: Column, b: Column): Column = toCol(STDistance(toExpr(a), toExpr(b)))
   def st_area(g: Column): Column = toCol(STArea(toExpr(g)))
+  def st_envelope(g: Column): Column = toCol(STEnvelope(toExpr(g)))
+  def st_try_envelope(g: Column): Column =
+    toCol(STEnvelope(toExpr(g), failOnError = false))
   def st_centroid(g: Column): Column = toCol(STCentroid(toExpr(g)))
   def st_buffer(g: Column, d: Column): Column =
     toCol(STBuffer(toExpr(g), toExpr(d.cast("double"))))
@@ -94,6 +97,8 @@ object GraftFunctions {
     "st_distance"     -> { es => STDistance(es(0), es(1)) },
     "st_geometrytype" -> { es => STGeometryType(es(0)) },
     "st_area"         -> { es => STArea(es(0)) },
+    "st_envelope"     -> { es => STEnvelope(es(0)) },
+    "st_try_envelope" -> { es => STEnvelope(es(0), failOnError = false) },
     "st_centroid"     -> { es => STCentroid(es(0)) },
     "st_buffer"       -> { es => STBuffer(es(0), es(1)) },
     "st_setsrid"      -> { es => STSetSrid(es(0), cast(es(1), "int")) },

@@ -167,6 +167,31 @@ case class STGeometryType(child: Expression, failOnError: Boolean = true)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** st_envelope(geom): bounding box as [xmin, ymin, xmax, ymax] — the
+  * building block for the GeoParquet footer bbox (spec §metadata, per-
+  * column `bbox`) and any coarse spatial pre-filter. `failOnError=false`
+  * quarantines unparseable WKB to NULL (the st_try_geometrytype
+  * posture) so a metadata pass never fails a committed write.
+  */
+case class STEnvelope(child: Expression, failOnError: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String =
+    if (failOnError) "st_envelope" else "st_try_envelope"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary WKB, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = !failOnError || super.nullable
+  override def nullSafeEval(wkb: Any): Any =
+    try {
+      val e = Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+    } catch { case ex: Exception => if (failOnError) throw ex else null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** st_area(geom): planar area in squared coordinate units (PostGIS
   * ST_Area on the raw coordinates; geodesic area needs a projected CRS —
   * compose with the CRS transforms).

@@ -84,7 +84,8 @@ object Dedup {
                           maxDf: Option[Int] = None,
                           shingleStorage: org.apache.spark.storage.StorageLevel =
                             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
-                          maxPairEstimate: Long = 50000000L): DataFrame = {
+                          maxPairEstimate: Long = 50000000L,
+                          fallbackToLsh: Boolean = false): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
     var ex = sh.select(col("id"), explode(col("shingles")).as("s"))
     // one df row per distinct shingle — tiny next to the exploded table;
@@ -97,12 +98,28 @@ object Dedup {
       // halving happens driver-side on the summed long
       val est = kept.agg(sum(col("df") * (col("df") - lit(1L)))).head()
       val pairVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+      if (pairVolume > maxPairEstimate && fallbackToLsh) {
+        // opt-in graceful degrade for pipeline users: route past-cap
+        // inputs to the LSH scale path (same n and threshold) instead of
+        // hard-stopping a multi-stage job. Logged loudly because LSH
+        // pairs are a high-recall approximation of the exact baseline,
+        // not a silent drop-in.
+        dfs.unpersist()
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"jaccardNearDupPairs: ~$pairVolume candidate pairs exceed " +
+            s"maxPairEstimate=$maxPairEstimate after maxDf=$maxDf blocking; " +
+            s"fallbackToLsh routing to minhashLshNearDupPairs(n=$n, " +
+            s"minJaccard=$minJaccard)")
+        return minhashLshNearDupPairs(docs, idCol, textCol, n = n,
+          minJaccard = minJaccard)
+      }
       require(pairVolume <= maxPairEstimate,
         s"jaccardNearDupPairs is the exact baseline and would shuffle ~" +
           s"$pairVolume candidate pairs after maxDf=$maxDf blocking " +
           s"(> $maxPairEstimate): the corpus vocabulary is too small for " +
           "df blocking to prune. Use minhashLshNearDupPairs for corpora " +
-          "at scale, or raise maxPairEstimate deliberately")
+          "at scale (or fallbackToLsh=true to route automatically), or " +
+          "raise maxPairEstimate deliberately")
       maxDf.foreach { _ =>
         // the USING join moves the key first; restore (id, s) order for the
         // positional toDF renames below

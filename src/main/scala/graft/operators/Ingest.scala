@@ -164,10 +164,19 @@ object Ingest {
     * already populated — `backend/load_data.py:130-136,203`). The parquet
     * write commit protocol gives the same all-or-nothing visibility as the
     * reference's single COPY transaction (SURVEY.md §2.1 S3).
+    *
+    * `geoParquet`: stamp the committed output with the GeoParquet `geo`
+    * footer (+ data-derived bbox/geometry_types) so it round-trips into
+    * any GeoParquet reader — the reference's own entry point is
+    * geopandas `read_parquet` (`backend/load_data.py:176`), which
+    * requires the footer. The stamp runs AFTER the commit marker: a
+    * crash mid-stamp leaves committed, readable plain parquet (re-run
+    * `LayersTable.stampGeoParquet` to finish), never a lost table.
     */
   def run(spark: SparkSession, inPath: String, outPath: String,
           orderCol: Option[String] = None, validateDim: Option[Int] = None,
-          allowMultiPolygon: Boolean = false): Boolean = {
+          allowMultiPolygon: Boolean = false,
+          geoParquet: Boolean = false): Boolean = {
     val hconf = spark.sessionState.newHadoopConf()
     val out = new org.apache.hadoop.fs.Path(outPath)
     val fs = out.getFileSystem(hconf)
@@ -201,6 +210,8 @@ object Ingest {
       if (fs.exists(out)) fs.delete(out, true)
       prepare(spark.read.parquet(inPath), orderCol, validateDim, allowMultiPolygon)
         .write.mode("errorifexists").parquet(outPath)
+      if (geoParquet)
+        graft.sources.LayersTable.stampGeoParquet(spark, outPath, "geom")
       true
     }
   }

@@ -61,10 +61,13 @@ object LayersTable {
   def fromGeoParquet(raw: DataFrame): DataFrame =
     graft.operators.Ingest.prepare(raw)
 
-  /** GeoParquet footer metadata: primary geometry column name and its
-    * encoding, parsed from the `geo` file-level key (GeoParquet spec
-    * §file metadata). */
-  final case class GeoMeta(primaryColumn: String, encoding: String)
+  /** GeoParquet footer metadata: primary geometry column name, its
+    * encoding, and (when the writer recorded them) the data-derived
+    * bbox [xmin, ymin, xmax, ymax] and geometry types, parsed from the
+    * `geo` file-level key (GeoParquet spec §file metadata). */
+  final case class GeoMeta(primaryColumn: String, encoding: String,
+                           bbox: Option[Seq[Double]] = None,
+                           geometryTypes: Seq[String] = Seq.empty)
 
   /** Read the `geo` footer metadata of a GeoParquet file (or of the first
     * part-file of a directory). None when the file carries no geo key
@@ -94,8 +97,19 @@ object LayersTable {
         implicit val fmts: Formats = DefaultFormats
         val j = JsonMethods.parse(json)
         val primary = (j \ "primary_column").extract[String]
-        val encoding = (j \ "columns" \ primary \ "encoding").extract[String]
-        GeoMeta(primary, encoding)
+        val colMeta = j \ "columns" \ primary
+        val encoding = (colMeta \ "encoding").extract[String]
+        // json4s extracts a MISSING field to Some(empty list); require a
+        // real JSON array before treating the bbox as present
+        val bbox = colMeta \ "bbox" match {
+          case a: JArray => a.extractOpt[Seq[Double]].filter(_.nonEmpty)
+          case _         => None
+        }
+        val types = colMeta \ "geometry_types" match {
+          case a: JArray => a.extract[Seq[String]]
+          case _         => Seq.empty[String]
+        }
+        GeoMeta(primary, encoding, bbox, types)
       }
     } finally reader.close()
   }
@@ -117,20 +131,60 @@ object LayersTable {
     * through the driver; small tables take a driver loop to skip the job
     * overhead. Both paths run the identical per-file kernel.
     */
-  def writeGeoParquet(df: DataFrame, path: String, geomCol: String = "geometry"): Unit = {
+  def writeGeoParquet(df: DataFrame, path: String, geomCol: String = "geometry",
+                      computeBbox: Boolean = true): Unit = {
     require(df.columns.contains(geomCol),
       s"writeGeoParquet: no geometry column '$geomCol' in ${df.columns.mkString(", ")}")
     require(df.schema(geomCol).dataType == BinaryType,
       s"writeGeoParquet: column '$geomCol' must be WKB binary, " +
         s"found ${df.schema(geomCol).dataType.simpleString}")
     df.write.mode("overwrite").parquet(path)
-    stampGeoFooter(df.sparkSession, path, geomCol)
+    stampGeoParquet(df.sparkSession, path, geomCol, computeBbox)
+  }
+
+  /** Stamp an EXISTING committed parquet directory as GeoParquet — the
+    * footer pass [[writeGeoParquet]] runs, exposed separately so sinks
+    * with their own write protocol (e.g. [[graft.operators.Ingest.run]]'s
+    * errorifexists race gate) can compose it. With `computeBbox` the
+    * data-derived per-column `bbox` and `geometry_types` are recorded
+    * (the fields geopandas emits): ONE column-pruned distributed
+    * aggregate over the written files — only the geometry column is
+    * read, min/max reduce map-side to 4 doubles per partition, so the
+    * pass costs a narrow scan, never a shuffle of the data. Unparseable
+    * or NULL geometries are skipped (try-envelope), matching the footer
+    * fields' advisory role.
+    */
+  def stampGeoParquet(spark: SparkSession, path: String, geomCol: String,
+                      computeBbox: Boolean = true): Unit = {
+    import graft.functions.GraftFunctions.{st_try_envelope, st_try_geometrytype}
+    import org.apache.spark.sql.functions._
+    val (bbox, types) =
+      if (!computeBbox) (None, Seq.empty[String])
+      else {
+        val row = spark.read.parquet(path)
+          .select(st_try_envelope(col(geomCol)).as("e"),
+            st_try_geometrytype(col(geomCol)).as("t"))
+          .agg(min(col("e").getItem(0)), min(col("e").getItem(1)),
+            max(col("e").getItem(2)), max(col("e").getItem(3)),
+            sort_array(collect_set(col("t"))))
+          .head()
+        val box =
+          if (row.isNullAt(0)) None // no parseable geometry anywhere
+          else Some(Seq(row.getDouble(0), row.getDouble(1),
+            row.getDouble(2), row.getDouble(3)))
+        (box, row.getSeq[String](4))
+      }
+    stampGeoFooter(spark, path, geoFooterJson(geomCol, bbox, types))
   }
 
   /** GeoParquet 1.0.0 `geo` footer JSON for a WKB geometry column. */
-  private[graft] def geoFooterJson(geomCol: String): String =
+  private[graft] def geoFooterJson(geomCol: String, bbox: Option[Seq[Double]] = None,
+                                   geometryTypes: Seq[String] = Seq.empty): String = {
+    val typesJson = geometryTypes.map(t => s""""$t"""").mkString(",")
+    val bboxJson = bbox.map(b => s""","bbox":[${b.mkString(",")}]""").getOrElse("")
     s"""{"version":"1.0.0","primary_column":"$geomCol",""" +
-      s""""columns":{"$geomCol":{"encoding":"WKB","geometry_types":[]}}}"""
+      s""""columns":{"$geomCol":{"encoding":"WKB","geometry_types":[$typesJson]$bboxJson}}}"""
+  }
 
   /** Part-file count at or below which stamping loops on the driver: the
     * per-file rewrite is ~ms on local files, so a Spark job only pays off
@@ -142,7 +196,7 @@ object LayersTable {
     * (row groups byte-copied, existing key-value metadata preserved).
     * Distributed over executors beyond [[DriverStampMax]] files.
     */
-  private def stampGeoFooter(spark: SparkSession, path: String, geomCol: String): Unit = {
+  private def stampGeoFooter(spark: SparkSession, path: String, geoJson: String): Unit = {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
@@ -150,7 +204,6 @@ object LayersTable {
     val fs = dir.getFileSystem(conf)
     val parts = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
-    val geoJson = geoFooterJson(geomCol)
     if (parts.length <= DriverStampMax)
       parts.foreach(p => stampOneFile(conf, p, geoJson))
     else {

@@ -22,7 +22,9 @@ class GeoParquetSpec extends AnyFunSuite {
 
   test("geo footer metadata is detected; plain parquet is refused") {
     val meta = LayersTable.geoMetadata(spark, fixture)
-    assert(meta === Some(LayersTable.GeoMeta("geometry", "WKB")))
+    // the golden fixture records geometry_types but no bbox
+    assert(meta === Some(LayersTable.GeoMeta("geometry", "WKB",
+      bbox = None, geometryTypes = Seq("Polygon"))))
     val plain = s"${SparkTestSession.sfDir}/documents.parquet"
     assert(LayersTable.geoMetadata(spark, plain) === None)
     val e = intercept[IllegalArgumentException](LayersTable.readGeoParquet(spark, plain))
@@ -66,8 +68,20 @@ class GeoParquetSpec extends AnyFunSuite {
     // a non-default column name to exercise primary-column normalization
     val original = LayersTable.readGeoParquet(spark, fixture)
     LayersTable.writeGeoParquet(original.withColumnRenamed("geometry", "geom"), out, "geom")
-    // the footer is a real GeoParquet footer...
-    assert(LayersTable.geoMetadata(spark, out) === Some(LayersTable.GeoMeta("geom", "WKB")))
+    // the footer is a real GeoParquet footer, with the data-derived bbox
+    // and geometry_types geopandas emits...
+    val meta = LayersTable.geoMetadata(spark, out).get
+    assert(meta.primaryColumn === "geom" && meta.encoding === "WKB")
+    assert(meta.geometryTypes === Seq("Polygon"))
+    val expectedBox = {
+      import graft.functions.GraftFunctions.st_envelope
+      import org.apache.spark.sql.functions._
+      val r = original.select(st_envelope(col("geometry")).as("e"))
+        .agg(min(col("e")(0)), min(col("e")(1)), max(col("e")(2)), max(col("e")(3)))
+        .head()
+      Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    assert(meta.bbox === Some(expectedBox))
     // ...rows and values survive the byte-copy rewrite...
     val back = LayersTable.readGeoParquet(spark, out)
     assert(back.columns.contains("geometry")) // normalized back from 'geom'
@@ -96,11 +110,27 @@ class GeoParquetSpec extends AnyFunSuite {
     // first part; check each file directly)
     parts.foreach { f =>
       val meta = LayersTable.geoMetadata(spark, f.getPath)
-      assert(meta === Some(LayersTable.GeoMeta("geometry", "WKB")),
+      assert(meta.exists(m => m.primaryColumn == "geometry" && m.encoding == "WKB"),
         s"missing/wrong geo footer on ${f.getName}")
+      // the bbox is table-wide (identical on every part), not per-file
+      assert(meta.get.bbox.nonEmpty, s"missing bbox on ${f.getName}")
     }
     // rows survive the distributed rewrite
     assert(LayersTable.readGeoParquet(spark, out).count() === original.count())
+  }
+
+  test("Ingest.run geoParquet=true: committed load round-trips through the engine's own reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-geo").toString
+    val in = s"$dir/in"; val out = s"$dir/out"
+    LayersTable.readGeoParquet(spark, fixture).write.parquet(in)
+    assert(Ingest.run(spark, in, out, validateDim = Some(8), geoParquet = true))
+    val meta = LayersTable.geoMetadata(spark, out)
+    assert(meta.exists(m => m.primaryColumn == "geom" && m.encoding == "WKB" &&
+      m.bbox.nonEmpty && m.geometryTypes === Seq("Polygon")))
+    // the engine's own GeoParquet validator accepts the ingested output
+    val back = LayersTable.readGeoParquet(spark, out)
+    assert(back.columns.contains("geometry"))
+    assert(back.count() === 6) // deduped load, footer intact
   }
 
   test("DDL validation: wrong embedding dimension fails the load (COPY-abort analogue)") {

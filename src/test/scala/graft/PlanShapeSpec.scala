@@ -147,6 +147,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("t18 BM25: one token-stream aggregation, stats branch reuses its exchange at runtime") {
+    val df = SparkEntry.queries("t18_bm25_search")(spark, sfDir)
+    df.collect() // AQE dedupes identical shuffle stages during execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Checkpoint"), s"tokenize pass must not materialize:\n$plan")
+    // the per-doc conditional aggregation shuffles once; the 1-row stats
+    // branch rides the SAME shuffle stage (reused, not recomputed)
+    assert(plan.contains("ReusedExchange") ||
+      "Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected the stats branch to reuse the per-doc aggregation exchange:\n$plan")
+  }
+
   test("promoted kernels compile to direct static calls in generated code") {
     // the round-3 promotion replaced CodegenFallback's boxed
     // references[i].eval(row) with a static kernel call — assert the

@@ -378,6 +378,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.count() === 780L) // all 40-choose-2 pairs at jaccard 1.0
   }
 
+  test("jaccard fallbackToLsh: past-cap inputs route to the LSH path, result equals it") {
+    val docs = textDf((1L to 40L).map(i => (i, "c1 c2 c3 c4")): _*)
+    // same forced-guard regime as above, but the opt-in routes instead
+    // of refusing — and produces exactly what the LSH path produces
+    val routed = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5, Some(1000),
+        maxPairEstimate = 100L, fallbackToLsh = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshNearDupPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed === lsh)
+    // under-cap inputs never route: identical to the exact baseline
+    val small = textDf((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+    val exact = Dedup.jaccardNearDupPairs(small, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noRoute = Dedup.jaccardNearDupPairs(small, "doc_id", "text", 3, 0.5,
+        fallbackToLsh = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noRoute === exact)
+  }
+
   test("jaccard shingleStorage=NONE (recompute, no cache) matches the cached default") {
     val real = Tables.documents(spark, sfDir)
     val cached = Dedup.jaccardNearDupPairs(real, "doc_id", "text", 3, 0.5, Some(100))
