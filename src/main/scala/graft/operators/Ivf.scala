@@ -28,7 +28,7 @@ object Ivf {
     */
   case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
 
-  private def nearestCentroid(emb: Array[Float], cs: Array[Array[Float]]): Int = {
+  private[operators] def nearestCentroid(emb: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cs.length) {
@@ -214,7 +214,7 @@ object Ivf {
   def probeBuckets(index: IvfIndex, probe: Array[Float], nprobe: Int): Seq[Int] =
     nearestBuckets(index.centroids, probe, nprobe)
 
-  private def nearestBuckets(centroids: Array[Array[Float]], probe: Array[Float],
+  private[operators] def nearestBuckets(centroids: Array[Array[Float]], probe: Array[Float],
                              nprobe: Int): Seq[Int] =
     centroids.zipWithIndex
       .map { case (c, i) => (Knn.cosineDist(probe, c), i) }
@@ -280,7 +280,7 @@ object Ivf {
     * legacy `_centroids` location so indexes saved by earlier versions
     * stay readable.
     */
-  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             path: String): Array[Array[Float]] = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -248,6 +248,44 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // The PERSISTED IVF-PQ index (on-disk FAISS IVFPQ shape, public):
+    // codes stored PARTITIONED BY bucket with centroid + codebook
+    // sidecars; the search reads only the nprobe bucket directories
+    // (partition pruning — v11's mechanism) and ranks codes by ADC
+    // (v12's kernel). The code/bucket JOIN v13's in-memory composition
+    // pays disappears into the directory layout. Same params as v13 →
+    // the SAME oracle: the save/load round-trip is float-lossless, so
+    // the pruned-ADC selection is identical.
+    "v16_ivfpq_saved_search" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      val model = graft.operators.Pq.train(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 3)
+      val path = s"/dev/shm/graft_ivfpq_v16_${new java.io.File(d).getName}"
+      graft.operators.IvfPq.save(idx, model, path)
+      graft.operators.IvfPq.searchSaved(s, path, probeOf(s, d, 0L), k = 10, nprobe = 3)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
+    // Hybrid retrieval — BM25 lexical top-20 and exact-cosine vector
+    // top-20 fused by Reciprocal Rank Fusion (Cormack et al. 2009,
+    // the standard production combiner; rank-based, so no score
+    // normalization across the two systems' incomparable scales). The
+    // corpus shares one id space (doc_id = vec_id). Output carries the
+    // per-id list count (integers — hash-safe); the fused ordering is
+    // sums of identical double reciprocals on both engines, ties by id.
+    "t19_hybrid_rrf" -> { (s, d) =>
+      val lex = graft.operators.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "join", "fast", "window"), k = 20)
+      val vec = graft.operators.Knn.topK(Tables.embeddings(s, d), col("embedding"),
+        probeOf(s, d, 0L), 20, col("vec_id"))
+        .select(col("vec_id").as("id"), (-col("dist")).as("score"))
+      graft.operators.Hybrid.rrf(Seq(lex, vec), k = 10)
+        .select(col("id"), col("lists"))
+        .orderBy(col("id"))
+    },
+
     // kNN over the int8-quantized storage path (quantize -> dequantize ->
     // exact L2): the 4x-smaller scan format a 100 TB brute-force pass
     // would read. The oracle replicates the quantization float math
@@ -680,6 +718,83 @@ object Vectors extends QueryPack {
          |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // identical to v13's oracle: the saved index's float round-trip is
+    // lossless, so the persisted pruned-ADC selection equals the
+    // in-memory composition's
+    "v16_ivfpq_saved_search" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |${(0 until 4).map(j => PqSql.subspaceCtes(j, k = 8, iters = 3,
+              subDim = 16, probeId = 0L)).mkString(",\n")},
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b
+         |  LIMIT 3),
+         |adc AS (
+         |  SELECT c0.vec_id, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+         |  FROM code0 c0
+         |  JOIN code1 c1 USING (vec_id)
+         |  JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN tab0 t0 ON c0.b = t0.b
+         |  JOIN tab1 t1 ON c1.b = t1.b
+         |  JOIN tab2 t2 ON c2.b = t2.b
+         |  JOIN tab3 t3 ON c3.b = t3.b
+         |  JOIN af ON af.vec_id = c0.vec_id
+         |  WHERE af.b IN (SELECT b FROM pb)),
+         |topk AS (
+         |  SELECT vec_id AS id FROM adc
+         |  ORDER BY dist, vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // hybrid RRF: the t18 BM25 CTEs rank the lexical top-20, the v1
+    // cosine form ranks the vector top-20, and the fusion is the sum of
+    // identical double reciprocals 1/(60+rank) — rank-based, so the two
+    // systems' score scales never meet. Ties in the fused score (rank
+    // pairs swapped between two docs) break by id on both engines.
+    "t19_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |q(term) AS (VALUES ('spark'), ('join'), ('fast'), ('window')),
+        |dft AS (
+        |  SELECT term, COUNT(DISTINCT id) AS df
+        |  FROM toks JOIN q USING (term) GROUP BY term),
+        |tf AS (
+        |  SELECT id, term, COUNT(*) AS tf
+        |  FROM toks JOIN q USING (term) GROUP BY id, term),
+        |sc AS (
+        |  SELECT tf.id,
+        |    SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / s.avgdl))) AS score
+        |  FROM tf JOIN dft d USING (term) JOIN dl USING (id) CROSS JOIN stats s
+        |  GROUP BY tf.id),
+        |lex AS (
+        |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk
+        |  FROM sc QUALIFY rnk <= 20),
+        |vec AS (
+        |  SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY
+        |    1 - list_cosine_similarity(embedding,
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC,
+        |    vec_id ASC) AS rnk
+        |  FROM embeddings QUALIFY rnk <= 20),
+        |contrib AS (
+        |  SELECT id, CAST(1.0 AS DOUBLE) / (rnk + 60) AS c FROM lex
+        |  UNION ALL
+        |  SELECT id, CAST(1.0 AS DOUBLE) / (rnk + 60) AS c FROM vec),
+        |fused AS (
+        |  SELECT id, SUM(c) AS rrf, COUNT(*) AS lists
+        |  FROM contrib GROUP BY id),
+        |topk AS (
+        |  SELECT id, lists FROM fused
+        |  ORDER BY rrf DESC, id ASC
+        |  LIMIT 10)
+        |SELECT id, lists FROM topk ORDER BY id""".stripMargin,
 
     // build-on-base / append-the-rest: identical to v7's oracle except
     // the k-means trains on the base subset while af (and the search)

@@ -413,6 +413,83 @@ class VectorSpec extends AnyFunSuite {
     assert(refined.contains(42L))
   }
 
+  test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val extra = e.filter(col("vec_id") % 2 === 1)
+    val idx = Ivf.build(base, "vec_id", "embedding", nlist = 4, iters = 2)
+    val model = graft.operators.Pq.train(base, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    graft.operators.IvfPq.save(idx, model, dir)
+    val probe = e.filter(col("vec_id") === 8L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // the scan is partition-pruned to the probed buckets
+    val buckets = Ivf.probeBuckets(idx, probe, 2)
+    val pruned = spark.read.parquet(s"$dir/codes")
+      .filter(col("bucket").isin(buckets: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"expected partition pruning on bucket:\n$plan")
+    // saved search = the in-memory v13-style composition on the same data
+    val saved = graft.operators.IvfPq.searchSaved(spark, dir, probe, k = 5, nprobe = 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val codes = graft.operators.Pq.encode(base, "vec_id", "embedding", model)
+    val cand = idx.assigned.filter(col("bucket").isin(buckets: _*)).select(col("id"))
+    val memCodes = codes.join(cand, codes("vec_id") === cand("id"))
+      .select(col("vec_id"), col("code"))
+    val mem = graft.operators.Pq.searchADC(memCodes, "code", "vec_id", model, probe, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(saved === mem)
+    // append without retraining: stored-centroid bucket + stored-codebook code
+    val appended = graft.operators.IvfPq.appendSaved(spark, dir, extra, "vec_id", "embedding")
+    assert(appended === extra.count())
+    val stored = spark.read.parquet(s"$dir/codes").filter(col("id") % 2 === 1)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        (r.getInt(r.fieldIndex("bucket")), r.getSeq[Int](r.fieldIndex("code")).toSeq)).toMap
+    val expectedCodes = graft.operators.Pq.encode(extra, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    stored.foreach { case (id, (bucket, code)) =>
+      val emb = e.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val expB = idx.centroids.zipWithIndex.minBy { case (c, _) => Knn.cosineDist(emb, c) }._2
+      assert(bucket === expB, s"row $id in wrong bucket")
+      assert(code === expectedCodes(id), s"row $id code mismatch")
+    }
+    // an appended vector is findable through the saved index
+    val p1 = extra.filter(col("vec_id") === 1L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val hit = graft.operators.IvfPq.searchSaved(spark, dir, p1, k = 1, nprobe = 2)
+      .select("id").head().getLong(0)
+    assert(hit === 1L)
+  }
+
+  test("Hybrid.rrf: hand-computed fusion, union semantics, rank ties break by id") {
+    import spark.implicits._
+    // list A ranks: 10 (s=3.0) -> 1, 20 (2.0) -> 2, 30 (1.0) -> 3
+    // list B ranks: 20 (s=9.0) -> 1, 40 (8.0) -> 2
+    val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("id", "score")
+    val b = Seq((20L, 9.0), (40L, 8.0)).toDF("id", "score")
+    val got = graft.operators.Hybrid.rrf(Seq(a, b), k = 10, k0 = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val exp = Map(
+      10L -> (1.0 / 61, 1L),
+      20L -> (1.0 / 62 + 1.0 / 61, 2L), // both lists
+      30L -> (1.0 / 63, 1L),
+      40L -> (1.0 / 62, 1L))
+    assert(got.map(_._1).toSet === exp.keySet)
+    got.foreach { case (id, rrf, lists) =>
+      assert(math.abs(rrf - exp(id)._1) < 1e-15, s"id $id rrf $rrf")
+      assert(lists === exp(id)._2, s"id $id lists")
+    }
+    // fused order: 20 (in both lists) first, then by reciprocal rank
+    assert(got.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+    // equal scores within a list rank by id: (5,1.0) before (6,1.0)
+    val t1 = Seq((6L, 1.0), (5L, 1.0)).toDF("id", "score")
+    val r = graft.operators.Hybrid.rrf(Seq(t1), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r === Seq(5L, 6L))
+  }
+
   test("IVF-PQ composition: results = full ADC ranking restricted to the probed buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
