@@ -257,7 +257,15 @@ object Bench {
       }
     }
 
-    val names = queryMap.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the measured set — for
+    // detached scale spot-runs (e.g. the sf10 d8/e10 trend) where
+    // benching all 90+ queries at 100x data buys nothing
+    val names = {
+      val all = queryMap.keys.toSeq.sorted
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .fold(all)(only => all.filter(only))
+    }
 
     // Sentinel: the cheapest query in the suite (~0.13 s warm). A sentinel
     // run that takes >3x the sentinel's own observed minimum (+50 ms
