@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.token_count
+
+/** Sequence-packing manifest — the concatenate-then-chunk step every
+  * LLM training-data pipeline runs before batching (the GPT-style
+  * "pack documents into fixed context windows" layout, public in every
+  * training codebase): within each group, documents concatenate in id
+  * order into one token stream that is cut every `maxLen` tokens, and
+  * each document is assigned the [start, end) token span it occupies —
+  * from which its window ids fall out arithmetically. The manifest is
+  * the (doc -> windows, offset) map a downstream tokenizer/batcher
+  * consumes; no text moves, only integer spans.
+  *
+  * Scale shape: ONE grouped running-sum window (partitioned by
+  * `groupCol`, ordered by id) over a per-row token count that comes
+  * from the same codegen'd `token_count` kernel as t1 — the corpus is
+  * scanned once and shuffles once on the group key. Parallelism is the
+  * group count (language/source/shard keys at corpus scale — a
+  * training mixture has many), never one global stream: packing IS
+  * sequential within a stream by definition, so the group key is the
+  * unit of parallelism; shard a single-stream corpus by a derived key
+  * first (each shard packs independently, the standard practice).
+  *
+  * Determinism: spans depend only on (group, id order, token counts) —
+  * retry- and partitioning-independent, the [[Sampling]] reproducibility
+  * contract.
+  */
+object Packing {
+
+  /** Integral floor division for non-negative longs (Spark's `/` casts
+    * to double — the RangeJoin.floorDiv lesson).
+    */
+  private def div(c: Column, w: Long): Column =
+    call_function("div", c, lit(w)).cast("long")
+
+  /** The packing manifest: one row per non-empty document with
+    * `(group, id, n_tok, start_off, first_bin, last_bin, n_bins)` —
+    * `start_off` its 0-based offset in the group's concatenated token
+    * stream, bins the `maxLen`-token windows it touches (a document
+    * longer than the remainder of its window straddles into the next;
+    * the manifest records the full range). Token-free documents pack
+    * nothing and are dropped, mirroring BM25's N semantics.
+    */
+  def manifest(docs: DataFrame, idCol: String, textCol: String,
+               groupCol: String, maxLen: Long): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val counted = docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      token_count(col(textCol)).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+    spans(counted.withColumn("end_off", sum(col("n_tok")).over(w)), maxLen,
+      Seq(col("grp"), col("id")))
+  }
+
+  /** ONE global stream, no group key — the case a single unpartitioned
+    * window would serialize onto one core (the q25 failure mode, fatal
+    * at corpus scale). Classic two-pass distributed prefix sum instead:
+    *
+    *   pass 1 — range-partition by id, per-partition token totals (one
+    *            row per partition, a bounded collect);
+    *   pass 2 — per-PARTITION running-sum windows (parallel: each
+    *            partition is its own window) plus the broadcast base
+    *            offset of everything before it.
+    *
+    * The output depends only on the global id order and the counts —
+    * partition boundaries cancel out — so the manifest is identical to
+    * the grouped operator's under a constant group, at full-cluster
+    * parallelism. The input is persisted across the two passes so both
+    * see one partition assignment (range partitioning samples).
+    */
+  def manifestGlobal(docs: DataFrame, idCol: String, textCol: String,
+                     maxLen: Long, numPartitions: Int = 0): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val spark = docs.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+    val counted = docs
+      .select(col(idCol).as("id"), token_count(col(textCol)).cast("long").as("n_tok"))
+      .repartitionByRange(n, col("id"))
+      .sortWithinPartitions(col("id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val totals = counted.groupBy(col("pid")).agg(sum(col("n_tok")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= n rows
+      val bases = {
+        val ids = totals.keys.toSeq.sorted
+        val acc = ids.scanLeft(0L)((s, p) => s + totals(p))
+        ids.zip(acc).toMap
+      }
+      // base offsets ride as a literal map expression (codegen'd
+      // element_at), not a UDF
+      val baseOf = coalesce(
+        element_at(typedLit(bases), col("pid")), lit(0L))
+      val w = Window.partitionBy(col("pid")).orderBy(col("id"))
+      val out = spans(
+        counted.withColumn("end_off", sum(col("n_tok")).over(w) + baseOf),
+        maxLen, Seq(col("id")))
+      out.localCheckpoint(true) // realize before unpersist releases pids
+    } finally counted.unpersist()
+  }
+
+  private def spans(withEnd: DataFrame, maxLen: Long, keep: Seq[Column]): DataFrame =
+    withEnd
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(keep ++ Seq(col("n_tok"), col("start_off"),
+        div(col("start_off"), maxLen).as("first_bin"),
+        div(col("end_off") - 1, maxLen).as("last_bin")): _*)
+      .withColumn("n_bins", col("last_bin") - col("first_bin") + 1)
+}

@@ -220,6 +220,26 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // sequence-packing manifest (the concat-then-chunk training-data
+    // layout): per-lang token streams in doc_id order cut every 256
+    // tokens; each doc's span and window range fall out of one grouped
+    // running sum over the t1 token-count kernel. All-integer output.
+    "t20_packing_manifest" -> { (s, d) =>
+      graft.operators.Packing.manifest(Tables.documents(s, d),
+        "doc_id", "text", "lang", maxLen = 256L)
+        .orderBy(col("grp"), col("id"))
+    },
+
+    // the GLOBAL (ungrouped) packing stream — the two-pass distributed
+    // prefix sum (per-partition totals broadcast as base offsets), never
+    // a single-partition window; result depends only on id order, so
+    // partition boundaries cancel out
+    "t21_packing_global" -> { (s, d) =>
+      graft.operators.Packing.manifestGlobal(Tables.documents(s, d),
+        "doc_id", "text", maxLen = 512L)
+        .orderBy(col("id"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -806,6 +826,44 @@ object Text extends QueryPack {
         |  GROUP BY tf.id),
         |topk AS (SELECT id FROM sc ORDER BY score DESC, id ASC LIMIT 10)
         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // the same grouped running sum stated in SQL; spans and window ids
+    // are pure integer arithmetic on the shared token-count expression
+    "t20_packing_manifest" ->
+      s"""WITH t AS (
+         |  SELECT lang AS grp, doc_id AS id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT grp, id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY grp ORDER BY id) AS end_off
+         |  FROM t)
+         |SELECT grp, id, n_tok, end_off - n_tok AS start_off,
+         |  (end_off - n_tok) // 256 AS first_bin,
+         |  (end_off - 1) // 256 AS last_bin,
+         |  (end_off - 1) // 256 - (end_off - n_tok) // 256 + 1 AS n_bins
+         |FROM c WHERE n_tok > 0
+         |ORDER BY grp, id""".stripMargin,
+
+    // one global ordered running sum in SQL — the two-pass engine
+    // result must equal it exactly (integer spans, boundary-free)
+    "t21_packing_global" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT id, n_tok,
+         |    SUM(n_tok) OVER (ORDER BY id) AS end_off
+         |  FROM t)
+         |SELECT id, n_tok, end_off - n_tok AS start_off,
+         |  (end_off - n_tok) // 512 AS first_bin,
+         |  (end_off - 1) // 512 AS last_bin,
+         |  (end_off - 1) // 512 - (end_off - n_tok) // 512 + 1 AS n_bins
+         |FROM c WHERE n_tok > 0
+         |ORDER BY id""".stripMargin,
 
     "t17_fuzzy_name_pairs" ->
       """SELECT a.p_brand AS brand, COUNT(*) AS n_near_pairs

@@ -544,6 +544,47 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rank.indexOf(1L) < rank.indexOf(3L))
   }
 
+  test("Packing.manifest: spans, straddling windows, empty docs dropped, groups isolated") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c"),              // 3 tok: [0,3)  -> bin 0
+      (2L, "en", "d e f g"),            // 4 tok: [3,7)  -> straddles 0..1 at L=4
+      (3L, "en", "   "),                // 0 tok: dropped
+      (4L, "en", "h i j k l"),          // 5 tok: [7,12) -> bins 1..2
+      (5L, "fr", "x y z w q r s t u")   // fr stream restarts: [0,9) -> 0..2
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.Packing.manifest(docs, "doc_id", "text", "lang", maxLen = 4L)
+      .orderBy(col("grp"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      ("en", 1L, 3L, 0L, 0L, 0L, 1L),
+      ("en", 2L, 4L, 3L, 0L, 1L, 2L),
+      ("en", 4L, 5L, 7L, 1L, 2L, 2L),
+      ("fr", 5L, 9L, 0L, 0L, 2L, 3L)))
+    // invariants: within a group, spans tile the stream with no gaps
+    val en = got.filter(_._1 == "en")
+    en.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 + a._3 === b._4, "gap in the packed stream") }
+  }
+
+  test("Packing.manifestGlobal: two-pass prefix sum == grouped manifest under one group, partition-invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .withColumn("g", org.apache.spark.sql.functions.lit("all"))
+    def strip(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "n_tok", "start_off", "first_bin", "last_bin", "n_bins")
+      .collect().map(_.toSeq).toSeq
+    val grouped = strip(graft.operators.Packing.manifest(docs, "doc_id", "text", "g", 64L)
+      .orderBy(col("id")))
+    val global1 = strip(graft.operators.Packing.manifestGlobal(docs, "doc_id", "text", 64L,
+      numPartitions = 1).orderBy(col("id")))
+    val global7 = strip(graft.operators.Packing.manifestGlobal(docs, "doc_id", "text", 64L,
+      numPartitions = 7).orderBy(col("id")))
+    assert(global1 === grouped)
+    assert(global7 === grouped) // partition boundaries cancel out
+  }
+
   test("BM25 all-miss query returns empty with the plan's schema (string ids too)") {
     import spark.implicits._
     val docs = Seq(("a", "spark join"), ("b", "nothing")).toDF("doc_id", "text")
