@@ -30,6 +30,13 @@ object GraftFunctions {
   def quantize_int8(a: Column): Column = toCol(QuantizeInt8(toExpr(a)))
   def dequantize_int8(a: Column): Column = toCol(DequantizeInt8(toExpr(a)))
 
+  /** Misra–Gries frequent-items sketch (candidates + lower bounds; see
+    * [[MisraGries]]) — fixed k-entry buffer per partition, shuffle volume
+    * `partitions x k` regardless of vocabulary size.
+    */
+  def misra_gries(item: Column, k: Int): Column =
+    toCol(MisraGries(toExpr(item), k).toAggregateExpression())
+
   /** A float-array literal (probe vectors etc.). */
   def vector_lit(xs: Array[Float]): Column =
     org.apache.spark.sql.functions.typedLit(xs)

@@ -240,6 +240,16 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // exact top-k frequent tokens via Misra–Gries candidates + exact
+    // recount (two passes, shuffle bounded by partitions x sketchK —
+    // never one row per distinct token). The oracle states the exact
+    // counts; equality holds because the operator's exactness gate
+    // proves the candidate set covers the true top-k before returning.
+    "t22_heavy_hitters" -> { (s, d) =>
+      graft.operators.HeavyHitters.topTokens(
+        Tables.documents(s, d), "text", k = 15, sketchK = 256)
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -864,6 +874,20 @@ object Text extends QueryPack {
          |  (end_off - 1) // 512 - (end_off - n_tok) // 512 + 1 AS n_bins
          |FROM c WHERE n_tok > 0
          |ORDER BY id""".stripMargin,
+
+    // the exact counts the two-pass sketch+recount must reproduce
+    // (tokenization: whitespace split of lowercased text, empties
+    // dropped — the t18/BM25 convention)
+    "t22_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT t.term AS token
+        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+        |  WHERE t.term <> '')
+        |SELECT token, COUNT(*) AS cnt
+        |FROM toks
+        |GROUP BY token
+        |ORDER BY cnt DESC, token ASC
+        |LIMIT 15""".stripMargin,
 
     "t17_fuzzy_name_pairs" ->
       """SELECT a.p_brand AS brand, COUNT(*) AS n_near_pairs
