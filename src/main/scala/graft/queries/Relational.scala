@@ -356,6 +356,22 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // Bloom-filter semi-join reduction: lineitem rows probe a compact
+    // filter of the urgent orders' keys BEFORE the join shuffle, so
+    // non-matching fact rows never enter the exchange; no false
+    // negatives, so the result is exactly the plain join's (the
+    // oracle states the plain join). See operators/BloomJoin.scala.
+    "q27_bloom_join" -> { (s, d) =>
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomJoin
+        .join(Tables.lineitem(s, d), "l_orderkey", dim, "o_orderkey")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+        .orderBy(col("yr"))
+    },
+
     // exact interpolated percentiles per group (corpus length/value
     // distribution stats — the exact sibling of q22's sketch)
     "q23_percentiles" -> { (s, d) =>
@@ -438,6 +454,15 @@ object Relational extends QueryPack {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // the PLAIN join — the Bloom reduction must be invisible in the result
+    "q27_bloom_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY yr
+        |ORDER BY yr""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,
