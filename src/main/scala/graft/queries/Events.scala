@@ -117,6 +117,21 @@ object Events extends QueryPack {
         .orderBy(col("error_id"), col("purchase_id"))
     },
 
+    // CDC compaction: newest event per user via Compact.latestByKey —
+    // a map-side-combinable max_by aggregate, not a window sort, so the
+    // exchange carries one candidate per (key, partition) instead of
+    // the full version log
+    "e11_latest_by_key" -> { (s, d) =>
+      graft.operators.Compact.latestByKey(Tables.events(s, d),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"),
+          // timestamp_ntz for the dump, like every ts-bearing e-query:
+          // session TZ is UTC so the wall-clock value is unchanged, and
+          // the parquet annotation matches the oracle's TIMESTAMP unit
+          col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+        .orderBy(col("user_id"))
+    },
+
     // cohort aggregation through the SALTED join (Skew.saltedJoin):
     // fact rows scatter across `salts` replicas of the per-user dim so a
     // hot user cannot straggle one task — semantics equal the plain
@@ -162,6 +177,18 @@ object Events extends QueryPack {
         |  ON e.event_type = 'error' AND p.event_type = 'purchase'
         | AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
         |ORDER BY error_id, purchase_id""".stripMargin,
+
+    // the ROW_NUMBER statement of "newest version per key"; (ts,
+    // event_id) is a total order so both formulations pick one winner
+    "e11_latest_by_key" ->
+      """SELECT user_id, event_id, ts, event_type
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     "e9_hopping_counts" ->
       """WITH e2 AS (
