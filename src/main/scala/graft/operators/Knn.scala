@@ -237,4 +237,49 @@ object Knn {
       .select(col("id1"), col("id2"))
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** Semantic deduplication, the SemDeDup shape (Abbas et al. 2023,
+    * public): k-means-cluster the embeddings, compare pairs only WITHIN
+    * a cluster, drop every row that has a lower-id neighbor above
+    * `minSim` in its cluster. Returns the kept rows of `corpus`.
+    *
+    * Why clustering first: all-pairs is n^2; with k balanced clusters
+    * the pair space shrinks k-fold (sum of n_i^2 ~ n^2/k), and the
+    * comparison join's shuffle key is the cluster id, so each cluster's
+    * pairs co-locate on one reducer — no global pair space ever exists.
+    * The trade is the same as SemDeDup's: a cross-cluster near-dup pair
+    * is not examined (by design — cluster-boundary pairs are the
+    * published algorithm's accepted miss).
+    *
+    * "Drop if ANY lower-id neighbor" is deliberately transitive-free:
+    * one SQL statement, deterministic, no iteration. For full
+    * connected-component semantics use [[Dedup.nearDupClusters]] over
+    * emitted pairs.
+    *
+    * Clustering reuses [[Ivf.build]]'s deterministic k-means (seeded
+    * sample, fixed iterations) so the oracle replays the assignment
+    * exactly (IvfSql); the pair volume is counted per-cluster BEFORE the
+    * join and refused past `pairCap` naming the knob — the d2 guard
+    * posture.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+                    minSim: Double, nlist: Int, iters: Int = 5,
+                    pairCap: Long = 50000000L): DataFrame = {
+    val a = Ivf.build(corpus, idCol, embCol, nlist, iters).assigned
+    val volRow = a.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - lit(1L))).as("twice_pairs"))
+      .head()
+    val pairs = if (volRow.isNullAt(0)) 0L else volRow.getLong(0) / 2
+    require(pairs <= pairCap,
+      s"semanticDedup: intra-cluster pair volume $pairs exceeds cap $pairCap" +
+        " — raise nlist (smaller clusters) or pairCap deliberately")
+    val l = a.select(col("bucket"), col("id").as("id1"), col("emb").as("emb1"))
+    val r = a.select(col("bucket"), col("id").as("id2"), col("emb").as("emb2"))
+    val dropped = l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .filter(lit(1.0) - cosine_distance(col("emb1"), col("emb2")) > minSim)
+      .select(col("id2").as("__dropped_id"))
+      .distinct()
+    corpus.join(dropped, corpus(idCol) === dropped("__dropped_id"), "left_anti")
+  }
 }

@@ -80,6 +80,18 @@ object Vectors extends QueryPack {
       Knn.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", minSim = 0.4)
     },
 
+    // SemDeDup: cluster (v7's deterministic k-means), intra-cluster
+    // near-dup drop (keep the lowest id of any close pair) — the pair
+    // space shrinks nlist-fold vs v4's all-pairs and shuffles on the
+    // cluster id. Same 0.4 threshold as v4, so the drop decisions are
+    // the cluster-restricted subset of v4's verified pair set.
+    "d9_semantic_dedup" -> { (s, d) =>
+      Knn.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        minSim = 0.4, nlist = 8, iters = 5)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+
     // Per-label centroids via the vector_centroid TypedImperativeAggregate:
     // the aggregation shuffles one dim-width buffer per (label, partition)
     // instead of posexplode's rows x dim rows (at 1024-dim production scale
@@ -498,6 +510,21 @@ object Vectors extends QueryPack {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
         |ORDER BY id1, id2""".stripMargin,
+
+    // v7's k-means replay supplies the cluster assignment `af`; the drop
+    // predicate is v4's verified cosine comparison restricted to
+    // same-cluster lower-id pairs
+    "d9_semantic_dedup" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |drp AS (
+         |  SELECT DISTINCT a2.vec_id
+         |  FROM af a1 JOIN af a2 ON a1.b = a2.b AND a1.vec_id < a2.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a1.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = a2.vec_id
+         |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) > 0.4)
+         |SELECT e.vec_id, e.label
+         |FROM embeddings e ANTI JOIN drp d ON e.vec_id = d.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     // The double->decimal quantization goes through CAST(... AS VARCHAR):
     // DuckDB prints doubles in shortest round-trip form — the same decimal

@@ -694,4 +694,35 @@ class VectorSpec extends AnyFunSuite {
         s"widened centroid mismatch at label=${r.get(0)} pos=${r.getLong(1)}")
     }
   }
+
+  test("semanticDedup drops exactly the rows with a lower-id same-cluster close neighbor") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val kept = graft.operators.Knn
+      .semanticDedup(e, "vec_id", "embedding", minSim = 0.4, nlist = 8, iters = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // independent restatement: v4's verified pair set restricted to
+    // same-cluster pairs; the drop set is the higher-id side
+    val assigned = graft.operators.Ivf
+      .build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      .assigned.select("id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairs = graft.operators.Knn
+      .nearDupPairs(e, "vec_id", "embedding", minSim = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDropped =
+      pairs.filter { case (a, b) => assigned(a) == assigned(b) }.map(_._2).toSet
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- expectedDropped)
+    assert(expectedDropped.nonEmpty, "fixture should produce at least one drop")
+  }
+
+  test("semanticDedup refuses past the pair-volume cap, naming the knob") {
+    val e = Tables.embeddings(spark, sfDir)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Knn.semanticDedup(e, "vec_id", "embedding",
+        minSim = 0.4, nlist = 2, iters = 1, pairCap = 10L)
+    }
+    assert(ex.getMessage.contains("pair volume"))
+  }
 }
