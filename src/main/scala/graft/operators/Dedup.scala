@@ -146,6 +146,56 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Exact substring-duplication signal — the distributed relational
+    * form of exact-substring training-data dedup (Lee et al. 2022,
+    * public: documents sharing any sufficiently long verbatim span are
+    * duplicates regardless of overall Jaccard). Token granularity: two
+    * documents match when they share ANY exact `w`-token window; the
+    * returned pair list carries the count of distinct shared windows as
+    * the evidence strength. Jaccard (d2) misses these pairs when the
+    * shared span is small relative to the documents — a verbatim
+    * boilerplate paragraph inside two long, otherwise-different pages is
+    * exactly the case this operator exists for.
+    *
+    * Shape: distinct `w`-token windows per doc (shingle_set — one scan),
+    * document-frequency blocking (a window in > maxDf docs is boilerplate
+    * so ubiquitous it would emit O(df^2) rows on one join key — the d2
+    * hot-key argument verbatim), pair volume counted BEFORE the join and
+    * refused past the cap, then a self-join on the window with a per-pair
+    * count. The shuffle key is the window text (content blocking, no
+    * pair space materialized); a production run at 100 TB swaps the key
+    * for a 128-bit fingerprint of the window to bound shuffle width —
+    * the plan shape is unchanged, so the gate pins semantics on the
+    * transparent key.
+    */
+  def sharedWindowPairs(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int = 8, maxDf: Int = 100,
+                        maxPairEstimate: Long = 50000000L): DataFrame = {
+    val ex = shingled(docs, idCol, textCol, w)
+      .select(col("id"), explode(col("shingles")).as("win"))
+    val dfs = ex.groupBy(col("win")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptEx =
+      try {
+        val kept = dfs.filter(col("df") <= maxDf)
+        val est = kept.agg(sum(col("df") * (col("df") - lit(1L)))).head()
+        val pairVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+        require(pairVolume <= maxPairEstimate,
+          s"sharedWindowPairs would shuffle ~$pairVolume candidate pairs " +
+            s"after maxDf=$maxDf blocking (> $maxPairEstimate): lower maxDf " +
+            "(more aggressive boilerplate blocking), raise w (rarer " +
+            "windows), or raise maxPairEstimate deliberately")
+        ex.join(kept.select(col("win")), "win").select(col("id"), col("win"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } finally dfs.unpersist()
+    val a = keptEx.toDF("id1", "win")
+    val b = keptEx.toDF("id2", "win")
+    a.join(b, Seq("win")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components over the
     * pair graph, labeled by each component's minimum id — the step that
     * turns pairwise near-dup evidence (d2/d3/d4/v8 outputs) into "keep

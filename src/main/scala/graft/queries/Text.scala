@@ -269,6 +269,16 @@ object Text extends QueryPack {
         n = 3, minJaccard = 0.5, maxDf = Some(100))
     },
 
+    // exact substring-window duplication (Lee et al. 2022 signal, token
+    // granularity): pairs sharing ANY verbatim 8-token window, with the
+    // distinct-shared-window count as evidence — catches verbatim
+    // boilerplate spans inside otherwise-different documents that
+    // whole-document Jaccard (d2) dilutes away
+    "d10_substring_pairs" -> { (s, d) =>
+      Dedup.sharedWindowPairs(Tables.documents(s, d), "doc_id", "text",
+        w = 8, maxDf = 100)
+    },
+
     // MinHash-LSH near-dups — full-pipeline SQL oracle (identical FNV-1a +
     // splitmix64 signature math, band-slice blocking, exact verify);
     // ScalaTest additionally asserts equality with d2's exact pairs at
@@ -945,6 +955,22 @@ object Text extends QueryPack {
         |FROM q
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // d2's blocking machinery at window width 8 with the shared-window
+    // count as output (same tokenization, same df<=100 boilerplate block)
+    "d10_substring_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |wins AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+         |      i -> array_to_string(w[i:i+7], ' ')))) AS win
+         |  FROM toks),
+         |keep AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) <= 100),
+         |k AS (SELECT doc_id, wins.win AS win FROM wins JOIN keep ON wins.win = keep.win)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+         |FROM k a JOIN k b ON a.win = b.win AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY id1, id2""".stripMargin,
 
     "d2_jaccard_near_dup" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),

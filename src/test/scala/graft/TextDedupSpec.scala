@@ -663,4 +663,44 @@ class TextDedupSpec extends AnyFunSuite {
     val dupGroup = groups.find(_._3 == 2L).get
     assert(dupGroup._2 === 1L) // min id kept
   }
+
+  test("sharedWindowPairs: verbatim span inside different documents, Jaccard-invisible") {
+    val boiler = "please subscribe to our newsletter for updates" // 7 tokens
+    val docs = textDf(
+      (1L, s"alpha beta gamma $boiler delta epsilon zeta eta theta"),
+      (2L, s"one two three four $boiler five six seven eight nine ten"),
+      (3L, "totally unrelated words with no overlap at all whatsoever"))
+    // w=4: doc 1 and 2 share exactly the windows fully inside the
+    // 7-token boilerplate span = 7-4+1 = 4 windows; doc 3 shares none
+    val got = Dedup.sharedWindowPairs(docs, "doc_id", "text", w = 4, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array((1L, 2L, 4L)))
+    // the same pair is invisible to whole-document Jaccard at 0.5
+    val jac = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+      n = 4, minJaccard = 0.5).count()
+    assert(jac === 0L)
+  }
+
+  test("sharedWindowPairs: maxDf blocks ubiquitous windows; repeated in-doc windows count once") {
+    val span = "a b c d" // the window itself
+    val docs = textDf(
+      (1L, s"$span x $span"), // window appears twice in doc 1 -> distinct once
+      (2L, s"y $span z"),
+      (3L, s"q $span r"))
+    val got = Dedup.sharedWindowPairs(docs, "doc_id", "text", w = 4, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    // df blocking: the shared window sits in 3 docs; maxDf=2 removes it
+    val blocked = Dedup.sharedWindowPairs(docs, "doc_id", "text", w = 4, maxDf = 2)
+    assert(blocked.count() === 0L)
+  }
+
+  test("sharedWindowPairs refuses past the candidate-pair cap") {
+    val docs = textDf((1L to 20L).map(i => (i, "same exact shared text here")): _*)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sharedWindowPairs(docs, "doc_id", "text", w = 4, maxDf = 100,
+        maxPairEstimate = 5L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+  }
 }
