@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.word_shingles
+
+/** Corpus-level bigram language-model scoring — the distributed form of
+  * LM-based quality filtering (the CCNet/Wenzek et al. 2020 recipe,
+  * public: score each document by how plausible its token transitions
+  * are under a corpus-level n-gram model; outliers on either end are
+  * noise or boilerplate). Self-supervised: the model IS the corpus'
+  * own bigram statistics, so no external artifact ships.
+  *
+  * Model: p(w2|w1) = C(w1 w2) / C(w1 ·) over bigram OCCURRENCES (all
+  * counts from one explode of the in-order bigram stream; the
+  * denominator is the occurrence count of w1 as a non-final token, so
+  * probabilities per prefix sum to exactly 1). Every bigram in scope
+  * was observed at least once, so no smoothing term is needed.
+  *
+  * Two scores:
+  *  - [[bigramProbScore]] (the GATE query): per-doc arithmetic mean of
+  *    p(w2|w1), each probability quantized to nano-units
+  *    (floor(p·1e9+0.5) — integer-exact association, the t14/q21
+  *    pattern). Chosen for the oracle because every step (integer
+  *    counts, one IEEE division, one multiply, floor, long sum) is
+  *    bit-identical across engines.
+  *  - [[bigramLogLikelihood]]: the textbook mean-log form (what CCNet
+  *    actually thresholds). `ln` is correctly-rounded on neither JVM
+  *    fdlibm nor the oracle's libm in general, so cross-engine
+  *    hash-equality cannot be promised — it is spec-verified against a
+  *    local recomputation with tolerance instead of DuckDB-oracled.
+  *
+  * Scale shape: one explode of the token stream; bigram counts and
+  * prefix counts are hash aggregates on (bigram) / (prefix) keys; the
+  * probability table joins back on the bigram key. Nothing shuffles
+  * more than (distinct bigrams + the doc stream keyed by bigram);
+  * vocabulary never collects anywhere.
+  */
+object TextLm {
+
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("id"),
+      explode(word_shingles(col(textCol), 2)).as("bg"))
+
+  /** (bg, prob) with prob = C(bg) / C(prefix ·) as double. */
+  private def probTable(bg: DataFrame): DataFrame = {
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    c2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1")
+      .select(col("bg"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("prob"))
+  }
+
+  /** Per-doc mean corpus-conditional bigram probability, nano-quantized:
+    * (id, n_bigrams, score). Docs with < 2 tokens are absent (no
+    * bigrams — unscorable, as in the published recipe).
+    */
+  def bigramProbScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val probs = probTable(bg)
+      .select(col("bg"),
+        floor(col("prob") * lit(1000000000.0) + lit(0.5)).cast("long").as("qn"))
+    bg.join(probs, "bg")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("qn")).cast("double") / count(lit(1)) / lit(1000000000.0))
+          .as("score"))
+  }
+
+  /** Per-doc mean log-likelihood ln p(w2|w1) — the CCNet threshold
+    * quantity. Plain double arithmetic (see class doc for why this form
+    * is not DuckDB-oracled).
+    */
+  def bigramLogLikelihood(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val probs = probTable(bg).select(col("bg"), log(col("prob")).as("lp"))
+    bg.join(probs, "bg")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")) / count(lit(1))).as("mean_ll"))
+  }
+}

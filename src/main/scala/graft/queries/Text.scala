@@ -240,6 +240,17 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // corpus-conditional bigram plausibility per doc (the CCNet-style
+    // LM quality signal, arithmetic-mean form — nano-quantized per
+    // occurrence so the cross-engine compare is integer-exact; the
+    // textbook mean-ln form lives in TextLm.bigramLogLikelihood,
+    // spec-verified since ln is not bit-portable)
+    "t23_bigram_lm_score" -> { (s, d) =>
+      graft.operators.TextLm
+        .bigramProbScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
     // exact top-k frequent tokens via Misra–Gries candidates + exact
     // recount (two passes, shuffle bounded by partitions x sketchK —
     // never one row per distinct token). The oracle states the exact
@@ -883,6 +894,28 @@ object Text extends QueryPack {
          |  (end_off - 1) // 512 AS last_bin,
          |  (end_off - 1) // 512 - (end_off - n_tok) // 512 + 1 AS n_bins
          |FROM c WHERE n_tok > 0
+         |ORDER BY id""".stripMargin,
+
+    // the same counts/probabilities/quantization in SQL: integer counts,
+    // one IEEE division then *1e9+0.5 floor (left-to-right association
+    // matches the engine's prob-then-scale order), exact long sums
+    "t23_bigram_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+1], ' '))) AS bg
+         |  FROM toks),
+         |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+         |       FROM c2 GROUP BY 1),
+         |pr AS (
+         |  SELECT bg, CAST(floor(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+         |    * 1000000000.0 + 0.5) AS BIGINT) AS qn
+         |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
+         |SELECT b.doc_id AS id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(qn) AS DOUBLE) / COUNT(*) / 1000000000.0 AS score
+         |FROM bg b JOIN pr USING (bg)
+         |GROUP BY 1
          |ORDER BY id""".stripMargin,
 
     // the exact counts the two-pass sketch+recount must reproduce
