@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Shape: `groupBy(key).agg(max_by(payload, orderKey))`, NOT the
   * row_number()-over-window formulation. Both are one shuffle, but the
-  * window form must SORT every partition group and ship every version
-  * across the exchange; max_by is a plain aggregate with map-side
-  * partial combine — each map task forwards ONE candidate row per key
-  * it saw, so on a log with many versions per key (the whole point of
-  * compaction) the exchange carries keys x partitions rows instead of
-  * the full log. No sort anywhere.
+  * window form ships EVERY version across the exchange and then sorts
+  * each key group by the full (key, ts, id) order; max_by partial-agg
+  * combines map-side — each map task forwards ONE candidate row per
+  * key it saw, so on a log with many versions per key (the whole point
+  * of compaction) the exchange carries keys x partitions rows instead
+  * of the full log. (Spark plans the struct-ordered max_by as a
+  * SortAggregate — a per-partition LOCAL sort by group key feeds the
+  * partial aggregate, CPU-local with nothing extra crossing the
+  * exchange; the win is the shuffle volume, not sort elimination.)
   *
   * Determinism: callers must make `orderCols` a total order per key
   * (e.g. append a unique id after the timestamp — the gate query
