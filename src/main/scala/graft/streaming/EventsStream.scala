@@ -217,6 +217,30 @@ object EventsStream {
     * standard contract (Spark's own dropDuplicates-with-watermark works
     * the same way). `ttl = None` keeps state forever (exact, unbounded).
     */
+  /** Streaming twin of [[graft.operators.Compact.latestByKey]] over the
+    * events schema: one state row per user holding the newest event so
+    * far ((ts, event_id) total order, exactly the batch operator's), an
+    * updated best emitted per key per batch (Update output mode). State
+    * is one Event per live key — the same keys-not-log bound as the
+    * batch aggregate's exchange; a TTL can bound the key domain itself
+    * the same way streamingDedup's does.
+    */
+  def latestByKeyStream(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Event], state: GroupState[Event]) =>
+          def key(e: Event) = (e.ts.getTime, e.event_id)
+          val incoming = evs.maxBy(key)
+          val best = state.getOption match {
+            case Some(cur) if Ordering[(Long, Long)].gteq(key(cur), key(incoming)) => cur
+            case _ => state.update(incoming); incoming
+          }
+          best
+      }
+  }
+
   def streamingDedup(events: Dataset[Event], ttl: Option[String] = None): Dataset[Event] = {
     import events.sparkSession.implicits._
     val ttlMs = ttl.map(ttlMillis)

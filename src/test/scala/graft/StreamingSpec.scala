@@ -125,6 +125,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming latest-by-key compaction matches the batch max_by operator") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    val q = EventsStream.latestByKeyStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_out")
+      .start()
+    try {
+      // adversarial feed: REVERSE chronological halves, so the stream
+      // must keep the stored winner when late (older) versions arrive
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      val (older, newer) = sorted.splitAt(sorted.length / 2)
+      input.addData(newer)
+      q.processAllAvailable()
+      input.addData(older)
+      q.processAllAvailable()
+      val streamed = spark.table("latest_out")
+        .collect().map(r => (r.getLong(2), r.getLong(0))) // (user_id, event_id)
+        .groupBy(_._1).map { case (u, rows) => u -> rows.last._2 }
+      val batch = graft.operators.Compact
+        .latestByKey(Tables.events(spark, sfDir),
+          Seq("user_id"), Seq("ts", "event_id"))
+        .select("user_id", "event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermark finalizes windows and drops too-late events (append mode)") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
