@@ -37,6 +37,13 @@ object GraftFunctions {
   def misra_gries(item: Column, k: Int): Column =
     toCol(MisraGries(toExpr(item), k).toAggregateExpression())
 
+  /** Bounded top-k-per-group (see [[TopKBy]]): keep the k smallest
+    * payload rows by the `ord` struct — the per-group
+    * TakeOrderedAndProject the window formulation lacks.
+    */
+  def topk_by(ord: Column, payload: Column, k: Int): Column =
+    toCol(TopKBy(toExpr(ord), toExpr(payload), k).toAggregateExpression())
+
   /** A float-array literal (probe vectors etc.). */
   def vector_lit(xs: Array[Float]): Column =
     org.apache.spark.sql.functions.typedLit(xs)

@@ -84,7 +84,7 @@ object HeavyHitters {
         f"heavy_hitters: tail count $kth (of ${top.length} returned) is not " +
           f"above the sketch blind spot N/(sketchK+1) = $blind%.1f — a missed " +
           f"token could tie or displace the tail; raise sketchK above " +
-          f"${(n / math.max(kth, 1L)).toInt} (corpus too flat for exact " +
+          f"${n / math.max(kth, 1L)} (corpus too flat for exact " +
           "top-k at this sketch size)")
     }
 

@@ -372,6 +372,24 @@ object Relational extends QueryPack {
         .orderBy(col("yr"))
     },
 
+    // top-k per group via the bounded-heap topk_by aggregate: the
+    // exchange carries groups x partitions x k rows (a per-group
+    // TakeOrderedAndProject), where the ROW_NUMBER window the oracle
+    // states would shuffle and sort the whole table. Descending price
+    // rides the ord struct as its negation (exact for doubles).
+    "q28_topk_per_group" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.GraftFunctions.topk_by(
+          struct((-col("o_totalprice")).as("np"), col("o_orderkey")),
+          struct(col("o_orderkey"), col("o_totalprice")), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("rnk", "r")))
+        .select(col("o_orderpriority"), (col("rnk") + 1).cast("long").as("rnk"),
+          col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_totalprice").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    },
+
     // exact interpolated percentiles per group (corpus length/value
     // distribution stats — the exact sibling of q22's sketch)
     "q23_percentiles" -> { (s, d) =>
@@ -463,6 +481,16 @@ object Relational extends QueryPack {
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY yr
         |ORDER BY yr""".stripMargin,
+
+    // the ROW_NUMBER statement of per-group top-k the heap must equal
+    "q28_topk_per_group" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,
