@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{fingerprint, quality_score}
+
+/** End-to-end training-data curation — the composed pipeline every
+  * stage in this library exists to serve, as ONE lazy plan:
+  *
+  *   1. gate: language allowlist + composite quality threshold
+  *      (the t2 kernel — codegen, evaluated once per row in the scan
+  *      stage, so rejected rows die before any shuffle);
+  *   2. exact dedup keep-first: canonical-text md5 fingerprint, lowest
+  *      id kept via `min_by(payload, id)` — the map-side-combinable
+  *      aggregate shape (one candidate per (fingerprint, partition)
+  *      crosses the exchange, never the duplicate text bodies);
+  *   3. pack: the per-language sequence-packing manifest
+  *      ([[Packing.manifest]] — grouped running sum, integer spans).
+  *
+  * Nothing materializes between stages; Catalyst fuses the gate into
+  * the scan and the whole pipeline is three exchanges (fingerprint,
+  * packing group, final order) regardless of corpus size. This is the
+  * library's answer to the reference's single-process pandas ingest
+  * loop (`backend/load_data.py:173-190`): the same
+  * filter-dedup-prepare flow as a distributed plan.
+  */
+object Curate {
+
+  def manifest(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String, langs: Seq[String], minQuality: Double,
+               maxLen: Long): DataFrame = {
+    require(langs.nonEmpty, "curate: empty language allowlist")
+    val gated = docs.filter(col(langCol).isInCollection(langs) &&
+      quality_score(col(textCol)) >= minQuality)
+    val payload = struct(gated.columns.map(col).toIndexedSeq: _*)
+    val kept = gated
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min_by(payload, col(idCol)).as("__keep"))
+      .select(col("__keep.*"))
+    Packing.manifest(kept, idCol, textCol, langCol, maxLen)
+  }
+}

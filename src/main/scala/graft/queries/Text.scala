@@ -240,6 +240,16 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // the composed curation pipeline as one plan: quality+lang gate ->
+    // exact dedup keep-first (min_by on the canonical fingerprint) ->
+    // per-lang packing manifest. One oracle over the whole flow.
+    "d11_curation_manifest" -> { (s, d) =>
+      graft.operators.Curate.manifest(Tables.documents(s, d),
+        "doc_id", "text", "lang", langs = Seq("en", "de"),
+        minQuality = 0.5, maxLen = 256L)
+        .orderBy(col("grp"), col("id"))
+    },
+
     // corpus-conditional bigram plausibility per doc (the CCNet-style
     // LM quality signal, arithmetic-mean form — nano-quantized per
     // occurrence so the cross-engine compare is integer-exact; the
@@ -895,6 +905,47 @@ object Text extends QueryPack {
          |  (end_off - 1) // 512 - (end_off - n_tok) // 512 + 1 AS n_bins
          |FROM c WHERE n_tok > 0
          |ORDER BY id""".stripMargin,
+
+    // the t2 quality formula + lang gate, t4 fingerprint keep-first,
+    // and the t20 manifest arithmetic composed into one statement
+    "d11_curation_manifest" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang,
+         |    (LEAST(1.0, n_tok / 20.0)
+         |     + n_distinct / GREATEST(n_tok, 1.0)
+         |     + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+         |     + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 AS quality
+         |  FROM (
+         |    SELECT doc_id, text, lang,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS DOUBLE) AS n_distinct,
+         |      CAST(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS DOUBLE) AS n_stop,
+         |      CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |      CAST(len(text) AS DOUBLE) AS n_chars
+         |    FROM documents) t0),
+         |g AS (SELECT doc_id, text, lang FROM q
+         |      WHERE lang IN ('en', 'de') AND quality >= 0.5),
+         |k AS (SELECT doc_id, text, lang,
+         |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |      FROM g
+         |      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |t AS (
+         |  SELECT lang AS grp, doc_id AS id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |  FROM k),
+         |c AS (
+         |  SELECT grp, id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY grp ORDER BY id) AS end_off
+         |  FROM t)
+         |SELECT grp, id, n_tok, end_off - n_tok AS start_off,
+         |  (end_off - n_tok) // 256 AS first_bin,
+         |  (end_off - 1) // 256 AS last_bin,
+         |  (end_off - 1) // 256 - (end_off - n_tok) // 256 + 1 AS n_bins
+         |FROM c WHERE n_tok > 0
+         |ORDER BY grp, id""".stripMargin,
 
     // the same counts/probabilities/quantization in SQL: integer counts,
     // one IEEE division then *1e9+0.5 floor (left-to-right association
