@@ -95,8 +95,33 @@ object Spatial extends QueryPack {
           floor(col("p.y") / 1e6).cast("long").as("cell_y"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("cell_x"), col("cell_y"))
+    },
+
+    // distributed spatial JOIN (point-in-rectangle, many x many): the
+    // grid rewrite turns the BETWEEN theta join Catalyst would
+    // nest-loop into an equi-join on the cell id (SpatialJoin.
+    // gridBboxJoin — a pair meets in exactly the point's cell, so no
+    // distinct). Supplier-derived rectangles, 6 x 4 degrees, cells
+    // sized to the rectangle.
+    "s6_grid_spatial_join" -> { (s, d) =>
+      graft.operators.SpatialJoin.gridBboxJoin(
+        points(s, d), "x", "y",
+        rects(s, d), "minx", "miny", "maxx", "maxy",
+        cellW = 6.0, cellH = 4.0)
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
     }
   )
+
+  // supplier-derived axis-aligned rectangles (same integer + one-division
+  // arithmetic discipline as the point coordinates)
+  private def rects(s: SparkSession, d: String): DataFrame = {
+    val cx = (col("s_suppkey") * 11) % 360 - 180 + col("s_nationkey") / 100.0
+    val cy = (col("s_suppkey") * 5) % 180 - 90 + col("s_nationkey") / 100.0
+    Tables.supplier(s, d).select(col("s_suppkey"),
+      (cx - 3.0).as("minx"), (cy - 2.0).as("miny"),
+      (cx + 3.0).as("maxx"), (cy + 2.0).as("maxy"))
+  }
 
   def sql: Map[String, String] = Map(
     "s1_point_in_rect" ->
@@ -118,6 +143,22 @@ object Spatial extends QueryPack {
          |ORDER BY SQRT(($xSql - (-81.27)) * ($xSql - (-81.27)) +
          |              ($ySql - 28.80) * ($ySql - 28.80)) ASC, c_custkey ASC
          |LIMIT 20""".stripMargin,
+
+    // the plain theta join the grid rewrite must equal (DuckDB IEJoin
+    // executes it directly); inclusive bbox containment on both axes
+    "s6_grid_spatial_join" ->
+      s"""WITH r AS (
+         |  SELECT s_suppkey,
+         |    ((s_suppkey * 11) % 360 - 180 + s_nationkey / 100.0) - 3.0 AS minx,
+         |    ((s_suppkey * 5) % 180 - 90 + s_nationkey / 100.0) - 2.0 AS miny,
+         |    ((s_suppkey * 11) % 360 - 180 + s_nationkey / 100.0) + 3.0 AS maxx,
+         |    ((s_suppkey * 5) % 180 - 90 + s_nationkey / 100.0) + 2.0 AS maxy
+         |  FROM supplier)
+         |SELECT c_custkey, s_suppkey
+         |FROM customer JOIN r
+         |  ON $xSql BETWEEN r.minx AND r.maxx
+         | AND $ySql BETWEEN r.miny AND r.maxy
+         |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     "s5_mercator_grid" ->
       s"""SELECT

@@ -332,4 +332,43 @@ class SpatialSpec extends AnyFunSuite {
       .head().getBoolean(0)
     assert(hit)
   }
+
+  test("gridBboxJoin equals the naive theta join and avoids the nested loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 500L).map(i =>
+      (i, rnd.nextDouble() * 100 - 50, rnd.nextDouble() * 100 - 50))
+      .toDF("pid", "x", "y").repartition(5)
+    val rects = (1L to 60L).map { i =>
+      val cx = rnd.nextDouble() * 90 - 45; val cy = rnd.nextDouble() * 90 - 45
+      (i, cx - 3.0, cy - 2.0, cx + 3.0, cy + 2.0)
+    }.toDF("rid", "minx", "miny", "maxx", "maxy").repartition(3)
+    val grid = graft.operators.SpatialJoin.gridBboxJoin(
+      pts, "x", "y", rects, "minx", "miny", "maxx", "maxy", 6.0, 4.0)
+    val got = grid.select("pid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.join(rects,
+      col("x").between(col("minx"), col("maxx")) &&
+        col("y").between(col("miny"), col("maxy")))
+      .select("pid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"grid join must not nest-loop:\n$plan")
+  }
+
+  test("gridBboxJoin refuses oversized rectangles, naming the cell knobs") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.0, 0.0)).toDF("pid", "x", "y")
+    val rects = Seq((1L, -500.0, -500.0, 500.0, 500.0))
+      .toDF("rid", "minx", "miny", "maxx", "maxy")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.gridBboxJoin(
+        pts, "x", "y", rects, "minx", "miny", "maxx", "maxy", 6.0, 4.0)
+    }
+    assert(e.getMessage.contains("grid cells"))
+  }
 }
