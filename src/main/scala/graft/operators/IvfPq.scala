@@ -72,6 +72,31 @@ object IvfPq {
     Pq.searchADC(pruned, "code", "id", model, probe, k)
   }
 
+  /** Saved-index search WITH the exact re-rank stage (FAISS IVFPQ+R on
+    * the persisted layout): partition-pruned ADC nominates the top-`r`
+    * pool from codes alone, then ONLY those `r` rows of the original
+    * float corpus are fetched (an isin point-lookup the scan prunes
+    * on) and exactly L2-re-ranked to top-k — the [[Pq.searchRefine]]
+    * recall mitigation composed with [[searchSaved]]'s pruning. The
+    * float corpus is touched for r rows, never scanned.
+    */
+  def searchSavedRefine(spark: SparkSession, path: String,
+                        corpus: DataFrame, corpusIdCol: String, embCol: String,
+                        probe: Array[Float], k: Int, r: Int,
+                        nprobe: Int): DataFrame = {
+    require(r >= k, s"refine pool r=$r must be >= k=$k")
+    import graft.functions.GraftFunctions.{l2_distance, vector_lit}
+    val candIds = searchSaved(spark, path, probe, r, nprobe)
+      .select(col("id")).collect().map(_.get(0)) // bounded by r
+    corpus
+      .filter(col(corpusIdCol).isin(candIds: _*))
+      .withColumn("dist",
+        l2_distance(col(embCol).cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("dist").asc, col(corpusIdCol).asc)
+      .limit(k)
+      .select(col(corpusIdCol), col("dist"))
+  }
+
   /** Append new vectors WITHOUT retraining either structure: assign
     * each row to its nearest STORED centroid (the [[Ivf.appendSaved]]
     * rule) and encode it against the STORED codebooks (the

@@ -280,6 +280,23 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // the full production search shape: persisted IVF-PQ index,
+    // partition-pruned ADC nominating top-40, exact L2 re-rank of just
+    // those 40 original vectors to top-10 (FAISS IVFPQ+R on disk) —
+    // v16's persistence composed with v15's refine under one oracle
+    "v17_ivfpq_saved_refine" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      val model = graft.operators.Pq.train(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 3)
+      val path = s"/dev/shm/graft_ivfpq_v17_${new java.io.File(d).getName}"
+      graft.operators.IvfPq.save(idx, model, path)
+      graft.operators.IvfPq.searchSavedRefine(s, path, e, "vec_id", "embedding",
+        probeOf(s, d, 0L), k = 10, r = 40, nprobe = 3)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+
     // Hybrid retrieval — BM25 lexical top-20 and exact-cosine vector
     // top-20 fused by Reciprocal Rank Fusion (Cormack et al. 2009,
     // the standard production combiner; rank-based, so no score
@@ -775,6 +792,41 @@ object Vectors extends QueryPack {
          |  ORDER BY dist, vec_id
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // v16's pruned-ADC CTEs nominate the pool (LIMIT 40), v15's exact
+    // sqrt-L2 re-rank orders it — persistence is lossless so the
+    // composition is the in-memory one's oracle verbatim
+    "v17_ivfpq_saved_refine" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |${(0 until 4).map(j => PqSql.subspaceCtes(j, k = 8, iters = 3,
+              subDim = 16, probeId = 0L)).mkString(",\n")},
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b
+         |  LIMIT 3),
+         |adc AS (
+         |  SELECT c0.vec_id, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+         |  FROM code0 c0
+         |  JOIN code1 c1 USING (vec_id)
+         |  JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN tab0 t0 ON c0.b = t0.b
+         |  JOIN tab1 t1 ON c1.b = t1.b
+         |  JOIN tab2 t2 ON c2.b = t2.b
+         |  JOIN tab3 t3 ON c3.b = t3.b
+         |  JOIN af ON af.vec_id = c0.vec_id
+         |  WHERE af.b IN (SELECT b FROM pb)),
+         |cand AS (
+         |  SELECT vec_id FROM adc
+         |  ORDER BY dist, vec_id
+         |  LIMIT 40),
+         |topk AS (
+         |  SELECT e.vec_id
+         |  FROM emb e JOIN cand USING (vec_id) CROSS JOIN probe p
+         |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
+         |  LIMIT 10)
+         |SELECT vec_id FROM topk ORDER BY vec_id""".stripMargin,
 
     // hybrid RRF: the t18 BM25 CTEs rank the lexical top-20, the v1
     // cosine form ranks the vector top-20, and the fusion is the sum of

@@ -695,6 +695,30 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("searchSavedRefine == hand-composed saved-ADC pool + exact re-rank") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{l2_distance, vector_lit}
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+    val model = graft.operators.Pq.train(e, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    val path = "/dev/shm/graft_ivfpq_refine_spec"
+    graft.operators.IvfPq.save(idx, model, path)
+    val probe = e.filter(col("vec_id") === 2L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val got = graft.operators.IvfPq
+      .searchSavedRefine(spark, path, e, "vec_id", "embedding", probe,
+        k = 5, r = 20, nprobe = 3)
+      .collect().map(_.getLong(0))
+    val pool = graft.operators.IvfPq.searchSaved(spark, path, probe, 20, 3)
+      .select(col("id")).collect().map(_.getLong(0))
+    val want = e.filter(col("vec_id").isin(pool: _*))
+      .withColumn("d", l2_distance(col("embedding").cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("semanticDedup drops exactly the rows with a lower-id same-cluster close neighbor") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)
