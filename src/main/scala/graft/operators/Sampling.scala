@@ -65,4 +65,34 @@ object Sampling {
     val bucket = conv(substring(hashKey(col(idCol), salt), 1, 8), 16, 10).cast("long")
     df.filter(bucket < (fraction * (1L << 32)).toLong)
   }
+
+  /** Deterministic train/val/test assignment: a `split` column from the
+    * row's hash bucket against cumulative weight boundaries. Membership
+    * is a pure function of (salt, id) — stable across partitionings,
+    * retries, engines, AND dataset versions: appending new rows never
+    * reassigns an existing row's split, the property `randomSplit`
+    * fundamentally lacks (its assignment depends on partition layout
+    * and sampling order). That stability is what makes held-out sets
+    * trustworthy across pipeline re-runs — the reason every production
+    * training pipeline splits by content hash, not by RNG.
+    *
+    * Weights are relative (normalized over their sum); boundaries are
+    * exact integer thresholds in the 32-bit bucket space, so the split
+    * is reproducible bit-for-bit from the spec alone.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)],
+                salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"hashSplit: weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(c => (c * (1L << 32)).toLong)
+    val bucket = conv(substring(hashKey(col(idCol), salt), 1, 8), 16, 10).cast("long")
+    val splitCol = weights.init.zip(bounds.init)
+      .foldRight(lit(weights.last._1)) { case (((name, _), b), rest) =>
+        when(bucket < b, name).otherwise(rest)
+      }
+    df.withColumn("split", splitCol)
+  }
 }

@@ -240,6 +240,18 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // deterministic train/val/test split: membership is a pure function
+    // of (salt, doc_id) — appending rows never reassigns existing ones,
+    // the property randomSplit lacks. 80/10/10 over the documents,
+    // reported per (lang, split).
+    "t24_hash_split" -> { (s, d) =>
+      graft.operators.Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+        weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))
+    },
+
     // the composed curation pipeline as one plan: quality+lang gate ->
     // exact dedup keep-first (min_by on the canonical fingerprint) ->
     // per-lang packing manifest. One oracle over the whole flow.
@@ -905,6 +917,22 @@ object Text extends QueryPack {
          |  (end_off - 1) // 512 - (end_off - n_tok) // 512 + 1 AS n_bins
          |FROM c WHERE n_tok > 0
          |ORDER BY id""".stripMargin,
+
+    // same md5-bucket arithmetic; the integer boundaries are the
+    // engine's exact (cumWeight * 2^32).toLong values for 0.8 / 0.9
+    "t24_hash_split" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(concat('0x', substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 3435973836 THEN 'train'
+        |       WHEN bucket < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
 
     // the t2 quality formula + lang gate, t4 fingerprint keep-first,
     // and the t20 manifest arithmetic composed into one statement

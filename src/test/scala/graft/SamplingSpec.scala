@@ -58,4 +58,34 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(other !== first) // salt rotates the permutation
   }
+
+  test("hashSplit: appending rows never reassigns existing rows' splits") {
+    import spark.implicits._
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val base = (1L to 400L).toDF("id")
+    val before = Sampling.hashSplit(base, "id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = (1L to 600L).toDF("id").repartition(7)
+    val after = Sampling.hashSplit(grown, "id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    before.foreach { case (id, split) => assert(after(id) === split,
+      s"row $id moved from $split to ${after(id)} when the dataset grew") }
+    // all three splits materialize, proportions are roughly honored
+    val counts = after.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("hashSplit normalizes relative weights and rejects non-positive ones") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    val a = Sampling.hashSplit(df, "id", Seq(("x", 8.0), ("y", 2.0)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(df, "id", Seq(("x", 0.8), ("y", 0.2)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq(("x", 1.0), ("y", 0.0)))
+    }
+  }
 }
