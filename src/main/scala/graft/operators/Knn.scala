@@ -157,6 +157,43 @@ object Knn {
       .filter(col("rnk") <= k)
   }
 
+  /** Two-stage dimension-truncation kNN — the Matryoshka-style prefix
+    * prefilter (Kusupati et al. 2022, public): rank the corpus by cosine
+    * distance over only the FIRST `q` dimensions, then re-rank the `r`
+    * survivors by exact full-dimension cosine and keep top-k.
+    *
+    * Scale design: stage 1 is a TakeOrderedAndProject over a kernel doing
+    * dim/q-fold less float work — and, when the prefix is stored as its
+    * own column (columnar parquet prunes the rest), dim/q-fold less scan
+    * I/O; no shuffle, per-partition heaps, driver merges r rows. Stage 2
+    * is an `isin`-pushed point lookup of r originals (bounded by r) plus
+    * an r-row sort — the [[Pq.searchRefine]] shape with truncation instead
+    * of quantization as the compressor. Unlike PQ it needs no training:
+    * the prefix is its own coarse representation (meaningful when the
+    * embedding model front-loads information, the Matryoshka property).
+    *
+    * Output: the corpus columns of the k winners plus `dist` (full-dim),
+    * ordered (dist, id).
+    */
+  def topKTruncateRefine(corpus: DataFrame, idCol: String, embCol: String,
+                         probe: Array[Float], q: Int, k: Int, r: Int): DataFrame = {
+    require(r >= k, s"refine pool r=$r must be >= k=$k")
+    require(q >= 1 && q <= probe.length,
+      s"truncation dim q=$q must be in [1, ${probe.length}]")
+    val pool = corpus
+      .withColumn("dist_t", cosine_distance(
+        slice(col(embCol).cast("array<float>"), 1, q), vector_lit(probe.take(q))))
+      .orderBy(col("dist_t").asc, col(idCol).asc)
+      .limit(r)
+      .select(col(idCol)).collect().map(_.get(0)) // bounded by r
+    corpus
+      .filter(col(idCol).isin(pool: _*))
+      .withColumn("dist",
+        cosine_distance(col(embCol).cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact all-pairs near-duplicate detection: pairs (id1 < id2) whose
     * cosine similarity exceeds `minSim`. O(n^2) — the verified exact
     * baseline, and the only complete method when `minSim` sits below the

@@ -252,6 +252,15 @@ object Text extends QueryPack {
         .orderBy(col("lang"), col("split"))
     },
 
+    // Gopher rule flags: each published quality rule as its own boolean
+    // plus the metric it tested and the conjunctive keep — all per-row
+    // codegen arithmetic, every ratio one IEEE division of exact ints
+    "t25_gopher_rules" -> { (s, d) =>
+      graft.operators.QualityRules
+        .gopherFlags(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
     // the composed curation pipeline as one plan: quality+lang gate ->
     // exact dedup keep-first (min_by on the canonical fingerprint) ->
     // per-lang packing manifest. One oracle over the whole flow.
@@ -933,6 +942,42 @@ object Text extends QueryPack {
         |FROM b
         |GROUP BY 1, 2
         |ORDER BY lang, split""".stripMargin,
+
+    // every Gopher rule restated: same token split, same integer counts,
+    // each ratio the same single IEEE division, same boolean thresholds
+    "t25_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(array_to_string(w, '')) AS DOUBLE) / GREATEST(len(w), 1) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |         + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |      / GREATEST(len(w), 1) AS symbol_ratio,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / GREATEST(len(w), 1) AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop,
+        |    CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+        |      / GREATEST(len(w), 1) AS dup_frac
+        |  FROM w)
+        |SELECT id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop, dup_frac,
+        |  n_words >= 50 AND n_words <= 100000 AS r_words,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_len,
+        |  symbol_ratio <= 0.1 AS r_symbol,
+        |  alpha_frac >= 0.8 AS r_alpha,
+        |  n_stop >= 2 AS r_stop,
+        |  dup_frac <= 0.3 AS r_dup,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |   AND n_stop >= 2 AND dup_frac <= 0.3) AS keep
+        |FROM m
+        |ORDER BY id""".stripMargin,
 
     // the t2 quality formula + lang gate, t4 fingerprint keep-first,
     // and the t20 manifest arithmetic composed into one statement

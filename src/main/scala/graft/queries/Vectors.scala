@@ -260,6 +260,18 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Matryoshka-style dimension-truncation ANN: cosine over the FIRST
+    // 16 of 64 dims nominates 40 candidates (TakeOrderedAndProject on a
+    // 4x-cheaper kernel; with the prefix stored as its own column, 4x
+    // less scan I/O), exact full-dim cosine re-ranks to top-10 — the
+    // training-free compressor beside PQ's trained one (v15)
+    "v18_truncate_refine" -> { (s, d) =>
+      graft.operators.Knn.topKTruncateRefine(Tables.embeddings(s, d),
+        "vec_id", "embedding", probeOf(s, d, 0L), q = 16, k = 10, r = 40)
+        .select(col("vec_id").as("id"), col("label"))
+        .orderBy(col("id"))
+    },
+
     // The PERSISTED IVF-PQ index (on-disk FAISS IVFPQ shape, public):
     // codes stored PARTITIONED BY bucket with centroid + codebook
     // sidecars; the search reads only the nprobe bucket directories
@@ -762,6 +774,25 @@ object Vectors extends QueryPack {
          |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // both stages stated verbatim: prefix-slice cosine nominates the 40,
+    // full-dim cosine orders the 10 (same kernel v1 already pins)
+    "v18_truncate_refine" ->
+      """WITH p AS MATERIALIZED
+        |  (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT e.vec_id
+        |  FROM embeddings e CROSS JOIN p
+        |  ORDER BY 1 - list_cosine_similarity(e.embedding[1:16], p.pv[1:16]) ASC,
+        |           e.vec_id ASC
+        |  LIMIT 40),
+        |topk AS (
+        |  SELECT e.vec_id AS id, e.label
+        |  FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN p
+        |  ORDER BY 1 - list_cosine_similarity(e.embedding, p.pv) ASC, e.vec_id ASC
+        |  LIMIT 10)
+        |SELECT id, label FROM topk
+        |ORDER BY id""".stripMargin,
 
     // identical to v13's oracle: the saved index's float round-trip is
     // lossless, so the persisted pruned-ADC selection equals the

@@ -413,6 +413,50 @@ class VectorSpec extends AnyFunSuite {
     assert(refined.contains(42L))
   }
 
+  test("truncate-refine: equals hand-composed prefix pool + exact re-rank; degenerates to exact topK at q=dim") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 42L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val k = 10; val r = 40; val q = 16
+    val got = Knn.topKTruncateRefine(e, "vec_id", "embedding", probe, q, k, r)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // two-stage contract: prefix-cosine top-r pool, full cosine over it
+    val pool = e
+      .withColumn("dt", cosine_distance(slice(col("embedding").cast("array<float>"), 1, q),
+        vector_lit(probe.take(q))))
+      .orderBy(col("dt").asc, col("vec_id").asc).limit(r)
+      .select("vec_id").collect().map(_.getLong(0))
+    val expected = e.filter(col("vec_id").isin(pool: _*))
+      .withColumn("dist", cosine_distance(col("embedding").cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    // self-hit survives truncation (the probe's own prefix is distance 0)
+    assert(got.contains(42L))
+    // with the full dimension and r = k the operator IS exact topK
+    val full = Knn.topKTruncateRefine(e, "vec_id", "embedding", probe,
+      q = probe.length, k = k, r = k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = e
+      .withColumn("dist", cosine_distance(col("embedding").cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full === exact)
+    // widening the pool can only improve recall vs exact truth
+    val exactSet = exact.toSet
+    val r10 = Knn.topKTruncateRefine(e, "vec_id", "embedding", probe, q, k, r = k)
+      .select("vec_id").collect().map(_.getLong(0)).count(exactSet.contains)
+    val r40 = got.count(exactSet.contains)
+    assert(r40 >= r10)
+    // guards
+    intercept[IllegalArgumentException] {
+      Knn.topKTruncateRefine(e, "vec_id", "embedding", probe, q, k = 10, r = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Knn.topKTruncateRefine(e, "vec_id", "embedding", probe, q = 0, k = k, r = r)
+    }
+  }
+
   test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
