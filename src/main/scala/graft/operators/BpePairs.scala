@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Byte-pair-encoding merge-step statistics — the inner loop of BPE
+  * tokenizer training (Sennrich et al. 2016, public): count every
+  * adjacent character pair across the corpus; the highest-count pair is
+  * the next merge. The reference has no tokenizer-training surface; this
+  * extends the SURVEY §2.9 text family beside t1/t6's token counters.
+  *
+  * Scale design — the classic BPE-training trick, distributed: pair
+  * counting runs over the DISTINCT VOCABULARY weighted by word frequency,
+  * never over the corpus. Stage 1 is a map-side-combinable word-count
+  * aggregate (the only corpus-sized pass); stage 2 explodes character
+  * pairs of each distinct word — a vocabulary-sized table, orders of
+  * magnitude smaller than the text — and sums `count x multiplicity` per
+  * pair (combinable again). A 100 TB corpus with a 10 M-word vocabulary
+  * does its pair arithmetic on 10 M rows. Further merge iterations
+  * re-run stage 2 only (the word-count table is the reusable artifact),
+  * the standard driver-side training loop.
+  */
+object BpePairs {
+
+  /** Per-word corpus frequencies: the reusable stage-1 artifact. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    graft.Tables.spread(docs)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Adjacent-character-pair counts over the weighted vocabulary.
+    * Output: (pair, n), one row per distinct 2-char pair, n = total
+    * corpus occurrences (in-word multiplicity times word frequency).
+    */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame =
+    wordCounts(docs, textCol)
+      .filter(length(col("w")) >= 2)
+      .select(col("c"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("c")).as("n"))
+
+  /** The k most frequent pairs (the next k merge candidates),
+    * deterministic via (count desc, pair asc) — TakeOrderedAndProject
+    * over the pair aggregate.
+    */
+  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    pairCounts(docs, textCol)
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+}

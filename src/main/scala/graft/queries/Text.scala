@@ -261,6 +261,14 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // BPE merge-step statistics: top-20 adjacent character pairs, counted
+    // over the distinct vocabulary weighted by word frequency (the
+    // tokenizer-training inner loop; pair arithmetic never touches the
+    // corpus, only the vocab)
+    "t26_bpe_pairs" -> { (s, d) =>
+      graft.operators.BpePairs.topPairs(Tables.documents(s, d), "text", k = 20)
+    },
+
     // the composed curation pipeline as one plan: quality+lang gate ->
     // exact dedup keep-first (min_by on the canonical fingerprint) ->
     // per-lang packing manifest. One oracle over the whole flow.
@@ -384,6 +392,20 @@ object Text extends QueryPack {
         docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
         .select(col("id").as("doc_id"), col("n_shingles"),
           col("n_contaminated"), col("contamination"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Contiguous-span contamination (GPT-3-style n-gram overlap check):
+    // longest run of consecutive contaminated 8-token windows per train
+    // doc; flagged = a verbatim shared span of >= 15 tokens. Catches the
+    // planted near-copies d5's diluted fraction underweights.
+    "d12_span_contamination" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Contamination.spanFlags(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "text", n = 8, minRun = 8)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_hit"),
+          col("max_run"), col("flagged"))
         .orderBy(col("doc_id"))
     },
 
@@ -854,6 +876,35 @@ object Text extends QueryPack {
          |GROUP BY tr.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // positional windows (unnest pairing), the same broadcast-shaped IN
+    // probe, and the pos - ROW_NUMBER() islands trick for run lengths
+    "d12_span_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |tw AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, len(w) - 7)) AS pos,
+         |    unnest(list_transform(generate_series(1, len(w) - 7),
+         |      i -> array_to_string(w[i:i+7], ' '))) AS s
+         |  FROM toks),
+         |ev AS (SELECT DISTINCT s FROM tw WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id, pos, s IN (SELECT s FROM ev) AS hit
+         |       FROM tw WHERE doc_id % 20 <> 0),
+         |h AS (SELECT doc_id, pos,
+         |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM tr WHERE hit),
+         |runs AS (SELECT doc_id, COUNT(*) AS run FROM h GROUP BY doc_id, grp),
+         |mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_windows,
+         |         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit
+         |       FROM tr GROUP BY doc_id)
+         |SELECT pd.doc_id,
+         |  CAST(n_windows AS BIGINT) AS n_windows,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run,
+         |  COALESCE(max_run, 0) >= 8 AS flagged
+         |FROM pd LEFT JOIN mr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "t15_top_shingles" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
          |ex AS (SELECT doc_id, unnest(${shinglesSql("w")}) AS s FROM toks)
@@ -978,6 +1029,23 @@ object Text extends QueryPack {
         |   AND n_stop >= 2 AND dup_frac <= 0.3) AS keep
         |FROM m
         |ORDER BY id""".stripMargin,
+
+    // same two aggregates: word counts, then pair counts over the
+    // frequency-weighted vocabulary; same (count desc, pair) order
+    "t26_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        |p AS (
+        |  SELECT c, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM wc WHERE len(w) >= 2)
+        |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+        |FROM p
+        |GROUP BY pair
+        |ORDER BY n DESC, pair ASC
+        |LIMIT 20""".stripMargin,
 
     // the t2 quality formula + lang gate, t4 fingerprint keep-first,
     // and the t20 manifest arithmetic composed into one statement

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BpePairs, Contamination}
+
+class BpePairsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import SparkTestSession.sfDir
+
+  test("pair counts hand-computed on a fixture: vocab-weighted, in-word multiplicity") {
+    import spark.implicits._
+    // "low" x2, "lower" x1, "aaa" x1: lo=3, ow=3, we=1, er=1, aa=2 ("aaa"
+    // has two overlapping adjacent pairs), single-char "a" contributes none
+    val docs = Seq((1L, "low lower aaa"), (2L, "low a")).toDF("doc_id", "text")
+    val got = BpePairs.pairCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("lo" -> 3L, "ow" -> 3L, "we" -> 1L, "er" -> 1L, "aa" -> 2L))
+  }
+
+  test("vocabulary-weighted counting equals the naive corpus-level pair explode") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = BpePairs.pairCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // naive: every token occurrence explodes its own pairs
+    val naive = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === naive)
+  }
+
+  test("topPairs is the (count desc, pair asc) prefix of pairCounts") {
+    val docs = Tables.documents(spark, sfDir)
+    val top = BpePairs.topPairs(docs, "text", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val all = BpePairs.pairCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, n) => (-n, p) }.take(5).toSeq
+    assert(top === all)
+  }
+
+  test("spanFlags: islands of consecutive hits, flag threshold, clean docs report zero runs") {
+    import spark.implicits._
+    val eval = Seq((100L, "x1 x2 x3 x4 x5 x6 y7 y8 y9")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the verbatim 6-token eval span x1..x6 -> windows of n=3
+      // at 4 consecutive positions (runs: 4)
+      (1L, "a b c x1 x2 x3 x4 x5 x6 d e"),
+      // shares only a single 3-token window (x1 x2 x3) -> run 1
+      (2L, "x1 x2 x3 q r s t u v"),
+      // no overlap at all
+      (3L, "m n o p q r")
+    ).toDF("doc_id", "text")
+    val got = Contamination.spanFlags(train, "doc_id", "text", eval, "text",
+      n = 3, minRun = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("max_run"), r.getAs[Boolean]("flagged")))
+    assert(got === Array((1L, 4L, 4L, true), (2L, 1L, 1L, false), (3L, 0L, 0L, false)))
+  }
+
+  test("spanFlags finds the planted near-copies on the corpus; max_run implies the span length") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Contamination.spanFlags(
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 20 === 0), "text", n = 8, minRun = 8)
+    val flagged = out.filter(col("flagged")).count()
+    assert(flagged >= 1, "the sf0.01 corpus plants at least one near-copy across the split")
+    // a run can never exceed the doc's window count, and hits bound runs
+    val bad = out.filter(col("max_run") > col("n_windows") ||
+      col("max_run") > col("n_hit"))
+    assert(bad.isEmpty)
+  }
+}
