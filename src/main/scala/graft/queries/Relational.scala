@@ -28,6 +28,48 @@ import graft.Tables
   */
 object Relational extends QueryPack {
 
+  /** g1's oracle: the PageRank integer fixed-point iteration unrolled in
+    * DuckDB CTEs — same scale (1e12 units), same floor divisions in the
+    * same order, same 85/100 damping arithmetic as
+    * [[graft.operators.PageRank.run]].
+    */
+  private def pagerankSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""dang$i AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN out = 0 THEN r END), 0) AS BIGINT)
+         |    // (SELECT n FROM base) AS dsh
+         |  FROM $p),
+         |ctb$i AS (
+         |  SELECT e.dst AS node, CAST(SUM(p.r // p.out) AS BIGINT) AS contrib
+         |  FROM e JOIN $p p ON e.src = p.node
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT od.node, od.out,
+         |    (SELECT b FROM base)
+         |      + ((COALESCE(c.contrib, 0) + (SELECT dsh FROM dang$i)) * 85) // 100 AS r
+         |  FROM od LEFT JOIN ctb$i c ON od.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS src, 1000000000 + l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |od AS (
+       |  SELECT node, CAST(COALESCE(dg.c, 0) AS BIGINT) AS out
+       |  FROM nodes LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) dg
+       |    ON node = dg.src),
+       |base AS (SELECT (1000000000000 // n) AS pern,
+       |                ((1000000000000 // n) * 15) // 100 AS b, n FROM consts),
+       |r0 AS (SELECT node, out, (SELECT pern FROM base) AS r FROM od),
+       |$iterCtes
+       |SELECT CASE WHEN node >= 1000000000 THEN 'supplier' ELSE 'customer' END AS kind,
+       |  CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
+       |FROM r$iters
+       |ORDER BY rank DESC, node ASC
+       |LIMIT 20""".stripMargin
+  }
+
   /** Exact, order-insensitive sum of a double column via DECIMAL(18,2). */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def dsum(c: String): Column = dsum(col(c))
@@ -390,6 +432,25 @@ object Relational extends QueryPack {
         .orderBy(col("o_orderpriority"), col("rnk"))
     },
 
+    // deterministic integer PageRank over the customer->supplier graph
+    // (distinct trade edges from orders x lineitem; suppliers offset by
+    // 1e9 into a disjoint id space). 5 synchronous iterations in exact
+    // long fixed-point arithmetic — reproducible across engines and
+    // partitionings — then the top-20 nodes by rank.
+    "g1_pagerank" -> { (s, d) =>
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000000L)).as("dst"))
+      graft.operators.PageRank.run(edges, "src", "dst", iters = 5)
+        .select(
+          when(col("node") >= 1000000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+    },
+
     // exact interpolated percentiles per group (corpus length/value
     // distribution stats — the exact sibling of q22's sketch)
     "q23_percentiles" -> { (s, d) =>
@@ -491,6 +552,10 @@ object Relational extends QueryPack {
         |  FROM orders) t
         |WHERE rnk <= 3
         |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    // the same integer fixed-point iteration unrolled: every division a
+    // floor `//`, every sum a long sum — bit-identical by construction
+    "g1_pagerank" -> pagerankSql(iters = 5),
 
     "q23_percentiles" ->
       """SELECT l_returnflag,
