@@ -19,6 +19,12 @@ object Events extends QueryPack {
       EventsStream.hourlyByTypeBatch(Tables.events(s, d))
     },
 
+    // hourly top-3 trending event types (streaming twin:
+    // topTypesPerHourStream — finalized exactly once per hour)
+    "e12_top_types" -> { (s, d) =>
+      EventsStream.topTypesPerHourBatch(Tables.events(s, d), k = 3)
+    },
+
     // gap-based sessionization (streaming twin: sessionizeStream)
     "e2_sessionization" -> { (s, d) =>
       EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
@@ -156,6 +162,19 @@ object Events extends QueryPack {
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    // the ROW_NUMBER statement the bounded heap must equal
+    "e12_top_types" ->
+      """SELECT hour, rnk, event_type, n FROM (
+        |  SELECT hour, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY hour
+        |      ORDER BY n DESC, event_type ASC) AS rnk
+        |  FROM (
+        |    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        |    FROM events
+        |    GROUP BY 1, 2) c) t
+        |WHERE rnk <= 3
+        |ORDER BY hour, rnk""".stripMargin,
 
     "e2_sessionization" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

@@ -101,6 +101,65 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Batch form of the hourly top-k trending event types (oracle-checked
+    * as e12): per hour, the k most frequent types with deterministic
+    * (count desc, type asc) ranking. Composes the [[graft.functions
+    * .GraftFunctions.topk_by]] bounded-heap aggregate (q28's operator) on
+    * top of the hourly count — the exchange carries hours x partitions x
+    * k rows, never the full (hour, type) table through a sort.
+    */
+  def topTypesPerHourBatch(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("hour"))
+      .agg(graft.functions.GraftFunctions.topk_by(
+        struct((-col("n")).as("nn"), col("event_type")),
+        struct(col("event_type"), col("n")), k).as("top"))
+      .select(col("hour"), posexplode(col("top")).as(Seq("rnk0", "r")))
+      .select(col("hour"), (col("rnk0") + 1).cast("long").as("rnk"),
+        col("r.event_type").as("event_type"), col("r.n").as("n"))
+      .orderBy(col("hour"), col("rnk"))
+
+  case class HourTop(hour: java.sql.Timestamp, rnk: Long, event_type: String, n: Long)
+  case class TopCounts(counts: Map[String, Long])
+
+  /** Streaming form: per-hour type counts held as explicit state, the
+    * ranked top-k emitted EXACTLY ONCE per hour when the watermark passes
+    * the hour's end (append semantics — downstream sees only finalized
+    * rankings, the streaming analogue of the batch result). State per
+    * open hour is one (type -> count) map, bounded by the type vocabulary
+    * and dropped at emission; open hours are bounded by the watermark.
+    */
+  def topTypesPerHourStream(events: Dataset[Event], k: Int = 3,
+                            watermark: String = "2 hours"): Dataset[HourTop] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => e.ts.getTime / 3600000L * 3600000L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hourMs: Long, evs: Iterator[Event], state: GroupState[TopCounts]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .iterator.zipWithIndex.map { case ((t, n), i) =>
+                HourTop(new java.sql.Timestamp(hourMs), (i + 1).toLong, t, n)
+              }
+          } else {
+            val m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val upd = evs.foldLeft(m) { (acc, e) =>
+              acc.updated(e.event_type, acc.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(TopCounts(upd))
+            // finalize once the watermark passes the end of this hour
+            armTimeout(state, hourMs + 3600000L, 0L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Batch sessionization: a session ends after `gapMinutes` of user
     * inactivity (oracle-checked as e2 — lag + running flag sum).
     */

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{count, lit, window}
+import org.apache.spark.sql.functions.{col, count, lit, window}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventsStream
@@ -152,6 +152,50 @@ class StreamingSpec extends AnyFunSuite {
         .select("user_id", "event_id")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming hourly top-k types: finalized rankings match the batch operator") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.topTypesPerHourStream(input.toDS(), k = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("topk_out")
+      .start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      // push the watermark far past the last real hour so it finalizes
+      val lastTs = events.last.ts.getTime
+      val sentinel = Event(999999L,
+        new java.sql.Timestamp(lastTs + 24L * 3600000L), 1L, "sentinel", 0.0, "{}")
+      input.addData(Seq(sentinel))
+      q.processAllAvailable()
+      val sentinelHour = sentinel.ts.getTime / 3600000L * 3600000L
+      val streamed = spark.table("topk_out")
+        .filter(col("hour") =!= new java.sql.Timestamp(sentinelHour))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      // batch `hour` is timestamp_ntz (LocalDateTime) — cast back to a
+      // session-UTC timestamp so both sides compare as epoch millis
+      val batch = EventsStream.topTypesPerHourBatch(Tables.events(spark, sfDir), k = 3)
+        .withColumn("hour", col("hour").cast("timestamp"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+      // every finalized hour was emitted exactly once (no duplicate ranks)
+      val dupes = spark.table("topk_out").groupBy("hour", "rnk")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      assert(dupes.isEmpty)
     } finally q.stop()
   }
 
