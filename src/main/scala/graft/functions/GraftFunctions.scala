@@ -29,6 +29,9 @@ object GraftFunctions {
     toCol(VectorCentroid(toExpr(emb)).toAggregateExpression())
   def quantize_int8(a: Column): Column = toCol(QuantizeInt8(toExpr(a)))
   def dequantize_int8(a: Column): Column = toCol(DequantizeInt8(toExpr(a)))
+  def binary_quantize(a: Column): Column = toCol(BinaryQuantize(toExpr(a)))
+  def hamming_distance(a: Column, b: Column): Column =
+    toCol(HammingDistance(toExpr(a), toExpr(b)))
 
   /** Misra–Gries frequent-items sketch (candidates + lower bounds; see
     * [[MisraGries]]) — fixed k-entry buffer per partition, shuffle volume
@@ -102,6 +105,8 @@ object GraftFunctions {
     "l2_normalize"    -> { es => L2Normalize(es(0)) },
     "quantize_int8"   -> { es => QuantizeInt8(es(0)) },
     "dequantize_int8" -> { es => DequantizeInt8(es(0)) },
+    "binary_quantize" -> { es => BinaryQuantize(es(0)) },
+    "hamming_distance" -> { es => HammingDistance(es(0), es(1)) },
     "st_point"        -> { es => STPoint(cast(es(0), "double"), cast(es(1), "double")) },
     "st_geomfromtext" -> { es => STGeomFromText(es(0)) },
     "st_astext"       -> { es => STAsText(es(0)) },

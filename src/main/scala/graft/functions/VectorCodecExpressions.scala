@@ -84,6 +84,70 @@ case class QuantizeInt8(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** binary_quantize(v) -> array<long>: the 1-bit sign quantization used by
+  * binary-quantized vector search (public: Lucene/Elasticsearch BBQ
+  * lineage, Jacobs et al.). Element i sets bit (i % 64) of word (i / 64)
+  * iff v[i] >= 0 — 32x smaller than float32, and Hamming distance on the
+  * packed words (XOR + popcount) approximates angular distance well
+  * enough to nominate candidates for exact re-ranking
+  * ([[graft.operators.Knn.topKBinaryRefine]]). CodegenFallback like the
+  * int8 codec beside it: the kernel is a short branch-free loop, and the
+  * fallback keeps the whole codec family in one posture.
+  */
+case class BinaryQuantize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "binary_quantize"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkVectorTypes(Seq(child), prettyName)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (VectorExprUtil.elemAt(child, arr, i) >= 0.0) {
+        words(i / 64) |= 1L << (i % 64)
+      }
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** hamming_distance(a, b) -> int over packed sign words (XOR+popcount). */
+case class HammingDistance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def prettyName: String = "hamming_distance"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> sign-word vectors, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    require(x.numElements() == y.numElements(),
+      s"sign-word length mismatch: ${x.numElements()} vs ${y.numElements()}")
+    var d = 0
+    var i = 0
+    while (i < x.numElements()) {
+      d += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** dequantize_int8(struct(scale, q)) -> array<float>. */
 case class DequantizeInt8(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -194,6 +194,34 @@ object Knn {
       .limit(k)
   }
 
+  /** Two-stage binary-quantized kNN (the BQ shape public in Lucene/
+    * Elasticsearch): rank the corpus by Hamming distance over 1-bit sign
+    * quantizations (32x smaller than float32 — XOR + popcount per 64
+    * dims), then re-rank the r survivors by exact full-precision cosine.
+    * The probe's quantization constant-folds, so the scan-side work is
+    * one `hamming_distance` per row over dim/64 words; with the packed
+    * words stored as their own column the scan I/O drops 32-fold. The
+    * coarsest, cheapest member of the compressor family (int8 v10, PQ
+    * v12, truncation v18) — ties are broken by id, making the selection
+    * deterministic despite Hamming's coarse granularity.
+    */
+  def topKBinaryRefine(corpus: DataFrame, idCol: String, embCol: String,
+                       probe: Array[Float], k: Int, r: Int): DataFrame = {
+    require(r >= k, s"refine pool r=$r must be >= k=$k")
+    val emb = col(embCol).cast("array<float>")
+    val pool = corpus
+      .withColumn("dist_h", hamming_distance(
+        binary_quantize(emb), binary_quantize(vector_lit(probe))))
+      .orderBy(col("dist_h").asc, col(idCol).asc)
+      .limit(r)
+      .select(col(idCol)).collect().map(_.get(0)) // bounded by r
+    corpus
+      .filter(col(idCol).isin(pool: _*))
+      .withColumn("dist", cosine_distance(emb, vector_lit(probe)))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact all-pairs near-duplicate detection: pairs (id1 < id2) whose
     * cosine similarity exceeds `minSim`. O(n^2) — the verified exact
     * baseline, and the only complete method when `minSim` sits below the

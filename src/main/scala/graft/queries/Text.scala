@@ -409,6 +409,21 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Copy-on-write MERGE semantics: every doc_id % 3 == 0 row is
+    // updated (n_chars + 1000), every doc_id % 7 == 0 row re-inserted
+    // under a fresh key, everything else survives — one max_by
+    // precedence aggregate, no window sort.
+    "d13_upsert_merge" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val mods = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+      val inserts = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.operators.Upsert.merge(docs, mods.unionByName(inserts),
+        Seq("doc_id"), Seq("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental-load dedup: odd doc_ids arrive as the new batch, even
     // doc_ids are the standing corpus; keep only genuinely-new content
     // (fingerprint anti-join — the cross-dataset exact-dedup step).
@@ -875,6 +890,19 @@ object Text extends QueryPack {
          |FROM tr LEFT JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // the merge restated declaratively: updates as a CASE, inserts as a
+    // UNION ALL — the operator's precedence aggregate must be invisible
+    "d13_upsert_merge" ->
+      """WITH docs AS (SELECT doc_id, lang, n_chars FROM documents),
+        |merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars FROM docs WHERE doc_id % 7 = 0)
+        |SELECT doc_id, lang, n_chars FROM merged
+        |ORDER BY doc_id""".stripMargin,
 
     // positional windows (unnest pairing), the same broadcast-shaped IN
     // probe, and the pos - ROW_NUMBER() islands trick for run lengths

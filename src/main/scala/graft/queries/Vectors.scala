@@ -272,6 +272,16 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Binary-quantized ANN: Hamming distance over 1-bit sign words
+    // (32x-smaller scan) nominates 40 candidates, exact full-precision
+    // cosine re-ranks to top-10 — the coarsest compressor in the family
+    "v19_binary_refine" -> { (s, d) =>
+      graft.operators.Knn.topKBinaryRefine(Tables.embeddings(s, d),
+        "vec_id", "embedding", probeOf(s, d, 0L), k = 10, r = 40)
+        .select(col("vec_id").as("id"), col("label"))
+        .orderBy(col("id"))
+    },
+
     // The PERSISTED IVF-PQ index (on-disk FAISS IVFPQ shape, public):
     // codes stored PARTITIONED BY bucket with centroid + codebook
     // sidecars; the search reads only the nprobe bucket directories
@@ -784,6 +794,27 @@ object Vectors extends QueryPack {
         |  SELECT e.vec_id
         |  FROM embeddings e CROSS JOIN p
         |  ORDER BY 1 - list_cosine_similarity(e.embedding[1:16], p.pv[1:16]) ASC,
+        |           e.vec_id ASC
+        |  LIMIT 40),
+        |topk AS (
+        |  SELECT e.vec_id AS id, e.label
+        |  FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN p
+        |  ORDER BY 1 - list_cosine_similarity(e.embedding, p.pv) ASC, e.vec_id ASC
+        |  LIMIT 10)
+        |SELECT id, label FROM topk
+        |ORDER BY id""".stripMargin,
+
+    // the packed-word Hamming kernel restated as what it counts: the
+    // number of dimensions whose SIGN differs (popcount of XOR over sign
+    // bits == count of sign mismatches); then v18's exact re-rank shape
+    "v19_binary_refine" ->
+      """WITH p AS MATERIALIZED
+        |  (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT e.vec_id
+        |  FROM embeddings e CROSS JOIN p
+        |  ORDER BY len(list_filter(generate_series(1, 64),
+        |    i -> (e.embedding[i] >= 0) <> (p.pv[i] >= 0))) ASC,
         |           e.vec_id ASC
         |  LIMIT 40),
         |topk AS (

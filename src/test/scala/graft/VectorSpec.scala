@@ -457,6 +457,47 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("binary quantization: packed sign words, hamming = sign-mismatch count, two-stage refine contract") {
+    import spark.implicits._
+    // 65 dims -> 2 words; known sign pattern
+    val v = Array.tabulate(65)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val packed = Seq(Tuple1(v)).toDF("v")
+      .select(binary_quantize(col("v")).as("b"))
+      .head().getSeq[Long](0)
+    assert(packed.length === 2)
+    (0 until 65).foreach { i =>
+      val bit = (packed(i / 64) >> (i % 64)) & 1L
+      assert(bit === (if (i % 3 == 0) 1L else 0L), s"bit $i")
+    }
+    // hamming against a flipped-prefix copy = number of flipped signs
+    val w = v.clone(); (0 until 7).foreach(i => w(i) = -w(i))
+    val d = Seq((v, w)).toDF("a", "b")
+      .select(hamming_distance(binary_quantize(col("a")),
+        binary_quantize(col("b"))).as("d"))
+      .head().getInt(0)
+    assert(d === 7)
+    // operator contract on real embeddings: equals hand-composed
+    // hamming pool + exact cosine re-rank, and keeps the self-hit
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 42L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val k = 10; val r = 40
+    val got = Knn.topKBinaryRefine(e, "vec_id", "embedding", probe, k, r)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val pool = e
+      .withColumn("dh", hamming_distance(
+        binary_quantize(col("embedding").cast("array<float>")),
+        binary_quantize(vector_lit(probe))))
+      .orderBy(col("dh").asc, col("vec_id").asc).limit(r)
+      .select("vec_id").collect().map(_.getLong(0))
+    val expected = e.filter(col("vec_id").isin(pool: _*))
+      .withColumn("dist", cosine_distance(col("embedding").cast("array<float>"), vector_lit(probe)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    assert(got.contains(42L)) // probe's own words are hamming-0
+  }
+
   test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
