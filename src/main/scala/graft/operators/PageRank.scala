@@ -63,13 +63,20 @@ object PageRank {
     ew.count()
     val perNode = scale / n
     val base = perNode * 15L / 100L
+    // ONE action per iteration: the dangling-mass aggregate doubles as
+    // the eager materialization of the freshly-persisted ranks (the agg
+    // touches every partition, filling the cache), so each synchronous
+    // step costs exactly one job — not a count plus a scalar aggregate
+    def dangOf(df: DataFrame): Long = {
+      val row = df.agg(sum(when(col("out") === 0L, col("r")))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var ranks = od.select(col("node"), col("out"), lit(perNode).as("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+    var dang = dangOf(ranks)
     var i = 0
     while (i < iters) {
-      val dangRow = ranks.filter(col("out") === 0L).agg(sum(col("r"))).head()
-      val dangShare = (if (dangRow.isNullAt(0)) 0L else dangRow.getLong(0)) / n
+      val dangShare = dang / n
       val contrib = ew
         .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
         .select(col("dst").as("node"),
@@ -81,7 +88,7 @@ object PageRank {
             (coalesce(col("contrib"), lit(0L)) + lit(dangShare)) * lit(85L),
             lit(100L))).as("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the previous iteration
+      dang = dangOf(next) // materializes next before releasing the previous
       ranks.unpersist()
       ranks = next
       i += 1

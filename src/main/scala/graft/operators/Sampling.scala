@@ -53,6 +53,43 @@ object Sampling {
       .filter(col("sample_rank") <= quota)
   }
 
+  /** Temperature-based mixture sampling — the multilingual/multi-source
+    * data-balancing rule public in the XLM-R / mT5 reports: stratum i
+    * receives budget proportional to n_i^alpha, with alpha < 1 flattening
+    * the head so low-resource strata are over-represented relative to raw
+    * counts. Computes the quotas from the corpus and delegates selection
+    * to [[mixtureHead]].
+    *
+    * Determinism: n^alpha is nano-quantized (floor(x * 1e9)) BEFORE the
+    * normalization, so quota arithmetic is exact integer — no float
+    * summation order anywhere (the hashSplit-boundaries posture). With
+    * the default alpha = 0.5 the power is IEEE sqrt (correctly rounded,
+    * engine-portable → oracle-exact); other alphas ride libm pow, fine
+    * for pipelines but documented as not bit-portable cross-engine.
+    *
+    * The stratum count table collects to the driver — bounded by stratum
+    * cardinality (languages/sources), the same contract quotas-as-a-Map
+    * already implies.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+                         budget: Long, alpha: Double = 0.5,
+                         salt: String = "graft"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha out of (0, 1]")
+    val counts = df.groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMixture: empty input")
+    val qn = counts.map { case (s, n) =>
+      val x = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      (s, math.floor(x * 1e9).toLong)
+    }
+    val tot = qn.map(_._2).sum
+    val quotas = qn.map { case (s, q) => (s, (budget * q / tot).toInt) }.toMap
+    mixtureHead(df, strataCol, idCol, quotas, salt)
+  }
+
   /** Approximate-fraction Bernoulli sample, deterministic in (salt, data):
     * keeps rows whose hash falls below the threshold. Unlike
     * `df.sample()`, membership is a pure function of the row id — stable

@@ -181,6 +181,17 @@ object Text extends QueryPack {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // Temperature-flattened mixture (alpha=0.5): per-lang quotas
+    // proportional to sqrt(n), nano-quantized to exact integer
+    // arithmetic, selection in deterministic hash order
+    "t27_temperature_mixture" -> { (s, d) =>
+      graft.operators.Sampling.temperatureMixture(
+        Tables.documents(s, d), "lang", "doc_id", budget = 200L)
+        .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+
     // Fuzzy entity matching: per-brand count of part-name pairs within
     // edit distance 5, BLOCKED on (brand, type) so the comparison
     // space is per-block pairs, never the global n^2 — the standard
@@ -1160,6 +1171,26 @@ object Text extends QueryPack {
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |GROUP BY 1
         |ORDER BY brand""".stripMargin,
+
+    // sqrt is IEEE correctly-rounded in both engines; the quota split is
+    // integer after the nano-quantize, the selection t16's hash order
+    "t27_temperature_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |q AS (SELECT lang,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS qn
+        |      FROM c),
+        |tot AS (SELECT CAST(SUM(qn) AS BIGINT) AS t FROM q),
+        |quota AS (SELECT lang, (200 * qn) // (SELECT t FROM tot) AS k FROM q),
+        |ranked AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+        |      ORDER BY md5('graft' || CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents d)
+        |SELECT lang, sample_rank, doc_id
+        |FROM ranked JOIN quota USING (lang)
+        |WHERE sample_rank <= k
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     "t16_mixture_sample" ->
       """SELECT lang, sample_rank, doc_id FROM (

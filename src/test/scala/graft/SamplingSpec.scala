@@ -29,6 +29,41 @@ class SamplingSpec extends AnyFunSuite {
 
   private def docs = Tables.documents(spark, sfDir)
 
+  test("temperatureMixture: sqrt-proportional quotas, flattening vs raw counts, budget bound") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // n = 100 vs 25: sqrt -> 10e9 vs 5e9 units; budget 3 -> quotas 2 and 1
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val got = Sampling.temperatureMixture(df, "lang", "doc_id", budget = 3L)
+      .collect().map(r => r.getString(1))
+    val byLang = got.groupBy(identity).view.mapValues(_.length).toMap
+    assert(byLang === Map("big" -> 2, "small" -> 1))
+    // alpha=1 is proportional: 4:1 on an exact 80/20 split of budget 5
+    val prop = Sampling.temperatureMixture(df, "lang", "doc_id", budget = 5L, alpha = 1.0)
+      .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(prop === Map("big" -> 4, "small" -> 1))
+    // flattening: alpha=0.5 gives the small stratum a LARGER share than alpha=1
+    val shareHalf = byLang("small").toDouble / got.length
+    val shareProp = prop("small").toDouble / prop.values.sum
+    assert(shareHalf > shareProp)
+    // floor split never exceeds the budget on the corpus
+    val total = Sampling.temperatureMixture(docs, "lang", "doc_id", budget = 200L).count()
+    assert(total <= 200L && total > 0L)
+    // selection is the mixtureHead hash order: prefix-consistent with t16's machinery
+    val sel = Sampling.temperatureMixture(df, "lang", "doc_id", budget = 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val manual = Sampling.mixtureHead(df, "lang", "doc_id", Map("big" -> 2, "small" -> 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel === manual)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "lang", "doc_id", budget = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "lang", "doc_id", budget = 5L, alpha = 1.5)
+    }
+  }
+
   test("hashSample: deterministic, partition-independent, nested across fractions") {
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
