@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass table profiling — the ANALYZE/statistics surface every
+  * engine grows: per-column row count, null count, exact distinct count,
+  * and min/max, for any subset of columns, in ONE scan. The reference
+  * exposes no statistics endpoint; this extends the SURVEY §2 engine
+  * surface (optimizer statistics, data-quality monitoring, drift checks
+  * between pipeline runs).
+  *
+  * Scale design: all per-column aggregates compute in a single wide
+  * aggregation over one scan — 4 x |cols| agg expressions, no
+  * per-column pass, no join; the 1 x (4|cols|) row is then unpivoted
+  * driver-free with `stack`. Exact distincts shuffle one hash-aggregate;
+  * swap in approx_count_distinct for a shuffle-free profile at 100 TB
+  * (the exact form is the oracle-checkable default).
+  *
+  * Output typing keeps the compare engine-portable: numeric min/max in
+  * DOUBLE columns (stored values, no arithmetic), string/temporal
+  * min/max in STRING columns (dates render ISO — identical text in both
+  * engines); the inapplicable pair is NULL. Column order of the output
+  * follows the requested `cols`.
+  */
+object Profile {
+
+  def table(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c), s"profile: no column '$c'"))
+    def isNumeric(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs = cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val base = Seq(
+        count(col(c)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"))
+      val mm =
+        if (isNumeric(dt)) Seq(
+          min(col(c)).cast("double").as(s"${c}__minn"),
+          max(col(c)).cast("double").as(s"${c}__maxn"),
+          lit(null).cast("string").as(s"${c}__mins"),
+          lit(null).cast("string").as(s"${c}__maxs"))
+        else Seq(
+          lit(null).cast("double").as(s"${c}__minn"),
+          lit(null).cast("double").as(s"${c}__maxn"),
+          min(col(c)).cast("string").as(s"${c}__mins"),
+          max(col(c)).cast("string").as(s"${c}__maxs"))
+      base ++ mm
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // unpivot the single wide row: one stack() branch per column
+    val branches = cols.map { c =>
+      s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__minn`, `${c}__maxn`, `${c}__mins`, `${c}__maxs`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $branches) as " +
+        "(column, n_rows, n_non_null, n_distinct, min_num, max_num, min_str, max_str)")
+      .withColumn("n_null", col("n_rows") - col("n_non_null"))
+      .select(col("column"), col("n_rows"), col("n_null"), col("n_non_null"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"))
+  }
+}

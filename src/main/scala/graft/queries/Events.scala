@@ -25,6 +25,15 @@ object Events extends QueryPack {
       EventsStream.topTypesPerHourBatch(Tables.events(s, d), k = 3)
     },
 
+    // trailing-window volume anomalies: the exact integer z-test
+    // (n*c - s)^2 > z^2*(c*q - s^2) over the previous 24 observed hours
+    // per type — no float anywhere, bit-reproducible
+    "e13_count_anomalies" -> { (s, d) =>
+      graft.operators.Anomaly.trailingCountAnomalies(
+        Tables.events(s, d), "ts", "event_type")
+        .orderBy(col("hour"), col("event_type"))
+    },
+
     // gap-based sessionization (streaming twin: sessionizeStream)
     "e2_sessionization" -> { (s, d) =>
       EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
@@ -175,6 +184,26 @@ object Events extends QueryPack {
         |    GROUP BY 1, 2) c) t
         |WHERE rnk <= 3
         |ORDER BY hour, rnk""".stripMargin,
+
+    // same hourly pre-aggregate, same ROWS frame, same integer z-test
+    "e13_count_anomalies" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT hour, event_type, n,
+        |    COUNT(n) OVER w AS base_cnt,
+        |    COALESCE(SUM(n) OVER w, 0) AS base_sum,
+        |    COALESCE(SUM(n * n) OVER w, 0) AS base_sq
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour, event_type, n, CAST(base_cnt AS BIGINT) AS base_cnt,
+        |  base_cnt >= 8 AND
+        |    (n * base_cnt - base_sum) * (n * base_cnt - base_sum)
+        |      > 4 * (base_cnt * base_sq - base_sum * base_sum) AS flag
+        |FROM b
+        |ORDER BY hour, event_type""".stripMargin,
 
     "e2_sessionization" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

@@ -451,6 +451,15 @@ object Relational extends QueryPack {
         .limit(20)
     },
 
+    // single-pass table profile (the ANALYZE surface): per-column nulls,
+    // exact distincts, typed min/max — 4x|cols| aggregates over ONE scan,
+    // unpivoted with stack()
+    "q29_profile" -> { (s, d) =>
+      graft.operators.Profile.table(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy(col("column"))
+    },
+
     // exact interpolated percentiles per group (corpus length/value
     // distribution stats — the exact sibling of q22's sketch)
     "q23_percentiles" -> { (s, d) =>
@@ -556,6 +565,36 @@ object Relational extends QueryPack {
     // the same integer fixed-point iteration unrolled: every division a
     // floor `//`, every sum a long sum — bit-identical by construction
     "g1_pagerank" -> pagerankSql(iters = 5),
+
+    // one UNION ALL branch per column: same counts, same typed min/max
+    // slots (numeric as DOUBLE values, temporal/string as text)
+    "q29_profile" ->
+      """SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(l_orderkey) AS n_null, COUNT(l_orderkey) AS n_non_null,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+        |  COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+        |  CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+        |  NULL, NULL
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |  COUNT(l_returnflag), COUNT(DISTINCT l_returnflag),
+        |  NULL, NULL,
+        |  CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+        |  COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
+        |  NULL, NULL,
+        |  CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY "column"""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,
