@@ -34,6 +34,23 @@ object Events extends QueryPack {
         .orderBy(col("hour"), col("event_type"))
     },
 
+    // weekly retention cohorts: users bucketed by first-seen week, the
+    // distinct-user count per (cohort, weeks-since) cell — two combinable
+    // aggregates and one user-keyed join, all integer arithmetic
+    "e14_retention_cohorts" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstWeek = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      activity.join(firstWeek, Seq("user_id"))
+        .withColumn("weeks_since", (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+        .groupBy(col("cohort").cast("timestamp_ntz").as("cohort_week"), col("weeks_since"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    },
+
     // gap-based sessionization (streaming twin: sessionizeStream)
     "e2_sessionization" -> { (s, d) =>
       EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
@@ -204,6 +221,19 @@ object Events extends QueryPack {
         |      > 4 * (base_cnt * base_sq - base_sum * base_sum) AS flag
         |FROM b
         |ORDER BY hour, event_type""".stripMargin,
+
+    // same two aggregates + join; weeks_since the same exact day-diff // 7
+    "e14_retention_cohorts" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT fw.cohort AS cohort_week,
+        |  CAST(date_diff('day', fw.cohort, act.wk) // 7 AS BIGINT) AS weeks_since,
+        |  COUNT(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN fw USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     "e2_sessionization" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

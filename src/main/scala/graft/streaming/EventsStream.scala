@@ -160,6 +160,62 @@ object EventsStream {
       }
   }
 
+  case class HourFlag(hour: java.sql.Timestamp, event_type: String, n: Long,
+      base_cnt: Long, flag: Boolean)
+  case class AnomState(open: Map[Long, Long], closed: Vector[(Long, Long)])
+
+  /** Streaming twin of [[graft.operators.Anomaly.trailingCountAnomalies]]:
+    * per key, open hours accumulate counts as explicit state; when the
+    * watermark passes an hour's end the hour is finalized IN ORDER
+    * against the trailing deque of the last `window` closed hours using
+    * the same exact integer z-test, emitted exactly once (append), and
+    * pushed onto the baseline. State per key is bounded:
+    * watermark-open hours plus `window` closed (hour, count) pairs —
+    * the streaming form of the batch ROWS frame, observed-hours
+    * semantics included (an hour with no events never enters either
+    * side's baseline).
+    */
+  def countAnomaliesStream(events: Dataset[Event], window: Int = 24, z: Int = 2,
+                           minBaseline: Int = 8,
+                           watermark: String = "2 hours"): Dataset[HourFlag] = {
+    import events.sparkSession.implicits._
+    val zz = z.toLong * z
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, evs: Iterator[Event], state: GroupState[AnomState]) =>
+          var st = state.getOption.getOrElse(AnomState(Map.empty, Vector.empty))
+          val upd = evs.foldLeft(st.open) { (m, e) =>
+            val h = e.ts.getTime / 3600000L * 3600000L
+            m.updated(h, m.getOrElse(h, 0L) + 1L)
+          }
+          st = st.copy(open = upd)
+          // close every hour the watermark has passed, oldest first, each
+          // flagged against the baseline as of ITS close — the sequential
+          // semantics the batch ROWS frame states
+          val wm = state.getCurrentWatermarkMs()
+          val (done, still) = st.open.partition { case (h, _) => h + 3600000L <= wm }
+          val out = scala.collection.mutable.ArrayBuffer.empty[HourFlag]
+          var closed = st.closed
+          done.toSeq.sortBy(_._1).foreach { case (h, n) =>
+            val base = closed.takeRight(window)
+            val c = base.length.toLong
+            val s = base.iterator.map(_._2).sum
+            val q = base.iterator.map(p => p._2 * p._2).sum
+            val dev = n * c - s
+            val flag = c >= minBaseline && dev * dev > zz * (c * q - s * s)
+            out += HourFlag(new java.sql.Timestamp(h), key, n, c, flag)
+            closed = (closed :+ (h, n)).takeRight(window)
+          }
+          st = AnomState(still, closed)
+          state.update(st)
+          // wake when the earliest still-open hour can close
+          still.keys.minOption.foreach(h => armTimeout(state, h + 3600000L, 0L))
+          out.iterator
+      }
+  }
+
   /** Batch sessionization: a session ends after `gapMinutes` of user
     * inactivity (oracle-checked as e2 — lag + running flag sum).
     */

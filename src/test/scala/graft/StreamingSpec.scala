@@ -199,6 +199,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags: finalized hours match the batch integer z-test") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.countAnomaliesStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out")
+      .start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val lastTs = events.last.ts.getTime
+      input.addData(Seq(Event(999999L,
+        new java.sql.Timestamp(lastTs + 26L * 3600000L), 1L, "sentinel", 0.0, "{}")))
+      q.processAllAvailable()
+      val streamed = spark.table("anom_out")
+        .filter(col("event_type") =!= "sentinel")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+        .toSet
+      val batch = graft.operators.Anomaly
+        .trailingCountAnomalies(Tables.events(spark, sfDir), "ts", "event_type")
+        .withColumn("hour", col("hour").cast("timestamp"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+        .toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark finalizes windows and drops too-late events (append mode)") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
