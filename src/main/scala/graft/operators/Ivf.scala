@@ -325,6 +325,82 @@ object Ivf {
     } finally assigned.unpersist()
   }
 
+  /** Split oversized buckets of a saved index WITHOUT retraining the
+    * rest — the maintenance step after skewed appends: a hot bucket
+    * degrades both pruning power (nprobe buckets cover more rows) and
+    * tail latency (one partition dominates the probe scan). Buckets
+    * whose row count exceeds `maxBucketRows` are re-trained into
+    * `splitInto` sub-centroids on their own rows (the same deterministic
+    * seeded sampling + k-means as [[build]]), their rows re-assigned,
+    * and the centroid sidecar rewritten: sub-centroid 0 takes over the
+    * split bucket's id (the id space stays DENSE, which the
+    * array-indexed centroid ranking relies on) and the rest append at
+    * the tail. Untouched buckets' data files are never rewritten.
+    *
+    * Write protocol per split: re-assigned rows land under fresh bucket
+    * ids (sub-0 under a scratch id), the old directory is deleted, then
+    * the scratch directory renames onto the old id — no window where
+    * rows exist only in memory. The steps are not atomic as a group
+    * (a crash between write and delete leaves the bucket duplicated, a
+    * state the next rebalance detects by the doubled count); run on a
+    * quiesced index, the normal posture for index maintenance.
+    * Returns the number of buckets split.
+    */
+  def rebalanceSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                     maxBucketRows: Long, splitInto: Int = 2, iters: Int = 5,
+                     sampleSize: Int = 100000, seed: Long = 42L): Int = {
+    require(maxBucketRows > 0, s"maxBucketRows must be positive, got $maxBucketRows")
+    require(splitInto >= 2, s"splitInto must be >= 2, got $splitInto")
+    import spark.implicits._
+    val centroids = loadCentroids(spark, path)
+    require(centroids.nonEmpty, s"$path carries no centroid sidecar — not a saved IVF index")
+    val sizes = spark.read.parquet(s"$path/data")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect()
+    val oversized = sizes.filter(_._2 > maxBucketRows).map(_._1).sorted
+    if (oversized.isEmpty) return 0
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cents = scala.collection.mutable.ArrayBuffer(centroids.toSeq: _*)
+    oversized.foreach { b =>
+      val rows = spark.read.parquet(s"$path/data")
+        .filter(col("bucket") === b).select(col("id"), col("emb"))
+      val sample = drawSample(rows, "id", "emb", splitInto, sampleSize, seed).map(_._2)
+      require(sample.length >= splitInto,
+        s"bucket $b sample ${sample.length} < splitInto $splitInto")
+      val sub = trainCentroids(sample, splitInto, iters)
+      // sub-0 will take over id b via directory rename; the rest get
+      // fresh tail ids now, with one scratch id past them for sub-0
+      val tailBase = cents.length
+      val scratch = tailBase + (splitInto - 1)
+      val bc = spark.sparkContext.broadcast(sub)
+      val reassigned = rows.as[(Long, Array[Float])]
+        .mapPartitions { iter =>
+          val cs = bc.value
+          iter.map { case (id, emb) =>
+            val j = nearestCentroid(emb, cs)
+            (id, emb, if (j == 0) scratch else tailBase + (j - 1))
+          }
+        }
+        .toDF("id", "emb", "bucket")
+      reassigned.write.mode("append").partitionBy("bucket").parquet(s"$path/data")
+      val oldDir = new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b")
+      val scratchDir = new org.apache.hadoop.fs.Path(s"$path/data/bucket=$scratch")
+      if (!fs.delete(oldDir, true))
+        throw new java.io.IOException(s"rebalance: failed deleting $oldDir")
+      // sub-0 can end up empty (every row nearer the other sub-centroids):
+      // no scratch dir was written, bucket b is simply empty after the split
+      if (fs.exists(scratchDir) && !fs.rename(scratchDir, oldDir))
+        throw new java.io.IOException(s"rebalance: failed renaming $scratchDir onto $oldDir")
+      cents(b) = sub(0)
+      cents ++= sub.drop(1)
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    oversized.length
+  }
+
   /** Query a saved index: centroid ranking on the driver, partition-pruned
     * scan of the nprobe nearest buckets, exact top-k within them.
     */

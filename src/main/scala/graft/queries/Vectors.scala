@@ -282,6 +282,23 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // IVF maintenance: save, split every above-average bucket (fresh
+    // sub-centroids on the bucket's own rows, id space kept dense,
+    // untouched buckets' files never rewritten), then search probing
+    // EVERY bucket — which must equal exact kNN: the rewrite lost or
+    // duplicated nothing, the oracle-checkable data-integrity statement
+    "v20_rebalanced_search" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      val path = s"/dev/shm/graft_ivf_v20_${new java.io.File(d).getName}"
+      graft.operators.Ivf.save(idx, path)
+      graft.operators.Ivf.rebalanceSaved(s, path,
+        maxBucketRows = e.count() / 8, splitInto = 2)
+      graft.operators.Ivf.searchSaved(s, path, probeOf(s, d, 0L), k = 10, nprobe = 64)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // The PERSISTED IVF-PQ index (on-disk FAISS IVFPQ shape, public):
     // codes stored PARTITIONED BY bucket with centroid + codebook
     // sidecars; the search reads only the nprobe bucket directories
@@ -802,6 +819,19 @@ object Vectors extends QueryPack {
         |  ORDER BY 1 - list_cosine_similarity(e.embedding, p.pv) ASC, e.vec_id ASC
         |  LIMIT 10)
         |SELECT id, label FROM topk
+        |ORDER BY id""".stripMargin,
+
+    // probing every bucket makes the index transparent: the result is
+    // exact cosine top-10 over the corpus regardless of the assignment,
+    // so the oracle states v1's selection — any row lost or duplicated
+    // by the rebalance rewrite would break the hash
+    "v20_rebalanced_search" ->
+      """SELECT vec_id AS id FROM (
+        |  SELECT vec_id
+        |  FROM embeddings
+        |  ORDER BY 1 - list_cosine_similarity(embedding,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, vec_id ASC
+        |  LIMIT 10) t
         |ORDER BY id""".stripMargin,
 
     // the packed-word Hamming kernel restated as what it counts: the

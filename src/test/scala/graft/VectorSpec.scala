@@ -498,6 +498,53 @@ class VectorSpec extends AnyFunSuite {
     assert(got.contains(42L)) // probe's own words are hamming-0
   }
 
+  test("rebalanceSaved: splits oversized buckets, preserves every row, leaves small buckets' files untouched") {
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-rebal").toString + "/idx"
+    Ivf.save(idx, path)
+    val total = e.count()
+    val before = spark.read.parquet(s"$path/data")
+      .groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val threshold = total / 8
+    val smallest = before.minBy(_._2)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    def filesOf(b: Int) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).toSet
+    val smallFilesBefore =
+      if (smallest._2 <= threshold) Some(filesOf(smallest._1)) else None
+    val exactBefore = Ivf.searchSaved(spark, path, Array.fill(64)(0.1f), 10, nprobe = 64)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val nSplit = Ivf.rebalanceSaved(spark, path, maxBucketRows = threshold, splitInto = 2)
+    assert(nSplit > 0, s"avg-threshold rebalance must split at least one bucket (sizes $before)")
+    val after = spark.read.parquet(s"$path/data")
+      .groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    // no row lost or duplicated, and ids unique
+    assert(after.values.sum === total)
+    assert(spark.read.parquet(s"$path/data").select("id").distinct().count() === total)
+    // every split produced strictly smaller pieces than the original
+    before.filter(_._2 > threshold).foreach { case (b, n) =>
+      assert(after.getOrElse(b, 0L) < n, s"bucket $b not reduced")
+    }
+    // untouched small bucket kept its exact files
+    smallFilesBefore.foreach(fb => assert(filesOf(smallest._1) === fb))
+    // the sidecar stayed dense over the grown bucket set
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("bucket").collect().map(_.getInt(0)).sorted
+    assert(cents.toSeq === (0 until cents.length).toSeq)
+    assert(cents.length === 8 + nSplit * 1)
+    // full-probe search is still exact: identical selection as before
+    val exactAfter = Ivf.searchSaved(spark, path, Array.fill(64)(0.1f), 10, nprobe = 64)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(exactAfter === exactBefore)
+    // nothing above a huge threshold: no-op returns 0 and changes nothing
+    assert(Ivf.rebalanceSaved(spark, path, maxBucketRows = total, splitInto = 2) === 0)
+  }
+
   test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
