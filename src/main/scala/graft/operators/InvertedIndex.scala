@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index — the lexical sibling of [[Ivf.save]]'s
+  * vector lifecycle: tokenize once, store posting lists forever, serve
+  * BM25 queries from a partition-pruned read instead of re-scanning the
+  * corpus text per query. [[Bm25.topK]] stays the from-scratch oracle
+  * path; this is what a 100 TB deployment actually queries.
+  *
+  * On-disk layout under `path`:
+  *  - `postings/` — (term, id, tf), PARTITIONED BY `tb` = pmod(hash(term),
+  *    buckets): a query touches only its terms' hash buckets (directory
+  *    pruning) and pushes `term IN (...)` into the parquet scan;
+  *  - `doclens/` — (id, dl), one row per document with >= 1 token;
+  *  - `stats/` — one row (n, sumdl, buckets): corpus size, total token
+  *    count, and the bucket fan-out the reader must re-derive keys with.
+  *
+  * Query cost: |terms| bucket directories scanned with the term filter
+  * pushed down, a |matched docs|-sized join against doclens for lengths
+  * (broadcast from the postings side — query-term postings are tiny
+  * next to the corpus), dfs collected bounded by |terms|, one top-k
+  * heap. Nothing corpus-sized moves.
+  *
+  * Scoring reproduces [[Bm25.topK]]'s arithmetic exactly: per-doc tf
+  * columns in the fixed query-term order (so the float sum association
+  * matches the one-pass form, not an unordered posting-sum), the same
+  * expression shape for idf and the saturation term.
+  */
+object InvertedIndex {
+
+  private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Build and persist the index. Returns the number of postings. */
+  def save(docs: DataFrame, idCol: String, textCol: String, path: String,
+           buckets: Int = 64): Long = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    val toks = tokens(docs, idCol, textCol)
+    val postings = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(buckets)))
+    postings.write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    val doclens = spark.read.parquet(s"$path/postings")
+      .groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    doclens.write.mode("overwrite").parquet(s"$path/doclens")
+    val stats = spark.read.parquet(s"$path/doclens")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .withColumn("buckets", lit(buckets))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    spark.read.parquet(s"$path/postings").count()
+  }
+
+  /** BM25 top-k from the saved index — same formula, same association,
+    * same tie-break as [[Bm25.topK]] on the original corpus.
+    */
+  def searchSaved(spark: SparkSession, path: String, terms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val n = statsRow.getAs[Long]("n")
+    val sumdl = statsRow.getAs[Long]("sumdl")
+    val buckets = statsRow.getAs[Int]("buckets")
+    // avgdl exactly as Average(long) computes it: sum.toDouble / count
+    val avgdl = sumdl.toDouble / n
+    // bucket keys via the engine's own hash (a |terms|-row local job —
+    // never re-implement Murmur3 driver-side)
+    import spark.implicits._
+    val tbs = qTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("tb"))
+      .collect().map(_.getInt(0)).distinct
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(tbs.map(Integer.valueOf): _*) &&
+        col("term").isin(qTerms: _*))
+    // dfs: bounded by |terms|
+    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-doc tf columns in fixed query order -> the same float-sum
+    // association as Bm25.topK's one-pass form
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
+    }
+    val perDoc = posts.groupBy(col("id")).agg(tfCols.head, tfCols.tail: _*)
+    val withDl = broadcast(perDoc)
+      .join(spark.read.parquet(s"$path/doclens"), Seq("id"))
+    val termScore: Int => org.apache.spark.sql.Column = { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val dft = dfs.getOrElse(qTerms(i), 0L).toDouble
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - lit(dft) + lit(0.5)) / (lit(dft) + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }
+    withDl
+      .withColumn("score", qTerms.indices.map(termScore).reduce(_ + _))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

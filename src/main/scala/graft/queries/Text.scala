@@ -231,6 +231,19 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // the same query served from the PERSISTED inverted index (postings
+    // hash-bucketed by term for directory pruning, doclens + stats
+    // sidecars): must select the identical ids as t18's from-scratch pass
+    "t28_inverted_search" -> { (s, d) =>
+      val path = s"/dev/shm/graft_invidx_${new java.io.File(d).getName}"
+      graft.operators.InvertedIndex.save(Tables.documents(s, d),
+        "doc_id", "text", path, buckets = 16)
+      graft.operators.InvertedIndex.searchSaved(s, path,
+        terms = Seq("spark", "join", "fast", "window"), k = 10)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // sequence-packing manifest (the concat-then-chunk training-data
     // layout): per-lang token streams in doc_id order cut every 256
     // tokens; each doc's span and window range fall out of one grouped
@@ -702,6 +715,34 @@ object Text extends QueryPack {
   private val fnvSql = SketchSql.FnvSql
   private def signedSql(u: String) = SketchSql.signedSql(u)
 
+  /** Shared by t18 (from-scratch BM25) and t28 (served from the saved
+    * inverted index): the Okapi formula restated verbatim — same
+    * tokenization, same N, same association in every float expression;
+    * ids only (the v7 last-ulp robustness argument).
+    */
+  private val Bm25TopIdsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, t.term
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+      |  WHERE t.term <> ''),
+      |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |q(term) AS (VALUES ('spark'), ('join'), ('fast'), ('window')),
+      |dft AS (
+      |  SELECT term, COUNT(DISTINCT id) AS df
+      |  FROM toks JOIN q USING (term) GROUP BY term),
+      |tf AS (
+      |  SELECT id, term, COUNT(*) AS tf
+      |  FROM toks JOIN q USING (term) GROUP BY id, term),
+      |sc AS (
+      |  SELECT tf.id,
+      |    SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * (1.2 + 1)
+      |      / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / s.avgdl))) AS score
+      |  FROM tf JOIN dft d USING (term) JOIN dl USING (id) CROSS JOIN stats s
+      |  GROUP BY tf.id),
+      |topk AS (SELECT id FROM sc ORDER BY score DESC, id ASC LIMIT 10)
+      |SELECT id FROM topk ORDER BY id""".stripMargin
+
   def sql: Map[String, String] = Map(
     "t1_token_stats" ->
       s"""SELECT doc_id,
@@ -956,28 +997,12 @@ object Text extends QueryPack {
     // the Okapi formula restated verbatim: same tokenization (whitespace
     // split of lowercased text, empties dropped), same N (docs with >= 1
     // token), same association in every float expression; ids only
-    "t18_bm25_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id, t.term
-        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
-        |  WHERE t.term <> ''),
-        |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
-        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
-        |q(term) AS (VALUES ('spark'), ('join'), ('fast'), ('window')),
-        |dft AS (
-        |  SELECT term, COUNT(DISTINCT id) AS df
-        |  FROM toks JOIN q USING (term) GROUP BY term),
-        |tf AS (
-        |  SELECT id, term, COUNT(*) AS tf
-        |  FROM toks JOIN q USING (term) GROUP BY id, term),
-        |sc AS (
-        |  SELECT tf.id,
-        |    SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * (1.2 + 1)
-        |      / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / s.avgdl))) AS score
-        |  FROM tf JOIN dft d USING (term) JOIN dl USING (id) CROSS JOIN stats s
-        |  GROUP BY tf.id),
-        |topk AS (SELECT id FROM sc ORDER BY score DESC, id ASC LIMIT 10)
-        |SELECT id FROM topk ORDER BY id""".stripMargin,
+    "t18_bm25_search" -> Bm25TopIdsSql,
+
+    // identical oracle to t18: the saved index's postings/doclens/stats
+    // are a lossless factoring of the same token stream, so the served
+    // selection must equal the from-scratch one
+    "t28_inverted_search" -> Bm25TopIdsSql,
 
     // the same grouped running sum stated in SQL; spans and window ids
     // are pure integer arithmetic on the shared token-count expression
