@@ -32,10 +32,15 @@ class ProfileSpec extends AnyFunSuite {
     assert(s.getLong(2) === 1L && s.getLong(4) === 2L)
     assert(s.getString(7) === "a" && s.getString(8) === "b")
     assert(s.isNullAt(5) && s.isNullAt(6))
-    // the whole profile reads its input exactly once (one leaf in the plan)
+    // two branches (distinct counts / min-max folds), never per-column
+    // passes: exactly two leaves regardless of column count
     val leaves = Profile.table(df, Seq("id", "x", "s"))
       .queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.size === 1)
+    assert(leaves.size === 2)
+    // and the expensive branch never sorts: no Sort below the aggregates
+    val plan = Profile.table(df, Seq("id", "x", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ["), s"unexpected Sort in profile plan:\n$plan")
     intercept[IllegalArgumentException] { Profile.table(df, Seq("nope")) }
     intercept[IllegalArgumentException] { Profile.table(df, Seq.empty) }
   }
