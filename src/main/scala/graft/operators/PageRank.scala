@@ -56,9 +56,11 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = od.count()
     require(n > 0, "PageRank needs at least one edge")
-    // edges pre-joined with their source's out-degree, partitioned once,
-    // reused every iteration
+    // edges pre-joined with their source's out-degree and HASH-PARTITIONED
+    // ON src once: every iteration's join then exchanges only the
+    // node-count-sized ranks table, never the edge list
     val ew = e.join(od.withColumnRenamed("node", "src"), Seq("src"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ew.count()
     val perNode = scale / n
