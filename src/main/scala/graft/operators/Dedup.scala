@@ -393,6 +393,56 @@ object Dedup {
     inc.join(seen, Seq("fp"), "left_anti").select(col("id"))
   }
 
+  /** One row per (doc, band); bucket key = hash of the band's signature
+    * slice (static band count -> plain column expressions, no lambda).
+    */
+  private def lshBanded(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Fuzzy incremental dedup — [[incrementalNew]]'s near-duplicate
+    * sibling: keep only incoming documents that are NOT near-duplicates
+    * (n-gram Jaccard >= minJaccard) of ANY standing document. The dedup
+    * step every recurring crawl ingest runs against its accumulated
+    * corpus, where exact fingerprints miss reformatted re-crawls.
+    *
+    * Scale shape: both sides reduce to banded LSH keys (fixed-size rows,
+    * the d3 posture) and meet in a bucket equi-join — incoming x standing
+    * never materializes; only bucket-colliding candidates are verified
+    * with exact Jaccard. The standing side's signatures are recomputed
+    * here from text; at 100 TB persist them once (they are 128 longs per
+    * doc) and feed the banded table directly — the shape is unchanged.
+    */
+  def incrementalNearDupNew(incoming: DataFrame, existing: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                            minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val shIn = shingled(incoming, idCol, textCol, n).cache()
+    val shEx = shingled(existing, idCol, textCol, n).cache()
+    def sig(sh: DataFrame) =
+      sh.withColumn("sig", minhash_signature(col("shingles"), numHashes))
+    val cand = lshBanded(sig(shIn), numHashes, bands).toDF("idn", "band", "bucket")
+      .join(lshBanded(sig(shEx), numHashes, bands).toDF("ide", "band", "bucket"),
+        Seq("band", "bucket"))
+      .select(col("idn"), col("ide"))
+      .distinct()
+    val dup = cand
+      .join(shIn.select(col("id").as("idn"), col("shingles").as("sh1")), "idn")
+      .join(shEx.select(col("id").as("ide"), col("shingles").as("sh2")), "ide")
+      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
+      .select(col("idn").as("id"))
+      .distinct()
+    incoming.select(col(idCol).as("id"))
+      .join(dup, Seq("id"), "left_anti")
+  }
+
   /** MinHash-LSH near-dup pairs: signature -> banded buckets -> candidate
     * pairs -> exact Jaccard verification on the candidates only.
     */

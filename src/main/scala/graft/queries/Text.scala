@@ -448,6 +448,17 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Fuzzy incremental dedup: the same odd-vs-even split, but NEAR-dup
+    // (MinHash-LSH banded bucket join + exact Jaccard verify) instead of
+    // exact fingerprints — catches reformatted re-crawls d6 misses
+    "d14_incremental_near_dup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDupNew(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
     // Incremental-load dedup: odd doc_ids arrive as the new batch, even
     // doc_ids are the standing corpus; keep only genuinely-new content
     // (fingerprint anti-join — the cross-dataset exact-dedup step).
@@ -1338,6 +1349,39 @@ object Text extends QueryPack {
          |WHERE len(list_intersect(s1.shingles, s2.shingles)) * 1.0
          |      / len(list_distinct(s1.shingles || s2.shingles)) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
+
+    // d3's full-pipeline signature/banding/verify restated over the
+    // odd-vs-even split: candidates are incoming x standing bucket
+    // collisions, the survivors are incoming ids with NO verified match
+    "d14_incremental_near_dup" ->
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${shinglesSql(toksSql)} AS shingles FROM documents),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |bases AS (SELECT doc_id, $fnvSql AS base FROM ex),
+         |m0 AS (SELECT doc_id, i, ${addModU("base", mulModU("CAST(i AS UBIGINT)", 0x9e3779b97f4a7c15L))} AS z
+         |       FROM bases, generate_series(1, 128) AS g(i)),
+         |m1 AS (SELECT doc_id, i, ${mulModU("xor(z, z >> 30)", 0xbf58476d1ce4e5b9L)} AS z FROM m0),
+         |m2 AS (SELECT doc_id, i, ${mulModU("xor(z, z >> 27)", 0x94d049bb133111ebL)} AS z FROM m1),
+         |m3 AS (SELECT doc_id, i, xor(z, z >> 31) AS u FROM m2),
+         |slots AS (
+         |  SELECT doc_id, i, MIN(${signedSql("u")}) AS slot
+         |  FROM m3 GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+         |banded AS MATERIALIZED (
+         |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS slc
+         |  FROM sig, generate_series(0, 31) AS g(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS idn, b.doc_id AS ide
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.slc = b.slc
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |dup AS (
+         |  SELECT DISTINCT idn FROM cand
+         |  JOIN sh s1 ON s1.doc_id = idn
+         |  JOIN sh s2 ON s2.doc_id = ide
+         |  WHERE len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+         |        / len(list_distinct(s1.shingles || s2.shingles)) >= 0.5)
+         |SELECT doc_id AS id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT idn FROM dup)
+         |ORDER BY id""".stripMargin,
 
     // SimHash restated in SQL: FNV-1a per shingle, per-bit +/-1 majority
     // vote over 64 bits, fingerprint rebuilt as UBIGINT, 4 x 16-bit chunk

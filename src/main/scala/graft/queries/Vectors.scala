@@ -299,6 +299,27 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019, public): for
+    // every label-0 "source" vector, its two nearest label-1 "target"
+    // vectors (the batch kNN join, k=2), mined iff the ratio margin
+    // sim1/sim2 clears 1.2 — the absolute-threshold-free criterion
+    // parallel-corpus mining uses. Sims re-derived as 1 - dist so the
+    // oracle can state the IDENTICAL double expression.
+    "v21_margin_mining" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val knn = graft.operators.Knn.knnJoin(
+        e.filter(col("label") === 1), "vec_id", "embedding",
+        e.filter(col("label") === 0), "vec_id", "embedding", k = 2)
+      knn.groupBy(col("probe_id").as("src_id"))
+        .agg(max(when(col("rnk") === 1, col("corpus_id"))).as("tgt1"),
+          max(when(col("rnk") === 1, col("dist"))).as("d1"),
+          max(when(col("rnk") === 2, col("corpus_id"))).as("tgt2"),
+          max(when(col("rnk") === 2, col("dist"))).as("d2"))
+        .select(col("src_id"), col("tgt1"), col("tgt2"),
+          ((lit(1.0) - col("d1")) / (lit(1.0) - col("d2")) > 1.2).as("mined"))
+        .orderBy(col("src_id"))
+    },
+
     // The PERSISTED IVF-PQ index (on-disk FAISS IVFPQ shape, public):
     // codes stored PARTITIONED BY bucket with centroid + codebook
     // sidecars; the search reads only the nprobe bucket directories
@@ -833,6 +854,29 @@ object Vectors extends QueryPack {
         |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, vec_id ASC
         |  LIMIT 10) t
         |ORDER BY id""".stripMargin,
+
+    // v3's knnJoin oracle shape restricted to the label split, pivoted;
+    // the margin states the same (1 - d) double pipeline the engine
+    // computes (NOT the raw similarity — 1-(1-s) differs from s in floats)
+    "v21_margin_mining" ->
+      """WITH r AS (
+        |  SELECT p.vec_id AS src_id, c.vec_id AS tgt_id,
+        |    1 - list_cosine_similarity(c.embedding, p.embedding) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY 1 - list_cosine_similarity(c.embedding, p.embedding) ASC,
+        |               c.vec_id ASC) AS rnk
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.label = 0 AND c.label = 1),
+        |piv AS (
+        |  SELECT src_id,
+        |    MAX(CASE WHEN rnk = 1 THEN tgt_id END) AS tgt1,
+        |    MAX(CASE WHEN rnk = 1 THEN d END) AS d1,
+        |    MAX(CASE WHEN rnk = 2 THEN tgt_id END) AS tgt2,
+        |    MAX(CASE WHEN rnk = 2 THEN d END) AS d2
+        |  FROM r WHERE rnk <= 2 GROUP BY src_id)
+        |SELECT src_id, tgt1, tgt2, (1 - d1) / (1 - d2) > 1.2 AS mined
+        |FROM piv
+        |ORDER BY src_id""".stripMargin,
 
     // the packed-word Hamming kernel restated as what it counts: the
     // number of dimensions whose SIGN differs (popcount of XOR over sign

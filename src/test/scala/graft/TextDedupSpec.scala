@@ -655,6 +655,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ids === Seq(11L))
   }
 
+  test("incremental NEAR-dup: reformatted re-crawls drop, fresh and below-threshold content survives") {
+    // standing corpus; incoming has a near-copy (one token changed over a
+    // long shared run -> jaccard >> 0.5), an exact re-crawl, a doc sharing
+    // only a little (< 0.5), and genuinely fresh content
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val existing = textDf((2L, base), (4L, "completely different standing text here"))
+    val incoming = textDf(
+      (1L, base.replace("mu", "nu")),          // near-dup of 2 -> dropped
+      (3L, base),                              // exact re-crawl of 2 -> dropped
+      (5L, "alpha beta gamma then nothing in common with anything else at all"),
+      (7L, "entirely fresh incoming content nothing shared"))
+    val kept = Dedup.incrementalNearDupNew(incoming, existing, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept === Seq(5L, 7L))
+    // equality with the exact cross-side Jaccard definition on the corpus split
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    val ext = docs.filter(col("doc_id") % 2 === 0)
+    val got = Dedup.incrementalNearDupNew(inc, ext, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    import graft.functions.TextFunctions.shingle_set
+    val exactDup = inc.select(col("doc_id").as("idn"), shingle_set(col("text"), 3).as("s1"))
+      .crossJoin(ext.select(col("doc_id").as("ide"), shingle_set(col("text"), 3).as("s2")))
+      .filter(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        size(array_union(col("s1"), col("s2"))) >= 0.5)
+      .select("idn").distinct().collect().map(_.getLong(0)).toSet
+    val expected = inc.select("doc_id").collect().map(_.getLong(0)).toSet -- exactDup
+    assert(got === expected)
+  }
+
   test("exact dup groups: synthetic exact dups collapse to one keeper") {
     val docs = textDf((1L, "Same  Text"), (2L, "same text"), (3L, "other text"))
     val groups = Dedup.exactDupGroups(docs, "doc_id", "text")

@@ -545,6 +545,26 @@ class VectorSpec extends AnyFunSuite {
     assert(Ivf.rebalanceSaved(spark, path, maxBucketRows = total, splitInto = 2) === 0)
   }
 
+  test("margin mining: equals per-probe top-2 + ratio margin; both outcomes present") {
+    val e = Tables.embeddings(spark, sfDir)
+    val src = e.filter(col("label") === 0)
+    val tgt = e.filter(col("label") === 1)
+    val got = SparkEntry.queries("v21_margin_mining")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // hand-compose per probe: exact top-2 over the target side, ratio margin
+    val tgtRows = tgt.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val srcRows = src.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = srcRows.map { case (sid, sv) =>
+      val ds = tgtRows.map { case (tid, tv) => (Knn.cosineDist(sv, tv), tid) }.sorted
+      val (d1, t1) = ds(0); val (d2, t2) = ds(1)
+      (sid, t1, t2, (1.0 - d1) / (1.0 - d2) > 1.2)
+    }.sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+    assert(got.exists(_._4) && got.exists(!_._4), "threshold should split the corpus")
+  }
+
   test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
