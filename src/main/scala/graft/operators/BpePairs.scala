@@ -52,4 +52,23 @@ object BpePairs {
     pairCounts(docs, textCol)
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
+
+  /** Frequency-filtered vocabulary with deterministic id assignment:
+    * tokens with corpus count >= minCount, ids 0.. in (count desc, token
+    * asc) order — the id layout every frequency-sorted tokenizer vocab
+    * uses (frequent tokens get small ids). The ranking window runs over
+    * the VOCABULARY (corpus-independent size, orders of magnitude below
+    * the text), so its single-partition sort is the same deliberate
+    * small-data trade as q25's time frame — the corpus-sized work is the
+    * one combinable word-count aggregate.
+    */
+  def vocab(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    wordCounts(docs, textCol)
+      .filter(col("c") >= minCount)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("c").desc, col("w").asc)) - 1).cast("long"))
+      .select(col("token_id"), col("w").as("token"), col("c").as("n"))
+  }
 }

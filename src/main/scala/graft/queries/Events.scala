@@ -51,6 +51,12 @@ object Events extends QueryPack {
         .orderBy(col("cohort_week"), col("weeks_since"))
     },
 
+    // dimension-enriched hourly counts (streaming twin: the stream-static
+    // join form in enrichedHourlyStream)
+    "e15_enriched_hourly" -> { (s, d) =>
+      EventsStream.enrichedHourlyBatch(Tables.events(s, d), Tables.customer(s, d))
+    },
+
     // gap-based sessionization (streaming twin: sessionizeStream)
     "e2_sessionization" -> { (s, d) =>
       EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
@@ -234,6 +240,14 @@ object Events extends QueryPack {
         |FROM act JOIN fw USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "e15_enriched_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, c_mktsegment AS segment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY hour, segment""".stripMargin,
 
     "e2_sessionization" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

@@ -293,6 +293,14 @@ object Text extends QueryPack {
       graft.operators.BpePairs.topPairs(Tables.documents(s, d), "text", k = 20)
     },
 
+    // frequency-filtered vocabulary: tokens with count >= 100, ids in
+    // (count desc, token) order — the frequency-sorted id layout
+    // tokenizer vocabularies use
+    "t29_vocab_build" -> { (s, d) =>
+      graft.operators.BpePairs.vocab(Tables.documents(s, d), "text", minCount = 100L)
+        .orderBy(col("token_id"))
+    },
+
     // the composed curation pipeline as one plan: quality+lang gate ->
     // exact dedup keep-first (min_by on the canonical fingerprint) ->
     // per-lang packing manifest. One oracle over the whole flow.
@@ -1104,6 +1112,18 @@ object Text extends QueryPack {
         |   AND n_stop >= 2 AND dup_frac <= 0.3) AS keep
         |FROM m
         |ORDER BY id""".stripMargin,
+
+    // same count/filter/rank pipeline; ROW_NUMBER over the same order
+    "t29_vocab_build" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) - 1 AS BIGINT) AS token_id,
+        |  w AS token, c AS n
+        |FROM wc
+        |WHERE c >= 100
+        |ORDER BY token_id""".stripMargin,
 
     // same two aggregates: word counts, then pair counts over the
     // frequency-weighted vocabulary; same (count desc, pair) order

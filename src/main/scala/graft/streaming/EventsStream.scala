@@ -122,6 +122,39 @@ object EventsStream {
         col("r.event_type").as("event_type"), col("r.n").as("n"))
       .orderBy(col("hour"), col("rnk"))
 
+  /** Batch form of dimension-enriched hourly counts (oracle-checked as
+    * e15): events join the customer dimension on user_id and aggregate
+    * per (hour, market segment). The dimension is genuinely-fixed-size
+    * relative to the stream, so it broadcasts.
+    */
+  def enrichedHourlyBatch(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy(col("hour"), col("segment"))
+
+  /** Streaming form: the STREAM-STATIC join — each micro-batch joins the
+    * static dimension snapshot (re-read per trigger by Structured
+    * Streaming's semantics, so dimension updates between triggers are
+    * picked up), then the watermarked windowed aggregate. State is the
+    * window aggregate's only; the join itself is stateless.
+    */
+  def enrichedHourlyStream(events: DataFrame, customers: DataFrame,
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("segment"),
+        col("n"), col("total_value"))
+
   case class HourTop(hour: java.sql.Timestamp, rnk: Long, event_type: String, n: Long)
   case class TopCounts(counts: Map[String, Long])
 

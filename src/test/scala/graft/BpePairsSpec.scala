@@ -44,6 +44,18 @@ class BpePairsSpec extends AnyFunSuite {
     assert(top === all)
   }
 
+  test("vocab: frequency-sorted ids, minCount filter, ties break lexicographically") {
+    import spark.implicits._
+    val docs = Seq((1L, "b b b a a c a"), (2L, "d b a")).toDF("doc_id", "text")
+    // counts: a=4, b=4, c=1, d=1; minCount=2 keeps a,b; tie -> a first
+    val got = graft.operators.BpePairs.vocab(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, "a", 4L), (1L, "b", 4L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.BpePairs.vocab(docs, "text", minCount = 0L)
+    }
+  }
+
   test("spanFlags: islands of consecutive hits, flag threshold, clean docs report zero runs") {
     import spark.implicits._
     val eval = Seq((100L, "x1 x2 x3 x4 x5 x6 y7 y8 y9")).toDF("doc_id", "text")

@@ -50,6 +50,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join converges to the batch result") {
+    val dir = eventsDir
+    val customers = Tables.customer(spark, sfDir)
+    val stream = spark.readStream
+      .schema(EventsStream.eventsSchema)
+      .parquet(dir)
+    val q = EventsStream.enrichedHourlyStream(stream, customers)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enr_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      def hourOf(r: org.apache.spark.sql.Row): java.time.LocalDateTime = r.get(0) match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case l: java.time.LocalDateTime => l
+      }
+      val streamed = spark.table("enr_out")
+        .collect().map(r => (hourOf(r), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventsStream.enrichedHourlyBatch(spark.read.parquet(dir), customers)
+        .collect().map(r => (hourOf(r), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hopping-window aggregate converges to the batch result") {
     val dir = eventsDir
     val stream = spark.readStream
