@@ -53,6 +53,54 @@ object BpePairs {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Symbol-sequence word table: each distinct word as its space-joined
+    * character sequence (padded with sentinel spaces so merges match on
+    * symbol boundaries), with its corpus frequency — the working
+    * representation the BPE training loop rewrites.
+    */
+  def symbolWords(docs: DataFrame, textCol: String): DataFrame =
+    wordCounts(docs, textCol)
+      .select(concat(lit(" "),
+        array_join(split(col("w"), ""), " "), lit(" ")).as("sym"), col("c"))
+
+  /** Apply ONE merge to the symbol table: every adjacent (x, y) becomes
+    * the joined symbol xy, greedily left-to-right (a merged occurrence
+    * consumes both symbols, so "x x x" under (x,x) yields "xx x" — the
+    * published BPE merge rule). Implemented as a codegen'd left fold
+    * over the symbol sequence (`aggregate`): a string `replace` on the
+    * delimited form would mis-handle overlapping runs by consuming the
+    * shared delimiter. Vocabulary-sized work; the corpus is never
+    * touched again after the initial count.
+    */
+  def applyMerge(symWords: DataFrame, x: String, y: String): DataFrame = {
+    val xy = x + y
+    symWords.withColumn("sym", concat(lit(" "), array_join(
+      aggregate(
+        split(trim(col("sym")), " "),
+        array().cast("array<string>"),
+        (acc, s) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(x) && s === lit(y),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(xy))))
+            .otherwise(concat(acc, array(s)))),
+      " "), lit(" ")))
+  }
+
+  /** Pair counts over the merged symbol table (the loop's re-count):
+    * same vocabulary-weighted shape as [[pairCounts]], on symbol
+    * sequences instead of raw characters.
+    */
+  def symbolPairCounts(symWords: DataFrame): DataFrame =
+    symWords
+      .select(col("c"), split(trim(col("sym")), " ").as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("c"), explode(transform(
+        sequence(lit(0), size(col("ss")) - 2),
+        i => concat(element_at(col("ss"), i + 1), lit(" "),
+          element_at(col("ss"), i + 2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("c")).as("n"))
+
   /** Frequency-filtered vocabulary with deterministic id assignment:
     * tokens with corpus count >= minCount, ids 0.. in (count desc, token
     * asc) order — the id layout every frequency-sorted tokenizer vocab

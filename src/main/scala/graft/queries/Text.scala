@@ -301,6 +301,22 @@ object Text extends QueryPack {
         .orderBy(col("token_id"))
     },
 
+    // one full BPE training step: find the top character pair (t26),
+    // apply it greedily over the symbol vocabulary, recount — the new
+    // top-10 symbol pairs. The corpus is scanned once (the word count);
+    // everything after runs on vocabulary-sized data.
+    "t30_bpe_merge_step" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val top = graft.operators.BpePairs.topPairs(docs, "text", 1)
+        .head().getString(0)
+      val (x, y) = (top.substring(0, 1), top.substring(1))
+      val merged = graft.operators.BpePairs.applyMerge(
+        graft.operators.BpePairs.symbolWords(docs, "text"), x, y)
+      graft.operators.BpePairs.symbolPairCounts(merged)
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(10)
+    },
+
     // the composed curation pipeline as one plan: quality+lang gate ->
     // exact dedup keep-first (min_by on the canonical fingerprint) ->
     // per-lang packing manifest. One oracle over the whole flow.
@@ -1112,6 +1128,61 @@ object Text extends QueryPack {
         |   AND n_stop >= 2 AND dup_frac <= 0.3) AS keep
         |FROM m
         |ORDER BY id""".stripMargin,
+
+    // the greedy scan restated relationally: matching positions form
+    // consecutive islands, greedy keeps the odd ranks (a merge consumes
+    // its right symbol, so the next candidate is two positions on);
+    // consumed positions drop, merged positions relabel, pairs recount
+    // via LEAD over the surviving sequence
+    "t30_bpe_merge_step" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        |p0 AS (
+        |  SELECT c, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM wc WHERE len(w) >= 2),
+        |top1 AS (
+        |  SELECT pair FROM p0 GROUP BY pair
+        |  ORDER BY CAST(SUM(c) AS BIGINT) DESC, pair ASC LIMIT 1),
+        |mx AS (SELECT substr(pair, 1, 1) AS x, substr(pair, 2, 1) AS y,
+        |              pair AS xy FROM top1),
+        |toks AS (
+        |  SELECT w, c,
+        |    unnest(generate_series(1, len(w))) AS pos,
+        |    unnest(list_transform(generate_series(1, len(w)), i -> substr(w, i, 1))) AS sym
+        |  FROM wc),
+        |m AS (
+        |  SELECT t.w, t.pos
+        |  FROM toks t JOIN toks t2 ON t.w = t2.w AND t2.pos = t.pos + 1
+        |  CROSS JOIN mx
+        |  WHERE t.sym = mx.x AND t2.sym = mx.y),
+        |g AS (SELECT w, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS isl
+        |      FROM m),
+        |k AS (SELECT w, pos FROM (
+        |        SELECT w, pos,
+        |          ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+        |        FROM g) t
+        |      WHERE rn % 2 = 1),
+        |nt AS (
+        |  SELECT t.w, t.c, t.pos,
+        |    CASE WHEN k1.pos IS NOT NULL THEN (SELECT xy FROM mx)
+        |         ELSE t.sym END AS sym
+        |  FROM toks t
+        |  LEFT JOIN k k1 ON t.w = k1.w AND t.pos = k1.pos
+        |  LEFT JOIN k k2 ON t.w = k2.w AND t.pos = k2.pos + 1
+        |  WHERE k2.pos IS NULL),
+        |pr AS (
+        |  SELECT w, c, sym,
+        |    LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        |  FROM nt)
+        |SELECT sym || ' ' || nxt AS pair, CAST(SUM(c) AS BIGINT) AS n
+        |FROM pr WHERE nxt IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, pair ASC
+        |LIMIT 10""".stripMargin,
 
     // same count/filter/rank pipeline; ROW_NUMBER over the same order
     "t29_vocab_build" ->

@@ -56,6 +56,34 @@ class BpePairsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyMerge: greedy left-to-right, runs consume pairwise, loop iterates") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaa low lower")).toDF("doc_id", "text")
+    val sym = graft.operators.BpePairs.symbolWords(docs, "text")
+    // initial symbol pairs equal the char-pair counts (different format)
+    val init = graft.operators.BpePairs.symbolPairCounts(sym)
+      .collect().map(r => (r.getString(0).replace(" ", ""), r.getLong(1))).toMap
+    val chars = graft.operators.BpePairs.pairCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(init === chars)
+    // merge (a,a): "aaaa" -> "aa aa", "aaa" -> "aa a" (greedy, no overlap)
+    val m1 = graft.operators.BpePairs.applyMerge(sym, "a", "a")
+      .collect().map(r => r.getString(0).trim).toSet
+    assert(m1.contains("aa aa") && m1.contains("aa a"))
+    assert(m1.contains("l o w") && m1.contains("l o w e r"))
+    // second iteration on the merged table: top pair of m1 counts
+    val after = graft.operators.BpePairs.symbolPairCounts(
+      graft.operators.BpePairs.applyMerge(sym, "a", "a"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after("aa aa") === 1L && after("aa a") === 1L)
+    assert(after("l o") === 2L) // untouched words keep their pairs
+    // merging (l,o) next leaves "lo w ..." sequences
+    val m2 = graft.operators.BpePairs.applyMerge(
+      graft.operators.BpePairs.applyMerge(sym, "a", "a"), "l", "o")
+      .collect().map(r => r.getString(0).trim).toSet
+    assert(m2.contains("lo w") && m2.contains("lo w e r"))
+  }
+
   test("spanFlags: islands of consecutive hits, flag threshold, clean docs report zero runs") {
     import spark.implicits._
     val eval = Seq((100L, "x1 x2 x3 x4 x5 x6 y7 y8 y9")).toDF("doc_id", "text")
