@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{fingerprint, quality_score}
@@ -40,5 +40,37 @@ object Curate {
       .agg(min_by(payload, col(idCol)).as("__keep"))
       .select(col("__keep.*"))
     Packing.manifest(kept, idCol, textCol, langCol, maxLen)
+  }
+
+  /** The same pipeline instrumented with the Observation API: per-stage
+    * funnel counters (rows seen / gate survivors / post-dedup keepers)
+    * collected AS the job runs — zero extra passes, zero extra
+    * aggregation jobs; the metrics ride the existing plan's task
+    * completion events. This is how a 100 TB curation run reports its
+    * drop funnel without paying three count() scans. Metrics are
+    * available on each Observation after ANY action on the returned
+    * frame; `obsIn.get("n_in") - obsGate.get("n_gated")` is the gate's
+    * drop count, `n_gated - n_kept` the dedup's.
+    */
+  def manifestObserved(docs: DataFrame, idCol: String, textCol: String,
+                       langCol: String, langs: Seq[String], minQuality: Double,
+                       maxLen: Long): (DataFrame, Observation, Observation, Observation) = {
+    require(langs.nonEmpty, "curate: empty language allowlist")
+    val obsIn = Observation("curate_in")
+    val obsGate = Observation("curate_gate")
+    val obsKept = Observation("curate_kept")
+    val gated = docs.observe(obsIn, count(lit(1)).as("n_in"))
+      .filter(col(langCol).isInCollection(langs) &&
+        quality_score(col(textCol)) >= minQuality)
+      .observe(obsGate, count(lit(1)).as("n_gated"))
+    val payload = struct(gated.columns.map(col).toIndexedSeq: _*)
+    val kept = gated
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min_by(payload, col(idCol)).as("__keep"))
+      .select(col("__keep.*"))
+      .observe(obsKept, count(lit(1)).as("n_kept"))
+    (Packing.manifest(kept, idCol, textCol, langCol, maxLen),
+      obsIn, obsGate, obsKept)
   }
 }

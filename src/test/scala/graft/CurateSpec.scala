@@ -32,6 +32,32 @@ class CurateSpec extends AnyFunSuite {
     assert(got.length < docs.count())
   }
 
+  test("observed pipeline: funnel counters match independent counts, result unchanged, no extra jobs' worth of passes") {
+    val docs = Tables.documents(spark, sfDir)
+    val (out, obsIn, obsGate, obsKept) = Curate.manifestObserved(
+      docs, "doc_id", "text", "lang",
+      langs = Seq("en", "de"), minQuality = 0.5, maxLen = 256L)
+    // one action drives the plan AND fills every observation
+    val rows = out.orderBy(col("grp"), col("id")).collect()
+    val nIn = obsIn.get("n_in").asInstanceOf[Long]
+    val nGated = obsGate.get("n_gated").asInstanceOf[Long]
+    val nKept = obsKept.get("n_kept").asInstanceOf[Long]
+    assert(nIn === docs.count())
+    val gatedExpected = docs.filter(col("lang").isin("en", "de") &&
+      quality_score(col("text")) >= 0.5).count()
+    assert(nGated === gatedExpected)
+    val keptExpected = docs.filter(col("lang").isin("en", "de") &&
+      quality_score(col("text")) >= 0.5)
+      .select(fingerprint(col("text"))).distinct().count()
+    assert(nKept === keptExpected)
+    assert(nIn >= nGated && nGated >= nKept, "funnel must be monotone")
+    // the instrumented plan returns the identical manifest
+    val plain = Curate.manifest(docs, "doc_id", "text", "lang",
+      langs = Seq("en", "de"), minQuality = 0.5, maxLen = 256L)
+      .orderBy(col("grp"), col("id")).collect()
+    assert(rows.toSeq === plain.toSeq)
+  }
+
   test("curation drops junk, keeps first duplicate, packs the survivors") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and friends again"
