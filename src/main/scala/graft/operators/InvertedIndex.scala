@@ -55,6 +55,42 @@ object InvertedIndex {
     spark.read.parquet(s"$path/postings").count()
   }
 
+  /** Append new documents to a saved index without rebuilding: their
+    * postings land in the existing hash-bucket directories, doclens
+    * append, and the one-row stats sidecar is rewritten with the summed
+    * corpus size/token count (stats are the only rewrite — two longs).
+    * Ids must be new; postings for an id already present would
+    * double-count (same contract as [[Ivf.appendSaved]]'s fresh rows).
+    * Returns the number of postings appended.
+    */
+  def appendSaved(docs: DataFrame, idCol: String, textCol: String,
+                  path: String): Long = {
+    val spark = docs.sparkSession
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val buckets = statsRow.getAs[Int]("buckets")
+    val toks = tokens(docs, idCol, textCol)
+    val postings = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(buckets)))
+      .persist()
+    try {
+      postings.write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+      val doclens = postings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+        .persist()
+      try {
+        doclens.write.mode("append").parquet(s"$path/doclens")
+        val add = doclens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+        val n = statsRow.getAs[Long]("n") + add.getAs[Long]("n")
+        val sumdl = statsRow.getAs[Long]("sumdl") +
+          (if (add.isNullAt(1)) 0L else add.getAs[Long]("s"))
+        import spark.implicits._
+        Seq((n, sumdl, buckets)).toDF("n", "sumdl", "buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      } finally doclens.unpersist()
+      postings.count()
+    } finally postings.unpersist()
+  }
+
   /** BM25 top-k from the saved index — same formula, same association,
     * same tie-break as [[Bm25.topK]] on the original corpus.
     */

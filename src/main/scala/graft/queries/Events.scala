@@ -57,6 +57,12 @@ object Events extends QueryPack {
       EventsStream.enrichedHourlyBatch(Tables.events(s, d), Tables.customer(s, d))
     },
 
+    // per-session rows via the NATIVE session_window (dynamic gap
+    // windows; streaming twin: sessionWindowsStream)
+    "e16_session_windows" -> { (s, d) =>
+      EventsStream.sessionWindowsBatch(Tables.events(s, d), gapMinutes = 30)
+    },
+
     // gap-based sessionization (streaming twin: sessionizeStream)
     "e2_sessionization" -> { (s, d) =>
       EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
@@ -248,6 +254,26 @@ object Events extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2
         |ORDER BY hour, segment""".stripMargin,
+
+    // gaps-and-islands with the session_window boundary rule: an event
+    // exactly `gap` after its predecessor STARTS a new session (>=)
+    "e16_session_windows" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
+        |FROM s
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     "e2_sessionization" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

@@ -249,6 +249,37 @@ object EventsStream {
       }
   }
 
+  /** Per-session rows via Spark's NATIVE dynamic-gap `session_window`
+    * (oracle-checked as e16): one row per (user, session) with the
+    * session's start and event count. The built-in sibling of
+    * [[sessionizeBatch]]'s per-user totals — the planner handles window
+    * merging, so this form also runs incrementally ([[sessionWindowsStream]])
+    * where the state store merges overlapping windows per key.
+    * Boundary semantics: an event at exactly `gap` after its
+    * predecessor STARTS a new session (the window extends [ts, ts+gap)).
+    */
+  def sessionWindowsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("sess_start"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  /** Streaming form: watermarked native session windows — append mode
+    * emits each session exactly once when the watermark passes its
+    * close; state is the open windows per user, merged by the store.
+    */
+  def sessionWindowsStream(events: DataFrame, gapMinutes: Int = 30,
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"))
+
   /** Batch sessionization: a session ends after `gapMinutes` of user
     * inactivity (oracle-checked as e2 — lag + running flag sum).
     */

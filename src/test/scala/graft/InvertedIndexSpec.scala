@@ -52,6 +52,30 @@ class InvertedIndexSpec extends AnyFunSuite {
       "plan should name the single probed bucket")
   }
 
+  test("appendSaved: incremental index equals a rebuild over the union, stats fold exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val extra = docs.filter(col("doc_id") % 5 === 0)
+    val incPath = java.nio.file.Files.createTempDirectory("graft-invinc").toString + "/idx"
+    InvertedIndex.save(base, "doc_id", "text", incPath, buckets = 8)
+    val appended = InvertedIndex.appendSaved(extra, "doc_id", "text", incPath)
+    assert(appended > 0L)
+    val fullPath = java.nio.file.Files.createTempDirectory("graft-invfull").toString + "/idx"
+    InvertedIndex.save(docs, "doc_id", "text", fullPath, buckets = 8)
+    // identical stats
+    val si = spark.read.parquet(s"$incPath/stats").head()
+    val sf = spark.read.parquet(s"$fullPath/stats").head()
+    assert(si.getAs[Long]("n") === sf.getAs[Long]("n"))
+    assert(si.getAs[Long]("sumdl") === sf.getAs[Long]("sumdl"))
+    // identical served results, scores included
+    val terms = Seq("spark", "join", "fast", "window")
+    val a = InvertedIndex.searchSaved(spark, incPath, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = InvertedIndex.searchSaved(spark, fullPath, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+  }
+
   test("stats sidecar carries the bucket fan-out; empty query refuses") {
     val path = idxPath
     val stats = spark.read.parquet(s"$path/stats").head()

@@ -264,6 +264,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session windows: streaming append matches the batch per-session rows") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionWindowsStream(input.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out")
+      .start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val lastTs = events.last.ts.getTime
+      val sentinelTs = new java.sql.Timestamp(lastTs + 26L * 3600000L)
+      input.addData(Seq(Event(999999L, sentinelTs, 1L, "sentinel", 0.0, "{}")))
+      q.processAllAvailable()
+      val streamed = spark.table("sw_out")
+        .filter(col("sess_start") < lit(sentinelTs))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .toSet
+      val batch = EventsStream.sessionWindowsBatch(Tables.events(spark, sfDir))
+        .withColumn("sess_start", col("sess_start").cast("timestamp"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark finalizes windows and drops too-late events (append mode)") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
