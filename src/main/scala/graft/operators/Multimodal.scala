@@ -32,6 +32,35 @@ import graft.functions.SketchHash
   */
 object Multimodal {
 
+  /** Container-format detection from magic bytes — the triage step a
+    * media pipeline runs before routing blobs to the right parser
+    * (`image_meta`/`audio_meta`/`video_meta`). Pure built-in column
+    * composition (binary substring equality + one masked-byte check for
+    * the MP3 frame sync), fully codegen; recognizes the same containers
+    * the typed parsers read: png, gif, jpeg, wav, avi, mp4, mp3.
+    * NULL in -> NULL out; anything unrecognized (including truncated
+    * magic) -> 'unknown' — triage never throws.
+    */
+  def media_format(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def ascii(s: String) = lit(s.getBytes("ISO-8859-1"))
+    val b1 = conv(hex(substring(c, 1, 1)), 16, 10).cast("int")
+    val b2 = conv(hex(substring(c, 2, 1)), 16, 10).cast("int")
+    when(c.isNull, lit(null).cast("string"))
+      .when(substring(c, 1, 4) ===
+        lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), lit("png"))
+      .when(substring(c, 1, 4) === ascii("GIF8"), lit("gif"))
+      .when(substring(c, 1, 3) ===
+        lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), lit("jpeg"))
+      .when(substring(c, 1, 4) === ascii("RIFF") &&
+        substring(c, 9, 4) === ascii("WAVE"), lit("wav"))
+      .when(substring(c, 1, 4) === ascii("RIFF") &&
+        substring(c, 9, 4) === ascii("AVI "), lit("avi"))
+      .when(substring(c, 5, 4) === ascii("ftyp"), lit("mp4"))
+      .when(substring(c, 1, 3) === ascii("ID3"), lit("mp3"))
+      .when(b1 === 255 && b2.bitwiseAND(lit(224)) === 224, lit("mp3"))
+      .otherwise(lit("unknown"))
+  }
+
   case class MediaMeta(kind: String, width: Int, height: Int, nFrames: Int)
   case class MediaRow(media_id: Long, bytes: Array[Byte])
   case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,

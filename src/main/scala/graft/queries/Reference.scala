@@ -168,6 +168,29 @@ object Reference extends QueryPack {
     // values arithmetically — duration_ms through the same integer
     // division the spec implies (units * 1000 / timescale for MP4,
     // frames * usPerFrame / 1000 for AVI).
+    // magic-byte triage over one blob per container family (doc_id % 8
+    // picks the format; 7 is plain text) — the inversion oracle states
+    // the expected routing directly
+    "m4_media_format" -> { (s, d) =>
+      import graft.operators.Multimodal.media_format
+      val k = (col("doc_id") % 8).cast("int")
+      val blob = when(k === 0, lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte,
+          'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a)))
+        .when(k === 1, lit("GIF89a").cast("binary"))
+        .when(k === 2, lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)))
+        .when(k === 3, concat(lit("RIFF").cast("binary"),
+          lit(Array[Byte](16, 0, 0, 0)), lit("WAVEfmt ").cast("binary")))
+        .when(k === 4, concat(lit("RIFF").cast("binary"),
+          lit(Array[Byte](16, 0, 0, 0)), lit("AVI LIST").cast("binary")))
+        .when(k === 5, concat(lit(Array[Byte](0, 0, 0, 24)),
+          lit("ftypisom").cast("binary")))
+        .when(k === 6, concat(lit("ID3").cast("binary"), lit(Array[Byte](3, 0))))
+        .otherwise(lit("plain text bytes").cast("binary"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), media_format(blob).as("fmt"))
+        .orderBy(col("doc_id"))
+    },
+
     "m3_video_meta" -> { (s, d) =>
       import graft.functions.GraftFunctions.video_meta
       val ts = element_at(array(lit(600), lit(1000), lit(90000), lit(24000)),
@@ -310,6 +333,14 @@ object Reference extends QueryPack {
 
     // the inversion expectations: MP4 fields from the same doc_id
     // arithmetic with duration_ms = units * 1000 // timescale (the ISO
+    "m4_media_format" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+        |    WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'mp4'
+        |    WHEN 6 THEN 'mp3' ELSE 'unknown' END AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // 14496-12 movie-header semantics in exact integer math); AVI from
     // frames * usPerFrame // 1000 per the RIFF avih fields
     "m3_video_meta" ->

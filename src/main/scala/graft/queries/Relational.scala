@@ -460,6 +460,21 @@ object Relational extends QueryPack {
         .orderBy(col("column"))
     },
 
+    // distribution-position window family: ntile / percent_rank /
+    // cume_dist per priority (tie-free total order -> deterministic;
+    // each ratio one IEEE division of exact integers)
+    "q30_window_stats" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .filter(col("o_orderkey") % 50 === 0)
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+
     // exact interpolated percentiles per group (corpus length/value
     // distribution stats — the exact sibling of q22's sketch)
     "q23_percentiles" -> { (s, d) =>
@@ -595,6 +610,18 @@ object Relational extends QueryPack {
         |  CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
         |FROM lineitem
         |ORDER BY "column"""".stripMargin,
+
+    "q30_window_stats" ->
+      """SELECT o_orderpriority, o_orderkey, quartile, pct_rank, cume FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice ASC, o_orderkey ASC)) t
+        |WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,

@@ -321,6 +321,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(11L) === null) // inner hdrl chunk-size overflow
   }
 
+  test("media_format triages every container family; truncation and junk go to 'unknown', NULL passes through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
+      (2L, "GIF87a".getBytes("ISO-8859-1")),
+      (3L, b(0xFF, 0xD8, 0xFF, 0xE1)),
+      (4L, "RIFF0000WAVEfmt ".getBytes("ISO-8859-1")),
+      (5L, "RIFF0000AVI LIST".getBytes("ISO-8859-1")),
+      (6L, b(0, 0, 0, 24) ++ "ftypmp42".getBytes("ISO-8859-1")),
+      (7L, "ID3 ".getBytes("ISO-8859-1")),
+      (8L, b(0xFF, 0xFB, 0x90, 0x00)),              // bare MP3 frame sync
+      (9L, "RIFF0000XXXX".getBytes("ISO-8859-1")),  // RIFF but unknown subtype
+      (10L, "GIF".getBytes("ISO-8859-1")),          // truncated magic
+      (11L, "plain old text".getBytes("UTF-8")),
+      (12L, null)
+    )
+    val got = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.media_format(col("blob")).as("fmt"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(got === Map(1L -> "png", 2L -> "gif", 3L -> "jpeg", 4L -> "wav",
+      5L -> "avi", 6L -> "mp4", 7L -> "mp3", 8L -> "mp3", 9L -> "unknown",
+      10L -> "unknown", 11L -> "unknown", 12L -> null))
+  }
+
   test("image_meta SQL registration + codegen/interpreted agreement") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
