@@ -261,6 +261,50 @@ object Ivf {
       .filter(col("rnk") <= k)
   }
 
+  /** Batch kNN join SERVED FROM a saved index: identical semantics to
+    * [[knnJoinApprox]], with the corpus side read from the
+    * bucket-partitioned files — the join key IS the partitioning, so on
+    * a cluster the corpus never re-shuffles for the join (each probe's
+    * bucket rows are already co-located) and buckets no probe selects
+    * are pruned from the scan entirely via the pre-computed bucket
+    * filter. The batch serving shape of a persisted ANN index.
+    */
+  def knnJoinApproxSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                         probes: DataFrame, probeId: String, probeEmb: String,
+                         k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = loadCentroids(spark, path)
+    require(centroids.nonEmpty, s"$path carries no centroid sidecar — not a saved IVF index")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeBuckets = probes
+      .select(col(probeId).cast("long"), col(probeEmb).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cents = bc.value
+        iter.flatMap { case (pid, emb) =>
+          nearestBuckets(cents, emb, nprobe).map(b => (pid, emb, b))
+        }
+      }
+      .toDF("probe_id", "probe_emb", "bucket")
+    // prune the scan to the union of selected buckets before the join
+    // (one extra pass over the probe map — cheap next to the corpus scan
+    // it saves; bounded by nlist values)
+    val buckets = probeBuckets.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$path/data")
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    val joined = probeBuckets
+      .join(corpus, "bucket")
+      .withColumn("dist", graft.functions.GraftFunctions.cosine_distance(
+        col("probe_emb"), col("emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("dist").asc, col("corpus_id").asc)
+    joined
+      .select(col("probe_id"), col("id").as("corpus_id"), col("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Persist the index partitioned by bucket — queries then read only the
     * nprobe matching directories (partition pruning, no full scan).
     * Centroids ride along as a tiny `centroids` parquet beside `data/` —

@@ -31,6 +31,32 @@ object Vectors extends QueryPack {
     * Mirrors the reference's out-of-engine probe acquisition (the query
     * string is embedded before the SQL runs — SURVEY.md §2.7 F8).
     */
+  /** Shared by v9 (in-memory IVF batch join) and v22 (the same join
+    * served from the saved bucket-partitioned index — the float
+    * round-trip is lossless, so the selections must coincide).
+    */
+  private lazy val ivfKnnJoinSql: String =
+    s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+       |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v, nn FROM emb WHERE vec_id < 8),
+       |pbk AS (
+       |  SELECT p.probe_id, c.b
+       |  FROM probes p CROSS JOIN ${IvfSql.cent} c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |    ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b) <= 3),
+       |cand AS (
+       |  SELECT pb.probe_id, af.vec_id AS corpus_id,
+       |         ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")} AS dist
+       |  FROM pbk pb
+       |  JOIN probes p USING (probe_id)
+       |  JOIN af ON af.b = pb.b
+       |  JOIN emb e ON e.vec_id = af.vec_id)
+       |SELECT probe_id, rnk, corpus_id FROM (
+       |  SELECT probe_id, corpus_id,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, corpus_id) AS rnk
+       |  FROM cand) t
+       |WHERE rnk <= 3
+       |ORDER BY probe_id, rnk""".stripMargin
+
   private def probeOf(s: SparkSession, d: String, probeId: Long): Array[Float] =
     Tables.embeddings(s, d)
       .filter(col("vec_id") === probeId)
@@ -318,6 +344,21 @@ object Vectors extends QueryPack {
         .select(col("src_id"), col("tgt1"), col("tgt2"),
           ((lit(1.0) - col("d1")) / (lit(1.0) - col("d2")) > 1.2).as("mined"))
         .orderBy(col("src_id"))
+    },
+
+    // v9's batch kNN join SERVED from the saved bucket-partitioned
+    // index: the join key IS the on-disk partitioning (no corpus
+    // re-shuffle at scale), unselected buckets pruned from the scan;
+    // the save/load round-trip is lossless, so v9's oracle holds verbatim
+    "v22_ivf_knn_join_saved" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      val path = s"/dev/shm/graft_ivf_v22_${new java.io.File(d).getName}"
+      graft.operators.Ivf.save(idx, path)
+      graft.operators.Ivf.knnJoinApproxSaved(s, path, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"))
+        .orderBy(col("probe_id"), col("rnk"))
     },
 
     // The PERSISTED IVF-PQ index (on-disk FAISS IVFPQ shape, public):
@@ -1036,27 +1077,12 @@ object Vectors extends QueryPack {
     // nprobe nearest buckets, joins the final assignment ON bucket, exact
     // distances within, window top-k per probe — the af JOIN guarantees
     // each corpus row appears at most once per probe (one bucket per row).
-    "v9_ivf_knn_join" ->
-      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
-         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v, nn FROM emb WHERE vec_id < 8),
-         |pbk AS (
-         |  SELECT p.probe_id, c.b
-         |  FROM probes p CROSS JOIN ${IvfSql.cent} c
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
-         |    ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b) <= 3),
-         |cand AS (
-         |  SELECT pb.probe_id, af.vec_id AS corpus_id,
-         |         ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")} AS dist
-         |  FROM pbk pb
-         |  JOIN probes p USING (probe_id)
-         |  JOIN af ON af.b = pb.b
-         |  JOIN emb e ON e.vec_id = af.vec_id)
-         |SELECT probe_id, rnk, corpus_id FROM (
-         |  SELECT probe_id, corpus_id,
-         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, corpus_id) AS rnk
-         |  FROM cand) t
-         |WHERE rnk <= 3
-         |ORDER BY probe_id, rnk""".stripMargin,
+    "v9_ivf_knn_join" -> ivfKnnJoinSql,
+
+    // intentionally identical to v9's oracle: the saved index's float
+    // round-trip is lossless, so the served batch join must select the
+    // same (probe, rank, corpus) triples as the in-memory composition
+    "v22_ivf_knn_join_saved" -> ivfKnnJoinSql,
 
     "v8_lsh_near_dup" ->
       s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${SketchSql.shinglesSql(SketchSql.ToksSql)} AS shingles FROM documents),

@@ -565,6 +565,26 @@ class VectorSpec extends AnyFunSuite {
     assert(got.exists(_._4) && got.exists(!_._4), "threshold should split the corpus")
   }
 
+  test("knnJoinApproxSaved equals the in-memory batch join; unselected buckets pruned from the scan") {
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-kjs").toString + "/idx"
+    Ivf.save(idx, path)
+    val probes = e.filter(col("vec_id") < 8)
+    val mem = Ivf.knnJoinApprox(idx, probes, "vec_id", "embedding", k = 3, nprobe = 2)
+      .select("probe_id", "rnk", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val saved = Ivf.knnJoinApproxSaved(spark, path, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    val got = saved.select("probe_id", "rnk", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === mem)
+    // the scan carries a bucket partition filter (pruning, not full read)
+    val plan = saved.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no bucket partition filter in plan:\n$plan")
+  }
+
   test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
