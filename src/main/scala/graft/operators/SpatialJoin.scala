@@ -68,4 +68,62 @@ object SpatialJoin {
       .drop("__cx", "__cy")
     refine.fold(contained)(contained.filter)
   }
+
+  private val NineOffsets: Column = array((for {
+    dx <- -1 to 1; dy <- -1 to 1
+  } yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+
+  /** Distance self-join (the ST_DWithin shape): pairs (id1 < id2) within
+    * euclidean `radius`. Grid with cell size = radius: each point homes
+    * in exactly ONE cell; the left side replicates to its 3x3
+    * neighborhood, so a qualifying pair (always <= 1 cell apart on each
+    * axis) meets exactly once per orientation and the id1 < id2 filter
+    * keeps one row — no post-join distinct. The verify compares SQUARED
+    * distance against radius^2 (the identical IEEE expression the oracle
+    * states; no sqrt).
+    *
+    * Scale shape: shuffle key = cell id; candidate volume is counted
+    * EXACTLY before the pair join from the 9-neighborhood occupancy
+    * join (cells x 9 rows — tiny) and refused loudly past
+    * `maxCandidates`, the s6/e10 guard posture. Dense hot cells are the
+    * caller's signal to shrink `radius`'s cell (or pre-aggregate).
+    */
+  def withinDistanceJoin(points: DataFrame, idCol: String,
+                         xCol: String, yCol: String, radius: Double,
+                         maxCandidates: Long = 50000000L): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    val pts = points.select(col(idCol).as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .withColumn("cx", cellIdx(col("x"), radius))
+      .withColumn("cy", cellIdx(col("y"), radius))
+    val occ = pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val estRow = occ
+        .select(col("cx"), col("cy"), col("n").as("na"), explode(NineOffsets).as("o"))
+        .select((col("cx") + col("o.dx")).as("jcx"),
+          (col("cy") + col("o.dy")).as("jcy"), col("na"))
+        .join(occ.select(col("cx").as("jcx"), col("cy").as("jcy"),
+          col("n").as("nb")), Seq("jcx", "jcy"))
+        .agg(sum(col("na") * col("nb"))).head()
+      val est = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+      require(est <= maxCandidates,
+        s"withinDistanceJoin: ~$est candidate pairs at radius $radius " +
+          s"(> $maxCandidates) — hot grid cells; shrink the radius, " +
+          "pre-aggregate dense sites, or raise maxCandidates deliberately")
+      val reps = pts.select(col("id").as("id1"),
+          col("x").as("x1"), col("y").as("y1"),
+          col("cx"), col("cy"), explode(NineOffsets).as("o"))
+        .select(col("id1"), col("x1"), col("y1"),
+          (col("cx") + col("o.dx")).as("jcx"), (col("cy") + col("o.dy")).as("jcy"))
+      val homes = pts.select(col("id").as("id2"),
+        col("x").as("x2"), col("y").as("y2"),
+        col("cx").as("jcx"), col("cy").as("jcy"))
+      reps.join(homes, Seq("jcx", "jcy"))
+        .filter(col("id1") < col("id2"))
+        .filter((col("x1") - col("x2")) * (col("x1") - col("x2")) +
+          (col("y1") - col("y2")) * (col("y1") - col("y2")) <= lit(radius * radius))
+        .select(col("id1"), col("id2"))
+    } finally occ.unpersist()
+  }
 }

@@ -110,6 +110,15 @@ object Spatial extends QueryPack {
         cellW = 6.0, cellH = 4.0)
         .select(col("c_custkey"), col("s_suppkey"))
         .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+
+    // distance self-join (ST_DWithin shape): customer pairs within
+    // radius 2 via the radius-sized grid — one home cell per point,
+    // 3x3 replication on one side, exact squared-distance verify
+    "s7_within_distance_join" -> { (s, d) =>
+      graft.operators.SpatialJoin.withinDistanceJoin(
+        points(s, d), "c_custkey", "x", "y", radius = 2.0)
+        .orderBy(col("id1"), col("id2"))
     }
   )
 
@@ -159,6 +168,15 @@ object Spatial extends QueryPack {
          |  ON $xSql BETWEEN r.minx AND r.maxx
          | AND $ySql BETWEEN r.miny AND r.maxy
          |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    // the plain distance theta join the grid must be invisible against;
+    // same squared-distance expression, no sqrt
+    "s7_within_distance_join" ->
+      s"""WITH p AS (SELECT c_custkey AS id, $xSql AS x, $ySql AS y FROM customer)
+         |SELECT a.id AS id1, b.id AS id2
+         |FROM p a JOIN p b ON a.id < b.id
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
+         |ORDER BY id1, id2""".stripMargin,
 
     "s5_mercator_grid" ->
       s"""SELECT

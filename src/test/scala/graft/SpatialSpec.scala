@@ -360,6 +360,39 @@ class SpatialSpec extends AnyFunSuite {
       s"grid join must not nest-loop:\n$plan")
   }
 
+  test("withinDistanceJoin equals the naive distance theta join; exact-radius boundary included; guard fires") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val pts = (1L to 400L).map(i =>
+      (i, rnd.nextDouble() * 60 - 30, rnd.nextDouble() * 60 - 30))
+      .toDF("pid", "x", "y").repartition(5)
+    val join = graft.operators.SpatialJoin.withinDistanceJoin(pts, "pid", "x", "y", 3.0)
+    val got = join.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.select(col("pid").as("id1"), col("x").as("x1"), col("y").as("y1"))
+      .crossJoin(pts.select(col("pid").as("id2"), col("x").as("x2"), col("y").as("y2")))
+      .filter(col("id1") < col("id2"))
+      .filter((col("x1") - col("x2")) * (col("x1") - col("x2")) +
+        (col("y1") - col("y2")) * (col("y1") - col("y2")) <= 9.0)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // inclusive at exactly radius; the pair spans a cell boundary
+    val exact = graft.operators.SpatialJoin.withinDistanceJoin(
+      Seq((1L, 0.0, 0.0), (2L, 3.0, 0.0), (3L, 3.01, 3.0)).toDF("pid", "x", "y"),
+      "pid", "x", "y", 3.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L)))
+    // hot-cell refusal names the knobs
+    val dense = (1L to 300L).map(i => (i, 0.1, 0.1)).toDF("pid", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.withinDistanceJoin(dense, "pid", "x", "y", 1.0,
+        maxCandidates = 1000L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+  }
+
   test("gridBboxJoin refuses oversized rectangles, naming the cell knobs") {
     import spark.implicits._
     val pts = Seq((1L, 0.0, 0.0)).toDF("pid", "x", "y")
