@@ -45,4 +45,34 @@ object AsOf {
       .filter(col("__is_left") === 1)
       .drop("__is_left", "__rv")
   }
+
+  /** Forward sibling of [[joinPrior]]: attach the EARLIEST right-side
+    * `valueCol` at-or-after each left row's timestamp (merge_asof
+    * forward semantics) — "the next click after this impression".
+    * Same one-window composition with the frame reversed: left rows
+    * sort before right rows at equal timestamps (so an exact-time right
+    * row still counts as "after"), and the first non-null right value
+    * is carried BACKWARD over [current, unbounded following].
+    */
+  def joinNext(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String, valueCol: String,
+               asofCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.select(
+      leftCols.map(col) :+ lit(1).as("__is_left") :+
+        lit(null).cast(right.schema(valueCol).dataType).as("__rv"): _*)
+    val r = right.select(
+      leftCols.map(c =>
+        (if (right.columns.contains(c)) col(c) else lit(null)).as(c)) :+
+        lit(0).as("__is_left") :+ col(valueCol).as("__rv"): _*)
+    // left rows sort BEFORE right rows at the same timestamp, so the
+    // first carried value reflects every right row with ts' >= ts
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__is_left").desc, col(tieCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn(asofCol, first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .drop("__is_left", "__rv")
+  }
 }

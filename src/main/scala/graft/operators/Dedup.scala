@@ -36,6 +36,21 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Keep-BEST exact dedup: one keeper per canonical-text fingerprint,
+    * chosen by the HIGHEST `score` (ties break to the lowest id) — the
+    * policy curation pipelines actually want when duplicates differ in
+    * provenance quality, where [[exactDupGroups]] keeps the first id.
+    * Same map-side-combinable `max_by` aggregate shape: one candidate
+    * per (fingerprint, map task) crosses the exchange.
+    */
+  def exactDupGroupsBest(docs: DataFrame, idCol: String, textCol: String,
+                         score: Column): DataFrame =
+    docs
+      .select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"), score.as("q"))
+      .groupBy(col("fp"))
+      .agg(max_by(col("id"), struct(col("q"), (-col("id")).as("ni"))).as("keeper"),
+        count(lit(1)).as("n_copies"))
+
   /** Round-robin-spread a corpus whose scan arrived in fewer partitions
     * than the cluster has cores (a small-file artifact: one parquet file
     * under maxPartitionBytes scans as ONE partition, so every pre-shuffle

@@ -93,6 +93,20 @@ object Events extends QueryPack {
         .orderBy(col("event_id"))
     },
 
+    // forward as-of: for each click, the value of the user's NEXT
+    // purchase at-or-after it (merge_asof forward; same one-window
+    // composition as e5 with the frame reversed)
+    "e17_asof_next" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.operators.AsOf.joinNext(
+        left = ev.filter(col("event_type") === "click"),
+        right = ev.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valueCol = "value", asofCol = "next_purchase_value")
+        .select(col("event_id"), col("user_id"), col("next_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
     // per-user conditional event counts (funnel-style)
     "e4_user_funnel" -> { (s, d) =>
       Tables.events(s, d)
@@ -373,6 +387,22 @@ object Events extends QueryPack {
         |    UNION ALL
         |    SELECT event_id, ts, user_id, 0 AS is_left, value AS rv
         |    FROM events WHERE event_type = 'click') u) t
+        |WHERE is_left = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "e17_asof_next" ->
+      """SELECT event_id, user_id, next_purchase_value FROM (
+        |  SELECT event_id, user_id, is_left,
+        |    first_value(rv IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts ASC, is_left DESC, event_id ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_value
+        |  FROM (
+        |    SELECT event_id, ts, user_id, 1 AS is_left, CAST(NULL AS DOUBLE) AS rv
+        |    FROM events WHERE event_type = 'click'
+        |    UNION ALL
+        |    SELECT event_id, ts, user_id, 0 AS is_left, value AS rv
+        |    FROM events WHERE event_type = 'purchase') u) t
         |WHERE is_left = 1
         |ORDER BY event_id""".stripMargin,
 

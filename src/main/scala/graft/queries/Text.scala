@@ -348,6 +348,14 @@ object Text extends QueryPack {
         Tables.documents(s, d), "text", k = 15, sketchK = 256)
     },
 
+    // keep-BEST exact dedup: keeper = the highest-quality copy per
+    // canonical fingerprint (ties -> lowest id) — d1's policy sibling
+    "d15_dedup_keep_best" -> { (s, d) =>
+      Dedup.exactDupGroupsBest(Tables.documents(s, d), "doc_id", "text",
+        graft.functions.TextFunctions.quality_score(col("text")))
+        .orderBy(col("fp"))
+    },
+
     // exact dedup groups on (lang, source): keeper = min doc_id
     "d1_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d)
@@ -977,6 +985,40 @@ object Text extends QueryPack {
          |FROM tr LEFT JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // t2's quality formula + the canonical fingerprint + keep-best as a
+    // window statement the max_by aggregate must equal
+    "d15_dedup_keep_best" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    (LEAST(1.0, n_tok / 20.0)
+        |     + n_distinct / GREATEST(n_tok, 1.0)
+        |     + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+        |     + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 AS quality
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+        |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |           ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS DOUBLE) AS n_distinct,
+        |      CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS DOUBLE) AS n_stop,
+        |      CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |      CAST(len(text) AS DOUBLE) AS n_chars
+        |    FROM documents) t0),
+        |f AS (
+        |  SELECT doc_id, quality,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM q),
+        |ranked AS (
+        |  SELECT fp, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY fp
+        |      ORDER BY quality DESC, doc_id ASC) AS rn
+        |  FROM f)
+        |SELECT fp, MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+        |  COUNT(*) AS n_copies
+        |FROM ranked
+        |GROUP BY fp
+        |ORDER BY fp""".stripMargin,
 
     // the merge restated declaratively: updates as a CASE, inserts as a
     // UNION ALL — the operator's precedence aggregate must be invisible

@@ -37,6 +37,52 @@ class AsOfSpec extends AnyFunSuite {
       13L -> None, 14L -> None))
   }
 
+  test("joinNext: at-or-after value per key, exact ties included, null when none follows") {
+    import spark.implicits._
+    val clicks = Seq(
+      (10L, ts("2024-01-01 00:05:00"), 1L, 0.0),  // before both purchases -> a
+      (11L, ts("2024-01-01 00:10:00"), 1L, 0.0),  // exact tie with purchase a -> a
+      (12L, ts("2024-01-01 00:30:00"), 1L, 0.0),  // between a and b -> b
+      (13L, ts("2024-01-01 01:00:00"), 1L, 0.0),  // after the last purchase -> null
+      (14L, ts("2024-01-01 00:00:00"), 2L, 0.0))  // other user, none -> null
+      .toDF("event_id", "ts", "user_id", "value")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, 10.0),  // purchase a
+      (2L, ts("2024-01-01 00:45:00"), 1L, 20.0))  // purchase b
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = AsOf.joinNext(clicks, purchases, "user_id", "ts", "event_id",
+      "value", "next_purchase")
+      .select(col("event_id"), col("next_purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map(
+      10L -> Some(10.0), 11L -> Some(10.0), 12L -> Some(20.0),
+      13L -> None, 14L -> None))
+  }
+
+  test("joinNext equals the naive join-filter-argmin formulation on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def randTs() = ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00")
+    val left = (1L to 300L).map(i => (i, randTs(), (i % 7) + 1, 0.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val right = (1000L to 1200L).map(i => (i, randTs(), (i % 7) + 1, rng.nextDouble()))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = AsOf.joinNext(left, right, "user_id", "ts", "event_id", "value", "v")
+      .select(col("event_id"), col("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val lrows = left.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val rrows = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val want = lrows.map { case (lid, lts, lu) =>
+      val after = rrows.filter(r => r._3 == lu && !r._2.before(lts))
+      lid -> (if (after.isEmpty) None
+              else Some(after.minBy(r => (r._2.getTime, r._1))._4))
+    }.toMap
+    assert(got === want)
+  }
+
   test("joinPrior equals the naive join-filter-argmax formulation on random data") {
     import spark.implicits._
     val rng = new scala.util.Random(42)

@@ -685,6 +685,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("keep-best dedup: highest score wins, ties break to lowest id") {
+    import org.apache.spark.sql.functions.{col, length}
+    // score = text length: id 2's raw text is longer; ids 1/2 share a
+    // canonical fingerprint (case/whitespace), 3 is its own group
+    val docs = textDf((1L, "Same  Text"), (2L, "same text"), (3L, "x"))
+    val best = Dedup.exactDupGroupsBest(docs, "doc_id", "text", length(col("text")).cast("double"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(best === Array((1L, 2L), (3L, 1L))) // 10 chars beats 9; singleton keeps itself
+    // equal scores: lowest id kept
+    val tied = Dedup.exactDupGroupsBest(textDf((5L, "aa bb"), (4L, "AA  BB")),
+      "doc_id", "text", org.apache.spark.sql.functions.lit(1.0))
+      .collect().map(r => r.getLong(1))
+    assert(tied === Array(4L))
+  }
+
   test("exact dup groups: synthetic exact dups collapse to one keeper") {
     val docs = textDf((1L, "Same  Text"), (2L, "same text"), (3L, "other text"))
     val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
