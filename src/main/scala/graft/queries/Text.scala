@@ -192,6 +192,14 @@ object Text extends QueryPack {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // per-source distribution drift: chi-square divergence of each
+    // source's unigram distribution vs the corpus — pure rational
+    // arithmetic on exact counts, nano-quantized terms, long sums
+    "t32_source_drift" -> { (s, d) =>
+      graft.operators.Drift.bySource(Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
     // Fuzzy entity matching: per-brand count of part-name pairs within
     // edit distance 5, BLOCKED on (brand, type) so the comparison
     // space is per-block pairs, never the global n^2 — the standard
@@ -1360,6 +1368,36 @@ object Text extends QueryPack {
         |FROM ranked JOIN quota USING (lang)
         |WHERE sample_rank <= k
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    // same counts, same single divisions, same quantize-then-long-sum
+    "t32_source_drift" ->
+      s"""WITH pair AS (
+         |  SELECT source AS src, t.w, COUNT(*) AS c_sw
+         |  FROM documents, unnest($toksSql) AS t(w)
+         |  WHERE len(trim(text)) > 0
+         |  GROUP BY src, t.w),
+         |st AS (SELECT src, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM pair GROUP BY src),
+         |cc AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM pair GROUP BY w),
+         |n AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM st),
+         |terms AS (
+         |  SELECT pair.src,
+         |    CAST(floor(
+         |      (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)
+         |        - CAST(c_w AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+         |      * (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)
+         |        - CAST(c_w AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+         |      / (CAST(c_w AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS qn,
+         |    CAST(floor(
+         |      CAST(c_w AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS cq
+         |  FROM pair JOIN st USING (src) JOIN cc USING (w))
+         |SELECT t.src AS source, st.n_s AS n_tokens,
+         |  CAST(SUM(qn) AS DOUBLE) / 1000000000.0 AS chi2,
+         |  CAST(SUM(cq) AS DOUBLE) / 1000000000.0 AS coverage
+         |FROM terms t JOIN st ON t.src = st.src
+         |GROUP BY t.src, st.n_s
+         |ORDER BY source""".stripMargin,
 
     "t16_mixture_sample" ->
       """SELECT lang, sample_rank, doc_id FROM (
