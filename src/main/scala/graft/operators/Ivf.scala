@@ -445,6 +445,31 @@ object Ivf {
     oversized.length
   }
 
+  /** Saved-index health report — the staleness telemetry that tells an
+    * operator WHEN to rebuild vs keep appending: per bucket, the row
+    * count (skew after appends) and the mean cosine distance of rows to
+    * their assigned centroid (assignment quality; drifting data raises
+    * it). Distances are nano-quantized per row and long-summed, so the
+    * report is order-independent and oracle-exact. One scan, one
+    * combinable aggregate, centroids broadcast.
+    */
+  def savedBucketStats(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    import spark.implicits._
+    val cents = loadCentroids(spark, path)
+    require(cents.nonEmpty, s"$path carries no centroid sidecar — not a saved IVF index")
+    val cdf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("bucket", "centroid")
+    spark.read.parquet(s"$path/data")
+      .join(broadcast(cdf), Seq("bucket"))
+      .withColumn("qd", floor(graft.functions.GraftFunctions.cosine_distance(
+        col("emb"), col("centroid")) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("qd")).cast("double") / count(lit(1)).cast("double") / lit(1e9))
+          .as("mean_dist"))
+  }
+
   /** Query a saved index: centroid ranking on the driver, partition-pruned
     * scan of the nprobe nearest buckets, exact top-k within them.
     */

@@ -361,6 +361,18 @@ object Vectors extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // saved-index health report: per-bucket size + mean distance to the
+    // assigned centroid (nano-quantized, order-independent) — the
+    // staleness telemetry deciding rebuild-vs-append
+    "v23_index_stats" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      val path = s"/dev/shm/graft_ivf_v23_${new java.io.File(d).getName}"
+      graft.operators.Ivf.save(idx, path)
+      graft.operators.Ivf.savedBucketStats(s, path)
+        .orderBy(col("bucket"))
+    },
+
     // The PERSISTED IVF-PQ index (on-disk FAISS IVFPQ shape, public):
     // codes stored PARTITIONED BY bucket with centroid + codebook
     // sidecars; the search reads only the nprobe bucket directories
@@ -918,6 +930,21 @@ object Vectors extends QueryPack {
         |SELECT src_id, tgt1, tgt2, (1 - d1) / (1 - d2) > 1.2 AS mined
         |FROM piv
         |ORDER BY src_id""".stripMargin,
+
+    // v7's k-means CTEs supply both the assignment and the float-rounded
+    // centroids; distances quantize identically, sums are exact longs
+    "v23_index_stats" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |d AS (
+         |  SELECT af.b,
+         |    CAST(floor((${IvfSql.dist("e.v", "e.nn", "c.c")})
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS qd
+         |  FROM af JOIN emb e USING (vec_id) JOIN c5 c ON c.b = af.b)
+         |SELECT b AS bucket, COUNT(*) AS n,
+         |  CAST(SUM(qd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS mean_dist
+         |FROM d
+         |GROUP BY b
+         |ORDER BY bucket""".stripMargin,
 
     // the packed-word Hamming kernel restated as what it counts: the
     // number of dimensions whose SIGN differs (popcount of XOR over sign

@@ -585,6 +585,27 @@ class VectorSpec extends AnyFunSuite {
       s"no bucket partition filter in plan:\n$plan")
   }
 
+  test("savedBucketStats: counts conserve, append raises the stale buckets' counts and the report tracks it") {
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val idx = Ivf.build(base, "vec_id", "embedding", nlist = 4, iters = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-stats").toString + "/idx"
+    Ivf.save(idx, path)
+    val before = Ivf.savedBucketStats(spark, path)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(before.values.map(_._1).sum === base.count())
+    assert(before.values.forall(v => v._2 >= 0.0 && v._2 <= 2.0))
+    // append the held-out slice: totals grow, per-bucket mean can only
+    // move (appends assign to NEAREST stored centroid, so it stays sane)
+    Ivf.appendSaved(spark, path, e.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding")
+    val after = Ivf.savedBucketStats(spark, path)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(after.values.map(_._1).sum === e.count())
+    assert(after.keySet === before.keySet)
+    assert(after.values.forall(v => v._2 >= 0.0 && v._2 <= 2.0))
+  }
+
   test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
