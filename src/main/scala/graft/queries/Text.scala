@@ -459,6 +459,24 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // the last step of fuzzy dedup: near-dup pairs -> connected clusters
+    // -> one KEEPER per cluster by quality (ties -> lowest id) — the
+    // d7 x d15 composition a curation pipeline actually ships
+    "d16_cluster_keep_best" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDf = Some(100),
+          maxPairEstimate = 500000000L))
+      val q = docs.select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.quality_score(col("text")).as("q"))
+      clusters.join(q, Seq("id"))
+        .groupBy(col("keeper").as("cluster"))
+        .agg(max_by(col("id"), struct(col("q"), (-col("id")).as("ni"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster"))
+    },
+
     // Contiguous-span contamination (GPT-3-style n-gram overlap check):
     // longest run of consecutive contaminated 8-token windows per train
     // doc; flagged = a verbatim shared span of >= 15 tokens. Catches the
@@ -964,6 +982,59 @@ object Text extends QueryPack {
          |FROM reach
          |GROUP BY src
          |ORDER BY doc_id""".stripMargin,
+
+    // d7's recursive closure supplies the clusters, d15's quality formula
+    // the scores; keep-best as the same window statement
+    "d16_cluster_keep_best" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("w")} AS shingles FROM toks),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 100),
+         |ex AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+         |prs AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM prs
+         |          UNION SELECT id2, id1 FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |memb AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+         |  FROM reach GROUP BY src),
+         |qual AS (
+         |  SELECT doc_id,
+         |    (LEAST(1.0, n_tok / 20.0)
+         |     + n_distinct / GREATEST(n_tok, 1.0)
+         |     + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+         |     + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS DOUBLE) AS n_distinct,
+         |      CAST(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS DOUBLE) AS n_stop,
+         |      CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |      CAST(len(text) AS DOUBLE) AS n_chars
+         |    FROM documents) t0),
+         |ranked AS (
+         |  SELECT m.cluster, m.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY m.cluster
+         |      ORDER BY q.quality DESC, m.doc_id ASC) AS rn
+         |  FROM memb m JOIN qual q USING (doc_id))
+         |SELECT cluster, MAX(CASE WHEN rn = 1 THEN doc_id END) AS best,
+         |  COUNT(*) AS n_members
+         |FROM ranked
+         |GROUP BY cluster
+         |ORDER BY cluster""".stripMargin,
 
     "d8_dedup_clusters_stars" ->
       """WITH RECURSIVE prs AS (

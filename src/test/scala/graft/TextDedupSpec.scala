@@ -685,6 +685,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("cluster keep-best composition: transitive cluster resolves to the best-quality member") {
+    import org.apache.spark.sql.functions._
+    // chain 1~2~3 via shared shingles; member 2 gets the richest text
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = textDf(
+      (1L, base),
+      (2L, base + " the of and to a extra rich tail content"), // highest quality
+      (3L, base + " different tail"),
+      (9L, "totally unrelated content island standing alone here"))
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.3, maxDf = Some(100))
+    val clusters = Dedup.nearDupClusters(pairs)
+    val q = docs.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.quality_score(col("text")).as("q"))
+    val best = clusters.join(q, Seq("id"))
+      .groupBy(col("keeper").as("cluster"))
+      .agg(max_by(col("id"), struct(col("q"), (-col("id")).as("ni"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(best.length === 1) // doc 9 is a singleton, absent from pairs
+    val (cluster, keeper, n) = best.head
+    assert(cluster === 1L && n === 3L)
+    // keeper is the quality argmax, not the min id
+    val qs = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(keeper === Seq(1L, 2L, 3L).maxBy(id => (qs(id), -id)))
+    assert(keeper === 2L, s"expected the rich doc to win, got $keeper (qs=$qs)")
+  }
+
   test("keep-best dedup: highest score wins, ties break to lowest id") {
     import org.apache.spark.sql.functions.{col, length}
     // score = text length: id 2's raw text is longer; ids 1/2 share a
