@@ -58,10 +58,7 @@ object Dedup {
     * real scale inputs already arrive wide and this is a no-op; it never
     * adds a shuffle to an already-parallel input.
     */
-  private def spread(docs: DataFrame): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-  }
+  private def spread(docs: DataFrame): DataFrame = graft.Tables.spread(docs)
 
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spread(docs).select(col(idCol).as("id"), shingle_set(col(textCol), n).as("shingles"))

@@ -510,9 +510,7 @@ object Vectors extends QueryPack {
     // (measured 1.3 s of the 4 s v8 cost). Spread the rows ONLY when the
     // scan is narrower than the cluster — at real scale the input already
     // arrives in many partitions and this is a no-op, never a shuffle tax.
-    val par = s.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    spread
+    Tables.spread(docs)
       .select(col("doc_id"),
         l2_normalize(hashing_tf(
           graft.functions.TextFunctions.shingle_set(col("text"), 3), 256)).as("vec"))
