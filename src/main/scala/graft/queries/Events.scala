@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -61,6 +62,25 @@ object Events extends QueryPack {
     // windows; streaming twin: sessionWindowsStream)
     "e16_session_windows" -> { (s, d) =>
       EventsStream.sessionWindowsBatch(Tables.events(s, d), gapMinutes = 30)
+    },
+
+    // per-type inter-arrival latency profile: exact median/p95 of the
+    // second-granularity gaps between consecutive events of a user —
+    // the dwell/cadence analytic (lag window + exact percentiles over
+    // integer diffs, the q23 machinery)
+    "e18_interarrival_stats" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("gap_s",
+          (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+            .cast("long"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap_s, 0.5)").as("p50_gap_s"),
+          expr("percentile(gap_s, 0.95)").as("p95_gap_s"))
+        .orderBy(col("event_type"))
     },
 
     // gap-based sessionization (streaming twin: sessionizeStream)
@@ -288,6 +308,24 @@ object Events extends QueryPack {
         |FROM s
         |GROUP BY user_id, sess
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    // gaps as integer micros floor-divided to seconds (the exact
+    // unix_timestamp arithmetic), exact interpolated percentiles (q23)
+    "e18_interarrival_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 1000000)
+        |      - (epoch_us(lag(ts) OVER w) // 1000000) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |               ORDER BY ts ASC, event_id ASC))
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  quantile_cont(gap_s, 0.5) AS p50_gap_s,
+        |  quantile_cont(gap_s, 0.95) AS p95_gap_s
+        |FROM g
+        |WHERE gap_s IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "e2_sessionization" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
