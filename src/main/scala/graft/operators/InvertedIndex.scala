@@ -61,7 +61,12 @@ object InvertedIndex {
     * corpus size/token count (stats are the only rewrite — two longs).
     * Ids must be new; postings for an id already present would
     * double-count (same contract as [[Ivf.appendSaved]]'s fresh rows).
-    * Returns the number of postings appended.
+    * The steps are not atomic as a group (the stats overwrite is last;
+    * a crash between appends and the stats rewrite leaves served idf/
+    * avgdl computed from the pre-append stats — re-run the append's
+    * stats fold to repair): run on a quiesced index, the
+    * [[Ivf.rebalanceSaved]] maintenance posture. Returns the number of
+    * postings appended.
     */
   def appendSaved(docs: DataFrame, idCol: String, textCol: String,
                   path: String): Long = {

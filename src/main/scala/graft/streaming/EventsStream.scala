@@ -206,7 +206,10 @@ object EventsStream {
     * watermark-open hours plus `window` closed (hour, count) pairs —
     * the streaming form of the batch ROWS frame, observed-hours
     * semantics included (an hour with no events never enters either
-    * side's baseline).
+    * side's baseline). The closed-hour deque is retained for keys gone
+    * quiet — the batch frame REQUIRES that history when the key
+    * resumes — so, like the other no-TTL twins, this is exact on
+    * finite key domains (event types), not on unbounded ones.
     */
   def countAnomaliesStream(events: Dataset[Event], window: Int = 24, z: Int = 2,
                            minBaseline: Int = 8,
