@@ -384,8 +384,12 @@ object Bench {
       // the current checkout first: a bench run from another working copy
       // must not overwrite a different repo's durable record (round-4
       // advice); SPARK_GRAFT_BENCH_DIR overrides for detached runs
-      val dir = (sys.env.get("SPARK_GRAFT_BENCH_DIR").toSeq ++ Seq(".", "/root/repo"))
-        .map(new java.io.File(_))
+      // create the override dir if absent: a detached run pointing at a
+      // not-yet-created path must NOT silently fall through and clobber
+      // the repo's durable record
+      val dir = (sys.env.get("SPARK_GRAFT_BENCH_DIR").toSeq.map { p =>
+          val f = new java.io.File(p); f.mkdirs(); f
+        } ++ Seq(".", "/root/repo").map(new java.io.File(_)))
         .find(d => d.isDirectory && d.canWrite).getOrElse(new java.io.File("."))
       java.nio.file.Files.write(
         new java.io.File(dir, "BENCH_LAST.json").toPath,
