@@ -1170,7 +1170,7 @@ object Text extends QueryPack {
          |  FROM documents),
          |c AS (
          |  SELECT grp, id, n_tok,
-         |    SUM(n_tok) OVER (PARTITION BY grp ORDER BY id) AS end_off
+         |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY id) AS BIGINT) AS end_off
          |  FROM t)
          |SELECT grp, id, n_tok, end_off - n_tok AS start_off,
          |  (end_off - n_tok) // 256 AS first_bin,
@@ -1189,7 +1189,7 @@ object Text extends QueryPack {
          |  FROM documents),
          |c AS (
          |  SELECT id, n_tok,
-         |    SUM(n_tok) OVER (ORDER BY id) AS end_off
+         |    CAST(SUM(n_tok) OVER (ORDER BY id) AS BIGINT) AS end_off
          |  FROM t)
          |SELECT id, n_tok, end_off - n_tok AS start_off,
          |  (end_off - n_tok) // 512 AS first_bin,
@@ -1366,7 +1366,7 @@ object Text extends QueryPack {
          |  FROM k),
          |c AS (
          |  SELECT grp, id, n_tok,
-         |    SUM(n_tok) OVER (PARTITION BY grp ORDER BY id) AS end_off
+         |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY id) AS BIGINT) AS end_off
          |  FROM t)
          |SELECT grp, id, n_tok, end_off - n_tok AS start_off,
          |  (end_off - n_tok) // 256 AS first_bin,
