@@ -437,22 +437,31 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val shIn = shingled(incoming, idCol, textCol, n).cache()
     val shEx = shingled(existing, idCol, textCol, n).cache()
-    def sig(sh: DataFrame) =
-      sh.withColumn("sig", minhash_signature(col("shingles"), numHashes))
-    val cand = lshBanded(sig(shIn), numHashes, bands).toDF("idn", "band", "bucket")
-      .join(lshBanded(sig(shEx), numHashes, bands).toDF("ide", "band", "bucket"),
-        Seq("band", "bucket"))
-      .select(col("idn"), col("ide"))
-      .distinct()
-    val dup = cand
-      .join(shIn.select(col("id").as("idn"), col("shingles").as("sh1")), "idn")
-      .join(shEx.select(col("id").as("ide"), col("shingles").as("sh2")), "ide")
-      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-        size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
-      .select(col("idn").as("id"))
-      .distinct()
-    incoming.select(col(idCol).as("id"))
-      .join(dup, Seq("id"), "left_anti")
+    try {
+      def sig(sh: DataFrame) =
+        sh.withColumn("sig", minhash_signature(col("shingles"), numHashes))
+      val cand = lshBanded(sig(shIn), numHashes, bands).toDF("idn", "band", "bucket")
+        .join(lshBanded(sig(shEx), numHashes, bands).toDF("ide", "band", "bucket"),
+          Seq("band", "bucket"))
+        .select(col("idn"), col("ide"))
+        .distinct()
+      // materialize the dup id set (eager, lineage-free, bounded by the
+      // incoming batch) so the cached shingle tables can be released in
+      // the finally below instead of leaking for the application lifetime
+      val dup = cand
+        .join(shIn.select(col("id").as("idn"), col("shingles").as("sh1")), "idn")
+        .join(shEx.select(col("id").as("ide"), col("shingles").as("sh2")), "ide")
+        .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
+        .select(col("idn").as("id"))
+        .distinct()
+        .localCheckpoint()
+      incoming.select(col(idCol).as("id"))
+        .join(dup, Seq("id"), "left_anti")
+    } finally {
+      shIn.unpersist()
+      shEx.unpersist()
+    }
   }
 
   /** MinHash-LSH near-dup pairs: signature -> banded buckets -> candidate

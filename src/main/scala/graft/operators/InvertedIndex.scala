@@ -127,7 +127,14 @@ object InvertedIndex {
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
     }
     val perDoc = posts.groupBy(col("id")).agg(tfCols.head, tfCols.tail: _*)
-    val withDl = broadcast(perDoc)
+    // perDoc has one row per document matching ANY query term; a common
+    // term makes that corpus-sized, so only hint broadcast when the
+    // df-sum (an exact upper bound on matched docs) is provably small —
+    // otherwise leave the join strategy to Catalyst/AQE.
+    val matchedDocsBound = dfs.values.sum
+    val perDocHinted =
+      if (matchedDocsBound <= 100000L) broadcast(perDoc) else perDoc
+    val withDl = perDocHinted
       .join(spark.read.parquet(s"$path/doclens"), Seq("id"))
     val termScore: Int => org.apache.spark.sql.Column = { i =>
       val tf = col(s"__tf_$i").cast("double")

@@ -384,11 +384,17 @@ object Ivf {
     * Write protocol per split: re-assigned rows land under fresh bucket
     * ids (sub-0 under a scratch id), the old directory is deleted, then
     * the scratch directory renames onto the old id — no window where
-    * rows exist only in memory. The steps are not atomic as a group
-    * (a crash between write and delete leaves the bucket duplicated, a
-    * state the next rebalance detects by the doubled count); run on a
-    * quiesced index, the normal posture for index maintenance.
-    * Returns the number of buckets split.
+    * rows exist only in memory. The steps are not atomic as a group;
+    * run on a quiesced index, the normal posture for index maintenance.
+    * A crash mid-split leaves bucket directories with ids the centroid
+    * sidecar does not know (the scratch/tail ids of the interrupted
+    * split) — the next rebalance REFUSES to start while such orphan
+    * directories exist, because appending would collide with their ids
+    * and surface the crashed run's duplicated rows in search results.
+    * Recovery: if every sidecar-known bucket directory is still present
+    * (crash before the old-dir delete), the orphans are redundant copies
+    * and can simply be deleted; otherwise restore from the orphans by
+    * hand before re-running. Returns the number of buckets split.
     */
   def rebalanceSaved(spark: org.apache.spark.sql.SparkSession, path: String,
                      maxBucketRows: Long, splitInto: Int = 2, iters: Int = 5,
@@ -405,6 +411,23 @@ object Ivf {
     if (oversized.isEmpty) return 0
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash-recovery gate: every data/bucket=N directory must have a
+    // sidecar centroid (N < centroids.length). Orphan ids are the
+    // scratch/tail directories of a previously crashed split; this run's
+    // fresh tail ids would collide with them (the sidecar was never
+    // rewritten, so tailBase repeats) and make the crashed run's
+    // duplicated rows visible to searches. Refuse with the recovery path.
+    val bucketIdRe = "bucket=(\\d+)".r
+    val orphanDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .map(_.getPath.getName)
+      .collect { case bucketIdRe(n) if n.toInt >= centroids.length => n.toInt }
+      .sorted
+    require(orphanDirs.isEmpty,
+      s"rebalance: bucket dirs ${orphanDirs.mkString(",")} have no sidecar " +
+        s"centroid (sidecar holds ${centroids.length}) — leftovers of a " +
+        "crashed rebalance. If every sidecar-known bucket dir is still " +
+        "present they are redundant copies and safe to delete; otherwise " +
+        "restore from them by hand before re-running.")
     val cents = scala.collection.mutable.ArrayBuffer(centroids.toSeq: _*)
     oversized.foreach { b =>
       val rows = spark.read.parquet(s"$path/data")

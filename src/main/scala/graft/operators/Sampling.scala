@@ -85,8 +85,16 @@ object Sampling {
       val x = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
       (s, math.floor(x * 1e9).toLong)
     }
-    val tot = qn.map(_._2).sum
-    val quotas = qn.map { case (s, q) => (s, (budget * q / tot).toInt) }.toMap
+    // budget * q can overflow Long (qn ~ n^alpha * 1e9), and a wrapped
+    // .toInt would silently drop strata — do the quota arithmetic in
+    // BigInt and fail loudly on a quota no Int can hold.
+    val tot = qn.map(q => BigInt(q._2)).sum
+    val quotas = qn.map { case (s, q) =>
+      val quota = BigInt(budget) * q / tot
+      require(quota <= Int.MaxValue,
+        s"temperatureMixture: quota $quota for stratum '$s' exceeds Int.MaxValue")
+      (s, quota.toInt)
+    }.toMap
     mixtureHead(df, strataCol, idCol, quotas, salt)
   }
 

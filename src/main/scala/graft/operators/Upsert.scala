@@ -65,19 +65,41 @@ object Upsert {
   }
 
   /** Apply `updates` to the parquet table at `path` copy-on-write and
-    * atomically swap the result in (commit-then-swap, recoverable at
-    * every boundary). Returns the merged row count.
+    * swap the result in (commit-then-swap, recoverable at every
+    * boundary). Returns the merged row count.
+    *
+    * Durability vs visibility: every crash boundary is RECOVERABLE —
+    * the next `into()` rolls the swap forward (`.tmp` was fully written
+    * and validated before the first rename) or back (only `.old` left)
+    * automatically — but the two renames are not one atomic op, so a
+    * concurrent reader can observe a moment with no table at `path`.
+    * Run against a quiesced table (the same posture as
+    * [[Ivf.rebalanceSaved]]); readers that must never block should front
+    * this with a catalog/symlink indirection.
     */
   def into(spark: SparkSession, path: String, updates: DataFrame,
            keyCols: Seq[String], versionCols: Seq[String]): Long = {
-    val merged = merge(spark.read.parquet(path), updates, keyCols, versionCols)
     val hconf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(hconf)
     val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".${dir.getName}.upsert.tmp")
     val old = new org.apache.hadoop.fs.Path(dir.getParent, s".${dir.getName}.upsert.old")
-    require(!fs.exists(old),
-      s"upsert: leftover $old from an interrupted merge — inspect and remove it first")
+    // auto-recover a crashed predecessor before reading the target:
+    // .old exists      + dir exists            -> swap completed, stale .old: drop it
+    // .old exists      + no dir + .tmp exists  -> crashed between renames; .tmp was
+    //                                             fully written+validated: roll forward
+    // .old exists      + no dir + no .tmp      -> crashed after dir went aside with no
+    //                                             replacement: roll back
+    if (fs.exists(old)) {
+      if (fs.exists(dir)) fs.delete(old, true)
+      else if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"upsert recovery: failed installing $tmp at $dir")
+        fs.delete(old, true)
+      } else if (!fs.rename(old, dir))
+        throw new java.io.IOException(s"upsert recovery: failed restoring $old to $dir")
+    }
+    val merged = merge(spark.read.parquet(path), updates, keyCols, versionCols)
     merged.write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
     if (!fs.rename(dir, old))

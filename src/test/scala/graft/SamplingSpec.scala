@@ -62,6 +62,13 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.temperatureMixture(df, "lang", "doc_id", budget = 5L, alpha = 1.5)
     }
+    // budget * q would overflow Long (q ~ 1e10 units here): the BigInt
+    // quota path must not wrap — a quota past Int.MaxValue fails loudly
+    // instead of silently dropping strata
+    val huge = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "lang", "doc_id", budget = Long.MaxValue)
+    }
+    assert(huge.getMessage.contains("exceeds Int.MaxValue"))
   }
 
   test("hashSample: deterministic, partition-independent, nested across fractions") {

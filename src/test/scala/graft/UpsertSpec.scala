@@ -67,7 +67,7 @@ class UpsertSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("into: copy-on-write swap commits atomically; leftover .old refuses") {
+  test("into: copy-on-write swap commits atomically; crash states auto-recover") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-upsert").toString + "/table"
     Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "ver")
@@ -78,17 +78,35 @@ class UpsertSpec extends AnyFunSuite {
     assert(n === 3L)
     assert(rows(spark.read.parquet(dir)) ===
       Seq((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
-    // a leftover .old marker from an interrupted swap must refuse loudly
     val hconf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(hconf)
     val old = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.upsert.old")
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.upsert.tmp")
+
+    // crash state 1: swap completed but .old never deleted -> the stale
+    // .old is dropped and the merge proceeds against the live table
     fs.mkdirs(old)
-    val err = intercept[IllegalArgumentException] {
-      Upsert.into(spark, dir, Seq((9L, "x", 1L)).toDF("k", "v", "ver"),
-        Seq("k"), Seq("ver"))
-    }
-    assert(err.getMessage.contains("upsert.old"))
-    fs.delete(old, true)
+    val n1 = Upsert.into(spark, dir, Seq((4L, "d", 40L)).toDF("k", "v", "ver"),
+      Seq("k"), Seq("ver"))
+    assert(n1 === 4L)
+    assert(!fs.exists(old))
+
+    // crash state 2: crashed between the two renames (dir aside as .old,
+    // fully-written .tmp not yet installed) -> rolls the swap forward,
+    // so .tmp's contents ARE the table the next merge reads
+    spark.read.parquet(dir).write.parquet(tmp.toString)
+    assert(fs.rename(p, old))
+    val n2 = Upsert.into(spark, dir, Seq((5L, "e", 50L)).toDF("k", "v", "ver"),
+      Seq("k"), Seq("ver"))
+    assert(n2 === 5L)
+    assert(!fs.exists(old) && !fs.exists(tmp))
+
+    // crash state 3: only .old remains (no dir, no .tmp) -> rolls back
+    assert(fs.rename(p, old))
+    val n3 = Upsert.into(spark, dir, Seq((6L, "f", 60L)).toDF("k", "v", "ver"),
+      Seq("k"), Seq("ver"))
+    assert(n3 === 6L)
+    assert(rows(spark.read.parquet(dir)).map(_._1) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 }

@@ -543,6 +543,16 @@ class VectorSpec extends AnyFunSuite {
     assert(exactAfter === exactBefore)
     // nothing above a huge threshold: no-op returns 0 and changes nothing
     assert(Ivf.rebalanceSaved(spark, path, maxBucketRows = total, splitInto = 2) === 0)
+    // crash-recovery gate: a bucket dir past the sidecar (the orphan a
+    // crashed split leaves behind) makes the next rebalance refuse
+    val nBuckets = cents.length
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/data/bucket=${nBuckets + 3}")
+    fs.mkdirs(orphan)
+    val err = intercept[IllegalArgumentException] {
+      Ivf.rebalanceSaved(spark, path, maxBucketRows = 1L, splitInto = 2)
+    }
+    assert(err.getMessage.contains("crashed rebalance"))
+    fs.delete(orphan, true)
   }
 
   test("margin mining: equals per-probe top-2 + ratio margin; both outcomes present") {
