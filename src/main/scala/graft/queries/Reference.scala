@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions._
-import graft.operators.Search
+import graft.operators.{Knn, Search}
 import graft.operators.Search.{Point, SearchRequest}
 
 /** The reference's canonical query (`backend/models.py:186-191`) run
@@ -259,8 +259,45 @@ object Reference extends QueryPack {
         typeFilter = Some(Seq("Feature Layer")),
         inputPoint = Some(Point(-81.27, 28.80)),
         limit = 5))
+    },
+
+    // The reference's FULL query path with the embedding step INSIDE the
+    // engine boundary (`backend/app.py:46`: embed the request string,
+    // then search): the documents table is batch-encoded by the F8 seam's
+    // real default model (Embed.HashingEncoder — feature-hashing signed
+    // projection, one encoder per partition), the query string is encoded
+    // driver-side by the same model, and exact cosine top-10 runs over
+    // the encodings. normalize=false keeps every component an exact
+    // small integer in float32, so the double-precision cosine ranking
+    // is bit-reproducible and the oracle can restate the WHOLE pipeline
+    // (FNV-1a + splitmix64 + signed bucketing + cosine) in SQL.
+    "x3_embed_search" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .as[graft.operators.Embed.TextRow]
+      val emb = graft.operators.Embed.embedText(docs, EmbedDim, normalize = false).toDF()
+        // zero-norm guard (cosine undefined): squared norm is an exact
+        // integer in double, so the predicate agrees with the oracle's
+        .filter(dot_product(col("embedding"), col("embedding")) > 0)
+      val probe = graft.operators.Embed.embedQuery(EmbedQuery, EmbedDim, normalize = false)
+      // the unpartitioned window ranks the k=10 rows topK already
+      // selected — k-sized, not data-sized, so the single-partition
+      // WindowExec warning is benign at any scale
+      Knn.topK(emb, col("embedding"), probe, k = 10, tieBreak = col("id"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("dist").asc, col("id").asc))
+          .cast("long"))
+        .select(col("id").as("doc_id"), col("rnk"))
     }
   )
+
+  /** x3's encoder width and query string (words drawn from the synthetic
+    * corpus vocabulary so the top-k is semantically non-trivial).
+    */
+  private val EmbedDim = 64
+  private val EmbedQuery = "spark window merge batch query join"
 
   /** DuckDB SQL decoding the IEEE-754 double stored little-endian at
     * 0-based byte offset `off` of the hex-encoded blob column `hexCol`.
@@ -386,6 +423,45 @@ object Reference extends QueryPack {
          |  AND 28.80 BETWEEN b.ymin AND b.ymax
          |ORDER BY 1 - list_cosine_similarity(d.embeddings, $probeSql) ASC, d.id ASC
          |LIMIT 5""".stripMargin
-    }
+    },
+
+    // The hashing encoder restated end to end: FNV-1a over UTF-8 bytes
+    // (SketchSql.FnvSql), splitmix64 finalizer (mixLayerCtes), signed
+    // bucketing, per-doc signed-count vectors, then the identical
+    // double-precision cosine (components are exact small integers, so
+    // every sum/product is exact and sqrt/division round identically in
+    // both engines — the ranking is bit-reproducible, not just close).
+    "x3_embed_search" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(${SketchSql.ToksSql}) AS s
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |f AS (SELECT doc_id, ${SketchSql.FnvSql} AS z FROM dt),
+         |${SketchSql.mixLayerCtes("f", Seq("doc_id"))},
+         |db AS (
+         |  SELECT doc_id, CAST((u >> 1) % $EmbedDim AS INT) AS idx,
+         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM fmu),
+         |dv AS (SELECT doc_id, idx, CAST(SUM(sgn) AS DOUBLE) AS v
+         |       FROM db GROUP BY doc_id, idx),
+         |dn AS (SELECT doc_id, SUM(v * v) AS nd FROM dv GROUP BY doc_id),
+         |qt AS (SELECT unnest(string_split_regex(trim('$EmbedQuery'), '\\s+')) AS s),
+         |qf AS (SELECT 1 AS q1, ${SketchSql.FnvSql} AS z FROM qt),
+         |${SketchSql.mixLayerCtes("qf", Seq("q1"))},
+         |qb AS (
+         |  SELECT CAST((u >> 1) % $EmbedDim AS INT) AS idx,
+         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM qfmu),
+         |qv AS (SELECT idx, CAST(SUM(sgn) AS DOUBLE) AS v FROM qb GROUP BY idx),
+         |qn AS (SELECT SUM(v * v) AS nq FROM qv),
+         |dp AS (SELECT d.doc_id, SUM(d.v * q.v) AS dot
+         |       FROM dv d JOIN qv q USING (idx) GROUP BY d.doc_id),
+         |scored AS (
+         |  SELECT dn.doc_id,
+         |    1.0 - COALESCE(dp.dot, 0.0)
+         |      / (SQRT(dn.nd) * SQRT((SELECT nq FROM qn))) AS dist
+         |  FROM dn LEFT JOIN dp USING (doc_id)
+         |  WHERE dn.nd > 0)
+         |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rnk
+         |FROM scored ORDER BY dist, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -111,11 +111,22 @@ object KernelProperties extends Properties("graft.kernels") {
       }
   }
 
-  property("fake embedder: deterministic and unit-norm") = forAll(asciiText) { t =>
-    val a = Embed.FakeEmbedder.embed(t, 16)
-    val b = Embed.FakeEmbedder.embed(t, 16)
+  property("hashing encoder: deterministic, unit-norm when tokens exist") = forAll(asciiText) { t =>
+    val enc = new Embed.HashingEncoder(16, normalize = true)
+    val a = enc.encode(t)
+    val b = enc.encode(t)
     val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
-    a.sameElements(b) && math.abs(norm - 1.0) < 1e-5
+    a.sameElements(b) &&
+      (t.trim.isEmpty || norm == 0.0 || math.abs(norm - 1.0) < 1e-5)
+  }
+
+  property("hashing encoder: raw components are signed token counts") = forAll(asciiText) { t =>
+    val enc = new Embed.HashingEncoder(16, normalize = false)
+    val v = enc.encode(t)
+    val nTokens = if (t.trim.isEmpty) 0 else t.trim.split("\\s+").length
+    // every component integral, and |sum of |components|| <= token count
+    v.forall(x => x == math.rint(x)) &&
+      v.map(x => math.abs(x.toDouble)).sum <= nTokens.toDouble
   }
 
   property("pgvector formatG matches python format(x, 'g') on knowns") = Prop {
