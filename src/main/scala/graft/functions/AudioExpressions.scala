@@ -123,3 +123,100 @@ object AudioMeta {
     null
   }
 }
+
+/** audio_pcm_stats(binary) -> struct(n_samples, sum_amp, min_amp,
+  * max_amp) — PAYLOAD-level WAV decode: walks the RIFF chunks to
+  * "fmt " AND "data", then decodes every little-endian int16 PCM
+  * sample in the data chunk and aggregates exact integer statistics.
+  * This is the real sample decode the m-family's header parsers stop
+  * short of — no library needed, PCM16 is bytes-to-shorts by spec
+  * (Microsoft/IBM RIFF WAVE, 1991).
+  *
+  * Integer-exact by construction: n_samples and min/max are integers,
+  * sum_amp is a Long (2^47 samples of full-scale amplitude before
+  * overflow) — so the output is engine-portable and oracle-checkable
+  * with no float anywhere. Callers derive mean/energy downstream at
+  * whatever precision they choose.
+  *
+  * Quarantine posture (same as [[AudioMeta]]): anything that is not a
+  * well-formed PCM16 WAV NULLs out instead of poisoning the scan —
+  * non-RIFF bytes, a missing/short fmt or data chunk, a non-PCM or
+  * non-16-bit format, an odd-sized or TRUNCATED data chunk (declared
+  * size past the buffer end — the torn-blob case), or zero samples.
+  */
+case class AudioPcmStats(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "audio_pcm_stats"
+  override def dataType: DataType = AudioPcmStats.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    AudioPcmStats.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioPcmStats.decode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AudioPcmStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("sum_amp", LongType),
+    StructField("min_amp", IntegerType),
+    StructField("max_amp", IntegerType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  /** Shared eval/codegen kernel; null for anything not PCM16-decodable. */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1
+    var i = 12
+    while (i + 8 <= b.length && dataLen < 0) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        if (le16(b, i + 8) != 1 || le16(b, i + 22) != 16) return null // PCM16 only
+        fmtOk = true
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        // truncated (declared size past the buffer) or odd-sized -> torn blob
+        if (size > b.length - i - 8 || (size & 1) == 1) return null
+        dataOff = i + 8
+        dataLen = size.toInt
+      }
+      if (size > Int.MaxValue - 9) return null
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtOk || dataLen <= 0) return null
+    val n = dataLen / 2
+    var sum = 0L
+    var min = Int.MaxValue
+    var max = Int.MinValue
+    var k = 0
+    while (k < n) {
+      val s = le16(b, dataOff + 2 * k).toShort.toInt
+      sum += s
+      if (s < min) min = s
+      if (s > max) max = s
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, sum, min, max))
+  }
+}

@@ -84,6 +84,8 @@ object GraftFunctions {
   def image_meta(bytes: Column): Column = toCol(ImageMeta(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
+  /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
+  def audio_pcm_stats(bytes: Column): Column = toCol(AudioPcmStats(toExpr(bytes)))
   /** Video-container header parse (MP4/AVI) — see [[VideoMeta]]. */
   def video_meta(bytes: Column): Column = toCol(VideoMeta(toExpr(bytes)))
 
@@ -129,6 +131,7 @@ object GraftFunctions {
     "html_to_markdown_blocks" -> { es => HtmlToMarkdownBlocks(es(0)) },
     "image_meta"      -> { es => ImageMeta(es(0)) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },
+    "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "video_meta"      -> { es => VideoMeta(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(
       cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },

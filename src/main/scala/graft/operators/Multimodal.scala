@@ -17,13 +17,18 @@ import graft.functions.SketchHash
   * Container HEADER parsing is real since round 6: [[imageMeta]] reads
   * PNG/JPEG/GIF dimensions+channels straight from the public header
   * layouts ([[graft.functions.ImageMeta]], codegen expression — no
-  * libraries needed). Pixel/PCM DECODE is still stubbed: this container
-  * has no image/audio libraries, so [[FakeCodec]] implements a
-  * self-describing synthetic format ("GRFT" magic + kind + dimensions +
-  * payload) and the pixel math is a deterministic placeholder. Swapping
-  * in a real pixel codec means reimplementing the marked methods of
-  * [[FakeCodec]] only; every operator signature and the distribution
-  * strategy stay as-is.
+  * libraries needed). PCM SAMPLE decode is real since round 10:
+  * [[graft.functions.AudioPcmStats]] walks the RIFF chunks and folds
+  * exact integer statistics over every int16 sample in the data chunk
+  * (gated as m5, torn blobs quarantined to NULL). PIXEL decode remains
+  * stubbed: this container has no image codec libraries (PNG needs
+  * zlib-inflate + per-filter-type scanline reconstruction; JPEG an
+  * entropy decoder), so [[FakeCodec]] implements a self-describing
+  * synthetic format ("GRFT" magic + kind + dimensions + payload) and
+  * the pixel math is a deterministic placeholder. Swapping in a real
+  * pixel codec means reimplementing the marked methods of [[FakeCodec]]
+  * only; every operator signature and the distribution strategy stay
+  * as-is.
   *
   * Scale notes: media blobs are large — operators never shuffle the bytes
   * except where output semantics require new blobs; metadata extraction

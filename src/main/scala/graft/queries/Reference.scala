@@ -159,6 +159,48 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // PAYLOAD-level decode under the driver gate — the step past the
+    // m1-m4 header parsers: per document, CONSTRUCT a complete PCM16
+    // WAV (RIFF + fmt + data, samples synthesized from doc_id
+    // arithmetic with codegen built-ins: transform/sequence ->
+    // per-sample LE16 hex -> unhex), DECODE every sample natively
+    // (audio_pcm_stats walks the chunks and folds exact integer
+    // stats), and emit n/sum/min/max. Docs with doc_id % 7 == 0 get a
+    // data chunk whose declared size overruns the buffer — the torn
+    // blob — and must quarantine to NULL. The oracle states the
+    // expected stats arithmetically over the same sample formula: an
+    // inversion check on the decoder, not a restatement.
+    "m5_pcm_stats" -> { (s, d) =>
+      import graft.functions.GraftFunctions.audio_pcm_stats
+      def le16h(v: Column) =
+        format_string("%02X%02X", v % 256, (v / 256).cast("int"))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        v % 256, (v / 256).cast("int") % 256,
+        (v / 65536).cast("int") % 256, (v / 16777216).cast("int") % 256)
+      val n = (col("doc_id") % 40 + 1).cast("int")
+      val pcmHex = array_join(transform(sequence(lit(0), n - 1), k => {
+        val sv = pmod(col("doc_id") * 31 + k * 17, lit(2048)) - 1024
+        val u = pmod(sv, lit(65536)).cast("int")
+        format_string("%02X%02X", u % 256, (u / 256).cast("int"))
+      }), "")
+      val dataSize = n * 2
+      // torn blob: declared data size overruns the actual payload
+      val declared = when(col("doc_id") % 7 === 0, dataSize + 4).otherwise(dataSize)
+      val wav = concat(
+        lit("RIFF").cast("binary"), unhex(le32h(lit(36) + dataSize)),
+        lit("WAVEfmt ").cast("binary"),
+        unhex(concat(lit("100000000100"), // fmt size 16 LE32, PCM code LE16
+          le16h(lit(1)), le32h(lit(8000)), le32h(lit(16000)),
+          le16h(lit(2)), le16h(lit(16)))),
+        lit("data").cast("binary"), unhex(le32h(declared)), unhex(pcmHex))
+      Tables.documents(s, d)
+        .select(col("doc_id"), audio_pcm_stats(wav).as("p"))
+        .select(col("doc_id"),
+          col("p.n_samples").as("n_samples"), col("p.sum_amp").as("sum_amp"),
+          col("p.min_amp").as("min_amp"), col("p.max_amp").as("max_amp"))
+        .orderBy(col("doc_id"))
+    },
+
     // video_meta under the driver gate, same inversion pattern as m1/m2:
     // per document, CONSTRUCT a minimal-but-spec-shaped MP4 (ftyp + moov
     // with mvhd timescale/duration and one trak whose tkhd carries 16.16
@@ -367,6 +409,28 @@ object Reference extends QueryPack {
         |    CAST((doc_id % 3 + 1) * 8 AS INT) AS bits
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // the expected sample statistics by direct arithmetic over the same
+    // formula the blob was synthesized from — torn blobs (doc_id % 7 = 0)
+    // expected NULL across every stat
+    "m5_pcm_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(doc_id % 40 + 1 AS INT) AS n FROM documents),
+        |ks AS (
+        |  SELECT doc_id, unnest(generate_series(0, n - 1)) AS k FROM s),
+        |samp AS (
+        |  SELECT doc_id, (doc_id * 31 + k * 17) % 2048 - 1024 AS v FROM ks),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(v) AS BIGINT) AS sum_amp,
+        |    CAST(MIN(v) AS INT) AS min_amp, CAST(MAX(v) AS INT) AS max_amp
+        |  FROM samp GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_samples END AS n_samples,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE sum_amp END AS sum_amp,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE min_amp END AS min_amp,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE max_amp END AS max_amp
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // the inversion expectations: MP4 fields from the same doc_id
     // arithmetic with duration_ms = units * 1000 // timescale (the ISO

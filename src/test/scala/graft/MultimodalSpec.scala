@@ -348,6 +348,52 @@ class MultimodalSpec extends AnyFunSuite {
       10L -> "unknown", 11L -> "unknown", 12L -> null))
   }
 
+  /** PCM16 WAV with real samples (optionally a junk chunk before fmt). */
+  private def wavPcm(samples: Array[Short], junkLen: Int = 0,
+                     declaredExtra: Int = 0): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    val junk =
+      if (junkLen == 0) Array.empty[Byte]
+      else "JUNK".getBytes("US-ASCII") ++ le32(junkLen) ++
+        Array.fill[Byte](junkLen + (junkLen & 1))(7)
+    val data = samples.flatMap(v => le16(v & 0xffff))
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++ junk ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length + declaredExtra) ++ data
+  }
+
+  test("audio_pcm_stats decodes PCM16 samples exactly; torn/odd/non-PCM16 quarantine to NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, wavPcm(Array[Short](100, -200, 32767, -32768, 0))),
+      (2L, wavPcm(Array[Short](5, 5, 5), junkLen = 11)),   // data behind odd junk chunk
+      (3L, wavPcm(Array[Short](1, 2), declaredExtra = 4)), // torn: declared size overruns
+      (4L, wavPcm(Array.empty[Short])),                    // zero samples -> NULL
+      (5L, wavHeader(1, 8000, 16)),                        // fmt but no data chunk
+      (6L, wavHeader(1, 8000, 8)),                         // 8-bit: not PCM16
+      (7L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val got = df.select(col("media_id"),
+        graft.functions.GraftFunctions.audio_pcm_stats(col("bytes")).as("p"))
+      .selectExpr("media_id", "p.n_samples", "p.sum_amp", "p.min_amp", "p.max_amp")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got(1L) === ((5L, 100L - 200L + 32767L - 32768L + 0L, -32768, 32767)))
+    assert(got(2L) === ((3L, 15L, 5, 5)))
+    assert(got(3L) === null)
+    assert(got(4L) === null)
+    assert(got(5L) === null)
+    assert(got(6L) === null)
+    assert(got(7L) === null)
+  }
+
   test("image_meta SQL registration + codegen/interpreted agreement") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
