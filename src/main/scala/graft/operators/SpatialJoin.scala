@@ -69,6 +69,102 @@ object SpatialJoin {
     refine.fold(contained)(contained.filter)
   }
 
+  /** Polygon-polygon spatial join, filter+refine: bbox-OVERLAP
+    * candidates from the same grid rewrite as [[gridBboxJoin]], each
+    * matching pair reported exactly once, then the exact JTS predicate
+    * on candidates only.
+    *
+    * Rewrite: both sides tile their bboxes to overlapped cells and meet
+    * in a shuffled equi-join on the cell id. Overlapping bboxes share
+    * every cell their INTERSECTION covers, so a plain cell join would
+    * duplicate pairs; instead a pair is emitted only in its reporting
+    * cell — the cell holding the intersection's min corner,
+    * (max(cellIdx(aminx), cellIdx(bminx)), max(cellIdx(aminy),
+    * cellIdx(bminy))) — the reference-point de-duplication of the
+    * partition-based spatial-merge join family (Patel & DeWitt 1996;
+    * the reference-point variant as in SpatialHadoop, Eldawy & Mokbel
+    * 2015 — both public). No post-join distinct, no pair-space blowup.
+    *
+    * Guards, the s7 posture: the worst bbox's cell count is checked on
+    * BOTH sides before any explode (cells-per-rect stays O(1)), and the
+    * candidate-pair volume is counted EXACTLY from the two per-cell
+    * occupancy tables (cell-count sized, persisted for the estimate
+    * only) and refused loudly past `maxCandidates` BEFORE the pair join
+    * materializes anything.
+    *
+    * The two inputs' column names must be disjoint (alias before
+    * calling); `refine` runs the exact geometry predicate
+    * (st_intersects on the real polygons) over the bbox candidates
+    * only — for axis-aligned rectangles it is equivalent to the bbox
+    * filter, for general polygons it is the correctness step.
+    */
+  def gridBboxOverlapJoin(left: DataFrame,
+                          lminx: String, lminy: String, lmaxx: String, lmaxy: String,
+                          right: DataFrame,
+                          rminx: String, rminy: String, rmaxx: String, rmaxy: String,
+                          cellW: Double, cellH: Double,
+                          maxCellsPerRect: Long = 64L,
+                          maxCandidates: Long = 50000000L,
+                          refine: Option[Column] = None): DataFrame = {
+    require(cellW > 0 && cellH > 0, s"cell sizes must be positive: $cellW x $cellH")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"gridBboxOverlapJoin: column names must be disjoint, both sides carry ${overlap.mkString(",")}")
+
+    def guardCells(df: DataFrame, minx: String, miny: String,
+                   maxx: String, maxy: String, side: String): Unit = {
+      val cellsX = cellIdx(col(maxx), cellW) - cellIdx(col(minx), cellW) + lit(1L)
+      val cellsY = cellIdx(col(maxy), cellH) - cellIdx(col(miny), cellH) + lit(1L)
+      val worstRow = df.agg(max(cellsX * cellsY)).head()
+      val worst = if (worstRow.isNullAt(0)) 0L else worstRow.getLong(0)
+      require(worst <= maxCellsPerRect,
+        s"gridBboxOverlapJoin: a $side bbox overlaps $worst grid cells " +
+          s"(> $maxCellsPerRect) at cell $cellW x $cellH — grow the cells " +
+          "toward the bbox size, or raise maxCellsPerRect deliberately")
+    }
+    guardCells(left, lminx, lminy, lmaxx, lmaxy, "left")
+    guardCells(right, rminx, rminy, rmaxx, rmaxy, "right")
+
+    def tiled(df: DataFrame, minx: String, miny: String,
+              maxx: String, maxy: String): DataFrame = df
+      .withColumn("__cx", explode(sequence(cellIdx(col(minx), cellW),
+        cellIdx(col(maxx), cellW))))
+      .withColumn("__cy", explode(sequence(cellIdx(col(miny), cellH),
+        cellIdx(col(maxy), cellH))))
+    def occupancy(df: DataFrame, minx: String, miny: String,
+                  maxx: String, maxy: String): DataFrame =
+      tiled(df, minx, miny, maxx, maxy)
+        .groupBy(col("__cx"), col("__cy")).agg(count(lit(1)).as("n"))
+
+    val locc = occupancy(left, lminx, lminy, lmaxx, lmaxy)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rocc = occupancy(right, rminx, rminy, rmaxx, rmaxy)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val estRow = locc.withColumnRenamed("n", "na")
+        .join(rocc.withColumnRenamed("n", "nb"), Seq("__cx", "__cy"))
+        .agg(sum(col("na") * col("nb"))).head()
+      val est = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+      require(est <= maxCandidates,
+        s"gridBboxOverlapJoin: ~$est candidate pairs at cell $cellW x $cellH " +
+          s"(> $maxCandidates) — hot grid cells; resize the cells, " +
+          "pre-filter the inputs, or raise maxCandidates deliberately")
+    } finally { locc.unpersist(); rocc.unpersist() }
+
+    val candidates = tiled(left, lminx, lminy, lmaxx, lmaxy)
+      .join(tiled(right, rminx, rminy, rmaxx, rmaxy), Seq("__cx", "__cy"))
+      // bbox overlap, inclusive on boundaries (OGC intersects for rects)
+      .filter(col(lminx) <= col(rmaxx) && col(rminx) <= col(lmaxx) &&
+        col(lminy) <= col(rmaxy) && col(rminy) <= col(lmaxy))
+      // reporting cell: emit the pair only where the intersection starts
+      .filter(col("__cx") === greatest(cellIdx(col(lminx), cellW),
+          cellIdx(col(rminx), cellW)) &&
+        col("__cy") === greatest(cellIdx(col(lminy), cellH),
+          cellIdx(col(rminy), cellH)))
+      .drop("__cx", "__cy")
+    refine.fold(candidates)(candidates.filter)
+  }
+
   private val NineOffsets: Column = array((for {
     dx <- -1 to 1; dy <- -1 to 1
   } yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)

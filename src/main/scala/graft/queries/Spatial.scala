@@ -119,8 +119,46 @@ object Spatial extends QueryPack {
       graft.operators.SpatialJoin.withinDistanceJoin(
         points(s, d), "c_custkey", "x", "y", radius = 2.0)
         .orderBy(col("id1"), col("id2"))
+    },
+
+    // polygon-polygon spatial join (many x many bbox OVERLAP, the shape
+    // a GIS-metadata corpus needs beyond s6's point-in-rect): both
+    // sides tile to grid cells, pairs meet once in the reporting cell
+    // (the intersection's min corner — no distinct), and the exact JTS
+    // st_intersects runs on the REAL polygons of the candidates only.
+    // Axis-aligned rectangles keep the oracle exact (OGC intersects ==
+    // inclusive interval overlap on both axes — the s1/s2 precedent);
+    // rotated-polygon refine behavior is covered in SpatialSpec.
+    "s8_polygon_overlap_join" -> { (s, d) =>
+      def rectWkt(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+        concat(lit("POLYGON (("),
+          minx.cast("string"), lit(" "), miny.cast("string"), lit(", "),
+          maxx.cast("string"), lit(" "), miny.cast("string"), lit(", "),
+          maxx.cast("string"), lit(" "), maxy.cast("string"), lit(", "),
+          minx.cast("string"), lit(" "), maxy.cast("string"), lit(", "),
+          minx.cast("string"), lit(" "), miny.cast("string"), lit("))"))
+      val refine = st_intersects(
+        st_geomfromtext(rectWkt(col("cminx"), col("cminy"), col("cmaxx"), col("cmaxy"))),
+        st_geomfromtext(rectWkt(col("minx"), col("miny"), col("maxx"), col("maxy"))))
+      graft.operators.SpatialJoin.gridBboxOverlapJoin(
+        custRects(s, d), "cminx", "cminy", "cmaxx", "cmaxy",
+        rects(s, d), "minx", "miny", "maxx", "maxy",
+        cellW = 6.0, cellH = 4.0, refine = Some(refine))
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
     }
   )
+
+  // customer-derived axis-aligned rectangles for the polygon join's left
+  // side (2.0 x 1.4 degrees, same arithmetic discipline; names prefixed
+  // so the two sides' columns stay disjoint)
+  private def custRects(s: SparkSession, d: String): DataFrame = {
+    val cx = (col("c_custkey") * 7) % 360 - 180 + col("c_nationkey") / 100.0
+    val cy = (col("c_custkey") * 3) % 180 - 90 + col("c_nationkey") / 100.0
+    Tables.customer(s, d).select(col("c_custkey"),
+      (cx - 1.0).as("cminx"), (cy - 0.7).as("cminy"),
+      (cx + 1.0).as("cmaxx"), (cy + 0.7).as("cmaxy"))
+  }
 
   // supplier-derived axis-aligned rectangles (same integer + one-division
   // arithmetic discipline as the point coordinates)
@@ -177,6 +215,28 @@ object Spatial extends QueryPack {
          |FROM p a JOIN p b ON a.id < b.id
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
          |ORDER BY id1, id2""".stripMargin,
+
+    // the plain bbox-overlap theta join the grid rewrite + reporting-cell
+    // dedup must equal (DuckDB IEJoin executes it directly); inclusive
+    // interval overlap on both axes == OGC intersects for rectangles
+    "s8_polygon_overlap_join" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |    ($xSql) - 1.0 AS cminx, ($ySql) - 0.7 AS cminy,
+         |    ($xSql) + 1.0 AS cmaxx, ($ySql) + 0.7 AS cmaxy
+         |  FROM customer),
+         |r AS (
+         |  SELECT s_suppkey,
+         |    ((s_suppkey * 11) % 360 - 180 + s_nationkey / 100.0) - 3.0 AS minx,
+         |    ((s_suppkey * 5) % 180 - 90 + s_nationkey / 100.0) - 2.0 AS miny,
+         |    ((s_suppkey * 11) % 360 - 180 + s_nationkey / 100.0) + 3.0 AS maxx,
+         |    ((s_suppkey * 5) % 180 - 90 + s_nationkey / 100.0) + 2.0 AS maxy
+         |  FROM supplier)
+         |SELECT c_custkey, s_suppkey
+         |FROM c JOIN r
+         |  ON c.cminx <= r.maxx AND r.minx <= c.cmaxx
+         | AND c.cminy <= r.maxy AND r.miny <= c.cmaxy
+         |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     "s5_mercator_grid" ->
       s"""SELECT

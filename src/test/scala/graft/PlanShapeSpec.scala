@@ -70,6 +70,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"s3 must retain the exact JTS predicate:\n$optimized")
   }
 
+  test("s8 polygon overlap join: shuffled equi-join on the cell id, never a nested loop") {
+    val plan = planOf("s8_polygon_overlap_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"s8 must not nest-loop:\n$plan")
+    assert(plan.contains("st_intersects"),
+      s"s8 must retain the exact JTS refine on the candidates:\n$plan")
+  }
+
   test("v5 centroids: one vector_centroid buffer per label, no posexplode before the aggregate") {
     val plan = planOf("v5_label_centroids")
     assert(plan.contains("vector_centroid"), s"v5 lost the typed aggregate:\n$plan")

@@ -360,6 +360,101 @@ class SpatialSpec extends AnyFunSuite {
       s"grid join must not nest-loop:\n$plan")
   }
 
+  test("gridBboxOverlapJoin equals the naive overlap theta join exactly once per pair; guards fire") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val lhs = (1L to 200L).map { i =>
+      val cx = rnd.nextDouble() * 90 - 45; val cy = rnd.nextDouble() * 90 - 45
+      (i, cx - 1.0, cy - 0.7, cx + 1.0, cy + 0.7)
+    }.toDF("lid", "lminx", "lminy", "lmaxx", "lmaxy").repartition(5)
+    val rhs = (1L to 60L).map { i =>
+      val cx = rnd.nextDouble() * 90 - 45; val cy = rnd.nextDouble() * 90 - 45
+      (i, cx - 3.0, cy - 2.0, cx + 3.0, cy + 2.0)
+    }.toDF("rid", "minx", "miny", "maxx", "maxy").repartition(3)
+    val grid = graft.operators.SpatialJoin.gridBboxOverlapJoin(
+      lhs, "lminx", "lminy", "lmaxx", "lmaxy",
+      rhs, "minx", "miny", "maxx", "maxy", 6.0, 4.0)
+    // exactly once per pair: compare as a multiset, not a set — the
+    // reporting-cell dedup must leave no duplicates for a distinct to hide
+    val got = grid.select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = lhs.join(rhs,
+      col("lminx") <= col("maxx") && col("minx") <= col("lmaxx") &&
+        col("lminy") <= col("maxy") && col("miny") <= col("lmaxy"))
+      .select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === want)
+    assert(want.nonEmpty)
+    assert(want.distinct.size === want.size)
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap grid join must not nest-loop:\n$plan")
+    // boundary case: rectangles touching along an edge DO intersect (OGC)
+    val a = Seq((1L, 0.0, 0.0, 2.0, 2.0)).toDF("lid", "lminx", "lminy", "lmaxx", "lmaxy")
+    val b = Seq((9L, 2.0, 0.0, 4.0, 2.0)).toDF("rid", "minx", "miny", "maxx", "maxy")
+    assert(graft.operators.SpatialJoin.gridBboxOverlapJoin(
+      a, "lminx", "lminy", "lmaxx", "lmaxy",
+      b, "minx", "miny", "maxx", "maxy", 6.0, 4.0).count() === 1L)
+    // guards: oversized bbox; candidate blowup; colliding column names
+    val huge = Seq((1L, -500.0, -500.0, 500.0, 500.0))
+      .toDF("rid", "minx", "miny", "maxx", "maxy")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.gridBboxOverlapJoin(
+        lhs, "lminx", "lminy", "lmaxx", "lmaxy",
+        huge, "minx", "miny", "maxx", "maxy", 6.0, 4.0)
+    }
+    assert(e1.getMessage.contains("grid cells"))
+    val denseL = (1L to 200L).map(i => (i, 0.0, 0.0, 1.0, 1.0))
+      .toDF("lid", "lminx", "lminy", "lmaxx", "lmaxy")
+    val denseR = (1L to 200L).map(i => (i, 0.0, 0.0, 1.0, 1.0))
+      .toDF("rid", "minx", "miny", "maxx", "maxy")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.gridBboxOverlapJoin(
+        denseL, "lminx", "lminy", "lmaxx", "lmaxy",
+        denseR, "minx", "miny", "maxx", "maxy", 6.0, 4.0, maxCandidates = 1000L)
+    }
+    assert(e2.getMessage.contains("candidate pairs"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.gridBboxOverlapJoin(
+        denseR, "minx", "miny", "maxx", "maxy",
+        denseR, "minx", "miny", "maxx", "maxy", 6.0, 4.0)
+    }
+    assert(e3.getMessage.contains("disjoint"))
+  }
+
+  test("gridBboxOverlapJoin refine: rotated polygons whose bboxes overlap but shapes do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{st_geomfromtext, st_intersects}
+    // two thin diagonal slivers in the same bbox neighborhood: bboxes
+    // overlap (candidate survives the filter stage) but the polygons
+    // themselves are parallel and disjoint -> refine must drop the pair;
+    // a third sliver crossing the first must survive
+    val lhs = Seq(
+      (1L, "POLYGON ((0 0, 10 10, 10 9, 0 -1, 0 0))", 0.0, -1.0, 10.0, 10.0))
+      .toDF("lid", "lwkt", "lminx", "lminy", "lmaxx", "lmaxy")
+    val rhs = Seq(
+      (1L, "POLYGON ((0 5, 10 15, 10 14, 0 4, 0 5))", 0.0, 4.0, 10.0, 15.0),   // parallel, disjoint
+      (2L, "POLYGON ((0 10, 10 0, 10 1, 0 11, 0 10))", 0.0, 0.0, 10.0, 11.0))  // crossing
+      .toDF("rid", "rwkt", "rminx", "rminy", "rmaxx", "rmaxy")
+    val refined = graft.operators.SpatialJoin.gridBboxOverlapJoin(
+      lhs, "lminx", "lminy", "lmaxx", "lmaxy",
+      rhs, "rminx", "rminy", "rmaxx", "rmaxy", 16.0, 16.0,
+      refine = Some(st_intersects(st_geomfromtext(col("lwkt")),
+        st_geomfromtext(col("rwkt")))))
+      .select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined === Set((1L, 2L)))
+    // without refine, the bbox stage alone reports both candidates
+    val coarse = graft.operators.SpatialJoin.gridBboxOverlapJoin(
+      lhs, "lminx", "lminy", "lmaxx", "lmaxy",
+      rhs, "rminx", "rminy", "rmaxx", "rmaxy", 16.0, 16.0)
+      .select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coarse === Set((1L, 1L), (1L, 2L)))
+  }
+
   test("withinDistanceJoin equals the naive distance theta join; exact-radius boundary included; guard fires") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
