@@ -10,11 +10,21 @@ copies stay exact (tie-breaks are deterministic on both engines). The
 remaining tables are copied unscaled so the oracle's views resolve.
 
 Usage:
-  python3 tools/scale_sweep.py build [dir=/dev/shm/graft-sf1x]
+  python3 tools/scale_sweep.py build [dir=/dev/shm/graft-sf1x] [copies=10]
   sbt -batch 'runMain graft.Verify /dev/shm/graft-sf1x /tmp/sweep_out <d/t/v queries>'
   python3 tools/check.py /tmp/sweep_out /dev/shm/graft-sf1x
 
 `build` prints the d/t/v query list for the Verify invocation.
+copies=100 derives an sf10-equivalent corpus (round-9 sf10 spot-runs).
+
+  python3 tools/scale_sweep.py buildgraph [dir=/dev/shm/graft-g10x] [copies=10]
+
+`buildgraph` additionally replicates orders+lineitem with key-offset
+copies (order/cust/supp keys strided per replica, so the g1 trade graph
+genuinely grows: copies x nodes, copies x edges as disjoint components)
+— the g1/q-family scale derivation. Kept separate from `build` so the
+standing d/t/v sf1 records stay reproducible against unscaled
+relational tables.
 """
 import json
 import shutil
@@ -27,7 +37,43 @@ SRC = Path("/root/testdata/sf0.1")
 COPIES = 10
 
 
-def build(dst: Path):
+def build_graph(dst: Path, copies: int = COPIES):
+    """Replicate orders+lineitem with key-offset copies (disjoint graph
+    components) and copy everything else unscaled: the g1 derivation.
+    """
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    o_stride = con.sql(
+        f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+    c_stride = con.sql(
+        f"SELECT max(o_custkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+    s_stride = con.sql(
+        f"SELECT max(l_suppkey) + 1 FROM '{SRC}/lineitem.parquet'").fetchone()[0]
+    con.execute(f"""
+        COPY (
+          SELECT * REPLACE (o_orderkey + {o_stride} * k AS o_orderkey,
+                            o_custkey + {c_stride} * k AS o_custkey)
+          FROM '{SRC}/orders.parquet', generate_series(0, {copies - 1}) AS g(k)
+          ORDER BY o_orderkey
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT * REPLACE (l_orderkey + {o_stride} * k AS l_orderkey,
+                            l_suppkey + {s_stride} * k AS l_suppkey)
+          FROM '{SRC}/lineitem.parquet', generate_series(0, {copies - 1}) AS g(k)
+          ORDER BY l_orderkey
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    for t in ["region", "nation", "customer", "supplier", "part", "events",
+              "documents", "embeddings"]:
+        shutil.copyfile(SRC / f"{t}.parquet", dst / f"{t}.parquet")
+    for t in ["orders", "lineitem"]:
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+def build(dst: Path, copies: int = COPIES):
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     # id stride computed from the data, not hardcoded: a larger source
@@ -45,7 +91,7 @@ def build(dst: Path):
                  lang, source,
                  n_chars + CASE WHEN k = 0 THEN 0
                                 ELSE len(' rep' || CAST(k AS VARCHAR)) END AS n_chars
-          FROM '{SRC}/documents.parquet', generate_series(0, {COPIES - 1}) AS g(k)
+          FROM '{SRC}/documents.parquet', generate_series(0, {copies - 1}) AS g(k)
           ORDER BY doc_id
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
     """)
@@ -55,7 +101,7 @@ def build(dst: Path):
     con.execute(f"""
         COPY (
           SELECT vec_id + {vec_stride} * k AS vec_id, embedding, label
-          FROM '{SRC}/embeddings.parquet', generate_series(0, {COPIES - 1}) AS g(k)
+          FROM '{SRC}/embeddings.parquet', generate_series(0, {copies - 1}) AS g(k)
           ORDER BY vec_id
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000)
     """)
@@ -91,7 +137,14 @@ def dtv_queries():
 
 
 if __name__ == "__main__":
-    d = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/dev/shm/graft-sf1x")
-    build(d)
-    qs = dtv_queries()
-    print("\nd/t/v queries:\n" + " ".join(qs))
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "build"
+    if cmd == "buildgraph":
+        d = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/dev/shm/graft-g10x")
+        copies = int(sys.argv[3]) if len(sys.argv) > 3 else COPIES
+        build_graph(d, copies)
+    else:
+        d = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/dev/shm/graft-sf1x")
+        copies = int(sys.argv[3]) if len(sys.argv) > 3 else COPIES
+        build(d, copies)
+        qs = dtv_queries()
+        print("\nd/t/v queries:\n" + " ".join(qs))
