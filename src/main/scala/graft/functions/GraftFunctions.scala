@@ -82,6 +82,8 @@ object GraftFunctions {
   // --- multimodal ----------------------------------------------------------
   /** Real image-container header parse (PNG/JPEG/GIF) — see [[ImageMeta]]. */
   def image_meta(bytes: Column): Column = toCol(ImageMeta(toExpr(bytes)))
+  /** PNG pixel decode (inflate + filter reconstruction) to exact stats — see [[ImagePixelStats]]. */
+  def image_pixel_stats(bytes: Column): Column = toCol(ImagePixelStats(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
@@ -130,6 +132,7 @@ object GraftFunctions {
     "html_to_markdown" -> { es => HtmlToMarkdown(es(0)) },
     "html_to_markdown_blocks" -> { es => HtmlToMarkdownBlocks(es(0)) },
     "image_meta"      -> { es => ImageMeta(es(0)) },
+    "image_pixel_stats" -> { es => ImagePixelStats(es(0)) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "video_meta"      -> { es => VideoMeta(es(0)) },

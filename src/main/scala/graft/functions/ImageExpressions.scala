@@ -123,3 +123,176 @@ object ImageMeta {
   private def seg0len(b: Array[Byte], i: Int): Int =
     if (i + 1 >= b.length) -1 else be16(b, i)
 }
+
+/** image_pixel_stats(binary) -> struct(width, height, channels,
+  * n_pixels, pixel_sum, pixel_min, pixel_max) — REAL PNG pixel decode,
+  * library-free: signature + chunk walk, IDAT streams inflated with the
+  * JDK's zlib (`java.util.zip.Inflater` — in every JVM by spec), all
+  * five scanline filters reconstructed per ISO/IEC 15948 §9 (None /
+  * Sub / Up / Average / Paeth), exact integer statistics folded over
+  * every reconstructed sample. The audio sibling is
+  * [[AudioPcmStats]]; together they retire the "payload decode is
+  * stubbed" caveat for one format per modality.
+  *
+  * Scope: 8-bit depth, greyscale (colour type 0, 1 channel) and
+  * truecolour (type 2, 3 channels), non-interlaced — the regime where
+  * "decode" is inflate + filter arithmetic and the output is exact
+  * integers. Palette/alpha/16-bit/interlaced NULL out (quarantine, not
+  * error), as do: bad signature, missing/short IHDR, zero/negative
+  * dimensions, a decoded size past the 64 MiB zip-bomb guard (a 100 TB
+  * scan must bound hostile blobs BEFORE inflating), inflate failures
+  * (including a wrong adler32 — the zlib checksum IS verified), a
+  * stream that finishes short/long, and an out-of-range filter byte.
+  * Chunk CRC32s are NOT verified (the adler covers the pixel payload;
+  * skipping CRCs is the standard fast-path decoder trade, and a
+  * corrupted header surfaces as a structural failure anyway).
+  */
+case class ImagePixelStats(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "image_pixel_stats"
+  override def dataType: DataType = ImagePixelStats.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ImagePixelStats.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ImagePixelStats.decode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ImagePixelStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("pixel_sum", LongType),
+    StructField("pixel_min", IntegerType),
+    StructField("pixel_max", IntegerType)))
+
+  /** Decoded-size cap: refuse before inflating anything larger. */
+  val MaxDecodedBytes: Long = 64L * 1024 * 1024
+
+  private val Signature =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def isType(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  /** Shared eval/codegen kernel; null for anything not decodable. */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 8 + 25) return null
+    var i = 0
+    while (i < 8) { if (b(i) != Signature(i)) return null; i += 1 }
+    // IHDR must be the first chunk (spec §11.2.2)
+    if (be32(b, 8) != 13L || !isType(b, 12, "IHDR")) return null
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    // dimension sanity BEFORE any size arithmetic: keeps the
+    // (rowBytes + 1) * h product far from Long overflow
+    if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24) ||
+      bitDepth != 8 || interlace != 0) return null
+    val channels = colorType match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolour
+      case _ => return null
+    }
+    val rowBytes = w * channels
+    val total = (rowBytes + 1) * h
+    if (total > MaxDecodedBytes) return null
+    // chunk walk: concatenate IDAT payloads, stop at IEND / end of blob
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8 + 25 // past IHDR (len 4 + type 4 + data 13 + crc 4)
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val len = be32(b, off)
+      if (len > Int.MaxValue - 12 || off + 12 + len > b.length) return null
+      if (isType(b, off + 4, "IDAT")) idat.write(b, off + 8, len.toInt)
+      else if (isType(b, off + 4, "IEND")) done = true
+      off += 12 + len.toInt
+    }
+    if (idat.size() == 0) return null
+    // inflate: the zlib wrapper verifies adler32 over the scanline bytes
+    val raw = new Array[Byte](total.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      var progress = true
+      while (progress && got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        got += n
+        progress = n > 0
+      }
+      // a final zero-length call lets the Inflater consume the trailing
+      // adler32 and flip finished() (it reports the last data bytes and
+      // the checksum verification in separate steps)
+      if (!inf.finished()) inf.inflate(raw, 0, 0)
+      if (!inf.finished() || got != raw.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // filter reconstruction, spec §9 (bpp = channels at bit depth 8)
+    val stride = rowBytes.toInt
+    val recon = new Array[Int](stride) // current row, reconstructed
+    val prior = new Array[Int](stride) // previous row, reconstructed
+    var sum = 0L
+    var min = 256
+    var max = -1
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val f = raw(base) & 0xff
+      if (f > 4) return null
+      var x = 0
+      while (x < stride) {
+        val rw = raw(base + 1 + x) & 0xff
+        val a = if (x >= channels) recon(x - channels) else 0
+        val up = prior(x)
+        val c = if (x >= channels && y > 0) prior(x - channels) else 0
+        val v = f match {
+          case 0 => rw
+          case 1 => rw + a
+          case 2 => rw + (if (y > 0) up else 0)
+          case 3 => rw + (a + (if (y > 0) up else 0)) / 2
+          case 4 =>
+            val bb = if (y > 0) up else 0
+            rw + paeth(a, bb, c)
+        }
+        recon(x) = v & 0xff
+        sum += recon(x)
+        if (recon(x) < min) min = recon(x)
+        if (recon(x) > max) max = recon(x)
+        x += 1
+      }
+      System.arraycopy(recon, 0, prior, 0, stride)
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](
+      w.toInt, h.toInt, channels, w * h, sum, min, max))
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+}

@@ -17,16 +17,17 @@ import graft.functions.SketchHash
   * Container HEADER parsing is real since round 6: [[imageMeta]] reads
   * PNG/JPEG/GIF dimensions+channels straight from the public header
   * layouts ([[graft.functions.ImageMeta]], codegen expression — no
-  * libraries needed). PCM SAMPLE decode is real since round 10:
-  * [[graft.functions.AudioPcmStats]] walks the RIFF chunks and folds
-  * exact integer statistics over every int16 sample in the data chunk
-  * (gated as m5, torn blobs quarantined to NULL). PIXEL decode remains
-  * stubbed: this container has no image codec libraries (PNG needs
-  * zlib-inflate + per-filter-type scanline reconstruction; JPEG an
-  * entropy decoder), so [[FakeCodec]] implements a self-describing
-  * synthetic format ("GRFT" magic + kind + dimensions + payload) and
-  * the pixel math is a deterministic placeholder. Swapping in a real
-  * pixel codec means reimplementing the marked methods of [[FakeCodec]]
+  * libraries needed). PAYLOAD decode is real since round 10 for one
+  * format per modality: [[graft.functions.AudioPcmStats]] decodes
+  * every WAV PCM16 sample (gated as m5), and
+  * [[graft.functions.ImagePixelStats]] fully decodes PNG pixels —
+  * zlib inflate via the JDK's `java.util.zip.Inflater`, all five
+  * scanline filters reconstructed, adler32 verified, zip-bomb guarded
+  * (gated as m6); torn blobs quarantine to NULL in both. JPEG (an
+  * entropy decoder) and video frame decode remain out: [[FakeCodec]]
+  * implements a self-describing synthetic format ("GRFT" magic + kind
+  * + dimensions + payload) for those paths, and swapping in a real
+  * codec means reimplementing the marked methods of [[FakeCodec]]
   * only; every operator signature and the distribution strategy stay
   * as-is.
   *

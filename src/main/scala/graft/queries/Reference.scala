@@ -201,6 +201,65 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // PNG PIXEL decode under the driver gate — the image sibling of m5:
+    // per document, CONSTRUCT a complete valid PNG (signature + IHDR +
+    // one IDAT holding a zlib STORED block + IEND) whose greyscale
+    // pixels derive from doc_id arithmetic; the adler32 the decoder
+    // verifies is computed IN-QUERY over the same synthesized bytes
+    // (A/B mod 65521 via aggregate() — the checksum definition is two
+    // modular sums, exactly expressible in column arithmetic). The
+    // native expression inflates the stream (JDK zlib), reconstructs
+    // the scanlines, and folds exact integer pixel stats. Docs with
+    // doc_id % 9 == 0 carry a flipped adler bit — the torn blob — and
+    // must quarantine to NULL. The oracle states the expected stats
+    // arithmetically: an inversion check on the decoder.
+    "m6_png_pixels" -> { (s, d) =>
+      import graft.functions.GraftFunctions.image_pixel_stats
+      val w = (col("doc_id") % 16 + 1).cast("int")
+      val h = (col("doc_id") % 8 + 1).cast("int")
+      val st1 = w + 1 // scanline stride: filter byte + w greyscale pixels
+      val n = st1 * h // total scanline-stream bytes
+      def rowOf(i: Column) = floor(i.cast("double") / st1.cast("double")).cast("int")
+      def posOf(i: Column) = pmod(i, st1)
+      def byteVal(i: Column): Column =
+        when(posOf(i) === 0, lit(0)).otherwise(
+          pmod(col("doc_id") + (posOf(i) - 1) * 3 + rowOf(i) * 7, lit(256))).cast("int")
+      val idx = sequence(lit(0), n - 1)
+      val rawHex = array_join(transform(idx, i => format_string("%02X", byteVal(i))), "")
+      val aSum = aggregate(idx, lit(0L), (acc, i) => acc + byteVal(i).cast("long"))
+      val bSum = aggregate(idx, lit(0L),
+        (acc, i) => acc + (n.cast("long") - i.cast("long")) * byteVal(i).cast("long"))
+      val adlerA = pmod(lit(1L) + aSum, lit(65521L)).cast("int")
+      val adlerB = pmod(n.cast("long") + bSum, lit(65521L)).cast("int")
+      // torn blob: flip the adler's low bit -> zlib checksum mismatch
+      val adlerOut = when(col("doc_id") % 9 === 0,
+        adlerA.bitwiseXOR(lit(1))).otherwise(adlerA)
+      def le16h(v: Column) =
+        format_string("%02X%02X", v % 256, (v / 256).cast("int"))
+      val zlibLen = n + 11 // 2 zlib hdr + 5 stored-block hdr + 4 adler
+      val pngHex = concat(
+        lit("89504E470D0A1A0A"),                      // signature
+        lit("0000000D49484452"),                      // IHDR len + type
+        format_string("%08X%08X", w, h),
+        lit("0800000000"),                            // depth 8, grey, no interlace
+        lit("00000000"),                              // IHDR CRC (unverified)
+        format_string("%08X", zlibLen), lit("49444154"), // IDAT len + type
+        lit("780101"),                                // zlib hdr + final stored block
+        le16h(n), le16h(lit(65535) - n),              // LEN, NLEN
+        rawHex,
+        format_string("%04X%04X", adlerB, adlerOut),
+        lit("00000000"),                              // IDAT CRC (unverified)
+        lit("0000000049454E4400000000"))              // IEND
+      Tables.documents(s, d)
+        .select(col("doc_id"), image_pixel_stats(unhex(pngHex)).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.channels").as("channels"), col("p.n_pixels").as("n_pixels"),
+          col("p.pixel_sum").as("pixel_sum"), col("p.pixel_min").as("pixel_min"),
+          col("p.pixel_max").as("pixel_max"))
+        .orderBy(col("doc_id"))
+    },
+
     // video_meta under the driver gate, same inversion pattern as m1/m2:
     // per document, CONSTRUCT a minimal-but-spec-shaped MP4 (ftyp + moov
     // with mvhd timescale/duration and one trak whose tkhd carries 16.16
@@ -431,6 +490,33 @@ object Reference extends QueryPack {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE min_amp END AS min_amp,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE max_amp END AS max_amp
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // expected pixel statistics by direct arithmetic over the same
+    // pixel formula the PNG was synthesized from — flipped-adler docs
+    // (doc_id % 9 = 0) expected NULL across every field
+    "m6_png_pixels" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS w,
+        |         CAST(doc_id % 8 + 1 AS INT) AS h
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k FROM s),
+        |px AS (
+        |  SELECT doc_id, (doc_id + 3 * (k % w) + 7 * (k // w)) % 256 AS v FROM ks),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |    CAST(SUM(v) AS BIGINT) AS pixel_sum,
+        |    CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE w END AS width,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE h END AS height,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE 1 END AS channels,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE n_pixels END AS n_pixels,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_min END AS pixel_min,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_max END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the inversion expectations: MP4 fields from the same doc_id
     // arithmetic with duration_ms = units * 1000 // timescale (the ISO

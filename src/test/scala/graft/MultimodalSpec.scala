@@ -394,6 +394,98 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(7L) === null)
   }
 
+  /** Real PNG encoder for the decoder tests: per-row filter types,
+    * Deflater-compressed IDAT (optionally split across chunks), real
+    * CRC32s. samples is row-major, `channels` interleaved, 0..255.
+    */
+  private def pngEncode(w: Int, h: Int, channels: Int, samples: Array[Int],
+                        filters: Array[Int], idatSplit: Int = 1,
+                        corruptAdler: Boolean = false): Array[Byte] = {
+    require(samples.length == w * h * channels && filters.length == h)
+    val stride = w * channels
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val f = filters(y)
+      raw.write(f)
+      for (x <- 0 until stride) {
+        val orig = samples(y * stride + x)
+        val a = if (x >= channels) samples(y * stride + x - channels) else 0
+        val b = if (y > 0) samples((y - 1) * stride + x) else 0
+        val c = if (x >= channels && y > 0) samples((y - 1) * stride + x - channels) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw.write((orig - pred) & 0xff)
+      }
+    }
+    val rawBytes = raw.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(rawBytes); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = zout.toByteArray
+    if (corruptAdler) z(z.length - 1) = (z(z.length - 1) ^ 1).toByte
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue)
+    }
+    val colorType = if (channels == 1) 0 else 2
+    val ihdr = be32(w) ++ be32(h) ++ Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val parts = z.grouped(math.max(1, (z.length + idatSplit - 1) / idatSplit)).toSeq
+    sig ++ chunk("IHDR", ihdr) ++
+      parts.flatMap(p => chunk("IDAT", p)) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  test("image_pixel_stats: real inflate + all five filters reconstruct exactly; stragglers NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    // grey 5x5, one row per filter type — reconstruction must invert
+    // the encoder's filtering exactly
+    val g = Array.fill(25)(rnd.nextInt(256))
+    val grey = pngEncode(5, 5, 1, g, Array(0, 1, 2, 3, 4))
+    // RGB 4x3, Paeth everywhere, zlib split across three IDAT chunks
+    val r3 = Array.fill(36)(rnd.nextInt(256))
+    val rgb = pngEncode(4, 3, 3, r3, Array(4, 4, 4), idatSplit = 3)
+    val df = Seq(
+      (1L, grey),
+      (2L, rgb),
+      (3L, pngEncode(5, 5, 1, g, Array(0, 1, 2, 3, 4), corruptAdler = true),
+      ),
+      (4L, pngEncode(5, 5, 1, g, Array(0, 1, 2, 3, 4)).dropRight(40)), // truncated IDAT
+      (5L, realPng(12, 34)),                 // header-only fixture: no IDAT
+      (6L, "not a png".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val got = df.select(col("media_id"),
+        graft.functions.GraftFunctions.image_pixel_stats(col("bytes")).as("p"))
+      .selectExpr("media_id", "p.width", "p.height", "p.channels",
+        "p.n_pixels", "p.pixel_sum", "p.pixel_min", "p.pixel_max")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4),
+           r.getLong(5), r.getInt(6), r.getInt(7))))
+      .toMap
+    assert(got(1L) === ((5, 5, 1, 25L, g.map(_.toLong).sum, g.min, g.max)))
+    assert(got(2L) === ((4, 3, 3, 12L, r3.map(_.toLong).sum, r3.min, r3.max)))
+    assert(got(3L) === null, "corrupted adler32 must quarantine")
+    assert(got(4L) === null, "truncated IDAT must quarantine")
+    assert(got(5L) === null)
+    assert(got(6L) === null)
+  }
+
   test("image_meta SQL registration + codegen/interpreted agreement") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
