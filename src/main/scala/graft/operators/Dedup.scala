@@ -466,6 +466,11 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs: signature -> banded buckets -> candidate
     * pairs -> exact Jaccard verification on the candidates only.
+    * The verified pair set is materialized (eager, lineage-free) so the
+    * cached shingle table can be released before returning — the same
+    * lifecycle as [[incrementalNearDupNew]]; pairs are bounded by the
+    * bucket-colliding candidates that survive verification, far below
+    * the corpus-sized shingles the cache held.
     */
   def minhashLshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -473,28 +478,31 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = shingled(docs, idCol, textCol, n).cache()
-    val sig = sh.withColumn("sig", minhash_signature(col("shingles"), numHashes))
-    // one row per (doc, band); bucket key = hash of the band's slice
-    // (static band count -> plain column expressions, no lambda needed)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-    }
-    val banded = sig
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.toDF("id1", "band", "bucket")
-      .join(banded.toDF("id2", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
-      .distinct()
-    // verify candidates with exact Jaccard (arrays are already distinct)
-    cand
-      .join(sh.toDF("id1", "sh1"), "id1")
-      .join(sh.toDF("id2", "sh2"), "id2")
-      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-        size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
-      .select(col("id1"), col("id2"))
-      .orderBy(col("id1"), col("id2"))
+    try {
+      val sig = sh.withColumn("sig", minhash_signature(col("shingles"), numHashes))
+      // one row per (doc, band); bucket key = hash of the band's slice
+      // (static band count -> plain column expressions, no lambda needed)
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }
+      val banded = sig
+        .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = banded.toDF("id1", "band", "bucket")
+        .join(banded.toDF("id2", "band", "bucket"), Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
+        .distinct()
+      // verify candidates with exact Jaccard (arrays are already distinct)
+      cand
+        .join(sh.toDF("id1", "sh1"), "id1")
+        .join(sh.toDF("id2", "sh2"), "id2")
+        .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
+        .select(col("id1"), col("id2"))
+        .localCheckpoint()
+        .orderBy(col("id1"), col("id2"))
+    } finally sh.unpersist()
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from equal
