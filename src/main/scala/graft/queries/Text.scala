@@ -200,6 +200,23 @@ object Text extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // label-model disagreement mining: closed-form ridge fit of the t2
+    // quality label on (n_tokens, n_distinct) — one exact-decimal
+    // aggregate pass for the normal equations, a 3x3 Cramer solve on
+    // the driver, broadcast coefficients, and the top-20 documents by
+    // absolute residual (the rows whose label their surface statistics
+    // cannot explain — curation triage before retraining). The oracle
+    // replays the IDENTICAL sums and Cramer expression tree: exact
+    // integer sufficient statistics make the doubles bit-reproducible.
+    "t33_label_disagreement" -> { (s, d) =>
+      graft.operators.Fit.ridgeResidualOutliers(
+        Tables.documents(s, d), "doc_id",
+        token_count(col("text")).cast("long"),
+        distinct_token_count(col("text")).cast("long"),
+        floor(quality_score(col("text")) * lit(1e9) + lit(0.5)).cast("long"))
+        .select(col("id").as("doc_id"), col("rnk"))
+    },
+
     // Fuzzy entity matching: per-brand count of part-name pairs within
     // edit distance 5, BLOCKED on (brand, type) so the comparison
     // space is per-block pairs, never the global n^2 — the standard
@@ -1439,6 +1456,67 @@ object Text extends QueryPack {
         |FROM ranked JOIN quota USING (lang)
         |WHERE sample_rank <= k
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    // the identical normal-equation sums (exact integers -> HUGEINT ->
+    // correctly-rounded doubles, matching Spark's DECIMAL(38,0) path)
+    // and the SAME Cramer expression tree as Fit.solve3 — the doubles
+    // are bit-reproducible because every input is an exact integer and
+    // every operation tree is mirrored verbatim
+    "t33_label_disagreement" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END AS DOUBLE) AS n_tok,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(list_distinct($toksSql)) END AS DOUBLE) AS n_distinct,
+         |    CAST(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS DOUBLE) AS n_stop,
+         |    CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |    CAST(len(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(n_tok AS BIGINT) AS x1,
+         |    CAST(n_distinct AS BIGINT) AS x2,
+         |    CAST(FLOOR((LEAST(1.0, n_tok / 20.0)
+         |      + n_distinct / GREATEST(n_tok, 1.0)
+         |      + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+         |      + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 * 1000000000.0 + 0.5) AS BIGINT) AS yq
+         |  FROM t),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+         |    CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         |    CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         |    CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         |    CAST(SUM(yq) AS DOUBLE) AS sy,
+         |    CAST(SUM(yq * x1) AS DOUBLE) AS sy1,
+         |    CAST(SUM(yq * x2) AS DOUBLE) AS sy2
+         |  FROM f),
+         |m AS (
+         |  SELECT n + 1000.0 AS a11, s1 AS a12, s2 AS a13,
+         |         s11 + 1000.0 AS a22, s12 AS a23, s22 + 1000.0 AS a33,
+         |         sy, sy1, sy2
+         |  FROM s),
+         |dt AS (
+         |  SELECT *, a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+         |            + a13 * (a12 * a23 - a22 * a13) AS det
+         |  FROM m),
+         |b AS (
+         |  SELECT
+         |    (sy * (a22 * a33 - a23 * a23) - a12 * (sy1 * a33 - a23 * sy2)
+         |      + a13 * (sy1 * a23 - a22 * sy2)) / det AS b0,
+         |    (a11 * (sy1 * a33 - a23 * sy2) - sy * (a12 * a33 - a23 * a13)
+         |      + a13 * (a12 * sy2 - sy1 * a13)) / det AS b1,
+         |    (a11 * (a22 * sy2 - sy1 * a23) - a12 * (a12 * sy2 - sy1 * a13)
+         |      + sy * (a12 * a23 - a22 * a13)) / det AS b2
+         |  FROM dt)
+         |SELECT doc_id, rnk FROM (
+         |  SELECT f.doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |      ABS(CAST(yq AS DOUBLE) - (b0 + b1 * CAST(x1 AS DOUBLE)
+         |        + b2 * CAST(x2 AS DOUBLE))) DESC,
+         |      f.doc_id ASC) AS rnk
+         |  FROM f CROSS JOIN b) z
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     // same counts, same single divisions, same quantize-then-long-sum
     "t32_source_drift" ->
