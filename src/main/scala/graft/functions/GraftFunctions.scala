@@ -88,6 +88,12 @@ object GraftFunctions {
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
   def audio_pcm_stats(bytes: Column): Column = toCol(AudioPcmStats(toExpr(bytes)))
+
+  // --- web corpus ----------------------------------------------------------
+  /** RFC 3986 syntax normalization — see [[UrlCanonicalize]]. */
+  def url_canonicalize(url: Column): Column = toCol(UrlCanonicalize(toExpr(url)))
+  /** Lowercased host of a URL — see [[UrlHost]]. */
+  def url_host(url: Column): Column = toCol(UrlHost(toExpr(url)))
   /** Video-container header parse (MP4/AVI) — see [[VideoMeta]]. */
   def video_meta(bytes: Column): Column = toCol(VideoMeta(toExpr(bytes)))
 
@@ -135,6 +141,8 @@ object GraftFunctions {
     "image_pixel_stats" -> { es => ImagePixelStats(es(0)) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
+    "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },
+    "url_host"        -> { es => UrlHost(es(0)) },
     "video_meta"      -> { es => VideoMeta(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(
       cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },

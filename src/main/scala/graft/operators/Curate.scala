@@ -73,4 +73,41 @@ object Curate {
     (Packing.manifest(kept, idCol, textCol, langCol, maxLen),
       obsIn, obsGate, obsKept)
   }
+
+  /** Per-domain document cap — the C4/RefinedWeb web-corpus step that
+    * keeps any one site from dominating the training mix: canonicalize
+    * each row's URL, group by its lowercased host, and keep at most
+    * `maxPerHost` documents per host, selected DETERMINISTICALLY by
+    * md5 hash order (the [[Sampling]] convention: membership is a pure
+    * function of (salt, id) — append-stable, partition-stable,
+    * engine-stable — so re-crawls never swap a host's kept set, they
+    * only extend it).
+    *
+    * Scale shape: the q28 posture — `topk_by`'s bounded per-group heap
+    * means the exchange carries hosts x partitions x maxPerHost rows,
+    * never the full per-host populations; a hot host (the whole point
+    * of the cap) costs the same as a cold one. Rows whose URL does not
+    * parse are dropped (NULL host — crawl columns always carry junk;
+    * route them through a quarantine branch if they must be kept).
+    *
+    * Output: (host, sample_rank in [1, maxPerHost], id, url) with
+    * `url` the canonical form, one row per kept document.
+    */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String,
+                maxPerHost: Int, salt: String = "graft"): DataFrame = {
+    require(maxPerHost > 0, s"maxPerHost must be positive, got $maxPerHost")
+    import graft.functions.GraftFunctions.{topk_by, url_canonicalize, url_host}
+    val hk = md5(concat(lit(salt), col("id").cast("string")))
+    docs
+      .select(col(idCol).as("id"),
+        url_host(col(urlCol)).as("host"),
+        url_canonicalize(col(urlCol)).as("url"))
+      .filter(col("host").isNotNull)
+      .groupBy(col("host"))
+      .agg(topk_by(struct(hk.as("hk"), col("id")),
+        struct(col("id"), col("url")), maxPerHost).as("top"))
+      .select(col("host"), posexplode(col("top")).as(Seq("rnk", "r")))
+      .select(col("host"), (col("rnk") + 1).cast("long").as("sample_rank"),
+        col("r.id").as("id"), col("r.url").as("url"))
+  }
 }

@@ -217,6 +217,25 @@ object Text extends QueryPack {
         .select(col("id").as("doc_id"), col("rnk"))
     },
 
+    // per-domain cap (the C4/RefinedWeb web-corpus step): messy URLs
+    // (uppercase scheme/host, default port, dot-segments, fragment) are
+    // canonicalized by the native RFC 3986 kernel, grouped by host, and
+    // capped at 3 docs per host in deterministic md5 order via the
+    // bounded per-group heap. The oracle states the EXPECTED canonical
+    // form and host arithmetically from the construction formula (the
+    // m-family inversion posture) and replays the cap as a ROW_NUMBER.
+    "t34_domain_cap" -> { (s, d) =>
+      val raw = concat(lit("HTTPS://WWW."), upper(col("source")),
+        (col("doc_id") % 5).cast("string"),
+        lit(".EXAMPLE.COM:443/a/b/../c/./d?q="), col("doc_id").cast("string"),
+        lit("#frag"))
+      graft.operators.Curate.domainCap(
+        Tables.documents(s, d).withColumn("url", raw),
+        "doc_id", "url", maxPerHost = 3)
+        .select(col("host"), col("sample_rank"), col("id").as("doc_id"), col("url"))
+        .orderBy(col("host"), col("sample_rank"))
+    },
+
     // Fuzzy entity matching: per-brand count of part-name pairs within
     // edit distance 5, BLOCKED on (brand, type) so the comparison
     // space is per-block pairs, never the global n^2 — the standard
@@ -1456,6 +1475,26 @@ object Text extends QueryPack {
         |FROM ranked JOIN quota USING (lang)
         |WHERE sample_rank <= k
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    // the expected canonical URL and host stated directly from the
+    // construction formula (lowercased, :443 stripped, /a/b/../c/./d
+    // resolved to /a/c/d, fragment dropped); the cap replayed as a
+    // per-host ROW_NUMBER over the same md5 hash order
+    "t34_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'www.' || source || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+        |    'https://www.' || source || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.example.com/a/c/d?q=' || CAST(doc_id AS VARCHAR) AS url,
+        |    md5('graft' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT host, doc_id, url,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY hk ASC, doc_id ASC) AS sample_rank
+        |  FROM u)
+        |SELECT host, sample_rank, doc_id, url
+        |FROM r WHERE sample_rank <= 3
+        |ORDER BY host, sample_rank""".stripMargin,
 
     // the identical normal-equation sums (exact integers -> HUGEINT ->
     // correctly-rounded doubles, matching Spark's DECIMAL(38,0) path)
