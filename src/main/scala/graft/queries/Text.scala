@@ -236,6 +236,29 @@ object Text extends QueryPack {
         .orderBy(col("host"), col("sample_rank"))
     },
 
+    // Gopher repetition-section signals (the line-level half t25 leaves
+    // out): duplicate-line fraction + duplicate-line CHAR fraction + top
+    // 2/3-gram char fractions, per-row array arithmetic only. The corpus
+    // has no newlines, so the gate SYNTHESIZES a multi-line document from
+    // each row's real tokens (6-token lines; every 4th doc re-appends its
+    // first line — a guaranteed duplicate) — the m-family inversion
+    // posture: Spark round-trips construction through a real string and
+    // re-splits; the oracle restates the stats from the formula.
+    "t35_line_repetition" -> { (s, d) =>
+      val w = tokens(col("text"))
+      val nl = ceil(size(w).cast("double") / 6.0).cast("int")
+      val lines0 = when(size(w) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nl - 1),
+          i => array_join(slice(w, i * 6 + 1, lit(6)), " ")))
+      val withDup = when(col("doc_id") % 4 === 0 && size(lines0) > 0,
+        concat(lines0, slice(lines0, 1, 1))).otherwise(lines0)
+      graft.operators.QualityRules.repetitionSignals(
+        Tables.documents(s, d).withColumn("mltext", array_join(withDup, "\n")),
+        "doc_id", "mltext")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Fuzzy entity matching: per-brand count of part-name pairs within
     // edit distance 5, BLOCKED on (brand, type) so the comparison
     // space is per-block pairs, never the global n^2 — the standard
@@ -1556,6 +1579,68 @@ object Text extends QueryPack {
          |      f.doc_id ASC) AS rnk
          |  FROM f CROSS JOIN b) z
          |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // the same line construction stated from the formula (lines never
+    // round-trip through a string here — that split+trim path is exactly
+    // what the Spark side must invert); top gram via relational
+    // group-count + (c DESC, g DESC) pick, vs the engine's sorted-run fold
+    "t35_line_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(0, CAST(ceil(len(w) / 6.0) AS INT) - 1),
+        |                i -> array_to_string(list_slice(w, i * 6 + 1, i * 6 + 6), ' ')) END AS lines0
+        |  FROM w),
+        |l2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 AND len(lines0) > 0
+        |         THEN list_append(lines0, lines0[1]) ELSE lines0 END AS lines,
+        |    CASE WHEN doc_id % 4 = 0 AND len(w) > 0
+        |         THEN list_concat(w, list_slice(w, 1, 6)) ELSE w END AS w2
+        |  FROM ln),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+        |    CAST(len(array_to_string(lines, '')) AS BIGINT) AS line_chars,
+        |    CAST(len(array_to_string(list_distinct(lines), '')) AS BIGINT) AS distinct_line_chars,
+        |    CAST(len(array_to_string(w2, ' ')) AS BIGINT) AS text_chars
+        |  FROM l2),
+        |gr AS (
+        |  SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, len(w2) - 1),
+        |      i -> w2[i] || ' ' || w2[i + 1])) AS g
+        |  FROM l2 WHERE len(w2) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest(list_transform(generate_series(1, len(w2) - 2),
+        |      i -> w2[i] || ' ' || w2[i + 1] || ' ' || w2[i + 2])) AS g
+        |  FROM l2 WHERE len(w2) >= 3),
+        |gc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM gr GROUP BY 1, 2, 3),
+        |tp AS (SELECT doc_id, n, c, g FROM gc
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g DESC) = 1),
+        |fin AS (
+        |  SELECT m.doc_id, n_lines,
+        |    CAST(n_lines - n_distinct_lines AS DOUBLE)
+        |      / CAST(GREATEST(n_lines, 1) AS DOUBLE) AS dup_line_frac,
+        |    CAST(line_chars - distinct_line_chars AS DOUBLE)
+        |      / CAST(GREATEST(line_chars, 1) AS DOUBLE) AS dup_line_char_frac,
+        |    COALESCE(CAST(t2.c * len(t2.g) AS DOUBLE) / CAST(text_chars AS DOUBLE), 0.0) AS top2_char_frac,
+        |    COALESCE(CAST(t3.c * len(t3.g) AS DOUBLE) / CAST(text_chars AS DOUBLE), 0.0) AS top3_char_frac
+        |  FROM m
+        |  LEFT JOIN tp t2 ON t2.doc_id = m.doc_id AND t2.n = 2
+        |  LEFT JOIN tp t3 ON t3.doc_id = m.doc_id AND t3.n = 3)
+        |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+        |  top2_char_frac, top3_char_frac,
+        |  dup_line_frac <= 0.30 AS r_dup_line,
+        |  dup_line_char_frac <= 0.20 AS r_dup_line_char,
+        |  top2_char_frac <= 0.20 AS r_top2,
+        |  top3_char_frac <= 0.18 AS r_top3,
+        |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |   AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18) AS keep
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // same counts, same single divisions, same quantize-then-long-sum
     "t32_source_drift" ->

@@ -53,6 +53,55 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("keep"))
   }
 
+  private def repOf(text: String) = {
+    import spark.implicits._
+    QualityRules.repetitionSignals(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+  }
+
+  test("repetition: hand-computed line + top-gram fractions") {
+    // 4 lines, "a b" twice: dup_line_frac = 1/4; chars: lines are
+    // "a b"(3)x2, "c d"(3), "e f g"(5) -> all=14, distinct=11, dup char 3/14
+    val r = repOf("a b\nc d\na b\ne f g")
+    assert(r.getAs[Long]("n_lines") === 4L)
+    assert(r.getAs[Double]("dup_line_frac") === 0.25)
+    assert(r.getAs[Double]("dup_line_char_frac") === 3.0 / 14.0)
+    // tokens: a b c d a b e f g (17 chars joined); top bigram "a b" (len 3)
+    // occurs 2x -> 6/17; top trigram count 1, tie-break largest gram
+    // "e f g" (len 5) -> 5/17
+    assert(r.getAs[Double]("top2_char_frac") === 6.0 / 17.0)
+    assert(r.getAs[Double]("top3_char_frac") === 5.0 / 17.0)
+    assert(!r.getAs[Boolean]("r_top2") && r.getAs[Boolean]("r_dup_line"))
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("repetition: blank lines dropped; single line is duplicate-free") {
+    val r = repOf("  \n\nonly one line here\n   \n")
+    assert(r.getAs[Long]("n_lines") === 1L)
+    assert(r.getAs[Double]("dup_line_frac") === 0.0)
+    assert(r.getAs[Double]("dup_line_char_frac") === 0.0)
+  }
+
+  test("repetition: empty text yields zeros, keep=true (nothing repeats)") {
+    val r = repOf("   ")
+    assert(r.getAs[Long]("n_lines") === 0L)
+    assert(r.getAs[Double]("top2_char_frac") === 0.0)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("repetition: top-gram tie-break picks the lexicographically largest gram") {
+    // bigrams: "z z", "z a", "a b" each once -> pick "z z" (c desc, g desc)
+    val r = repOf("z z a b")
+    // "z z" len 3, 7 chars total
+    assert(r.getAs[Double]("top2_char_frac") === 3.0 / 7.0)
+  }
+
+  test("repetition: a dominant repeated gram pushes top2 past its threshold") {
+    val r = repOf("spam ham spam ham spam ham spam ham unique tail")
+    assert(r.getAs[Double]("top2_char_frac") > 0.2)
+    assert(!r.getAs[Boolean]("r_top2"))
+  }
+
   test("keep is exactly the conjunction of the six rule flags on the corpus") {
     val out = QualityRules.gopherFlags(Tables.documents(spark, sfDir), "doc_id", "text")
     val bad = out.filter(col("keep") =!= (col("r_words") && col("r_mean_len") &&
