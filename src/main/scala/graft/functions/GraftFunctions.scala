@@ -84,6 +84,8 @@ object GraftFunctions {
   def image_meta(bytes: Column): Column = toCol(ImageMeta(toExpr(bytes)))
   /** PNG pixel decode (inflate + filter reconstruction) to exact stats — see [[ImagePixelStats]]. */
   def image_pixel_stats(bytes: Column): Column = toCol(ImagePixelStats(toExpr(bytes)))
+  /** GIF LZW pixel decode to exact palette-index stats — see [[GifPixelStats]]. */
+  def gif_pixel_stats(bytes: Column): Column = toCol(GifPixelStats(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
@@ -139,6 +141,7 @@ object GraftFunctions {
     "html_to_markdown_blocks" -> { es => HtmlToMarkdownBlocks(es(0)) },
     "image_meta"      -> { es => ImageMeta(es(0)) },
     "image_pixel_stats" -> { es => ImagePixelStats(es(0)) },
+    "gif_pixel_stats" -> { es => GifPixelStats(es(0)) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },

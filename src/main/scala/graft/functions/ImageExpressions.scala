@@ -296,3 +296,190 @@ object ImagePixelStats {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 }
+
+/** gif_pixel_stats(binary) -> struct(width, height, n_pixels, idx_sum,
+  * idx_min, idx_max) — REAL GIF pixel decode, library-free: header +
+  * Logical Screen Descriptor walk, extension blocks skipped, the FIRST
+  * image's LZW stream (GIF89a spec Appendix F; Welch 1984) decoded with
+  * the full variable-width dictionary algorithm (KwKwK case, code-width
+  * growth to 12 bits, deferred-clear regime where a full table stops
+  * growing until the next Clear). Statistics are over the palette
+  * INDICES — the decoded sample stream itself — so no color table is
+  * required or read; interlacing only permutes rows and sum/min/max are
+  * order-independent, so interlaced images decode identically.
+  *
+  * NULL quarantine (torn-blob posture, like [[ImagePixelStats]]): bad
+  * signature, truncated descriptor/sub-block (a declared sub-block
+  * length overrunning the buffer), zero dimensions, a pixel count past
+  * the 64M guard, an out-of-order code, a stream ending before the
+  * pixel count is met or carrying pixels past it, or a missing
+  * End-Of-Information code.
+  */
+case class GifPixelStats(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "gif_pixel_stats"
+  override def dataType: DataType = GifPixelStats.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GifPixelStats.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GifPixelStats.decode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GifPixelStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("idx_sum", LongType),
+    StructField("idx_min", IntegerType),
+    StructField("idx_max", IntegerType)))
+
+  /** Pixel-count cap: refuse before allocating anything larger. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Shared eval/codegen kernel; null for anything not decodable. */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 14) return null
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return null
+    val gflags = b(10) & 0xff
+    var off = 13
+    if ((gflags & 0x80) != 0) off += 3 * (1 << ((gflags & 7) + 1))
+    // block walk to the first image descriptor
+    var w = -1
+    var h = -1
+    var found = false
+    while (!found) {
+      if (off >= b.length) return null
+      (b(off) & 0xff) match {
+        case 0x2c =>
+          if (off + 10 > b.length) return null
+          w = le16(b, off + 5); h = le16(b, off + 7)
+          val iflags = b(off + 9) & 0xff
+          off += 10
+          if ((iflags & 0x80) != 0) off += 3 * (1 << ((iflags & 7) + 1))
+          found = true
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          off += 2
+          var bs = 1
+          while (bs != 0) {
+            if (off >= b.length) return null
+            bs = b(off) & 0xff; off += 1
+            if (off + bs > b.length) return null
+            off += bs
+          }
+        case _ => return null // trailer before any image, or junk
+      }
+    }
+    if (w <= 0 || h <= 0) return null
+    val nPix = w.toLong * h.toLong
+    if (nPix > MaxPixels) return null
+    if (off >= b.length) return null
+    val minCode = b(off) & 0xff
+    off += 1
+    if (minCode < 2 || minCode > 8) return null
+    // concatenate the LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var bs = 1
+    while (bs != 0) {
+      if (off >= b.length) return null
+      bs = b(off) & 0xff; off += 1
+      if (off + bs > b.length) return null
+      data.write(b, off, bs); off += bs
+    }
+    val d = data.toByteArray
+    // LZW decode (prefix/suffix/first-char tables; chains are acyclic
+    // because prefix(n) < n by construction, so no cycle guard needed)
+    val Clear = 1 << minCode
+    val Eoi = Clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val firstCh = new Array[Int](4096)
+    var i = 0
+    while (i < Clear) { prefix(i) = -1; suffix(i) = i; firstCh(i) = i; i += 1 }
+    var nextCode = Eoi + 1
+    var codeSize = minCode + 1
+    var bitPos = 0L
+    val totalBits = d.length.toLong * 8
+    var prev = -1
+    var produced = 0L
+    var sum = 0L
+    var mn = 256
+    var mx = -1
+    val stack = new Array[Int](4097)
+    var eoiSeen = false
+    var bad = false
+    var done = false
+    while (!done) {
+      // read one LSB-first code of the current width
+      if (bitPos + codeSize > totalBits) { bad = true; done = true }
+      else {
+        var code = 0
+        var k = 0
+        while (k < codeSize) {
+          val gi = bitPos + k
+          if ((d((gi >> 3).toInt) & (1 << (gi & 7).toInt)) != 0) code |= 1 << k
+          k += 1
+        }
+        bitPos += codeSize
+        if (code == Clear) {
+          nextCode = Eoi + 1; codeSize = minCode + 1; prev = -1
+        } else if (code == Eoi) {
+          eoiSeen = true; done = true
+        } else {
+          var emit = code
+          var sp = 0
+          if (code >= nextCode) {
+            // KwKwK: only the very next unassigned code is legal
+            if (code != nextCode || prev < 0) { bad = true; done = true }
+            else { stack(sp) = firstCh(prev); sp += 1; emit = prev }
+          }
+          if (!done) {
+            var cc = emit
+            while (cc >= Clear + 2) { stack(sp) = suffix(cc); sp += 1; cc = prefix(cc) }
+            stack(sp) = suffix(cc); sp += 1
+            produced += sp
+            if (produced > nPix) { bad = true; done = true }
+            else {
+              val first = stack(sp - 1) // first char of this output string
+              var j = sp - 1
+              while (j >= 0) {
+                val px = stack(j)
+                sum += px
+                if (px < mn) mn = px
+                if (px > mx) mx = px
+                j -= 1
+              }
+              if (prev >= 0 && nextCode < 4096) {
+                prefix(nextCode) = prev
+                suffix(nextCode) = first
+                firstCh(nextCode) = firstCh(prev)
+                nextCode += 1
+                if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+              }
+              prev = code
+            }
+          }
+        }
+      }
+    }
+    if (bad || !eoiSeen || produced != nPix) return null
+    new GenericInternalRow(Array[Any](w, h, nPix, sum, mn, mx))
+  }
+}

@@ -260,6 +260,61 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // GIF PIXEL decode under the driver gate — the third payload-level
+    // decoder (m5 audio, m6 PNG): per document, CONSTRUCT a complete
+    // valid GIF89a whose LZW stream is assembled IN COLUMN ARITHMETIC —
+    // 9-bit codes (Clear, the palette-index literals, End-Of-Information)
+    // packed LSB-first by computing each output byte from the at-most-two
+    // codes that straddle it (9-bit codes never span three bytes) — and
+    // DECODE it with the full native LZW dictionary decoder
+    // (gif_pixel_stats). Docs with doc_id % 8 == 0 declare a sub-block
+    // length that overruns the buffer — the torn blob — and must
+    // quarantine to NULL. The oracle states the expected index stats
+    // arithmetically over the same pixel formula: an inversion check on
+    // the decoder, not a restatement.
+    "m7_gif_pixels" -> { (s, d) =>
+      import graft.functions.GraftFunctions.gif_pixel_stats
+      val w = (col("doc_id") % 12 + 1).cast("int")
+      val h = (col("doc_id") % 6 + 1).cast("int")
+      val n = w * h
+      val m = n + 2 // Clear + literals + EOI
+      val codes = concat(
+        array(lit(256)),
+        transform(sequence(lit(0), n - 1),
+          k => pmod(col("doc_id") * 13 + k * 5, lit(256)).cast("int")),
+        array(lit(257)))
+      val nbytes = floor((m * 9 + 7).cast("double") / 8.0).cast("int")
+      val lzwHex = array_join(transform(sequence(lit(0), nbytes - 1), j => {
+        val i0 = floor((j * 8).cast("double") / 9.0).cast("int")
+        val sh = j * 8 - i0 * 9 // 0..8: low bits consumed from code i0
+        val c0 = element_at(codes, i0 + 1)
+        val c1 = when(i0 + 2 <= m, element_at(codes, i0 + 2)).otherwise(lit(0))
+        val lo = floor(c0.cast("double") / pow(lit(2.0), sh)).cast("int")
+        val hi = (c1.cast("double") * pow(lit(2.0), lit(9) - sh)).cast("int")
+        format_string("%02X", pmod(lo + hi, lit(256))) // disjoint bits: + is |
+      }), "")
+      // torn blob: declared sub-block size overruns the remaining bytes
+      val declared = when(col("doc_id") % 8 === 0, nbytes + 3).otherwise(nbytes)
+      def le16h(v: Column) =
+        format_string("%02X%02X", pmod(v, lit(256)), (v / 256).cast("int"))
+      val gifHex = concat(
+        lit("474946383961"), // "GIF89a"
+        le16h(w), le16h(h), lit("000000"), // LSD: no GCT, bg 0, aspect 0
+        lit("2C00000000"), // image descriptor, left/top 0
+        le16h(w), le16h(h), lit("00"), // no LCT, not interlaced
+        lit("08"), // LZW min code size
+        format_string("%02X", declared), lzwHex,
+        lit("00"), // sub-block terminator
+        lit("3B")) // trailer
+      Tables.documents(s, d)
+        .select(col("doc_id"), gif_pixel_stats(unhex(gifHex)).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"), col("p.idx_sum").as("idx_sum"),
+          col("p.idx_min").as("idx_min"), col("p.idx_max").as("idx_max"))
+        .orderBy(col("doc_id"))
+    },
+
     // video_meta under the driver gate, same inversion pattern as m1/m2:
     // per document, CONSTRUCT a minimal-but-spec-shaped MP4 (ftyp + moov
     // with mvhd timescale/duration and one trak whose tkhd carries 16.16
@@ -516,6 +571,31 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_min END AS pixel_min,
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_max END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the inversion expectations for the GIF decoder: index stats from
+    // the same (doc_id * 13 + 5k) % 256 pixel formula; torn docs NULL
+    "m7_gif_pixels" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(doc_id % 12 + 1 AS INT) AS w,
+        |         CAST(doc_id % 6 + 1 AS INT) AS h
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k FROM s),
+        |px AS (
+        |  SELECT doc_id, (doc_id * 13 + 5 * k) % 256 AS v FROM ks),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |    CAST(SUM(v) AS BIGINT) AS idx_sum,
+        |    CAST(MIN(v) AS INT) AS idx_min, CAST(MAX(v) AS INT) AS idx_max
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 8 = 0 THEN NULL ELSE w END AS width,
+        |  CASE WHEN s.doc_id % 8 = 0 THEN NULL ELSE h END AS height,
+        |  CASE WHEN s.doc_id % 8 = 0 THEN NULL ELSE n_pixels END AS n_pixels,
+        |  CASE WHEN s.doc_id % 8 = 0 THEN NULL ELSE idx_sum END AS idx_sum,
+        |  CASE WHEN s.doc_id % 8 = 0 THEN NULL ELSE idx_min END AS idx_min,
+        |  CASE WHEN s.doc_id % 8 = 0 THEN NULL ELSE idx_max END AS idx_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the inversion expectations: MP4 fields from the same doc_id

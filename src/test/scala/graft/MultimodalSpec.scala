@@ -508,4 +508,150 @@ class MultimodalSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Real GIF89a encoder for the decoder tests: genuine compressing LZW
+    * (dictionary, variable code width with the standard +1 growth
+    * convention, Clear emitted when the table fills), sub-blocks split
+    * at 255 bytes, optional GCT/extension/interlace plumbing, and
+    * torn-blob knobs.
+    */
+  private def gifEncode(w: Int, h: Int, pixels: Array[Int], minCode: Int = 8,
+                        gct: Boolean = false, ext: Boolean = false,
+                        interlace: Boolean = false, subOverrun: Int = 0,
+                        dropEoi: Boolean = false, truncate: Int = 0): Array[Byte] = {
+    val Clear = 1 << minCode; val Eoi = Clear + 1
+    val lzw = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0; var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { lzw.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap[(Int, Int), Int]()
+    var nextCode = Eoi + 1
+    put(Clear)
+    var prev = -1
+    for (px <- pixels) {
+      if (prev < 0) prev = px
+      else dict.get((prev, px)) match {
+        case Some(c) => prev = c
+        case None =>
+          put(prev)
+          if (nextCode < 4096) {
+            dict((prev, px)) = nextCode
+            nextCode += 1
+            if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else { // table full: reset, matching the decoder's Clear path
+            put(Clear)
+            dict = scala.collection.mutable.HashMap[(Int, Int), Int]()
+            nextCode = Eoi + 1; codeSize = minCode + 1
+          }
+          prev = px
+      }
+    }
+    if (prev >= 0) put(prev)
+    if (!dropEoi) put(Eoi)
+    if (nbits > 0) lzw.write((cur & 0xff).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(if (gct) 0x81 else 0x00) // GCT: 2^(1+1)=4 entries
+    out.write(0); out.write(0)
+    if (gct) for (_ <- 0 until 4 * 3) out.write(0x33)
+    if (ext) { out.write(0x21); out.write(0xfe); out.write(3)
+      out.write("abc".getBytes("US-ASCII")); out.write(0) }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlace) 0x40 else 0x00)
+    out.write(minCode)
+    val d = lzw.toByteArray
+    val groups = d.grouped(255).toArray
+    for ((g, gi) <- groups.zipWithIndex) {
+      out.write(g.length + (if (gi == 0) subOverrun else 0))
+      out.write(g)
+    }
+    out.write(0); out.write(0x3b)
+    val all = out.toByteArray
+    if (truncate > 0) all.dropRight(truncate) else all
+  }
+
+  private def gifStats(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Int, Int)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = Seq(Tuple1(bytes)).toDF("bytes")
+      .select(graft.functions.GraftFunctions.gif_pixel_stats(col("bytes")).as("p"))
+      .select("p.width", "p.height", "p.n_pixels", "p.idx_sum", "p.idx_min", "p.idx_max")
+      .collect().head
+    if (r.isNullAt(0)) None
+    else Some((r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+  }
+
+  private def expectStats(w: Int, h: Int, px: Array[Int]) =
+    Some((w, h, px.length.toLong, px.map(_.toLong).sum, px.min, px.max))
+
+  test("gif_pixel_stats: LZW round-trip — random, constant (KwKwK), narrow palette with width growth") {
+    val rnd = new scala.util.Random(11)
+    val p1 = Array.fill(7 * 5)(rnd.nextInt(256))
+    assert(gifStats(gifEncode(7, 5, p1)) === expectStats(7, 5, p1))
+    // constant image: encoder output is dominated by KwKwK codes
+    val p2 = Array.fill(6 * 6)(129)
+    assert(gifStats(gifEncode(6, 6, p2)) === expectStats(6, 6, p2))
+    // 2-bit palette: code width grows 3 -> 4 -> 5 ... within 300 pixels
+    val p3 = Array.fill(30 * 10)(rnd.nextInt(4))
+    assert(gifStats(gifEncode(30, 10, p3, minCode = 2)) === expectStats(30, 10, p3))
+  }
+
+  test("gif_pixel_stats: table-full Clear reset + multi-sub-block streams decode exactly") {
+    val rnd = new scala.util.Random(13)
+    val p = Array.fill(100 * 100)(rnd.nextInt(256)) // >4096 dict entries -> Clear mid-stream
+    assert(gifStats(gifEncode(100, 100, p)) === expectStats(100, 100, p))
+  }
+
+  test("gif_pixel_stats: GCT/extension blocks are skipped; interlace flag changes nothing (order-free stats)") {
+    val rnd = new scala.util.Random(17)
+    val p = Array.fill(9 * 4)(rnd.nextInt(256))
+    val plain = gifStats(gifEncode(9, 4, p))
+    assert(plain === expectStats(9, 4, p))
+    assert(gifStats(gifEncode(9, 4, p, gct = true, ext = true)) === plain)
+    assert(gifStats(gifEncode(9, 4, p, interlace = true)) === plain)
+  }
+
+  /** Independent-encoder fixture: the JDK's own GIF writer (javax.imageio,
+    * in every JVM). Ground-truth indices come from reading the bytes BACK
+    * with ImageIO — immune to any palette reordering the writer does.
+    */
+  private def imageIoGif(w: Int, h: Int, seed: Int): (Array[Byte], Array[Int]) = {
+    val grey = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grey, grey, grey)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val rnd = new scala.util.Random(seed)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val bytes = bos.toByteArray
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val px = (for (y <- 0 until h; x <- 0 until w)
+      yield back.getRaster.getSample(x, y, 0)).toArray
+    (bytes, px)
+  }
+
+  test("gif_pixel_stats: differential vs the JDK's own GIF codec (independent encoder)") {
+    for ((w, h, seed) <- Seq((20, 13, 42), (80, 60, 7), (3, 1, 1))) {
+      val (bytes, px) = imageIoGif(w, h, seed)
+      assert(gifStats(bytes) === expectStats(w, h, px), s"dims ${w}x$h")
+    }
+  }
+
+  test("gif_pixel_stats: torn blobs quarantine to NULL") {
+    val rnd = new scala.util.Random(19)
+    val p = Array.fill(8 * 8)(rnd.nextInt(256))
+    assert(gifStats(gifEncode(8, 8, p, subOverrun = 3)) === None)   // declared len overruns
+    assert(gifStats(gifEncode(8, 8, p, truncate = 6)) === None)     // truncated stream
+    assert(gifStats(gifEncode(8, 8, p, dropEoi = true)) === None)   // missing EOI
+    assert(gifStats(gifEncode(8, 8, p.dropRight(5))) === None)      // fewer pixels than w*h
+    assert(gifStats(gifEncode(8, 8, p ++ Array(1, 2, 3))) === None) // more pixels than w*h
+    assert(gifStats("GIF89a then junk".getBytes("UTF-8")) === None)
+    assert(gifStats(Array[Byte](1, 2, 3)) === None)
+  }
 }
