@@ -101,6 +101,37 @@ object BpePairs {
       .groupBy(col("pair"))
       .agg(sum(col("c")).as("n"))
 
+  /** Corpus tokenization with a trained merge list — the ENCODE step the
+    * t26/t29/t30 training statistics feed: each DISTINCT word is
+    * segmented ONCE (the merge list folded left-to-right in training
+    * order over its character sequence, exactly [[applyMerge]]'s rule),
+    * and the corpus re-joins the segmentation table BROADCAST on the
+    * word. A 100 TB corpus never re-runs merge arithmetic per
+    * occurrence: segmentation cost is vocabulary-sized, the corpus pass
+    * is one broadcast-join + one combinable aggregate, and the join
+    * carries only (id, pos, word) — no text bytes move through the
+    * shuffle. Output per document: word count, BPE piece count, and the
+    * md5 of the space-joined piece stream in token order (what a
+    * tokenized-shard writer would fingerprint for the packing manifest).
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    var seg = wordCounts(docs, textCol).select(col("w"),
+      concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("sym"))
+    merges.foreach { case (x, y) => seg = applyMerge(seg, x, y) }
+    val segTable = seg.select(col("w"), trim(col("sym")).as("piece_str"),
+      size(split(trim(col("sym")), " ")).cast("long").as("n_pc"))
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    toks.join(broadcast(segTable), Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pc")).as("n_pieces"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("piece_str")))),
+          s => s("piece_str")), " ")).as("stream_fp"))
+  }
+
   /** Frequency-filtered vocabulary with deterministic id assignment:
     * tokens with corpus count >= minCount, ids 0.. in (count desc, token
     * asc) order — the id layout every frequency-sorted tokenizer vocab

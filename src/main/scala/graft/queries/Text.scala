@@ -384,6 +384,29 @@ object Text extends QueryPack {
         .limit(10)
     },
 
+    // the full train-then-ENCODE composition: derive the top-2 merges
+    // from the corpus (the t30 loop run twice), then tokenize every
+    // document with them — distinct words segment once, the corpus
+    // re-joins the broadcast segmentation table, and each doc reports
+    // word/piece counts plus the md5 of its in-order piece stream. The
+    // oracle replays both merge derivations AND both greedy applications
+    // relationally (the t30 islands-odd-ranks trick, chained), then the
+    // same join-back and ordered fingerprint.
+    "t36_corpus_tokenize" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val top1 = graft.operators.BpePairs.topPairs(docs, "text", 1)
+        .head().getString(0)
+      val (x1, y1) = (top1.substring(0, 1), top1.substring(1))
+      val m1 = graft.operators.BpePairs.applyMerge(
+        graft.operators.BpePairs.symbolWords(docs, "text"), x1, y1)
+      val top2 = graft.operators.BpePairs.symbolPairCounts(m1)
+        .orderBy(col("n").desc, col("pair").asc).limit(1).head().getString(0)
+      val Array(x2, y2) = top2.split(" ", 2)
+      graft.operators.BpePairs.encodeCorpus(docs, "doc_id", "text",
+        Seq((x1, y1), (x2, y2)))
+        .orderBy(col("id"))
+    },
+
     // the composed curation pipeline as one plan: quality+lang gate ->
     // exact dedup keep-first (min_by on the canonical fingerprint) ->
     // per-lang packing manifest. One oracle over the whole flow.
@@ -1363,6 +1386,97 @@ object Text extends QueryPack {
         |GROUP BY 1
         |ORDER BY n DESC, pair ASC
         |LIMIT 10""".stripMargin,
+
+    // both merge derivations + both greedy applications (the t30
+    // islands-odd-ranks block, chained through a position re-rank), then
+    // the per-word segment strings join back to the corpus and each doc
+    // fingerprints its in-order piece stream
+    "t36_corpus_tokenize" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        |p0 AS (
+        |  SELECT c, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM wc WHERE len(w) >= 2),
+        |mx1 AS (
+        |  SELECT substr(pair, 1, 1) AS x, substr(pair, 2, 1) AS y, pair AS xy
+        |  FROM (SELECT pair FROM p0 GROUP BY pair
+        |        ORDER BY CAST(SUM(c) AS BIGINT) DESC, pair ASC LIMIT 1)),
+        |toks AS (
+        |  SELECT w, c,
+        |    unnest(generate_series(1, len(w))) AS pos,
+        |    unnest(list_transform(generate_series(1, len(w)), i -> substr(w, i, 1))) AS sym
+        |  FROM wc),
+        |m1 AS (
+        |  SELECT t.w, t.pos
+        |  FROM toks t JOIN toks t2 ON t.w = t2.w AND t2.pos = t.pos + 1
+        |  CROSS JOIN mx1
+        |  WHERE t.sym = mx1.x AND t2.sym = mx1.y),
+        |g1 AS (SELECT w, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS isl
+        |       FROM m1),
+        |k1 AS (SELECT w, pos FROM (
+        |         SELECT w, pos,
+        |           ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+        |         FROM g1) t WHERE rn % 2 = 1),
+        |nt1 AS (
+        |  SELECT t.w, t.c, t.pos,
+        |    CASE WHEN ka.pos IS NOT NULL THEN (SELECT xy FROM mx1)
+        |         ELSE t.sym END AS sym
+        |  FROM toks t
+        |  LEFT JOIN k1 ka ON t.w = ka.w AND t.pos = ka.pos
+        |  LEFT JOIN k1 kb ON t.w = kb.w AND t.pos = kb.pos + 1
+        |  WHERE kb.pos IS NULL),
+        |r1 AS (
+        |  SELECT w, c, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+        |  FROM nt1),
+        |pr1 AS (
+        |  SELECT w, c, sym, LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        |  FROM r1),
+        |mx2 AS (
+        |  SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y,
+        |         string_split(pair, ' ')[1] || string_split(pair, ' ')[2] AS xy
+        |  FROM (SELECT sym || ' ' || nxt AS pair FROM pr1 WHERE nxt IS NOT NULL
+        |        GROUP BY 1 ORDER BY CAST(SUM(c) AS BIGINT) DESC, pair ASC LIMIT 1)),
+        |m2 AS (
+        |  SELECT t.w, t.pos
+        |  FROM r1 t JOIN r1 t2 ON t.w = t2.w AND t2.pos = t.pos + 1
+        |  CROSS JOIN mx2
+        |  WHERE t.sym = mx2.x AND t2.sym = mx2.y),
+        |g2 AS (SELECT w, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS isl
+        |       FROM m2),
+        |k2 AS (SELECT w, pos FROM (
+        |         SELECT w, pos,
+        |           ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+        |         FROM g2) t WHERE rn % 2 = 1),
+        |nt2 AS (
+        |  SELECT t.w, t.c, t.pos,
+        |    CASE WHEN ka.pos IS NOT NULL THEN (SELECT xy FROM mx2)
+        |         ELSE t.sym END AS sym
+        |  FROM r1 t
+        |  LEFT JOIN k2 ka ON t.w = ka.w AND t.pos = ka.pos
+        |  LEFT JOIN k2 kb ON t.w = kb.w AND t.pos = kb.pos + 1
+        |  WHERE kb.pos IS NULL),
+        |segs AS (
+        |  SELECT w, string_agg(sym, ' ' ORDER BY pos) AS piece_str,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pc
+        |  FROM nt2 GROUP BY w),
+        |dt AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(ws))) AS pos,
+        |    unnest(ws) AS w
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents WHERE len(trim(text)) > 0) z)
+        |SELECT dt.doc_id AS id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_pc) AS BIGINT) AS n_pieces,
+        |  md5(string_agg(piece_str, ' ' ORDER BY dt.pos)) AS stream_fp
+        |FROM dt JOIN segs ON dt.w = segs.w
+        |GROUP BY dt.doc_id
+        |ORDER BY id""".stripMargin,
 
     // same count/filter/rank pipeline; ROW_NUMBER over the same order
     "t29_vocab_build" ->

@@ -84,6 +84,39 @@ class BpePairsSpec extends AnyFunSuite {
     assert(m2.contains("lo w") && m2.contains("lo w e r"))
   }
 
+  test("encodeCorpus: distinct-word segmentation joins back in token order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower low"),
+      (2L, "aaaa low"),
+      (3L, "   ")).toDF("doc_id", "text")
+    // merges (l,o) then (lo,w): low -> [low], lower -> [low, e, r]
+    val out = graft.operators.BpePairs.encodeCorpus(
+      docs, "doc_id", "text", Seq(("l", "o"), ("lo", "w")))
+      .orderBy("id").collect()
+    assert(out.length === 2) // blank doc drops with its empty token set
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_words") === 3L)
+    assert(r1.getAs[Long]("n_pieces") === 1L + 3L + 1L)
+    // stream = "low low e r low"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("low low e r low".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r1.getAs[String]("stream_fp") === md)
+    val r2 = out(1)
+    // aaaa: merges don't touch it -> 4 pieces; low -> 1
+    assert(r2.getAs[Long]("n_words") === 2L)
+    assert(r2.getAs[Long]("n_pieces") === 5L)
+  }
+
+  test("encodeCorpus: empty merge list degenerates to per-char counts") {
+    import spark.implicits._
+    val docs = Seq((7L, "ab cde")).toDF("doc_id", "text")
+    val r = graft.operators.BpePairs.encodeCorpus(docs, "doc_id", "text", Nil)
+      .collect().head
+    assert(r.getAs[Long]("n_words") === 2L && r.getAs[Long]("n_pieces") === 5L)
+  }
+
   test("spanFlags: islands of consecutive hits, flag threshold, clean docs report zero runs") {
     import spark.implicits._
     val eval = Seq((100L, "x1 x2 x3 x4 x5 x6 y7 y8 y9")).toDF("doc_id", "text")
