@@ -407,6 +407,18 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // content-defined chunk manifest (the rsync/LBFS cut rule on token
+    // streams): a token ends its chunk iff its md5 bucket % 8 == 0, so
+    // chunk boundaries depend on content, not position — the property
+    // that lets chunk fingerprints survive insertions (t10's fixed
+    // windows all shift). Engine: one per-row fold, no shuffle; oracle:
+    // relational prefix-count of cuts — a genuinely different algorithm
+    // for the same manifest.
+    "t37_cdc_chunks" -> { (s, d) =>
+      Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text", divisor = 8)
+        .orderBy(col("id"), col("chunk_idx"))
+    },
+
     // the composed curation pipeline as one plan: quality+lang gate ->
     // exact dedup keep-first (min_by on the canonical fingerprint) ->
     // per-lang packing manifest. One oracle over the whole flow.
@@ -1477,6 +1489,33 @@ object Text extends QueryPack {
         |FROM dt JOIN segs ON dt.w = segs.w
         |GROUP BY dt.doc_id
         |ORDER BY id""".stripMargin,
+
+    // chunk id = count of cut tokens strictly before each position
+    // (prefix sum), then per-chunk aggregates — vs the engine's fold
+    "t37_cdc_chunks" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(ws))) AS pos,
+        |    unnest(ws) AS w
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents WHERE len(trim(text)) > 0) z),
+        |b AS (
+        |  SELECT doc_id, pos, w,
+        |    CASE WHEN CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 8 = 0
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM dt),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |    CAST(COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS cid
+        |  FROM b)
+        |SELECT doc_id AS id, cid AS chunk_idx,
+        |  CAST(MIN(pos) AS INT) AS start_tok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp
+        |FROM c
+        |GROUP BY doc_id, cid
+        |ORDER BY id, chunk_idx""".stripMargin,
 
     // same count/filter/rank pipeline; ROW_NUMBER over the same order
     "t29_vocab_build" ->

@@ -776,4 +776,43 @@ class TextDedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("candidate pairs"))
   }
+
+  test("cdcChunks: chunks partition the token stream; manifest fields are consistent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text", divisor = 8)
+    import org.apache.spark.sql.functions._
+    // per doc: chunk_idx dense from 0, starts/sizes tile the stream exactly
+    val agg = chunks.groupBy("id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("chunk_idx")).as("max_idx"),
+      sum(col("n_tok")).as("tok_total"),
+      min(col("start_tok")).as("first_start")).collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      assert(r.getAs[Int]("max_idx").toLong === r.getAs[Long]("n_chunks") - 1)
+      assert(r.getAs[Int]("first_start") === 1)
+    }
+    val toks = docs.select(col("doc_id").as("id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+    val bad = chunks.groupBy("id").agg(sum("n_tok").as("s"))
+      .join(toks, "id").filter(col("s") =!= col("n"))
+    assert(bad.isEmpty)
+  }
+
+  test("cdcChunks: fingerprints re-sync after an insertion (the CDC property)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = textDf((1L, base), (2L, "INSERTED " + base))
+    val out = Dedup.cdcChunks(docs, "doc_id", "text", divisor = 4).collect()
+    val fp1 = out.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_fp")).toSet
+    val fp2 = out.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_fp")).toSet
+    // every chunk of doc 1 except (at most) the first re-appears in doc 2:
+    // the inserted token only perturbs chunks up to the first cut point
+    val shared = fp1.intersect(fp2)
+    assert(shared.size >= fp1.size - 1, s"expected re-sync, got $shared of $fp1")
+    // and a fixed-width chunker would NOT re-sync: sanity that the corpus
+    // actually has interior cut points making the property non-vacuous
+    assert(fp1.size >= 2)
+  }
 }
