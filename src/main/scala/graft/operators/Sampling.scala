@@ -140,4 +140,61 @@ object Sampling {
       }
     df.withColumn("split", splitCol)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", public): score every
+    * document by how much its tokens look drawn from a TARGET slice's
+    * unigram distribution rather than the raw corpus's, under
+    * hashed-bucket bag-of-words models with Laplace smoothing. The
+    * published recipe weights by the log-likelihood ratio; this operator
+    * uses the per-token quantized probability RATIO (mean over tokens)
+    * so the whole computation stays in exact integer arithmetic — the
+    * t23/t32 precedent: no libm transcendental, hash-exact cross-engine.
+    *
+    * Quantization is two-step (probabilities to 1e-9, then their ratio
+    * to 1e-9) so every intermediate product fits a BIGINT while bucket
+    * counts stay below ~9e9 tokens; corpora past that reduce the
+    * quantum (the scale note, not a correctness cliff — the guard
+    * refuses loudly rather than wrapping).
+    *
+    * Scale design: one corpus pass builds BOTH bucket tables in a single
+    * combinable aggregate (count + conditional count); the bucket table
+    * (`buckets` rows) broadcasts back for the scoring pass — two corpus
+    * passes total, the irreducible stats-then-apply shape. No shuffle
+    * carries text; the explode ships (id, bucket) pairs only.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import graft.functions.TextFunctions.tokens
+    val toks = graft.Tables.spread(docs)
+      .select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(tokens(col(textCol))).as("w"))
+      .select(col("id"), col("tgt"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+    val bucketStats = toks.groupBy("b").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"))
+    val totals = bucketStats.agg(
+      sum("n_raw").as("tot_raw"), sum("n_tgt").as("tot_tgt"))
+    val rated = bucketStats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        // overflow guard inline (no extra driver action): 1e9 * count
+        // must fit a BIGINT, so counts are capped at 9e9 tokens
+        when(col("tot_raw") >= 9000000000L, raise_error(concat(
+          lit("corpus too large for the 1e-9 quantum ("),
+          col("tot_raw").cast("string"),
+          lit(" tokens); reduce the quantum or shard the stats pass"))))
+          .otherwise(expr(s"(1000000000 * (n_tgt + 1)) div (tot_tgt + $buckets)"))
+          .as("p_tgt_q"),
+        expr(s"(1000000000 * (n_raw + 1)) div (tot_raw + $buckets)").as("p_raw_q"))
+      .select(col("b"),
+        expr("(1000000000 * p_tgt_q) div p_raw_q").as("ratio_q"))
+    toks.join(broadcast(rated), Seq("b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum("ratio_q").as("ratio_sum"))
+      .select(col("id"), col("n_tok"),
+        expr("ratio_sum div n_tok").as("mean_ratio_q"))
+  }
 }

@@ -419,6 +419,18 @@ object Text extends QueryPack {
         .orderBy(col("id"), col("chunk_idx"))
     },
 
+    // DSIR-style importance weights: every doc scored by the mean
+    // quantized ratio of target-slice (lang='en') vs raw-corpus unigram
+    // probability under hashed-bucket models — exact integer arithmetic
+    // end to end (two-step 1e-9 quantization, integer div), so the
+    // oracle replays the identical expression tree
+    "t38_importance_weights" -> { (s, d) =>
+      graft.operators.Sampling.importanceWeights(
+        Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", buckets = 1024)
+        .orderBy(col("id"))
+    },
+
     // the composed curation pipeline as one plan: quality+lang gate ->
     // exact dedup keep-first (min_by on the canonical fingerprint) ->
     // per-lang packing manifest. One oracle over the whole flow.
@@ -1516,6 +1528,38 @@ object Text extends QueryPack {
         |FROM c
         |GROUP BY doc_id, cid
         |ORDER BY id, chunk_idx""".stripMargin,
+
+    // same bucket counts, same two-step integer quantization, same
+    // integer divisions — SUMs cast back to BIGINT before any further
+    // arithmetic (the HUGEINT note in ADVICE.md)
+    "t38_importance_weights" ->
+      """WITH dt AS (
+        |  SELECT doc_id AS id, lang = 'en' AS tgt,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tb AS (
+        |  SELECT id, tgt,
+        |    CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM dt),
+        |bs AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_raw,
+        |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+        |  FROM tb GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(SUM(n_raw) AS BIGINT) AS tot_raw,
+        |         CAST(SUM(n_tgt) AS BIGINT) AS tot_tgt
+        |  FROM bs),
+        |rq AS (
+        |  SELECT b,
+        |    (1000000000 * (n_tgt + 1)) // (tot_tgt + 1024) AS p_tgt_q,
+        |    (1000000000 * (n_raw + 1)) // (tot_raw + 1024) AS p_raw_q
+        |  FROM bs CROSS JOIN tot),
+        |rr AS (SELECT b, (1000000000 * p_tgt_q) // p_raw_q AS ratio_q FROM rq)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(SUM(ratio_q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_ratio_q
+        |FROM tb JOIN rr USING (b)
+        |GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     // same count/filter/rank pipeline; ROW_NUMBER over the same order
     "t29_vocab_build" ->

@@ -130,4 +130,36 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.hashSplit(df, "id", Seq(("x", 1.0), ("y", 0.0)))
     }
   }
+
+  test("importanceWeights: target-like docs outscore raw-only docs; totals consistent") {
+    import spark.implicits._
+    // target slice (lang=en) speaks {aaa,bbb}; the rest speak {xxx,yyy}.
+    // A scored doc made of target vocabulary must outrank one made of
+    // background vocabulary under any bucket hashing.
+    val docs = (
+      (1L to 20L).map(i => (i, "aaa bbb aaa bbb aaa", "en")) ++
+      (21L to 40L).map(i => (i, "xxx yyy xxx yyy xxx", "de")) ++
+      Seq((41L, "aaa bbb aaa", "de"), (42L, "xxx yyy xxx", "de"))
+    ).toDF("doc_id", "text", "lang")
+    val out = Sampling.importanceWeights(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 42)
+    assert(out(41L)._1 === 3L && out(42L)._1 === 3L)
+    assert(out(41L)._2 > out(42L)._2,
+      s"target-vocab doc must outscore background doc: ${out(41L)} vs ${out(42L)}")
+    // en docs themselves score like doc 41 (same vocabulary)
+    assert(out(1L)._2 > out(21L)._2)
+  }
+
+  test("importanceWeights: deterministic under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    val a = Sampling.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en").orderBy("id").collect().toSeq
+    val b = Sampling.importanceWeights(docs.repartition(7), "doc_id", "text",
+      col("lang") === "en").orderBy("id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
