@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting (the node-iterator-with-degree-ordering
+  * algorithm: Schank 2007; Suri & Vassilvitskii 2011's MapReduce form —
+  * public). The reference has no graph surface; this deepens the SURVEY
+  * §2.9 graph family beside g1's PageRank and d7/d8's connected
+  * components.
+  *
+  * Scale design — the entire point of the degree orientation: directing
+  * every undirected edge from its (degree, id)-smaller endpoint to the
+  * larger one caps every node's OUT-degree at O(sqrt(m)), so the wedge
+  * join (the quadratic step) generates at most O(m^1.5) candidate rows
+  * regardless of how skewed the raw degree distribution is — a celebrity
+  * node with 10^6 neighbors contributes wedges only through the ~sqrt(m)
+  * neighbors that outrank it, not 10^12 pairs. Three shuffles total
+  * (degree aggregate, wedge self-join on the pivot node, closing-edge
+  * equi-join), each on plain equi-keys; each triangle materializes
+  * exactly once because the wedge pivot is the orientation-minimum and
+  * the closing edge is checked in its oriented direction only.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts over the undirected graph
+    * induced by (srcCol, dstCol) pairs (self-loops dropped, parallel
+    * edges collapsed). Output: (node, n_tri).
+    */
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+      least(col(srcCol), col(dstCol)).as("a"),
+      greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+    // orient u -> v iff (deg(u), u) < (deg(v), v)
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at the orientation-minimum pivot; the closing edge is only
+    // ever probed in its oriented direction, so no pair-order filter is
+    // needed and no triangle is double-counted
+    val tri = oriented.toDF("u", "v1")
+      .join(oriented.toDF("u", "v2"), "u")
+      .filter(col("v1") =!= col("v2"))
+      .join(oriented.toDF("v1", "v2"), Seq("v1", "v2"))
+      .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+  }
+}

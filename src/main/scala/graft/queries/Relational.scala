@@ -451,6 +451,23 @@ object Relational extends QueryPack {
         .limit(20)
     },
 
+    // triangle counting over the part co-purchase graph (parts sharing
+    // an order), degree-oriented so wedge work is O(m^1.5) regardless of
+    // hub skew; top-15 parts by triangle participation. The oracle states
+    // the id-ordered 3-way self-join — a different formulation whose
+    // equality is exactly the orientation argument.
+    "g2_triangles" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+      graft.operators.Triangles.perNode(edges, "p1", "p2")
+        .orderBy(col("n_tri").desc, col("node").asc)
+        .limit(15)
+    },
+
     // single-pass table profile (the ANALYZE surface): per-column nulls,
     // exact distincts, typed min/max — 4x|cols| aggregates over ONE scan,
     // unpivoted with stack()
@@ -580,6 +597,23 @@ object Relational extends QueryPack {
     // the same integer fixed-point iteration unrolled: every division a
     // floor `//`, every sum a long sum — bit-identical by construction
     "g1_pagerank" -> pagerankSql(iters = 5),
+
+    // id-ordered triangle enumeration (x<y<z with all three canonical
+    // edges present) vs the engine's degree-oriented wedge join
+    "g2_triangles" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+        |e AS (SELECT DISTINCT a.s AS a, b.s AS b
+        |      FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT x AS node FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY node
+        |ORDER BY n_tri DESC, node ASC
+        |LIMIT 15""".stripMargin,
 
     // one UNION ALL branch per column: same counts, same typed min/max
     // slots (numeric as DOUBLE values, temporal/string as text)

@@ -58,4 +58,38 @@ class PageRankSpec extends AnyFunSuite {
     assert(total <= 1000000000000L)
     assert(total > 900000000000L) // and losses stay tiny (sub-ppm per step)
   }
+
+  private def triOf(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    graft.operators.Triangles.perNode(es.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: hand-computed counts on fixtures") {
+    // K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    val k4m = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(triOf(k4m) === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // a star has no triangles
+    assert(triOf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) === Map.empty)
+    // direction, duplicates and self-loops do not matter
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L), (3L, 3L), (3L, 2L))
+    assert(triOf(messy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: degree-oriented count equals the brute-force triple count on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val es = Seq.fill(160)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+      .filter { case (a, b) => a != b }
+    val got = triOf(es)
+    // brute force over canonical edge set
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var expect = Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if und((i, j)) && und((j, k)) && und((i, k))
+    } Seq(i, j, k).foreach(n => expect += n -> (expect(n) + 1L))
+    assert(got === expect.filter(_._2 > 0))
+    assert(got.values.sum % 3 === 0 && got.values.sum > 0)
+  }
 }
