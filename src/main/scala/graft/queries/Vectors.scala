@@ -373,6 +373,25 @@ object Vectors extends QueryPack {
         .orderBy(col("bucket"))
     },
 
+    // cluster-balanced subset selection (semantic diversity sampling —
+    // the SemDeDup-adjacent curation step that samples EVENLY across
+    // embedding space instead of by volume): deterministic k-means
+    // clusters (the v7 IVF build) + 5 vectors per cluster in md5 hash
+    // order (the t13 determinism convention). Composition: the corpus
+    // pass is the one cluster assignment; the per-cluster pick windows
+    // over cluster-sized groups.
+    "v24_cluster_sample" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      graft.operators.Sampling.stratifiedHead(
+        idx.assigned.select(col("bucket").as("cluster"), col("id").as("vec_id")),
+        "cluster", "vec_id", k = 5)
+        .select(col("cluster"),
+          col("sample_rank").cast("long").as("sample_rank"), col("vec_id"))
+        .orderBy(col("cluster"), col("sample_rank"))
+    },
+
     // The PERSISTED IVF-PQ index (on-disk FAISS IVFPQ shape, public):
     // codes stored PARTITIONED BY bucket with centroid + codebook
     // sidecars; the search reads only the nprobe bucket directories
@@ -943,6 +962,18 @@ object Vectors extends QueryPack {
          |FROM d
          |GROUP BY b
          |ORDER BY bucket""".stripMargin,
+
+    // the same k-means assignment CTEs + the t13 windowed hash pick
+    "v24_cluster_sample" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)}
+         |SELECT cluster, sample_rank, vec_id FROM (
+         |  SELECT CAST(af.b AS INT) AS cluster, e.vec_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY af.b
+         |      ORDER BY md5('graft' || CAST(e.vec_id AS VARCHAR)) ASC, e.vec_id ASC)
+         |      AS BIGINT) AS sample_rank
+         |  FROM emb e JOIN af USING (vec_id)) t
+         |WHERE sample_rank <= 5
+         |ORDER BY cluster, sample_rank""".stripMargin,
 
     // the packed-word Hamming kernel restated as what it counts: the
     // number of dimensions whose SIGN differs (popcount of XOR over sign

@@ -952,4 +952,25 @@ class VectorSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("pair volume"))
   }
+
+  test("v24 composition: cluster-balanced sample takes min(5, size) per cluster, deterministically") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+    val assigned = idx.assigned.select(col("bucket").as("cluster"), col("id").as("vec_id"))
+    val out = graft.operators.Sampling.stratifiedHead(assigned, "cluster", "vec_id", k = 5)
+    val sizes = assigned.groupBy("cluster").count()
+    val picked = out.groupBy("cluster").count().withColumnRenamed("count", "n_picked")
+    val bad = sizes.join(picked, "cluster")
+      .filter(col("n_picked") =!= least(col("count"), lit(5L)))
+    assert(bad.isEmpty)
+    // sampled ids are real corpus members of that cluster
+    assert(out.join(assigned, Seq("cluster", "vec_id"), "left_anti").isEmpty)
+    // deterministic under repartitioning of the assignment table
+    val a = out.orderBy("cluster", "sample_rank").collect().toSeq
+    val b = graft.operators.Sampling.stratifiedHead(
+      assigned.repartition(7), "cluster", "vec_id", k = 5)
+      .orderBy("cluster", "sample_rank").collect().toSeq
+    assert(a === b)
+  }
 }
