@@ -104,6 +104,11 @@ object GraftFunctions {
     toCol(MinHashSignature(toExpr(tokens), numHashes))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def rolling_hash(text: Column): Column = toCol(RollingHash64(toExpr(text)))
+  /** FNV-1a 64 of a string's UTF-8 bytes — see [[Fnv64]]. `mixed` adds
+    * the splitmix64 finalizer (required when reading high bits).
+    */
+  def fnv64(s: Column, mixed: Boolean = false): Column =
+    toCol(Fnv64(toExpr(s), mixed))
   def hashing_tf(tokens: Column, dim: Int): Column =
     toCol(HashingTfVector(toExpr(tokens), dim))
   def hyperplane_bands(emb: Column, bands: Int, rows: Int, seed: Long): Column =
@@ -142,6 +147,7 @@ object GraftFunctions {
     "image_meta"      -> { es => ImageMeta(es(0)) },
     "image_pixel_stats" -> { es => ImagePixelStats(es(0)) },
     "gif_pixel_stats" -> { es => GifPixelStats(es(0)) },
+    "fnv64" -> { es => Fnv64(es(0)) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },

@@ -179,3 +179,43 @@ object SimHash64 {
     out
   }
 }
+
+/** fnv64(string) -> the engine's FNV-1a 64-bit hash of the UTF-8 bytes
+  * (SketchHash.fnv1a64 — the same kernel MinHash/SimHash build on),
+  * exposed as a scalar so declarative sketches (the e19 HLL registers)
+  * can share the oracle-restatable hash stream.
+  *
+  * `mixed = true` appends the splitmix64 finalizer (SketchHash.mix,
+  * also already oracle-restated as SketchSql.mixLayerCtes). REQUIRED
+  * for any use that reads the HIGH bits: raw FNV-1a of short inputs has
+  * near-zero avalanche there (50 small numeric ids land in 3 of 256
+  * top-byte buckets — measured), which silently breaks bucketed
+  * sketches; the finalizer restores uniformity.
+  */
+case class Fnv64(child: Expression, mixed: Boolean = false)
+    extends UnaryExpression {
+  override def prettyName: String = if (mixed) "fnv64_mix" else "fnv64"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Fnv64.compute(v.asInstanceOf[UTF8String], mixed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Fnv64.compute($c, $mixed);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Fnv64 {
+  /** Static forwarder shared by eval and generated code. */
+  def compute(v: UTF8String, mixed: Boolean): Long = {
+    val h = SketchHash.fnv1a64(v.getBytes)
+    if (mixed) SketchHash.mix(h) else h
+  }
+}

@@ -83,6 +83,19 @@ object Events extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // HLL distinct-user registers per event type: the sketch ITSELF is
+    // the gated artifact — every register an integer from the engine's
+    // FNV-1a stream (the d3/d4 kernel the oracle already restates), the
+    // corpus pass one combinable max aggregate whose exchange carries
+    // types x 256 rows regardless of user cardinality. Accuracy of the
+    // derived estimate is spec-gated (HllSpec); the float estimate is
+    // deliberately not oracle-compared (sum order is engine-chosen).
+    "e19_hll_registers" -> { (s, d) =>
+      graft.operators.Hll.registers(
+        Tables.events(s, d), Seq("event_type"), col("user_id"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
     // gap-based sessionization (streaming twin: sessionizeStream)
     "e2_sessionization" -> { (s, d) =>
       EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
@@ -326,6 +339,25 @@ object Events extends QueryPack {
         |WHERE gap_s IS NOT NULL
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // the same FNV+splitmix stream (SketchSql.FnvSql + mixLayerCtes over
+    // the stringified id), top-8-bit bucket, 57 - bitlength(remaining 56
+    // bits) rho; DISTINCT first is a pure optimization (max over
+    // duplicates is unchanged)
+    "e19_hll_registers" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
+         |h AS (SELECT event_type, ${SketchSql.FnvSql} AS z FROM v),
+         |${SketchSql.mixLayerCtes("h", Seq("event_type"))},
+         |r AS (
+         |  SELECT event_type,
+         |    CAST(u >> 56 AS INT) AS bucket,
+         |    CASE WHEN (u & 72057594037927935) = 0 THEN 57
+         |         ELSE 57 - len(bin(CAST(u & 72057594037927935 AS BIGINT))) END AS rho
+         |  FROM hmu)
+         |SELECT event_type, bucket, CAST(MAX(rho) AS INT) AS max_rho
+         |FROM r GROUP BY 1, 2
+         |ORDER BY event_type, bucket""".stripMargin,
 
     "e2_sessionization" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Hll
+
+class HllSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import SparkTestSession.sfDir
+
+  test("registers are bounded and mergeable: max-merge of halves equals the full sketch") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => (i % 2, i)).toDF("half", "v")
+    val full = Hll.registers(df, Seq.empty, col("v"))
+    val bounds = full.filter(col("bucket") < 0 || col("bucket") > 255 ||
+      col("max_rho") < 1 || col("max_rho") > 57)
+    assert(bounds.isEmpty)
+    // shard by half, sketch each, merge with the same max aggregate
+    val halves = Hll.registers(df, Seq("half"), col("v"))
+    val merged = halves.groupBy("bucket").agg(max("max_rho").as("max_rho"))
+    val a = full.orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val b = merged.orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(a === b)
+  }
+
+  test("estimate is within the p=8 error envelope on known cardinalities") {
+    import spark.implicits._
+    for (n <- Seq(500L, 5000L, 50000L)) {
+      val df = (1L to n).map(i => Tuple1(i * 2654435761L)).toDF("v")
+      val est = Hll.estimate(Hll.registers(df, Seq.empty, col("v")), Seq.empty)
+        .collect().head.getAs[Double]("estimate")
+      // standard error 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+      assert(math.abs(est - n) / n < 0.26, s"n=$n est=$est")
+    }
+  }
+
+  test("estimate tracks exact distinct per event_type on the corpus") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Hll.estimate(
+      Hll.registers(ev, Seq("event_type"), col("user_id")), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("estimate")).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (k, e) =>
+      val x = exact(k).toDouble
+      assert(math.abs(e - x) / x < 0.3, s"$k exact=$x est=$e")
+    }
+  }
+
+  test("duplicates never change the sketch (distinctness by construction)") {
+    import spark.implicits._
+    val once = (1L to 3000L).map(Tuple1(_)).toDF("v")
+    val thrice = ((1L to 3000L) ++ (1L to 3000L) ++ (1L to 3000L))
+      .map(Tuple1(_)).toDF("v")
+    val a = Hll.registers(once, Seq.empty, col("v")).orderBy("bucket").collect().toSeq
+    val b = Hll.registers(thrice, Seq.empty, col("v")).orderBy("bucket").collect().toSeq
+    assert(a === b)
+  }
+}
