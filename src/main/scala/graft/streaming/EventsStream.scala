@@ -78,6 +78,18 @@ object EventsStream {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming twin of the e19 HLL distinct-user registers: literally
+    * the SAME operator ([[graft.operators.Hll.registers]]) applied to a
+    * streaming frame — the register table is a plain combinable max
+    * aggregate, so Spark maintains it incrementally with state bounded
+    * at types x 256 rows BY CONSTRUCTION (the sketch's whole point); no
+    * watermark or TTL is needed even on an unbounded stream, and
+    * complete output re-emits the tiny table per trigger. The batch/
+    * stream equivalence is exactly max-merge mergeability (HllSpec).
+    */
+  def hllRegistersStream(events: DataFrame): DataFrame =
+    graft.operators.Hll.registers(events, Seq("event_type"), col("user_id"))
+
   /** Batch form of the HOPPING (sliding) window count: 1-hour windows
     * every 30 minutes — each event lands in two windows (oracle-checked
     * as e9; Spark's window() is usable in batch plans directly).

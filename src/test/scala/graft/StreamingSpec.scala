@@ -22,6 +22,28 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("streaming HLL registers converge to the batch sketch (bounded state, no watermark)") {
+    val dir = eventsDir
+    val stream = spark.readStream
+      .schema(EventsStream.eventsSchema)
+      .parquet(dir)
+    val q = EventsStream.hllRegistersStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      val batch = graft.operators.Hll.registers(
+        spark.read.parquet(dir), Seq("event_type"),
+        org.apache.spark.sql.functions.col("user_id"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregate converges to the batch result") {
     val dir = eventsDir
     val stream = spark.readStream
