@@ -222,4 +222,70 @@ object SpatialJoin {
         .select(col("id1"), col("id2"))
     } finally occ.unpersist()
   }
+
+  /** k-nearest-WITHIN-RADIUS join (the bounded spatial kNN join): for
+    * every probe point, the k nearest corpus points among those within
+    * euclidean `radius`, rank-deterministic on (squared distance,
+    * corpus id). The radius bound is what makes a kNN join gridable at
+    * all: cell = radius, probes replicate to their 3x3 neighborhood,
+    * corpus points home once, candidates verify on the exact squared
+    * distance, and the per-probe top-k runs through the bounded
+    * `topk_by` heap — the exchange after the grid join carries
+    * probes x partitions x k rows, never the candidate volume (the q28
+    * argument), while the candidate volume itself is counted exactly
+    * from the two occupancy tables and refused past `maxCandidates`
+    * (the s6/s7 guard posture).
+    *
+    * Unbounded exact kNN (no radius) deliberately does NOT fit here: a
+    * probe in an empty region needs ring expansion with data-dependent
+    * rounds. Callers wanting that semantics use Knn.knnJoin on
+    * coordinates-as-vectors; this operator is the GIS "nearest
+    * facilities within 5 km" shape.
+    */
+  def knnWithinJoin(probes: DataFrame, pId: String, px: String, py: String,
+                    corpus: DataFrame, cId: String, cx: String, cy: String,
+                    radius: Double, k: Int,
+                    maxCandidates: Long = 50000000L): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pr = probes.select(col(pId).as("pid"),
+        col(px).cast("double").as("px1"), col(py).cast("double").as("py1"))
+      .withColumn("cx0", cellIdx(col("px1"), radius))
+      .withColumn("cy0", cellIdx(col("py1"), radius))
+    val co = corpus.select(col(cId).as("cid"),
+        col(cx).cast("double").as("cx2"), col(cy).cast("double").as("cy2"))
+      .withColumn("jcx", cellIdx(col("cx2"), radius))
+      .withColumn("jcy", cellIdx(col("cy2"), radius))
+    val cocc = co.groupBy(col("jcx"), col("jcy")).agg(count(lit(1)).as("nc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val estRow = pr.groupBy(col("cx0"), col("cy0")).agg(count(lit(1)).as("np"))
+        .select(col("np"), explode(NineOffsets).as("o"), col("cx0"), col("cy0"))
+        .select((col("cx0") + col("o.dx")).as("jcx"),
+          (col("cy0") + col("o.dy")).as("jcy"), col("np"))
+        .join(cocc, Seq("jcx", "jcy"))
+        .agg(sum(col("np") * col("nc"))).head()
+      val est = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+      require(est <= maxCandidates,
+        s"knnWithinJoin: ~$est candidate pairs at radius $radius " +
+          s"(> $maxCandidates) — hot grid cells; shrink the radius, " +
+          "pre-filter the corpus, or raise maxCandidates deliberately")
+      val reps = pr
+        .select(col("pid"), col("px1"), col("py1"),
+          col("cx0"), col("cy0"), explode(NineOffsets).as("o"))
+        .select(col("pid"), col("px1"), col("py1"),
+          (col("cx0") + col("o.dx")).as("jcx"), (col("cy0") + col("o.dy")).as("jcy"))
+      val d2 = (col("px1") - col("cx2")) * (col("px1") - col("cx2")) +
+        (col("py1") - col("cy2")) * (col("py1") - col("cy2"))
+      reps.join(co, Seq("jcx", "jcy"))
+        .withColumn("d2", d2)
+        .filter(col("d2") <= lit(radius * radius))
+        .groupBy(col("pid"))
+        .agg(graft.functions.GraftFunctions.topk_by(
+          struct(col("d2"), col("cid")), struct(col("cid"), col("d2")), k).as("top"))
+        .select(col("pid"), posexplode(col("top")).as(Seq("rnk", "r")))
+        .select(col("pid"), (col("rnk") + 1).cast("long").as("rnk"),
+          col("r.cid").as("cid"), col("r.d2").as("d2"))
+    } finally cocc.unpersist()
+  }
 }

@@ -121,6 +121,22 @@ object Spatial extends QueryPack {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // k-nearest-within-radius join (the GIS "nearest facilities within
+    // r" shape): every supplier probe gets its 3 nearest customers
+    // within radius 5, rank-deterministic on (squared distance, id) —
+    // the radius-sized grid + the q28 bounded heap. The oracle states
+    // the plain cross-distance theta join + ROW_NUMBER the grid and
+    // heap must be invisible against.
+    "s9_knn_within_join" -> { (s, d) =>
+      val probes = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") * 7) % 360 - 180 + col("s_nationkey") / 100.0).as("x"),
+        ((col("s_suppkey") * 3) % 180 - 90 + col("s_nationkey") / 100.0).as("y"))
+      graft.operators.SpatialJoin.knnWithinJoin(
+        probes, "s_suppkey", "x", "y",
+        points(s, d), "c_custkey", "x", "y", radius = 5.0, k = 3)
+        .orderBy(col("pid"), col("rnk"))
+    },
+
     // polygon-polygon spatial join (many x many bbox OVERLAP, the shape
     // a GIS-metadata corpus needs beyond s6's point-in-rect): both
     // sides tile to grid cells, pairs meet once in the reporting cell
@@ -215,6 +231,25 @@ object Spatial extends QueryPack {
          |FROM p a JOIN p b ON a.id < b.id
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
          |ORDER BY id1, id2""".stripMargin,
+
+    // the plain cross-distance + window rank the grid/heap must equal;
+    // identical squared-distance association, no sqrt
+    "s9_knn_within_join" ->
+      s"""WITH p AS (SELECT s_suppkey AS pid,
+         |    ((s_suppkey * 7) % 360 - 180 + s_nationkey / 100.0) AS x,
+         |    ((s_suppkey * 3) % 180 - 90 + s_nationkey / 100.0) AS y
+         |  FROM supplier),
+         |c AS (SELECT c_custkey AS cid, $xSql AS x, $ySql AS y FROM customer),
+         |j AS (
+         |  SELECT pid, cid,
+         |    (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS d2
+         |  FROM p, c),
+         |r AS (
+         |  SELECT pid, cid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS rnk
+         |  FROM j WHERE d2 <= 25.0)
+         |SELECT pid, rnk, cid, d2 FROM r WHERE rnk <= 3
+         |ORDER BY pid, rnk""".stripMargin,
 
     // the plain bbox-overlap theta join the grid rewrite + reporting-cell
     // dedup must equal (DuckDB IEJoin executes it directly); inclusive

@@ -499,4 +499,60 @@ class SpatialSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("grid cells"))
   }
+
+  test("knnWithinJoin: hand fixture — ranks, radius cut, empty probes, tie-break") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val probes = Seq((1L, 0.0, 0.0), (2L, 100.0, 100.0)).toDF("pid", "x", "y")
+    val corpus = Seq(
+      (10L, 1.0, 0.0),   // d2=1
+      (11L, 0.0, 2.0),   // d2=4
+      (12L, 3.0, 0.0),   // d2=9
+      (13L, 0.0, 4.0),   // d2=16 -> cut by k=3? no, by rank 4
+      (14L, 30.0, 0.0),  // outside radius 5
+      (15L, -1.0, 0.0)   // d2=1, ties with 10 -> cid order
+    ).toDF("cid", "x", "y")
+    val out = graft.operators.SpatialJoin.knnWithinJoin(
+      probes, "pid", "x", "y", corpus, "cid", "x", "y", radius = 5.0, k = 3)
+      .orderBy("pid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // probe 2 is far from everything -> absent entirely
+    assert(out.map(_._1).toSet === Set(1L))
+    assert(out.toSeq === Seq((1L, 1L, 10L, 1.0), (1L, 2L, 15L, 1.0), (1L, 3L, 11L, 4.0)))
+  }
+
+  test("knnWithinJoin: equals the brute-force rank on the gate corpus") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001").select(col("c_custkey").as("cid"),
+      ((col("c_custkey") * 7) % 360 - 180 + col("c_nationkey") / 100.0).as("x"),
+      ((col("c_custkey") * 3) % 180 - 90 + col("c_nationkey") / 100.0).as("y"))
+    val sup = Tables.supplier(spark, "/root/testdata/sf0.001").select(col("s_suppkey").as("pid"),
+      ((col("s_suppkey") * 7) % 360 - 180 + col("s_nationkey") / 100.0).as("x"),
+      ((col("s_suppkey") * 3) % 180 - 90 + col("s_nationkey") / 100.0).as("y"))
+    val grid = graft.operators.SpatialJoin.knnWithinJoin(
+      sup, "pid", "x", "y", cust.toDF("cid", "x", "y"), "cid", "x", "y",
+      radius = 5.0, k = 3)
+    val d2 = (col("px") - col("cx")) * (col("px") - col("cx")) +
+      (col("py") - col("cy")) * (col("py") - col("cy"))
+    val brute = sup.toDF("pid", "px", "py").crossJoin(cust.toDF("cid", "cx", "cy"))
+      .withColumn("d2", d2).filter(col("d2") <= 25.0)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("pid").orderBy(col("d2").asc, col("cid").asc)).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("pid", "rnk", "cid", "d2")
+    assert(grid.orderBy("pid", "rnk").collect().toSeq ===
+      brute.orderBy("pid", "rnk").collect().toSeq)
+  }
+
+  test("knnWithinJoin: the candidate guard refuses hot grids loudly") {
+    import spark.implicits._
+    val dense = (1L to 600L).map(i => (i, 0.001 * i, 0.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.knnWithinJoin(
+        dense, "id", "x", "y", dense.toDF("id", "x", "y"), "id", "x", "y",
+        radius = 10.0, k = 2, maxCandidates = 1000L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+  }
 }
