@@ -155,6 +155,13 @@ object Events extends QueryPack {
     // click->purchase attribution pairs within a 1-hour window (batch
     // twin of EventsStream.attributionStream — the stream-stream join;
     // StreamingSpec pins batch/stream equality)
+    // left-outer attribution: every purchase, its clicks or NULL — the
+    // unattributed-conversion gap report (streaming twin: the
+    // stream-stream LEFT OUTER interval join, StreamingSpec)
+    "e20_attribution_gaps" -> { (s, d) =>
+      graft.streaming.EventsStream.attributionGapsBatch(Tables.events(s, d))
+    },
+
     "e6_attribution_join" -> { (s, d) =>
       graft.streaming.EventsStream.attributionBatch(Tables.events(s, d))
     },
@@ -442,6 +449,17 @@ object Events extends QueryPack {
         |FROM events p JOIN events c ON c.user_id = p.user_id
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // NULL and non-NULL click_id never share a purchase_id (an
+    // unmatched purchase has exactly one row), so the engines' opposite
+    // NULL-sort defaults cannot reorder rows
+    "e20_attribution_gaps" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p LEFT JOIN events c ON c.user_id = p.user_id
+        |  AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
         |ORDER BY purchase_id, click_id""".stripMargin,
 
     "e5_asof_join" ->

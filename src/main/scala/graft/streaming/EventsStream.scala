@@ -399,6 +399,50 @@ object EventsStream {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  /** LEFT-OUTER form of the attribution join (oracle-checked as e20):
+    * EVERY purchase appears — with its in-window clicks, or with a NULL
+    * click_id when none preceded it (the "unattributed conversion" gap
+    * report e6's inner join cannot express). Same equi+range plan shape.
+    */
+  def attributionGapsBatch(events: DataFrame, window: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Streaming twin: watermarked stream-stream LEFT OUTER interval join —
+    * the semantics the inner attributionStream cannot give. Matched rows
+    * emit as they join; an unmatched purchase emits its NULL-click row
+    * only once BOTH watermarks pass its join window (Spark must prove no
+    * future click can match before it may say "none did"), which is why
+    * the twin spec advances the watermark with a sentinel event before
+    * asserting convergence. State stays O(window + watermark) on both
+    * sides, exactly as the inner form.
+    */
+  def attributionGapsStream(events: DataFrame, window: String = "1 hour",
+                            watermark: String = "2 hours"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"),
+      "leftOuter")
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming exact dedup on a key column: first occurrence wins, later
     * duplicates are dropped (the streaming counterpart of
     * Ingest.dedupKeepFirst). State: one record per seen key.

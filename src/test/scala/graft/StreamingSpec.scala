@@ -146,6 +146,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER attribution emits NULL-click gaps after the watermark closes") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    val q = EventsStream.attributionGapsStream(input.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gaps_out")
+      .start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // NULL-click rows may only emit once both watermarks pass every
+      // purchase's join window. The watermark is per event-time column
+      // AFTER the type filter, so the sentinels must BE a click and a
+      // purchase (a 'noop' type would advance neither). Distinct users
+      // and offset times keep them from joining each other; the future
+      // purchase itself never emits (no watermark ever passes it).
+      val maxTs = events.map(_.ts.getTime).max
+      input.addData(
+        Event(999999999L, new java.sql.Timestamp(maxTs + 48L * 3600 * 1000),
+          0L, "click", 0.0, "{}"),
+        Event(999999998L, new java.sql.Timestamp(maxTs + 49L * 3600 * 1000),
+          1L, "purchase", 0.0, "{}"))
+      q.processAllAvailable()
+      input.addData(
+        Event(999999997L, new java.sql.Timestamp(maxTs + 50L * 3600 * 1000),
+          0L, "click", 0.0, "{}"),
+        Event(999999996L, new java.sql.Timestamp(maxTs + 51L * 3600 * 1000),
+          1L, "purchase", 0.0, "{}"))
+      q.processAllAvailable()
+      val streamed = spark.table("gaps_out")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .filter(_._1 < 999999000L).toSet
+      val batch = EventsStream.attributionGapsBatch(Tables.events(spark, sfDir))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(streamed === batch)
+      // the corpus must actually exercise BOTH row classes
+      assert(batch.exists(_._2 == -1L) && batch.exists(_._2 != -1L))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
