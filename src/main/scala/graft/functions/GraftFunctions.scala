@@ -109,6 +109,9 @@ object GraftFunctions {
     */
   def fnv64(s: Column, mixed: Boolean = false): Column =
     toCol(Fnv64(toExpr(s), mixed))
+  /** Content-defined chunk list (LBFS cut rule) — see [[CdcChunksExpr]]. */
+  def cdc_chunks(text: Column, divisor: Int): Column =
+    toCol(CdcChunksExpr(toExpr(text), divisor))
   def hashing_tf(tokens: Column, dim: Int): Column =
     toCol(HashingTfVector(toExpr(tokens), dim))
   def hyperplane_bands(emb: Column, bands: Int, rows: Int, seed: Long): Column =
@@ -148,6 +151,8 @@ object GraftFunctions {
     "image_pixel_stats" -> { es => ImagePixelStats(es(0)) },
     "gif_pixel_stats" -> { es => GifPixelStats(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
+    "cdc_chunks" -> { es => CdcChunksExpr(es(0),
+      es(1).eval().asInstanceOf[Number].intValue()) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },

@@ -542,36 +542,23 @@ object Dedup {
     * both lose. Cross-doc `chunk_fp` equality is then shifted-content
     * dedup evidence at chunk granularity.
     *
-    * Scale design: pure per-row arithmetic — ONE fold over the token
-    * array builds the chunk list (same rewrite-last-element pattern as
-    * BpePairs.applyMerge), then a posexplode emits manifest rows; no
-    * shuffle anywhere in the operator (callers group by `chunk_fp` for
-    * the dedup application, a combinable aggregate). Expected chunk
-    * length is `divisor` tokens; state is one document's text.
+    * Scale design: the chunk list comes from the single-pass native
+    * kernel [[graft.functions.CdcChunksExpr]] (O(tokens) per row inside
+    * codegen — the equivalent `aggregate()` fold copies its accumulator
+    * array per token and evaluates interpreted), then a posexplode emits
+    * manifest rows; no shuffle anywhere in the operator (callers group
+    * by `chunk_fp` for the dedup application, a combinable aggregate).
+    * Expected chunk length is `divisor` tokens.
     *
     * Output: (id, chunk_idx, start_tok 1-based, n_tok, chunk_fp).
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 divisor: Int = 8): DataFrame = {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
-    val cut = (t: Column) =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % divisor === 0
-    // state: (pos, open, chunks: array<struct<start, n, txt>>)
-    val zero = struct(lit(0).as("pos"), lit(false).as("open"),
-      array().cast("array<struct<start:int,n:int,txt:string>>").as("chunks"))
-    val folded = aggregate(tokens(col(textCol)), zero, (acc, t) => {
-      val pos = acc("pos") + 1
-      val chunks = acc("chunks")
-      val extended = when(acc("open"),
-        concat(slice(chunks, lit(1), size(chunks) - 1), array(struct(
-          element_at(chunks, -1)("start").as("start"),
-          (element_at(chunks, -1)("n") + 1).as("n"),
-          concat_ws(" ", element_at(chunks, -1)("txt"), t).as("txt")))))
-        .otherwise(concat(chunks, array(struct(
-          pos.as("start"), lit(1).as("n"), t.as("txt")))))
-      struct(pos.as("pos"), (!cut(t)).as("open"), extended.as("chunks"))
-    })
-    docs.select(col(idCol).as("id"), folded("chunks").as("chunks"))
+    val chunksCol = graft.functions.GraftFunctions.toCol(
+      graft.functions.CdcChunksExpr(
+        graft.functions.GraftFunctions.toExpr(col(textCol)), divisor))
+    docs.select(col(idCol).as("id"), chunksCol.as("chunks"))
       .select(col("id"), posexplode(col("chunks")).as(Seq("chunk_idx", "c")))
       .select(col("id"), col("chunk_idx"),
         col("c")("start").as("start_tok"),
