@@ -246,14 +246,16 @@ object Text extends QueryPack {
     // re-splits; the oracle restates the stats from the formula.
     "t35_line_repetition" -> { (s, d) =>
       val w = tokens(col("text"))
-      val nl = ceil(size(w).cast("double") / 6.0).cast("int")
-      val lines0 = when(size(w) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), nl - 1),
-          i => array_join(slice(w, i * 6 + 1, lit(6)), " ")))
-      val withDup = when(col("doc_id") % 4 === 0 && size(lines0) > 0,
-        concat(lines0, slice(lines0, 1, 1))).otherwise(lines0)
+      // every 6th inter-token space becomes a newline — ONE linear regex
+      // pass (the transform+slice construction sliced quadratically and
+      // dominated the gate's cost 2.6 s vs the operator's 0.75 s)
+      val base = regexp_replace(array_join(w, " "),
+        "((?:\\S+ ){5}\\S+) ", "$1\n")
+      val mltext = when(col("doc_id") % 4 === 0 && size(w) > 0,
+        concat(base, lit("\n"), array_join(slice(w, 1, 6), " ")))
+        .otherwise(base)
       graft.operators.QualityRules.repetitionSignals(
-        Tables.documents(s, d).withColumn("mltext", array_join(withDup, "\n")),
+        Tables.documents(s, d).withColumn("mltext", mltext),
         "doc_id", "mltext")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
