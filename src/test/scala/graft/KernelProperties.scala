@@ -137,4 +137,27 @@ object KernelProperties extends Properties("graft.kernels") {
       PgVectorCodec.formatG(1234567.0) == "1.23457e+06" &&
       PgVectorCodec.formatG(0.0) == "0"
   }
+
+  property("cdc chunks tile the token stream exactly, cuts end chunks") = forAll(asciiText, Gen.choose(2, 16)) { (t, div) =>
+    import org.apache.spark.unsafe.types.UTF8String
+    val chunks = graft.functions.CdcChunksExpr
+      .compute(UTF8String.fromString(t), div)
+    val toks = if (t.trim.isEmpty) Array.empty[String] else t.trim.split("\\s+")
+    val rows = (0 until chunks.numElements()).map(chunks.getStruct(_, 3))
+    val total = rows.map(_.getInt(1)).sum
+    val starts = rows.map(_.getInt(0))
+    val rebuilt = rows.map(_.getUTF8String(2).toString).mkString(" ")
+    total == toks.length &&
+      starts == rows.indices.map(i => 1 + rows.take(i).map(_.getInt(1)).sum) &&
+      rebuilt == toks.mkString(" ")
+  }
+
+  property("fnv64 mixed = splitmix64(plain); plain matches the byte kernel") = forAll(asciiText) { t =>
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString(t)
+    val plain = graft.functions.Fnv64.compute(u, false)
+    val mixed = graft.functions.Fnv64.compute(u, true)
+    plain == SketchHash.fnv1a64(t.getBytes("UTF-8")) &&
+      mixed == SketchHash.mix(plain)
+  }
 }
