@@ -112,4 +112,49 @@ object Packing {
         div(col("start_off"), maxLen).as("first_bin"),
         div(col("end_off") - 1, maxLen).as("last_bin")): _*)
       .withColumn("n_bins", col("last_bin") - col("first_bin") + 1)
+
+  /** NO-SPLIT packing via next-fit-decreasing: documents keep their
+    * integrity (the fine-tuning / long-context regime where truncating
+    * mid-document hurts) and pack into fixed-capacity bins with bounded
+    * padding waste — the complement of [[manifest]]'s concat-then-chunk.
+    * Deterministic: docs shard by md5 hash (the t24 convention), each
+    * shard orders (n_tok DESC, id ASC) and folds the classic next-fit
+    * rule — a bin closes when the next document would overflow it;
+    * oversized documents get singleton bins.
+    *
+    * Scale shape: packing is sequential WITHIN a stream by definition,
+    * so the shard key is the unit of parallelism (the [[manifest]]
+    * argument): one repartition on the shard key + an in-partition sort,
+    * then a single O(1)-state pass per shard (mapPartitions — no
+    * window, no accumulated array). Output: (shard, bin, id, n_tok).
+    */
+  def nextFitShards(docs: DataFrame, idCol: String, textCol: String,
+                    capacity: Long, shards: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(col(idCol).cast("long").as("id"),
+        token_count(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (conv(substring(md5(concat(lit(salt), col("id").cast("string"))), 1, 8),
+          16, 10).cast("long") % shards).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tok").desc, col("id").asc)
+    sized.select(col("shard"), col("id"), col("n_tok"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Int.MinValue
+        var bin = 0L
+        var running = 0L
+        it.map { case (shard, id, n) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; running = 0L }
+          else if (running + n > capacity && running > 0) { bin += 1; running = 0L }
+          running += n
+          (shard, bin, id, n)
+        }
+      }
+      .toDF("shard", "bin", "id", "n_tok")
+  }
 }

@@ -421,6 +421,19 @@ object Text extends QueryPack {
         .orderBy(col("id"), col("chunk_idx"))
     },
 
+    // NO-SPLIT next-fit-decreasing packing (the fine-tuning/long-context
+    // regime t20/t21's concat-then-chunk cannot serve: documents keep
+    // their integrity, bins bound padding waste). Shard by md5 (t24
+    // convention), per-shard (n_tok desc, id) order, the classic
+    // next-fit fold as ONE O(1)-state pass per shard. The oracle replays
+    // the fold as a recursive CTE — all shards advance in lockstep.
+    "t39_nextfit_packing" -> { (s, d) =>
+      graft.operators.Packing.nextFitShards(Tables.documents(s, d),
+        "doc_id", "text", capacity = 512L, shards = 4)
+        .select(col("shard"), col("bin"), col("id").as("doc_id"), col("n_tok"))
+        .orderBy(col("shard"), col("bin"), col("n_tok").desc, col("doc_id"))
+    },
+
     // DSIR-style importance weights: every doc scored by the mean
     // quantized ratio of target-slice (lang='en') vs raw-corpus unigram
     // probability under hashed-bucket models — exact integer arithmetic
@@ -1530,6 +1543,34 @@ object Text extends QueryPack {
         |FROM c
         |GROUP BY doc_id, cid
         |ORDER BY id, chunk_idx""".stripMargin,
+
+    // the next-fit fold as a recursive CTE: row rn+1 of each shard joins
+    // the folded state of row rn; bin closes when the doc would overflow
+    "t39_nextfit_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+        |    CAST(CAST(concat('0x', substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |         % 4 AS INT) AS shard
+        |  FROM documents),
+        |docs AS (
+        |  SELECT shard, id, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_tok DESC, id ASC) AS rn
+        |  FROM toks),
+        |fold AS (
+        |  SELECT shard, rn, id, n_tok, CAST(0 AS BIGINT) AS bin, n_tok AS running
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.id, d.n_tok,
+        |    CASE WHEN f.running + d.n_tok > 512 AND f.running > 0
+        |         THEN f.bin + 1 ELSE f.bin END,
+        |    CASE WHEN f.running + d.n_tok > 512 AND f.running > 0
+        |         THEN d.n_tok ELSE f.running + d.n_tok END
+        |  FROM fold f JOIN docs d ON d.shard = f.shard AND d.rn = f.rn + 1)
+        |SELECT shard, bin, id AS doc_id, n_tok
+        |FROM fold
+        |ORDER BY shard, bin, n_tok DESC, doc_id""".stripMargin,
 
     // same bucket counts, same two-step integer quantization, same
     // integer divisions — SUMs cast back to BIGINT before any further

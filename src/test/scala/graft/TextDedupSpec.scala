@@ -815,4 +815,39 @@ class TextDedupSpec extends AnyFunSuite {
     // actually has interior cut points making the property non-vacuous
     assert(fp1.size >= 2)
   }
+
+  test("nextFitShards: bins respect capacity, docs stay whole, oversized docs get singleton bins") {
+    import org.apache.spark.sql.functions._
+    val docs = textDf(
+      (1L, ("w " * 300).trim),  // 300 tokens
+      (2L, ("w " * 300).trim),
+      (3L, ("w " * 300).trim),
+      (4L, ("w " * 600).trim),  // oversized vs capacity 512
+      (5L, ("w " * 10).trim),
+      (6L, ("w " * 10).trim))
+    val out = graft.operators.Packing.nextFitShards(docs, "doc_id", "text",
+      capacity = 512L, shards = 1)
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc appears exactly once
+    assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // no bin of non-oversized docs exceeds capacity
+    val fills = rows.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._3).sum }
+    fills.foreach { case (b, fill) =>
+      val hasOversized = rows.exists(r => r._1 == b && r._3 > 512L)
+      assert(hasOversized || fill <= 512L, s"bin $b overfilled: $fill")
+    }
+    // the oversized doc is alone in its bin
+    val big = rows.find(_._2 == 4L).get
+    assert(rows.count(_._1 == big._1) === 1)
+  }
+
+  test("nextFitShards: deterministic under repartitioning; shards pack independently") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = graft.operators.Packing.nextFitShards(docs, "doc_id", "text", 512L, 4)
+      .orderBy("shard", "bin", "id").collect().toSeq
+    val b = graft.operators.Packing.nextFitShards(docs.repartition(13), "doc_id", "text", 512L, 4)
+      .orderBy("shard", "bin", "id").collect().toSeq
+    assert(a === b)
+    assert(a.map(_.getInt(0)).distinct.size > 1)
+  }
 }
