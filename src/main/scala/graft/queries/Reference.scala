@@ -278,35 +278,44 @@ object Reference extends QueryPack {
       val h = (col("doc_id") % 6 + 1).cast("int")
       val n = w * h
       val m = n + 2 // Clear + literals + EOI
-      val codes = concat(
+      val codesExpr = concat(
         array(lit(256)),
         transform(sequence(lit(0), n - 1),
           k => pmod(col("doc_id") * 13 + k * 5, lit(256)).cast("int")),
         array(lit(257)))
       val nbytes = floor((m * 9 + 7).cast("double") / 8.0).cast("int")
-      val lzwHex = array_join(transform(sequence(lit(0), nbytes - 1), j => {
+      // codes materializes in its OWN projection: the byte lambda below
+      // reads it per element, and a lambda capture of the raw expression
+      // would re-evaluate the whole array per byte (interpreted HOFs do
+      // no CSE) — quadratic per row. CollapseProject keeps a non-cheap
+      // multi-referenced projection un-inlined (the t35/CdcChunks note).
+      val codes = col("codes")
+      val lzwHex = array_join(transform(sequence(lit(0), col("nbytes") - 1), j => {
         val i0 = floor((j * 8).cast("double") / 9.0).cast("int")
         val sh = j * 8 - i0 * 9 // 0..8: low bits consumed from code i0
         val c0 = element_at(codes, i0 + 1)
-        val c1 = when(i0 + 2 <= m, element_at(codes, i0 + 2)).otherwise(lit(0))
+        val c1 = when(i0 + 2 <= col("m"), element_at(codes, i0 + 2)).otherwise(lit(0))
         val lo = floor(c0.cast("double") / pow(lit(2.0), sh)).cast("int")
         val hi = (c1.cast("double") * pow(lit(2.0), lit(9) - sh)).cast("int")
         format_string("%02X", pmod(lo + hi, lit(256))) // disjoint bits: + is |
       }), "")
       // torn blob: declared sub-block size overruns the remaining bytes
-      val declared = when(col("doc_id") % 8 === 0, nbytes + 3).otherwise(nbytes)
+      val declared = when(col("doc_id") % 8 === 0, col("nbytes") + 3)
+        .otherwise(col("nbytes"))
       def le16h(v: Column) =
         format_string("%02X%02X", pmod(v, lit(256)), (v / 256).cast("int"))
       val gifHex = concat(
         lit("474946383961"), // "GIF89a"
-        le16h(w), le16h(h), lit("000000"), // LSD: no GCT, bg 0, aspect 0
+        le16h(col("w")), le16h(col("h")), lit("000000"), // LSD: no GCT
         lit("2C00000000"), // image descriptor, left/top 0
-        le16h(w), le16h(h), lit("00"), // no LCT, not interlaced
+        le16h(col("w")), le16h(col("h")), lit("00"), // no LCT, no interlace
         lit("08"), // LZW min code size
         format_string("%02X", declared), lzwHex,
         lit("00"), // sub-block terminator
         lit("3B")) // trailer
       Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"), h.as("h"), m.as("m"),
+          codesExpr.as("codes"), nbytes.as("nbytes"))
         .select(col("doc_id"), gif_pixel_stats(unhex(gifHex)).as("p"))
         .select(col("doc_id"),
           col("p.width").as("width"), col("p.height").as("height"),
