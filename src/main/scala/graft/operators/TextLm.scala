@@ -83,4 +83,50 @@ object TextLm {
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("lp")) / count(lit(1))).as("mean_ll"))
   }
+
+  /** CCNet-style perplexity-bucket sharding (Wenzek et al. 2020: each
+    * language splits into head/middle/tail thirds by LM score before
+    * mixing). Thresholds come from an EXACT score histogram — per-lang
+    * (mean_q, count) aggregate, cumulative cut over the DISTINCT score
+    * values, assignment by VALUE comparison — so no corpus-wide sort or
+    * rank window ever runs, and boundary ties land deterministically on
+    * the head side of their threshold regardless of partitioning (a
+    * ROW_NUMBER split would tie-break arbitrarily or by id; CCNet
+    * thresholds on the score value, as here). mean_q is the integer-div
+    * quantized t23 score, so every comparison is integer-exact.
+    *
+    * Scale shape: two combinable aggregates (per-doc score, per-(lang,
+    * score) histogram) + a histogram-sized window + a broadcast cut
+    * join. Docs with fewer than two tokens carry no bigrams and are out
+    * of scope, as in t23. Output: (lang, bucket, n_docs, min_q, max_q).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = bigrams(docs, idCol, textCol)
+    val probs = probTable(bg).select(col("bg"),
+      floor(col("prob") * lit(1000000000.0) + lit(0.5)).cast("long").as("qn"))
+    val scored = bg.join(probs, "bg")
+      .groupBy(col("id"))
+      .agg(sum(col("qn")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("id"), expr("s div cnt").as("mean_q"))
+    val withLang = scored.join(
+      docs.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
+    val hist = withLang.groupBy(col("lang"), col("mean_q"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("lang"))
+        .orderBy(col("mean_q").desc)))
+    val cuts = cum.join(tot, "lang")
+      .groupBy(col("lang"))
+      .agg(max(when(col("cum") >= expr("(n + 2) div 3"), col("mean_q"))).as("s1"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("mean_q"))).as("s2"))
+    withLang.join(broadcast(cuts), "lang")
+      .withColumn("bucket", when(col("mean_q") >= col("s1"), "head")
+        .when(col("mean_q") >= col("s2"), "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("mean_q")).as("min_q"), max(col("mean_q")).as("max_q"))
+  }
 }

@@ -421,6 +421,16 @@ object Text extends QueryPack {
         .orderBy(col("id"), col("chunk_idx"))
     },
 
+    // CCNet perplexity-bucket sharding: head/middle/tail thirds per
+    // language by the t23 LM score, thresholds from an exact score
+    // histogram (no corpus-wide sort; boundary ties land by VALUE, so
+    // the split is partition- and retry-invariant)
+    "t40_ppl_buckets" -> { (s, d) =>
+      graft.operators.TextLm.perplexityBuckets(
+        Tables.documents(s, d), "doc_id", "text", "lang")
+        .orderBy(col("lang"), col("bucket"))
+    },
+
     // NO-SPLIT next-fit-decreasing packing (the fine-tuning/long-context
     // regime t20/t21's concat-then-chunk cannot serve: documents keep
     // their integrity, bins bound padding waste). Shard by md5 (t24
@@ -1543,6 +1553,49 @@ object Text extends QueryPack {
         |FROM c
         |GROUP BY doc_id, cid
         |ORDER BY id, chunk_idx""".stripMargin,
+
+    // the t23 score block + integer-div quantization, the histogram
+    // cumulative cut (SUM OVER cast to BIGINT at the window — ADVICE
+    // note), and the same value-threshold bucket rule
+    "t40_ppl_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+1], ' '))) AS bg
+         |  FROM toks),
+         |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+         |       FROM c2 GROUP BY 1),
+         |pr AS (
+         |  SELECT bg, CAST(floor(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+         |    * 1000000000.0 + 0.5) AS BIGINT) AS qn
+         |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+         |sc AS (
+         |  SELECT b.doc_id AS id,
+         |    CAST(SUM(qn) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_q
+         |  FROM bg b JOIN pr USING (bg) GROUP BY 1),
+         |wl AS (SELECT sc.id, mean_q, d.lang
+         |       FROM sc JOIN documents d ON d.doc_id = sc.id),
+         |h AS (SELECT lang, mean_q, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM wl GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         |cm AS (SELECT lang, mean_q,
+         |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY mean_q DESC)
+         |           AS BIGINT) AS cum
+         |       FROM h),
+         |cuts AS (
+         |  SELECT cm.lang,
+         |    MAX(CASE WHEN cum >= (n + 2) // 3 THEN mean_q END) AS s1,
+         |    MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN mean_q END) AS s2
+         |  FROM cm JOIN t USING (lang) GROUP BY 1)
+         |SELECT w.lang,
+         |  CASE WHEN mean_q >= s1 THEN 'head'
+         |       WHEN mean_q >= s2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(mean_q) AS min_q, MAX(mean_q) AS max_q
+         |FROM wl w JOIN cuts USING (lang)
+         |GROUP BY 1, 2
+         |ORDER BY lang, bucket""".stripMargin,
 
     // the next-fit fold as a recursive CTE: row rn+1 of each shard joins
     // the folded state of row rn; bin closes when the doc would overflow

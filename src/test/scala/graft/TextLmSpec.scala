@@ -61,4 +61,36 @@ class TextLmSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - ll(Seq("x y"))) < 1e-12)
     assert(math.abs(got(3L) - ll(Seq("y z", "z x"))) < 1e-12)
   }
+
+  test("perplexityBuckets: thirds per lang, value-thresholded, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.TextLm.perplexityBuckets(docs, "doc_id", "text", "lang")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // score ordering between buckets: head.min >= middle.max boundary can
+    // touch only via the shared threshold value; strict ordering on maxes
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val m = rs.map(r => r._2 -> r).toMap
+      for (h <- m.get("head"); mid <- m.get("middle")) {
+        assert(h._4 >= mid._5, s"$lang head.min >= middle.max")
+      }
+      for (mid <- m.get("middle"); t <- m.get("tail")) {
+        assert(mid._4 > t._5, s"$lang middle.min > tail.max")
+      }
+      // bucket sizes are near-thirds of the lang's scored docs
+      val n = rs.map(_._3).sum
+      rs.foreach(r => assert(r._3 <= n, s"$lang sane sizes"))
+      if (rs.size == 3) {
+        val head = m("head")._3
+        assert(head >= n / 3 && head <= n, s"$lang head >= third")
+      }
+    }
+    // deterministic under repartitioning
+    val b = graft.operators.TextLm.perplexityBuckets(
+      docs.repartition(9), "doc_id", "text", "lang")
+      .orderBy("lang", "bucket").collect().toSeq
+    assert(out.orderBy("lang", "bucket").collect().toSeq === b)
+  }
 }
