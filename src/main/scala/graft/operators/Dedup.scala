@@ -552,6 +552,31 @@ object Dedup {
     *
     * Output: (id, chunk_idx, start_tok 1-based, n_tok, chunk_fp).
     */
+  /** The dedup APPLICATION of [[cdcChunks]]: per document, how much of
+    * its token mass lives in chunks whose fingerprint also appears in
+    * ANOTHER document (the rsync-style shifted-duplication measure
+    * content-defined boundaries exist to expose).
+    *
+    * Scale shape: one chunk_fp-keyed aggregate over the manifest
+    * (combinable: count + distinct-doc count per fp), broadcast-free
+    * fp join back, then a doc-keyed aggregate — the exchange carries
+    * fingerprints and doc keys, never text.
+    */
+  def chunkDupMass(docs: DataFrame, idCol: String, textCol: String,
+                   divisor: Int = 8): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, divisor)
+    val byFp = chunks.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("id")).as("n_docs_fp"))
+    chunks.join(byFp, "chunk_fp")
+      .groupBy(col("id"))
+      .agg(sum(col("n_tok")).as("n_tok"),
+        sum(when(col("n_docs_fp") > 1, col("n_tok")).otherwise(0L))
+          .as("dup_tok"))
+      .select(col("id"), col("n_tok"), col("dup_tok"),
+        (col("dup_tok").cast("double") / col("n_tok").cast("double"))
+          .as("dup_frac"))
+  }
+
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 divisor: Int = 8): DataFrame = {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")

@@ -421,6 +421,15 @@ object Text extends QueryPack {
         .orderBy(col("id"), col("chunk_idx"))
     },
 
+    // the CDC dedup application: per doc, the fraction of its token
+    // mass in chunks whose fingerprint appears in ANOTHER doc — the
+    // shifted-duplication measure t37's boundaries exist to expose
+    // (1323 of 4049 chunks are cross-doc duplicated at sf0.01)
+    "d17_chunk_dup_mass" -> { (s, d) =>
+      Dedup.chunkDupMass(Tables.documents(s, d), "doc_id", "text", divisor = 8)
+        .orderBy(col("id"))
+    },
+
     // CCNet perplexity-bucket sharding: head/middle/tail thirds per
     // language by the t23 LM score, thresholds from an exact score
     // histogram (no corpus-wide sort; boundary ties land by VALUE, so
@@ -1553,6 +1562,37 @@ object Text extends QueryPack {
         |FROM c
         |GROUP BY doc_id, cid
         |ORDER BY id, chunk_idx""".stripMargin,
+
+    // t37's manifest CTEs + per-fp distinct-doc counts + the doc-level
+    // mass aggregate
+    "d17_chunk_dup_mass" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(ws))) AS pos,
+        |    unnest(ws) AS w
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents WHERE len(trim(text)) > 0) z),
+        |b AS (
+        |  SELECT doc_id, pos, w,
+        |    CASE WHEN CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 8 = 0
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM dt),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |    CAST(COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS cid
+        |  FROM b),
+        |g AS (SELECT doc_id, cid, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |        md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+        |      FROM c GROUP BY doc_id, cid),
+        |f AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY fp)
+        |SELECT doc_id AS id, CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tok,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n_tok) AS DOUBLE) AS dup_frac
+        |FROM g JOIN f USING (fp)
+        |GROUP BY doc_id
+        |ORDER BY id""".stripMargin,
 
     // the t23 score block + integer-div quantization, the histogram
     // cumulative cut (SUM OVER cast to BIGINT at the window — ADVICE

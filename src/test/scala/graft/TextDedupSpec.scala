@@ -850,4 +850,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.map(_.getInt(0)).distinct.size > 1)
   }
+
+  test("chunkDupMass: planted shifted duplicate carries shared chunk mass; unique doc reports zero") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = textDf(
+      (1L, base),
+      (2L, "SHIFT " + base),           // shifted copy: re-syncs after first cut
+      (3L, "totally different words entirely unrelated content here now"))
+    val out = graft.operators.Dedup.chunkDupMass(docs, "doc_id", "text", divisor = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(1L)._2 > 0L && out(2L)._2 > 0L, "shifted pair shares chunk mass")
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0.0)
+    assert(out(1L)._3 > 0.5, s"most of doc 1 re-syncs: ${out(1L)}")
+    out.values.foreach { case (n, d, f) =>
+      assert(d <= n && f >= 0.0 && f <= 1.0)
+    }
+  }
 }
