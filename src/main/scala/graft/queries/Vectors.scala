@@ -373,6 +373,30 @@ object Vectors extends QueryPack {
         .orderBy(col("bucket"))
     },
 
+    // embedding-space drift per label (t32's monitoring posture for
+    // vectors): squared L2 distance of each label's centroid to the
+    // corpus centroid, per-dim terms nano-quantized BEFORE the cross-dim
+    // sum so the reduction is integer-exact and order-independent (the
+    // t32/v23 trick — a raw double SUM over dims would be engine-order
+    // dependent). Centroids come from the decimal-exact
+    // vector_centroid aggregate (the v5 machinery), so the per-dim
+    // means are bit-identical cross-engine.
+    "v25_label_drift" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val glob = e.agg(vector_centroid(col("embedding")).as("gc"))
+      e.groupBy(col("label"))
+        .agg(vector_centroid(col("embedding")).as("lc"),
+          count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(glob))
+        .select(col("label"), col("n_vecs"),
+          aggregate(
+            zip_with(col("lc"), col("gc"),
+              (a, b) => floor((a - b) * (a - b) * lit(1000000000.0) + lit(0.5))
+                .cast("long")),
+            lit(0L), (acc, x) => acc + x).as("drift_q"))
+        .orderBy(col("label"))
+    },
+
     // cluster-balanced subset selection (semantic diversity sampling —
     // the SemDeDup-adjacent curation step that samples EVENLY across
     // embedding space instead of by volume): deterministic k-means
@@ -962,6 +986,33 @@ object Vectors extends QueryPack {
          |FROM d
          |GROUP BY b
          |ORDER BY bucket""".stripMargin,
+
+    // the v5 decimal-exact per-dim means for both centroid sets, the
+    // identical (l-g)^2 IEEE expression, nano-quantized per-dim terms,
+    // integer sum
+    "v25_label_drift" ->
+      """WITH l AS (
+        |  SELECT label, i,
+        |    CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / COUNT(*) AS c,
+        |    COUNT(*) AS n
+        |  FROM embeddings, generate_series(1, 64) AS gs(i)
+        |  GROUP BY label, i),
+        |g AS (
+        |  SELECT i,
+        |    CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM embeddings, generate_series(1, 64) AS gs(i)
+        |  GROUP BY i),
+        |d AS (
+        |  SELECT l.label, l.n,
+        |    CAST(floor((l.c - g.c) * (l.c - g.c) * 1000000000.0 + 0.5) AS BIGINT) AS qd
+        |  FROM l JOIN g USING (i))
+        |SELECT label, CAST(MIN(n) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(qd) AS BIGINT) AS drift_q
+        |FROM d
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
 
     // the same k-means assignment CTEs + the t13 windowed hash pick
     "v24_cluster_sample" ->

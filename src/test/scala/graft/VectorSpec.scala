@@ -973,4 +973,34 @@ class VectorSpec extends AnyFunSuite {
       .orderBy("cluster", "sample_rank").collect().toSeq
     assert(a === b)
   }
+
+  test("v25 drift: identical-distribution labels drift ~0; a shifted label stands out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    def vec(shift: Float) = Array.fill(8)(rnd.nextFloat() - 0.5f + shift)
+    val rows = (1L to 200L).map(i => ("same", vec(0f))) ++
+      (1L to 200L).map(i => ("also", vec(0f))) ++
+      (1L to 200L).map(i => ("moved", vec(3f)))
+    val df = rows.toDF("label", "embedding")
+    val glob = df.agg(graft.functions.GraftFunctions.vector_centroid(col("embedding")).as("gc"))
+    val out = df.groupBy("label")
+      .agg(graft.functions.GraftFunctions.vector_centroid(col("embedding")).as("lc"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(glob))
+      .select(col("label"),
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.zip_with(col("lc"), col("gc"),
+            (a, b) => org.apache.spark.sql.functions.floor(
+              (a - b) * (a - b) * org.apache.spark.sql.functions.lit(1e9) +
+                org.apache.spark.sql.functions.lit(0.5)).cast("long")),
+          org.apache.spark.sql.functions.lit(0L), (acc, x) => acc + x).as("drift_q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // global centroid sits ~1/3 of the shift toward "moved": moved is ~2
+    // per dim from it, same/also ~1 -> squared ratio ~4
+    assert(out("moved") > 3L * out("same"))
+    assert(out("moved") > 3L * out("also"))
+    // the two identically-distributed labels drift near-identically
+    val ratio = out("same").toDouble / out("also").toDouble
+    assert(ratio > 0.8 && ratio < 1.25, s"same=$ratio")
+  }
 }
