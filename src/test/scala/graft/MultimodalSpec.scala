@@ -654,4 +654,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gifStats("GIF89a then junk".getBytes("UTF-8")) === None)
     assert(gifStats(Array[Byte](1, 2, 3)) === None)
   }
+
+  test("round-10 expressions run identically under CODEGEN_ONLY and NO_CODEGEN") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(41)
+    val px = Array.fill(6 * 4)(rnd.nextInt(256))
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", gifEncode(6, 4, px)),
+      (2L, "  ", gifEncode(6, 4, px, truncate = 5)),
+      (3L, "one two three four five six seven eight", "junk".getBytes("UTF-8")))
+      .toDF("id", "text", "blob")
+    df.createOrReplaceTempView("r10_tmp")
+    graft.functions.GraftFunctions.register(spark)
+    def run(): Seq[String] =
+      spark.sql("""SELECT id, fnv64(text), cdc_chunks(text, 4),
+                   gif_pixel_stats(blob) FROM r10_tmp ORDER BY id""")
+        .collect().map(_.toString).toSeq
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = run()
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = run()
+      assert(interp === gen)
+      assert(interp.head.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
