@@ -186,4 +186,38 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(codegenOf("t2_quality_score").contains("graft.functions.QualityScore.compute"))
     } finally spark.conf.set(key, prev)
   }
+
+  test("t35/m7 per-row gates: the only exchange is the output sort") {
+    for (q <- Seq("t35_line_repetition", "m7_gif_pixels")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q grew a hash shuffle:\n$plan")
+      assert(plan.contains("Exchange rangepartitioning"), s"$q output sort")
+    }
+  }
+
+  test("t37 chunk manifest runs on the native kernel inside codegen") {
+    val plan = planOf("t37_cdc_chunks")
+    assert(plan.contains("cdc_chunks"), s"native kernel expected:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("t38 scoring join arrives broadcast; the stats branch never re-shuffles text") {
+    val plan = planOf("t38_importance_weights")
+    assert(plan.contains("BroadcastHashJoin"), s"bucket table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge anywhere:\n$plan")
+  }
+
+  test("s9 kNN-within join: grid equi-join + bounded heap, never a nested loop") {
+    val plan = planOf("s9_knn_within_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"s9 must never nested-loop:\n$plan")
+    assert(plan.contains("topk_by"), s"bounded per-probe heap expected:\n$plan")
+  }
+
+  test("e19 registers: one combinable aggregate pair, types x 256 exchange") {
+    val plan = planOf("e19_hll_registers")
+    assert(!plan.contains("SortAggregate"), s"hash aggregate expected:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode in the register path:\n$plan")
+  }
 }
