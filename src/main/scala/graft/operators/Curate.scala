@@ -78,10 +78,14 @@ object Curate {
     * keeps any one site from dominating the training mix: canonicalize
     * each row's URL, group by its lowercased host, and keep at most
     * `maxPerHost` documents per host, selected DETERMINISTICALLY by
-    * md5 hash order (the [[Sampling]] convention: membership is a pure
-    * function of (salt, id) — append-stable, partition-stable,
-    * engine-stable — so re-crawls never swap a host's kept set, they
-    * only extend it).
+    * md5 hash order (the [[Sampling]] convention: the rank of any given
+    * document is a pure function of (salt, corpus) — partition-stable
+    * and engine-stable, so the kept set is deterministic for a given
+    * corpus. NOTE on append behavior: BELOW the cap a re-crawl only
+    * extends a host's kept set; AT the cap a new document with a
+    * smaller md5 evicts the largest kept hash — membership is
+    * deterministic per corpus, not append-monotone once a host
+    * saturates).
     *
     * Scale shape: the q28 posture — `topk_by`'s bounded per-group heap
     * means the exchange carries hosts x partitions x maxPerHost rows,

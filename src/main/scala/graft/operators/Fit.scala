@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Exactness discipline (the t23/g1 posture): the label arrives
   * nano-quantized (an exact integer), features are exact integers, and
-  * every sufficient statistic is summed in DECIMAL(38,0) — overflow-proof
-  * and order-independent, so the normal-equation matrix is EXACT. The
+  * every sufficient statistic — the cross-products included, which are
+  * FORMED in decimal, not merely summed in it — lives in DECIMAL(38,0),
+  * which holds any long*long product: overflow-proof and
+  * order-independent, so the normal-equation matrix is EXACT. The
   * doubles appear only in the final Cramer solve and per-row scoring,
   * through one fixed expression tree mirrored verbatim by the oracle —
   * IEEE arithmetic on identical inputs through identical trees is
@@ -84,15 +86,20 @@ object Fit {
       x1.cast("long").as("x1"), x2.cast("long").as("x2"),
       yq.cast("long").as("yq"))
     def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+    // products are formed IN decimal — a LongType multiply would wrap
+    // silently (e.g. a 1e9-quantized label times a >9e9 feature) before
+    // the cast ever saw it; decimal(38,0) holds any long*long product
+    def dprod(a: Column, b: Column) =
+      sum(a.cast("decimal(38,0)") * b.cast("decimal(38,0)"))
     val row = feats.agg(
       count(lit(1)).as("n"),
       dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
-      dsum(col("x1") * col("x1")).as("s11"),
-      dsum(col("x1") * col("x2")).as("s12"),
-      dsum(col("x2") * col("x2")).as("s22"),
+      dprod(col("x1"), col("x1")).as("s11"),
+      dprod(col("x1"), col("x2")).as("s12"),
+      dprod(col("x2"), col("x2")).as("s22"),
       dsum(col("yq")).as("sy"),
-      dsum(col("yq") * col("x1")).as("sy1"),
-      dsum(col("yq") * col("x2")).as("sy2")).head()
+      dprod(col("yq"), col("x1")).as("sy1"),
+      dprod(col("yq"), col("x2")).as("sy2")).head()
     require(row.getLong(0) > 0, "ridgeResidualOutliers: empty input")
     def d(i: Int): Double = row.getDecimal(i).doubleValue()
     val c = solve3(row.getLong(0).toDouble, d(1), d(2), d(3), d(4), d(5),

@@ -133,6 +133,20 @@ object Packing {
                     salt: String = "graft"): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    // the typed fold below carries ids as Long; a silent cast would turn
+    // non-numeric ids into NULLs that unbox to a collapsed id 0 — refuse
+    // loudly instead (hash string ids to a long upstream, e.g. fnv64)
+    val idType = docs.schema(idCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"nextFitShards: id column '$idCol' must be integral, got " +
+        s"${idType.simpleString}; hash non-numeric ids to a long upstream")
     val spark = docs.sparkSession
     import spark.implicits._
     val sized = docs.select(col(idCol).cast("long").as("id"),

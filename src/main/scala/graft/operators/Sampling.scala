@@ -155,7 +155,12 @@ object Sampling {
     * to 1e-9) so every intermediate product fits a BIGINT while bucket
     * counts stay below ~9e9 tokens; corpora past that reduce the
     * quantum (the scale note, not a correctness cliff — the guard
-    * refuses loudly rather than wrapping).
+    * refuses loudly rather than wrapping). The raw-corpus probability
+    * is floored at one quantum (greatest(...,1), mirrored in the
+    * oracle): past ~1e9 tokens a sparse bucket's quantized p_raw would
+    * otherwise round to 0 and the ratio division would emit NULLs that
+    * sum() skips while count() keeps — a silent mean deflation, not an
+    * error.
     *
     * Scale design: one corpus pass builds BOTH bucket tables in a single
     * combinable aggregate (count + conditional count); the bucket table
@@ -188,7 +193,10 @@ object Sampling {
           lit(" tokens); reduce the quantum or shard the stats pass"))))
           .otherwise(expr(s"(1000000000 * (n_tgt + 1)) div (tot_tgt + $buckets)"))
           .as("p_tgt_q"),
-        expr(s"(1000000000 * (n_raw + 1)) div (tot_raw + $buckets)").as("p_raw_q"))
+        // floor at one quantum: a sparse bucket in a >1e9-token corpus
+        // would quantize to 0 and poison the ratio division with NULLs
+        expr(s"greatest((1000000000 * (n_raw + 1)) div (tot_raw + $buckets), 1)")
+          .as("p_raw_q"))
       .select(col("b"),
         expr("(1000000000 * p_tgt_q) div p_raw_q").as("ratio_q"))
     toks.join(broadcast(rated), Seq("b"))

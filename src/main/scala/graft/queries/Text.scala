@@ -1688,7 +1688,7 @@ object Text extends QueryPack {
         |rq AS (
         |  SELECT b,
         |    (1000000000 * (n_tgt + 1)) // (tot_tgt + 1024) AS p_tgt_q,
-        |    (1000000000 * (n_raw + 1)) // (tot_raw + 1024) AS p_raw_q
+        |    GREATEST((1000000000 * (n_raw + 1)) // (tot_raw + 1024), 1) AS p_raw_q
         |  FROM bs CROSS JOIN tot),
         |rr AS (SELECT b, (1000000000 * p_tgt_q) // p_raw_q AS ratio_q FROM rq)
         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tok,
@@ -1879,12 +1879,12 @@ object Text extends QueryPack {
          |s AS (
          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
          |    CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
-         |    CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
-         |    CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
-         |    CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+         |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+         |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
          |    CAST(SUM(yq) AS DOUBLE) AS sy,
-         |    CAST(SUM(yq * x1) AS DOUBLE) AS sy1,
-         |    CAST(SUM(yq * x2) AS DOUBLE) AS sy2
+         |    CAST(SUM(CAST(yq AS HUGEINT) * x1) AS DOUBLE) AS sy1,
+         |    CAST(SUM(CAST(yq AS HUGEINT) * x2) AS DOUBLE) AS sy2
          |  FROM f),
          |m AS (
          |  SELECT n + 1000.0 AS a11, s1 AS a12, s2 AS a13,

@@ -32,6 +32,24 @@ class FitSpec extends AnyFunSuite {
     assert(e.getMessage.contains("singular"))
   }
 
+  test("ridgeResidualOutliers survives features whose long products would wrap") {
+    import spark.implicits._
+    // x1 ~ 4e9 > sqrt(Long.MaxValue): x1*x1 in LongType would wrap to a
+    // negative number and garbage the normal equations. The decimal-formed
+    // products must still recover the planted outlier.
+    val rows = (1L to 60L).map { i =>
+      val x1 = 4000000000L + i * 1000L
+      val x2 = i % 7
+      val y = x1 + 50 * x2 + (if (i == 33) 100000000L else 0L)
+      (i, x1, x2, y)
+    }
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val top = Fit.ridgeResidualOutliers(df, "id",
+      col("x1"), col("x2"), col("y"), lambda = 1.0, k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(33L))
+  }
+
   test("ridgeResidualOutliers finds the planted disagreement rows; partitioning-invariant") {
     import spark.implicits._
     // labels follow y = 10*x1 + x2 exactly EXCEPT three planted outliers

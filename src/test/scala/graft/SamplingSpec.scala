@@ -152,6 +152,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(1L)._2 > out(21L)._2)
   }
 
+  test("importanceWeights: ratio is never NULL (p_raw floored at one quantum)") {
+    import spark.implicits._
+    // a bucket whose raw probability quantizes low must still divide:
+    // greatest(p_raw_q, 1) keeps the ratio defined for every bucket, so
+    // sum(ratio_q)/count never silently skips NULL terms
+    val docs = (
+      (1L to 30L).map(i => (i, s"w$i common filler tokens here", "en")) ++
+      (31L to 60L).map(i => (i, s"rare$i singleton", "de"))
+    ).toDF("doc_id", "text", "lang")
+    val out = Sampling.importanceWeights(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en", buckets = 8)
+    assert(out.filter(out("mean_ratio_q").isNull).count() === 0)
+    assert(out.count() === 60)
+  }
+
   test("importanceWeights: deterministic under repartitioning") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions.col

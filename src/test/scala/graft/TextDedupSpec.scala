@@ -841,6 +841,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.count(_._1 == big._1) === 1)
   }
 
+  test("nextFitShards: refuses a non-integral id column loudly") {
+    import spark.implicits._
+    val docs = Seq(("doc-a", "w w w"), ("doc-b", "w w")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Packing.nextFitShards(docs, "doc_id", "text", 512L, 2)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("nextFitShards: deterministic under repartitioning; shards pack independently") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = graft.operators.Packing.nextFitShards(docs, "doc_id", "text", 512L, 4)
