@@ -30,11 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Per-node triangle participation counts over the undirected graph
-    * induced by (srcCol, dstCol) pairs (self-loops dropped, parallel
-    * edges collapsed). Output: (node, n_tri).
+  /** Degree-oriented edge list: every undirected (srcCol, dstCol) edge
+    * (self-loops dropped, parallel edges collapsed) directed from its
+    * (degree, id)-smaller endpoint `u` to the larger `v`.
     */
-  def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  private def orient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges.select(
       least(col(srcCol), col(dstCol)).as("a"),
       greatest(col(srcCol), col(dstCol)).as("b"))
@@ -46,15 +46,20 @@ object Triangles {
       .join(deg.toDF("a", "da"), "a")
       .join(deg.toDF("b", "db"), "b")
     // orient u -> v iff (deg(u), u) < (deg(v), v)
-    val oriented = withDeg.select(
+    withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    // wedges at the orientation-minimum pivot; the closing edge is only
-    // ever probed in its oriented direction, so no pair-order filter is
-    // needed and no triangle is double-counted
+  }
+
+  /** Wedge + close over an oriented edge list: wedges at the
+    * orientation-minimum pivot; the closing edge is only ever probed in
+    * its oriented direction, so no pair-order filter is needed and no
+    * triangle is double-counted.
+    */
+  private def wedgeClose(oriented: DataFrame): DataFrame = {
     val tri = oriented.toDF("u", "v1")
       .join(oriented.toDF("u", "v2"), "u")
       .filter(col("v1") =!= col("v2"))
@@ -63,5 +68,44 @@ object Triangles {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Per-node triangle participation counts over the undirected graph
+    * induced by (srcCol, dstCol) pairs (self-loops dropped, parallel
+    * edges collapsed). Output: (node, n_tri).
+    */
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    wedgeClose(orient(edges, srcCol, dstCol))
+
+  /** [[perNode]] with the oriented edge list MATERIALIZED as a bucketed
+    * external table before the wedge+close phase — the alternative
+    * physical design for graphs whose orientation pipeline (distinct +
+    * degree joins, or an expensive upstream edge construction) is costly
+    * enough that computing it once beats AQE's partial exchange reuse:
+    * the declarative [[perNode]] plan reuses the u-keyed exchange across
+    * the two wedge sides, but the (v1,v2)-keyed closing exchange
+    * RECOMPUTES the whole orientation subtree. Here the subtree runs
+    * exactly once; the wedge self-join then reads the bucket layout with
+    * NO exchange on either side (both sides are the same bucketed scan),
+    * and only the wedge output — the irreducible O(m^1.5) volume — is
+    * shuffled for the closing join.
+    *
+    * The price is one parquet write of the oriented edges (O(m), tiny
+    * next to the wedge volume) — the [[graft.sources.BucketedTables]]
+    * amortization argument applied to a self-join. `table`/`path` name
+    * the external bucketed table (dropped and overwritten if present).
+    */
+  def perNodeBucketed(edges: DataFrame, srcCol: String, dstCol: String,
+                      table: String, path: String,
+                      buckets: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    graft.sources.LayersTable.validateIdentifier(table)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    orient(edges, srcCol, dstCol).write
+      .mode("overwrite").format("parquet")
+      .bucketBy(buckets, "u").sortBy("u")
+      .option("path", path)
+      .saveAsTable(table)
+    wedgeClose(spark.table(table))
   }
 }

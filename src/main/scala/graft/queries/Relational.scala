@@ -468,6 +468,27 @@ object Relational extends QueryPack {
         .limit(15)
     },
 
+    // the same triangle count served through the BUCKETED physical
+    // design: the expensive orientation subtree (co-purchase self-join +
+    // distinct + degree joins) materializes ONCE as a u-bucketed external
+    // table, the wedge self-join reads the bucket layout exchange-free,
+    // and only the wedge volume shuffles for the closing join — the
+    // alternative to g2's fully-declarative plan, kept gated so the two
+    // physical designs stay result-identical and bench-comparable
+    "g2b_triangles_bucketed" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+      val path = s"/dev/shm/graft_tri_${new java.io.File(d).getName}"
+      graft.operators.Triangles.perNodeBucketed(edges, "p1", "p2",
+        table = "graft_tri_oriented", path = path)
+        .orderBy(col("n_tri").desc, col("node").asc)
+        .limit(15)
+    },
+
     // single-pass table profile (the ANALYZE surface): per-column nulls,
     // exact distincts, typed min/max — 4x|cols| aggregates over ONE scan,
     // unpivoted with stack()
@@ -601,6 +622,23 @@ object Relational extends QueryPack {
     // id-ordered triangle enumeration (x<y<z with all three canonical
     // edges present) vs the engine's degree-oriented wedge join
     "g2_triangles" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+        |e AS (SELECT DISTINCT a.s AS a, b.s AS b
+        |      FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT x AS node FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY node
+        |ORDER BY n_tri DESC, node ASC
+        |LIMIT 15""".stripMargin,
+
+    // identical oracle: the bucketed physical design must produce the
+    // same logical result as g2's declarative plan
+    "g2b_triangles_bucketed" ->
       """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
         |e AS (SELECT DISTINCT a.s AS a, b.s AS b
         |      FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s),

@@ -92,4 +92,22 @@ class PageRankSpec extends AnyFunSuite {
     assert(got === expect.filter(_._2 > 0))
     assert(got.values.sum % 3 === 0 && got.values.sum > 0)
   }
+
+  test("triangles: bucketed physical design is result-identical to the declarative plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val es = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val df = es.toDF("s", "d")
+    val declarative = triOf(es)
+    val bucketed = graft.operators.Triangles.perNodeBucketed(df, "s", "d",
+      table = "graft_tri_spec", path = "/tmp/graft_tri_spec", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed === declarative)
+    // overwrite-idempotent: a second build over the same table name works
+    val again = graft.operators.Triangles.perNodeBucketed(df, "s", "d",
+      table = "graft_tri_spec", path = "/tmp/graft_tri_spec", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === declarative)
+  }
 }

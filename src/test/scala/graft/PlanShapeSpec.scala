@@ -167,6 +167,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the stats branch to reuse the per-doc aggregation exchange:\n$plan")
   }
 
+  test("g2 triangles: the two wedge sides share one reused u-keyed exchange") {
+    val df = SparkEntry.queries("g2_triangles")(spark, sfDir)
+    df.collect() // AQE exchange reuse materializes during execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the oriented-edge subtree feeds both wedge sides through the SAME
+    // hash(u) exchange — losing this reuse doubles the heaviest subtree
+    // (the measured regime BASELINE.md's g2 adjudications rest on)
+    assert(plan.contains("ReusedExchange"),
+      s"expected the wedge self-join to reuse the oriented-edge exchange:\n$plan")
+  }
+
   test("promoted kernels compile to direct static calls in generated code") {
     // the round-3 promotion replaced CodegenFallback's boxed
     // references[i].eval(row) with a static kernel call — assert the
