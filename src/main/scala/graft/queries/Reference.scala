@@ -455,6 +455,36 @@ object Reference extends QueryPack {
           org.apache.spark.sql.expressions.Window.orderBy(col("dist").asc, col("id").asc))
           .cast("long"))
         .select(col("id").as("doc_id"), col("rnk"))
+    },
+
+    // the SAME engine boundary served by the NEURAL encoder (F8 closed):
+    // an integer-quantized 2-layer MLP over the hashed bag-of-words
+    // (fastText architecture, int4-range weights) whose weight artifact
+    // round-trips through parquet (generate -> save -> load — the
+    // session-load path a trained model would take), broadcasts once,
+    // and runs its forward pass per partition in exact integer
+    // arithmetic. The oracle re-derives the weights from the splitmix64
+    // formula and replays BOTH matrix products + ReLU + cosine in SQL —
+    // a neural network hash-matched across engines.
+    "x4_neural_embed_search" -> { (s, d) =>
+      import s.implicits._
+      val path = s"/dev/shm/graft_nn_${new java.io.File(d).getName}"
+      graft.operators.NeuralEmbed.save(s,
+        graft.operators.NeuralEmbed.generate(EmbedDim, NeuralHidden, EmbedDim), path)
+      val model = graft.operators.NeuralEmbed.load(s, path)
+      val docs = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .as[graft.operators.Embed.TextRow]
+      val emb = graft.operators.NeuralEmbed.embedText(docs, model).toDF()
+        .filter(dot_product(col("embedding"), col("embedding")) > 0)
+      val probe = graft.operators.NeuralEmbed.embedQuery(EmbedQuery, model)
+      // k-sized rank window, same benign posture as x3
+      Knn.topK(emb, col("embedding"), probe, k = 10, tieBreak = col("id"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("dist").asc, col("id").asc))
+          .cast("long"))
+        .select(col("id").as("doc_id"), col("rnk"))
     }
   )
 
@@ -463,6 +493,9 @@ object Reference extends QueryPack {
     */
   private val EmbedDim = 64
   private val EmbedQuery = "spark window merge batch query join"
+
+  /** x4's hidden width (input and output stay at EmbedDim). */
+  private val NeuralHidden = 32
 
   /** DuckDB SQL decoding the IEEE-754 double stored little-endian at
     * 0-based byte offset `off` of the hex-encoded blob column `hexCol`.
@@ -701,6 +734,86 @@ object Reference extends QueryPack {
          |  FROM dn LEFT JOIN dp USING (doc_id)
          |  WHERE dn.nd > 0)
          |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rnk
+         |FROM scored ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+
+    // the quantized MLP replayed end to end: weights re-derived from the
+    // splitmix64 formula (seed + flat index, top bits mod 15, shift to
+    // [-7,7]), hashed BOW -> W1x+b1 -> ReLU -> W2h+b2 for every document
+    // AND the query, then the identical exact-integer cosine ranking.
+    // Every activation is an exact integer (GREATEST is order-free), so
+    // the doubles in the final sqrt/divide see identical inputs in both
+    // engines — a neural forward pass that hash-matches.
+    "x4_neural_embed_search" -> {
+      import graft.operators.NeuralEmbed.{SeedW1, SeedB1, SeedW2, SeedB2}
+      val d0 = EmbedDim; val d1 = NeuralHidden; val dOut = EmbedDim
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(${SketchSql.ToksSql}) AS s
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |f AS (SELECT doc_id, ${SketchSql.FnvSql} AS z FROM dt),
+         |${SketchSql.mixLayerCtes("f", Seq("doc_id"))},
+         |db AS (
+         |  SELECT doc_id, CAST((u >> 1) % $d0 AS INT) AS idx,
+         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM fmu),
+         |dvi AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v
+         |        FROM db GROUP BY doc_id, idx),
+         |qt AS (SELECT unnest(string_split_regex(trim('$EmbedQuery'), '\\s+')) AS s),
+         |qf AS (SELECT 1 AS q1, ${SketchSql.FnvSql} AS z FROM qt),
+         |${SketchSql.mixLayerCtes("qf", Seq("q1"))},
+         |qb AS (
+         |  SELECT CAST((u >> 1) % $d0 AS INT) AS idx,
+         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM qfmu),
+         |qvi AS (SELECT idx, CAST(SUM(sgn) AS BIGINT) AS v FROM qb GROUP BY idx),
+         |w1z AS (SELECT t, CAST($SeedW1 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 * d0 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("w1z", Seq("t"))},
+         |w1 AS (SELECT CAST(t // $d0 AS INT) AS i, CAST(t % $d0 AS INT) AS j,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w1zmu),
+         |b1z AS (SELECT t, CAST($SeedB1 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("b1z", Seq("t"))},
+         |b1 AS (SELECT CAST(t AS INT) AS i,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b1zmu),
+         |w2z AS (SELECT t, CAST($SeedW2 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${dOut * d1 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("w2z", Seq("t"))},
+         |w2 AS (SELECT CAST(t // $d1 AS INT) AS k, CAST(t % $d1 AS INT) AS i,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w2zmu),
+         |b2z AS (SELECT t, CAST($SeedB2 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${dOut - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("b2z", Seq("t"))},
+         |b2 AS (SELECT CAST(t AS INT) AS k,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b2zmu),
+         |h0 AS (SELECT x.doc_id, w.i, SUM(w.w * x.v) AS s0
+         |       FROM w1 w JOIN dvi x ON w.j = x.idx GROUP BY x.doc_id, w.i),
+         |hd AS (SELECT dd.doc_id, b.i,
+         |         GREATEST(b.w + COALESCE(h0.s0, 0), 0) AS h
+         |       FROM (SELECT DISTINCT doc_id FROM dvi) dd CROSS JOIN b1 b
+         |       LEFT JOIN h0 ON h0.doc_id = dd.doc_id AND h0.i = b.i),
+         |y0 AS (SELECT h.doc_id, w.k, SUM(w.w * h.h) AS s0
+         |       FROM w2 w JOIN hd h ON w.i = h.i GROUP BY h.doc_id, w.k),
+         |yd AS (SELECT y0.doc_id, y0.k, CAST(b.w + y0.s0 AS DOUBLE) AS y
+         |       FROM y0 JOIN b2 b ON b.k = y0.k),
+         |qh0 AS (SELECT w.i, SUM(w.w * x.v) AS s0
+         |        FROM w1 w JOIN qvi x ON w.j = x.idx GROUP BY w.i),
+         |qh AS (SELECT b.i, GREATEST(b.w + COALESCE(qh0.s0, 0), 0) AS h
+         |       FROM b1 b LEFT JOIN qh0 ON qh0.i = b.i),
+         |qy0 AS (SELECT w.k, SUM(w.w * h.h) AS s0
+         |        FROM w2 w JOIN qh h ON w.i = h.i GROUP BY w.k),
+         |qy AS (SELECT qy0.k, CAST(b.w + qy0.s0 AS DOUBLE) AS y
+         |       FROM qy0 JOIN b2 b ON b.k = qy0.k),
+         |dn AS (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
+         |qn AS (SELECT SUM(y * y) AS nq FROM qy),
+         |dp AS (SELECT d.doc_id, SUM(d.y * q.y) AS dot
+         |       FROM yd d JOIN qy q USING (k) GROUP BY d.doc_id),
+         |scored AS (
+         |  SELECT dn.doc_id,
+         |    1.0 - dp.dot / (SQRT(dn.nd) * SQRT((SELECT nq FROM qn))) AS dist
+         |  FROM dn JOIN dp USING (doc_id)
+         |  WHERE dn.nd > 0)
+         |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rnk
          |FROM scored ORDER BY dist, doc_id LIMIT 10""".stripMargin
+    }
   )
 }
