@@ -83,6 +83,26 @@ object Reference extends QueryPack {
         limit = 8))
     },
 
+    // the DEEP-SKIP pagination path under the driver gate (V3's other
+    // physical plan): skip=1500 > DeepSkipThreshold routes Search.plan
+    // through deepPage — the range-partitioned global sort +
+    // zipWithIndex ordinal filter where only `limit` rows ever leave the
+    // cluster. The corpus is lifted x4 (replica suffix on the string id;
+    // replicas tie on dist and resolve by the id tie-break, exercising
+    // determinism under ties) so the 500-doc table has 2000 rows to page
+    // into. The oracle replays the identical ranking as ORDER BY/OFFSET;
+    // both sides re-sort the page by id, gating page MEMBERSHIP at the
+    // deep offset.
+    "q13b_deep_page" -> { (s, d) =>
+      val lifted = layersFrom(s, d)
+        .withColumn("rep", explode(sequence(lit(0), lit(3))))
+        .withColumn("id", concat(col("id"), lit("-"), col("rep").cast("string")))
+        .drop("rep")
+      Search.plan(lifted, SearchRequest(
+        probe = probe(s, d), skip = 1500, limit = 10))
+        .orderBy(col("id"))
+    },
+
     // image_meta under the driver gate: per document, CONSTRUCT real
     // GIF89a and PNG-IHDR header bytes whose dimensions derive from
     // doc_id (LE16 for GIF, BE32 for PNG, built with format_string +
@@ -533,6 +553,24 @@ object Reference extends QueryPack {
          |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC,
          |  CAST(doc_id AS VARCHAR) ASC
          |LIMIT 8 OFFSET 2""".stripMargin,
+
+    // the identical ranking replayed as plain ORDER BY/OFFSET over the
+    // x4-lifted corpus; both sides re-sort the returned page by id
+    "q13b_deep_page" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS VARCHAR) || '-' || CAST(r AS VARCHAR) AS id,
+        |    source AS name, lang AS type, text AS description,
+        |    'doc://' || CAST(doc_id AS VARCHAR) AS url,
+        |    text AS metadata_text,
+        |    1 - list_cosine_similarity(embedding,
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS dist
+        |  FROM documents JOIN embeddings ON doc_id = vec_id
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+        |page AS (
+        |  SELECT id, name, type, description, url, metadata_text
+        |  FROM base ORDER BY dist ASC, id ASC
+        |  LIMIT 10 OFFSET 1500)
+        |SELECT * FROM page ORDER BY id""".stripMargin,
 
     // independent expectation: the parser must invert the header
     // construction exactly (GIF LE16, PNG BE32, colour-type-2 -> 3)
