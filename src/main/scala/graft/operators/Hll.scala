@@ -49,6 +49,20 @@ object Hll {
       .agg(max(col("rho")).as("max_rho"))
   }
 
+  /** Merge register tables from disjoint (or overlapping) shards: union
+    * then the same max aggregate — max of maxes, so merging N shards'
+    * registers equals one pass over their union by construction. This is
+    * the incremental-load path: persist each day's/shard's registers,
+    * merge on read; the exchange again carries at most keys x 256 rows
+    * per shard.
+    */
+  def merge(keyCols: Seq[String], regs: Seq[DataFrame]): DataFrame = {
+    require(regs.nonEmpty, "merge: no register tables")
+    regs.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
+  }
+
   /** The standard HLL estimate from a register table (small-range linear
     * counting below 2.5m, raw harmonic estimate above). Spec-level
     * accuracy helper — the GATED artifact is the integer register table;

@@ -96,6 +96,21 @@ object Events extends QueryPack {
         .orderBy(col("event_type"), col("bucket"))
     },
 
+    // CROSS-SHARD register merge: two disjoint event shards build their
+    // registers independently, merge via union + the same max aggregate,
+    // and must equal the single-pass registers — the "mergeable by
+    // construction" claim under the hash gate (the oracle IS e19's
+    // single-pass SQL; equality of hashes is the merge property)
+    "e19b_hll_merge" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val a = graft.operators.Hll.registers(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), col("user_id"))
+      val b = graft.operators.Hll.registers(
+        ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), col("user_id"))
+      graft.operators.Hll.merge(Seq("event_type"), Seq(a, b))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
     // gap-based sessionization (streaming twin: sessionizeStream)
     "e2_sessionization" -> { (s, d) =>
       EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
@@ -352,6 +367,23 @@ object Events extends QueryPack {
     // bits) rho; DISTINCT first is a pure optimization (max over
     // duplicates is unchanged)
     "e19_hll_registers" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
+         |h AS (SELECT event_type, ${SketchSql.FnvSql} AS z FROM v),
+         |${SketchSql.mixLayerCtes("h", Seq("event_type"))},
+         |r AS (
+         |  SELECT event_type,
+         |    CAST(u >> 56 AS INT) AS bucket,
+         |    CASE WHEN (u & 72057594037927935) = 0 THEN 57
+         |         ELSE 57 - len(bin(CAST(u & 72057594037927935 AS BIGINT))) END AS rho
+         |  FROM hmu)
+         |SELECT event_type, bucket, CAST(MAX(rho) AS INT) AS max_rho
+         |FROM r GROUP BY 1, 2
+         |ORDER BY event_type, bucket""".stripMargin,
+
+    // deliberately the SAME single-pass SQL: union-max of the two
+    // shards' registers must hash-equal one pass over the whole corpus
+    "e19b_hll_merge" ->
       s"""WITH v AS (
          |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
          |h AS (SELECT event_type, ${SketchSql.FnvSql} AS z FROM v),

@@ -24,6 +24,23 @@ class HllSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("merge: union-max of disjoint and overlapping shards equals one pass") {
+    import spark.implicits._
+    val df = (1L to 9000L).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+    val full = Hll.registers(df, Seq("k"), col("v"))
+      .orderBy("k", "bucket").collect().toSeq
+    // disjoint split
+    val a = Hll.registers(df.filter(col("v") % 2 === 0), Seq("k"), col("v"))
+    val b = Hll.registers(df.filter(col("v") % 2 =!= 0), Seq("k"), col("v"))
+    val m1 = Hll.merge(Seq("k"), Seq(a, b)).orderBy("k", "bucket").collect().toSeq
+    assert(m1 === full)
+    // overlapping split (rows 1..6000 and 3001..9000): max of maxes
+    val c = Hll.registers(df.filter(col("v") <= 6000), Seq("k"), col("v"))
+    val e = Hll.registers(df.filter(col("v") > 3000), Seq("k"), col("v"))
+    val m2 = Hll.merge(Seq("k"), Seq(c, e)).orderBy("k", "bucket").collect().toSeq
+    assert(m2 === full)
+  }
+
   test("estimate is within the p=8 error envelope on known cardinalities") {
     import spark.implicits._
     for (n <- Seq(500L, 5000L, 50000L)) {
