@@ -159,16 +159,38 @@ object Packing {
     sized.select(col("shard"), col("id"), col("n_tok"))
       .as[(Int, Long, Long)]
       .mapPartitions { it =>
-        var curShard = Int.MinValue
-        var bin = 0L
-        var running = 0L
-        it.map { case (shard, id, n) =>
-          if (shard != curShard) { curShard = shard; bin = 0L; running = 0L }
-          else if (running + n > capacity && running > 0) { bin += 1; running = 0L }
-          running += n
-          (shard, bin, id, n)
-        }
+        val st = new NextFitState(capacity)
+        it.map { case (shard, id, n) => (shard, st.assign(shard, n), id, n) }
       }
       .toDF("shard", "bin", "id", "n_tok")
+  }
+
+  /** The next-fit bin-assignment state machine shared by the
+    * [[nextFitShards]] mapPartitions pass and KernelProperties (so the
+    * property-tested fold IS the engine's fold): a bin closes when the
+    * next document would overflow it; an oversized document lands alone
+    * (it enters an empty bin, overflows it, and the NEXT document closes
+    * that bin immediately).
+    *
+    * PADDING BOUND (the classic next-fit guarantee, Johnson 1973): when
+    * every item fits `capacity`, any two CONSECUTIVE bins in one shard
+    * hold strictly more than `capacity` together (the second bin's first
+    * item did not fit the first bin's remainder), so
+    * `n_bins <= 2 * ceil(total / capacity) - 1 <= 2 * OPT - 1` — waste
+    * is bounded at under half, shard by shard, regardless of input.
+    * Next-fit-DECREASING (the (n_tok desc, id) shard order upstream)
+    * only tightens the constant in practice; the stated bound is the
+    * order-free worst case KernelProperties checks.
+    */
+  private[graft] final class NextFitState(capacity: Long) {
+    private var curShard = Int.MinValue
+    private var bin = 0L
+    private var running = 0L
+    def assign(shard: Int, n: Long): Long = {
+      if (shard != curShard) { curShard = shard; bin = 0L; running = 0L }
+      else if (running + n > capacity && running > 0) { bin += 1; running = 0L }
+      running += n
+      bin
+    }
   }
 }

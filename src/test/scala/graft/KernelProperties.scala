@@ -160,4 +160,27 @@ object KernelProperties extends Properties("graft.kernels") {
     plain == SketchHash.fnv1a64(t.getBytes("UTF-8")) &&
       mixed == SketchHash.mix(plain)
   }
+
+  // next-fit packing bound (Johnson 1973): over the ENGINE's own fold
+  // (Packing.NextFitState is the mapPartitions state machine), items
+  // <= capacity always pack into <= 2*ceil(total/capacity) - 1 bins
+  // (<= 2*OPT - 1), via the proof invariant that any two consecutive
+  // bins hold > capacity together.
+  property("next-fit fold: consecutive-bin invariant and the 2*OPT-1 waste bound") =
+    forAll(Gen.choose(8L, 64L), Gen.nonEmptyListOf(Gen.choose(1L, 64L))) {
+      (capacity, raw) =>
+        val sizes = raw.map(n => math.min(n, capacity)) // items fit capacity
+          .sorted(Ordering[Long].reverse) // the shard's NFD order upstream
+        val st = new graft.operators.Packing.NextFitState(capacity)
+        val bins = sizes.map(n => st.assign(0, n))
+        val loads = bins.zip(sizes).groupBy(_._1).view
+          .mapValues(_.map(_._2).sum).toMap
+        val nBins = loads.size.toLong
+        val total = sizes.sum
+        val bound = math.max(1L, 2L * ((total + capacity - 1) / capacity) - 1L)
+        val capOk = loads.values.forall(_ <= capacity)
+        val adjacentOk = (0L until nBins - 1).forall(b =>
+          loads(b) + loads(b + 1) > capacity)
+        capOk && adjacentOk && nBins <= bound
+    }
 }
