@@ -28,6 +28,33 @@ import graft.Tables
   */
 object Relational extends QueryPack {
 
+  /** g3's oracle: the k-core peel unrolled `rounds` deep over the sparse
+    * co-purchase graph — each round recomputes degrees and drops sub-k
+    * nodes; rounds past convergence are no-ops, so any convergence
+    * within the unroll hash-matches the engine's fixpoint (the engine
+    * refuses past its matching maxRounds rather than diverging).
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val base =
+      """lo AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS s
+        |       FROM lineitem WHERE l_linenumber <= 2),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.s AS a, b.s AS b
+        |       FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s)""".stripMargin
+    val peels = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, COUNT(*) AS c FROM (
+         |  SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY n),
+         |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+         |  WHERE a NOT IN (SELECT n FROM d$i WHERE c < $k)
+         |    AND b NOT IN (SELECT n FROM d$i WHERE c < $k))""".stripMargin
+    }
+    val fin =
+      s"""df AS (SELECT n, COUNT(*) AS c FROM (
+         |  SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY n)
+         |SELECT n AS node, CAST(c AS BIGINT) AS deg FROM df
+         |WHERE c >= $k ORDER BY node""".stripMargin
+    "WITH " + (Seq(base) ++ peels).mkString(",\n") + ",\n" + fin
+  }
+
   /** g1's oracle: the PageRank integer fixed-point iteration unrolled in
     * DuckDB CTEs — same scale (1e12 units), same floor divisions in the
     * same order, same 85/100 damping arithmetic as
@@ -489,6 +516,25 @@ object Relational extends QueryPack {
         .limit(15)
     },
 
+    // k-core extraction over a SPARSER co-purchase graph (line numbers
+    // 1-2 only, so the k=4 peel actually cascades: 2 rounds at sf0.01,
+    // 4 at sf1x): iterative deletion of sub-k-degree nodes to the unique
+    // maximal min-degree->=k fixpoint. The oracle unrolls the identical
+    // peel 12 rounds deep (idempotent after convergence); the engine
+    // REFUSES past 12 rounds rather than silently returning a
+    // non-fixpoint, so the bound is a shared contract, not a hidden cap.
+    "g3_kcore" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+      graft.operators.KCore.kCore(edges, "p1", "p2", k = 4)
+        .orderBy(col("node"))
+    },
+
     // single-pass table profile (the ANALYZE surface): per-column nulls,
     // exact distincts, typed min/max — 4x|cols| aggregates over ONE scan,
     // unpivoted with stack()
@@ -618,6 +664,10 @@ object Relational extends QueryPack {
     // the same integer fixed-point iteration unrolled: every division a
     // floor `//`, every sum a long sum — bit-identical by construction
     "g1_pagerank" -> pagerankSql(iters = 5),
+
+    // the identical peel, 12 unrolled rounds (matching the engine's
+    // maxRounds refusal bound; idempotent once converged)
+    "g3_kcore" -> kcoreSql(k = 4, rounds = 12),
 
     // id-ordered triangle enumeration (x<y<z with all three canonical
     // edges present) vs the engine's degree-oriented wedge join

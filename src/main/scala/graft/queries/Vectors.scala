@@ -602,6 +602,29 @@ object Vectors extends QueryPack {
     * `graft.Bench` with standing minima in BASELINE.md.
     */
   def benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // neural batch encode at production width (the BGE-like 1024-dim
+    // output of SURVEY §1.2, hidden 256 over a 256-bucket hashed BOW):
+    // artifact save -> load -> broadcast -> per-partition forward pass
+    // over the corpus, then cosine top-10 over the 1024-wide outputs —
+    // the F8 seam's recorded throughput shape. Semantics are pinned by
+    // the 64-dim x4 gate; corpus token bound (<= 100/doc) keeps every
+    // activation under the float32-exact 2^24 assert at this width.
+    "x4w_neural_encode_1024" -> { (s, d) =>
+      import s.implicits._
+      val path = s"/dev/shm/graft_nnw_${new java.io.File(d).getName}"
+      graft.operators.NeuralEmbed.save(s,
+        graft.operators.NeuralEmbed.generate(256, 256, 1024), path)
+      val model = graft.operators.NeuralEmbed.load(s, path)
+      val docs = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .as[graft.operators.Embed.TextRow]
+      val emb = graft.operators.NeuralEmbed.embedText(docs, model).toDF()
+      val probe = graft.operators.NeuralEmbed.embedQuery(
+        "spark window merge batch query join", model)
+      Knn.topK(emb, col("embedding"), probe, k = 10, tieBreak = col("id"))
+        .select(col("id"), col("dist"))
+    },
     "v1w_knn_1024" -> { (s, d) =>
       val e = widened(s, d)
       val probe = e.filter(col("vec_id") === 0L)
