@@ -516,6 +516,23 @@ object Relational extends QueryPack {
         .limit(15)
     },
 
+    // GROUPING SETS beyond q12's ROLLUP / q24's pivot: an explicit
+    // grouping-set lattice with the grouping_id disambiguator (the
+    // standard way to tell a NULL group key from a rolled-up one); the
+    // SQL surface is part of the engine (spark.sql over the registered
+    // table), planned as ONE Expand + hash aggregate pass
+    "q31_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q31")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n
+        FROM lineitem_q31
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+
     // k-core extraction over a SPARSER co-purchase graph (line numbers
     // 1-2 only, so the k=4 peel actually cascades: 2 rounds at sf0.01,
     // 4 at sf1x): iterative deletion of sub-k-degree nodes to the unique
@@ -668,6 +685,17 @@ object Relational extends QueryPack {
     // the identical peel, 12 unrolled rounds (matching the engine's
     // maxRounds refusal bound; idempotent once converged)
     "g3_kcore" -> kcoreSql(k = 4, rounds = 12),
+
+    // DuckDB's GROUPING(a, b) emits the same bit vector as Spark's
+    // grouping_id(a, b) (verified: 0 / 1 / 3 across the lattice)
+    "q31_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     // id-ordered triangle enumeration (x<y<z with all three canonical
     // edges present) vs the engine's degree-oriented wedge join

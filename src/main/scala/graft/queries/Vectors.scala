@@ -286,6 +286,25 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // SCALAR quantization + refine (the FAISS SQ8 shape): per-dim 8-bit
+    // codes against trained [min, max] bounds — 4x compression with NO
+    // codebook loop (train is one min/max aggregate), the simplest
+    // point on the compression curve beside PQ (16x) and binary (32x).
+    // ADC reconstructs each dim (mn + code*scale) and ranks by squared
+    // L2 through a fixed left-folded expression tree; exact cosine
+    // re-ranks the r=40 pool. The oracle replays bounds, quantization
+    // (floor(t*255 + 0.5), clamped), reconstruction, the SAME fold
+    // order (list_reduce over dims), and the refine — hash-exact.
+    "v26_sq8_refine" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val model = graft.operators.Sq.train(e, "embedding")
+      val codes = graft.operators.Sq.encode(e, "vec_id", "embedding", model)
+      graft.operators.Sq.searchRefine(codes, "code", "vec_id",
+        e, "vec_id", "embedding", model, probeOf(s, d, 0L), k = 10, r = 40)
+        .select(col("vec_id").as("id"))
+        .orderBy(col("id"))
+    },
+
     // Matryoshka-style dimension-truncation ANN: cosine over the FIRST
     // 16 of 64 dims nominates 40 candidates (TakeOrderedAndProject on a
     // 4x-cheaper kernel; with the prefix stored as its own column, 4x
@@ -937,6 +956,46 @@ object Vectors extends QueryPack {
          |  SELECT e.vec_id AS id
          |  FROM emb e JOIN cand USING (vec_id) CROSS JOIN probe p
          |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // bounds, quantization, reconstruction, the SAME left-fold term
+    // order (list_reduce over dims 1..64), then the exact-cosine refine
+    "v26_sq8_refine" ->
+      s"""WITH ${IvfSql.embCtes},
+         |bounds AS MATERIALIZED (
+         |  SELECT g.i,
+         |    CAST(MIN(embedding[g.i]) AS DOUBLE) AS mn,
+         |    CAST(MAX(embedding[g.i]) AS DOUBLE) - CAST(MIN(embedding[g.i]) AS DOUBLE) AS rg
+         |  FROM embeddings, generate_series(1, 64) AS g(i)
+         |  GROUP BY g.i),
+         |b2 AS MATERIALIZED (SELECT i, mn, rg, rg / 255.0 AS s FROM bounds),
+         |codes AS MATERIALIZED (
+         |  SELECT e.vec_id, b.i,
+         |    CASE WHEN b.rg = 0 THEN 0
+         |         ELSE CAST(LEAST(255, GREATEST(0,
+         |           FLOOR((CAST(e.embedding[b.i] AS DOUBLE) - b.mn) / b.rg * 255.0 + 0.5)))
+         |           AS BIGINT) END AS code
+         |  FROM embeddings e CROSS JOIN b2 b),
+         |probe AS MATERIALIZED (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+         |  FROM embeddings WHERE vec_id = 0),
+         |term AS (
+         |  SELECT c.vec_id, c.i,
+         |    ((b.mn + CAST(c.code AS DOUBLE) * b.s) - (SELECT q FROM probe)[c.i])
+         |    * ((b.mn + CAST(c.code AS DOUBLE) * b.s) - (SELECT q FROM probe)[c.i]) AS t
+         |  FROM codes c JOIN b2 b USING (i)),
+         |adc AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY i)),
+         |      (a, x) -> a + x) AS dist
+         |  FROM term GROUP BY vec_id),
+         |pool AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT 40),
+         |pv AS (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |topk AS (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e JOIN pool USING (vec_id) CROSS JOIN pv p
+         |  ORDER BY ${IvfSql.dist("e.v", "e.nn", "p.v", "p.nn")}, e.vec_id
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
 
