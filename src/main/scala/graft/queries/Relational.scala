@@ -516,6 +516,47 @@ object Relational extends QueryPack {
         .limit(15)
     },
 
+    // CSV sink + source round-trip (SURVEY §2.1 widening: the engine's
+    // text-format codec under the hash gate): orders columns — longs,
+    // a double, a string, a timestamp — write as headered CSV and read
+    // back with an explicit schema; the aggregate over the ROUND-TRIPPED
+    // rows must equal the oracle's aggregate over the ORIGINAL table, so
+    // the gate pins shortest-round-trip double formatting and timestamp
+    // codec fidelity, not just the aggregate
+    "q32_csv_roundtrip" -> { (s, d) =>
+      val path = s"/dev/shm/graft_csv_${new java.io.File(d).getName}"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderdate"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, " +
+          "o_orderstatus STRING, o_orderdate TIMESTAMP")
+        .csv(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          min(col("o_orderdate")).cast("string").as("first_date"))
+        .orderBy("o_orderstatus")
+    },
+
+    // JSON-lines sink + source round-trip (same posture for the JSON
+    // codec; e3 covers json PARSING, this covers the sink/source pair)
+    "q33_json_roundtrip" -> { (s, d) =>
+      val path = s"/dev/shm/graft_json_${new java.io.File(d).getName}"
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_type")
+    },
+
     // GROUPING SETS beyond q12's ROLLUP / q24's pivot: an explicit
     // grouping-set lattice with the grouping_id disambiguator (the
     // standard way to tell a NULL group key from a rolled-up one); the
@@ -685,6 +726,24 @@ object Relational extends QueryPack {
     // the identical peel, 12 unrolled rounds (matching the engine's
     // maxRounds refusal bound; idempotent once converged)
     "g3_kcore" -> kcoreSql(k = 4, rounds = 12),
+
+    // stated over the ORIGINAL table: equality gates the CSV round-trip
+    "q32_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_date
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // same posture for the JSON-lines codec
+    "q33_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // DuckDB's GROUPING(a, b) emits the same bit vector as Spark's
     // grouping_id(a, b) (verified: 0 / 1 / 3 across the lattice)
