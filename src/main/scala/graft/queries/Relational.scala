@@ -557,6 +557,32 @@ object Relational extends QueryPack {
         .orderBy("event_type")
     },
 
+    // WITH RECURSIVE (Spark 4.1's UnionLoop execution) under the hash
+    // gate: depth-bounded BFS from the minimum part over the sparse
+    // co-purchase graph, reporting hop distance AND path multiplicity —
+    // exact integers, so the recursion's exact row multiset is gated,
+    // not just reachability. The level bound makes the recursion finite
+    // and engine-independent.
+    "q34_recursive_reach" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q34")
+      s.sql("""
+        WITH RECURSIVE und AS (
+          SELECT a.p AS a, b.p AS b
+          FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem_q34 WHERE l_linenumber <= 2) a
+          JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem_q34 WHERE l_linenumber <= 2) b
+            ON a.o = b.o AND a.p <> b.p),
+        reach(node, lvl) AS (
+          SELECT CAST(MIN(l_partkey) AS BIGINT), 0 FROM lineitem_q34
+          UNION ALL
+          SELECT u.b, r.lvl + 1
+          FROM reach r JOIN und u ON u.a = r.node
+          WHERE r.lvl < 2)
+        SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl, COUNT(*) AS n_paths
+        FROM reach GROUP BY node ORDER BY node""")
+    },
+
     // GROUPING SETS beyond q12's ROLLUP / q24's pivot: an explicit
     // grouping-set lattice with the grouping_id disambiguator (the
     // standard way to tell a NULL group key from a rolled-up one); the
@@ -726,6 +752,25 @@ object Relational extends QueryPack {
     // the identical peel, 12 unrolled rounds (matching the engine's
     // maxRounds refusal bound; idempotent once converged)
     "g3_kcore" -> kcoreSql(k = 4, rounds = 12),
+
+    // the identical recursion (und is not MATERIALIZED: it is consumed
+    // once per iteration and DuckDB handles the bounded depth natively)
+    "q34_recursive_reach" ->
+      """WITH RECURSIVE und AS MATERIALIZED (
+        |  SELECT a.p AS a, b.p AS b
+        |  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |        FROM lineitem WHERE l_linenumber <= 2) a
+        |  JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |        FROM lineitem WHERE l_linenumber <= 2) b
+        |    ON a.o = b.o AND a.p <> b.p),
+        |reach(node, lvl) AS (
+        |  SELECT CAST(MIN(l_partkey) AS BIGINT), 0 FROM lineitem
+        |  UNION ALL
+        |  SELECT u.b, r.lvl + 1
+        |  FROM reach r JOIN und u ON u.a = r.node
+        |  WHERE r.lvl < 2)
+        |SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl, COUNT(*) AS n_paths
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     // stated over the ORIGINAL table: equality gates the CSV round-trip
     "q32_csv_roundtrip" ->
