@@ -86,6 +86,8 @@ object GraftFunctions {
   def image_pixel_stats(bytes: Column): Column = toCol(ImagePixelStats(toExpr(bytes)))
   /** GIF LZW pixel decode to exact palette-index stats — see [[GifPixelStats]]. */
   def gif_pixel_stats(bytes: Column): Column = toCol(GifPixelStats(toExpr(bytes)))
+  /** BMP (24-bit BI_RGB) pixel decode to exact per-channel stats — see [[BmpPixelStats]]. */
+  def bmp_pixel_stats(bytes: Column): Column = toCol(BmpPixelStats(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
@@ -150,6 +152,7 @@ object GraftFunctions {
     "image_meta"      -> { es => ImageMeta(es(0)) },
     "image_pixel_stats" -> { es => ImagePixelStats(es(0)) },
     "gif_pixel_stats" -> { es => GifPixelStats(es(0)) },
+    "bmp_pixel_stats" -> { es => BmpPixelStats(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
     "cdc_chunks" -> { es => CdcChunksExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue()) },

@@ -483,3 +483,103 @@ object GifPixelStats {
     new GenericInternalRow(Array[Any](w, h, nPix, sum, mn, mx))
   }
 }
+
+/** bmp_pixel_stats(binary) -> struct(width, height, n_pixels, sum_b,
+  * sum_g, sum_r, pixel_min, pixel_max) — a REAL Windows BMP payload
+  * decoder (ISO-documented BITMAPINFOHEADER layout, public): 24-bit
+  * uncompressed BI_RGB only, the dominant interchange shape. Parses the
+  * 14-byte file header + 40-byte DIB header, walks the 4-byte-aligned
+  * scanlines (bottom-up for positive heights, top-down for negative —
+  * stats are row-order invariant but the stride/padding walk is not),
+  * and folds exact integer per-channel sums plus a global min/max over
+  * the pixel bytes, SKIPPING the padding. Everything else — wrong
+  * magic, planes != 1, bpp != 24, any compression, a data offset or
+  * pixel array that overruns the blob, absurd dimensions — quarantines
+  * to NULL (the m-family posture: a poison blob must not kill a scan).
+  */
+case class BmpPixelStats(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "bmp_pixel_stats"
+  override def dataType: DataType = BmpPixelStats.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BmpPixelStats.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BmpPixelStats.decode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BmpPixelStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("sum_b", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_r", LongType),
+    StructField("pixel_min", IntegerType),
+    StructField("pixel_max", IntegerType)))
+
+  /** Pixel-array cap — same refuse-before-walking posture as the PNG
+    * inflater's 64 MiB bound.
+    */
+  val MaxPixelBytes: Long = 64L * 1024 * 1024
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Shared eval/codegen kernel; null for anything not decodable. */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 54) return null
+    if (b(0) != 'B' || b(1) != 'M') return null
+    val dataOffset = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return null // BITMAPCOREHEADER et al. out of scope
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || hRaw == 0 || w > (1 << 20)) return null
+    val h = math.abs(hRaw)
+    if (h > (1 << 20)) return null
+    if (planes != 1 || bpp != 24 || compression != 0) return null
+    val stride = ((w * 3L + 3L) / 4L) * 4L
+    val total = stride * h
+    if (total > MaxPixelBytes) return null
+    if (dataOffset < 54 || dataOffset.toLong + total > b.length) return null
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var mn = 256; var mx = -1
+    var row = 0
+    while (row < h) {
+      var base = dataOffset + row * stride
+      var x = 0
+      while (x < w) {
+        val vb = b(base.toInt) & 0xff
+        val vg = b(base.toInt + 1) & 0xff
+        val vr = b(base.toInt + 2) & 0xff
+        sb += vb; sg += vg; sr += vr
+        if (vb < mn) mn = vb; if (vg < mn) mn = vg; if (vr < mn) mn = vr
+        if (vb > mx) mx = vb; if (vg > mx) mx = vg; if (vr > mx) mx = vr
+        base += 3
+        x += 1
+      }
+      row += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, w.toLong * h, sb, sg, sr, mn, mx))
+  }
+}

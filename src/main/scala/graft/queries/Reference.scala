@@ -280,6 +280,53 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // BMP PIXEL decode under the driver gate — the fourth payload-level
+    // decoder (m5 audio, m6 PNG, m7 GIF): per document, CONSTRUCT a
+    // complete 24-bit BI_RGB BMP in column arithmetic — 14-byte file
+    // header, 40-byte BITMAPINFOHEADER, bottom-up scanlines with REAL
+    // 4-byte-alignment padding — and decode it with bmp_pixel_stats.
+    // Docs with doc_id % 7 == 0 are truncated by one byte (the torn
+    // blob) and must quarantine to NULL. The oracle states the expected
+    // per-channel sums arithmetically from the pixel formula — an
+    // inversion check on the decoder, padding excluded by construction.
+    "m8_bmp_pixels" -> { (s, d) =>
+      import graft.functions.GraftFunctions.bmp_pixel_stats
+      val w = (col("doc_id") % 4 + 1).cast("int")
+      val h = (col("doc_id") % 3 + 1).cast("int")
+      val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+      val stride = w * 3 + pad
+      val n = stride * h
+      def rowOf(i: Column) = floor(i.cast("double") / stride.cast("double")).cast("int")
+      def posOf(i: Column) = pmod(i, stride)
+      def byteVal(i: Column): Column =
+        when(posOf(i) >= w * 3, lit(0)).otherwise(
+          pmod(col("doc_id") + (posOf(i) / 3).cast("int") * 3 + rowOf(i) * 7 +
+            pmod(posOf(i), lit(3)) * 11, lit(256))).cast("int")
+      val rawHex = array_join(
+        transform(sequence(lit(0), n - 1), i => format_string("%02X", byteVal(i))), "")
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
+        pmod((v / 65536).cast("int"), lit(256)),
+        pmod((v / 16777216).cast("int"), lit(256)))
+      val bmpHex = concat(
+        lit("424D"), le32h(n + 54), lit("00000000"), le32h(lit(54)),
+        lit("28000000"), le32h(w), le32h(h), lit("0100"), lit("1800"),
+        lit("00000000"), le32h(n), lit("130B0000130B0000"),
+        lit("0000000000000000"))
+      val fullHex = concat(bmpHex, rawHex)
+      val hex = when(col("doc_id") % 7 === 0,
+        substring(fullHex, lit(1), length(fullHex) - 2)).otherwise(fullHex)
+      Tables.documents(s, d)
+        .select(col("doc_id"), bmp_pixel_stats(unhex(hex)).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"),
+          col("p.sum_b").as("sum_b"), col("p.sum_g").as("sum_g"),
+          col("p.sum_r").as("sum_r"),
+          col("p.pixel_min").as("pixel_min"), col("p.pixel_max").as("pixel_max"))
+        .orderBy(col("doc_id"))
+    },
+
     // GIF PIXEL decode under the driver gate — the third payload-level
     // decoder (m5 audio, m6 PNG): per document, CONSTRUCT a complete
     // valid GIF89a whose LZW stream is assembled IN COLUMN ARITHMETIC —
@@ -651,6 +698,39 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_min END AS pixel_min,
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_max END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the inversion expectations for the BMP decoder: per-channel sums
+    // from the (doc_id + 3x + 7row + 11c) % 256 formula, padding never
+    // entering the stats by construction; torn docs NULL
+    "m8_bmp_pixels" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS w,
+        |         CAST(doc_id % 3 + 1 AS INT) AS h
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS k FROM s),
+        |px AS (
+        |  SELECT doc_id, k % 3 AS c,
+        |    (doc_id + 3 * ((k // 3) % w) + 7 * ((k // 3) // w) + 11 * (k % 3)) % 256 AS v
+        |  FROM ks),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |    CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |    CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |    CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE w END AS width,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE h END AS height,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(w * h AS BIGINT) END AS n_pixels,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sum_b END AS sum_b,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sum_g END AS sum_g,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sum_r END AS sum_r,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE pixel_min END AS pixel_min,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE pixel_max END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the inversion expectations for the GIF decoder: index stats from
