@@ -83,6 +83,26 @@ object Reference extends QueryPack {
         limit = 8))
     },
 
+    // the SAME reference query through the PURE SQL surface (the
+    // reference emits SQL — backend/models.py:186-191 — so the engine's
+    // registered-function SQL path is itself under the gate): graft's
+    // cosine_distance / st_intersects / st_point run inside spark.sql
+    // over registered temp views, with the probe arriving as a 1-row
+    // cross join. Must hash-match x1's DataFrame-API plan exactly.
+    "x5_sql_reference_search" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      layersFrom(s, d).createOrReplaceTempView("layers_x5")
+      Tables.embeddings(s, d).createOrReplaceTempView("emb_x5")
+      s.sql("""
+        WITH probe AS (SELECT embedding AS pv FROM emb_x5 WHERE vec_id = 0)
+        SELECT id, name, type, description, url, metadata_text
+        FROM layers_x5 CROSS JOIN probe
+        WHERE lower(type) IN ('en', 'fr')
+          AND st_intersects(geom, st_point(0.5D, 0.5D))
+        ORDER BY cosine_distance(embeddings, pv) ASC, id ASC
+        LIMIT 8 OFFSET 2""")
+    },
+
     // the DEEP-SKIP pagination path under the driver gate (V3's other
     // physical plan): skip=1500 > DeepSkipThreshold routes Search.plan
     // through deepPage — the range-partitioned global sort +
@@ -588,6 +608,22 @@ object Reference extends QueryPack {
 
   def sql: Map[String, String] = Map(
     "x1_reference_search" ->
+      s"""SELECT CAST(doc_id AS VARCHAR) AS id, source AS name, lang AS type,
+         |  text AS description,
+         |  'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         |  text AS metadata_text
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |WHERE lower(lang) IN ('en', 'fr')
+         |  AND abs((doc_id * 7) % 360 - 180 - 0.5) <= $HalfW
+         |  AND abs((doc_id * 3) % 180 - 90 - 0.5) <= $HalfW
+         |ORDER BY 1 - list_cosine_similarity(embedding,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC,
+         |  CAST(doc_id AS VARCHAR) ASC
+         |LIMIT 8 OFFSET 2""".stripMargin,
+
+    // x5 must equal x1 — the DataFrame plan and the SQL-surface plan
+    // share one oracle statement
+    "x5_sql_reference_search" ->
       s"""SELECT CAST(doc_id AS VARCHAR) AS id, source AS name, lang AS type,
          |  text AS description,
          |  'doc://' || CAST(doc_id AS VARCHAR) AS url,
