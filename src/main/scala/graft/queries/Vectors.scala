@@ -305,6 +305,27 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // IVF x SQ8 composition (the FAISS IVF,SQ8 index shape): the v13
+    // bucket-pruning stage feeds the v26 scalar quantizer — nprobe
+    // centroid buckets nominate candidates, SQ ADC ranks ONLY those,
+    // exact cosine re-ranks the r-pool. Every stage reuses its gated
+    // sibling's machinery, so the oracle is the v13 bucket CTEs
+    // composed with the v26 quantization CTEs.
+    "v27_ivfsq_refine" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      val model = graft.operators.Sq.train(e, "embedding")
+      val codes = graft.operators.Sq.encode(e, "vec_id", "embedding", model)
+      val buckets = graft.operators.Ivf.probeBuckets(idx, probeOf(s, d, 0L), nprobe = 3)
+      val cand = idx.assigned.filter(col("bucket").isin(buckets: _*)).select(col("id"))
+      val pruned = codes.join(cand, codes("vec_id") === cand("id"))
+        .select(col("vec_id"), col("code"))
+      graft.operators.Sq.searchRefine(pruned, "code", "vec_id",
+        e, "vec_id", "embedding", model, probeOf(s, d, 0L), k = 10, r = 40)
+        .select(col("vec_id").as("id"))
+        .orderBy(col("id"))
+    },
+
     // Matryoshka-style dimension-truncation ANN: cosine over the FIRST
     // 16 of 64 dims nominates 40 candidates (TakeOrderedAndProject on a
     // 4x-cheaper kernel; with the prefix stored as its own column, 4x
@@ -956,6 +977,52 @@ object Vectors extends QueryPack {
          |  SELECT e.vec_id AS id
          |  FROM emb e JOIN cand USING (vec_id) CROSS JOIN probe p
          |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // the v13 bucket CTEs composed with the v26 quantization CTEs: the
+    // ADC pool ranks only rows whose IVF bucket is probed
+    "v27_ivfsq_refine" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |pv AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN pv p
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b
+         |  LIMIT 3),
+         |bounds AS MATERIALIZED (
+         |  SELECT g.i,
+         |    CAST(MIN(embedding[g.i]) AS DOUBLE) AS mn,
+         |    CAST(MAX(embedding[g.i]) AS DOUBLE) - CAST(MIN(embedding[g.i]) AS DOUBLE) AS rg
+         |  FROM embeddings, generate_series(1, 64) AS g(i)
+         |  GROUP BY g.i),
+         |b2 AS MATERIALIZED (SELECT i, mn, rg, rg / 255.0 AS s FROM bounds),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id FROM af WHERE b IN (SELECT b FROM pb)),
+         |codes AS MATERIALIZED (
+         |  SELECT e.vec_id, b.i,
+         |    CASE WHEN b.rg = 0 THEN 0
+         |         ELSE CAST(LEAST(255, GREATEST(0,
+         |           FLOOR((CAST(e.embedding[b.i] AS DOUBLE) - b.mn) / b.rg * 255.0 + 0.5)))
+         |           AS BIGINT) END AS code
+         |  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN b2 b),
+         |qprobe AS MATERIALIZED (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+         |  FROM embeddings WHERE vec_id = 0),
+         |term AS (
+         |  SELECT c.vec_id, c.i,
+         |    ((b.mn + CAST(c.code AS DOUBLE) * b.s) - (SELECT q FROM qprobe)[c.i])
+         |    * ((b.mn + CAST(c.code AS DOUBLE) * b.s) - (SELECT q FROM qprobe)[c.i]) AS t
+         |  FROM codes c JOIN b2 b USING (i)),
+         |adc AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY i)),
+         |      (a, x) -> a + x) AS dist
+         |  FROM term GROUP BY vec_id),
+         |pool AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT 40),
+         |topk AS (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e JOIN pool USING (vec_id) CROSS JOIN pv p
+         |  ORDER BY ${IvfSql.dist("e.v", "e.nn", "p.v", "p.nn")}, e.vec_id
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
 
