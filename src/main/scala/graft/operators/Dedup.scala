@@ -577,6 +577,39 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Corpus-order n-gram NOVELTY fractions — the incremental-value
+    * curation signal (how much of a document's n-gram vocabulary is
+    * FIRST INTRODUCED by that document, under the corpus's id order):
+    * for every distinct n-gram the min doc id is its first-occurrence
+    * holder; a doc's novelty is the fraction of its distinct n-grams it
+    * holds. Crawl-ordered ids make this "how much does this doc add
+    * beyond everything crawled before it" — the dedup-adjacent signal
+    * that downweights near-verbatim re-crawls without needing pairs.
+    *
+    * Scale shape: one shingle pass, ONE gram-keyed combinable min
+    * aggregate (the exchange carries distinct grams, never pairs), a
+    * broadcast-free equi-join back on the gram key, and a per-doc count
+    * aggregate. No pair volume anywhere — this is the signal to reach
+    * for when even banded pair generation is too expensive.
+    *
+    * Output: (id, n_grams, n_novel, novelty_frac); docs with fewer than
+    * n tokens have no n-grams and are absent from the output (the
+    * explode drops them — same posture as the other shingle operators).
+    */
+  def noveltyFractions(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
+    val grams = shingled(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("shingles")).as("g"))
+    val firstHolder = grams.groupBy("g").agg(min(col("id")).as("first_id"))
+    grams.join(firstHolder, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty_frac"))
+  }
+
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 divisor: Int = 8): DataFrame = {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")

@@ -430,6 +430,17 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // corpus-order n-gram novelty: each doc's fraction of distinct
+    // 3-grams it FIRST introduces (min-doc-id attribution) — the
+    // incremental-value signal that downweights near-verbatim re-crawls
+    // with NO pair volume anywhere (one gram-keyed min aggregate + a
+    // join back)
+    "d18_novelty" -> { (s, d) =>
+      Dedup.noveltyFractions(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet perplexity-bucket sharding: head/middle/tail thirds per
     // language by the t23 LM score, thresholds from an exact score
     // histogram (no corpus-wide sort; boundary ties land by VALUE, so
@@ -1593,6 +1604,24 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // same distinct 3-gram universe, min-doc-id attribution, same
+    // double division
+    "d18_novelty" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS w
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |g AS (
+         |  SELECT doc_id, unnest(${shinglesSql("w")}) AS g
+         |  FROM w WHERE len(w) >= 3),
+         |f AS (SELECT g, MIN(doc_id) AS first_id FROM g GROUP BY g)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+         |FROM g JOIN f USING (g)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // the t23 score block + integer-div quantization, the histogram
     // cumulative cut (SUM OVER cast to BIGINT at the window — ADVICE

@@ -841,6 +841,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.count(_._1 == big._1) === 1)
   }
 
+  test("noveltyFractions: verbatim re-crawl scores zero, fresh doc scores one; hand-computed overlap") {
+    val docs = textDf(
+      (1L, "a b c d e"),        // grams: abc bcd cde -> all novel (first id)
+      (2L, "a b c d e"),        // verbatim copy -> novelty 0
+      (3L, "c d e f g"),        // cde seen (doc 1); def efg novel -> 2/3
+      (4L, "x y"))              // < 3 tokens -> absent
+    val out = graft.operators.Dedup.noveltyFractions(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((3L, 3L)))
+    assert(out(2L) === ((3L, 0L)))
+    assert(out(3L) === ((3L, 2L)))
+  }
+
+  test("noveltyFractions: deterministic under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = graft.operators.Dedup.noveltyFractions(docs, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    val b = graft.operators.Dedup.noveltyFractions(docs.repartition(11), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("nextFitShards: refuses a non-integral id column loudly") {
     import spark.implicits._
     val docs = Seq(("doc-a", "w w w"), ("doc-b", "w w")).toDF("doc_id", "text")
