@@ -84,6 +84,48 @@ object TextLm {
         (sum(col("lp")) / count(lit(1))).as("mean_ll"))
   }
 
+  /** word2phrase collocation mining (Mikolov et al. 2013, "Distributed
+    * Representations of Words and Phrases", public): adjacent pairs
+    * whose co-occurrence beats chance —
+    * `score(a,b) = (C(ab) - delta) * N / (C(a) * C(b))` with
+    * delta = minCount (the published discount), quantized to 1e-6 units
+    * in EXACT integer arithmetic: every product is FORMED in
+    * DECIMAL(38,0) (the t33 rule — a long multiply of corpus-scale
+    * counts would wrap) and the division is integral, so the ranking is
+    * bit-reproducible and oracle-checkable.
+    *
+    * Scale shape: unigram and bigram counts are combinable hash
+    * aggregates (vocab-keyed exchanges, never the corpus); the score
+    * join keys candidate bigrams to the two unigram rows; N rides a
+    * broadcast 1-row cross join; top-k is a bounded TakeOrdered.
+    * Output: top-k (a, b, c_ab, score_q).
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.TextFunctions.tokens
+    val toks = graft.Tables.spread(docs)
+      .select(explode(tokens(col(textCol))).as("w"))
+    val totals = toks.agg(count(lit(1)).as("n"))
+    val cw = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val cab = bigrams(docs, idCol, textCol)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("a"),
+        substring_index(col("bg"), " ", -1).as("b"), col("c_ab"))
+    cab
+      .join(cw.toDF("a", "ca"), "a")
+      .join(cw.toDF("b", "cb"), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        expr(s"(CAST(c_ab - $minCount AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))" +
+          " * 1000000) div (CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))")
+          .as("score_q"))
+      .orderBy(col("score_q").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** CCNet-style perplexity-bucket sharding (Wenzek et al. 2020: each
     * language splits into head/middle/tail thirds by LM score before
     * mixing). Thresholds come from an EXACT score histogram — per-lang

@@ -111,6 +111,25 @@ object Events extends QueryPack {
         .orderBy(col("event_type"), col("bucket"))
     },
 
+    // SCD TYPE-2 interval build (the classic warehouse dimension shape):
+    // each user's event_type attribute becomes validity intervals —
+    // change rows open a segment (lag-inequality flag), lead() closes it
+    // (NULL = current). Timestamps leave as epoch micros so the compare
+    // is integer-exact; per-user windows only, no global partition.
+    "e21_scd2_intervals" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val segs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      segs
+        .withColumn("valid_to", unix_micros(lead(col("ts"), 1).over(w)))
+        .select(col("user_id"), col("event_id").as("seg_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"), col("seg_id"))
+    },
+
     // gap-based sessionization (streaming twin: sessionizeStream)
     "e2_sessionization" -> { (s, d) =>
       EventsStream.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
@@ -397,6 +416,19 @@ object Events extends QueryPack {
          |SELECT event_type, bucket, CAST(MAX(rho) AS INT) AS max_rho
          |FROM r GROUP BY 1, 2
          |ORDER BY event_type, bucket""".stripMargin,
+
+    // the identical change-flag + lead closure; epoch micros both sides
+    "e21_scd2_intervals" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT * FROM m WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id AS seg_id, event_type,
+        |  epoch_us(ts) AS valid_from,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to
+        |FROM s
+        |ORDER BY user_id, valid_from, seg_id""".stripMargin,
 
     "e2_sessionization" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

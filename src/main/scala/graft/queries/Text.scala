@@ -430,6 +430,14 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // word2phrase collocation mining: top-20 adjacent pairs by the
+    // Mikolov discounted-PMI score in exact integer arithmetic
+    // (decimal-formed products, integral div — bit-reproducible ranking)
+    "t41_collocations" -> { (s, d) =>
+      graft.operators.TextLm.collocations(Tables.documents(s, d),
+        "doc_id", "text", minCount = 5, k = 20)
+    },
+
     // corpus-order n-gram novelty: each doc's fraction of distinct
     // 3-grams it FIRST introduces (min-doc-id attribution) — the
     // incremental-value signal that downweights near-verbatim re-crawls
@@ -1604,6 +1612,31 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // same unigram/bigram counts, same decimal-formed discounted-PMI
+    // quantization (HUGEINT products mirror the DECIMAL(38,0) ones)
+    "t41_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($toksSql) AS w
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         |cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+         |tw AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+1], ' '))) AS bg
+         |  FROM tw),
+         |cab AS (
+         |  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c_ab
+         |  FROM bg GROUP BY bg HAVING COUNT(*) >= 5),
+         |sc AS (
+         |  SELECT cab.a, cab.b, cab.c_ab,
+         |    (CAST(cab.c_ab - 5 AS HUGEINT) * (SELECT n FROM tot) * 1000000)
+         |      // (CAST(wa.c AS HUGEINT) * wb.c) AS score_q
+         |  FROM cab JOIN cw wa ON wa.w = cab.a JOIN cw wb ON wb.w = cab.b)
+         |SELECT a, b, c_ab, CAST(score_q AS BIGINT) AS score_q
+         |FROM sc ORDER BY score_q DESC, a ASC, b ASC LIMIT 20""".stripMargin,
 
     // same distinct 3-gram universe, min-doc-id attribution, same
     // double division
