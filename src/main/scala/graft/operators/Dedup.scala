@@ -577,6 +577,63 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Near-SUPERSET detection via exact shingle CONTAINMENT — the dedup
+    * case Jaccard structurally misses: a small document wrapped in
+    * boilerplate (or quoted whole inside a bigger one) has
+    * `|A n B| / |A| ~ 1` while Jaccard is low because |B| dominates the
+    * union. Emits DIRECTED evidence `(contained, container)` where the
+    * contained doc's df-filtered shingle set lies inside the container's
+    * at >= `minContainment`, with the smaller set always the contained
+    * side (equal sizes tie-break by id, so identical sets emit once).
+    *
+    * Same relational skeleton and guard discipline as
+    * [[jaccardNearDupPairs]]: df blocking BEFORE both numerator and
+    * sizes (containment is exact over the filtered universe), candidate
+    * volume exactly counted and refused past `maxPairEstimate`.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContainment: Double = 0.9,
+                       maxDf: Option[Int] = None,
+                       maxPairEstimate: Long = 50000000L): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
+    var ex = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = maxDf.fold(dfs)(m => dfs.filter(col("df") <= m))
+      val est = kept.agg(sum(col("df") * (col("df") - lit(1L)))).head()
+      val pairVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+      require(pairVolume <= maxPairEstimate,
+        s"containmentPairs would shuffle ~$pairVolume candidate pairs " +
+          s"after maxDf=$maxDf blocking (> $maxPairEstimate): tighten " +
+          "maxDf or raise maxPairEstimate deliberately")
+      maxDf.foreach { _ =>
+        ex = ex.join(kept.select(col("s")), "s").select(col("id"), col("s"))
+      }
+    } catch {
+      case e: Throwable => dfs.unpersist(); throw e
+    }
+    ex = ex.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = ex.toDF("id1", "s").join(ex.toDF("id2", "s"), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("id1", "sz1"), "id1")
+      .join(sizes.toDF("id2", "sz2"), "id2")
+    val tau = lit(minContainment)
+    val fwd = common // id1 contained in id2
+      .filter(col("common").cast("double") / col("sz1") >= tau &&
+        (col("sz1") < col("sz2") ||
+          (col("sz1") === col("sz2") && col("id1") < col("id2"))))
+      .select(col("id1").as("contained"), col("id2").as("container"))
+    val bwd = common // id2 contained in id1 (strictly smaller only)
+      .filter(col("common").cast("double") / col("sz2") >= tau &&
+        col("sz2") < col("sz1"))
+      .select(col("id2").as("contained"), col("id1").as("container"))
+    fwd.unionByName(bwd).orderBy(col("contained"), col("container"))
+  }
+
   /** Corpus-order n-gram NOVELTY fractions — the incremental-value
     * curation signal (how much of a document's n-gram vocabulary is
     * FIRST INTRODUCED by that document, under the corpus's id order):

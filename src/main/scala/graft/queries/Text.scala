@@ -430,6 +430,15 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // near-superset containment: directed (contained, container) pairs
+    // where the smaller df-filtered shingle set sits >= 90% inside the
+    // larger — the boilerplate-wrapping dedup case Jaccard misses;
+    // maxDf=50 keeps the counted candidate volume bounded through sf1
+    "d19_containment_pairs" -> { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minContainment = 0.9, maxDf = Some(50))
+    },
+
     // word2phrase collocation mining: top-20 adjacent pairs by the
     // Mikolov discounted-PMI score in exact integer arithmetic
     // (decimal-formed products, integral div — bit-reproducible ranking)
@@ -1612,6 +1621,32 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // same df-filtered universe; both containment directions with the
+    // same size/id tie-breaks
+    "d19_containment_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("w")} AS shingles FROM toks),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 50),
+         |ex AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id1, id2, common, s1.sz AS sz1, s2.sz AS sz2
+         |  FROM pairs
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id)
+         |SELECT id1 AS contained, id2 AS container FROM j
+         |WHERE common * 1.0 / sz1 >= 0.9
+         |  AND (sz1 < sz2 OR (sz1 = sz2 AND id1 < id2))
+         |UNION ALL
+         |SELECT id2, id1 FROM j
+         |WHERE common * 1.0 / sz2 >= 0.9 AND sz2 < sz1
+         |ORDER BY contained, container""".stripMargin,
 
     // same unigram/bigram counts, same decimal-formed discounted-PMI
     // quantization (HUGEINT products mirror the DECIMAL(38,0) ones)

@@ -841,6 +841,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.count(_._1 == big._1) === 1)
   }
 
+  test("containmentPairs: finds the boilerplate-wrapped doc Jaccard misses; direction and tie-breaks") {
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val boiler = "nav header menu login search footer copyright terms " +
+      "privacy contact about sitemap rss feed subscribe newsletter"
+    val docs = textDf(
+      (1L, core),                               // the small doc
+      (2L, boiler + " " + core + " " + boiler), // wrapped: contains doc 1
+      (3L, "totally different words entirely unrelated content here"),
+      (4L, core))                               // identical set to doc 1
+    val got = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 and 4 are identical sets -> one directed row (smaller id contained);
+    // both sit inside 2; 3 matches nothing
+    assert(got === Set((1L, 2L), (4L, 2L), (1L, 4L)))
+    // Jaccard at the same threshold misses the wrap (union dominated by 2)
+    val jac = graft.operators.Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+    // the counted-volume guard refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, maxPairEstimate = 1L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+  }
+
   test("noveltyFractions: verbatim re-crawl scores zero, fresh doc scores one; hand-computed overlap") {
     val docs = textDf(
       (1L, "a b c d e"),        // grams: abc bcd cde -> all novel (first id)
