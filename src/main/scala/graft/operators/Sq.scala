@@ -98,6 +98,51 @@ object Sq {
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(r)
 
+  /** Persist the SQ index: the encoded corpus under `codes/` plus a
+    * tiny `bounds/` sidecar (dim rows) — encode once, scan 4x-narrower
+    * codes forever (the [[Pq.save]] amortization argument; at 100 TB
+    * re-encoding per session is a full corpus pass wasted).
+    */
+  def save(model: SqModel, codes: DataFrame, idCol: String, path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.select(col(idCol).cast("long").as("id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    model.mins.indices.map(d => (d, model.mins(d), model.maxs(d)))
+      .toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+  }
+
+  /** Load the bounds sidecar back into an [[SqModel]] (dim rows — a
+    * bounded collect).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): SqModel = {
+    val rows = spark.read.parquet(s"$path/bounds")
+      .orderBy("dim").collect()
+    require(rows.nonEmpty, s"no SQ bounds sidecar at $path/bounds")
+    SqModel(rows.map(_.getFloat(1)), rows.map(_.getFloat(2)))
+  }
+
+  /** Append new rows to a saved index: encode against the STORED bounds
+    * (values outside the trained range clamp to 0/255 — the documented
+    * SQ append semantics; retrain when drift matters) and add their
+    * codes to `codes/`.
+    */
+  def appendSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                  extra: DataFrame, idCol: String, vecCol: String): Unit = {
+    val model = loadModel(spark, path)
+    encode(extra, idCol, vecCol, model)
+      .select(col(idCol).cast("long").as("id"), col("code"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Serve an ADC top-r pool from the saved codes. */
+  def searchSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                  probe: Array[Float], r: Int): DataFrame = {
+    val model = loadModel(spark, path)
+    searchADC(spark.read.parquet(s"$path/codes"), "code", "id", model, probe, r)
+  }
+
   /** ADC pool then exact cosine re-rank of the r-bounded candidates on
     * the raw vectors (the [[Pq.searchRefine]] recall mitigation).
     */

@@ -305,6 +305,25 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // SQ8 PERSISTENCE lifecycle (the v14 maintenance shape applied to
+    // the scalar quantizer): train bounds on 80% of the corpus, save
+    // codes + the bounds sidecar, append the held-out 20% against the
+    // STORED bounds (out-of-range values clamp — the documented SQ
+    // append semantics), then serve an ADC top-10 from the saved codes
+    "v28_sq8_saved_search" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val extra = e.filter(col("vec_id") % 5 === 0)
+      val model = graft.operators.Sq.train(base, "embedding")
+      val codes = graft.operators.Sq.encode(base, "vec_id", "embedding", model)
+      val path = s"/dev/shm/graft_sq_${new java.io.File(d).getName}"
+      graft.operators.Sq.save(model, codes, "vec_id", path)
+      graft.operators.Sq.appendSaved(s, path, extra, "vec_id", "embedding")
+      graft.operators.Sq.searchSaved(s, path, probeOf(s, d, 0L), r = 10)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // IVF x SQ8 composition (the FAISS IVF,SQ8 index shape): the v13
     // bucket-pruning stage feeds the v26 scalar quantizer — nprobe
     // centroid buckets nominate candidates, SQ ADC ranks ONLY those,
@@ -979,6 +998,40 @@ object Vectors extends QueryPack {
          |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
          |  LIMIT 10)
          |SELECT id FROM topk ORDER BY id""".stripMargin,
+
+    // bounds trained on the 80% side only; every vector (incl. the
+    // appended 20%) quantized against those bounds with the clamp live
+    "v28_sq8_saved_search" ->
+      s"""WITH bounds AS MATERIALIZED (
+         |  SELECT g.i,
+         |    CAST(MIN(embedding[g.i]) AS DOUBLE) AS mn,
+         |    CAST(MAX(embedding[g.i]) AS DOUBLE) - CAST(MIN(embedding[g.i]) AS DOUBLE) AS rg
+         |  FROM embeddings, generate_series(1, 64) AS g(i)
+         |  WHERE vec_id % 5 <> 0
+         |  GROUP BY g.i),
+         |b2 AS MATERIALIZED (SELECT i, mn, rg, rg / 255.0 AS s FROM bounds),
+         |codes AS MATERIALIZED (
+         |  SELECT e.vec_id, b.i,
+         |    CASE WHEN b.rg = 0 THEN 0
+         |         ELSE CAST(LEAST(255, GREATEST(0,
+         |           FLOOR((CAST(e.embedding[b.i] AS DOUBLE) - b.mn) / b.rg * 255.0 + 0.5)))
+         |           AS BIGINT) END AS code
+         |  FROM embeddings e CROSS JOIN b2 b),
+         |qprobe AS MATERIALIZED (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+         |  FROM embeddings WHERE vec_id = 0),
+         |term AS (
+         |  SELECT c.vec_id, c.i,
+         |    ((b.mn + CAST(c.code AS DOUBLE) * b.s) - (SELECT q FROM qprobe)[c.i])
+         |    * ((b.mn + CAST(c.code AS DOUBLE) * b.s) - (SELECT q FROM qprobe)[c.i]) AS t
+         |  FROM codes c JOIN b2 b USING (i)),
+         |adc AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY i)),
+         |      (a, x) -> a + x) AS dist
+         |  FROM term GROUP BY vec_id),
+         |pool AS (SELECT vec_id AS id FROM adc ORDER BY dist, vec_id LIMIT 10)
+         |SELECT id FROM pool ORDER BY id""".stripMargin,
 
     // the v13 bucket CTEs composed with the v26 quantization CTEs: the
     // ADC pool ranks only rows whose IVF bucket is probed

@@ -46,6 +46,32 @@ class SqSpec extends AnyFunSuite {
     assert(got === exact)
   }
 
+  test("persistence lifecycle: save -> load -> append -> serve round-trips exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val df = vecs((1L to 120L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 4f - 2f))): _*)
+    val base = df.filter(col("vec_id") % 4 =!= 0)
+    val extra = df.filter(col("vec_id") % 4 === 0)
+    val m = Sq.train(base, "embedding")
+    val path = "/tmp/graft_sq_spec"
+    Sq.save(m, Sq.encode(base, "vec_id", "embedding", m), "vec_id", path)
+    val back = Sq.loadModel(spark, path)
+    assert(back.mins.toSeq === m.mins.toSeq && back.maxs.toSeq === m.maxs.toSeq)
+    Sq.appendSaved(spark, path, extra, "vec_id", "embedding")
+    val probe = df.filter(col("vec_id") === 5L).head().getSeq[Float](1).toArray
+    val served = Sq.searchSaved(spark, path, probe, r = 15)
+      .collect().map(_.getLong(0)).toSeq
+    // serving the saved index equals the in-memory ADC over ALL codes
+    val direct = Sq.searchADC(Sq.encode(df, "vec_id", "embedding", m),
+      "code", "vec_id", m, probe, r = 15)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served === direct)
+    // appended ids are actually searchable
+    assert(served.nonEmpty && Sq.searchSaved(spark, path, probe, r = 120)
+      .collect().map(_.getLong(0)).toSet.exists(_ % 4 == 0))
+  }
+
   test("ADC recall sanity: the quantized pool at r=20 contains the exact top-1") {
     import graft.operators.Knn
     val rnd = new scala.util.Random(59)
