@@ -316,6 +316,54 @@ object EventsStream {
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
 
+  case class Scd2State(tpe: String, fromMicros: Long, segId: Long)
+  case class Scd2Closed(user_id: Long, seg_id: Long, event_type: String,
+      valid_from: Long, valid_to: Long)
+
+  /** Full-precision epoch micros of a Timestamp (getTime alone floors
+    * to millis; the sub-milli micros live in getNanos).
+    */
+  private def microsOf(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Streaming twin of the e21 SCD TYPE-2 build: per-user state holds
+    * the OPEN attribute segment; an arriving event with a different
+    * event_type CLOSES it (emitting the finished validity interval —
+    * append-mode, each closed segment exactly once) and opens the next.
+    * The emitted rows equal the batch form's valid_to-NOT-NULL rows;
+    * the open segment per user stays in state (it is the batch form's
+    * NULL-valid_to row, by definition not yet emittable).
+    *
+    * Delivery contract (documented, not hidden): SCD2 state transitions
+    * are order-DEPENDENT, so this twin requires per-key in-order
+    * delivery across batches — the Kafka-partitioned-by-key regime;
+    * within a batch arrivals are sorted by (ts, event_id) like the
+    * sessionize twin. Cross-batch disorder needs the batch operator.
+    *
+    * State: ONE small record per user — bounded by the key space, never
+    * by the stream.
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[Scd2State]) =>
+          var out = List.empty[Scd2Closed]
+          var s = state.getOption.orNull
+          evs.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+            val m = microsOf(e.ts)
+            if (s == null) s = Scd2State(e.event_type, m, e.event_id)
+            else if (s.tpe != e.event_type) {
+              out ::= Scd2Closed(uid, s.segId, s.tpe, s.fromMicros, m)
+              s = Scd2State(e.event_type, m, e.event_id)
+            }
+          }
+          if (s != null) state.update(s)
+          out.reverse.iterator
+      }
+  }
+
   /** Streaming sessionization with explicit per-user state: emits the
     * running (n_sessions, n_events) per user on every trigger; state is
     * one record per user.

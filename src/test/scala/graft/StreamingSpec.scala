@@ -363,6 +363,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2: closed segments match the batch build's non-NULL intervals") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.scd2Stream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out")
+      .start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = SparkEntry.queries("e21_scd2_intervals")(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("valid_to").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+      // open segments stay in state: one per user, = the batch NULL rows
+      val nOpen = SparkEntry.queries("e21_scd2_intervals")(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("valid_to").isNull).count()
+      val nUsers = Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      assert(nOpen === nUsers)
+    } finally q.stop()
+  }
+
   test("watermark finalizes windows and drops too-late events (append mode)") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
