@@ -260,6 +260,24 @@ object Relational extends QueryPack {
         .orderBy(col("c_custkey"))
     },
 
+    // multiset set ops (the ALL variants q10's distinct forms skip):
+    // INTERSECT ALL / EXCEPT ALL preserve duplicate multiplicities —
+    // orderkey appears once per qualifying lineitem, so the bag
+    // semantics are live and the counts gate them
+    "q35_setops_all" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val shipped = l.filter(col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .select(col("l_orderkey"))
+      val returned = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      val highqty = l.filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"))
+      shipped.intersectAll(returned).exceptAll(highqty)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("l_orderkey"))
+    },
+
     // --- anti join ----------------------------------------------------------
     "q11_customers_without_orders" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -987,6 +1005,18 @@ object Relational extends QueryPack {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // the same bag algebra: DuckDB's ALL variants carry multiplicities
+    "q35_setops_all" ->
+      """SELECT l_orderkey, COUNT(*) AS multiplicity
+        |FROM (
+        |  (SELECT l_orderkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |   INTERSECT ALL
+        |   SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
 
     "q12_rollup" ->
       """SELECT l_returnflag, l_linestatus,
