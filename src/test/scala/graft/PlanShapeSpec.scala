@@ -231,4 +231,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), s"hash aggregate expected:\n$plan")
     assert(!plan.contains("Generate"), s"no explode in the register path:\n$plan")
   }
+
+  test("x4 neural embed-search: scan -> forward pass -> top-k heaps, zero corpus shuffle") {
+    val plan = planOf("x4_neural_embed_search")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k heaps expected:\n$plan")
+    // the forward pass runs per partition; the corpus never shuffles
+    // (only the k-sized rank window may single-partition downstream)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the neural encode path must not shuffle the corpus:\n$plan")
+  }
+
+  test("v26 SQ8: the ADC ranks through TakeOrdered heaps with no pre-heap shuffle") {
+    val plan = planOf("v26_sq8_refine")
+    assert(plan.contains("TakeOrderedAndProject"), s"ADC top-k heaps expected:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the refine path is filter + heap only:\n$plan")
+  }
+
+  test("d18/d19 dedup signals never nested-loop or cartesian") {
+    for (q <- Seq("d18_novelty", "d19_containment_pairs")) {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q must stay on equi-joins:\n$plan")
+    }
+  }
+
+  test("q34 recursion executes as UnionLoop, not an unrolled plan") {
+    val plan = planOf("q34_recursive_reach")
+    assert(plan.contains("UnionLoop"), s"recursive execution expected:\n$plan")
+  }
 }
