@@ -575,6 +575,25 @@ object Relational extends QueryPack {
         .orderBy("event_type")
     },
 
+    // correlated scalar subqueries under the hash gate — including the
+    // classic COUNT bug: the count subquery must return 0 (not NULL)
+    // for orders with no qualifying lineitem, which is exactly what
+    // Catalyst's decorrelation rewrite must preserve while turning both
+    // subqueries into aggregated outer joins
+    "q36_correlated_subquery" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_q36")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q36")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice,
+          (SELECT COUNT(*) FROM lineitem_q36
+           WHERE l_orderkey = o_orderkey AND l_quantity >= 49) AS n_big,
+          (SELECT MAX(l_quantity) FROM lineitem_q36
+           WHERE l_orderkey = o_orderkey AND l_quantity >= 49) AS max_big
+        FROM orders_q36
+        WHERE o_totalprice > 400000
+        ORDER BY o_orderkey""")
+    },
+
     // WITH RECURSIVE (Spark 4.1's UnionLoop execution) under the hash
     // gate: depth-bounded BFS from the minimum part over the sparse
     // co-purchase graph, reporting hop distance AND path multiplicity —
@@ -770,6 +789,18 @@ object Relational extends QueryPack {
     // the identical peel, 12 unrolled rounds (matching the engine's
     // maxRounds refusal bound; idempotent once converged)
     "g3_kcore" -> kcoreSql(k = 4, rounds = 12),
+
+    // identical correlated subqueries — DuckDB's decorrelation preserves
+    // the same 0-vs-NULL count semantics
+    "q36_correlated_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_quantity >= 49) AS n_big,
+        |  (SELECT MAX(l_quantity) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_quantity >= 49) AS max_big
+        |FROM orders
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the identical recursion (und is not MATERIALIZED: it is consumed
     // once per iteration and DuckDB handles the bounded depth natively)
