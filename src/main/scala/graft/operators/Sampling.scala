@@ -205,4 +205,70 @@ object Sampling {
       .select(col("id"), col("n_tok"),
         expr("ratio_sum div n_tok").as("mean_ratio_q"))
   }
+
+  /** Deterministic weighted SYSTEMATIC sampling (Madow 1949's systematic
+    * PPS design, public): k equally-spaced positions (stride W/k,
+    * midpoint offset) on the id-ordered cumulative-weight line select
+    * the documents covering them — inclusion probability proportional
+    * to weight, variance far below independent PPS draws, and the whole
+    * selection a pure integer function of (corpus, k): no RNG, no
+    * floats, hash-exact cross-engine. Heavy documents may cover several
+    * positions (each selection row carries its position index j). The
+    * training-data use: "sample this corpus down to ~k equal token
+    * slots" with long docs represented proportionally.
+    *
+    * Scale shape: the cumulative line comes from the t21 two-pass
+    * distributed prefix sum (per-partition totals as broadcast base
+    * offsets — NEVER a single-partition window); selection is a per-row
+    * integer range + sequence explode (at most one output row per
+    * covered position). All divisions on non-negative longs, so Spark's
+    * truncating `div` and the oracle's floor `//` agree.
+    *
+    * Output: (j in [0, k), id, w) ordered by j.
+    */
+  def systematicSample(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, numPartitions: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.TextFunctions.token_count
+    val spark = docs.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+    val counted = docs
+      .select(col(idCol).as("id"), token_count(col(textCol)).cast("long").as("w"))
+      .repartitionByRange(n, col("id"))
+      .sortWithinPartitions(col("id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val totals = counted.groupBy(col("pid")).agg(sum(col("w")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= n rows
+      val w = totals.values.sum
+      require(w >= k,
+        s"systematicSample: corpus weight $w < k=$k sample positions")
+      val stride = w / k
+      val h = stride / 2
+      val bases = {
+        val ids = totals.keys.toSeq.sorted
+        val acc = ids.scanLeft(0L)((s, p) => s + totals(p))
+        ids.zip(acc).toMap
+      }
+      val baseOf = coalesce(
+        element_at(typedLit(bases), col("pid")), lit(0L))
+      val win = Window.partitionBy(col("pid")).orderBy(col("id"))
+      val out = counted
+        .withColumn("start", sum(col("w")).over(win) + baseOf - col("w"))
+        .withColumn("j_lo",
+          when(col("start") <= h, lit(0L))
+            .otherwise(expr(s"(start - $h + $stride - 1) div $stride")))
+        .withColumn("j_hi",
+          least(lit(k - 1L),
+            when(col("start") + col("w") <= h, lit(-1L))
+              .otherwise(expr(s"(start + w - 1 - $h) div $stride"))))
+        .filter(col("j_lo") <= col("j_hi"))
+        .select(explode(sequence(col("j_lo"), col("j_hi"))).as("j"),
+          col("id"), col("w"))
+        .orderBy(col("j"))
+      out.localCheckpoint(true) // realize before unpersist releases pids
+    } finally counted.unpersist()
+  }
 }

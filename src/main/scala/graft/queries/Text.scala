@@ -430,6 +430,16 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // weighted systematic sampling: 25 equally-spaced positions on the
+    // id-ordered cumulative token line — inclusion ~ token weight,
+    // no RNG, pure integer selection (the two-pass distributed prefix
+    // sum supplies the line; nothing windows globally)
+    "t42_systematic_sample" -> { (s, d) =>
+      graft.operators.Sampling.systematicSample(
+        Tables.documents(s, d), "doc_id", "text", k = 25)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // near-superset containment: directed (contained, container) pairs
     // where the smaller df-filtered shingle set sits >= 90% inside the
     // larger — the boilerplate-wrapping dedup case Jaccard misses;
@@ -1621,6 +1631,35 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // the same cumulative line (window cumsum is fine at oracle scale),
+    // stride/midpoint arithmetic, and j ranges — divisions stay on
+    // non-negative longs so // and div agree
+    "t42_systematic_sample" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS w
+         |  FROM documents),
+         |cw AS (
+         |  SELECT doc_id, w,
+         |    SUM(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW) - w AS start
+         |  FROM c),
+         |p AS (
+         |  SELECT (SUM(w) // 25) AS stride, (SUM(w) // 25) // 2 AS h
+         |  FROM c),
+         |sel AS (
+         |  SELECT cw.doc_id, cw.w,
+         |    CASE WHEN cw.start <= p.h THEN 0
+         |         ELSE (cw.start - p.h + p.stride - 1) // p.stride END AS j_lo,
+         |    LEAST(24, CASE WHEN cw.start + cw.w <= p.h THEN -1
+         |         ELSE (cw.start + cw.w - 1 - p.h) // p.stride END) AS j_hi
+         |  FROM cw CROSS JOIN p)
+         |SELECT unnest(generate_series(CAST(j_lo AS BIGINT), CAST(j_hi AS BIGINT))) AS j,
+         |  doc_id, w
+         |FROM sel WHERE j_lo <= j_hi
+         |ORDER BY j""".stripMargin,
 
     // same df-filtered universe; both containment directions with the
     // same size/id tie-breaks

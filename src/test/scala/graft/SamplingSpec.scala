@@ -167,6 +167,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.count() === 60)
   }
 
+  test("systematicSample: exactly k positions, weight-proportional coverage, partition-invariant") {
+    import spark.implicits._
+    // one huge doc among small ones: it must cover multiple positions
+    val docs = ((1L to 40L).map(i => (i, ("w " * 10).trim)) :+
+      (41L, ("w " * 400).trim)).toDF("doc_id", "text")
+    val out = Sampling.systematicSample(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.map(_._1).sorted === (0L until 8L))          // every position once
+    val heavy = out.count(_._2 == 41L)
+    // doc 41 holds 400 of 800 tokens -> ~half the positions
+    assert(heavy >= 3 && heavy <= 5, s"heavy doc covered $heavy of 8")
+    val out7 = Sampling.systematicSample(docs.repartition(7), "doc_id", "text",
+      k = 8, numPartitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out7 === out)
+    // refusal when the corpus has fewer weight units than positions
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.systematicSample(tiny, "doc_id", "text", k = 10)
+    }
+    assert(e.getMessage.contains("sample positions"))
+  }
+
   test("importanceWeights: deterministic under repartitioning") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions.col
