@@ -74,6 +74,35 @@ object Curate {
       obsIn, obsGate, obsKept)
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the eval-hygiene composition:
+    * a test document whose near-duplicate sits in train is contamination
+    * by construction, so near-dup CLUSTERS move between splits as
+    * units. Pairs come from the exact Jaccard baseline (df-blocked,
+    * counted-volume guarded), components from the min-label
+    * propagation, and the split decision hashes the CLUSTER LABEL (the
+    * component minimum; singletons label themselves) through the t24
+    * hashSplit rule — so membership stays a pure function of
+    * (salt, corpus) and every cluster lands whole.
+    *
+    * Output: (id, label, split). Scale: the pair/cluster stages carry
+    * the d2/d7 postures (guards included); the split adds one
+    * broadcast-size join of cluster labels + a per-row hash.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       weights: Seq[(String, Double)],
+                       n: Int = 3, minJaccard: Double = 0.5,
+                       maxDf: Option[Int] = None,
+                       salt: String = "graft"): DataFrame = {
+    val pairs = Dedup.jaccardNearDupPairs(docs, idCol, textCol,
+      n = n, minJaccard = minJaccard, maxDf = maxDf)
+    val clusters = Dedup.nearDupClusters(pairs) // (id, keeper)
+    val labeled = docs.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("keeper"), col("id")).as("label"))
+    Sampling.hashSplit(labeled, "label", weights, salt)
+      .select(col("id"), col("label"), col("split"))
+  }
+
   /** Per-domain document cap — the C4/RefinedWeb web-corpus step that
     * keeps any one site from dominating the training mix: canonicalize
     * each row's URL, group by its lowercased host, and keep at most

@@ -282,11 +282,24 @@ object Dedup {
         // the materializing action IS the convergence check (null on empty)
         val moved = next.agg(sum(when(col("moved"), 1L).otherwise(0L))).head()
         val changed = if (moved.isNullAt(0)) 0L else moved.getLong(0)
-        prevKept.unpersist()
+        if (prevKept != null) prevKept.unpersist() // null right after a truncation round
         prevKept = null
         labels = next.select(col("node"), col("label"))
         converged = changed == 0L
         rounds += 1
+        // periodic lineage truncation: each round's plan re-embeds the
+        // pair-join subtree through the previous labels, so a DEEP
+        // component chain (many rounds) grows the plan string past the
+        // heap even though the data is tiny (the KCore lesson — AQE
+        // stringifies the full plan per job). Every 4th round cuts the
+        // chain; shallow corpora (the common case, and every standing
+        // bench number) never reach this branch.
+        if (!converged && rounds % 4 == 0) {
+          val cut = labels.localCheckpoint(true)
+          kept.unpersist()
+          kept = null
+          labels = cut
+        }
       }
       done = true
       labels.select(col("node").as("id"), col("label").as("keeper"))

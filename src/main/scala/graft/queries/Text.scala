@@ -430,6 +430,20 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // LEAKAGE-SAFE split: near-dup clusters (exact Jaccard pairs ->
+    // min-label components) move between train/val/test as UNITS —
+    // the split hashes the cluster label, not the doc id, so no test
+    // doc can have a near-duplicate in train; maxDf=50 keeps the pair
+    // stage inside its counted guard through sf1
+    "t43_leakage_safe_split" -> { (s, d) =>
+      graft.operators.Curate.leakageSafeSplit(Tables.documents(s, d),
+        "doc_id", "text",
+        weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        maxDf = Some(50))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // weighted systematic sampling: 25 equally-spaced positions on the
     // id-ordered cumulative token line — inclusion ~ token weight,
     // no RNG, pure integer selection (the two-pass distributed prefix
@@ -1631,6 +1645,44 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // the d7 recursive components over the df=50 pair universe, then
+    // the t24 split rule applied to the cluster label
+    "t43_leakage_safe_split" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("w")} AS shingles FROM toks),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 50),
+         |ex AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+         |prs AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM prs
+         |          UNION SELECT id2, id1 FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |cl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS keeper
+         |       FROM reach GROUP BY src),
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(cl.keeper, d.doc_id) AS label
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, label,
+         |    CAST(concat('0x', substr(md5('graft' || CAST(label AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+         |  FROM lab)
+         |SELECT doc_id, label,
+         |  CASE WHEN bucket < 3435973836 THEN 'train'
+         |       WHEN bucket < 3865470566 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // the same cumulative line (window cumsum is fine at oracle scale),
     // stride/midpoint arithmetic, and j ranges — divisions stay on
