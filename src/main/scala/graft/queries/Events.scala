@@ -96,6 +96,17 @@ object Events extends QueryPack {
         .orderBy(col("event_type"), col("bucket"))
     },
 
+    // TIME-BUCKETED registers (the windowed-analytics form of e19):
+    // distinct users per (hour, type) as one combinable sketch pass —
+    // the exchange carries hours x types x 256 rows, mergeable across
+    // days by construction (e19b's union-max applies unchanged)
+    "e22_hourly_hll" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("hr", unix_micros(date_trunc("hour", col("ts"))))
+      graft.operators.Hll.registers(ev, Seq("hr", "event_type"), col("user_id"))
+        .orderBy(col("hr"), col("event_type"), col("bucket"))
+    },
+
     // CROSS-SHARD register merge: two disjoint event shards build their
     // registers independently, merge via union + the same max aggregate,
     // and must equal the single-pass registers — the "mergeable by
@@ -399,6 +410,24 @@ object Events extends QueryPack {
          |SELECT event_type, bucket, CAST(MAX(rho) AS INT) AS max_rho
          |FROM r GROUP BY 1, 2
          |ORDER BY event_type, bucket""".stripMargin,
+
+    // the e19 stream keyed by (hour, type); epoch-micros hours
+    "e22_hourly_hll" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hr, event_type,
+         |    CAST(user_id AS VARCHAR) AS s
+         |  FROM events),
+         |h AS (SELECT hr, event_type, ${SketchSql.FnvSql} AS z FROM v),
+         |${SketchSql.mixLayerCtes("h", Seq("hr", "event_type"))},
+         |r AS (
+         |  SELECT hr, event_type,
+         |    CAST(u >> 56 AS INT) AS bucket,
+         |    CASE WHEN (u & 72057594037927935) = 0 THEN 57
+         |         ELSE 57 - len(bin(CAST(u & 72057594037927935 AS BIGINT))) END AS rho
+         |  FROM hmu)
+         |SELECT hr, event_type, bucket, CAST(MAX(rho) AS INT) AS max_rho
+         |FROM r GROUP BY 1, 2, 3
+         |ORDER BY hr, event_type, bucket""".stripMargin,
 
     // deliberately the SAME single-pass SQL: union-max of the two
     // shards' registers must hash-equal one pass over the whole corpus
