@@ -572,6 +572,41 @@ object Reference extends QueryPack {
           org.apache.spark.sql.expressions.Window.orderBy(col("dist").asc, col("id").asc))
           .cast("long"))
         .select(col("id").as("doc_id"), col("rnk"))
+    },
+
+    // the FULL production pipeline as ONE composed plan (x4's neural
+    // encoder feeding v26's SQ8 quantizer feeding the exact-cosine
+    // refine): documents forward-pass to exact-integer embeddings,
+    // per-dim bounds train on those, 8-bit codes rank an ADC pool, the
+    // raw neural vectors re-rank the top-40 — every stage individually
+    // gated elsewhere, composed here so stage boundaries (the usual
+    // integration-bug habitat) sit under the hash too. The embedding
+    // table localCheckpoints once (encode-once; three consumers).
+    // the FULL production pipeline as ONE composed plan (x4's neural
+    // encoder feeding v26's SQ8 quantizer feeding the exact-cosine
+    // refine): documents forward-pass to exact-integer embeddings,
+    // per-dim bounds train on those, 8-bit codes rank an ADC pool, the
+    // raw neural vectors re-rank the top-40 — every stage individually
+    // gated elsewhere, composed here so the stage boundaries (the usual
+    // integration-bug habitat) sit under the hash too. The embedding
+    // table localCheckpoints once (encode-once; three consumers).
+    "x6_neural_sq_pipeline" -> { (s, d) =>
+      import s.implicits._
+      val model = graft.operators.NeuralEmbed.generate(EmbedDim, NeuralHidden, EmbedDim)
+      val docs = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .as[graft.operators.Embed.TextRow]
+      val emb = graft.operators.NeuralEmbed.embedText(docs, model).toDF()
+        .filter(dot_product(col("embedding"), col("embedding")) > 0)
+        .localCheckpoint(true)
+      val sq = graft.operators.Sq.train(emb, "embedding")
+      val codes = graft.operators.Sq.encode(emb, "id", "embedding", sq)
+      val probe = graft.operators.NeuralEmbed.embedQuery(EmbedQuery, model)
+      graft.operators.Sq.searchRefine(codes, "code", "id",
+        emb, "id", "embedding", sq, probe, k = 10, r = 40)
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -604,6 +639,74 @@ object Reference extends QueryPack {
        |    * (1.0 + CAST(u & 4503599627370495 AS DOUBLE) / 4503599627370496.0)
        |    * power(2.0, CAST((u >> 52) & 2047 AS BIGINT) - 1023) END
        | FROM (SELECT $u64 AS u))""".stripMargin
+  }
+
+  /** The x4 MLP forward pass as shared oracle CTEs (weights re-derived
+    * from the splitmix64 formula, hashed BOW, W1x+b1 -> ReLU -> W2h+b2
+    * for every document and the query): ends with `yd` (doc_id, k, y)
+    * and `qy` (k, y), both exact-integer doubles — x4 ranks them
+    * directly; x6 quantizes them through the v26 SQ stage first.
+    */
+  private def neuralForwardCtes: String = {
+    import graft.operators.NeuralEmbed.{SeedW1, SeedB1, SeedW2, SeedB2}
+    val d0 = EmbedDim; val d1 = NeuralHidden; val dOut = EmbedDim
+    s"""dt AS (
+         |  SELECT doc_id, unnest(${SketchSql.ToksSql}) AS s
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |f AS (SELECT doc_id, ${SketchSql.FnvSql} AS z FROM dt),
+         |${SketchSql.mixLayerCtes("f", Seq("doc_id"))},
+         |db AS (
+         |  SELECT doc_id, CAST((u >> 1) % $d0 AS INT) AS idx,
+         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM fmu),
+         |dvi AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v
+         |        FROM db GROUP BY doc_id, idx),
+         |qt AS (SELECT unnest(string_split_regex(trim('$EmbedQuery'), '\\s+')) AS s),
+         |qf AS (SELECT 1 AS q1, ${SketchSql.FnvSql} AS z FROM qt),
+         |${SketchSql.mixLayerCtes("qf", Seq("q1"))},
+         |qb AS (
+         |  SELECT CAST((u >> 1) % $d0 AS INT) AS idx,
+         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM qfmu),
+         |qvi AS (SELECT idx, CAST(SUM(sgn) AS BIGINT) AS v FROM qb GROUP BY idx),
+         |w1z AS (SELECT t, CAST($SeedW1 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 * d0 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("w1z", Seq("t"))},
+         |w1 AS (SELECT CAST(t // $d0 AS INT) AS i, CAST(t % $d0 AS INT) AS j,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w1zmu),
+         |b1z AS (SELECT t, CAST($SeedB1 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("b1z", Seq("t"))},
+         |b1 AS (SELECT CAST(t AS INT) AS i,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b1zmu),
+         |w2z AS (SELECT t, CAST($SeedW2 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${dOut * d1 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("w2z", Seq("t"))},
+         |w2 AS (SELECT CAST(t // $d1 AS INT) AS k, CAST(t % $d1 AS INT) AS i,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w2zmu),
+         |b2z AS (SELECT t, CAST($SeedB2 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${dOut - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("b2z", Seq("t"))},
+         |b2 AS (SELECT CAST(t AS INT) AS k,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b2zmu),
+         |h0 AS (SELECT x.doc_id, w.i, SUM(w.w * x.v) AS s0
+         |       FROM w1 w JOIN dvi x ON w.j = x.idx GROUP BY x.doc_id, w.i),
+         |hd AS (SELECT dd.doc_id, b.i,
+         |         GREATEST(b.w + COALESCE(h0.s0, 0), 0) AS h
+         |       FROM (SELECT DISTINCT doc_id FROM dvi) dd CROSS JOIN b1 b
+         |       LEFT JOIN h0 ON h0.doc_id = dd.doc_id AND h0.i = b.i),
+         |y0 AS (SELECT h.doc_id, w.k, SUM(w.w * h.h) AS s0
+         |       FROM w2 w JOIN hd h ON w.i = h.i GROUP BY h.doc_id, w.k),
+         |yd AS MATERIALIZED (SELECT y0.doc_id, y0.k, CAST(b.w + y0.s0 AS DOUBLE) AS y
+         |       FROM y0 JOIN b2 b ON b.k = y0.k),
+         |qh0 AS (SELECT w.i, SUM(w.w * x.v) AS s0
+         |        FROM w1 w JOIN qvi x ON w.j = x.idx GROUP BY w.i),
+         |qh AS (SELECT b.i, GREATEST(b.w + COALESCE(qh0.s0, 0), 0) AS h
+         |       FROM b1 b LEFT JOIN qh0 ON qh0.i = b.i),
+         |qy0 AS (SELECT w.k, SUM(w.w * h.h) AS s0
+         |        FROM w2 w JOIN qh h ON w.i = h.i GROUP BY w.k),
+         |qy AS MATERIALIZED (SELECT qy0.k, CAST(b.w + qy0.s0 AS DOUBLE) AS y
+         |       FROM qy0 JOIN b2 b ON b.k = qy0.k)""".stripMargin
   }
 
   def sql: Map[String, String] = Map(
@@ -897,66 +1000,8 @@ object Reference extends QueryPack {
     // Every activation is an exact integer (GREATEST is order-free), so
     // the doubles in the final sqrt/divide see identical inputs in both
     // engines — a neural forward pass that hash-matches.
-    "x4_neural_embed_search" -> {
-      import graft.operators.NeuralEmbed.{SeedW1, SeedB1, SeedW2, SeedB2}
-      val d0 = EmbedDim; val d1 = NeuralHidden; val dOut = EmbedDim
-      s"""WITH dt AS (
-         |  SELECT doc_id, unnest(${SketchSql.ToksSql}) AS s
-         |  FROM documents WHERE len(trim(text)) > 0),
-         |f AS (SELECT doc_id, ${SketchSql.FnvSql} AS z FROM dt),
-         |${SketchSql.mixLayerCtes("f", Seq("doc_id"))},
-         |db AS (
-         |  SELECT doc_id, CAST((u >> 1) % $d0 AS INT) AS idx,
-         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
-         |  FROM fmu),
-         |dvi AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v
-         |        FROM db GROUP BY doc_id, idx),
-         |qt AS (SELECT unnest(string_split_regex(trim('$EmbedQuery'), '\\s+')) AS s),
-         |qf AS (SELECT 1 AS q1, ${SketchSql.FnvSql} AS z FROM qt),
-         |${SketchSql.mixLayerCtes("qf", Seq("q1"))},
-         |qb AS (
-         |  SELECT CAST((u >> 1) % $d0 AS INT) AS idx,
-         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
-         |  FROM qfmu),
-         |qvi AS (SELECT idx, CAST(SUM(sgn) AS BIGINT) AS v FROM qb GROUP BY idx),
-         |w1z AS (SELECT t, CAST($SeedW1 + t AS UBIGINT) AS z
-         |        FROM generate_series(0, ${d1 * d0 - 1}) AS g(t)),
-         |${SketchSql.mixLayerCtes("w1z", Seq("t"))},
-         |w1 AS (SELECT CAST(t // $d0 AS INT) AS i, CAST(t % $d0 AS INT) AS j,
-         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w1zmu),
-         |b1z AS (SELECT t, CAST($SeedB1 + t AS UBIGINT) AS z
-         |        FROM generate_series(0, ${d1 - 1}) AS g(t)),
-         |${SketchSql.mixLayerCtes("b1z", Seq("t"))},
-         |b1 AS (SELECT CAST(t AS INT) AS i,
-         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b1zmu),
-         |w2z AS (SELECT t, CAST($SeedW2 + t AS UBIGINT) AS z
-         |        FROM generate_series(0, ${dOut * d1 - 1}) AS g(t)),
-         |${SketchSql.mixLayerCtes("w2z", Seq("t"))},
-         |w2 AS (SELECT CAST(t // $d1 AS INT) AS k, CAST(t % $d1 AS INT) AS i,
-         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w2zmu),
-         |b2z AS (SELECT t, CAST($SeedB2 + t AS UBIGINT) AS z
-         |        FROM generate_series(0, ${dOut - 1}) AS g(t)),
-         |${SketchSql.mixLayerCtes("b2z", Seq("t"))},
-         |b2 AS (SELECT CAST(t AS INT) AS k,
-         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b2zmu),
-         |h0 AS (SELECT x.doc_id, w.i, SUM(w.w * x.v) AS s0
-         |       FROM w1 w JOIN dvi x ON w.j = x.idx GROUP BY x.doc_id, w.i),
-         |hd AS (SELECT dd.doc_id, b.i,
-         |         GREATEST(b.w + COALESCE(h0.s0, 0), 0) AS h
-         |       FROM (SELECT DISTINCT doc_id FROM dvi) dd CROSS JOIN b1 b
-         |       LEFT JOIN h0 ON h0.doc_id = dd.doc_id AND h0.i = b.i),
-         |y0 AS (SELECT h.doc_id, w.k, SUM(w.w * h.h) AS s0
-         |       FROM w2 w JOIN hd h ON w.i = h.i GROUP BY h.doc_id, w.k),
-         |yd AS (SELECT y0.doc_id, y0.k, CAST(b.w + y0.s0 AS DOUBLE) AS y
-         |       FROM y0 JOIN b2 b ON b.k = y0.k),
-         |qh0 AS (SELECT w.i, SUM(w.w * x.v) AS s0
-         |        FROM w1 w JOIN qvi x ON w.j = x.idx GROUP BY w.i),
-         |qh AS (SELECT b.i, GREATEST(b.w + COALESCE(qh0.s0, 0), 0) AS h
-         |       FROM b1 b LEFT JOIN qh0 ON qh0.i = b.i),
-         |qy0 AS (SELECT w.k, SUM(w.w * h.h) AS s0
-         |        FROM w2 w JOIN qh h ON w.i = h.i GROUP BY w.k),
-         |qy AS (SELECT qy0.k, CAST(b.w + qy0.s0 AS DOUBLE) AS y
-         |       FROM qy0 JOIN b2 b ON b.k = qy0.k),
+    "x4_neural_embed_search" ->
+      s"""WITH $neuralForwardCtes,
          |dn AS (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
          |qn AS (SELECT SUM(y * y) AS nq FROM qy),
          |dp AS (SELECT d.doc_id, SUM(d.y * q.y) AS dot
@@ -967,7 +1012,47 @@ object Reference extends QueryPack {
          |  FROM dn JOIN dp USING (doc_id)
          |  WHERE dn.nd > 0)
          |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rnk
-         |FROM scored ORDER BY dist, doc_id LIMIT 10""".stripMargin
-    }
+         |FROM scored ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+
+    // the x4 forward-pass CTEs feeding the v26 SQ stage: bounds over the
+    // zero-norm-filtered neural vectors (exact integers, so float min ==
+    // double min), the same quantize/reconstruct/fold, the pool, and the
+    // exact-cosine refine over the raw neural vectors
+    "x6_neural_sq_pipeline" ->
+      s"""WITH $neuralForwardCtes,
+         |ydn AS MATERIALIZED (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
+         |ydf AS MATERIALIZED (
+         |  SELECT yd.doc_id, yd.k, yd.y
+         |  FROM yd JOIN ydn USING (doc_id) WHERE ydn.nd > 0),
+         |bounds AS MATERIALIZED (
+         |  SELECT k AS i, MIN(y) AS mn, MAX(y) - MIN(y) AS rg FROM ydf GROUP BY k),
+         |b2q AS MATERIALIZED (SELECT i, mn, rg, rg / 255.0 AS s FROM bounds),
+         |codes AS MATERIALIZED (
+         |  SELECT d.doc_id, b.i,
+         |    CASE WHEN b.rg = 0 THEN 0
+         |         ELSE CAST(LEAST(255, GREATEST(0,
+         |           FLOOR((d.y - b.mn) / b.rg * 255.0 + 0.5))) AS BIGINT) END AS code
+         |  FROM ydf d JOIN b2q b ON b.i = d.k),
+         |term AS (
+         |  SELECT c.doc_id, c.i,
+         |    ((b.mn + CAST(c.code AS DOUBLE) * b.s) - q.y)
+         |    * ((b.mn + CAST(c.code AS DOUBLE) * b.s) - q.y) AS t
+         |  FROM codes c JOIN b2q b USING (i) JOIN qy q ON q.k = c.i),
+         |adc AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY i)),
+         |      (a, x) -> a + x) AS dist
+         |  FROM term GROUP BY doc_id),
+         |pool AS (SELECT doc_id FROM adc ORDER BY dist, doc_id LIMIT 40),
+         |qn2 AS (SELECT SUM(y * y) AS nq FROM qy),
+         |dp2 AS (SELECT d.doc_id, SUM(d.y * q.y) AS dot
+         |        FROM ydf d JOIN qy q ON q.k = d.k GROUP BY d.doc_id),
+         |ref AS (
+         |  SELECT ydn.doc_id
+         |  FROM ydn JOIN dp2 USING (doc_id) JOIN pool USING (doc_id)
+         |  ORDER BY 1.0 - dp2.dot / (SQRT(ydn.nd) * SQRT((SELECT nq FROM qn2))),
+         |    doc_id
+         |  LIMIT 10)
+         |SELECT doc_id FROM ref ORDER BY doc_id""".stripMargin
   )
 }
