@@ -121,6 +121,49 @@ object StreamingLatenessProperties extends Properties("graft.streaming.lateness"
       Prop(streamed == batch && batch.nonEmpty) :| s"streamed=$streamed batch=$batch"
     }
 
+  property("e21 SCD2 twin: random per-key-in-order interleavings + duplicates == batch closed intervals") =
+    forAll(genCase) { c =>
+      // the documented contract: per-key order holds (the Kafka regime),
+      // keys interleave arbitrarily, exact duplicates may re-deliver.
+      // Rebuild the delivery from the case's multiset: per-user sorted
+      // streams, merged by repeatedly popping a random non-empty user,
+      // then chunked.
+      val byUser = c.all.groupBy(_.user_id).view
+        .mapValues(_.sortBy(e => (e.ts.getTime, e.event_id)).toBuffer).toMap
+      val rnd = new scala.util.Random(c.all.length * 2654435761L)
+      val merged = scala.collection.mutable.Buffer.empty[Event]
+      val users = byUser.keys.toArray
+      while (merged.length < c.all.length) {
+        val live = users.filter(u => byUser(u).nonEmpty)
+        val u = live(rnd.nextInt(live.length))
+        merged += byUser(u).remove(0)
+      }
+      val size = math.max(1, merged.length / 4)
+      val inOrder = Case(merged.toSeq.grouped(size).toSeq, c.all)
+      val streamed = runStream(inOrder, Seq.empty,
+        df => {
+          import df.sparkSession.implicits._
+          EventsStream.scd2Stream(df.as[Event]).toDF()
+        }, "append")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+      val batch = {
+        import org.apache.spark.sql.functions.{lag => flag, lead => flead, _}
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        batchDf(c)
+          .withColumn("prev", flag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("valid_to", unix_micros(flead(col("ts"), 1).over(w)))
+          .filter(col("valid_to").isNotNull)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")), col("valid_to"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4))).toSeq.sorted
+      }
+      Prop(streamed == batch) :| s"streamed=$streamed batch=$batch"
+    }
+
   property("e20 attribution gaps: any in-watermark order + duplicates == batch outer join") =
     forAll(genCase) { c =>
       // sentinels must BE a click and a purchase (each side's watermark
