@@ -73,9 +73,16 @@ object SpatialSkipBench {
         .agg(count(lit(1))).head().getLong(0)
       val ms = (System.nanoTime() - t0) / 1000000L
       // listener events drain asynchronously (the bus API is
-      // private[spark]): poll until the sums go quiet
+      // private[spark]): poll until the sums hold still for three
+      // consecutive samples — a single equal pair can catch a
+      // momentarily idle bus mid-drain and under-count
       var last = -1L
-      while (records.sum() != last) { last = records.sum(); Thread.sleep(300L) }
+      var stable = 0
+      while (stable < 3) {
+        val cur = records.sum()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(300L)
+      }
       (matched, records.sum(), bytes.sum(), ms)
     }
 

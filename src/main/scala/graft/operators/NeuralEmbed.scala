@@ -116,20 +116,35 @@ object NeuralEmbed {
     val dims = rows.find(_._1 == "dims").getOrElse(
       throw new IllegalArgumentException(s"no dims row in weight table $path"))
     val (d0, d1, dOut) = (dims._2, dims._3, dims._4)
-    def layer(name: String, n: Int, flat: (Int, Int) => Int): Array[Int] = {
+    // per-axis bounds + a seen-cell bitset: row-count alone would let a
+    // duplicated cell mask a missing one (leaving a silent zero weight),
+    // and an out-of-range (i, j) must fail the contract, not throw a raw
+    // ArrayIndexOutOfBoundsException (or alias another cell via i*d0+j)
+    def layer(name: String, ni: Int, nj: Int,
+              flat: (Int, Int) => Int): Array[Int] = {
+      val n = ni * nj
       val a = new Array[Int](n)
-      var seen = 0
+      val seen = new java.util.BitSet(n)
       rows.foreach { case (l, i, j, w) =>
-        if (l == name) { a(flat(i, j)) = w; seen += 1 }
+        if (l == name) {
+          require(i >= 0 && i < ni && j >= 0 && j < nj,
+            s"weight table $path: layer $name cell ($i,$j) outside ${ni}x$nj")
+          val idx = flat(i, j)
+          require(!seen.get(idx),
+            s"weight table $path: layer $name cell ($i,$j) appears twice")
+          seen.set(idx)
+          a(idx) = w
+        }
       }
-      require(seen == n, s"weight table $path: layer $name has $seen of $n entries")
+      require(seen.cardinality == n,
+        s"weight table $path: layer $name has ${seen.cardinality} of $n entries")
       a
     }
     NeuralModel(d0, d1, dOut,
-      layer("w1", d1 * d0, (i, j) => i * d0 + j),
-      layer("b1", d1, (i, _) => i),
-      layer("w2", dOut * d1, (k, i) => k * d1 + i),
-      layer("b2", dOut, (k, _) => k))
+      layer("w1", d1, d0, (i, j) => i * d0 + j),
+      layer("b1", d1, 1, (i, _) => i),
+      layer("w2", dOut, d1, (k, i) => k * d1 + i),
+      layer("b2", dOut, 1, (k, _) => k))
   }
 
   /** The forward pass as a reusable per-partition encoder: weights read

@@ -225,6 +225,12 @@ object Sampling {
     * truncating `div` and the oracle's floor `//` agree.
     *
     * Output: (j in [0, k), id, w) ordered by j.
+    *
+    * Contract: `idCol` must be UNIQUE. The cumulative line is ordered by
+    * id with an explicit ROWS frame, so duplicate ids would make the
+    * intra-tie order (and thus which duplicate covers a position)
+    * engine-dependent; the oracle's `ROWS BETWEEN UNBOUNDED PRECEDING
+    * AND CURRENT ROW` assumes the same uniqueness.
     */
   def systematicSample(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, numPartitions: Int = 0): DataFrame = {
@@ -254,7 +260,10 @@ object Sampling {
       }
       val baseOf = coalesce(
         element_at(typedLit(bases), col("pid")), lit(0L))
+      // explicit ROWS frame: the default RANGE frame would hand every
+      // tied id the combined sum, overstating `start` for duplicates
       val win = Window.partitionBy(col("pid")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val out = counted
         .withColumn("start", sum(col("w")).over(win) + baseOf - col("w"))
         .withColumn("j_lo",

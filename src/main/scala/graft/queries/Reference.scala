@@ -579,14 +579,6 @@ object Reference extends QueryPack {
     // refine): documents forward-pass to exact-integer embeddings,
     // per-dim bounds train on those, 8-bit codes rank an ADC pool, the
     // raw neural vectors re-rank the top-40 — every stage individually
-    // gated elsewhere, composed here so stage boundaries (the usual
-    // integration-bug habitat) sit under the hash too. The embedding
-    // table localCheckpoints once (encode-once; three consumers).
-    // the FULL production pipeline as ONE composed plan (x4's neural
-    // encoder feeding v26's SQ8 quantizer feeding the exact-cosine
-    // refine): documents forward-pass to exact-integer embeddings,
-    // per-dim bounds train on those, 8-bit codes rank an ADC pool, the
-    // raw neural vectors re-rank the top-40 — every stage individually
     // gated elsewhere, composed here so the stage boundaries (the usual
     // integration-bug habitat) sit under the hash too. The embedding
     // table localCheckpoints once (encode-once; three consumers).

@@ -802,8 +802,9 @@ object Relational extends QueryPack {
         |WHERE o_totalprice > 400000
         |ORDER BY o_orderkey""".stripMargin,
 
-    // the identical recursion (und is not MATERIALIZED: it is consumed
-    // once per iteration and DuckDB handles the bounded depth natively)
+    // the identical recursion (und IS MATERIALIZED: the undirected
+    // co-order edge set is computed once up front and re-joined on every
+    // iteration, matching the Spark side's persisted edge table)
     "q34_recursive_reach" ->
       """WITH RECURSIVE und AS MATERIALIZED (
         |  SELECT a.p AS a, b.p AS b

@@ -96,6 +96,40 @@ class NeuralEmbedSpec extends AnyFunSuite {
     assert(top === 1L)
   }
 
+  test("load refuses duplicated, missing, and out-of-range weight cells") {
+    import spark.implicits._
+    val small = NeuralEmbed.generate(4, 3, 2)
+    val path = "/tmp/graft_nn_spec_cells"
+    NeuralEmbed.save(spark, small, path)
+    val rows = spark.read.parquet(path)
+      .as[(String, Int, Int, Int)].collect().toSeq
+
+    def write(rs: Seq[(String, Int, Int, Int)]): String = {
+      rs.toDF("layer", "i", "j", "w").coalesce(1)
+        .write.mode("overwrite").parquet(path + "_mut")
+      path + "_mut"
+    }
+    // duplicate one w1 cell AND drop another: row count still matches,
+    // so only cell-level tracking can catch the silent zero weight
+    val w1rows = rows.filter(_._1 == "w1")
+    val mutated = rows.filterNot(_ == w1rows.last) :+ w1rows.head
+    val e1 = intercept[IllegalArgumentException] {
+      NeuralEmbed.load(spark, write(mutated))
+    }
+    assert(e1.getMessage.contains("appears twice"))
+    // out-of-range j on w1 (j == d0): must be a contract error, not an
+    // aliased cell or a raw ArrayIndexOutOfBoundsException
+    val e2 = intercept[IllegalArgumentException] {
+      NeuralEmbed.load(spark, write(rows :+ (("w1", 0, small.d0, 1))))
+    }
+    assert(e2.getMessage.contains("outside"))
+    // plainly missing cell
+    val e3 = intercept[IllegalArgumentException] {
+      NeuralEmbed.load(spark, write(rows.filterNot(_ == w1rows.head)))
+    }
+    assert(e3.getMessage.contains("of"))
+  }
+
   test("load refuses an artifact without its dims row") {
     import spark.implicits._
     Seq(("w1", 0, 0, 3)).toDF("layer", "i", "j", "w")
