@@ -118,6 +118,9 @@ object GraftFunctions {
     toCol(HashingTfVector(toExpr(tokens), dim))
   def hyperplane_bands(emb: Column, bands: Int, rows: Int, seed: Long): Column =
     toCol(HyperplaneBands(toExpr(emb), bands, rows, seed))
+  /** Count-Min bucket row (one bucket per sketch row) — see [[CmBuckets]]. */
+  def cm_buckets(s: Column, depth: Int, width: Int): Column =
+    toCol(CmBuckets(toExpr(s), depth, width))
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_distance" -> { es => CosineDistance(es(0), es(1)) },
@@ -154,6 +157,9 @@ object GraftFunctions {
     "gif_pixel_stats" -> { es => GifPixelStats(es(0)) },
     "bmp_pixel_stats" -> { es => BmpPixelStats(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
+    "cm_buckets" -> { es => CmBuckets(es(0),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue()) },
     "cdc_chunks" -> { es => CdcChunksExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue()) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },

@@ -219,3 +219,54 @@ object Fnv64 {
     if (mixed) SketchHash.mix(h) else h
   }
 }
+
+/** Count-Min bucket row for one token (Cormode & Muthukrishnan 2005,
+  * "An improved data stream summary: the count-min sketch"): element
+  * r in [0, depth) is `(splitmix64(fnv1a64(s) XOR seed_r) >>> 1) % width`
+  * with `seed_r = (r + 1) * Golden` wrapping — the same
+  * FNV-base + per-stream splitmix64 seeding convention as MinHash (d3)
+  * and the hyperplane bands (v8), restated once per sketch row so the
+  * depth hash functions are pairwise independent in practice.
+  *
+  * Returned as an int array (width <= Int.MaxValue) so callers
+  * `posexplode` it straight into the (row, bucket) register grid; the
+  * whole computation is a codegen'd per-row loop with zero allocation
+  * beyond the output array.
+  */
+case class CmBuckets(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression {
+  require(depth >= 1 && depth <= 64,
+    s"cm_buckets: depth must be in [1, 64], got $depth")
+  require(width >= 2, s"cm_buckets: width must be >= 2, got $width")
+  override def prettyName: String = "cm_buckets"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CmBuckets.compute(v.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CmBuckets.compute($c, $depth, $width);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CmBuckets {
+  /** Static forwarder shared by eval and generated code. */
+  def compute(v: UTF8String, depth: Int, width: Int): GenericArrayData = {
+    val h = SketchHash.fnv1a64(v.getBytes)
+    val out = new Array[Int](depth)
+    var r = 0
+    while (r < depth) {
+      val u = SketchHash.mix(h ^ ((r + 1).toLong * SketchHash.Golden))
+      out(r) = ((u >>> 1) % width).toInt
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cm_buckets
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a register TABLE:
+  * a `depth x width` grid of counters, here materialized as the sparse
+  * `(r, b, cnt)` rows with cnt > 0. Point estimate for a token = MIN over
+  * the depth rows of its bucket counter — an overestimate with error
+  * <= 2N/width at probability >= 1 - 2^-depth, never an underestimate.
+  *
+  * Why a table and not a driver-side array: the registers ARE the
+  * operator's output contract. As rows they stay mergeable (union +
+  * sum — the sketch is linear), persistable, joinable against probe
+  * tokens, and the whole build is one combinable aggregation.
+  *
+  * Scale shape (the reason this sketch earns its place next to the exact
+  * t22 path): the shuffle is bounded by `partitions x depth x width`
+  * rows REGARDLESS of vocabulary size. [[CmBuckets]] emits each token's
+  * depth buckets from one codegen'd loop, `posexplode` inflates rows
+  * x depth BEFORE the partial aggregate (map-side combine collapses a
+  * partition to at most depth*width groups), and the final exchange
+  * moves fixed-size register fragments — the exact property that makes
+  * CMS the standard frequency summary for unbounded-vocabulary streams
+  * at 100 TB, where even one row per distinct token (t22's recount
+  * input, HeavyHitters' rationale) is already the bottleneck.
+  *
+  * Tokenization is the engine's canonical whitespace split of lowercased
+  * text with empties dropped (the BM25/t18/t22 convention).
+  */
+object CountMin {
+
+  /** The canonical token stream (one row per occurrence). */
+  def tokens(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+    .filter(col("token") =!= "")
+
+  /** Build the sparse register table `(r, b, cnt)` over the corpus. */
+  def registers(docs: DataFrame, textCol: String,
+                depth: Int, width: Int): DataFrame =
+    tokens(docs, textCol)
+      .select(posexplode(cm_buckets(col("token"), depth, width)))
+      .select(col("pos").cast("long").as("r"), col("col").cast("long").as("b"))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two register tables built with the same (depth, width): the
+    * sketch is linear, so union + per-cell sum equals the single-pass
+    * registers over the concatenated corpora exactly (the t44b gate).
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for a probe-token table (column `token`): MIN over
+    * the depth rows of the token's counters. Probes are broadcast (a
+    * probe set is k-sized by construction); a register cell can only be
+    * absent for a token that never occurred, so the left join's NULL
+    * coalesces to the true count 0.
+    */
+  def estimates(registers: DataFrame, probes: DataFrame,
+                depth: Int, width: Int): DataFrame = {
+    val pb = probes
+      .select(col("token"), posexplode(cm_buckets(col("token"), depth, width)))
+      .select(col("token"),
+        col("pos").cast("long").as("r"), col("col").cast("long").as("b"))
+    registers.join(broadcast(pb), Seq("r", "b"))
+      .groupBy(col("token"))
+      .agg(min(col("cnt")).as("est"))
+  }
+
+  /** Gate composition (t44): estimate the corpus' exact top-k tokens and
+    * report (token, exact_cnt, est) — est >= exact_cnt row by row (the
+    * CMS overestimate guarantee, property-tested in CountMinSpec). The
+    * exact side is gate scaffolding at vocabulary cost; production
+    * callers keep only [[registers]]/[[estimates]].
+    */
+  def estimateTopK(docs: DataFrame, textCol: String, k: Int,
+                   depth: Int, width: Int): DataFrame = {
+    val toks = tokens(docs, textCol)
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+      .limit(k)
+    val regs = registers(docs, textCol, depth, width)
+    estimates(regs, top.select(col("token")), depth, width)
+      .join(broadcast(top), Seq("token"))
+      .select(col("token"), col("exact_cnt"), col("est"))
+      .orderBy(col("token"))
+  }
+}

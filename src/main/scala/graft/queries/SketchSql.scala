@@ -68,4 +68,37 @@ private[queries] object SketchSql {
        |${src}m2 AS (SELECT $k, ${mulModU("xor(z, z >> 27)", 0x94d049bb133111ebL)} AS z FROM ${src}m1),
        |${src}mu AS (SELECT $k, xor(z, z >> 31) AS u FROM ${src}m2)""".stripMargin
   }
+
+  /** The CmBuckets row-seed `(r + 1) * Golden` mod 2^64, for a column or
+    * expression `r` holding the sketch-row index.
+    */
+  def cmSeedSql(r: String): String =
+    mulModU(s"CAST(($r) + 1 AS UBIGINT)", 0x9e3779b97f4a7c15L)
+
+  /** Count-Min register CTEs over `documents` (t44/t44b): lowercased
+    * whitespace tokens -> per-token counts -> FNV-1a -> per-sketch-row
+    * seeded splitmix64 -> bucket grid, emitted as `<p>regs(r, b, cnt)`
+    * exactly matching [[graft.functions.CmBuckets]] + CountMin.registers.
+    * The prefix keeps multi-instance oracles collision-free (mixLayerCtes
+    * derives `<src>m1..mu` names); `where` optionally filters documents
+    * so shard oracles reuse the builder. `<p>tc` is MATERIALIZED — the
+    * t44 oracle reads it twice and DuckDB would otherwise re-expand the
+    * token unnest per reference.
+    */
+  def cmRegisterCtes(p: String, depth: Int, width: Int,
+                     where: String = "TRUE"): String =
+    s"""${p}toks AS (
+       |  SELECT t.term AS s
+       |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+       |  WHERE t.term <> '' AND ($where)),
+       |${p}tc AS MATERIALIZED (SELECT s, COUNT(*) AS c FROM ${p}toks GROUP BY s),
+       |${p}f AS (SELECT c, $FnvSql AS h FROM ${p}tc),
+       |${p}rs AS (SELECT c, g.r AS r, xor(h, ${cmSeedSql("g.r")}) AS z
+       |           FROM ${p}f CROSS JOIN generate_series(0, ${depth - 1}) AS g(r)),
+       |${mixLayerCtes(s"${p}rs", Seq("c", "r"))},
+       |${p}regs AS (
+       |  SELECT CAST(r AS BIGINT) AS r,
+       |    CAST((u >> 1) % $width AS BIGINT) AS b,
+       |    CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM ${p}rsmu GROUP BY 1, 2)""".stripMargin
 }

@@ -444,6 +444,32 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Count-Min sketch: (r, b, cnt) register table estimating the top-20
+    // tokens' counts. The shuffle is bounded by partitions x depth x
+    // width regardless of vocabulary — the frequency summary that stays
+    // cheap where even t22's one-row-per-distinct-token recount input
+    // is the bottleneck. est >= exact row by row (overestimate-only,
+    // property-tested); the exact side here is gate scaffolding.
+    "t44_countmin_estimates" -> { (s, d) =>
+      graft.operators.CountMin.estimateTopK(Tables.documents(s, d), "text",
+        k = 20, depth = 4, width = 512)
+    },
+
+    // cross-shard CMS merge: the sketch is linear, so union + per-cell
+    // sum over two disjoint doc shards equals the single-pass registers
+    // exactly — the property that lets 1000 executors build registers
+    // independently and combine them driver-free (oracle states the
+    // single pass; equality IS the linearity proof)
+    "t44b_countmin_merge" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.CountMin.merge(
+        graft.operators.CountMin.registers(
+          docs.filter(col("doc_id") % 2 === 0), "text", depth = 4, width = 512),
+        graft.operators.CountMin.registers(
+          docs.filter(col("doc_id") % 2 =!= 0), "text", depth = 4, width = 512))
+        .orderBy(col("r"), col("b"))
+    },
+
     // weighted systematic sampling: 25 equally-spaced positions on the
     // id-ordered cumulative token line — inclusion ~ token weight,
     // no RNG, pure integer selection (the two-pass distributed prefix
@@ -1645,6 +1671,32 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // the identical register grid (SketchSql.cmRegisterCtes restates
+    // CmBuckets' FNV + row-seeded splitmix64 arithmetic in portable
+    // unsigned SQL), probed at the exact top-20 tokens; MIN over the
+    // four joined cells is the CMS point estimate on both sides
+    "t44_countmin_estimates" ->
+      s"""WITH ${SketchSql.cmRegisterCtes("c4", 4, 512)},
+         |top AS MATERIALIZED (
+         |  SELECT s, c FROM c4tc ORDER BY c DESC, s ASC LIMIT 20),
+         |pf AS (SELECT s, c, $fnvSql AS h FROM top),
+         |prs AS (SELECT s, c, g.r AS r, xor(h, ${SketchSql.cmSeedSql("g.r")}) AS z
+         |        FROM pf CROSS JOIN generate_series(0, 3) AS g(r)),
+         |${SketchSql.mixLayerCtes("prs", Seq("s", "c", "r"))},
+         |pb AS (SELECT s, c, CAST(r AS BIGINT) AS r,
+         |       CAST((u >> 1) % 512 AS BIGINT) AS b FROM prsmu)
+         |SELECT s AS token, CAST(c AS BIGINT) AS exact_cnt,
+         |  CAST(MIN(cnt) AS BIGINT) AS est
+         |FROM pb JOIN c4regs USING (r, b)
+         |GROUP BY s, c
+         |ORDER BY token""".stripMargin,
+
+    // the single pass the two-shard union-sum must reproduce exactly
+    // (CMS linearity)
+    "t44b_countmin_merge" ->
+      s"""WITH ${SketchSql.cmRegisterCtes("m4", 4, 512)}
+         |SELECT r, b, cnt FROM m4regs ORDER BY r, b""".stripMargin,
 
     // the d7 recursive components over the df=50 pair universe, then
     // the t24 split rule applied to the cluster label
