@@ -55,6 +55,36 @@ object Relational extends QueryPack {
     "WITH " + (Seq(base) ++ peels).mkString(",\n") + ",\n" + fin
   }
 
+  /** g4's oracle: deterministic synchronous label propagation unrolled
+    * `rounds` deep over the same sparse co-purchase graph as g3 — each
+    * round counts neighbor labels per node and adopts the plurality
+    * label with smallest-label tie-break, restating
+    * [[graft.operators.LabelProp.run]]'s argmax exactly.
+    */
+  private def labelPropSql(rounds: Int): String = {
+    val base =
+      """lo AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS s
+        |       FROM lineitem WHERE l_linenumber <= 2),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.s AS a, b.s AS b
+        |       FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |       UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.src AS node, l.lab AS lab, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node, lab FROM (
+         |  SELECT node, lab,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+         |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    val fin =
+      s"""SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS lab
+         |FROM l$rounds ORDER BY node""".stripMargin
+    "WITH " + (Seq(base) ++ steps).mkString(",\n") + "\n" + fin
+  }
+
   /** g1's oracle: the PageRank integer fixed-point iteration unrolled in
     * DuckDB CTEs — same scale (1e12 units), same floor divisions in the
     * same order, same 85/100 damping arithmetic as
@@ -656,6 +686,24 @@ object Relational extends QueryPack {
         .orderBy(col("node"))
     },
 
+    // deterministic synchronous label propagation over g3's co-purchase
+    // graph: plurality neighbor label, min-label tie-break, 3 rounds as
+    // the shared engine/oracle contract (sync LPA can oscillate, so
+    // "to convergence" is ill-defined — see LabelProp's scaladoc). The
+    // per-round argmax is one combinable max(struct) aggregation, never
+    // a partition-wide window
+    "g4_label_prop" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+      graft.operators.LabelProp.run(edges, "p1", "p2", rounds = 3)
+        .orderBy(col("node"))
+    },
+
     // single-pass table profile (the ANALYZE surface): per-column nulls,
     // exact distincts, typed min/max — 4x|cols| aggregates over ONE scan,
     // unpivoted with stack()
@@ -789,6 +837,9 @@ object Relational extends QueryPack {
     // the identical peel, 12 unrolled rounds (matching the engine's
     // maxRounds refusal bound; idempotent once converged)
     "g3_kcore" -> kcoreSql(k = 4, rounds = 12),
+
+    // the identical 3-round synchronous plurality/min-tie unroll
+    "g4_label_prop" -> labelPropSql(rounds = 3),
 
     // identical correlated subqueries — DuckDB's decorrelation preserves
     // the same 0-vs-NULL count semantics
