@@ -605,6 +605,107 @@ object Relational extends QueryPack {
         .orderBy("event_type")
     },
 
+    // ORC sink + source round-trip (the third columnar codec next to
+    // q32/q33): the oracle states the aggregate over the ORIGINAL
+    // table, so equality pins codec fidelity end to end
+    "q37_orc_roundtrip" -> { (s, d) =>
+      val path = s"/dev/shm/graft_orc_${new java.io.File(d).getName}"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum("l_quantity").as("sum_qty"),
+          min(col("l_shipdate")).cast("string").as("first_ship"))
+        .orderBy("l_returnflag")
+    },
+
+    // DYNAMIC partition pruning: the fact table is laid out partitioned
+    // by ship month; the quarter filter lives on a DIM attribute parquet
+    // cannot see statically, so only runtime subquery pruning (DPP) can
+    // skip the ~3/4 of fact partitions outside the quarter — the layout
+    // + plan feature that turns a 100 TB date-partitioned scan into a
+    // quarter-sized one. PlanShapeSpec pins dynamicpruningexpression in
+    // the fact scan's partition filters.
+    "q38_dynamic_partition_pruning" -> { (s, d) =>
+      val sfx = new java.io.File(d).getName.replace('.', '_')
+      val factPath = s"/dev/shm/graft_dpp_fact_$sfx"
+      val dimPath = s"/dev/shm/graft_dpp_dim_$sfx"
+      val li = Tables.lineitem(s, d)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(factPath)
+      li.select(col("ship_month")).distinct()
+        .withColumn("quarter",
+          expr("(cast(substring(ship_month, 6, 2) as int) - 1) div 3 + 1"))
+        .write.mode("overwrite").parquet(dimPath)
+      val fact = s.read.parquet(factPath)
+      val dim = s.read.parquet(dimPath).filter(col("quarter") === 2)
+      fact.join(broadcast(dim), Seq("ship_month"))
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n"), revenue.as("revenue"))
+        .orderBy(col("ship_month"))
+    },
+
+    // bucketed CO-LOCATED join: both sides written bucketBy(8) + sortBy
+    // on the join key, so the orders-lineitem join runs as a sort-merge
+    // with ZERO exchange under it (PlanShapeSpec pins the absence) —
+    // the pre-partitioned layout that removes the dominant shuffle of
+    // every repeated fact-fact join at 100 TB. Table names carry the sf
+    // suffix; the in-session catalog is recreated per run.
+    "q39_bucketed_join" -> { (s, d) =>
+      val sfx = new java.io.File(d).getName.replace('.', '_')
+      // idempotence across SESSIONS: the in-memory catalog forgets the
+      // table on restart but its warehouse directory survives, and
+      // saveAsTable refuses a location it did not create — drop the
+      // catalog entry (same-session rerun) AND the leftover location
+      // (fresh session)
+      for (t <- Seq(s"graft_q39_ord_$sfx", s"graft_q39_li_$sfx")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"graft_q39_ord_$sfx")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_q39_li_$sfx")
+      // merge hint: at gate scale Catalyst would broadcast the small
+      // side, hiding exactly the property the layout exists for — at
+      // production scale BOTH sides are fact-sized and the only choice
+      // is SMJ-with-shuffle vs SMJ-on-buckets. The hint pins the
+      // fact-fact shape; the bucket layout then removes every exchange
+      // under the join (PlanShapeSpec asserts it).
+      s.table(s"graft_q39_ord_$sfx").hint("merge")
+        .join(s.table(s"graft_q39_li_$sfx"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), revenue.as("revenue"),
+          dsum("o_totalprice").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // relational PIVOT (groupBy().pivot() with explicit value list —
+    // the two-scan-free reshape; absent combinations stay NULL exactly
+    // as the oracle's FILTER aggregates do)
+    "q40_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag"))
+    },
+
     // correlated scalar subqueries under the hash gate — including the
     // classic COUNT bug: the count subquery must return 0 (not NULL)
     // for orders with no qualifying lineitem, which is exactly what
@@ -881,6 +982,46 @@ object Relational extends QueryPack {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // same posture for the ORC codec — stated over the ORIGINAL table
+    "q37_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the dim join is semantically the quarter predicate (the dim table
+    // is distinct months + derived quarter); DPP is a plan property,
+    // not a semantic one — PlanShapeSpec owns the pruning assertion
+    "q38_dynamic_partition_pruning" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, COUNT(*) AS n,
+         |  $revenueSql AS revenue
+         |FROM lineitem
+         |WHERE (CAST(strftime(l_shipdate, '%m') AS INT) - 1) // 3 + 1 = 2
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    // bucketing is a layout property — the join semantics are plain
+    "q39_bucketed_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+         |  $revenueSql AS revenue,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    // PIVOT == conditional aggregation; absent combos NULL on both sides
+    "q40_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // same posture for the JSON-lines codec
     "q33_json_roundtrip" ->

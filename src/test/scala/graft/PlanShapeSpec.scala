@@ -260,4 +260,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf("q34_recursive_reach")
     assert(plan.contains("UnionLoop"), s"recursive execution expected:\n$plan")
   }
+
+  test("q38: the fact scan carries a runtime dynamic-pruning partition filter") {
+    val plan = planOf("q38_dynamic_partition_pruning")
+    assert(plan.contains("dynamicpruningexpression"),
+      s"q38 lost DPP — the quarter filter no longer prunes fact partitions at runtime:\n$plan")
+  }
+
+  test("q39: bucketed SMJ joins with zero exchange under it") {
+    val plan = planOf("q39_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), s"q39 lost its SMJ shape:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"q39 scans stopped being bucketed:\n$plan")
+    for (key <- Seq("o_orderkey", "l_orderkey"))
+      assert(!plan.contains(s"Exchange hashpartitioning($key"),
+        s"q39 shuffled on $key despite the bucket layout:\n$plan")
+  }
+
+  test("g4: per-round argmax aggregates, never a partition-wide window sort") {
+    val plan = planOf("g4_label_prop")
+    assert(!plan.contains("Window"),
+      s"g4 grew a window — the argmax must stay max(struct):\n$plan")
+  }
 }
