@@ -37,14 +37,23 @@ object CountMin {
     .select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
     .filter(col("token") =!= "")
 
-  /** Build the sparse register table `(r, b, cnt)` over the corpus. */
-  def registers(docs: DataFrame, textCol: String,
-                depth: Int, width: Int): DataFrame =
-    tokens(docs, textCol)
-      .select(posexplode(cm_buckets(col("token"), depth, width)))
+  /** Register table over an arbitrary item column (one sketch increment
+    * per row) — the general form; works unchanged on a STREAMING frame
+    * (a plain combinable count whose state is bounded at depth x width
+    * by construction, see EventsStream.countMinRegistersStream).
+    */
+  def registersOver(items: DataFrame, item: org.apache.spark.sql.Column,
+                    depth: Int, width: Int): DataFrame =
+    items
+      .select(posexplode(cm_buckets(item, depth, width)))
       .select(col("pos").cast("long").as("r"), col("col").cast("long").as("b"))
       .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Build the sparse register table `(r, b, cnt)` over the corpus. */
+  def registers(docs: DataFrame, textCol: String,
+                depth: Int, width: Int): DataFrame =
+    registersOver(tokens(docs, textCol), col("token"), depth, width)
 
   /** Merge two register tables built with the same (depth, width): the
     * sketch is linear, so union + per-cell sum equals the single-pass

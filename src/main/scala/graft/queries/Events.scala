@@ -100,6 +100,16 @@ object Events extends QueryPack {
     // distinct users per (hour, type) as one combinable sketch pass —
     // the exchange carries hours x types x 256 rows, mergeable across
     // days by construction (e19b's union-max applies unchanged)
+    // CMS registers over event types — the batch form of the streaming
+    // twin (EventsStream.countMinRegistersStream): one combinable count
+    // whose shuffle AND streaming state are bounded at depth x width
+    "e23_event_countmin" -> { (s, d) =>
+      graft.operators.CountMin.registersOver(
+        Tables.events(s, d).select(col("event_type")), col("event_type"),
+        depth = 4, width = 64)
+        .orderBy(col("r"), col("b"))
+    },
+
     "e22_hourly_hll" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .withColumn("hr", unix_micros(date_trunc("hour", col("ts"))))
@@ -412,6 +422,14 @@ object Events extends QueryPack {
          |ORDER BY event_type, bucket""".stripMargin,
 
     // the e19 stream keyed by (hour, type); epoch-micros hours
+    // the t44 register grid over event types (CountMin.registersOver) —
+    // the frequency sketch whose streaming twin re-emits the same
+    // depth x width state per trigger (StreamingSpec pins batch==stream)
+    "e23_event_countmin" ->
+      s"""WITH ${SketchSql.cmRegisterCtesFrom("ec", 4, 64,
+             "SELECT event_type AS s FROM events")}
+         |SELECT r, b, cnt FROM ecregs ORDER BY r, b""".stripMargin,
+
     "e22_hourly_hll" ->
       s"""WITH v AS (
          |  SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hr, event_type,

@@ -87,10 +87,19 @@ private[queries] object SketchSql {
     */
   def cmRegisterCtes(p: String, depth: Int, width: Int,
                      where: String = "TRUE"): String =
+    cmRegisterCtesFrom(p, depth, width,
+      s"""SELECT t.term AS s
+         |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+         |  WHERE t.term <> '' AND ($where)""".stripMargin)
+
+  /** General form: `toksSelect` is any SELECT producing the item column
+    * `s`, one row per sketch increment (e23 feeds event types; the
+    * documents overload above feeds tokens).
+    */
+  def cmRegisterCtesFrom(p: String, depth: Int, width: Int,
+                         toksSelect: String): String =
     s"""${p}toks AS (
-       |  SELECT t.term AS s
-       |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
-       |  WHERE t.term <> '' AND ($where)),
+       |  $toksSelect),
        |${p}tc AS MATERIALIZED (SELECT s, COUNT(*) AS c FROM ${p}toks GROUP BY s),
        |${p}f AS (SELECT c, $FnvSql AS h FROM ${p}tc),
        |${p}rs AS (SELECT c, g.r AS r, xor(h, ${cmSeedSql("g.r")}) AS z

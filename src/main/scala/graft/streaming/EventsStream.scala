@@ -90,6 +90,19 @@ object EventsStream {
   def hllRegistersStream(events: DataFrame): DataFrame =
     graft.operators.Hll.registers(events, Seq("event_type"), col("user_id"))
 
+  /** Streaming twin of the t44/e23 Count-Min registers: the SAME
+    * combinable aggregation ([[graft.operators.CountMin.registersOver]])
+    * over a streaming frame — frequency counterpart to the HLL twin
+    * above. State is bounded at depth x width BY CONSTRUCTION, so no
+    * watermark or TTL is needed on an unbounded stream; complete mode
+    * re-emits the fixed-size grid per trigger, answering "how often has
+    * each event type been seen so far" with the CMS overestimate bound.
+    */
+  def countMinRegistersStream(events: DataFrame,
+                              depth: Int = 4, width: Int = 64): DataFrame =
+    graft.operators.CountMin.registersOver(
+      events.select(col("event_type")), col("event_type"), depth, width)
+
   /** Batch form of the HOPPING (sliding) window count: 1-hour windows
     * every 30 minutes — each event lands in two windows (oracle-checked
     * as e9; Spark's window() is usable in batch plans directly).

@@ -22,6 +22,29 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("streaming Count-Min registers converge to the batch grid (bounded state, no watermark)") {
+    val dir = eventsDir
+    val stream = spark.readStream
+      .schema(EventsStream.eventsSchema)
+      .parquet(dir)
+    val q = EventsStream.countMinRegistersStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cm_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cm_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventsStream.countMinRegistersStream(
+        spark.read.parquet(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // state bound: the grid never exceeds depth x width cells
+      assert(streamed.size <= 4 * 64)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch sketch (bounded state, no watermark)") {
     val dir = eventsDir
     val stream = spark.readStream
