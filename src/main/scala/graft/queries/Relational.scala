@@ -657,7 +657,9 @@ object Relational extends QueryPack {
     // every repeated fact-fact join at 100 TB. Table names carry the sf
     // suffix; the in-session catalog is recreated per run.
     "q39_bucketed_join" -> { (s, d) =>
-      val sfx = new java.io.File(d).getName.replace('.', '_')
+      // table identifier: dots AND dashes (the staged sf1 dirs are
+      // named graft-sf1x) must sanitize
+      val sfx = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
       // idempotence across SESSIONS: the in-memory catalog forgets the
       // table on restart but its warehouse directory survives, and
       // saveAsTable refuses a location it did not create — drop the
