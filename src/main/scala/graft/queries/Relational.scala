@@ -708,6 +708,35 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // EXACT interpolated percentiles (R type-7 / NIST method, the
+    // definition both engines implement): probe points restricted to
+    // exact binary fractions (.25/.5/.75) over integer-valued doubles,
+    // so position, interpolation weight, and the blended value are all
+    // EXACT doubles — cross-engine hash equality without a quantize
+    // step. percentile() is a full-sort-per-group aggregate; the
+    // approx_percentile sketch (q22's posture) is the 100 TB path, this
+    // gates the exact definition the sketch approximates.
+    "q41_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // relational UNPIVOT (melt): the wide per-flag aggregate reshaped to
+    // (key, metric, value) rows — the inverse surface of q40's pivot
+    "q42_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(dsum("l_quantity").as("qty"), dsum("l_extendedprice").as("price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+
     // correlated scalar subqueries under the hash gate — including the
     // classic COUNT bug: the count subquery must return 0 (not NULL)
     // for orders with no qualifying lineitem, which is exactly what
@@ -1013,6 +1042,30 @@ object Relational extends QueryPack {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // quantile_cont == percentile: both engines implement the same
+    // linear interpolation; the probe points keep every step exact
+    "q41_percentiles" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // UNPIVOT == UNION ALL of the per-metric projections
+    "q42_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'price' AS metric, price AS value FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     // PIVOT == conditional aggregation; absent combos NULL on both sides
     "q40_pivot" ->
