@@ -280,4 +280,40 @@ object Sampling {
       out.localCheckpoint(true) // realize before unpersist releases pids
     } finally counted.unpersist()
   }
+
+  /** Deterministic EPOCH SHUFFLE — the training-loader data order: for
+    * each epoch, every document gets a pseudo-random position that is a
+    * pure function of (epoch, id), so the order is reproducible across
+    * reruns, resumable mid-epoch, and different between epochs (the
+    * "reshuffle each epoch" training requirement without any RNG state
+    * to checkpoint — same md5-keyed determinism as the t24 hash split).
+    *
+    * Scale shape: the order is materialized as (epoch, shard, pos) with
+    * shard = first md5 byte mod `shards` and pos dense WITHIN the
+    * (epoch, shard) partition — the shard is the unit of parallelism
+    * (each training worker streams its shard in pos order), and the
+    * window sorts one shard's ID-SIZED rows, never the corpus in one
+    * partition and never the payload. Readers recover a single global
+    * order as (shard, pos) interleave if they need one; loaders
+    * consume shards independently.
+    *
+    * Output: (epoch, shard, pos, id) — pos is 1-based within its shard.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String,
+                   epochs: Int, shards: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 64,
+      s"epochShuffle: epochs must be in [1, 64], got $epochs")
+    require(shards >= 1 && shards <= 4096,
+      s"epochShuffle: shards must be in [1, 4096], got $shards")
+    val keyed = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("k", md5(concat_ws(":", col("epoch"), col("id")).cast("binary")))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(k, 1, 2), 16, 10) as bigint) % $shards"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("k"), col("id"))
+    keyed.select(col("epoch").cast("long").as("epoch"), col("shard"),
+      row_number().over(w).cast("long").as("pos"), col("id"))
+  }
 }

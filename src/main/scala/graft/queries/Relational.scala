@@ -708,6 +708,36 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // typed cogroup (KeyValueGroupedDataset.cogroup): per-key
+    // reconciliation of the orders and lineitem streams with imperative
+    // merge logic — the typed seam for per-key algorithms the
+    // relational layer can't express. Scale: both sides shuffle once on
+    // the key, exactly like the equivalent outer join; when the logic
+    // IS relational (as here), prefer the declarative form — this gate
+    // pins the equivalence (the oracle is the aggregated FULL JOIN).
+    // Decimal-exact quantity sums keep the fold order-insensitive.
+    "q43_cogroup_reconcile" -> { (s, d) =>
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        .as[(Long, Double)]
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("v"))
+        .as[(Long, Double)]
+      ord.groupByKey(_._1).cogroup(li.groupByKey(_._1)) { (k, os, ls) =>
+        var nOrders = 0L
+        while (os.hasNext) { os.next(); nOrders += 1 }
+        var nLines = 0L
+        var sumQty = BigDecimal(0).setScale(2)
+        while (ls.hasNext) {
+          sumQty += BigDecimal(ls.next()._2).setScale(2)
+          nLines += 1
+        }
+        Iterator((k, nOrders, nLines, sumQty.toDouble))
+      }.toDF("orderkey", "n_orders", "n_lines", "sum_qty")
+        .orderBy(col("orderkey"))
+    },
+
     // EXACT interpolated percentiles (R type-7 / NIST method, the
     // definition both engines implement): probe points restricted to
     // exact binary fractions (.25/.5/.75) over integer-valued doubles,
@@ -1042,6 +1072,20 @@ object Relational extends QueryPack {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // the declarative restatement of the cogroup's imperative merge
+    "q43_cogroup_reconcile" ->
+      """WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |l AS (SELECT l_orderkey AS k, COUNT(*) AS n_lines,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(o.k, l.k) AS orderkey,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_lines, 0) AS n_lines,
+        |  COALESCE(sum_qty, 0.0) AS sum_qty
+        |FROM o FULL JOIN l ON o.k = l.k
+        |ORDER BY orderkey""".stripMargin,
 
     // quantile_cont == percentile: both engines implement the same
     // linear interpolation; the probe points keep every step exact

@@ -444,6 +444,26 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // deterministic epoch shuffle: per-epoch pseudo-random data order as
+    // a pure function of (epoch, id) — reproducible, resumable, no RNG
+    // state; positions dense within md5 shards (the shard is the unit
+    // of parallelism; no corpus-wide window)
+    "t46_epoch_shuffle" -> { (s, d) =>
+      graft.operators.Sampling.epochShuffle(Tables.documents(s, d),
+        "doc_id", epochs = 2, shards = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    },
+
+    // fixed-window RAG chunk manifest: 40-token windows advancing by 30
+    // (10-token overlap) — pure per-row array arithmetic inside codegen,
+    // zero shuffle; the manifest carries md5 fingerprints, not text
+    "t45_chunk_manifest" -> { (s, d) =>
+      graft.operators.Chunker.fixedChunks(Tables.documents(s, d),
+        "doc_id", "text", chunkSize = 40, overlap = 10)
+        .orderBy(col("id"), col("chunk_idx"))
+    },
+
     // Count-Min sketch: (r, b, cnt) register table estimating the top-20
     // tokens' counts. The shuffle is bounded by partitions x depth x
     // width regardless of vocabulary — the frequency summary that stays
@@ -1671,6 +1691,44 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // the identical md5 keys, shard arithmetic, and in-shard ranking
+    "t46_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id AS id, gs.epoch AS epoch
+        |  FROM documents, generate_series(0, 1) AS gs(epoch)),
+        |k AS (SELECT id, epoch, md5(concat(epoch, ':', id)) AS k FROM e),
+        |s AS (SELECT epoch, CAST(concat('0x', substr(k, 1, 2)) AS BIGINT) % 16 AS shard,
+        |             k, id FROM k)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, id)
+        |       AS BIGINT) AS pos,
+        |  id AS doc_id
+        |FROM s
+        |ORDER BY epoch, shard, pos""".stripMargin,
+
+    // the identical chunk rule: starts 0, 30, 60, ... while
+    // start < max(n - 10, 1); final chunk may be short; list slicing
+    // clamps identically on both engines
+    "t45_chunk_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (SELECT id, w, CAST(len(w) AS BIGINT) AS n FROM t WHERE len(w) > 0),
+        |g AS (SELECT id, w, n,
+        |        (greatest(n - 10, 1) + 29) // 30 AS n_chunks FROM c),
+        |x AS (SELECT id, w, n,
+        |        unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS chunk_idx
+        |      FROM g)
+        |SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 30 AS BIGINT) AS start_tok,
+        |  CAST(least(40, n - chunk_idx * 30) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(
+        |    w[CAST(chunk_idx * 30 + 1 AS BIGINT):CAST(chunk_idx * 30 + 40 AS BIGINT)],
+        |    ' ')) AS fp
+        |FROM x
+        |ORDER BY id, chunk_idx""".stripMargin,
 
     // the identical register grid (SketchSql.cmRegisterCtes restates
     // CmBuckets' FNV + row-seeded splitmix64 arithmetic in portable
