@@ -183,4 +183,46 @@ object KernelProperties extends Properties("graft.kernels") {
           loads(b) + loads(b + 1) > capacity)
         capOk && adjacentOk && nBins <= bound
     }
+
+  // Count-Min bucket kernel (t44/e23): deterministic, range-valid, and
+  // exactly the documented recurrence mix(fnv ^ (r+1)*Golden) >>> 1 % w
+  property("cm_buckets: deterministic, in-range, matches the seeded recurrence") =
+    forAll(asciiText, Gen.choose(1, 8), Gen.choose(2, 1024)) { (t, depth, width) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val a = graft.functions.CmBuckets.compute(u, depth, width).toIntArray()
+      val b = graft.functions.CmBuckets.compute(u, depth, width).toIntArray()
+      val h = SketchHash.fnv1a64(t.getBytes("UTF-8"))
+      val want = Array.tabulate(depth)(r =>
+        ((SketchHash.mix(h ^ ((r + 1).toLong * SketchHash.Golden)) >>> 1) % width).toInt)
+      a.sameElements(b) && a.sameElements(want) &&
+        a.forall(x => x >= 0 && x < width)
+    }
+
+  // fixed-window chunk rule (t45): starts tile [0, n) with the promised
+  // coverage — every token index falls in >= 1 chunk, consecutive FULL
+  // chunks share exactly `overlap` indices, and chunk count is the
+  // closed form ceil(max(n - overlap, 1) / stride)
+  property("chunk rule: full coverage, exact overlap, closed-form count") =
+    forAll(Gen.choose(1, 200), Gen.choose(2, 20), Gen.choose(0, 19)) {
+      (n, size, rawOv) =>
+        val overlap = math.min(rawOv, size - 1)
+        val stride = size - overlap
+        val nChunks = ((math.max(n - overlap, 1) + stride - 1) / stride)
+        val spans = (0 until nChunks.toInt).map { ci =>
+          val s = ci * stride
+          (s, math.min(s + size, n)) // [s, e)
+        }
+        val covered = Array.fill(n)(0)
+        spans.foreach { case (s, e) => (s until e).foreach(covered(_) += 1) }
+        val coverOk = covered.forall(_ >= 1)
+        val overlapOk = spans.sliding(2).forall {
+          case Seq((s1, e1), (s2, _)) =>
+            // shared indices between consecutive chunks = e1 - s2, which
+            // equals `overlap` whenever the first chunk is full
+            e1 - s1 < size || e1 - s2 == overlap
+          case _ => true
+        }
+        val lastOk = spans.last._1 < n // every chunk holds >= 1 token
+        coverOk && overlapOk && lastOk
+    }
 }
