@@ -121,6 +121,9 @@ object GraftFunctions {
   /** Count-Min bucket row (one bucket per sketch row) — see [[CmBuckets]]. */
   def cm_buckets(s: Column, depth: Int, width: Int): Column =
     toCol(CmBuckets(toExpr(s), depth, width))
+  /** Integer-exact +-1 JL projection — see [[SignedProject]]. */
+  def signed_project(emb: Column, k: Int, seed: Long): Column =
+    toCol(SignedProject(toExpr(emb), k, seed))
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_distance" -> { es => CosineDistance(es(0), es(1)) },

@@ -176,3 +176,76 @@ object HyperplaneBands {
     new GenericArrayData(out)
   }
 }
+
+/** signed_project(emb, k, seed): database-friendly Johnson-Lindenstrauss
+  * projection (Achlioptas 2003, "Database-friendly random projections":
+  * +-1 entries preserve pairwise distances with the same JL guarantee as
+  * Gaussian matrices) of a D-dim float embedding onto k dims — the
+  * DATA-INDEPENDENT member of the compressor family (PQ/SQ8 train on the
+  * corpus, Matryoshka assumes trained prefix structure; JL needs only a
+  * seed, so it applies to a corpus never seen before).
+  *
+  * Exact-integer contract (the repo's cross-engine posture): each input
+  * component is floor-quantized to floor(v * 1024) BEFORE the fold, so
+  * y_t = sum_j s(t,j) * floor(v_j * 1024) is exact BIGINT arithmetic —
+  * order-independent, hash-stable on any engine. The quantization error
+  * (<= 2^-10 per dim) is immaterial for CANDIDATE GENERATION, and the
+  * refine stage re-ranks by exact full-precision cosine anyway.
+  * Sign s(t,j) = bit 0 of splitmix64(seed + Golden * (t*D + j + 1)) —
+  * the HyperplaneLsh counter-mode stream, restatable in oracle SQL.
+  *
+  * Magnitude: |y_t| <= D * 1024 * max|v|; squared-L2 over k dims stays
+  * far inside Long for any real embedding scale (asserted).
+  */
+case class SignedProject(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 4096, s"signed_project: k must be in [1, 4096], got $k")
+  override def prettyName: String = "signed_project"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SignedProject.compute(v.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignedProject.compute($c, $k, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SignedProject {
+  /** Shared eval/codegen kernel (static forwarder for generated code). */
+  def compute(arr: ArrayData, k: Int, seed: Long): GenericArrayData = {
+    val d = arr.numElements()
+    val q = new Array[Long](d)
+    var j = 0
+    while (j < d) {
+      q(j) = math.floor(arr.getFloat(j) * 1024.0).toLong
+      j += 1
+    }
+    val out = new Array[Long](k)
+    var t = 0
+    while (t < k) {
+      var acc = 0L
+      var idx = t.toLong * d
+      j = 0
+      while (j < d) {
+        val s = SketchHash.mix(seed + SketchHash.Golden * (idx + j + 1))
+        acc += (if ((s & 1L) == 1L) q(j) else -q(j))
+        j += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Driver-side projection of a probe vector (the embedQuery analogue). */
+  def project(v: Array[Float], k: Int, seed: Long): Array[Long] =
+    compute(new GenericArrayData(v), k, seed).toLongArray()
+}

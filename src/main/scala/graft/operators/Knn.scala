@@ -194,6 +194,39 @@ object Knn {
       .limit(k)
   }
 
+  /** Two-stage Johnson-Lindenstrauss kNN: rank the corpus by squared-L2
+    * distance between k-dim +-1 projections ([[graft.functions
+    * .SignedProject]] — dim/kDims-fold less arithmetic and, with the
+    * projection stored as its own column, dim/kDims-fold less scan I/O),
+    * then re-rank the r survivors by exact full-precision cosine. The
+    * DATA-INDEPENDENT member of the compressor family: PQ/SQ8 need a
+    * training pass, Matryoshka needs prefix-trained embeddings, JL needs
+    * only a seed — the right tool the first time a corpus is seen.
+    * The projected ranking is EXACT integer arithmetic (quantize-then-
+    * fold, see SignedProject), so the pool is deterministic on any
+    * engine — no float-associativity fuzz at the pool boundary.
+    */
+  def topKProjectRefine(corpus: DataFrame, idCol: String, embCol: String,
+                        probe: Array[Float], kDims: Int, seed: Long,
+                        k: Int, r: Int): DataFrame = {
+    require(r >= k, s"refine pool r=$r must be >= k=$k")
+    val pp = graft.functions.SignedProject.project(probe, kDims, seed)
+    val emb = col(embCol).cast("array<float>")
+    val pool = corpus
+      .withColumn("pj", signed_project(emb, kDims, seed))
+      .withColumn("dist_p", aggregate(
+        zip_with(col("pj"), typedlit(pp.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+      .orderBy(col("dist_p").asc, col(idCol).asc)
+      .limit(r)
+      .select(col(idCol)).collect().map(_.get(0)) // bounded by r
+    corpus
+      .filter(col(idCol).isin(pool: _*))
+      .withColumn("dist", cosine_distance(emb, vector_lit(probe)))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Two-stage binary-quantized kNN (the BQ shape public in Lucene/
     * Elasticsearch): rank the corpus by Hamming distance over 1-bit sign
     * quantizations (32x smaller than float32 — XOR + popcount per 64

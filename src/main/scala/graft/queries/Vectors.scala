@@ -367,6 +367,20 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Johnson-Lindenstrauss +-1 projection (64 -> 16 dims) + exact
+    // refine: the DATA-INDEPENDENT compressor (PQ/SQ8 train, Matryoshka
+    // assumes prefix training, JL needs only a seed). The projected
+    // ranking is exact integer arithmetic (quantize-then-fold), so the
+    // candidate pool is engine-deterministic — no float fuzz at the
+    // pool boundary
+    "v29_jl_project_refine" -> { (s, d) =>
+      graft.operators.Knn.topKProjectRefine(Tables.embeddings(s, d),
+        "vec_id", "embedding", probeOf(s, d, 0L),
+        kDims = 16, seed = 7L, k = 10, r = 60)
+        .select(col("vec_id").as("id"), col("label"))
+        .orderBy(col("id"))
+    },
+
     // IVF maintenance: save, split every above-average bucket (fresh
     // sub-centroids on the bucket's own rows, id space kept dense,
     // untouched buckets' files never rewritten), then search probing
@@ -1248,6 +1262,37 @@ object Vectors extends QueryPack {
         |  LIMIT 10)
         |SELECT id, label FROM topk
         |ORDER BY id""".stripMargin,
+
+    // the identical +-1 matrix from the splitmix64 counter stream, the
+    // identical floor-quantized integer fold, then v18's exact re-rank
+    "v29_jl_project_refine" ->
+      s"""WITH sm0 AS (
+         |  SELECT gs.idx AS idx,
+         |    ${SketchSql.addModU(
+              SketchSql.mulModU("CAST(gs.idx + 1 AS UBIGINT)", 0x9e3779b97f4a7c15L),
+              "CAST(7 AS UBIGINT)")} AS z
+         |  FROM generate_series(0, 1023) AS gs(idx)),
+         |${SketchSql.mixLayerCtes("sm0", Seq("idx"))},
+         |sm AS (SELECT idx // 64 AS t, idx % 64 AS j,
+         |        CASE WHEN (u & 1) = 1 THEN 1 ELSE -1 END AS s FROM sm0mu),
+         |qe AS (SELECT vec_id, gs.j AS j,
+         |        CAST(floor(CAST(embedding[gs.j + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
+         |       FROM embeddings, generate_series(0, 63) AS gs(j)),
+         |pj AS MATERIALIZED (
+         |  SELECT vec_id, sm.t AS t, CAST(SUM(sm.s * qe.q) AS BIGINT) AS y
+         |  FROM qe JOIN sm ON sm.j = qe.j GROUP BY 1, 2),
+         |pp AS MATERIALIZED (SELECT t, y FROM pj WHERE vec_id = 0),
+         |dp AS (SELECT a.vec_id, SUM((a.y - b.y) * (a.y - b.y)) AS d2
+         |       FROM pj a JOIN pp b ON a.t = b.t GROUP BY 1),
+         |pool AS (SELECT vec_id FROM dp ORDER BY d2 ASC, vec_id ASC LIMIT 60),
+         |p AS MATERIALIZED (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |topk AS (
+         |  SELECT e.vec_id AS id, e.label
+         |  FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN p
+         |  ORDER BY 1 - list_cosine_similarity(e.embedding, p.pv) ASC, e.vec_id ASC
+         |  LIMIT 10)
+         |SELECT id, label FROM topk
+         |ORDER BY id""".stripMargin,
 
     // identical to v13's oracle: the saved index's float round-trip is
     // lossless, so the persisted pruned-ADC selection equals the

@@ -1003,4 +1003,48 @@ class VectorSpec extends AnyFunSuite {
     val ratio = out("same").toDouble / out("also").toDouble
     assert(ratio > 0.8 && ratio < 1.25, s"same=$ratio")
   }
+
+  test("signed_project: matches the scalar recurrence; linear in the quantized view") {
+    import graft.functions.{SignedProject, SketchHash}
+    val v = Array(0.5f, -1.25f, 3.0f, 0.001f, -0.75f, 2.5f, -3.125f, 1.0f)
+    val k = 4; val seed = 7L
+    val got = SignedProject.project(v, k, seed)
+    assert(got.length === k)
+    val q = v.map(x => math.floor(x * 1024.0).toLong)
+    val want = Array.tabulate(k) { t =>
+      (0 until v.length).map { j =>
+        val s = SketchHash.mix(seed + SketchHash.Golden * (t.toLong * v.length + j + 1))
+        if ((s & 1L) == 1L) q(j) else -q(j)
+      }.sum
+    }
+    assert(got.toSeq === want.toSeq)
+    // linearity on exactly-representable inputs: P(a + b) == P(a) + P(b)
+    // (floor-quantization is exact for these multiples of 2^-10)
+    val a = Array(0.25f, 1.5f, -2.0f, 0.5f, 1.0f, -0.25f, 0.75f, -1.5f)
+    val b = Array(1.0f, -0.5f, 0.25f, 2.0f, -1.25f, 0.5f, -0.75f, 0.25f)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val pa = SignedProject.project(a, k, seed)
+    val pb = SignedProject.project(b, k, seed)
+    val ps = SignedProject.project(sum, k, seed)
+    assert(ps.toSeq === pa.zip(pb).map { case (x, y) => x + y }.toSeq)
+  }
+
+  test("JL project-refine returns the exact top-k on a planted neighborhood") {
+    import spark.implicits._
+    // 200 vectors: id 0 the probe; ids 1..10 tiny perturbations of it
+    // (the planted nearest set), the rest far away in random directions
+    val rnd = new scala.util.Random(11)
+    def vec(base: Float, jitter: Float): Array[Float] =
+      Array.tabulate(16)(i => base * (i % 5 - 2) + jitter * rnd.nextFloat())
+    val rows = (0L to 10L).map(i => (i, vec(1.0f, 0.01f))) ++
+      (11L until 200L).map(i => (i, Array.tabulate(16)(_ => rnd.nextFloat() * 8 - 4)))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = graft.operators.Knn.topK(df, col("embedding"), rows.head._2,
+      k = 5, tieBreak = col("vec_id")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val jl = graft.operators.Knn.topKProjectRefine(df, "vec_id", "embedding",
+      rows.head._2, kDims = 8, seed = 7L, k = 5, r = 40)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(jl === exact)
+  }
 }
