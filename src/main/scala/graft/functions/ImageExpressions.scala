@@ -117,6 +117,39 @@ object ImageMeta {
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       return row("gif", le16(b, 6), le16(b, 8), 3)
     }
+    // WebP (Google WebP container spec / RFC 9649): RIFF | size | "WEBP",
+    // then the first chunk decides the flavor:
+    //  - "VP8 " lossy: 3-byte frame tag, keyframe start code 9D 01 2A,
+    //    then LE16 width/height with 14 value bits (top 2 are scale)
+    //  - "VP8L" lossless: 0x2F signature, then 28 bits LE packing
+    //    (width-1 | height-1 << 14), bit 28 = alpha-is-used
+    //  - "VP8X" extended: flags byte (bit 4 = alpha), 3 reserved bytes,
+    //    then 24-bit LE canvas width-1 / height-1
+    if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ') {
+        if (b.length < 30) return null
+        if (u8(b, 23) != 0x9d || u8(b, 24) != 0x01 || u8(b, 25) != 0x2a)
+          return null // interframe or corrupt: no dimensions to read
+        return row("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff, 3)
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L') {
+        if (b.length < 25 || u8(b, 20) != 0x2f) return null
+        val bits = u8(b, 21).toLong | (u8(b, 22).toLong << 8) |
+          (u8(b, 23).toLong << 16) | (u8(b, 24).toLong << 24)
+        val alpha = ((bits >>> 28) & 1L) == 1L
+        return row("webp", 1L + (bits & 0x3fff), 1L + ((bits >>> 14) & 0x3fff),
+          if (alpha) 4 else 3)
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X') {
+        if (b.length < 30) return null
+        val alpha = (u8(b, 20) & 0x10) != 0
+        val w = 1L + (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16))
+        val h = 1L + (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16))
+        return row("webp", w, h, if (alpha) 4 else 3)
+      }
+      return null // a RIFF/WEBP container with an unknown first chunk
+    }
     null
   }
 

@@ -61,6 +61,8 @@ object Multimodal {
         substring(c, 9, 4) === ascii("WAVE"), lit("wav"))
       .when(substring(c, 1, 4) === ascii("RIFF") &&
         substring(c, 9, 4) === ascii("AVI "), lit("avi"))
+      .when(substring(c, 1, 4) === ascii("RIFF") &&
+        substring(c, 9, 4) === ascii("WEBP"), lit("webp"))
       .when(substring(c, 5, 4) === ascii("ftyp"), lit("mp4"))
       .when(substring(c, 1, 3) === ascii("ID3"), lit("mp3"))
       .when(b1 === 255 && b2.bitwiseAND(lit(224)) === 224, lit("mp3"))

@@ -155,6 +155,49 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // WebP container metadata under the driver gate, m1's inversion
+    // pattern: per document, CONSTRUCT a real VP8L (lossless: 0x2F
+    // signature + 28-bit LE dimension packing, alpha bit 28) and a real
+    // VP8X (extended: flags byte + 24-bit LE canvas dims) container
+    // from doc_id arithmetic using codegen built-ins independent of the
+    // parser, parse both back with image_meta, and gate the round trip
+    "m9_webp_meta" -> { (s, d) =>
+      import graft.functions.GraftFunctions.image_meta
+      val w1 = "(doc_id % 1000)" // width - 1
+      val h1 = "(doc_id % 700)"  // height - 1
+      val al = "(doc_id % 2)"    // alpha-is-used
+      val lBits = s"cast($w1 + $h1 * 16384 + $al * 268435456 as bigint)"
+      val vp8l = concat(
+        lit("RIFF").cast("binary"), lit(Array[Byte](0, 0, 0, 0)),
+        lit("WEBPVP8L").cast("binary"), lit(Array[Byte](5, 0, 0, 0)),
+        lit(Array[Byte](0x2f)),
+        unhex(expr(s"format_string('%02X%02X%02X%02X', " +
+          s"cast($lBits % 256 as int), cast(($lBits div 256) % 256 as int), " +
+          s"cast(($lBits div 65536) % 256 as int), " +
+          s"cast(($lBits div 16777216) % 256 as int))")))
+      val vp8x = concat(
+        lit("RIFF").cast("binary"), lit(Array[Byte](0, 0, 0, 0)),
+        lit("WEBPVP8X").cast("binary"), lit(Array[Byte](10, 0, 0, 0)),
+        unhex(expr(s"format_string('%02X000000', cast($al * 16 as int))")),
+        unhex(expr(s"format_string('%02X%02X%02X', " +
+          s"cast($w1 % 256 as int), cast(($w1 div 256) % 256 as int), " +
+          s"cast(($w1 div 65536) % 256 as int))")),
+        unhex(expr(s"format_string('%02X%02X%02X', " +
+          s"cast($h1 % 256 as int), cast(($h1 div 256) % 256 as int), " +
+          s"cast(($h1 div 65536) % 256 as int))")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          image_meta(vp8l).as("l"), image_meta(vp8x).as("x"),
+          graft.operators.Multimodal.media_format(vp8l).as("fmt"))
+        .select(col("doc_id"),
+          col("l.format").as("l_format"), col("l.width").as("l_w"),
+          col("l.height").as("l_h"), col("l.channels").as("l_c"),
+          col("x.format").as("x_format"), col("x.width").as("x_w"),
+          col("x.height").as("x_h"), col("x.channels").as("x_c"),
+          col("fmt"))
+        .orderBy(col("doc_id"))
+    },
+
     // audio_meta under the driver gate, same inversion pattern as m1:
     // per document, CONSTRUCT a real RIFF/WAVE header (LE16/LE32 fields
     // from doc_id arithmetic, built with format_string + unhex — all
@@ -758,6 +801,20 @@ object Reference extends QueryPack {
         |  CAST(doc_id % 700 + 1 AS INT) AS gif_h, CAST(3 AS INT) AS gif_c,
         |  'png' AS png_format, CAST(doc_id % 1000 + 1 AS INT) AS png_w,
         |  CAST(doc_id % 700 + 1 AS INT) AS png_h, CAST(3 AS INT) AS png_c
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the inversion expectations restated from the same doc_id
+    // arithmetic: VP8L packs (w-1, h-1) in 14-bit fields with alpha at
+    // bit 28; VP8X carries canvas (w-1, h-1) as 24-bit LE
+    "m9_webp_meta" ->
+      """SELECT doc_id,
+        |  'webp' AS l_format, CAST(doc_id % 1000 + 1 AS INT) AS l_w,
+        |  CAST(doc_id % 700 + 1 AS INT) AS l_h,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INT) AS l_c,
+        |  'webp' AS x_format, CAST(doc_id % 1000 + 1 AS INT) AS x_w,
+        |  CAST(doc_id % 700 + 1 AS INT) AS x_h,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INT) AS x_c,
+        |  'webp' AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the inversion expectations: WAV fields restated from the same

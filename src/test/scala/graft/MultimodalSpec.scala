@@ -180,6 +180,59 @@ class MultimodalSpec extends AnyFunSuite {
     Array(0xff.toByte, 0xfb.toByte,
       ((bitrateIdx << 4) | (srIdx << 2)).toByte, (mode << 6).toByte)
 
+  test("image_meta parses all three WebP flavors; interframe/corrupt/truncated NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def riff(cc: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+        ("WEBP" + cc).getBytes("ISO-8859-1") ++
+        Array[Byte]((payload.length & 0xff).toByte, 0, 0, 0) ++ payload
+    def vp8Lossy(w: Int, h: Int): Array[Byte] =
+      riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+        (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte))
+    def vp8l(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14) | (if (alpha) 1 << 28 else 0)
+      riff("VP8L", Array[Byte](0x2f,
+        (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+        ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte))
+    }
+    def vp8x(w: Int, h: Int, alpha: Boolean): Array[Byte] =
+      riff("VP8X", Array[Byte]((if (alpha) 0x10 else 0).toByte, 0, 0, 0,
+        ((w - 1) & 0xff).toByte, (((w - 1) >> 8) & 0xff).toByte, (((w - 1) >> 16) & 0xff).toByte,
+        ((h - 1) & 0xff).toByte, (((h - 1) >> 8) & 0xff).toByte, (((h - 1) >> 16) & 0xff).toByte))
+    val interframe = { // VP8 chunk whose start code is absent (not a keyframe)
+      val b = vp8Lossy(10, 10); b(23) = 0x00; b
+    }
+    val badSig = { val b = vp8l(5, 5, alpha = false); b(20) = 0x30; b }
+    val df = Seq(
+      (1L, vp8Lossy(640, 480)),
+      (2L, vp8l(999, 701, alpha = false)),
+      (3L, vp8l(1, 1, alpha = true)),
+      (4L, vp8x(70000, 3, alpha = true)), // 24-bit canvas beyond 16 bits
+      (5L, interframe),
+      (6L, badSig),
+      (7L, vp8Lossy(640, 480).take(22))) // truncated
+      .toDF("media_id", "bytes")
+    val got = df.select(col("media_id"),
+        graft.functions.GraftFunctions.image_meta(col("bytes")).as("m"))
+      .selectExpr("media_id", "m.format", "m.width", "m.height", "m.channels")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got(1L) === ("webp", 640, 480, 3))
+    assert(got(2L) === ("webp", 999, 701, 3))
+    assert(got(3L) === ("webp", 1, 1, 4))
+    assert(got(4L) === ("webp", 70000, 3, 4))
+    assert(got(5L) === null)
+    assert(got(6L) === null)
+    assert(got(7L) === null)
+    // triage routes the container before the parse
+    val fmt = df.filter(col("media_id") === 1L)
+      .select(Multimodal.media_format(col("bytes"))).head().getString(0)
+    assert(fmt === "webp")
+  }
+
   test("audio_meta parses WAV (chunk walk, odd-pad) and MP3 headers; stragglers NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
