@@ -276,6 +276,20 @@ class PlanShapeSpec extends AnyFunSuite {
         s"q39 shuffled on $key despite the bucket layout:\n$plan")
   }
 
+  test("v29: the JL pool is top-k heaps over the projection, zero corpus shuffle") {
+    val plan = planOf("v29_jl_project_refine")
+    assert(plan.contains("TakeOrderedAndProject"), s"v29 lost the heap shape:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the projection pool must not shuffle the corpus:\n$plan")
+  }
+
+  test("t45: the chunk manifest never exchanges before the gate sort") {
+    val plan = planOf("t45_chunk_manifest")
+    assert(plan.contains("Generate"), s"t45 lost its explode shape:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking is per-row work; a hash exchange appeared:\n$plan")
+  }
+
   test("g4: per-round argmax aggregates, never a partition-wide window sort") {
     val plan = planOf("g4_label_prop")
     assert(!plan.contains("Window"),
