@@ -367,6 +367,23 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // the evaluation loop for the index family: recall@10 of the
+    // nprobe-2 IVF search vs exact kNN, per probe — the number
+    // nlist/nprobe decisions are made on. Both inputs deterministic
+    // top-k relations; recall one IEEE division of exact ints
+    "v30_ivf_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      val probes = e.filter(col("vec_id") < 8)
+      val approx = graft.operators.Ivf.knnJoinApprox(idx, probes,
+        "vec_id", "embedding", k = 10, nprobe = 2)
+      val exact = Knn.knnJoin(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 10)
+      graft.operators.AnnEval.recallAtK(exact, approx, k = 10)
+        .orderBy(col("probe_id"))
+    },
+
     // Johnson-Lindenstrauss +-1 projection (64 -> 16 dims) + exact
     // refine: the DATA-INDEPENDENT compressor (PQ/SQ8 train, Matryoshka
     // assumes prefix training, JL needs only a seed). The projected
@@ -1262,6 +1279,43 @@ object Vectors extends QueryPack {
         |  LIMIT 10)
         |SELECT id, label FROM topk
         |ORDER BY id""".stripMargin,
+
+    // the approx side re-derives the IVF selection through the same
+    // k-means CTEs as v9/v22; the exact side is the v3 shape; recall is
+    // the intersection count over one division
+    "v30_ivf_recall" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v, nn FROM emb WHERE vec_id < 8),
+         |pbk AS (
+         |  SELECT p.probe_id, c.b
+         |  FROM probes p CROSS JOIN ${IvfSql.cent} c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |    ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b) <= 2),
+         |approx AS (
+         |  SELECT probe_id, corpus_id FROM (
+         |    SELECT pb.probe_id, af.vec_id AS corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY pb.probe_id
+         |        ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, af.vec_id) AS rnk
+         |    FROM pbk pb
+         |    JOIN probes p USING (probe_id)
+         |    JOIN af ON af.b = pb.b
+         |    JOIN emb e ON e.vec_id = af.vec_id) t
+         |  WHERE rnk <= 10),
+         |ex AS (
+         |  SELECT probe_id, corpus_id FROM (
+         |    SELECT p.probe_id, e.vec_id AS corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, e.vec_id) AS rnk
+         |    FROM probes p CROSS JOIN emb e) t
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT probe_id, COUNT(*) AS n_hit
+         |  FROM ex JOIN approx USING (probe_id, corpus_id) GROUP BY 1)
+         |SELECT p.probe_id, COALESCE(h.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+         |FROM (SELECT DISTINCT probe_id FROM ex) p
+         |LEFT JOIN hits h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
 
     // the identical +-1 matrix from the splitmix64 counter stream, the
     // identical floor-quantized integer fold, then v18's exact re-rank
