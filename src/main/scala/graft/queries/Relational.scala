@@ -708,6 +708,28 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // parquet SCHEMA EVOLUTION: two table generations — the older
+    // written before o_orderstatus existed — read together under
+    // mergeSchema; rows from the pre-schema files surface the new
+    // column as NULL. The oracle states the same semantics over the
+    // original table, pinning that evolution loses and invents nothing.
+    // At 100 TB this is how a lake actually grows: columns appear over
+    // time, history is never rewritten.
+    "q44_schema_evolution" -> { (s, d) =>
+      val base = s"/dev/shm/graft_evo_${new java.io.File(d).getName}"
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("<pre-schema>")).as("status"))
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("sum_price"))
+        .orderBy(col("status"))
+    },
+
     // typed cogroup (KeyValueGroupedDataset.cogroup): per-key
     // reconciliation of the orders and lineitem streams with imperative
     // merge logic — the typed seam for per-key algorithms the
@@ -1072,6 +1094,17 @@ object Relational extends QueryPack {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // evolution semantics over the original table: even keys predate
+    // the column, odd keys carry it
+    "q44_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+        |       ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY status""".stripMargin,
 
     // the declarative restatement of the cogroup's imperative merge
     "q43_cogroup_reconcile" ->
