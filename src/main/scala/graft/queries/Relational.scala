@@ -708,6 +708,25 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // generic multi-column Z-ORDER layout (the OPTIMIZE ZORDER BY shape
+    // over plain parquet): lineitem rewritten clustered on
+    // (l_partkey, l_suppkey), then a selective filter on BOTH columns
+    // reads it back — the gate pins that the layout changed NOTHING
+    // (oracle over the ORIGINAL table); ZOrderSkipBench measures the
+    // row-group skipping the layout exists for
+    "q45_zorder_layout" -> { (s, d) =>
+      val path = s"/dev/shm/graft_zorder_${new java.io.File(d).getName}"
+      graft.sources.ZOrderLayout.write(Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_returnflag")),
+        Seq("l_partkey", "l_suppkey"), bits = 6, numPartitions = 16, path)
+      s.read.parquet(path)
+        .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 40)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // parquet SCHEMA EVOLUTION: two table generations — the older
     // written before o_orderstatus existed — read together under
     // mergeSchema; rows from the pre-schema files surface the new
@@ -1094,6 +1113,15 @@ object Relational extends QueryPack {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // the layout is semantics-free: the oracle is the plain filter
+    "q45_zorder_layout" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey <= 100 AND l_suppkey <= 40
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // evolution semantics over the original table: even keys predate
     // the column, odd keys carry it
