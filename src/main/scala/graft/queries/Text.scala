@@ -444,6 +444,23 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // the composed curate -> train-order pipeline: d11's quality gate +
+    // fingerprint dedup chooses the corpus, t46's epoch shuffle hands
+    // the loader its per-epoch order — one lazy plan, the curation/
+    // ordering boundary (where kept-set drift silently corrupts
+    // training determinism) sits under the hash. The x6 posture:
+    // every stage gated alone elsewhere, composed here.
+    "x7_curate_shuffle" -> { (s, d) =>
+      val kept = graft.operators.Curate.manifest(Tables.documents(s, d),
+        "doc_id", "text", "lang", langs = Seq("en", "de"),
+        minQuality = 0.5, maxLen = 256L)
+        .select(col("id"))
+      graft.operators.Sampling.epochShuffle(kept, "id",
+        epochs = 2, shards = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    },
+
     // deterministic epoch shuffle: per-epoch pseudo-random data order as
     // a pure function of (epoch, id) — reproducible, resumable, no RNG
     // state; positions dense within md5 shards (the shard is the unit
@@ -1691,6 +1708,50 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // d11's q/g/k/t CTEs choose the kept set (quality gate, lang
+    // filter, fingerprint keep-first, non-empty), then t46's md5
+    // arithmetic orders it per epoch
+    "x7_curate_shuffle" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang,
+         |    (LEAST(1.0, n_tok / 20.0)
+         |     + n_distinct / GREATEST(n_tok, 1.0)
+         |     + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+         |     + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 AS quality
+         |  FROM (
+         |    SELECT doc_id, text, lang,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS DOUBLE) AS n_distinct,
+         |      CAST(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS DOUBLE) AS n_stop,
+         |      CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |      CAST(len(text) AS DOUBLE) AS n_chars
+         |    FROM documents) t0),
+         |g AS (SELECT doc_id, text, lang FROM q
+         |      WHERE lang IN ('en', 'de') AND quality >= 0.5),
+         |k AS (SELECT doc_id, text, lang,
+         |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |      FROM g
+         |      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |  FROM k),
+         |kept AS (SELECT id FROM t WHERE n_tok > 0),
+         |e AS (SELECT kept.id AS id, gs.epoch AS epoch
+         |      FROM kept, generate_series(0, 1) AS gs(epoch)),
+         |ky AS (SELECT id, epoch, md5(concat(epoch, ':', id)) AS k2 FROM e),
+         |s AS (SELECT epoch, CAST(concat('0x', substr(k2, 1, 2)) AS BIGINT) % 8 AS shard,
+         |             k2, id FROM ky)
+         |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k2, id)
+         |       AS BIGINT) AS pos,
+         |  id AS doc_id
+         |FROM s
+         |ORDER BY epoch, shard, pos""".stripMargin,
 
     // the identical md5 keys, shard arithmetic, and in-shard ranking
     "t46_epoch_shuffle" ->
