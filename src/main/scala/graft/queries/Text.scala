@@ -444,6 +444,17 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // RAKE keyword extraction: top-3 stopword-delimited phrases per doc
+    // by quantized deg/freq scores — corpus statistics one combinable
+    // word-keyed aggregate, candidates joined to the broadcast score
+    // table, per-doc top-k through the q28 bounded heap
+    "t47_rake_keywords" -> { (s, d) =>
+      graft.operators.Keywords.topKeywords(Tables.documents(s, d),
+        "doc_id", "text", k = 3, maxWords = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // the composed curate -> train-order pipeline: d11's quality gate +
     // fingerprint dedup chooses the corpus, t46's epoch shuffle hands
     // the loader its per-epoch order — one lazy plan, the curation/
@@ -1708,6 +1719,38 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // the identical split / statistics / quantization / ranking
+    "t47_rake_keywords" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\b(?:the|a|an|of|to|and|in|on|for|with|is|are|was|be|by|at|as|it|this|that)\b')) AS c
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, phrase FROM (
+        |    SELECT doc_id, trim(regexp_replace(c, '\s+', ' ', 'g')) AS phrase FROM ch) t
+        |  WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 3),
+        |occ AS (
+        |  SELECT unnest(string_split(phrase, ' ')) AS w,
+        |         len(string_split(phrase, ' ')) - 1 AS others
+        |  FROM p),
+        |st AS MATERIALIZED (
+        |  SELECT w, CAST(floor(1e9 * CAST(COUNT(*) + SUM(others) AS DOUBLE)
+        |                 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS wq
+        |  FROM occ GROUP BY w),
+        |dp AS (SELECT DISTINCT doc_id, phrase FROM p),
+        |sc AS (
+        |  SELECT doc_id, phrase, CAST(SUM(wq) AS BIGINT) AS score_q
+        |  FROM (SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w FROM dp) x
+        |  JOIN st USING (w)
+        |  GROUP BY doc_id, phrase)
+        |SELECT doc_id, rnk, phrase, score_q FROM (
+        |  SELECT doc_id, phrase, score_q,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_q DESC, phrase ASC) AS BIGINT) AS rnk
+        |  FROM sc) t
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     // d11's q/g/k/t CTEs choose the kept set (quality gate, lang
     // filter, fingerprint keep-first, non-empty), then t46's md5
