@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: phrase extraction is a per-row regex split (no
   * shuffle); word statistics are one combinable aggregate keyed by word
-  * (vocabulary-sized, the t18/t23 class); scoring joins the distinct
-  * candidates to the BROADCAST word-score table; the per-doc top-k uses
-  * the q28 bounded-heap aggregate, never a corpus-wide rank window.
+  * (vocabulary-sized, the t18/t23 class); scoring is a word-keyed
+  * equi-join of candidates against that table — deliberately UNHINTED:
+  * candidate vocabulary is unbounded at corpus scale, so a broadcast
+  * hint would be a driver OOM in waiting, while AQE broadcasts it
+  * anyway whenever it measures small; the per-doc top-k uses the q28
+  * bounded-heap aggregate, never a corpus-wide rank window.
   */
 object Keywords {
 
@@ -77,7 +80,7 @@ object Keywords {
       val scored = ph.select(col("id"), col("phrase")).distinct()
         .select(col("id"), col("phrase"),
           explode(split(col("phrase"), " ")).as("w"))
-        .join(broadcast(stats), Seq("w"))
+        .join(stats, Seq("w")) // unhinted: vocabulary-sized, AQE decides
         .groupBy(col("id"), col("phrase"))
         .agg(sum(col("wq")).as("score_q"))
       scored

@@ -44,12 +44,14 @@ object ZOrderLayout {
     require(bits >= 1 && bits <= 16, s"zorder: bits must be in [1, 16], got $bits")
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
-    val buckets = cols.map { c =>
-      // quantile boundaries: one bounded driver-side pass per column
-      val cuts = df.stat.approxQuantile(c, probs, 0.001).toSeq
+    // quantile boundaries for ALL clustering columns in ONE bounded
+    // pass (the multi-column approxQuantile overload — a per-column
+    // loop would re-scan the table per column)
+    val allCuts = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val buckets = cols.zip(allCuts).map { case (c, cuts) =>
       // bucket = #boundaries <= value — an array scan in codegen over
       // the literal boundary vector, skew-proof by construction
-      size(filter(typedlit(cuts), x => x <= col(c).cast("double"))).cast("long")
+      size(filter(typedlit(cuts.toSeq), x => x <= col(c).cast("double"))).cast("long")
     }
     df.withColumn("__z", interleave(buckets, bits))
       .repartitionByRange(numPartitions, col("__z"))
