@@ -65,10 +65,11 @@ object CountMin {
       .agg(sum(col("cnt")).as("cnt"))
 
   /** Point estimates for a probe-token table (column `token`): MIN over
-    * the depth rows of the token's counters. Probes are broadcast (a
-    * probe set is k-sized by construction); a register cell can only be
-    * absent for a token that never occurred, so the left join's NULL
-    * coalesces to the true count 0.
+    * the depth rows of the token's counters. The probes LEFT-join the
+    * register table (broadcast — it is depth x width bounded by
+    * construction): a sparse cell is a zero counter, so a probe token
+    * none of whose cells collided with anything reports its true count
+    * 0 instead of vanishing from the result.
     */
   def estimates(registers: DataFrame, probes: DataFrame,
                 depth: Int, width: Int): DataFrame = {
@@ -76,9 +77,9 @@ object CountMin {
       .select(col("token"), posexplode(cm_buckets(col("token"), depth, width)))
       .select(col("token"),
         col("pos").cast("long").as("r"), col("col").cast("long").as("b"))
-    registers.join(broadcast(pb), Seq("r", "b"))
+    pb.join(broadcast(registers), Seq("r", "b"), "left")
       .groupBy(col("token"))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
   /** Gate composition (t44): estimate the corpus' exact top-k tokens and

@@ -57,6 +57,20 @@ class CountMinSpec extends AnyFunSuite {
     perRow.foreach(r => assert(r.getAs[Long]("m") === n))
   }
 
+  test("estimates report NEVER-SEEN probe tokens (zero or collision mass, not absence)") {
+    val regs = CountMin.registers(docs, "text", Depth, Width)
+    val probes = Seq("a", "zebra-never-seen", "qq-also-unseen")
+      .toDF("token")
+    val got = CountMin.estimates(regs, probes, Depth, Width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every probe appears, seen or not
+    assert(got.keySet === Set("a", "zebra-never-seen", "qq-also-unseen"))
+    assert(got("a") >= 7L) // true count of "a" in the fixture
+    // unseen tokens report >= 0 (0 if no cell collided, else collision
+    // mass) — the CMS overestimate bound with true count 0
+    assert(got("zebra-never-seen") >= 0L && got("qq-also-unseen") >= 0L)
+  }
+
   test("merge linearity: 3-way disjoint shards union-sum to the single pass") {
     val single = CountMin.registers(docs, "text", Depth, Width)
       .orderBy($"r", $"b").collect().toSeq
