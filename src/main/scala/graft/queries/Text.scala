@@ -444,6 +444,30 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // canonical-URL dedup (the Common-Crawl first stage): four URL
+    // variants per group — uppercase host, explicit default port,
+    // dot-segment path, fragment — constructed from doc_id arithmetic,
+    // canonicalized by the native RFC 3986 kernel, deduped on the
+    // canonical form. The oracle states the expected canonical STRING
+    // arithmetically (the m1 inversion posture), so it gates lowercase
+    // scheme/host, default-port drop, remove_dot_segments, and
+    // fragment drop all at once, under the dedup aggregate.
+    "d20_url_dedup" -> { (s, d) =>
+      import graft.functions.GraftFunctions.url_canonicalize
+      val url = expr(
+        """CASE cast(doc_id % 4 as int)
+          |  WHEN 0 THEN concat('https://HOST', doc_id div 4, '.com/p/', doc_id div 4)
+          |  WHEN 1 THEN concat('https://host', doc_id div 4, '.com:443/p/', doc_id div 4)
+          |  WHEN 2 THEN concat('HTTPS://host', doc_id div 4, '.com/x/../p/', doc_id div 4)
+          |  ELSE concat('https://host', doc_id div 4, '.com/p/', doc_id div 4, '#frag')
+          |END""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), url_canonicalize(url).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("canonical"))
+    },
+
     // RAKE keyword extraction: top-3 stopword-delimited phrases per doc
     // by quantized deg/freq scores — corpus statistics one combinable
     // word-keyed aggregate, candidates joined to the broadcast score
@@ -1719,6 +1743,15 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // the inversion expectation: every variant of group g must
+    // canonicalize to exactly this string
+    "d20_url_dedup" ->
+      """SELECT concat('https://host', doc_id // 4, '.com/p/', doc_id // 4) AS canonical,
+        |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY canonical""".stripMargin,
 
     // the identical split / statistics / quantization / ranking
     "t47_rake_keywords" ->
