@@ -55,6 +55,24 @@ object CountMin {
                 depth: Int, width: Int): DataFrame =
     registersOver(tokens(docs, textCol), col("token"), depth, width)
 
+  /** GROUPED registers: one sketch grid per key tuple (the e22 HLL
+    * pattern for frequencies — e.g. one grid per hour). State and
+    * shuffle are bounded at |keys| x depth x width; each key's grid
+    * merges/estimates independently with the ungrouped operators.
+    */
+  def registersGroupedOver(items: DataFrame, keys: Seq[String],
+                           item: org.apache.spark.sql.Column,
+                           depth: Int, width: Int): DataFrame = {
+    require(keys.nonEmpty, "cm grouped: need at least one key column")
+    val kc = keys.map(col)
+    items
+      .select(kc :+ posexplode(cm_buckets(item, depth, width)): _*)
+      .select(kc ++ Seq(col("pos").cast("long").as("r"),
+        col("col").cast("long").as("b")): _*)
+      .groupBy((kc ++ Seq(col("r"), col("b"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Merge two register tables built with the same (depth, width): the
     * sketch is linear, so union + per-cell sum equals the single-pass
     * registers over the concatenated corpora exactly (the t44b gate).

@@ -100,6 +100,19 @@ object Events extends QueryPack {
     // distinct users per (hour, type) as one combinable sketch pass —
     // the exchange carries hours x types x 256 rows, mergeable across
     // days by construction (e19b's union-max applies unchanged)
+    // TIME-BUCKETED CMS: one register grid per hour (e22's HLL pattern
+    // for frequencies) — per-hour event-type frequency estimates whose
+    // state is hours x depth x width, each hour's grid independently
+    // mergeable with the t44b union-sum
+    "e24_hourly_countmin" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("hr", unix_micros(date_trunc("hour", col("ts"))))
+      graft.operators.CountMin.registersGroupedOver(
+        ev.select(col("hr"), col("event_type")), Seq("hr"),
+        col("event_type"), depth = 4, width = 64)
+        .orderBy(col("hr"), col("r"), col("b"))
+    },
+
     // CMS registers over event types — the batch form of the streaming
     // twin (EventsStream.countMinRegistersStream): one combinable count
     // whose shuffle AND streaming state are bounded at depth x width
@@ -422,6 +435,22 @@ object Events extends QueryPack {
          |ORDER BY event_type, bucket""".stripMargin,
 
     // the e19 stream keyed by (hour, type); epoch-micros hours
+    // per-hour token counts through the identical register arithmetic,
+    // hr carried through the mix layers
+    "e24_hourly_countmin" ->
+      s"""WITH et AS (
+         |  SELECT epoch_us(date_trunc('hour', ts)) AS hr, event_type AS s
+         |  FROM events),
+         |hc AS MATERIALIZED (SELECT hr, s, COUNT(*) AS c FROM et GROUP BY 1, 2),
+         |hf AS (SELECT hr, c, ${SketchSql.FnvSql} AS h FROM hc),
+         |hrs AS (SELECT hr, c, g.r AS r, xor(h, ${SketchSql.cmSeedSql("g.r")}) AS z
+         |        FROM hf CROSS JOIN generate_series(0, 3) AS g(r)),
+         |${SketchSql.mixLayerCtes("hrs", Seq("hr", "c", "r"))}
+         |SELECT hr, CAST(r AS BIGINT) AS r, CAST((u >> 1) % 64 AS BIGINT) AS b,
+         |  CAST(SUM(c) AS BIGINT) AS cnt
+         |FROM hrsmu GROUP BY 1, 2, 3
+         |ORDER BY hr, r, b""".stripMargin,
+
     // the t44 register grid over event types (CountMin.registersOver) —
     // the frequency sketch whose streaming twin re-emits the same
     // depth x width state per trigger (StreamingSpec pins batch==stream)

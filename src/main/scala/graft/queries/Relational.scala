@@ -708,6 +708,19 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // the full CUBE lattice (all 2^k grouping sets in one pass) —
+    // completes the OLAP grouping family next to q12's ROLLUP and
+    // q31's explicit GROUPING SETS; grouping_id disambiguates NULL
+    // group values from NULL lattice levels on both sides
+    "q46_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("cast(grouping_id(l_returnflag, l_linestatus) as bigint)").as("gid"),
+          count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // generic multi-column Z-ORDER layout (the OPTIMIZE ZORDER BY shape
     // over plain parquet): lineitem rewritten clustered on
     // (l_partkey, l_suppkey), then a selective filter on BOTH columns
@@ -1113,6 +1126,16 @@ object Relational extends QueryPack {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // the identical lattice and grouping_id convention
+    "q46_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     // the layout is semantics-free: the oracle is the plain filter
     "q45_zorder_layout" ->
