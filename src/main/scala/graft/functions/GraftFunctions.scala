@@ -124,6 +124,8 @@ object GraftFunctions {
   /** Integer-exact +-1 JL projection — see [[SignedProject]]. */
   def signed_project(emb: Column, k: Int, seed: Long): Column =
     toCol(SignedProject(toExpr(emb), k, seed))
+  /** Unicode NFC normalization (UAX #15) — see [[NfcNormalize]]. */
+  def nfc_normalize(s: Column): Column = toCol(NfcNormalize(toExpr(s)))
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_distance" -> { es => CosineDistance(es(0), es(1)) },
@@ -160,6 +162,7 @@ object GraftFunctions {
     "gif_pixel_stats" -> { es => GifPixelStats(es(0)) },
     "bmp_pixel_stats" -> { es => BmpPixelStats(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
+    "nfc_normalize" -> { es => NfcNormalize(es(0)) },
     "cm_buckets" -> { es => CmBuckets(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].intValue()) },

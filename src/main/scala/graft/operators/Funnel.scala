@@ -25,11 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** `maxGapSeconds`: when set, each step must also land WITHIN the gap
+    * of the previous stage's time (the attribution-window form —
+    * "purchase within 2 h of the click"); None = unbounded.
+    */
   def stages(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame = {
+             tsCol: String, steps: Seq[String],
+             maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"funnel: need >= 2 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size,
       s"funnel: steps must be distinct, got $steps")
+    require(maxGapSeconds.forall(_ > 0),
+      s"funnel: maxGapSeconds must be positive, got $maxGapSeconds")
     val base = events.select(col(userCol).cast("long").as("user"),
       col(typeCol).as("et"), col(tsCol).as("ts"))
     var acc = base.filter(col("et") === steps.head)
@@ -37,9 +44,12 @@ object Funnel {
     var i = 2
     steps.tail.foreach { step =>
       val prev = s"t${i - 1}"
+      val within = maxGapSeconds
+        .map(g => col("ts") <= col(prev) + expr(s"INTERVAL $g SECOND"))
+        .getOrElse(lit(true))
       val nxt = base.filter(col("et") === step)
         .join(acc.select(col("user"), col(prev)), "user")
-        .filter(col("ts") > col(prev))
+        .filter(col("ts") > col(prev) && within)
         .groupBy(col("user")).agg(min(col("ts")).as(s"t$i"))
       acc = acc.join(nxt, Seq("user"), "left")
       i += 1

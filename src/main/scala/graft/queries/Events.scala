@@ -100,6 +100,18 @@ object Events extends QueryPack {
     // distinct users per (hour, type) as one combinable sketch pass —
     // the exchange carries hours x types x 256 rows, mergeable across
     // days by construction (e19b's union-max applies unchanged)
+    // the WINDOWED funnel: each stage must land within 2 hours of the
+    // previous one (the attribution-window form) — conversion drops
+    // where e25's unbounded funnel still counts
+    "e26_funnel_windowed" -> { (s, d) =>
+      graft.operators.Funnel.stages(Tables.events(s, d),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        maxGapSeconds = Some(7200L))
+        .withColumnRenamed("user", "user_id")
+        .orderBy(col("user_id"))
+    },
+
     // ordered funnel view -> click -> purchase: per user, each stage's
     // earliest time STRICTLY AFTER the previous stage's — an aggregate
     // chain (one combinable min per stage on one reused user
@@ -447,6 +459,28 @@ object Events extends QueryPack {
          |ORDER BY event_type, bucket""".stripMargin,
 
     // the e19 stream keyed by (hour, type); epoch-micros hours
+    // the identical chain with the 2-hour inclusive window per stage
+    "e26_funnel_windowed" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |    AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7200 SECOND
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |    AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7200 SECOND
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT v.user_id,
+        |  CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached,
+        |  epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     // the identical stage chain: strict-after mins, left-joined stages
     "e25_funnel" ->
       """WITH v AS (

@@ -444,6 +444,28 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode NFC normalization (UAX #15) — the preprocessing step that
+    // makes combining sequences and precomposed characters the same
+    // BYTES before any hash/dedup/shingle kernel sees them. Each doc
+    // gets a planted combining pair ("e" + U+0301) and its precomposed
+    // sibling (U+00E9); the md5 of the normalized text is byte-gated
+    // against DuckDB's independent NFC implementation — two conforming
+    // implementations of the same Unicode standard must agree exactly
+    "t48_nfc_normalize" -> { (s, d) =>
+      import graft.functions.GraftFunctions.nfc_normalize
+      // explicit escapes: the first suffix is the COMBINING pair
+      // (e + U+0301), the second the precomposed U+00E9 — literal
+      // accents would be at the mercy of editor normalization
+      val dirty = concat(col("text"), lit(" cafe\u0301 caf\u00e9"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(dirty).as("raw_len"),
+          length(nfc_normalize(dirty)).as("nfc_len"),
+          md5(nfc_normalize(dirty).cast("binary")).as("fp"),
+          (nfc_normalize(dirty) =!= dirty).as("changed"))
+        .orderBy(col("doc_id"))
+    },
+
     // canonical-URL dedup (the Common-Crawl first stage): four URL
     // variants per group — uppercase host, explicit default port,
     // dot-segment path, fragment — constructed from doc_id arithmetic,
@@ -1743,6 +1765,21 @@ object Text extends QueryPack {
         |FROM g JOIN f USING (fp)
         |GROUP BY doc_id
         |ORDER BY id""".stripMargin,
+
+    // DuckDB's own NFC implementation against the JDK's — the standard
+    // arbitrates; chr(769) = U+0301 combining acute, chr(233) = U+00E9
+    "t48_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' caf' || chr(233) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(dirty) AS INT) AS raw_len,
+        |  CAST(length(nfc_normalize(dirty)) AS INT) AS nfc_len,
+        |  md5(nfc_normalize(dirty)) AS fp,
+        |  nfc_normalize(dirty) <> dirty AS changed
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
 
     // the inversion expectation: every variant of group g must
     // canonicalize to exactly this string
