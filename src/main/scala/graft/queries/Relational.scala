@@ -721,6 +721,51 @@ object Relational extends QueryPack {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // the ranking-window zoo (ntile / percent_rank / cume_dist /
+    // nth_value with an explicit full frame), completing §2.5 next to
+    // q7/q8/q18/q25's rank/running/comparison/RANGE windows. The window
+    // ordering is made TOTAL (price, then key) so bucket boundaries and
+    // rank fractions are engine-independent; both engines then compute
+    // the identical integer-derived fractions in IEEE doubles. The
+    // window runs over the FULL table (one hash partitioning by
+    // priority — at 100 TB this is one shuffle, no sort ambiguity) and
+    // only then samples keys, so every emitted fraction reflects the
+    // whole partition, not the sample.
+    "q47_window_zoo" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("o_totalprice")).over(wFull).as("min_price"),
+          nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+        .filter(col("o_orderkey") % 97 === 0)
+        .orderBy(col("o_orderkey"))
+    },
+
+    // k-ANONYMITY audit (governance over training data): group sizes on
+    // the quasi-identifier pair (nation, segment), each group flagged
+    // when fewer than k=5 rows share its identifiers, plus the group's
+    // size under the one-level generalization that drops the segment —
+    // the number a re-identification attacker faces after coarsening.
+    // One combinable count per level on one scan; the generalized level
+    // broadcasts back onto the fine level (nations are tiny forever).
+    "q48_k_anonymity" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val fine = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val coarse = c.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_generalized"))
+      fine.join(broadcast(coarse), "c_nationkey")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          (col("n") < 5).as("at_risk"), col("n_generalized"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+
     // generic multi-column Z-ORDER layout (the OPTIMIZE ZORDER BY shape
     // over plain parquet): lineitem rewritten clustered on
     // (l_partkey, l_suppkey), then a selective filter on BOTH columns
@@ -1136,6 +1181,36 @@ object Relational extends QueryPack {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // the identical total window ordering; DuckDB's ntile/percent_rank/
+    // cume_dist implement the same integer-derived definitions
+    "q47_window_zoo" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_totalprice) OVER wf AS min_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |QUALIFY o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the same two aggregation levels joined back
+    "q48_k_anonymity" ->
+      """WITH fine AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |coarse AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_generalized
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, c_mktsegment, n, n < 5 AS at_risk, n_generalized
+        |FROM fine JOIN coarse USING (c_nationkey)
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // the layout is semantics-free: the oracle is the plain filter
     "q45_zorder_layout" ->
