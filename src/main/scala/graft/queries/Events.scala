@@ -20,6 +20,27 @@ object Events extends QueryPack {
       EventsStream.hourlyByTypeBatch(Tables.events(s, d))
     },
 
+    // first-order Markov transition matrix over per-user event
+    // sequences: one user-keyed window pass emits consecutive-pair
+    // edges, one combinable count per (from, to), and the tiny
+    // per-from totals broadcast back for exact ppm probabilities —
+    // the "what happens next" model next to e25's fixed funnel
+    "e27_markov_transitions" -> { (s, d) =>
+      graft.operators.Markov.transitions(Tables.events(s, d),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // trailing-7-day distinct actives per day (rolling DAU/WAU): the
+    // sliding COUNT(DISTINCT) no SQL window expresses, rewritten as
+    // distinct day-user pairs -> bounded 7-way contribution explode ->
+    // distinct -> count; two pair-volume shuffles at any scale
+    "e28_rolling_actives" -> { (s, d) =>
+      graft.operators.Rolling.rollingDistinctDaily(Tables.events(s, d),
+        col("ts"), col("user_id"), windowDays = 7)
+        .orderBy(col("day_us"))
+    },
+
     // hourly top-3 trending event types (streaming twin:
     // topTypesPerHourStream — finalized exactly once per hour)
     "e12_top_types" -> { (s, d) =>
@@ -340,6 +361,41 @@ object Events extends QueryPack {
   )
 
   def sql: Map[String, String] = Map(
+    // the identical lead window under the identical total ordering;
+    // probabilities as exact integer parts-per-million on both sides
+    "e27_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 // t AS BIGINT) AS p_ppm
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // the declarative restatement: per existing day, distinct users
+    // active in the trailing 7-day interval (DuckDB can afford the
+    // range join at oracle scale; the engine's explode rewrite must
+    // equal it exactly)
+    "e28_rolling_actives" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |w AS (
+        |  SELECT days.d, COUNT(DISTINCT du.user_id) AS dau_w
+        |  FROM days JOIN du
+        |    ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        |  GROUP BY 1),
+        |d1 AS (SELECT d, COUNT(*) AS dau1 FROM du GROUP BY 1)
+        |SELECT epoch_us(d1.d) AS day_us, dau1, dau_w
+        |FROM d1 JOIN w ON d1.d = w.d
+        |ORDER BY day_us""".stripMargin,
+
     "e1_hourly_by_type" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
