@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-overlap link prediction (common-neighbor and Jaccard
+  * scores for non-adjacent node pairs) — the classic "you may also
+  * like" / record-linkage primitive over the same co-occurrence graphs
+  * g1–g4 serve (Liben-Nowell & Kleinberg 2003).
+  *
+  * Shape: candidate pairs are exactly the WEDGES of the graph — for
+  * each center c, every unordered pair of its neighbors — counted per
+  * pair (one equi-join on the center key + one combinable count), then
+  * anti-joined against the edge set so only genuinely new links remain,
+  * then degree-joined for the Jaccard denominator. All arithmetic is
+  * integer (counts, degrees, ppm quotient), bit-stable across engines.
+  *
+  * Scale posture: wedge volume is Σ_c deg(c)·(deg(c)−1)/2 — quadratic
+  * in hub degree, the same regime Dedup.jaccardNearDupPairs guards.
+  * The operator computes that sum exactly from the degree table it
+  * needs anyway and REFUSES loudly past `maxWedgeEstimate`, naming the
+  * mitigations (degree-cap the centers, or sample), rather than
+  * absorbing an unbounded shuffle. Degrees join via two key shuffles of
+  * candidate volume; the top-k exits through TakeOrderedAndProject.
+  */
+object LinkPredict {
+
+  /** Top-`k` non-adjacent pairs by common-neighbor count over an
+    * undirected edge list (`aCol` < `bCol`, deduped). Output:
+    * (a, b, cn, deg_a, deg_b, jac_ppm), ordered by cn desc then (a, b).
+    */
+  def commonNeighbors(edges: DataFrame, aCol: String, bCol: String,
+                      k: Int = 20,
+                      maxWedgeEstimate: Long = 50000000L): DataFrame = {
+    // the edge list is typically itself a derived plan (the gate's is a
+    // co-occurrence self-join + distinct) and is read FOUR times here
+    // (guard/degrees/wedges via adj, plus the anti-join) — persist it so
+    // the upstream plan executes once
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adjacency in both directions: (c = center, n = neighbor)
+    // cached: the guard aggregate, the degree table, and both wedge
+    // sides read the adjacency
+    val adj = e.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = deg.agg(sum(col("d") * (col("d") - lit(1L)))).head()
+    val wedgeVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+    require(wedgeVolume <= maxWedgeEstimate,
+      s"commonNeighbors would enumerate ~$wedgeVolume wedges (sum of " +
+        s"deg*(deg-1)/2 over centers) > maxWedgeEstimate=$maxWedgeEstimate; " +
+        "cap hub degrees (filter the adjacency to deg <= D before calling) " +
+        "or sample centers, or raise maxWedgeEstimate deliberately")
+    val l = adj.select(col("c"), col("n").as("u"))
+    val r = adj.select(col("c"), col("n").as("v"))
+    val cn = l.join(r, "c").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      // wedge pairs that are already edges are triangles, not predictions
+      .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+    cn.join(deg.select(col("c").as("u"), col("d").as("deg_a")), "u")
+      .join(deg.select(col("c").as("v"), col("d").as("deg_b")), "v")
+      .select(col("u").as("a"), col("v").as("b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        expr("cast((cn * 1000000) div (deg_a + deg_b - cn) as bigint)")
+          .as("jac_ppm"))
+      .orderBy(col("cn").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+}
