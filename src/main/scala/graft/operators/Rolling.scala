@@ -43,4 +43,32 @@ object Rolling {
     dau1.join(dauW, col("d") === col("rd"))
       .select(unix_micros(col("d")).as("day_us"), col("dau1"), col("dau_w"))
   }
+
+  /** Depth-truncated integer EWMA (alpha = 1/2) per key sequence:
+    * ewma_s = sum_{j=0..depth-1} value(t-j) * 2^(depth-1-j) — the
+    * current observation carries weight 2^(depth-1), each older one
+    * half that, over the PRE-QUANTIZED integer `value` (callers floor
+    * their doubles; floor is the one rounding both engines agree on).
+    * The scaled form keeps everything BIGINT — bit-reproducible where a
+    * float recurrence would accumulate engine-specific error — and the
+    * fixed depth makes the smoother expressible as `depth` lag() reads
+    * of ONE window pass (a true infinite-horizon EWMA is a sequential
+    * recurrence no parallel window computes; at depth 8 the dropped
+    * tail weighs < 0.4% of the total).
+    *
+    * NULL until a full depth of history exists (lag shortfalls
+    * propagate) — a deliberate contract: a half-warm smoother reads as
+    * noise, not data. One key-partitioned shuffle; the frame is the
+    * depth, so state never exceeds `depth` rows per key in the sort.
+    */
+  def ewmaScaled(df: DataFrame, keyCol: Column, tsCol: Column,
+                 tieCol: Column, valueScaled: Column, depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth must be in [1, 62], got $depth")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val ewma = (0 until depth).map { j =>
+      lag(valueScaled, j).over(w) * lit(1L << (depth - 1 - j))
+    }.reduce(_ + _)
+    df.select(keyCol.as("key"), tieCol.as("tie"), ewma.as("ewma_s"))
+  }
 }

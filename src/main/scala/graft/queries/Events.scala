@@ -41,6 +41,34 @@ object Events extends QueryPack {
         .orderBy(col("day_us"))
     },
 
+    // depth-8 integer EWMA (alpha=1/2) of the quantized event value per
+    // user sequence: eight lag() reads of ONE user-keyed window pass,
+    // all arithmetic BIGINT (floor-quantized — the one rounding both
+    // engines agree on); NULL until a full depth of history exists.
+    // The user filter selects WHOLE sequences, so it commutes with the
+    // per-user window and Catalyst pushes it below the sort.
+    "e29_ewma" -> { (s, d) =>
+      graft.operators.Rolling.ewmaScaled(
+        Tables.events(s, d).filter(col("user_id") % 7 === 0),
+        col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1000).cast("long"), depth = 8)
+        .orderBy(col("key"), col("tie"))
+    },
+
+    // exactly-once from at-least-once: the doubled event log (simulated
+    // redelivery) collapsed by dedupBatch — streaming twin is the
+    // spec-gated streamingDedup (flatMapGroupsWithState, TTL-bounded
+    // state); the aggregate hashes per-type counts AND id sums so a
+    // surviving duplicate cannot cancel out
+    "e30_stream_dedup" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      EventsStream.dedupBatch(ev.unionAll(ev))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event_type"))
+    },
+
     // hourly top-3 trending event types (streaming twin:
     // topTypesPerHourStream — finalized exactly once per hour)
     "e12_top_types" -> { (s, d) =>
@@ -395,6 +423,32 @@ object Events extends QueryPack {
         |SELECT epoch_us(d1.d) AS day_us, dau1, dau_w
         |FROM d1 JOIN w ON d1.d = w.d
         |ORDER BY day_us""".stripMargin,
+
+    // eight lag() reads of the same window restate the depth-8 smoother;
+    // NULL propagation through + gives the warmup contract for free
+    "e29_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(FLOOR(value * 1000) AS BIGINT) AS vq
+        |  FROM events WHERE user_id % 7 = 0)
+        |SELECT user_id AS key, event_id AS tie,
+        |  lag(vq, 0) OVER w * 128 + lag(vq, 1) OVER w * 64
+        |  + lag(vq, 2) OVER w * 32 + lag(vq, 3) OVER w * 16
+        |  + lag(vq, 4) OVER w * 8 + lag(vq, 5) OVER w * 4
+        |  + lag(vq, 6) OVER w * 2 + lag(vq, 7) OVER w * 1 AS ewma_s
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY key, tie""".stripMargin,
+
+    "e30_stream_dedup" ->
+      """WITH doubled AS (
+        |  SELECT * FROM events UNION ALL SELECT * FROM events),
+        |deduped AS (SELECT DISTINCT * FROM doubled)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |  COUNT(DISTINCT user_id) AS users
+        |FROM deduped GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
 
     "e1_hourly_by_type" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,

@@ -788,6 +788,89 @@ object Relational extends QueryPack {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     },
 
+    // the HIGHER-ORDER array-function surface (transform/filter/
+    // aggregate/zip_with/sort_array/array_distinct) over per-order
+    // quantity lists: all lambdas run inside codegen per row, no UDF,
+    // no shuffle beyond the one collect_list groupBy; sort_array makes
+    // the collected SET deterministic (collect_list order is not), and
+    // every quantity is an exactly-integral double -> BIGINT, so the
+    // lambda arithmetic is bit-stable cross-engine
+    "q49_higher_order" -> { (s, d) =>
+      val qs = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_quantity").cast("long").as("q"))
+        .groupBy(col("o"))
+        .agg(sort_array(collect_list(col("q"))).as("qs"))
+      qs.filter(col("o") % 201 === 0)
+        .select(col("o"),
+          size(col("qs")).cast("long").as("n_items"),
+          element_at(col("qs"), 1).as("q_min"),
+          aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("q_total"),
+          size(filter(col("qs"), _ >= 40)).cast("long").as("n_big"),
+          size(array_distinct(col("qs"))).cast("long").as("n_dist"),
+          // zip_with exercised on the self-pair (elementwise squares);
+          // the oracle states the same value as list_transform(x -> x*x)
+          aggregate(zip_with(col("qs"), col("qs"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("q_sumsq"))
+        .orderBy(col("o"))
+    },
+
+    // INCREMENTAL AGGREGATE MAINTENANCE (the materialized-view pattern):
+    // combinable state (count/sum/min/max) computed on a base batch,
+    // folded with an insert-only delta batch's state via the monoid
+    // merge, presentation values derived at read time — gated equal to
+    // the oracle's FULL recompute over base+delta. The merge shuffles
+    // only group-sized state, never rows: the 100 TB rollup refresh.
+    "q50_incremental_agg" -> { (s, d) =>
+      import graft.operators.IncrementalAgg
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = IncrementalAgg.state(
+        li.filter(col("l_orderkey") % 10 =!= 0), keys, col("l_extendedprice"))
+      val delta = IncrementalAgg.state(
+        li.filter(col("l_orderkey") % 10 === 0), keys, col("l_extendedprice"))
+      IncrementalAgg.present(IncrementalAgg.merge(base, delta, keys), keys)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // SNAPSHOT DIFF (table-versioning audit): yesterday's orders vs
+    // today's — inserts (new keys), deletes (dropped keys), updates
+    // (price bumped), unchanged — classified by ONE null-safe full
+    // outer join; the gate aggregates per class and also emits the
+    // 15 smallest changed keys so the row-level classification is
+    // hashed, not just the counts
+    "q51_snapshot_diff" -> { (s, d) =>
+      import graft.operators.SnapshotDiff
+      val orders = Tables.orders(s, d)
+      val old = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val now = orders.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+      SnapshotDiff.diff(old, now, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("change_type"))
+    },
+
+    // l-DIVERSITY audit (q48's sibling, Machanavajjhala et al. 2006):
+    // per quasi-identifier group (nation), how many DISTINCT sensitive
+    // values (segment) exist — a group that is k-anonymous but
+    // l-homogeneous still leaks the attribute; one combinable
+    // count_distinct per group, flag at l < 3
+    "q52_l_diversity" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("l"))
+        .select(col("c_nationkey"), col("n"), col("l"),
+          (col("l") < 3).as("homogeneous"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // generic multi-column Z-ORDER layout (the OPTIMIZE ZORDER BY shape
     // over plain parquet): lineitem rewritten clustered on
     // (l_partkey, l_suppkey), then a selective filter on BOTH columns
@@ -1233,6 +1316,66 @@ object Relational extends QueryPack {
         |SELECT c_nationkey, c_mktsegment, n, n < 5 AS at_risk, n_generalized
         |FROM fine JOIN coarse USING (c_nationkey)
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // DuckDB's list lambdas restate the higher-order pipeline; zip_with
+    // on the self-pair is stated as list_transform(x -> x*x)
+    "q49_higher_order" ->
+      """WITH qs AS (
+        |  SELECT l_orderkey AS o,
+        |         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o,
+        |  CAST(len(qs) AS BIGINT) AS n_items,
+        |  qs[1] AS q_min,
+        |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_total,
+        |  CAST(len(list_filter(qs, x -> x >= 40)) AS BIGINT) AS n_big,
+        |  CAST(len(list_distinct(qs)) AS BIGINT) AS n_dist,
+        |  CAST(list_aggregate(list_transform(qs, x -> x * x), 'sum') AS BIGINT) AS q_sumsq
+        |FROM qs WHERE o % 201 = 0
+        |ORDER BY o""".stripMargin,
+
+    // the oracle is the FULL recompute — the incremental fold must be
+    // indistinguishable from never having split the batches
+    "q50_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       / COUNT(*) AS avg,
+        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS mn,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS mx
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q51_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 7 <> 0),
+        |now AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |diff AS (
+        |  SELECT COALESCE(old.o_orderkey, now.o_orderkey) AS k,
+        |    CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+        |         WHEN now.o_orderkey IS NULL THEN 'delete'
+        |         WHEN old.o_totalprice IS DISTINCT FROM now.o_totalprice
+        |           OR old.o_orderstatus IS DISTINCT FROM now.o_orderstatus
+        |           THEN 'update'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM old FULL OUTER JOIN now ON old.o_orderkey = now.o_orderkey)
+        |SELECT change_type, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM diff GROUP BY 1 ORDER BY change_type""".stripMargin,
+
+    "q52_l_diversity" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  COUNT(DISTINCT c_mktsegment) AS l,
+        |  COUNT(DISTINCT c_mktsegment) < 3 AS homogeneous
+        |FROM customer GROUP BY 1
+        |ORDER BY c_nationkey""".stripMargin,
 
     // the layout is semantics-free: the oracle is the plain filter
     "q45_zorder_layout" ->

@@ -540,6 +540,18 @@ object EventsStream {
       }
   }
 
+  /** Batch twin of [[streamingDedup]] (gate e30): at-least-once delivery
+    * collapsed to exactly-once by key. Batch needs no arrival-order
+    * state — dropDuplicates keeps an arbitrary row per event_id, which
+    * equals streamingDedup's first-arrival row whenever redelivery is
+    * byte-identical (the at-least-once contract; rows that DIFFER under
+    * one id are upstream corruption both forms surface, not resolve).
+    * One key exchange; at 100 TB this is the keys-not-log shuffle d1
+    * uses, and the streaming form bounds state the same way via TTL.
+    */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   def streamingDedup(events: Dataset[Event], ttl: Option[String] = None): Dataset[Event] = {
     import events.sparkSession.implicits._
     val ttlMs = ttl.map(ttlMillis)

@@ -59,4 +59,23 @@ class SequenceAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(w1.forall { case (a, b) => a == b })
   }
+
+  test("ewmaScaled: depth-2 weights by hand; NULL until full history; per-key isolation") {
+    import spark.implicits._
+    // user 1: values 10, 20, 30 -> ewma2(t2) = 10*1 + 20*2 = 50,
+    // ewma2(t3) = 20*1 + 30*2 = 80; t1 warms up (NULL).
+    // user 2: single event -> always NULL at depth 2.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10L),
+      (2L, ts("2024-01-01 00:01:00"), 1L, 20L),
+      (3L, ts("2024-01-01 00:02:00"), 1L, 30L),
+      (4L, ts("2024-01-01 00:00:00"), 2L, 99L))
+      .toDF("event_id", "ts", "user_id", "vq")
+    val got = Rolling.ewmaScaled(ev, col("user_id"), col("ts"),
+        col("event_id"), col("vq"), depth = 2)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got === Map(1L -> None, 2L -> Some(50L), 3L -> Some(80L),
+      4L -> None))
+  }
 }

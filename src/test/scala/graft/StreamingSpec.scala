@@ -454,6 +454,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup twins: batch dedupBatch equals streamingDedup on redelivered input (e30)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long) =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, "view", 1.0, "{}")
+    // at-least-once: every event delivered twice, one thrice, across batches
+    val unique = Seq(ev(1L, "2024-01-01 00:00:00", 1L),
+      ev(2L, "2024-01-01 00:05:00", 2L), ev(3L, "2024-01-01 00:10:00", 1L))
+    val input = MemoryStream[Event]
+    val q = EventsStream.streamingDedup(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_twin_out")
+      .start()
+    try {
+      input.addData(unique :+ ev(1L, "2024-01-01 00:00:00", 1L))
+      q.processAllAvailable()
+      input.addData(Seq(ev(2L, "2024-01-01 00:05:00", 2L),
+        ev(3L, "2024-01-01 00:10:00", 1L), ev(1L, "2024-01-01 00:00:00", 1L)))
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_twin_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val batch = EventsStream.dedupBatch(
+        (unique ++ unique :+ ev(1L, "2024-01-01 00:00:00", 1L)).toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(batch === Set((1L, 1L), (2L, 2L), (3L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup TTL: state expires with the watermark; post-expiry dup re-emits") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
