@@ -63,6 +63,21 @@ object Vectors extends QueryPack {
       .select(col("embedding"))
       .head().getSeq[Float](0).toArray
 
+  /** One unrolled MMR greedy step for the v31 oracle: argmax over the
+    * unselected pool of 2*rel - max(sim to the accumulated id list),
+    * tie-broken on id — DuckDB's correlated MAX subquery plays the
+    * engine's driver-side max over the selected set. */
+  private def mmrStep(n: Int): String =
+    s"""s$n AS MATERIALIZED (
+       |  SELECT CAST($n AS BIGINT) AS step, c.vec_id AS vec_id,
+       |    list_append(s${n - 1}.ids, c.vec_id) AS ids,
+       |    2 * c.rel - (SELECT MAX(m.sim) FROM sims m
+       |                 WHERE m.ai = c.vec_id
+       |                   AND list_contains(s${n - 1}.ids, m.bi)) AS score
+       |  FROM pool c, s${n - 1}
+       |  WHERE NOT list_contains(s${n - 1}.ids, c.vec_id)
+       |  ORDER BY score DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference-parity exact kNN: scan -> cosine distance -> top-k.
     // Catalyst plans TakeOrderedAndProject (per-partition heap, no shuffle).
@@ -382,6 +397,20 @@ object Vectors extends QueryPack {
         probes, "vec_id", "embedding", k = 10)
       graft.operators.AnnEval.recallAtK(exact, approx, k = 10)
         .orderBy(col("probe_id"))
+    },
+
+    // MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein 1998):
+    // relevance traded against redundancy with the already-selected set
+    // — the retrieval-diversity stage after any v-family top-k. rel and
+    // sim are INTEGER dots of floor-quantized components, so the greedy
+    // argmax is bit-stable cross-engine (quantize inputs, not outputs);
+    // the oracle unrolls the k sequential picks as chained CTEs (the g3
+    // pattern — greedy selection is inherently iterative)
+    "v31_mmr_rerank" -> { (s, d) =>
+      graft.operators.Mmr.rerank(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), probeOf(s, d, 0L),
+        poolSize = 16, k = 5)
+        .orderBy(col("step"))
     },
 
     // Johnson-Lindenstrauss +-1 projection (64 -> 16 dims) + exact
@@ -1316,6 +1345,40 @@ object Vectors extends QueryPack {
          |FROM (SELECT DISTINCT probe_id FROM ex) p
          |LEFT JOIN hits h USING (probe_id)
          |ORDER BY probe_id""".stripMargin,
+
+    // the same floor-quantized integer dots; the k sequential greedy
+    // picks unroll as chained MATERIALIZED CTEs (each step's argmax
+    // conditions on the accumulated id list)
+    "v31_mmr_rerank" ->
+      s"""WITH qe AS MATERIALIZED (
+         |  SELECT vec_id, gs.j AS j,
+         |    CAST(floor(CAST(embedding[gs.j + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+         |  FROM embeddings, generate_series(0, 63) AS gs(j)),
+         |pq AS MATERIALIZED (SELECT j, q FROM qe WHERE vec_id = 0),
+         |rel AS (
+         |  SELECT qe.vec_id, CAST(SUM(qe.q * pq.q) AS BIGINT) AS rel
+         |  FROM qe JOIN pq USING (j) GROUP BY 1),
+         |pool AS MATERIALIZED (
+         |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 16),
+         |sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |    CAST(SUM(qa.q * qb.q) AS BIGINT) AS sim
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+         |  JOIN qe qa ON qa.vec_id = a.vec_id
+         |  JOIN qe qb ON qb.vec_id = b.vec_id AND qb.j = qa.j
+         |  GROUP BY 1, 2),
+         |s1 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS step, vec_id, [vec_id] AS ids,
+         |    2 * rel AS score
+         |  FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1),
+         |${(2 to 5).map(mmrStep).mkString(",\n")}
+         |SELECT step, vec_id, score FROM (
+         |  SELECT step, vec_id, score FROM s1
+         |  UNION ALL SELECT step, vec_id, score FROM s2
+         |  UNION ALL SELECT step, vec_id, score FROM s3
+         |  UNION ALL SELECT step, vec_id, score FROM s4
+         |  UNION ALL SELECT step, vec_id, score FROM s5)
+         |ORDER BY step""".stripMargin,
 
     // the identical +-1 matrix from the splitmix64 counter stream, the
     // identical floor-quantized integer fold, then v18's exact re-rank
