@@ -131,6 +131,34 @@ object Relational extends QueryPack {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def dsum(c: String): Column = dsum(col(c))
 
+  /** q53's oracle: one FNV -> splitmix64 -> trailing-zeros chain per
+    * geometric draw (suffixes |r1|1 and |r1|2 mirror Privacy's tags);
+    * tz = bit_count(u ^ (u-1)) - 1 with the zero-word and sign-bit-only
+    * guards Privacy.tz carries.
+    */
+  private def dpCountsSql: String = {
+    def chain(p: String, suffix: String) =
+      s"""${p}k AS (SELECT c_nationkey, c_mktsegment, n,
+         |  CAST(c_nationkey AS VARCHAR) || chr(1) || c_mktsegment || '$suffix' AS s
+         |  FROM g),
+         |${p}f AS (SELECT c_nationkey, c_mktsegment, n, ${SketchSql.FnvSql} AS z FROM ${p}k),
+         |${SketchSql.mixLayerCtes(s"${p}f", Seq("c_nationkey", "c_mktsegment", "n"))},
+         |${p}t AS (SELECT c_nationkey, c_mktsegment, n,
+         |  CASE WHEN u = 0 THEN 64
+         |       WHEN u = 9223372036854775808 THEN 63
+         |       ELSE CAST(bit_count(xor(u, u - 1)) AS BIGINT) - 1 END AS tz
+         |  FROM ${p}fmu)""".stripMargin
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |${chain("d1", "|r1|1")},
+       |${chain("d2", "|r1|2")}
+       |SELECT d1t.c_nationkey, d1t.c_mktsegment,
+       |  d1t.n + (d1t.tz - d2t.tz) AS n_noisy
+       |FROM d1t JOIN d2t USING (c_nationkey, c_mktsegment)
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  }
+
   /** revenue = sum(extendedprice * (1 - discount)), decimal-exact. */
   private def revenue: Column =
     sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
@@ -856,6 +884,18 @@ object Relational extends QueryPack {
         .orderBy(col("change_type"))
     },
 
+    // DIFFERENTIALLY-PRIVATE count release (geometric mechanism, Ghosh
+    // et al. 2009): two-sided geometric noise derived as trailing-zero
+    // counts of the seeded splitmix64(FNV) stream over the group key —
+    // exact-integer, engine-deterministic, memoized per key ("sticky"
+    // noise). One combinable count, then per-row hash arithmetic on the
+    // group-sized table.
+    "q53_dp_counts" -> { (s, d) =>
+      graft.operators.Privacy.dpCounts(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), tag = "r1")
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+
     // l-DIVERSITY audit (q48's sibling, Machanavajjhala et al. 2006):
     // per quasi-identifier group (nation), how many DISTINCT sensitive
     // values (segment) exist — a group that is k-anonymous but
@@ -1369,6 +1409,10 @@ object Relational extends QueryPack {
         |  FROM old FULL OUTER JOIN now ON old.o_orderkey = now.o_orderkey)
         |SELECT change_type, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
         |FROM diff GROUP BY 1 ORDER BY change_type""".stripMargin,
+
+    // the identical FNV + splitmix64 + trailing-zeros noise restated
+    // through the shared SketchSql primitives, one chain per draw
+    "q53_dp_counts" -> dpCountsSql,
 
     "q52_l_diversity" ->
       """SELECT c_nationkey, COUNT(*) AS n,
