@@ -127,6 +127,52 @@ object Relational extends QueryPack {
        |LIMIT 20""".stripMargin
   }
 
+  /** g6's oracle: the g1 fixed-point unroll with the teleport mass
+    * (restart base, dangling share, and the r0 vector) conditional on
+    * the seed predicate — PageRank.personalized's arithmetic verbatim.
+    */
+  private def pprSql(iters: Int, seedPred: String): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""dang$i AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN out = 0 THEN r END), 0) AS BIGINT)
+         |    // (SELECT s FROM base) AS dsh
+         |  FROM $p),
+         |ctb$i AS (
+         |  SELECT e.dst AS node, CAST(SUM(p.r // p.out) AS BIGINT) AS contrib
+         |  FROM e JOIN $p p ON e.src = p.node
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT od.node, od.out, od.seed,
+         |    CASE WHEN od.seed THEN (SELECT b FROM base) ELSE 0 END
+         |      + ((COALESCE(c.contrib, 0)
+         |          + CASE WHEN od.seed THEN (SELECT dsh FROM dang$i) ELSE 0 END)
+         |         * 85) // 100 AS r
+         |  FROM od LEFT JOIN ctb$i c ON od.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS src, 1000000000 + l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (
+       |  SELECT node, CAST(COALESCE(dg.c, 0) AS BIGINT) AS out,
+       |         ($seedPred) AS seed
+       |  FROM nodes LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) dg
+       |    ON node = dg.src),
+       |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM od WHERE seed),
+       |base AS (SELECT (1000000000000 // s) AS pers,
+       |                ((1000000000000 // s) * 15) // 100 AS b, s FROM consts),
+       |r0 AS (SELECT node, out, seed,
+       |       CASE WHEN seed THEN (SELECT pers FROM base) ELSE 0 END AS r FROM od),
+       |$iterCtes
+       |SELECT CASE WHEN node >= 1000000000 THEN 'supplier' ELSE 'customer' END AS kind,
+       |  CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
+       |FROM r$iters
+       |WHERE r > 0
+       |ORDER BY rank DESC, node ASC
+       |LIMIT 20""".stripMargin
+  }
+
   /** Exact, order-insensitive sum of a double column via DECIMAL(18,2). */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def dsum(c: String): Column = dsum(col(c))
@@ -546,6 +592,27 @@ object Relational extends QueryPack {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(1000000000L)).as("dst"))
       graft.operators.PageRank.run(edges, "src", "dst", iters = 5)
+        .select(
+          when(col("node") >= 1000000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+    },
+
+    // PERSONALIZED PageRank (random walk with restart) over the same
+    // bipartite graph: all teleport mass — restart and dangling — goes
+    // to the seed customers (custkey <= 50), so ranks concentrate in
+    // their purchase neighborhoods; identical integer fixed-point and
+    // per-iteration cost as g1, only the base vector differs
+    "g6_personalized_pagerank" -> { (s, d) =>
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000000L)).as("dst"))
+      graft.operators.PageRank.personalized(edges, "src", "dst",
+          seedPred = col("node") <= 50L, iters = 5)
+        .filter(col("rank") > 0L) // untouched nodes carry exact zero
         .select(
           when(col("node") >= 1000000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"),
@@ -1239,6 +1306,8 @@ object Relational extends QueryPack {
     // the same integer fixed-point iteration unrolled: every division a
     // floor `//`, every sum a long sum — bit-identical by construction
     "g1_pagerank" -> pagerankSql(iters = 5),
+
+    "g6_personalized_pagerank" -> pprSql(iters = 5, seedPred = "node <= 50"),
 
     // the identical peel, 12 unrolled rounds (matching the engine's
     // maxRounds refusal bound; idempotent once converged)

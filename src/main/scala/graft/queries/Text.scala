@@ -501,6 +501,19 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // TF-IDF top-terms per doc (the term-level baseline next to t47's
+    // phrases): quantized integer idf = (N * 1e6) div df — a monotone
+    // transform, so the induced ranking is the classical one while
+    // every comparison is exact BIGINT; per-doc top-3 via the q28
+    // bounded heap, df over the FULL corpus, output sampled by doc
+    "t49_tfidf" -> { (s, d) =>
+      graft.operators.TfIdf.topTerms(Tables.documents(s, d),
+        "doc_id", "text", k = 3)
+        .filter(col("id") % 17 === 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // the composed curate -> train-order pipeline: d11's quality gate +
     // fingerprint dedup chooses the corpus, t46's epoch shuffle hands
     // the loader its per-epoch order — one lazy plan, the curation/
@@ -1820,6 +1833,29 @@ object Text extends QueryPack {
         |      ORDER BY score_q DESC, phrase ASC) AS BIGINT) AS rnk
         |  FROM sc) t
         |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    // the same tokenize-once / combinable tf / df-over-tf / integer-idf
+    // pipeline; the heap becomes a per-doc ranking window
+    "t49_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * ((n.n_docs * 1000000) // df.df) AS BIGINT) AS score_q
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rnk, term, score_q FROM (
+        |  SELECT doc_id, term, score_q,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_q DESC, term ASC) AS BIGINT) AS rnk
+        |  FROM sc) t
+        |WHERE rnk <= 3 AND doc_id % 17 = 0
         |ORDER BY doc_id, rnk""".stripMargin,
 
     // d11's q/g/k/t CTEs choose the kept set (quality gate, lang

@@ -57,4 +57,20 @@ class KeywordsSpec extends AnyFunSuite {
       Keywords.topKeywords(docs, "doc_id", "text", 0)
     }
   }
+
+  test("tfidf: quantized idf, tf weighting, tie-break on term asc") {
+    import spark.implicits._
+    // N=3; df: a=2, b=2, c=2, z=1 -> idf_q: 1500000 for df=2, 3000000 for z
+    // d1 scores: a = 2*1.5e6 = 3e6, z = 1*3e6 = 3e6 (tie -> 'a' first), b = 1.5e6
+    val docs = Seq((1L, "a a b z"), (2L, "a c"), (3L, "b c c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 1L, "a", 3000000L), (1L, 2L, "z", 3000000L)))
+    // d3: c = 2*1.5e6 = 3e6 over b = 1.5e6
+    assert(got.filter(_._1 == 3L).toSeq === Seq(
+      (3L, 1L, "c", 3000000L), (3L, 2L, "b", 1500000L)))
+  }
 }

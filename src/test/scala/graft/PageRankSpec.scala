@@ -65,6 +65,25 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("personalized: teleport mass (restart + dangling) flows only to the seeds") {
+    // graph 1->2, 1->4, 2->3, 3->1; node 4 dangles; seed {1}; scale 1e6:
+    // perSeed=1e6, base=150000; r0 = (1e6, 0, 0, 0)
+    // iter1: dang=0; r=(150000, 425000, 0, 425000)
+    // iter2: dang=425000 -> all of it back to seed 1:
+    //   r(1)=150000+85*(0+425000)/100=511250, r(2)=85*75000/100=63750,
+    //   r(3)=85*425000/100=361250, r(4)=63750
+    val es = Seq((1L, 2L), (1L, 4L), (2L, 3L), (3L, 1L))
+    val got = PageRank.personalized(edgeDf(es), "src", "dst",
+        seedPred = col("node") === 1L, iters = 2, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rank"))).toMap
+    assert(got === Map(1L -> 511250L, 2L -> 63750L, 3L -> 361250L, 4L -> 63750L))
+    // a node unreachable from the seeds holds exactly zero forever
+    val far = PageRank.personalized(edgeDf(es :+ ((9L, 8L))), "src", "dst",
+        seedPred = col("node") === 1L, iters = 2, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rank"))).toMap
+    assert(far(9L) === 0L && far(8L) === 0L)
+  }
+
   test("triangles: hand-computed counts on fixtures") {
     // K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}
     val k4m = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
