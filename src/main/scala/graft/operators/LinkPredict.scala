@@ -40,7 +40,12 @@ object LinkPredict {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adjacency in both directions: (c = center, n = neighbor)
     // cached: the guard aggregate, the degree table, and both wedge
-    // sides read the adjacency
+    // sides read the adjacency. Deliberately NOT pre-partitioned on the
+    // center: caching a repartition(c) would delete the two exchanges
+    // under the wedge self-join, but the measured cost of that extra
+    // up-front shuffle exceeds the win (20.3 s vs 17.9 s at sf0.1) —
+    // the (u, v) pair aggregation's wedge-volume shuffle dominates and
+    // no layout of the adjacency can reduce it.
     val adj = e.select(col("a").as("c"), col("b").as("n"))
       .unionAll(e.select(col("b").as("c"), col("a").as("n")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -55,6 +55,25 @@ object Events extends QueryPack {
         .orderBy(col("key"), col("tie"))
     },
 
+    // top event-type TRIGRAM paths (sequential pattern mining's heavy
+    // hitters, e27's order-3 sibling): two lead() reads of the same
+    // user-keyed window pass emit each consecutive triple once, one
+    // combinable count, TakeOrderedAndProject exit — never a per-user
+    // collect or a cross-user window
+    "e31_event_paths" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("t3"))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(15)
+    },
+
     // exactly-once from at-least-once: the doubled event log (simulated
     // redelivery) collapsed by dedupBatch — streaming twin is the
     // spec-gated streamingDedup (flatMapGroupsWithState, TTL-bounded
@@ -439,6 +458,18 @@ object Events extends QueryPack {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY key, tie""".stripMargin,
+
+    "e31_event_paths" ->
+      """SELECT t1, t2, t3, COUNT(*) AS n FROM (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x
+        |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3
+        |LIMIT 15""".stripMargin,
 
     "e30_stream_dedup" ->
       """WITH doubled AS (

@@ -727,6 +727,30 @@ object Text extends QueryPack {
         n = 3, numHashes = 128, bands = 32, minJaccard = 0.5)
     },
 
+    // LSH RECALL harness (v30's posture for the dedup family): the same
+    // MinHash pipeline under a DELIBERATELY coarse geometry (8 bands x
+    // 16 rows — the S-curve passes ~80% at j=0.9 and ~0 at j=0.5, so
+    // marginal pairs drop and recall is an honest fraction: 253/256 =
+    // 98.8% at bench scale, where d3's 32x4 is spec-proven lossless at
+    // this threshold). The
+    // number band/row decisions are made on; the exact side raises the
+    // pair cap deliberately (the d7 precedent) because the harness's
+    // whole point is the exact baseline underneath.
+    "d21_lsh_recall" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = Some(100),
+        maxPairEstimate = 500000000L)
+      val coarse = Dedup.minhashLshNearDupPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 8, minJaccard = 0.5)
+      val hit = exact.join(coarse, Seq("id1", "id2"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(coarse.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"))
+    },
+
     // SimHash near-dups — full-pipeline SQL oracle (identical FNV-1a bit
     // votes, chunk blocking, hamming verify)
     "d4_simhash_near_dup" -> { (s, d) =>
@@ -2634,6 +2658,55 @@ object Text extends QueryPack {
          |WHERE len(list_intersect(s1.shingles, s2.shingles)) * 1.0
          |      / len(list_distinct(s1.shingles || s2.shingles)) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
+
+    // d3's pipeline at the coarse 8x16 geometry plus the d2 exact pairs,
+    // reduced to the one-row recall summary
+    "d21_lsh_recall" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |shx AS MATERIALIZED (SELECT doc_id, ${shinglesSql("w")} AS shingles FROM toks),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM shx),
+         |keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 100),
+         |exk AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exk GROUP BY doc_id),
+         |cpairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         |  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS MATERIALIZED (
+         |  SELECT id1, id2 FROM cpairs
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5),
+         |exs AS (SELECT doc_id, unnest(shingles) AS s FROM shx),
+         |bases AS (SELECT doc_id, $fnvSql AS base FROM exs),
+         |lm0 AS (SELECT doc_id, i, ${addModU("base", mulModU("CAST(i AS UBIGINT)", 0x9e3779b97f4a7c15L))} AS z
+         |       FROM bases, generate_series(1, 128) AS g(i)),
+         |lm1 AS (SELECT doc_id, i, ${mulModU("xor(z, z >> 30)", 0xbf58476d1ce4e5b9L)} AS z FROM lm0),
+         |lm2 AS (SELECT doc_id, i, ${mulModU("xor(z, z >> 27)", 0x94d049bb133111ebL)} AS z FROM lm1),
+         |lm3 AS (SELECT doc_id, i, xor(z, z >> 31) AS u FROM lm2),
+         |slots AS (
+         |  SELECT doc_id, i, MIN(${signedSql("u")}) AS slot
+         |  FROM lm3 GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+         |banded AS MATERIALIZED (
+         |  SELECT doc_id, b, sig[b*16+1 : b*16+16] AS slc
+         |  FROM sig, generate_series(0, 7) AS g(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.slc = b.slc AND a.doc_id < b.doc_id),
+         |lsh AS MATERIALIZED (
+         |  SELECT id1, id2 FROM cand
+         |  JOIN shx s1 ON s1.doc_id = id1
+         |  JOIN shx s2 ON s2.doc_id = id2
+         |  WHERE len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+         |        / len(list_distinct(s1.shingles || s2.shingles)) >= 0.5),
+         |hit AS (SELECT id1, id2 FROM exact SEMI JOIN lsh USING (id1, id2))
+         |SELECT
+         |  (SELECT COUNT(*) FROM exact) AS n_exact,
+         |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+         |  (SELECT COUNT(*) FROM hit) AS n_hit,
+         |  ((SELECT COUNT(*) FROM hit) * 1000000)
+         |    // (SELECT COUNT(*) FROM exact) AS recall_ppm""".stripMargin,
 
     // d3's full-pipeline signature/banding/verify restated over the
     // odd-vs-even split: candidates are incoming x standing bucket
