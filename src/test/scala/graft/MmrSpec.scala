@@ -43,6 +43,22 @@ class MmrSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 3L), (2L, 7L)))
   }
 
+  test("rerank: deterministic under repartitioning; picks are distinct pool members") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (1L to 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextInt(2000) / 1000.0f - 1.0f))).toDF("vec_id", "embedding")
+    val probe = Array.fill(8)(rnd.nextInt(2000) / 1000.0f - 1.0f)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mmr.rerank(df, col("vec_id"), col("embedding"), probe, poolSize = 16, k = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(emb)
+    val b = run(emb.repartition(7))
+    assert(a === b)
+    val ids = a.map(_._2)
+    assert(ids.distinct.size === 6) // no repeats ever
+  }
+
   test("rerank: pool larger than corpus and k > survivors degrade gracefully") {
     import spark.implicits._
     val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")

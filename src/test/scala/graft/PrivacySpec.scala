@@ -46,5 +46,7 @@ class PrivacySpec extends AnyFunSuite {
     val fresh = Privacy.dpCounts(rows, Seq("k"), tag = "r2")
       .collect().map(_.getLong(1))
     assert(fresh.sorted.toSeq !== noisy.sorted.toSeq)
+    // each draw is a tz count, so noise is hard-bounded by construction
+    assert(noise.forall(n => n >= -64 && n <= 64))
   }
 }
