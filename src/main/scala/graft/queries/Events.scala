@@ -55,6 +55,24 @@ object Events extends QueryPack {
         .orderBy(col("key"), col("tie"))
     },
 
+    // sliding-window RATE audit (abuse detection): for each event, the
+    // count of the same user's events in the trailing 60 seconds — a
+    // RANGE frame over epoch seconds (numeric range, both engines) on
+    // ONE user-keyed window pass; only flagged rows leave the engine
+    "e32_rate_audit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch"))
+        .rangeBetween(-59L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("epoch"))
+        .withColumn("n_60s", count(lit(1)).over(w))
+        .filter(col("n_60s") >= 3)
+        .select(col("user_id"), col("event_id"), col("n_60s"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // top event-type TRIGRAM paths (sequential pattern mining's heavy
     // hitters, e27's order-3 sibling): two lead() reads of the same
     // user-keyed window pass emit each consecutive triple once, one
@@ -458,6 +476,18 @@ object Events extends QueryPack {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY key, tie""".stripMargin,
+
+    // the same RANGE frame over floor-of-epoch seconds (tied seconds
+    // are peers in a RANGE frame on both engines — that is why the
+    // frame is RANGE, not ROWS)
+    "e32_rate_audit" ->
+      """SELECT user_id, event_id, n_60s FROM (
+        |  SELECT user_id, event_id,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |      RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS n_60s
+        |  FROM events) x
+        |WHERE n_60s >= 3
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "e31_event_paths" ->
       """SELECT t1, t2, t3, COUNT(*) AS n FROM (

@@ -951,6 +951,27 @@ object Relational extends QueryPack {
         .orderBy(col("change_type"))
     },
 
+    // LATERAL correlated-subquery surface: per nation, the top-2 orders
+    // of its customers by price — the correlated inner query references
+    // the outer row (Spark plans it as a correlated join + ranking, the
+    // DecorrelateInnerQuery path); the q28/q7 semantics through the SQL
+    // dialect feature itself
+    "q54_lateral_topk" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_q54")
+      Tables.customer(s, d).createOrReplaceTempView("customer_q54")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q54")
+      s.sql("""
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM nation_q54 n,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders_q54 o JOIN customer_q54 c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+          LIMIT 2) t
+        ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey ASC""")
+    },
+
     // DIFFERENTIALLY-PRIVATE count release (geometric mechanism, Ghosh
     // et al. 2009): two-sided geometric noise derived as trailing-zero
     // counts of the seeded splitmix64(FNV) stream over the group key —
@@ -1482,6 +1503,18 @@ object Relational extends QueryPack {
     // the identical FNV + splitmix64 + trailing-zeros noise restated
     // through the shared SketchSql primitives, one chain per draw
     "q53_dp_counts" -> dpCountsSql,
+
+    // DuckDB's LATERAL with the same correlated top-2
+    "q54_lateral_topk" ->
+      """SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        |  LIMIT 2) t
+        |ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey ASC""".stripMargin,
 
     "q52_l_diversity" ->
       """SELECT c_nationkey, COUNT(*) AS n,
