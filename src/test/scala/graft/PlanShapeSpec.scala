@@ -295,4 +295,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"g4 grew a window — the argmax must stay max(struct):\n$plan")
   }
+
+  test("g5 link prediction: equi-join wedges + TakeOrdered exit, never a nested loop") {
+    val plan = planOf("g5_link_prediction")
+    assert(plan.contains("TakeOrderedAndProject"), s"g5 lost the heap exit:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"g5 grew a $bad:\n$plan")
+  }
+
+  test("q54 lateral top-k decorrelates to WindowGroupLimit with the nation side broadcast") {
+    val plan = planOf("q54_lateral_topk")
+    // the per-outer-row LIMIT must become a rank group-limit (with the
+    // map-side partial before the exchange), not a per-row nested loop
+    assert(plan.contains("WindowGroupLimit"), s"q54 lost group-limit pushdown:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q54 lost the broadcast dim join:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"q54 grew a $bad:\n$plan")
+  }
 }
