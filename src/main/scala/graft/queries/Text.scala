@@ -744,6 +744,8 @@ object Text extends QueryPack {
       val coarse = Dedup.minhashLshNearDupPairs(docs, "doc_id", "text",
         n = 3, numHashes = 128, bands = 8, minJaccard = 0.5)
       val hit = exact.join(coarse, Seq("id1", "id2"), "left_semi")
+      // the two crosses below are 1-row x 1-row aggregate combines —
+      // the plan's BroadcastNestedLoopJoins carry exactly one row each
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(coarse.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
