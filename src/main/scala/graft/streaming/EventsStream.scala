@@ -329,6 +329,9 @@ object EventsStream {
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
 
+  case class FunnelTimes(t: Seq[Long]) // stage micros, -1 = not reached
+  case class FunnelProgress(user_id: Long, reached: Long, t_us: Seq[Option[Long]])
+
   case class Scd2State(tpe: String, fromMicros: Long, segId: Long)
   case class Scd2Closed(user_id: Long, seg_id: Long, event_type: String,
       valid_from: Long, valid_to: Long)
@@ -537,6 +540,57 @@ object EventsStream {
             case _ => state.update(incoming); incoming
           }
           best
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Funnel.stages]] (gate e25's
+    * batch form): per-user ordered-funnel progress maintained as ONE
+    * tiny state row — the n stage times, each set exactly once.
+    *
+    * Exactness contract: per-key in-order delivery across batches (the
+    * same contract [[scd2Stream]] documents; within a batch this
+    * function sorts the user's events itself). Under in-order arrival
+    * the incremental update IS the batch semantics: the first step-k
+    * event strictly after (and within the gap of) the stage-(k-1) time
+    * is the min the batch aggregate would pick, and stage times are
+    * never lowered afterwards — so no event buffering is needed and
+    * state stays O(steps) per user. Out-of-order replay would need
+    * watermark-buffered retention (a late stage-1 event can re-admit
+    * an already-discarded stage-2 event); that regime is served by the
+    * batch form over the lake, not by growing unbounded stream state.
+    *
+    * Emits the user's updated progress per batch (Update mode); only
+    * users who have completed stage 1 emit, matching the batch output.
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   maxGapSeconds: Option[Long] = None): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      s"funnel: need >= 2 distinct steps, got $steps")
+    val stepIdx = steps.zipWithIndex.toMap
+    val gapMicros = maxGapSeconds.map(_ * 1000000L)
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[FunnelTimes]) =>
+          val t = state.getOption.map(_.t.toArray)
+            .getOrElse(Array.fill(steps.size)(-1L))
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val k = stepIdx(e.event_type)
+            val ts = micros(e.ts)
+            val prevOk = k == 0 ||
+              (t(k - 1) >= 0 && ts > t(k - 1) &&
+                gapMicros.forall(g => ts <= t(k - 1) + g))
+            if (t(k) < 0 && prevOk) t(k) = ts
+          }
+          state.update(FunnelTimes(t.toSeq))
+          if (t(0) < 0) Iterator.empty
+          else Iterator.single(FunnelProgress(uid,
+            t.takeWhile(_ >= 0).length.toLong,
+            t.map(x => if (x >= 0) Some(x) else None).toSeq))
       }
   }
 

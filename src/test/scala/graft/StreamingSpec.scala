@@ -454,6 +454,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel twins: streaming per-user progress equals the batch aggregate chain (e25)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, et: String) =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, et, 1.0, "{}")
+    // u1 completes all three; u2 clicks BEFORE viewing (click ignored,
+    // re-click later counts); u3 views only; u4 purchases with no view
+    // (no stage-1 -> absent from both outputs); the gap case: u5's
+    // purchase lands past the 2h window of the click
+    val batch1 = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "view"),
+      ev(2, "2024-01-01 00:10:00", 1, "click"),
+      ev(3, "2024-01-01 00:05:00", 2, "click"),
+      ev(4, "2024-01-01 00:06:00", 2, "view"),
+      ev(5, "2024-01-01 00:07:00", 3, "view"),
+      ev(6, "2024-01-01 00:08:00", 4, "purchase"),
+      ev(7, "2024-01-01 00:09:00", 5, "view"),
+      ev(8, "2024-01-01 00:11:00", 5, "click"))
+    val batch2 = Seq(
+      ev(9, "2024-01-01 00:20:00", 1, "purchase"),
+      ev(10, "2024-01-01 00:30:00", 2, "click"),
+      ev(11, "2024-01-01 03:00:00", 5, "purchase")) // 2h49m after the click
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[Event]
+    val q = EventsStream.funnelStream(input.toDS(), steps,
+        maxGapSeconds = Some(2L * 3600))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_twin_out")
+      .start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      // reached is monotone and stage times are set-once, so the
+      // max-reached row per user is the final state
+      val streamed = spark.table("funnel_twin_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Any](2).toSeq))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val batchDf = graft.operators.Funnel.stages(
+        (batch1 ++ batch2).toDF(), "user_id", "event_type", "ts", steps,
+        maxGapSeconds = Some(2L * 3600))
+      val batch = batchDf.collect().map(r => (r.getLong(0), r.getLong(1),
+        Seq(if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))).toSet
+      assert(streamed === batch)
+      val byUser = batch.map(t => t._1 -> t._2).toMap
+      assert(byUser === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 5L -> 2L)) // u4 absent, u5 gap-blocked
+    } finally q.stop()
+  }
+
   test("dedup twins: batch dedupBatch equals streamingDedup on redelivered input (e30)") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
