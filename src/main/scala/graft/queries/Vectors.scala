@@ -751,6 +751,16 @@ object Vectors extends QueryPack {
       Knn.topK(e, col("embedding"), probe, k = 10, tieBreak = col("vec_id"))
         .select(col("vec_id"), col("label"))
     },
+    // MMR at production width: the quantized-dot scan and pool cut at
+    // 1024 dims (semantics pinned by the 64-dim v31 gate)
+    "v31w_mmr_1024" -> { (s, d) =>
+      val e = widened(s, d)
+      val probe = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.Mmr.rerank(e, col("vec_id"), col("embedding"),
+        probe, poolSize = 16, k = 5)
+        .orderBy(col("step"))
+    },
     "v3w_knn_join_1024" -> { (s, d) =>
       val e = widened(s, d)
       Knn.knnJoin(e, "vec_id", "embedding",
