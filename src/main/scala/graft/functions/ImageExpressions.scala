@@ -57,6 +57,9 @@ object ImageMeta {
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
   private def row(format: String, w: Long, h: Long, channels: Int): InternalRow = {
     // dimensions above Int.MaxValue (PNG allows 2^31-1 max anyway) -> null
@@ -149,6 +152,43 @@ object ImageMeta {
         return row("webp", w, h, if (alpha) 4 else 3)
       }
       return null // a RIFF/WEBP container with an unknown first chunk
+    }
+    // TIFF (Adobe TIFF 6.0 §2): "II"+42LE or "MM"+42BE, 4-byte IFD0
+    // offset, then 12-byte IFD entries: tag | type | count | value.
+    // Inline values are LEFT-JUSTIFIED in the 4-byte value field and
+    // byte-ordered by the file (so SHORT reads the first two bytes in
+    // the file's order). Tags read: 256 ImageWidth, 257 ImageLength,
+    // 277 SamplesPerPixel (TIFF default 1). Anything structurally off
+    // (IFD out of bounds, missing dims) -> NULL quarantine, not a throw.
+    if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a))) {
+      val le = b(0) == 'I'
+      def rd16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def rd32(i: Int): Long = if (le) le32(b, i) else be32(b, i)
+      val ifd = rd32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return null
+      val n = rd16(ifd.toInt)
+      if (ifd + 2 + 12L * n > b.length) return null
+      var w = -1L; var h = -1L; var spp = 1
+      var k = 0
+      while (k < n) {
+        val o = ifd.toInt + 2 + 12 * k
+        val tag = rd16(o)
+        val v: Long = rd16(o + 2) match {
+          case 3 => rd16(o + 8) // SHORT, left-justified inline
+          case 4 => rd32(o + 8) // LONG
+          case _ => -1L         // other types carry no dims we read
+        }
+        tag match {
+          case 256 => w = v
+          case 257 => h = v
+          case 277 => if (v > 0 && v <= 16) spp = v.toInt
+          case _ => ()
+        }
+        k += 1
+      }
+      return row("tiff", w, h, spp)
     }
     null
   }

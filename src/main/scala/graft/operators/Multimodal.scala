@@ -43,7 +43,8 @@ object Multimodal {
     * (`image_meta`/`audio_meta`/`video_meta`). Pure built-in column
     * composition (binary substring equality + one masked-byte check for
     * the MP3 frame sync), fully codegen; recognizes the same containers
-    * the typed parsers read: png, gif, jpeg, wav, avi, mp4, mp3.
+    * the typed parsers read: png, gif, jpeg, webp, tiff, wav, avi,
+    * mp4, mp3.
     * NULL in -> NULL out; anything unrecognized (including truncated
     * magic) -> 'unknown' — triage never throws.
     */
@@ -63,6 +64,10 @@ object Multimodal {
         substring(c, 9, 4) === ascii("AVI "), lit("avi"))
       .when(substring(c, 1, 4) === ascii("RIFF") &&
         substring(c, 9, 4) === ascii("WEBP"), lit("webp"))
+      .when(substring(c, 1, 4) ===
+        lit(Array[Byte]('I'.toByte, 'I'.toByte, 0x2a.toByte, 0x00.toByte)), lit("tiff"))
+      .when(substring(c, 1, 4) ===
+        lit(Array[Byte]('M'.toByte, 'M'.toByte, 0x00.toByte, 0x2a.toByte)), lit("tiff"))
       .when(substring(c, 5, 4) === ascii("ftyp"), lit("mp4"))
       .when(substring(c, 1, 3) === ascii("ID3"), lit("mp3"))
       .when(b1 === 255 && b2.bitwiseAND(lit(224)) === 224, lit("mp3"))

@@ -198,6 +198,59 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // TIFF IFD metadata under the driver gate, m1's inversion pattern:
+    // per document, CONSTRUCT a little-endian ("II" + 42) and a
+    // big-endian ("MM" + 42) TIFF from doc_id arithmetic — IFD0 with
+    // three entries (ImageWidth as SHORT exercising the left-justified
+    // inline value, ImageLength as LONG exercising the full 4-byte
+    // read, SamplesPerPixel as SHORT) — parse both back with
+    // image_meta, and triage with media_format. The byte builders use
+    // codegen built-ins (format_string + unhex), independent of the
+    // parser.
+    "m10_tiff_meta" -> { (s, d) =>
+      import graft.functions.GraftFunctions.image_meta
+      val w = "(doc_id % 500 + 1)"
+      val h = "(doc_id % 300 + 1)"
+      val spp = "(doc_id % 3 + 1)"
+      def le16h(e: String) =
+        s"format_string('%02X%02X', cast($e % 256 as int), cast(($e div 256) % 256 as int))"
+      def be16h(e: String) =
+        s"format_string('%02X%02X', cast(($e div 256) % 256 as int), cast($e % 256 as int))"
+      def le32h(e: String) =
+        s"format_string('%02X%02X%02X%02X', cast($e % 256 as int), " +
+          s"cast(($e div 256) % 256 as int), cast(($e div 65536) % 256 as int), " +
+          s"cast(($e div 16777216) % 256 as int))"
+      def be32h(e: String) =
+        s"format_string('%02X%02X%02X%02X', cast(($e div 16777216) % 256 as int), " +
+          s"cast(($e div 65536) % 256 as int), cast(($e div 256) % 256 as int), " +
+          s"cast($e % 256 as int))"
+      // header | IFD@8 | count=3 | (tag, type, count=1, value)*3 | next=0
+      val leTiff = unhex(expr(
+        s"concat('49492A00', '08000000', '0300', " +
+          s"'0001', '0300', '01000000', ${le16h(w)}, '0000', " +   // 256 SHORT
+          s"'0101', '0400', '01000000', ${le32h(h)}, " +           // 257 LONG
+          s"'1501', '0300', '01000000', ${le16h(spp)}, '0000', " + // 277 SHORT
+          s"'00000000')"))
+      val beTiff = unhex(expr(
+        s"concat('4D4D002A', '00000008', '0003', " +
+          s"'0100', '0003', '00000001', ${be16h(w)}, '0000', " +
+          s"'0101', '0004', '00000001', ${be32h(h)}, " +
+          s"'0115', '0003', '00000001', ${be16h(spp)}, '0000', " +
+          s"'00000000')"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          image_meta(leTiff).as("l"), image_meta(beTiff).as("m"),
+          graft.operators.Multimodal.media_format(leTiff).as("fmt_le"),
+          graft.operators.Multimodal.media_format(beTiff).as("fmt_be"))
+        .select(col("doc_id"),
+          col("l.format").as("le_format"), col("l.width").as("le_w"),
+          col("l.height").as("le_h"), col("l.channels").as("le_c"),
+          col("m.format").as("be_format"), col("m.width").as("be_w"),
+          col("m.height").as("be_h"), col("m.channels").as("be_c"),
+          col("fmt_le"), col("fmt_be"))
+        .orderBy(col("doc_id"))
+    },
+
     // audio_meta under the driver gate, same inversion pattern as m1:
     // per document, CONSTRUCT a real RIFF/WAVE header (LE16/LE32 fields
     // from doc_id arithmetic, built with format_string + unhex — all
@@ -806,6 +859,18 @@ object Reference extends QueryPack {
     // the inversion expectations restated from the same doc_id
     // arithmetic: VP8L packs (w-1, h-1) in 14-bit fields with alpha at
     // bit 28; VP8X carries canvas (w-1, h-1) as 24-bit LE
+    // the oracle states the IFD fields arithmetically
+    "m10_tiff_meta" ->
+      """SELECT doc_id,
+        |  'tiff' AS le_format, CAST(doc_id % 500 + 1 AS INT) AS le_w,
+        |  CAST(doc_id % 300 + 1 AS INT) AS le_h,
+        |  CAST(doc_id % 3 + 1 AS INT) AS le_c,
+        |  'tiff' AS be_format, CAST(doc_id % 500 + 1 AS INT) AS be_w,
+        |  CAST(doc_id % 300 + 1 AS INT) AS be_h,
+        |  CAST(doc_id % 3 + 1 AS INT) AS be_c,
+        |  'tiff' AS fmt_le, 'tiff' AS fmt_be
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "m9_webp_meta" ->
       """SELECT doc_id,
         |  'webp' AS l_format, CAST(doc_id % 1000 + 1 AS INT) AS l_w,

@@ -233,6 +233,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fmt === "webp")
   }
 
+  test("image_meta parses TIFF IFDs both endian; bounds violations and missing dims NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand-built IFD0: width (SHORT inline, left-justified), height
+    // (LONG), SamplesPerPixel (SHORT); BOTH byte orders
+    def entryLE(tag: Int, typ: Int, v: Long): Array[Byte] = Array[Byte](
+      (tag & 0xff).toByte, ((tag >> 8) & 0xff).toByte,
+      (typ & 0xff).toByte, 0, 1, 0, 0, 0,
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def entryBE(tag: Int, typ: Int, v: Long): Array[Byte] = {
+      val value = if (typ == 3) Array[Byte](((v >> 8) & 0xff).toByte,
+        (v & 0xff).toByte, 0, 0) // SHORT left-justified in file order
+      else Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      Array[Byte](((tag >> 8) & 0xff).toByte, (tag & 0xff).toByte,
+        0, (typ & 0xff).toByte, 0, 0, 0, 1) ++ value
+    }
+    def tiffLE(w: Int, h: Int, spp: Int): Array[Byte] =
+      Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0, 3, 0) ++
+        entryLE(256, 3, w) ++ entryLE(257, 4, h) ++ entryLE(277, 3, spp) ++
+        Array[Byte](0, 0, 0, 0)
+    def tiffBE(w: Int, h: Int, spp: Int): Array[Byte] =
+      Array[Byte]('M', 'M', 0, 0x2a, 0, 0, 0, 8, 0, 3) ++
+        entryBE(256, 4, w) ++ entryBE(257, 4, h) ++ entryBE(277, 3, spp) ++
+        Array[Byte](0, 0, 0, 0) // width LONG (99999 > SHORT), spp SHORT left-justified
+    val oob = { val b = tiffLE(4, 4, 1); b(4) = 100 ; b } // IFD offset out of bounds
+    val noDims = Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0, 1, 0) ++
+      entryLE(277, 3, 3) ++ Array[Byte](0, 0, 0, 0) // SPP only, no w/h
+    val df = Seq(
+      (1L, tiffLE(640, 480, 3)),
+      (2L, tiffBE(99999, 70000, 1)), // LONG dims past 16 bits
+      (3L, tiffBE(7, 5, 4)),
+      (4L, oob),
+      (5L, noDims),
+      (6L, tiffLE(640, 480, 3).take(20))) // truncated mid-IFD
+      .toDF("media_id", "bytes")
+    val got = df.select(col("media_id"),
+        graft.functions.GraftFunctions.image_meta(col("bytes")).as("m"))
+      .selectExpr("media_id", "m.format", "m.width", "m.height", "m.channels")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got(1L) === ("tiff", 640, 480, 3))
+    assert(got(2L) === ("tiff", 99999, 70000, 1))
+    assert(got(3L) === ("tiff", 7, 5, 4))
+    assert(got(4L) === null)
+    assert(got(5L) === null)
+    assert(got(6L) === null)
+    val fmts = df.filter(col("media_id") <= 2L)
+      .select(Multimodal.media_format(col("bytes"))).collect().map(_.getString(0))
+    assert(fmts.toSet === Set("tiff"))
+  }
+
   test("audio_meta parses WAV (chunk walk, odd-pad) and MP3 headers; stragglers NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
