@@ -60,6 +60,9 @@ object GraftFunctions {
   def st_contains(a: Column, b: Column): Column = toCol(STContains(toExpr(a), toExpr(b)))
   def st_within(a: Column, b: Column): Column = toCol(STWithin(toExpr(a), toExpr(b)))
   def st_distance(a: Column, b: Column): Column = toCol(STDistance(toExpr(a), toExpr(b)))
+  /** Great-circle meters between POINTs — see [[STDistanceSphere]]. */
+  def st_distance_sphere(a: Column, b: Column): Column =
+    toCol(STDistanceSphere(toExpr(a), toExpr(b)))
   def st_area(g: Column): Column = toCol(STArea(toExpr(g)))
   def st_envelope(g: Column): Column = toCol(STEnvelope(toExpr(g)))
   def st_try_envelope(g: Column): Column =
@@ -144,6 +147,7 @@ object GraftFunctions {
     "st_contains"     -> { es => STContains(es(0), es(1)) },
     "st_within"       -> { es => STWithin(es(0), es(1)) },
     "st_distance"     -> { es => STDistance(es(0), es(1)) },
+    "st_distance_sphere" -> { es => STDistanceSphere(es(0), es(1)) },
     "st_geometrytype" -> { es => STGeometryType(es(0)) },
     "st_area"         -> { es => STArea(es(0)) },
     "st_envelope"     -> { es => STEnvelope(es(0)) },

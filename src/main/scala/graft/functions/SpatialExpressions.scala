@@ -306,6 +306,43 @@ case class STDistance(left: Expression, right: Expression) extends GeoBinaryExpr
     copy(left = l, right = r)
 }
 
+/** st_distance_sphere(a, b) -> meters along the great circle between two
+  * POINT geometries' lon/lat coordinates (PostGIS ST_DistanceSphere):
+  * the haversine form — numerically stable at small angles where the
+  * spherical law of cosines loses precision — on the IUGG mean Earth
+  * radius 6 371 008.8 m. Non-point inputs are a contract error (the
+  * PostGIS function also requires points for the sphere path).
+  * Determinism note: libm sin/cos may differ in the last ulp across
+  * engines, so oracle comparisons go through ORDERING over candidate
+  * sets with meter-scale gaps (the v1 argument), never raw doubles.
+  */
+case class STDistanceSphere(left: Expression, right: Expression) extends GeoBinaryExpression {
+  override def prettyName: String = "st_distance_sphere"
+  override def dataType: DataType = DoubleType
+  protected def compute(a: Geometry, b: Geometry): Any = {
+    require(a.getGeometryType == "Point" && b.getGeometryType == "Point",
+      s"st_distance_sphere expects POINT geometries, got " +
+        s"${a.getGeometryType}/${b.getGeometryType}")
+    val (lon1, lat1) = (a.getCoordinate.x, a.getCoordinate.y)
+    val (lon2, lat2) = (b.getCoordinate.x, b.getCoordinate.y)
+    STDistanceSphere.haversineMeters(lon1, lat1, lon2, lat2)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object STDistanceSphere {
+  val EarthRadiusM = 6371008.8 // IUGG mean radius
+
+  def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
+    val sp = math.sin(dp / 2); val sl = math.sin(dl / 2)
+    val h = sp * sp + math.cos(p1) * math.cos(p2) * sl * sl
+    2.0 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(h)))
+  }
+}
+
 /** st_transform_point(x, y, src_epsg, dst_epsg) -> struct(x, y)
   * (reference F6: pyproj point reprojection, `backend/models.py:37-42`).
   */

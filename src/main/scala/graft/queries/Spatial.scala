@@ -80,6 +80,21 @@ object Spatial extends QueryPack {
         .select(col("c_custkey"))
     },
 
+    // GEODESIC nearest neighbors (PostGIS ST_DistanceSphere): s4's
+    // planar query done right on lon/lat — haversine meters on the
+    // IUGG sphere. Near the poles and across the antimeridian the two
+    // orderings genuinely differ, which is the point. Output is ids
+    // only (ordering compare): the synthetic grid's distance gaps are
+    // kilometers, far above any libm last-ulp divergence.
+    "s10_sphere_nearest" -> { (s, d) =>
+      points(s, d)
+        .withColumn("gdist", st_distance_sphere(st_point(col("x"), col("y")),
+          st_point(lit(-81.27), lit(28.80))))
+        .orderBy(col("gdist").asc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"))
+    },
+
     // Web-Mercator grid binning (heatmap/tiling aggregation): points
     // reprojected through the engine's CRS stack (st_transform_point ->
     // EPSG:3857), bucketed into 1000 km cells, counted per cell. The
@@ -205,6 +220,16 @@ object Spatial extends QueryPack {
       s"""SELECT c_custkey FROM customer
          |ORDER BY SQRT(($xSql - (-81.27)) * ($xSql - (-81.27)) +
          |              ($ySql - 28.80) * ($ySql - 28.80)) ASC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
+
+    // the same haversine stated in SQL trig (asin form, IUGG radius)
+    "s10_sphere_nearest" ->
+      s"""SELECT c_custkey FROM customer
+         |ORDER BY 2 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+         |    POWER(SIN(RADIANS(($ySql) - 28.80) / 2), 2)
+         |    + COS(RADIANS(28.80)) * COS(RADIANS($ySql))
+         |      * POWER(SIN(RADIANS(($xSql) - (-81.27)) / 2), 2)))) ASC,
+         |  c_custkey ASC
          |LIMIT 20""".stripMargin,
 
     // the plain theta join the grid rewrite must equal (DuckDB IEJoin

@@ -555,4 +555,45 @@ class SpatialSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("candidate pairs"))
   }
+
+  test("st_distance_sphere: known pairs, symmetry, clamp at antipodes, point contract") {
+    import graft.functions.STDistanceSphere.haversineMeters
+    // one equatorial degree of longitude = pi/180 * R = 111195.08 m
+    assert(math.abs(haversineMeters(0, 0, 1, 0) - math.Pi / 180 * 6371008.8) < 1e-6)
+    // Paris (2.3522, 48.8566) -> London (-0.1276, 51.5072): ~343.5 km
+    val pl = haversineMeters(2.3522, 48.8566, -0.1276, 51.5072)
+    assert(pl > 343000 && pl < 344600, s"Paris-London got $pl")
+    // symmetry and zero
+    assert(haversineMeters(2.3522, 48.8566, -0.1276, 51.5072) ===
+      haversineMeters(-0.1276, 51.5072, 2.3522, 48.8566))
+    assert(haversineMeters(10, 20, 10, 20) === 0.0)
+    // antipodal: exactly pi * R, the asin clamp keeping sqrt(h) <= 1
+    val anti = haversineMeters(0, 0, 180, 0)
+    assert(math.abs(anti - math.Pi * 6371008.8) < 1e-3)
+
+    // the expression path: meters through WKB points, and the geodesic
+    // ordering genuinely differs from s4's planar one across longitude
+    // compression at high latitude
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val rows = Seq((1L, 10.0, 80.0), (2L, 0.0, 70.5)).toDF("id", "x", "y")
+    val got = rows.select(col("id"),
+        st_distance_sphere(st_point(col("x"), col("y")),
+          st_point(lit(0.0), lit(80.0))).as("g"),
+        st_distance(st_point(col("x"), col("y")),
+          st_point(lit(0.0), lit(80.0))).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // planar: 10 deg of lon (= 10) > 9.5 deg of lat (= 9.5) -> 2 nearer;
+    // geodesic: 10 deg of lon at lat 80 is ~193 km, 9.5 deg of lat is
+    // ~1056 km -> 1 nearer. The orderings disagree, by design.
+    assert(got(1L)._2 > got(2L)._2 && got(1L)._1 < got(2L)._1)
+    // non-point input is a contract error, not a wrong number
+    val e = intercept[Exception] {
+      rows.select(st_distance_sphere(
+        st_geomfromtext(lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")),
+        st_point(lit(0.0), lit(0.0)))).collect()
+    }
+    assert(e.getMessage.contains("POINT"))
+  }
 }
