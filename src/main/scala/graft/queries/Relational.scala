@@ -972,6 +972,32 @@ object Relational extends QueryPack {
         ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey ASC""")
     },
 
+    // the NOT IN three-valued-logic trap, pinned: a NULL anywhere in
+    // the subquery makes NOT IN unsatisfiable (x <> NULL is UNKNOWN),
+    // so the with-nulls arm returns 0 rows while the filtered arm
+    // returns the intuitive complement — both engines must agree on
+    // BOTH arms. Spark plans the null-aware anti join; the gate exists
+    // because this is the most common silent-wrong-answer rewrite
+    // (NOT IN -> anti join without the null check).
+    "q56_not_in_nulls" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_q56")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q56")
+      s.sql("""
+        WITH probe AS (
+          SELECT CASE WHEN o_orderkey % 1000 = 0 THEN CAST(NULL AS BIGINT)
+                      ELSE o_custkey % 20 END AS v
+          FROM orders_q56)
+        SELECT 'with_nulls' AS variant, COUNT(*) AS n
+        FROM customer_q56
+        WHERE CAST(c_nationkey AS BIGINT) NOT IN (SELECT v FROM probe)
+        UNION ALL
+        SELECT 'nulls_filtered' AS variant, COUNT(*) AS n
+        FROM customer_q56
+        WHERE CAST(c_nationkey AS BIGINT) NOT IN
+          (SELECT v FROM probe WHERE v IS NOT NULL)
+        ORDER BY variant""")
+    },
+
     // DIFFERENTIALLY-PRIVATE count release (geometric mechanism, Ghosh
     // et al. 2009): two-sided geometric noise derived as trailing-zero
     // counts of the seeded splitmix64(FNV) stream over the group key —
@@ -1503,6 +1529,21 @@ object Relational extends QueryPack {
     // the identical FNV + splitmix64 + trailing-zeros noise restated
     // through the shared SketchSql primitives, one chain per draw
     "q53_dp_counts" -> dpCountsSql,
+
+    "q56_not_in_nulls" ->
+      """WITH probe AS (
+        |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN CAST(NULL AS BIGINT)
+        |              ELSE o_custkey % 20 END AS v
+        |  FROM orders)
+        |SELECT 'with_nulls' AS variant, COUNT(*) AS n
+        |FROM customer
+        |WHERE CAST(c_nationkey AS BIGINT) NOT IN (SELECT v FROM probe)
+        |UNION ALL
+        |SELECT 'nulls_filtered' AS variant, COUNT(*) AS n
+        |FROM customer
+        |WHERE CAST(c_nationkey AS BIGINT) NOT IN
+        |  (SELECT v FROM probe WHERE v IS NOT NULL)
+        |ORDER BY variant""".stripMargin,
 
     // DuckDB's LATERAL with the same correlated top-2
     "q54_lateral_topk" ->
