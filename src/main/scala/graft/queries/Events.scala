@@ -55,6 +55,19 @@ object Events extends QueryPack {
         .orderBy(col("key"), col("tie"))
     },
 
+    // PEAK CONCURRENCY (interval-overlap sweep line): each event opens
+    // a 10-minute activity window; per day, the maximum number open at
+    // once and the first instant attaining it — the capacity-planning
+    // number. Global running level via the t20-style two-pass prefix
+    // sum (range partitions + bases), never a single-partition window.
+    "e33_peak_concurrency" -> { (s, d) =>
+      val iv = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("e_us"))
+      graft.operators.Occupancy.peakDaily(iv, col("s_us"), col("e_us"))
+        .orderBy(col("day_us"))
+    },
+
     // sliding-window RATE audit (abuse detection): for each event, the
     // count of the same user's events in the trailing 60 seconds — a
     // RANGE frame over epoch seconds (numeric range, both engines) on
@@ -476,6 +489,26 @@ object Events extends QueryPack {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY key, tie""".stripMargin,
+
+    // the same sweep: closing deltas before opening ones at an instant
+    // (delta asc), the default RANGE frame reading the level after the
+    // whole peer group — the [start, end) instantaneous level
+    "e33_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(ts) AS s_us, epoch_us(ts) + 600000000 AS e_us
+        |  FROM events),
+        |d AS (
+        |  SELECT s_us AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL SELECT e_us, -1 FROM iv),
+        |r AS (
+        |  SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta) AS BIGINT) AS run
+        |  FROM d),
+        |g AS (SELECT t - t % 86400000000 AS day_us, t, run FROM r),
+        |p AS (SELECT day_us, MAX(run) AS peak FROM g GROUP BY 1)
+        |SELECT g.day_us, p.peak, MIN(g.t) AS at_us
+        |FROM g JOIN p ON g.day_us = p.day_us AND g.run = p.peak
+        |GROUP BY g.day_us, p.peak
+        |ORDER BY g.day_us""".stripMargin,
 
     // the same RANGE frame over floor-of-epoch seconds (tied seconds
     // are peers in a RANGE frame on both engines — that is why the
