@@ -55,6 +55,23 @@ object Events extends QueryPack {
         .orderBy(col("key"), col("tie"))
     },
 
+    // e5's as-of join validated EXTERNALLY: the same engine plan, but
+    // the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    // implementation of the semantics rather than our union-sort
+    // restatement (e5 keeps that form; both must agree). Tie safety:
+    // the corpus has no same-(user, ts) click pairs at any sweep scale,
+    // so ASOF's single-match pick is deterministic.
+    "e34_asof_native" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.operators.AsOf.joinPrior(
+        left = ev.filter(col("event_type") === "purchase"),
+        right = ev.filter(col("event_type") === "click"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valueCol = "value", asofCol = "last_click_value")
+        .select(col("event_id"), col("user_id"), col("last_click_value"))
+        .orderBy(col("event_id"))
+    },
+
     // PEAK CONCURRENCY (interval-overlap sweep line): each event opens
     // a 10-minute activity window; per day, the maximum number open at
     // once and the first instant attaining it — the capacity-planning
@@ -489,6 +506,15 @@ object Events extends QueryPack {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY key, tie""".stripMargin,
+
+    "e34_asof_native" ->
+      """SELECT p.event_id, p.user_id, c.value AS last_click_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     // the same sweep: closing deltas before opening ones at an instant
     // (delta asc), the default RANGE frame reading the level after the
