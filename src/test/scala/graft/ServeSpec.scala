@@ -144,6 +144,23 @@ class ServeSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http: concurrent requests share the session safely (bounded pool)") {
+    withServer { (c, port) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bodies = Seq(
+        """{"request_string":"red","limit":3}""",
+        """{"request_string":"green","limit":2}""",
+        """{"request_string":"red","type_filter":["table"],"limit":10}""",
+        """{"request_string":"green","limit":11}""") // one 422 among them
+      val codes = Await.result(
+        Future.sequence(bodies.map(b => Future(post(c, port, b).statusCode()))),
+        60.seconds)
+      assert(codes.sorted === Seq(200, 200, 200, 422))
+    }
+  }
+
   test("http: method gate") {
     withServer { (c, port) =>
       val r = c.send(HttpRequest.newBuilder(
