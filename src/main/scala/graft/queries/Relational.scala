@@ -825,6 +825,16 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // identical engine plan to q40; the oracle is DuckDB's native PIVOT
+    "q40b_pivot_native" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag"))
+    },
+
     // the full CUBE lattice (all 2^k grouping sets in one pass) —
     // completes the OLAP grouping family next to q12's ROLLUP and
     // q31's explicit GROUPING SETS; grouping_id disambiguates NULL
@@ -1623,6 +1633,19 @@ object Relational extends QueryPack {
         |ORDER BY l_returnflag, metric""".stripMargin,
 
     // PIVOT == conditional aggregation; absent combos NULL on both sides
+    // q40's pivot validated EXTERNALLY (the e34 posture): DuckDB's
+    // NATIVE PIVOT statement as the oracle instead of our
+    // FILTER-aggregate restatement — two independent implementations
+    // of the reshape must agree
+    "q40b_pivot_native" ->
+      """SELECT l_returnflag, CAST("F" AS DOUBLE) AS qty_f,
+        |  CAST("O" AS DOUBLE) AS qty_o FROM (
+        |  PIVOT (SELECT l_returnflag, l_linestatus,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem)
+        |  ON l_linestatus IN ('F', 'O') USING SUM(q)
+        |  GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q40_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
