@@ -200,6 +200,27 @@ object Ivf {
     IvfIndex(cs, assigned)
   }
 
+  /** FILTERED approximate top-k (the production "ANN + metadata
+    * predicate" query): rank only candidates whose id survives the
+    * caller's predicate, applied BEFORE the distance heap — a post-hoc
+    * filter on an unfiltered top-k under-returns whenever the predicate
+    * is selective (the classic filtered-ANN bug). The qualifying-id set
+    * arrives as a relation and semi-joins the nprobe bucket scan: the
+    * index stays payload-free, predicates stay ad hoc, and AQE
+    * broadcasts the id set when it is small; at warehouse scale where
+    * one predicate dominates, bake that column into the index rows and
+    * filter the bucket scan directly instead.
+    */
+  def searchFiltered(index: IvfIndex, probe: Array[Float], k: Int, nprobe: Int,
+                     allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val pruned = index.assigned
+      .filter(col("bucket").isin(nearestBuckets(index.centroids, probe, nprobe): _*))
+      .join(allowed.select(col(allowedIdCol).cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi")
+    Knn.topK(pruned, col("emb"), probe, k, col("id"))
+      .select(col("id"), col("dist"))
+  }
+
   /** Approximate top-k: scan only the nprobe buckets nearest the probe. */
   def search(index: IvfIndex, probe: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val pruned = index.assigned.filter(

@@ -160,6 +160,21 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // FILTERED ANN (metadata predicate + vector search, the reference's
+    // hybrid query at IVF scale): the label predicate semi-joins the
+    // bucket scan BEFORE the distance heap — a post-hoc filter on the
+    // unfiltered top-k under-returns on selective predicates, the
+    // classic filtered-ANN bug this gate exists to pin
+    "v32_ivf_filtered" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 8, iters = 5)
+      graft.operators.Ivf.searchFiltered(idx, probeOf(s, d, 0L),
+          k = 10, nprobe = 3,
+          allowed = e.filter(col("label") % 4 === 1), allowedIdCol = "vec_id")
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // IVF under a corpus that EXCEEDS the sample budget — the round-5
     // oracle gap. sampleSize=64 forces a 77-vector budget against >=500
     // corpus rows, so the per-partition reservoir, proportional quota,
@@ -921,6 +936,23 @@ object Vectors extends QueryPack {
     // principle — but every compared value is an id/rank downstream of a
     // float cast or an ordering with gaps >= 1e-4, the same robustness
     // argument as v1 (validated hash-exact at sf0.001/0.01/0.1).
+    // v7's selection with the label predicate inside the candidate set
+    "v32_ivf_filtered" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT c.b FROM ${IvfSql.cent} c CROSS JOIN probe p
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b
+         |  LIMIT 3),
+         |topk AS (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e JOIN af USING (vec_id) CROSS JOIN probe p
+         |  WHERE af.b IN (SELECT b FROM pb)
+         |    AND e.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 4 = 1)
+         |  ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, e.vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
+
     "v7_ivf_knn" ->
       s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
          |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
