@@ -222,6 +222,33 @@ class VectorSpec extends AnyFunSuite {
     assert(legacy === mem)
   }
 
+  test("IVF filtered search: predicate BEFORE the heap; post-hoc filtering under-returns") {
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = graft.operators.Ivf.build(e, "vec_id", "embedding", nlist = 4, iters = 2)
+    val probe = e.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // a selective predicate: only ~1/4 of vectors qualify
+    val allowed = e.filter(col("label") % 4 === 1)
+    val filtered = graft.operators.Ivf.searchFiltered(idx, probe, k = 10,
+        nprobe = 4, allowed, "vec_id")
+      .collect().map(_.getLong(0))
+    assert(filtered.length === 10) // pre-filtering keeps the heap full
+    // every result satisfies the predicate
+    val allowedIds = allowed.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(filtered.forall(allowedIds.contains))
+    // the classic bug demonstrated: filtering the UNFILTERED top-10
+    // post hoc returns fewer than k qualifying rows
+    val postHoc = graft.operators.Ivf.search(idx, probe, k = 10, nprobe = 4)
+      .collect().map(_.getLong(0)).filter(allowedIds.contains)
+    assert(postHoc.length < 10,
+      s"fixture too easy: post-hoc filter kept ${postHoc.length}")
+    // and the filtered search agrees with the exact filtered kNN at
+    // full probe coverage (nprobe = nlist)
+    val exact = Knn.topK(allowed, col("embedding"), probe, 10, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(filtered.toSeq === exact)
+  }
+
   test("IVF appendSaved: new vectors join existing buckets; searches find them without retraining") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
