@@ -753,6 +753,30 @@ object Text extends QueryPack {
           expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"))
     },
 
+    // SIMHASH-vs-JACCARD recall (d21's sibling for the OTHER fuzzy
+    // family): d4's pigeonhole blocking is lossless for its own
+    // hamming metric, so the honest question is how well the 64-bit
+    // sketch captures JACCARD truth — hamming<=3 candidates scored
+    // against the exact j>=0.5 baseline. Precision rides along
+    // (sim pairs that are NOT true near-dups), the number the
+    // hamming threshold is tuned on.
+    "d22_simhash_recall" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = Some(100),
+        maxPairEstimate = 500000000L)
+      val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        n = 3, maxHamming = 3)
+      val hit = exact.join(sim, Seq("id1", "id2"), "left_semi")
+      // 1-row x 1-row aggregate combines (see d21)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(sim.agg(count(lit(1)).as("n_sim")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_sim"), col("n_hit"),
+          expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"),
+          expr("(n_hit * 1000000L) div n_sim").as("precision_ppm"))
+    },
+
     // SimHash near-dups — full-pipeline SQL oracle (identical FNV-1a bit
     // votes, chunk blocking, hamming verify)
     "d4_simhash_near_dup" -> { (s, d) =>
@@ -2751,6 +2775,54 @@ object Text extends QueryPack {
     // no shingles get fingerprint 0 via the LEFT JOIN (the kernel's
     // empty-input contract) and so pair with each other if present, as in
     // the engine.
+    // d4's sketch pipeline + d2's exact pairs, reduced to the recall/
+    // precision summary
+    "d22_simhash_recall" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |shx AS MATERIALIZED (SELECT doc_id, ${shinglesSql("w")} AS shingles FROM toks),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM shx),
+         |keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 100),
+         |exk AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exk GROUP BY doc_id),
+         |cpairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         |  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS MATERIALIZED (
+         |  SELECT id1, id2 FROM cpairs
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5),
+         |exs AS (SELECT doc_id, unnest(shingles) AS s FROM shx),
+         |bases AS (SELECT doc_id, $fnvSql AS base FROM exs),
+         |bits AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN (base >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM bases, generate_series(0, 63) AS g(b)
+         |  GROUP BY doc_id, b),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END) & $mask64 AS UBIGINT) AS u
+         |  FROM bits GROUP BY doc_id),
+         |simsk AS MATERIALIZED (
+         |  SELECT s.doc_id, COALESCE(a.u, CAST(0 AS UBIGINT)) AS u
+         |  FROM shx s LEFT JOIN agg a ON s.doc_id = a.doc_id),
+         |chunked AS (
+         |  SELECT doc_id, u, c, (u >> (c*16)) & 65535 AS v
+         |  FROM simsk, generate_series(0, 3) AS g(c)),
+         |simp AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM chunked a JOIN chunked b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.u, b.u)) <= 3),
+         |hit AS (SELECT id1, id2 FROM exact SEMI JOIN simp USING (id1, id2))
+         |SELECT
+         |  (SELECT COUNT(*) FROM exact) AS n_exact,
+         |  (SELECT COUNT(*) FROM simp) AS n_sim,
+         |  (SELECT COUNT(*) FROM hit) AS n_hit,
+         |  ((SELECT COUNT(*) FROM hit) * 1000000)
+         |    // (SELECT COUNT(*) FROM exact) AS recall_ppm,
+         |  ((SELECT COUNT(*) FROM hit) * 1000000)
+         |    // (SELECT COUNT(*) FROM simp) AS precision_ppm""".stripMargin,
+
     "d4_simhash_near_dup" ->
       s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${shinglesSql(toksSql)} AS shingles FROM documents),
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
