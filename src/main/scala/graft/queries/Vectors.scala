@@ -160,6 +160,29 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // the RECALL-vs-NPROBE curve (v30 extended to the tuning decision):
+    // one exact baseline, three approximate arms at nprobe 1/2/4 —
+    // recall must be non-decreasing in nprobe and the curve is the
+    // artifact nlist/nprobe choices are justified with (the exact join
+    // and index build each run once; arms reuse them)
+    "v33_nprobe_curve" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      val probes = e.filter(col("vec_id") < 8)
+      val exact = Knn.knnJoin(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 10)
+      Seq(1, 2, 4).map { np =>
+        val approx = graft.operators.Ivf.knnJoinApprox(idx, probes,
+          "vec_id", "embedding", k = 10, nprobe = np)
+        graft.operators.AnnEval.recallAtK(exact, approx, k = 10)
+          .agg(sum(col("n_hit")).as("n_hit_total"))
+          .select(lit(np.toLong).as("nprobe"), col("n_hit_total"),
+            // 8 probes x k=10 relevant pairs
+            expr("(n_hit_total * 1000000L) div 80").as("recall_ppm"))
+      }.reduce(_ unionAll _).orderBy(col("nprobe"))
+    },
+
     // FILTERED ANN (metadata predicate + vector search, the reference's
     // hybrid query at IVF scale): the label predicate semi-joins the
     // bucket scan BEFORE the distance heap — a post-hoc filter on the
@@ -936,6 +959,46 @@ object Vectors extends QueryPack {
     // principle — but every compared value is an id/rank downstream of a
     // float cast or an ordering with gaps >= 1e-4, the same robustness
     // argument as v1 (validated hash-exact at sf0.001/0.01/0.1).
+    // v30's oracle with one pbk/approx arm per nprobe, summed per arm
+    "v33_nprobe_curve" -> {
+      def arm(np: Int): String =
+        s"""pbk$np AS (
+           |  SELECT p.probe_id, c.b
+           |  FROM probes p CROSS JOIN ${IvfSql.cent} c
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |    ORDER BY ${IvfSql.dist("p.v", "p.nn", "c.c")}, c.b) <= $np),
+           |approx$np AS (
+           |  SELECT probe_id, corpus_id FROM (
+           |    SELECT pb.probe_id, af.vec_id AS corpus_id,
+           |      ROW_NUMBER() OVER (PARTITION BY pb.probe_id
+           |        ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, af.vec_id) AS rnk
+           |    FROM pbk$np pb
+           |    JOIN probes p USING (probe_id)
+           |    JOIN af ON af.b = pb.b
+           |    JOIN emb e ON e.vec_id = af.vec_id) t
+           |  WHERE rnk <= 10),
+           |nh$np AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM ex JOIN approx$np USING (probe_id, corpus_id))""".stripMargin
+      def row(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, n AS n_hit_total,
+           |  (n * 1000000) // 80 AS recall_ppm FROM nh$np""".stripMargin
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v, nn FROM emb WHERE vec_id < 8),
+         |ex AS MATERIALIZED (
+         |  SELECT probe_id, corpus_id FROM (
+         |    SELECT p.probe_id, e.vec_id AS corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${IvfSql.dist("p.v", "p.nn", "e.v", "e.nn")}, e.vec_id) AS rnk
+         |    FROM probes p CROSS JOIN emb e) t
+         |  WHERE rnk <= 10),
+         |${arm(1)},
+         |${arm(2)},
+         |${arm(4)}
+         |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(4)}
+         |ORDER BY nprobe""".stripMargin
+    },
+
     // v7's selection with the label predicate inside the candidate set
     "v32_ivf_filtered" ->
       s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
