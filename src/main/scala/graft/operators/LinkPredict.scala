@@ -51,13 +51,58 @@ object LinkPredict {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val est = deg.agg(sum(col("d") * (col("d") - lit(1L)))).head()
-    val wedgeVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
-    require(wedgeVolume <= maxWedgeEstimate,
-      s"commonNeighbors would enumerate ~$wedgeVolume wedges (sum of " +
-        s"deg*(deg-1)/2 over centers) > maxWedgeEstimate=$maxWedgeEstimate; " +
-        "cap hub degrees (filter the adjacency to deg <= D before calling) " +
-        "or sample centers, or raise maxWedgeEstimate deliberately")
+    try {
+      val est = deg.agg(sum(col("d") * (col("d") - lit(1L)))).head()
+      val wedgeVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+      require(wedgeVolume <= maxWedgeEstimate,
+        s"commonNeighbors would enumerate ~$wedgeVolume wedges (sum of " +
+          s"deg*(deg-1)/2 over centers) > maxWedgeEstimate=$maxWedgeEstimate; " +
+          "cap hub degrees (commonNeighborsCapped) or sample centers, or " +
+          "raise maxWedgeEstimate deliberately")
+      // realize the k-row result eagerly so the finally can release the
+      // cached tables without a later action re-running the whole plan
+      // uncached (the LabelProp/Occupancy cleanup pattern)
+      scoreWedges(e, adj, deg, k).localCheckpoint(true)
+    } finally { e.unpersist(); adj.unpersist(); deg.unpersist() }
+  }
+
+  /** Degree-capped variant — the 100×-scale route past the exact
+    * operator's wedge refusal: drop wedges CENTERED on hubs with
+    * deg > `maxDegree` before enumeration, bounding wedge volume at
+    * n·D·(D−1)/2 regardless of skew (the classic hub-suppression
+    * heuristic — a hub's co-neighbors share it with half the graph, so
+    * its wedges carry the least signal per unit cost; cf. Liben-Nowell &
+    * Kleinberg 2003's observation that high-degree evidence is weak).
+    * Scores and Jaccard denominators still use TRUE degrees, so a pair's
+    * score changes only by the hub-centered wedges it loses; recall vs
+    * the exact top-k is MEASURED by the g7b harness, not assumed — the
+    * d21/d22 posture.
+    */
+  def commonNeighborsCapped(edges: DataFrame, aCol: String, bCol: String,
+                            maxDegree: Long, k: Int = 20): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // centers filtered BEFORE the wedge self-join: the broadcastable
+      // low-degree center set reaches both adjacency sides, so the
+      // quadratic blow-up never materializes — no exact count needed,
+      // the bound n·D·(D−1)/2 holds by construction
+      val okCenters = deg.filter(col("d") <= lit(maxDegree)).select(col("c"))
+      val cappedAdj = adj.join(okCenters, "c")
+      scoreWedges(e, cappedAdj, deg, k).localCheckpoint(true)
+    } finally { e.unpersist(); adj.unpersist(); deg.unpersist() }
+  }
+
+  /** Shared scoring tail: count co-neighbors per wedge pair, drop
+    * existing edges, join TRUE degrees, integer Jaccard, top-k. */
+  private def scoreWedges(e: DataFrame, adj: DataFrame, deg: DataFrame,
+                          k: Int): DataFrame = {
     val l = adj.select(col("c"), col("n").as("u"))
     val r = adj.select(col("c"), col("n").as("v"))
     val cn = l.join(r, "c").filter(col("u") < col("v"))

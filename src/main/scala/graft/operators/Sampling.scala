@@ -310,7 +310,11 @@ object Sampling {
         explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
       .withColumn("k", md5(concat_ws(":", col("epoch"), col("id")).cast("binary")))
       .withColumn("shard",
-        expr(s"cast(conv(substring(k, 1, 2), 16, 10) as bigint) % $shards"))
+        // 4 hex chars = 16 bits of the key — covers the full shards
+        // range (<= 4096); 2 chars would leave shards 256+ permanently
+        // empty, starving the loaders the shard is the unit of
+        // parallelism for
+        expr(s"cast(conv(substring(k, 1, 4), 16, 10) as bigint) % $shards"))
     val w = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("k"), col("id"))
     keyed.select(col("epoch").cast("long").as("epoch"), col("shard"),

@@ -1943,7 +1943,7 @@ object Text extends QueryPack {
          |e AS (SELECT kept.id AS id, gs.epoch AS epoch
          |      FROM kept, generate_series(0, 1) AS gs(epoch)),
          |ky AS (SELECT id, epoch, md5(concat(epoch, ':', id)) AS k2 FROM e),
-         |s AS (SELECT epoch, CAST(concat('0x', substr(k2, 1, 2)) AS BIGINT) % 8 AS shard,
+         |s AS (SELECT epoch, CAST(concat('0x', substr(k2, 1, 4)) AS BIGINT) % 8 AS shard,
          |             k2, id FROM ky)
          |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
          |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k2, id)
@@ -1958,7 +1958,7 @@ object Text extends QueryPack {
         |  SELECT doc_id AS id, gs.epoch AS epoch
         |  FROM documents, generate_series(0, 1) AS gs(epoch)),
         |k AS (SELECT id, epoch, md5(concat(epoch, ':', id)) AS k FROM e),
-        |s AS (SELECT epoch, CAST(concat('0x', substr(k, 1, 2)) AS BIGINT) % 16 AS shard,
+        |s AS (SELECT epoch, CAST(concat('0x', substr(k, 1, 4)) AS BIGINT) % 16 AS shard,
         |             k, id FROM k)
         |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
         |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, id)

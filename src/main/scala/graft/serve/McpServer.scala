@@ -33,6 +33,11 @@ final class McpServer(layers: DataFrame, encoder: String => Array[Float]) {
       case o: JObj => o
       case _ => return Some(error(JNull, -32600, "request must be an object"))
     }
+    // a message WITHOUT an id is a notification — JSON-RPC 2.0 / MCP
+    // forbid sending ANY response to it (even method-not-found); a
+    // conforming client treats an unsolicited reply as a protocol
+    // violation
+    if (!obj.fields.contains("id")) return None
     val id = obj.fields.getOrElse("id", JNull)
     val method = obj.get("method") match {
       case Some(JStr(m)) => m

@@ -42,6 +42,13 @@ object ZOrderLayout {
     require(cols.nonEmpty && cols.size <= 8,
       s"zorder: 1..8 clustering columns, got ${cols.size}")
     require(bits >= 1 && bits <= 16, s"zorder: bits must be in [1, 16], got $bits")
+    // the curve key is ONE long and Spark's shiftleft masks its shift
+    // count mod 64 — a config whose interleaved width exceeds 63 bits
+    // would silently alias high bucket bits onto low positions (results
+    // stay correct, skipping silently vanishes); refuse instead
+    require(bits * cols.size <= 63,
+      s"zorder: bits*columns = ${bits * cols.size} exceeds the 63-bit " +
+        "curve key; lower bits or cluster fewer columns")
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     // quantile boundaries for ALL clustering columns in ONE bounded

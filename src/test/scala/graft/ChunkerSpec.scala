@@ -74,4 +74,15 @@ class ChunkerSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again.sorted.toSeq === out.sorted.toSeq)
   }
+
+  test("epochShuffle: shards above 255 are reachable (16-bit shard key)") {
+    // with the old 2-hex-char (8-bit) shard key, shards 256..4095 were
+    // permanently empty; 16 bits must populate the high range
+    val docs = (1L to 4000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val shards = Sampling.epochShuffle(docs, "doc_id", epochs = 1, shards = 1024)
+      .select("shard").distinct().collect().map(_.getLong(0))
+    assert(shards.exists(_ >= 256L),
+      "no shard >= 256 occupied: shard key is not using 16 bits")
+    assert(shards.forall(s => s >= 0L && s < 1024L))
+  }
 }

@@ -208,6 +208,11 @@ class ServeSpec extends AnyFunSuite {
     assert(result.fields("isError") === JBool(true))
     val unknown = rpc(mcp, """{"jsonrpc":"2.0","id":5,"method":"nope"}""")
     assert(unknown.fields("error").render.contains("-32601"))
+    // but an unknown-method NOTIFICATION (no id) must get NO response at
+    // all — JSON-RPC 2.0 forbids replying to notifications, even with
+    // method-not-found
+    assert(mcp.handle(Json.parse(
+      """{"jsonrpc":"2.0","method":"nope/nothing"}""")) === None)
   }
 
   test("mcp: stdio transport serves line-delimited JSON-RPC until EOF") {

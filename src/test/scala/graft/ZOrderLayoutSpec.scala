@@ -47,5 +47,10 @@ class ZOrderLayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ZOrderLayout.cluster(rows, Seq("a"), 17, 8)
     }
+    // interleaved width past 63 bits would silently alias curve bits
+    // (shiftleft masks the shift count mod 64) — must refuse, not degrade
+    intercept[IllegalArgumentException] {
+      ZOrderLayout.cluster(rows.withColumn("c", col("a") + 1), Seq("a", "b", "c", "id"), 16, 8)
+    }
   }
 }
