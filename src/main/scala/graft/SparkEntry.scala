@@ -47,5 +47,5 @@ object SparkEntry {
     * 64-dim gate siblings (see Vectors.widened).
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    Vectors.benchDefs
+    Vectors.benchDefs ++ Relational.benchDefs
 }

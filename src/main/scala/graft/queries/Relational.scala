@@ -660,6 +660,80 @@ object Relational extends QueryPack {
         maxWedgeEstimate = 200000000L)
     },
 
+    // g5's 100×-SCALE ROUTE: degree-capped candidate generation (wedges
+    // centered on deg<=140 nodes only — volume n·D·(D−1)/2 by
+    // construction, no refusal possible) + exact rescoring of the
+    // 200-pair pool. Same output contract as g5 (true counts, true
+    // degrees, integer Jaccard); what the cap costs in recall is
+    // measured by g7b, not assumed. This gate COMPLETES at sf10 where
+    // g5's exact wedge count (14.8B) refuses.
+    "g7_link_prediction_capped" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+        .distinct()
+      graft.operators.LinkPredict.commonNeighborsCapped(edges, "p1", "p2",
+        maxDegree = 140L, k = 20, refineFactor = 10)
+    },
+
+    // (g7's sf10-scale variant lives in `benchDefs` as g7x_capped_d100 —
+    // same operator with the cap dialed for 100× node count, measured by
+    // TimeQueries for the asymptotics table, not oracle-gated because it
+    // is g7 with a different knob position.)
+
+    // RECALL CURVE for the capped generator (the v33 nprobe-curve
+    // posture): capped-generate top-200 / exact-refine top-20 vs the
+    // exact top-20, one row per cap D in {100, 140, 180}. ONE wedge
+    // pass scores every D at once: a wedge centered on c contributes to
+    // cap D iff deg(c) <= D, so per-pair capped counts are conditional
+    // sums over the center's degree bucket — the sweep costs ~1 exact
+    // run, not 4 (operator-equality with commonNeighborsCapped is
+    // pinned by LinkPredictSpec).
+    "g7b_capped_recall" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("a"), col("p2").as("b"))
+        .distinct()
+      val adj = e.select(col("a").as("c"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+      val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("dg"))
+      val l = adj.join(deg, "c").select(col("c"), col("n").as("u"), col("dg"))
+      val r = adj.select(col("c"), col("n").as("v"))
+      val scored = l.join(r, "c").filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(
+          sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
+          sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
+          sum(when(col("dg") <= 180L, 1L).otherwise(0L)).as("ccn180"),
+          count(lit(1)).as("cn"))
+        .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+        .persist()
+      val exact20 = scored.orderBy(col("cn").desc, col("u"), col("v"))
+        .limit(20).select(col("u"), col("v")).localCheckpoint(true)
+      def cap20(ccn: String) = scored.filter(col(ccn) > 0L)
+        .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
+        .orderBy(col("cn").desc, col("u"), col("v")).limit(20)
+        .select(col("u"), col("v"))
+      val out = Seq(100L -> "ccn100", 140L -> "ccn140", 180L -> "ccn180")
+        .map { case (dcap, ccn) =>
+          exact20.agg(count(lit(1)).as("n_exact"))
+            .crossJoin(exact20.join(cap20(ccn), Seq("u", "v"), "left_semi")
+              .agg(count(lit(1)).as("n_hit")))
+            .select(lit(dcap).as("max_degree"), col("n_exact"), col("n_hit"),
+              expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy(col("max_degree"))
+        .localCheckpoint(true)
+      scored.unpersist()
+      out
+    },
+
     // the same triangle count served through the BUCKETED physical
     // design: the expensive orientation subtree (co-purchase self-join +
     // distinct + degree joins) materializes ONCE as a u-bucketed external
@@ -1716,6 +1790,87 @@ object Relational extends QueryPack {
         |ORDER BY cn DESC, a ASC, b ASC
         |LIMIT 20""".stripMargin,
 
+    // capped generate (wedge centers deg<=140 only, top-200 by capped
+    // count) + exact refine (true counts over the FULL adjacency for
+    // just those 200 pairs), then g5's output contract
+    "g7_link_prediction_capped" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.s AS a, b.s AS b
+        |      FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s),
+        |adj AS MATERIALIZED (SELECT a AS c, b AS n FROM e
+        |      UNION ALL SELECT b, a FROM e),
+        |deg AS MATERIALIZED (SELECT c, COUNT(*) AS d FROM adj GROUP BY 1),
+        |ok AS (SELECT c FROM deg WHERE d <= 140),
+        |cadj AS MATERIALIZED (SELECT adj.c, adj.n FROM adj JOIN ok USING (c)),
+        |cnp AS (
+        |  SELECT l.n AS u, r.n AS v, COUNT(*) AS ccn
+        |  FROM cadj l JOIN cadj r ON l.c = r.c AND l.n < r.n
+        |  GROUP BY 1, 2),
+        |gen AS MATERIALIZED (
+        |  SELECT u, v FROM cnp
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cnp.u AND e.b = cnp.v)
+        |  ORDER BY ccn DESC, u ASC, v ASC LIMIT 200),
+        |ref AS (
+        |  SELECT gen.u, gen.v, COUNT(*) AS cn
+        |  FROM gen JOIN adj au ON au.n = gen.u
+        |           JOIN adj av ON av.n = gen.v AND av.c = au.c
+        |  GROUP BY 1, 2)
+        |SELECT ref.u AS a, ref.v AS b, cn,
+        |  da.d AS deg_a, db.d AS deg_b,
+        |  CAST(cn * 1000000 // (da.d + db.d - cn) AS BIGINT) AS jac_ppm
+        |FROM ref JOIN deg da ON da.c = ref.u JOIN deg db ON db.c = ref.v
+        |ORDER BY cn DESC, a ASC, b ASC
+        |LIMIT 20""".stripMargin,
+
+    // the engine's one-pass sweep restated: per-pair capped counts are
+    // conditional sums over the wedge center's degree, generate/refine/
+    // top-20 per cap, hits counted against the exact top-20
+    "g7b_capped_recall" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.s AS a, b.s AS b
+        |      FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s),
+        |adj AS MATERIALIZED (SELECT a AS c, b AS n FROM e
+        |      UNION ALL SELECT b, a FROM e),
+        |deg AS MATERIALIZED (SELECT c, COUNT(*) AS d FROM adj GROUP BY 1),
+        |adjd AS (SELECT adj.c, adj.n, deg.d FROM adj JOIN deg ON adj.c = deg.c),
+        |scored AS MATERIALIZED (
+        |  SELECT l.n AS u, r.n AS v,
+        |    CAST(SUM(CASE WHEN l.d <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS ccn100,
+        |    CAST(SUM(CASE WHEN l.d <= 140 THEN 1 ELSE 0 END) AS BIGINT) AS ccn140,
+        |    CAST(SUM(CASE WHEN l.d <= 180 THEN 1 ELSE 0 END) AS BIGINT) AS ccn180,
+        |    COUNT(*) AS cn
+        |  FROM adjd l JOIN adj r ON l.c = r.c AND l.n < r.n
+        |  GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        |  SELECT * FROM scored
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = scored.u AND e.b = scored.v)),
+        |exact20 AS MATERIALIZED (
+        |  SELECT u, v FROM cand ORDER BY cn DESC, u ASC, v ASC LIMIT 20),
+        |nex AS (SELECT COUNT(*) AS n_exact FROM exact20),
+        |gen100 AS (SELECT u, v, cn FROM cand WHERE ccn100 > 0
+        |           ORDER BY ccn100 DESC, u ASC, v ASC LIMIT 200),
+        |cap100 AS (SELECT u, v FROM gen100 ORDER BY cn DESC, u ASC, v ASC LIMIT 20),
+        |h100 AS (SELECT COUNT(*) AS n_hit FROM exact20 SEMI JOIN cap100 USING (u, v)),
+        |gen140 AS (SELECT u, v, cn FROM cand WHERE ccn140 > 0
+        |           ORDER BY ccn140 DESC, u ASC, v ASC LIMIT 200),
+        |cap140 AS (SELECT u, v FROM gen140 ORDER BY cn DESC, u ASC, v ASC LIMIT 20),
+        |h140 AS (SELECT COUNT(*) AS n_hit FROM exact20 SEMI JOIN cap140 USING (u, v)),
+        |gen180 AS (SELECT u, v, cn FROM cand WHERE ccn180 > 0
+        |           ORDER BY ccn180 DESC, u ASC, v ASC LIMIT 200),
+        |cap180 AS (SELECT u, v FROM gen180 ORDER BY cn DESC, u ASC, v ASC LIMIT 20),
+        |h180 AS (SELECT COUNT(*) AS n_hit FROM exact20 SEMI JOIN cap180 USING (u, v))
+        |SELECT * FROM (
+        |  SELECT CAST(100 AS BIGINT) AS max_degree, n_exact, n_hit,
+        |    CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_ppm
+        |  FROM h100, nex
+        |  UNION ALL
+        |  SELECT CAST(140 AS BIGINT), n_exact, n_hit,
+        |    CAST(n_hit * 1000000 // n_exact AS BIGINT) FROM h140, nex
+        |  UNION ALL
+        |  SELECT CAST(180 AS BIGINT), n_exact, n_hit,
+        |    CAST(n_hit * 1000000 // n_exact AS BIGINT) FROM h180, nex)
+        |ORDER BY max_degree""".stripMargin,
+
     // identical oracle: the bucketed physical design must produce the
     // same logical result as g2's declarative plan
     "g2b_triangles_bucketed" ->
@@ -1990,5 +2145,27 @@ object Relational extends QueryPack {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin
+  )
+
+  /** Bench/asymptotics-only variants (no oracle entry — knob positions of
+    * gated operators, semantics pinned by the gate siblings). */
+  def benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // g7 with the cap dialed for 100× node count: at sf10 the corpus has
+    // 2M parts and D=140 admits 10.2B wedges (a ~200 GB shuffle — past a
+    // single node, right at scale on a cluster); D=100 admits 1.65B,
+    // which COMPLETES locally where g5's exact 14.8B refuses. The knob
+    // is the point: capped volume is n·D·(D−1)/2, so D comes down as n
+    // goes up, and g7b prices what each position costs in recall.
+    "g7x_capped_d100" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+        .distinct()
+      graft.operators.LinkPredict.commonNeighborsCapped(edges, "p1", "p2",
+        maxDegree = 100L, k = 20, refineFactor = 10)
+    }
   )
 }

@@ -1,8 +1,10 @@
 package graft.serve
 
 import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream, PrintWriter}
+import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.DataFrame
 
 import graft.operators.Search
@@ -119,6 +121,58 @@ final class McpServer(layers: DataFrame, encoder: String => Array[Float]) {
   private def error(id: JValue, code: Int, msg: String): JObj =
     JObj.of("jsonrpc" -> JStr("2.0"), "id" -> id,
       "error" -> JObj.of("code" -> JNum(code.toLong), "message" -> JStr(msg)))
+
+  /** Serve the SAME JSON-RPC handler over HTTP POST — the MCP
+    * streamable-http transport, matching the reference's deployment
+    * shape (`docker-compose.yml:48-63` serves FastMCP streamable-http
+    * on 8081; `backend/mcp.py:7,23-29`). Minimal conforming server per
+    * the public MCP transport spec (2025-03-26 revision):
+    *  - POST with a request (has `id`) → one application/json JSON-RPC
+    *    response body;
+    *  - POST with a notification (no `id`) → 202 Accepted, empty body;
+    *  - malformed JSON → -32700 error response (id null);
+    *  - GET → 405 (this server opens no server-initiated SSE streams,
+    *    which the spec permits).
+    * Port 0 = ephemeral; read the bound port off the returned server.
+    * Handlers run on a bounded pool; concurrent calls are safe (Spark
+    * actions are thread-safe on a shared session).
+    */
+  def startHttp(port: Int = 8081, poolSize: Int = 8): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/mcp", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestMethod != "POST") {
+            reply(ex, 405, Some(error(JNull, -32600,
+              "streamable-http: POST JSON-RPC messages to this endpoint")))
+          } else {
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            val resp =
+              try McpServer.this.handle(Json.parse(body))
+              catch { case e: JsonParseException =>
+                Some(error(JNull, -32700, s"parse error: ${e.getMessage}")) }
+            // a notification gets NO body — 202 per the MCP spec
+            resp match {
+              case Some(r) => reply(ex, 200, Some(r))
+              case None => reply(ex, 202, None)
+            }
+          }
+        } finally ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(poolSize))
+    server.start()
+    server
+  }
+
+  private def reply(ex: HttpExchange, status: Int, body: Option[JValue]): Unit =
+    body match {
+      case Some(b) =>
+        val bytes = b.render.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      case None => ex.sendResponseHeaders(status, -1L)
+    }
 
   /** Serve line-delimited JSON-RPC until EOF (the MCP stdio transport). */
   def serve(in: InputStream, out: OutputStream): Unit = {

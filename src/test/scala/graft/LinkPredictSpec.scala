@@ -33,4 +33,69 @@ class LinkPredictSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("maxWedgeEstimate"))
   }
+
+  test("commonNeighborsCapped: completes where exact refuses; hub wedges dropped, true degrees kept") {
+    import spark.implicits._
+    // 60-leaf star (hub 0, deg 60) + a square 1-2-3-4 hanging off two
+    // leaves: exact at cap 1000 refuses (1770 hub wedges); capped at
+    // D=10 drops the hub as a CENTER, so candidates come only from the
+    // square's wedges: (1,3) via center 2, (2,4) via centers 1? no —
+    // square edges 1-2, 2-3, 3-4, 1-4: wedge centers 2 (pair 1,3),
+    // 3 (pair 2,4), 4 (pair 1,3)? center 4 neighbors {3, 1, 0? no}.
+    // Square: 1-2, 2-3, 3-4, 1-4. Center 2: {1,3} -> (1,3); center 3:
+    // {2,4} -> (2,4); center 4: {1,3} -> (1,3); center 1: {2,4} AND the
+    // hub 0 (leaves 1..60 all touch 0): center 1 neighbors {0,2,4}.
+    val edges = ((1L to 60L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      LinkPredict.commonNeighbors(edges, "a", "b", k = 5,
+        maxWedgeEstimate = 1000L).collect()
+    }
+    val got = LinkPredict.commonNeighborsCapped(edges, "a", "b",
+      maxDegree = 10L, k = 5).collect()
+    // REFINED counts are TRUE: (1,3) sees centers {2,4} AND hub 0
+    // (both 1 and 3 are leaves) -> cn=3; (2,4) sees {1,3} and hub 0 ->
+    // cn=3. True degrees: 1 and 3 have deg 3 (hub + two square edges).
+    val asMap = got.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(asMap.keySet === Set((1L, 3L), (2L, 4L)))
+    // jac = 3 / (3 + 3 - 3) = 1.0
+    assert(asMap((1L, 3L)) === ((3L, 3L, 3L, 1000000L)))
+    assert(asMap((2L, 4L)) === ((3L, 3L, 3L, 1000000L)))
+  }
+
+  test("commonNeighborsCapped: the g7b one-pass sweep equals per-D operator runs") {
+    import spark.implicits._
+    // pseudo-random sparse graph, no self-loops, a < b
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("a", "b")
+    for (dcap <- Seq(4L, 8L, 16L)) {
+      val op = LinkPredict.commonNeighborsCapped(edges, "a", "b",
+        maxDegree = dcap, k = 10, refineFactor = 3)
+        .select("a", "b", "cn").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // harness restatement: capped count as a conditional sum over the
+      // center's degree (the g7b formulation), then generate/refine
+      val e = edges
+      val adj = e.select(col("a").as("c"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+      val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("dg"))
+      val l = adj.join(deg, "c").select(col("c"), col("n").as("u"), col("dg"))
+      val r = adj.select(col("c"), col("n").as("v"))
+      val scored = l.join(r, "c").filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(
+          sum(when(col("dg") <= dcap, 1L).otherwise(0L)).as("ccn"),
+          count(lit(1)).as("cn"))
+        .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      val harness = scored.filter(col("ccn") > 0L)
+        .orderBy(col("ccn").desc, col("u"), col("v")).limit(30)
+        .orderBy(col("cn").desc, col("u"), col("v")).limit(10)
+        .select("u", "v", "cn")
+        .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSet
+      assert(op === harness, s"sweep/operator divergence at D=$dcap")
+    }
+  }
 }

@@ -227,4 +227,82 @@ class ServeSpec extends AnyFunSuite {
     assert(lines.length === 2) // the notification gets no reply
     assert(lines(0).contains("\"id\":1") && lines(1).contains("gis_layer_search"))
   }
+
+  // --- MCP streamable-http transport ---
+
+  private def withMcpHttp[A](f: (HttpClient, Int) => A): A = {
+    val server = new McpServer(layers, encoder).startHttp(port = 0)
+    try f(HttpClient.newHttpClient(), server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private def postMcp(client: HttpClient, port: Int, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/mcp"))
+      .header("Content-Type", "application/json")
+      .header("Accept", "application/json, text/event-stream")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("mcp http: initialize / notification(202) / tools/list / tools/call over a live socket") {
+    withMcpHttp { (client, port) =>
+      val init = postMcp(client, port,
+        """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""")
+      assert(init.statusCode === 200)
+      assert(init.headers.firstValue("Content-Type").get === "application/json")
+      assert(init.body.contains("\"protocolVersion\":\"2024-11-05\""))
+      assert(init.body.contains("govgis_nov2023"))
+      // notifications get 202 and NO body (the transport-spec contract)
+      val note = postMcp(client, port,
+        """{"jsonrpc":"2.0","method":"notifications/initialized"}""")
+      assert(note.statusCode === 202)
+      assert(note.body.isEmpty)
+      val list = postMcp(client, port, """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
+      assert(list.statusCode === 200 && list.body.contains("gis_layer_search"))
+      val call = postMcp(client, port,
+        """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{
+          |"name":"gis_layer_search","arguments":{"request_string":"red","limit":3}}}""".stripMargin)
+      assert(call.statusCode === 200)
+      val JObj(fs) = Json.parse(call.body): @unchecked
+      val result = fs("result") match { case o: JObj => o; case x => fail(s"not an object: $x") }
+      assert(result.fields("isError") === JBool(false))
+      // the markdownify envelope rides through HTTP too: L1's HTML bold
+      val env = result.fields("structuredContent") match {
+        case o: JObj => o; case x => fail(s"not an object: $x")
+      }
+      val JArr(ls) = env.fields("layers"): @unchecked
+      val JObj(l1) = ls.head: @unchecked
+      assert(l1("description") === JStr("**flood** zones"))
+    }
+  }
+
+  test("mcp http: GET is 405; malformed JSON is a -32700 response; validation is isError") {
+    withMcpHttp { (client, port) =>
+      val get = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/mcp")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode === 405)
+      val bad = postMcp(client, port, """{"jsonrpc":"2.0","id":""")
+      assert(bad.statusCode === 200 && bad.body.contains("-32700"))
+      val inval = postMcp(client, port,
+        """{"jsonrpc":"2.0","id":9,"method":"tools/call","params":{
+          |"name":"gis_layer_search","arguments":{"request_string":"red","limit":99}}}""".stripMargin)
+      assert(inval.statusCode === 200 && inval.body.contains("\"isError\":true"))
+    }
+  }
+
+  test("mcp http: concurrent tool calls share the session safely") {
+    withMcpHttp { (client, port) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bodies = (1 to 6).map { i =>
+        s"""{"jsonrpc":"2.0","id":$i,"method":"tools/call","params":{
+           |"name":"gis_layer_search","arguments":{"request_string":"red","limit":2}}}""".stripMargin
+      }
+      val rs = Await.result(
+        Future.sequence(bodies.map(b => Future(postMcp(client, port, b)))), 90.seconds)
+      assert(rs.forall(_.statusCode === 200))
+      assert(rs.forall(_.body.contains("\"isError\":false")))
+    }
+  }
 }
