@@ -183,6 +183,69 @@ object Vectors extends QueryPack {
       }.reduce(_ unionAll _).orderBy(col("nprobe"))
     },
 
+    // r-CURVES for the refine-pool knobs (v33's posture applied to the
+    // OTHER approximate-search dial): every compressor's pool size r now
+    // carries a measured recall the way nlist/nprobe do. One exact
+    // baseline + model/codes built once per gate; arms reuse them.
+    // PQ's refine metric is exact L2 (v15), so its baseline is the v6
+    // kernel; SQ8/JL refine by exact cosine (v26/v29), baseline = v1's.
+    "v34_pq_r_curve" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val model = graft.operators.Pq.train(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 3)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+      val probe = probeOf(s, d, 0L)
+      val exact = e
+        .withColumn("dist", l2_distance(col("embedding"), vector_lit(probe)))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id")).localCheckpoint(true)
+      Seq(10, 20, 40).map { r =>
+        val approx = graft.operators.Pq.searchRefine(codes, "code", "vec_id",
+          e, "vec_id", "embedding", model, probe, k = 10, r = r)
+          .select(col("vec_id"))
+        exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(r.toLong).as("r"), col("n_hit"),
+            expr("(n_hit * 1000000L) div 10").as("recall_ppm"))
+      }.reduce(_ unionAll _).orderBy(col("r"))
+    },
+
+    "v35_sq8_r_curve" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val model = graft.operators.Sq.train(e, "embedding")
+      val codes = graft.operators.Sq.encode(e, "vec_id", "embedding", model)
+      val probe = probeOf(s, d, 0L)
+      val exact = Knn.topK(e, col("embedding"), probe,
+        k = 10, tieBreak = col("vec_id"))
+        .select(col("vec_id")).localCheckpoint(true)
+      Seq(10, 20, 40).map { r =>
+        val approx = graft.operators.Sq.searchRefine(codes, "code", "vec_id",
+          e, "vec_id", "embedding", model, probe, k = 10, r = r)
+          .select(col("vec_id"))
+        exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(r.toLong).as("r"), col("n_hit"),
+            expr("(n_hit * 1000000L) div 10").as("recall_ppm"))
+      }.reduce(_ unionAll _).orderBy(col("r"))
+    },
+
+    "v36_jl_r_curve" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = probeOf(s, d, 0L)
+      val exact = Knn.topK(e, col("embedding"), probe,
+        k = 10, tieBreak = col("vec_id"))
+        .select(col("vec_id")).localCheckpoint(true)
+      Seq(10, 30, 60).map { r =>
+        val approx = graft.operators.Knn.topKProjectRefine(e,
+          "vec_id", "embedding", probe, kDims = 16, seed = 7L, k = 10, r = r)
+          .select(col("vec_id"))
+        exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(r.toLong).as("r"), col("n_hit"),
+            expr("(n_hit * 1000000L) div 10").as("recall_ppm"))
+      }.reduce(_ unionAll _).orderBy(col("r"))
+    },
+
     // FILTERED ANN (metadata predicate + vector search, the reference's
     // hybrid query at IVF scale): the label predicate semi-joins the
     // bucket scan BEFORE the distance heap — a post-hoc filter on the
@@ -997,6 +1060,150 @@ object Vectors extends QueryPack {
          |${arm(4)}
          |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(4)}
          |ORDER BY nprobe""".stripMargin
+    },
+
+    // v15's ADC CTEs nominate per-r pools, the exact sqrt-L2 re-rank
+    // orders each, hits counted against the exact L2 top-10
+    "v34_pq_r_curve" -> {
+      def arm(r: Int): String =
+        s"""cand$r AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT $r),
+           |topk$r AS (
+           |  SELECT e.vec_id AS id
+           |  FROM emb e JOIN cand$r USING (vec_id) CROSS JOIN probe p
+           |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
+           |  LIMIT 10),
+           |nh$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           |         FROM ex10 JOIN topk$r USING (id))""".stripMargin
+      def row(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS r, n AS n_hit,
+           |  (n * 1000000) // 10 AS recall_ppm FROM nh$r""".stripMargin
+      s"""WITH ${IvfSql.embCtes},
+         |${(0 until 4).map(j => PqSql.subspaceCtes(j, k = 8, iters = 3,
+              subDim = 16, probeId = 0L)).mkString(",\n")},
+         |adc AS MATERIALIZED (
+         |  SELECT c0.vec_id, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+         |  FROM code0 c0
+         |  JOIN code1 c1 USING (vec_id)
+         |  JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN tab0 t0 ON c0.b = t0.b
+         |  JOIN tab1 t1 ON c1.b = t1.b
+         |  JOIN tab2 t2 ON c2.b = t2.b
+         |  JOIN tab3 t3 ON c3.b = t3.b),
+         |probe AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |ex10 AS MATERIALIZED (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e CROSS JOIN probe p
+         |  ORDER BY sqrt(e.nn - 2 * list_inner_product(e.v, p.v) + p.nn), e.vec_id
+         |  LIMIT 10),
+         |${arm(10)},
+         |${arm(20)},
+         |${arm(40)}
+         |${row(10)} UNION ALL ${row(20)} UNION ALL ${row(40)}
+         |ORDER BY r""".stripMargin
+    },
+
+    // v26's bounds/quantization/fold CTEs nominate per-r pools, exact
+    // cosine re-ranks, hits counted against the cosine top-10
+    "v35_sq8_r_curve" -> {
+      def arm(r: Int): String =
+        s"""cand$r AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT $r),
+           |topk$r AS (
+           |  SELECT e.vec_id AS id
+           |  FROM emb e JOIN cand$r USING (vec_id) CROSS JOIN pv p
+           |  ORDER BY ${IvfSql.dist("e.v", "e.nn", "p.v", "p.nn")}, e.vec_id
+           |  LIMIT 10),
+           |nh$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           |         FROM ex10 JOIN topk$r USING (id))""".stripMargin
+      def row(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS r, n AS n_hit,
+           |  (n * 1000000) // 10 AS recall_ppm FROM nh$r""".stripMargin
+      s"""WITH ${IvfSql.embCtes},
+         |bounds AS MATERIALIZED (
+         |  SELECT g.i,
+         |    CAST(MIN(embedding[g.i]) AS DOUBLE) AS mn,
+         |    CAST(MAX(embedding[g.i]) AS DOUBLE) - CAST(MIN(embedding[g.i]) AS DOUBLE) AS rg
+         |  FROM embeddings, generate_series(1, 64) AS g(i)
+         |  GROUP BY g.i),
+         |b2 AS MATERIALIZED (SELECT i, mn, rg, rg / 255.0 AS s FROM bounds),
+         |codes AS MATERIALIZED (
+         |  SELECT e.vec_id, b.i,
+         |    CASE WHEN b.rg = 0 THEN 0
+         |         ELSE CAST(LEAST(255, GREATEST(0,
+         |           FLOOR((CAST(e.embedding[b.i] AS DOUBLE) - b.mn) / b.rg * 255.0 + 0.5)))
+         |           AS BIGINT) END AS code
+         |  FROM embeddings e CROSS JOIN b2 b),
+         |qprobe AS MATERIALIZED (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+         |  FROM embeddings WHERE vec_id = 0),
+         |term AS (
+         |  SELECT c.vec_id, c.i,
+         |    ((b.mn + CAST(c.code AS DOUBLE) * b.s) - (SELECT q FROM qprobe)[c.i])
+         |    * ((b.mn + CAST(c.code AS DOUBLE) * b.s) - (SELECT q FROM qprobe)[c.i]) AS t
+         |  FROM codes c JOIN b2 b USING (i)),
+         |adc AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY i)),
+         |      (a, x) -> a + x) AS dist
+         |  FROM term GROUP BY vec_id),
+         |pv AS MATERIALIZED (SELECT v, nn FROM emb WHERE vec_id = 0),
+         |ex10 AS MATERIALIZED (
+         |  SELECT e.vec_id AS id
+         |  FROM emb e CROSS JOIN pv p
+         |  ORDER BY ${IvfSql.dist("e.v", "e.nn", "p.v", "p.nn")}, e.vec_id
+         |  LIMIT 10),
+         |${arm(10)},
+         |${arm(20)},
+         |${arm(40)}
+         |${row(10)} UNION ALL ${row(20)} UNION ALL ${row(40)}
+         |ORDER BY r""".stripMargin
+    },
+
+    // v29's integer-exact projection CTEs nominate per-r pools, exact
+    // cosine re-ranks, hits counted against the cosine top-10
+    "v36_jl_r_curve" -> {
+      def arm(r: Int): String =
+        s"""cand$r AS (SELECT vec_id FROM dp ORDER BY d2 ASC, vec_id ASC LIMIT $r),
+           |topk$r AS (
+           |  SELECT e.vec_id AS id
+           |  FROM embeddings e JOIN cand$r USING (vec_id) CROSS JOIN p
+           |  ORDER BY 1 - list_cosine_similarity(e.embedding, p.pv) ASC, e.vec_id ASC
+           |  LIMIT 10),
+           |nh$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           |         FROM ex10 JOIN topk$r USING (id))""".stripMargin
+      def row(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS r, n AS n_hit,
+           |  (n * 1000000) // 10 AS recall_ppm FROM nh$r""".stripMargin
+      s"""WITH sm0 AS (
+         |  SELECT gs.idx AS idx,
+         |    ${SketchSql.addModU(
+              SketchSql.mulModU("CAST(gs.idx + 1 AS UBIGINT)", 0x9e3779b97f4a7c15L),
+              "CAST(7 AS UBIGINT)")} AS z
+         |  FROM generate_series(0, 1023) AS gs(idx)),
+         |${SketchSql.mixLayerCtes("sm0", Seq("idx"))},
+         |sm AS (SELECT idx // 64 AS t, idx % 64 AS j,
+         |        CASE WHEN (u & 1) = 1 THEN 1 ELSE -1 END AS s FROM sm0mu),
+         |qe AS (SELECT vec_id, gs.j AS j,
+         |        CAST(floor(CAST(embedding[gs.j + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
+         |       FROM embeddings, generate_series(0, 63) AS gs(j)),
+         |pj AS MATERIALIZED (
+         |  SELECT vec_id, sm.t AS t, CAST(SUM(sm.s * qe.q) AS BIGINT) AS y
+         |  FROM qe JOIN sm ON sm.j = qe.j GROUP BY 1, 2),
+         |pp AS MATERIALIZED (SELECT t, y FROM pj WHERE vec_id = 0),
+         |dp AS MATERIALIZED (
+         |  SELECT a.vec_id, SUM((a.y - b.y) * (a.y - b.y)) AS d2
+         |  FROM pj a JOIN pp b ON a.t = b.t GROUP BY 1),
+         |p AS MATERIALIZED (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |ex10 AS MATERIALIZED (
+         |  SELECT e.vec_id AS id
+         |  FROM embeddings e CROSS JOIN p
+         |  ORDER BY 1 - list_cosine_similarity(e.embedding, p.pv) ASC, e.vec_id ASC
+         |  LIMIT 10),
+         |${arm(10)},
+         |${arm(30)},
+         |${arm(60)}
+         |${row(10)} UNION ALL ${row(30)} UNION ALL ${row(60)}
+         |ORDER BY r""".stripMargin
     },
 
     // v7's selection with the label predicate inside the candidate set

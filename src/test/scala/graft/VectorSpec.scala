@@ -1074,4 +1074,36 @@ class VectorSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(jl === exact)
   }
+
+  test("refine r-curves (v34-v36 posture): hits monotone in r, full pool = exact") {
+    import spark.implicits._
+    // nested pools make monotonicity a THEOREM, not luck: cand_r is the
+    // top-r of a FIXED coarse order, so r1 < r2 => pool(r1) ⊆ pool(r2),
+    // and a true-top-k member in the smaller pool can only be displaced
+    // by other true-top-k members after the exact re-rank
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 120L).map(i =>
+      (i, Array.tabulate(16)(_ => rnd.nextFloat() * 4 - 2)))
+    val df = rows.toDF("vec_id", "embedding")
+    val probe = rows.head._2
+    val exactCos = graft.operators.Knn.topK(df, col("embedding"), probe,
+      k = 5, tieBreak = col("vec_id")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // JL arm: hits(r) non-decreasing, r = corpus size -> exact
+    val hits = Seq(5, 20, 120).map { r =>
+      val got = graft.operators.Knn.topKProjectRefine(df, "vec_id",
+        "embedding", probe, kDims = 4, seed = 7L, k = 5, r = r)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got & exactCos).size
+    }
+    assert(hits === hits.sorted, s"recall not monotone in r: $hits")
+    assert(hits.last === 5, "full pool must recover the exact top-k")
+    // SQ8 arm: full pool = exact under the same metric
+    val model = graft.operators.Sq.train(df, "embedding")
+    val codes = graft.operators.Sq.encode(df, "vec_id", "embedding", model)
+    val sqFull = graft.operators.Sq.searchRefine(codes, "code", "vec_id",
+      df, "vec_id", "embedding", model, probe, k = 5, r = 120)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sqFull === exactCos)
+  }
 }
