@@ -41,6 +41,20 @@ object Events extends QueryPack {
         .orderBy(col("day_us"))
     },
 
+    // e28's BOUNDED-STATE sibling: per-day HLL registers (days x 256,
+    // user-cardinality-independent) rolled up with the e19b union-max
+    // over each trailing 7-day window — the shuffle carries
+    // days x 7 x 256 rows at ANY corpus size where e28's exploded
+    // contribution volume grows with distinct actives. The gated
+    // artifact is the integer windowed register table (the e19
+    // posture); the derived estimate's error vs e28's exact counts is
+    // spec-gated (HllSpec)
+    "e28b_rolling_actives_hll" -> { (s, d) =>
+      graft.operators.Rolling.rollingHllRegisters(Tables.events(s, d),
+        col("ts"), col("user_id"), windowDays = 7)
+        .orderBy(col("day_us"), col("bucket"))
+    },
+
     // depth-8 integer EWMA (alpha=1/2) of the quantized event value per
     // user sequence: eight lag() reads of ONE user-keyed window pass,
     // all arithmetic BIGINT (floor-quantized — the one rounding both
@@ -687,6 +701,31 @@ object Events extends QueryPack {
          |SELECT event_type, bucket, CAST(MAX(rho) AS INT) AS max_rho
          |FROM r GROUP BY 1, 2
          |ORDER BY event_type, bucket""".stripMargin,
+
+    // e19's register chain keyed by day, then the trailing-window
+    // union-max per report day (a range join DuckDB affords at oracle
+    // scale; the engine's bounded explode must equal it exactly)
+    "e28b_rolling_actives_hll" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT date_trunc('day', ts) AS d,
+         |    CAST(user_id AS VARCHAR) AS s FROM events),
+         |h AS (SELECT d, ${SketchSql.FnvSql} AS z FROM du),
+         |${SketchSql.mixLayerCtes("h", Seq("d"))},
+         |r AS (
+         |  SELECT d,
+         |    CAST(u >> 56 AS INT) AS bucket,
+         |    CASE WHEN (u & 72057594037927935) = 0 THEN 57
+         |         ELSE 57 - len(bin(CAST(u & 72057594037927935 AS BIGINT))) END AS rho
+         |  FROM hmu),
+         |pd AS MATERIALIZED (
+         |  SELECT d, bucket, MAX(rho) AS mr FROM r GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM pd)
+         |SELECT epoch_us(days.d) AS day_us, pd.bucket,
+         |  CAST(MAX(pd.mr) AS INT) AS max_rho
+         |FROM pd JOIN days
+         |  ON pd.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+         |GROUP BY 1, 2
+         |ORDER BY day_us, bucket""".stripMargin,
 
     // the e19 stream keyed by (hour, type); epoch-micros hours
     // the identical chain with the 2-hour inclusive window per stage

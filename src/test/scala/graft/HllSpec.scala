@@ -76,4 +76,46 @@ class HllSpec extends AnyFunSuite {
     val b = Hll.registers(thrice, Seq.empty, col("v")).orderBy("bucket").collect().toSeq
     assert(a === b)
   }
+
+  test("e28b: windowed register rollup equals a direct sketch of each window; estimate tracks the exact trailing distinct") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 days, day i has users [100*i, 100*i + 400) — windows overlap
+    // heavily so trailing distinct differs strongly from daily distinct
+    val rnd = new scala.util.Random(3)
+    val rows = for {
+      day <- 0 until 10
+      u <- (100 * day) until (100 * day + 400)
+    } yield (Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"),
+      u.toLong + (rnd.nextInt(2) * 0L)) // rnd kept for future jitter; ids exact
+    val ev = rows.toDF("ts", "user_id")
+    val rolled = graft.operators.Rolling.rollingHllRegisters(
+      ev, col("ts"), col("user_id"), windowDays = 7)
+    // rollup == direct sketch of each trailing window (max of maxes)
+    val direct = {
+      val du = ev.select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      val days = du.select(col("d")).distinct()
+      days.collect().map(_.getTimestamp(0)).map { rd =>
+        val lo = new Timestamp(rd.getTime - 6L * 86400000L)
+        Hll.registers(du.filter(col("d") >= lit(lo) && col("d") <= lit(rd)),
+          Seq.empty, col("user_id"))
+          .withColumn("day_us", lit(rd.getTime * 1000L))
+          .select("day_us", "bucket", "max_rho")
+      }.reduce(_ unionAll _)
+    }
+    val got = rolled.orderBy("day_us", "bucket").collect().toSeq
+    assert(got === direct.orderBy("day_us", "bucket").collect().toSeq)
+    // derived estimate within the p=8 envelope of the EXACT trailing
+    // distinct (the number e28 computes)
+    val exact = graft.operators.Rolling.rollingDistinctDaily(
+      ev, col("ts"), col("user_id"), windowDays = 7)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dau_w")).toMap
+    val est = Hll.estimate(rolled, Seq("day_us"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("estimate")).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (day, e) =>
+      val x = exact(day).toDouble
+      assert(math.abs(e - x) / x < 0.25, s"day_us=$day exact=$x est=$e")
+    }
+  }
 }
