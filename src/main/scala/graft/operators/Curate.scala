@@ -27,20 +27,29 @@ import graft.functions.TextFunctions.{fingerprint, quality_score}
   */
 object Curate {
 
-  def manifest(docs: DataFrame, idCol: String, textCol: String,
-               langCol: String, langs: Seq[String], minQuality: Double,
-               maxLen: Long): DataFrame = {
+  /** Stages 1-2 only (gate + exact dedup keep-first) — the KEPT SET the
+    * packing tail consumes, factored out so the streaming twin
+    * ([[graft.streaming.CurateStream]]) has a batch surface to equal.
+    */
+  def kept(docs: DataFrame, idCol: String, textCol: String,
+           langCol: String, langs: Seq[String],
+           minQuality: Double): DataFrame = {
     require(langs.nonEmpty, "curate: empty language allowlist")
     val gated = docs.filter(col(langCol).isInCollection(langs) &&
       quality_score(col(textCol)) >= minQuality)
     val payload = struct(gated.columns.map(col).toIndexedSeq: _*)
-    val kept = gated
+    gated
       .withColumn("__fp", fingerprint(col(textCol)))
       .groupBy(col("__fp"))
       .agg(min_by(payload, col(idCol)).as("__keep"))
       .select(col("__keep.*"))
-    Packing.manifest(kept, idCol, textCol, langCol, maxLen)
   }
+
+  def manifest(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String, langs: Seq[String], minQuality: Double,
+               maxLen: Long): DataFrame =
+    Packing.manifest(kept(docs, idCol, textCol, langCol, langs, minQuality),
+      idCol, textCol, langCol, maxLen)
 
   /** The same pipeline instrumented with the Observation API: per-stage
     * funnel counters (rows seen / gate survivors / post-dedup keepers)

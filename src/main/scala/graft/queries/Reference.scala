@@ -649,6 +649,24 @@ object Reference extends QueryPack {
     // arithmetic. The oracle re-derives the weights from the splitmix64
     // formula and replays BOTH matrix products + ReLU + cosine in SQL —
     // a neural network hash-matched across engines.
+    // CROSS-ENCODER RERANK (retrieve-then-rerank, Nogueira & Cho 2019):
+    // BM25 nominates 50 candidates for the engine query, the quantized
+    // integer pair-MLP (NeuralEmbed artifact, dOut=1, hashed
+    // query-token x doc-token cross features) orders them, top-10 by
+    // exact BIGINT score. The model rides the same save/load parquet
+    // artifact contract as x4 — a trained cross-encoder export swaps in
+    // without touching the execution path.
+    "x8_cross_rerank" -> { (s, d) =>
+      val path = s"/dev/shm/graft_ce_${new java.io.File(d).getName}"
+      graft.operators.NeuralEmbed.save(s,
+        graft.operators.NeuralEmbed.generate(EmbedDim, CrossHidden, 1), path)
+      val model = graft.operators.NeuralEmbed.load(s, path)
+      graft.operators.CrossEncoder.rerank(Tables.documents(s, d),
+        "doc_id", "text", query = EmbedQuery, model,
+        nCandidates = 50, k = 10)
+        .orderBy(col("ce_score").desc, col("doc_id").asc)
+    },
+
     "x4_neural_embed_search" -> { (s, d) =>
       import s.implicits._
       val path = s"/dev/shm/graft_nn_${new java.io.File(d).getName}"
@@ -706,6 +724,9 @@ object Reference extends QueryPack {
 
   /** x4's hidden width (input and output stay at EmbedDim). */
   private val NeuralHidden = 32
+
+  /** x8's cross-encoder hidden width (d0 = EmbedDim buckets, dOut = 1). */
+  private val CrossHidden = 16
 
   /** DuckDB SQL decoding the IEEE-754 double stored little-endian at
     * 0-based byte offset `off` of the hex-encoded blob column `hexCol`.
@@ -1114,6 +1135,79 @@ object Reference extends QueryPack {
     // Every activation is an exact integer (GREATEST is order-free), so
     // the doubles in the final sqrt/divide see identical inputs in both
     // engines — a neural forward pass that hash-matches.
+    // stage 1 restates the t18 BM25 chain (the engine query's 6 terms,
+    // LIMIT 50); stage 2 re-derives the dOut=1 weight artifact from the
+    // splitmix formulas and runs the hashed-cross-feature forward pass
+    // as exact-integer SQL
+    "x8_cross_rerank" -> {
+      import graft.operators.NeuralEmbed.{SeedW1, SeedB1, SeedW2, SeedB2}
+      val d0 = EmbedDim; val d1 = CrossHidden
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, t.term
+         |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+         |  WHERE t.term <> ''),
+         |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+         |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+         |q(term) AS (VALUES ('spark'), ('window'), ('merge'), ('batch'),
+         |            ('query'), ('join')),
+         |dft AS (
+         |  SELECT term, COUNT(DISTINCT id) AS df
+         |  FROM toks JOIN q USING (term) GROUP BY term),
+         |tf AS (
+         |  SELECT id, term, COUNT(*) AS tf
+         |  FROM toks JOIN q USING (term) GROUP BY id, term),
+         |sc AS (
+         |  SELECT tf.id,
+         |    SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * (1.2 + 1)
+         |      / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / s.avgdl))) AS score
+         |  FROM tf JOIN dft d USING (term) JOIN dl USING (id) CROSS JOIN stats s
+         |  GROUP BY tf.id),
+         |cand AS MATERIALIZED (SELECT id FROM sc ORDER BY score DESC, id ASC LIMIT 50),
+         |qt AS (SELECT unnest(string_split_regex(lower('$EmbedQuery'), '\\s+')) AS qterm),
+         |pf AS (
+         |  SELECT toks.id, concat(qt.qterm, ':', toks.term) AS s
+         |  FROM toks JOIN cand USING (id) CROSS JOIN qt),
+         |f AS (SELECT id, ${SketchSql.FnvSql} AS z FROM pf),
+         |${SketchSql.mixLayerCtes("f", Seq("id"))},
+         |xb AS (
+         |  SELECT id, CAST((u >> 1) % $d0 AS INT) AS idx,
+         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM fmu),
+         |xvi AS (SELECT id, idx, CAST(SUM(sgn) AS BIGINT) AS v
+         |        FROM xb GROUP BY id, idx),
+         |w1z AS (SELECT t, CAST($SeedW1 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 * d0 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("w1z", Seq("t"))},
+         |w1 AS (SELECT CAST(t // $d0 AS INT) AS i, CAST(t % $d0 AS INT) AS j,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w1zmu),
+         |b1z AS (SELECT t, CAST($SeedB1 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("b1z", Seq("t"))},
+         |b1 AS (SELECT CAST(t AS INT) AS i,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b1zmu),
+         |w2z AS (SELECT t, CAST($SeedW2 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("w2z", Seq("t"))},
+         |w2 AS (SELECT CAST(t % $d1 AS INT) AS i,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w2zmu),
+         |b2z AS (SELECT t, CAST($SeedB2 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, 0) AS g(t)),
+         |${SketchSql.mixLayerCtes("b2z", Seq("t"))},
+         |b2 AS (SELECT CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b2zmu),
+         |h0 AS (SELECT x.id, w.i, SUM(w.w * x.v) AS s0
+         |       FROM w1 w JOIN xvi x ON w.j = x.idx GROUP BY x.id, w.i),
+         |hd AS (SELECT c.id, b.i, GREATEST(b.w + COALESCE(h0.s0, 0), 0) AS h
+         |       FROM cand c CROSS JOIN b1 b
+         |       LEFT JOIN h0 ON h0.id = c.id AND h0.i = b.i),
+         |y0 AS (SELECT h.id, SUM(w.w * h.h) AS s0
+         |       FROM w2 w JOIN hd h ON w.i = h.i GROUP BY h.id),
+         |y AS (SELECT y0.id, CAST((SELECT w FROM b2) + y0.s0 AS BIGINT) AS ce_score
+         |      FROM y0)
+         |SELECT id AS doc_id, ce_score FROM y
+         |ORDER BY ce_score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin
+    },
+
     "x4_neural_embed_search" ->
       s"""WITH $neuralForwardCtes,
          |dn AS (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),

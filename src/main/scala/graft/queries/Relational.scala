@@ -725,7 +725,7 @@ object Relational extends QueryPack {
             .crossJoin(exact20.join(cap20(ccn), Seq("u", "v"), "left_semi")
               .agg(count(lit(1)).as("n_hit")))
             .select(lit(dcap).as("max_degree"), col("n_exact"), col("n_hit"),
-              expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"))
+              expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"))
         }
         .reduce(_ unionAll _)
         .orderBy(col("max_degree"))
@@ -1861,14 +1861,14 @@ object Relational extends QueryPack {
         |h180 AS (SELECT COUNT(*) AS n_hit FROM exact20 SEMI JOIN cap180 USING (u, v))
         |SELECT * FROM (
         |  SELECT CAST(100 AS BIGINT) AS max_degree, n_exact, n_hit,
-        |    CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_ppm
+        |    CAST(n_hit * 1000000 // nullif(n_exact, 0) AS BIGINT) AS recall_ppm
         |  FROM h100, nex
         |  UNION ALL
         |  SELECT CAST(140 AS BIGINT), n_exact, n_hit,
-        |    CAST(n_hit * 1000000 // n_exact AS BIGINT) FROM h140, nex
+        |    CAST(n_hit * 1000000 // nullif(n_exact, 0) AS BIGINT) FROM h140, nex
         |  UNION ALL
         |  SELECT CAST(180 AS BIGINT), n_exact, n_hit,
-        |    CAST(n_hit * 1000000 // n_exact AS BIGINT) FROM h180, nex)
+        |    CAST(n_hit * 1000000 // nullif(n_exact, 0) AS BIGINT) FROM h180, nex)
         |ORDER BY max_degree""".stripMargin,
 
     // identical oracle: the bucketed physical design must produce the

@@ -750,7 +750,7 @@ object Text extends QueryPack {
         .crossJoin(coarse.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact"), col("n_lsh"), col("n_hit"),
-          expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"))
+          expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"))
     },
 
     // SIMHASH-vs-JACCARD recall (d21's sibling for the OTHER fuzzy
@@ -773,8 +773,8 @@ object Text extends QueryPack {
         .crossJoin(sim.agg(count(lit(1)).as("n_sim")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact"), col("n_sim"), col("n_hit"),
-          expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"),
-          expr("(n_hit * 1000000L) div n_sim").as("precision_ppm"))
+          expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"),
+          expr("(n_hit * 1000000L) div nullif(n_sim, 0)").as("precision_ppm"))
     },
 
     // SimHash near-dups — full-pipeline SQL oracle (identical FNV-1a bit
@@ -2732,7 +2732,7 @@ object Text extends QueryPack {
          |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
          |  (SELECT COUNT(*) FROM hit) AS n_hit,
          |  ((SELECT COUNT(*) FROM hit) * 1000000)
-         |    // (SELECT COUNT(*) FROM exact) AS recall_ppm""".stripMargin,
+         |    // nullif((SELECT COUNT(*) FROM exact), 0) AS recall_ppm""".stripMargin,
 
     // d3's full-pipeline signature/banding/verify restated over the
     // odd-vs-even split: candidates are incoming x standing bucket
@@ -2819,9 +2819,9 @@ object Text extends QueryPack {
          |  (SELECT COUNT(*) FROM simp) AS n_sim,
          |  (SELECT COUNT(*) FROM hit) AS n_hit,
          |  ((SELECT COUNT(*) FROM hit) * 1000000)
-         |    // (SELECT COUNT(*) FROM exact) AS recall_ppm,
+         |    // nullif((SELECT COUNT(*) FROM exact), 0) AS recall_ppm,
          |  ((SELECT COUNT(*) FROM hit) * 1000000)
-         |    // (SELECT COUNT(*) FROM simp) AS precision_ppm""".stripMargin,
+         |    // nullif((SELECT COUNT(*) FROM simp), 0) AS precision_ppm""".stripMargin,
 
     "d4_simhash_near_dup" ->
       s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${shinglesSql(toksSql)} AS shingles FROM documents),

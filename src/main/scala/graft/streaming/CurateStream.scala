@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFunctions.{fingerprint, quality_score}
+
+/** STREAMING INGESTION of the curation gate — the 12th batch==stream
+  * twin: d11's front half (language/quality gate + exact fingerprint
+  * dedup keep-first) run as a continuous Structured Streaming pipeline,
+  * so a training corpus curates AS IT ARRIVES instead of in nightly
+  * batch passes. The reference's analogue is its single-process pandas
+  * ingest loop (`backend/load_data.py:173-190`); this is that flow as
+  * an unbounded stream.
+  *
+  * Stage semantics:
+  *  - the gate is STATELESS (the same codegen [[quality_score]] /
+  *    allowlist expressions as the batch form — rejected rows die in
+  *    the micro-batch scan, exactly like batch rows die in the parquet
+  *    scan stage);
+  *  - keep-first dedup is the e30 exactly-once pattern keyed by the
+  *    canonical-text FINGERPRINT: state is one boolean per fingerprint
+  *    seen, each key emits exactly one document ever. Within a
+  *    micro-batch the min-id duplicate wins (a deterministic choice,
+  *    not iterator luck); across batches the first batch wins — so
+  *    under the per-key in-order arrival contract every twin in this
+  *    library states (ids nondecreasing per key across batches), the
+  *    emitted set EQUALS the batch form's min-id keep-first, which
+  *    StreamingSpec pins on a shared fixture.
+  *
+  * Scale: state is fingerprints-not-text (16-byte keys + a boolean),
+  * the same keys-not-log bound d1/e30 argue; the packing tail
+  * ([[graft.operators.Packing.manifest]]) stays a batch consumer of the
+  * curated sink — its global running sum has no incremental form, and
+  * recomputing it over the kept set is the cheap part of the pipeline.
+  */
+object CurateStream {
+
+  /** The curated row the stream emits (and the batch surface projects
+    * to): id, text, lang.
+    */
+  final case class CuratedDoc(doc_id: Long, text: String, lang: String)
+
+  /** Batch twin surface: [[graft.operators.Curate.kept]] projected to
+    * the stream's column contract.
+    */
+  def curateKeptBatch(docs: DataFrame, langs: Seq[String],
+                      minQuality: Double): DataFrame =
+    graft.operators.Curate.kept(docs, "doc_id", "text", "lang",
+      langs, minQuality)
+      .select(col("doc_id"), col("text"), col("lang"))
+
+  /** The streaming form: gate (stateless) then fingerprint-keyed
+    * exactly-once keep-first (min-id within a batch, first batch wins).
+    */
+  def curateKeptStream(docs: Dataset[CuratedDoc], langs: Seq[String],
+                       minQuality: Double): Dataset[CuratedDoc] = {
+    require(langs.nonEmpty, "curateKeptStream: empty language allowlist")
+    import docs.sparkSession.implicits._
+    val gated = docs.toDF()
+      .filter(col("lang").isInCollection(langs) &&
+        quality_score(col("text")) >= minQuality)
+      .withColumn("__fp", fingerprint(col("text")))
+      .select(col("doc_id"), col("text"), col("lang"), col("__fp"))
+      .as[(Long, String, String, String)]
+    gated
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._1)
+            Iterator.single(CuratedDoc(first._1, first._2, first._3))
+          }
+      }
+  }
+}

@@ -671,4 +671,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(out === Array((1L, 1.0), (2L, 2.0), (3L, 3.0)))
     } finally q.stop()
   }
+
+  test("curation twins (12th): streaming gate+dedup equals batch Curate.kept under in-order arrival") {
+    import spark.implicits._
+    import graft.streaming.CurateStream
+    import graft.streaming.CurateStream.CuratedDoc
+    implicit val sctx = spark.sqlContext
+    // quality gate: long wordy english text passes, junk fails; dup
+    // texts (exact + whitespace/case variants — the fingerprint
+    // canonicalization) appear under several ids ACROSS batches
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to find some other field of fresh grass to cross"
+    val good2 = "a completely different well formed document about the " +
+      "merge of batch and stream processing in one engine for all data"
+    val docs = Seq(
+      CuratedDoc(1L, good, "en"),
+      CuratedDoc(2L, "  THE quick   brown fox jumps over a lazy dog and then " +
+        "runs far away to find some other field of fresh grass to cross ", "en"),
+      CuratedDoc(3L, good2, "en"),
+      CuratedDoc(4L, "zzz !!!", "en"),       // fails the quality gate
+      CuratedDoc(5L, good2, "de"),           // allowed lang, dup of 3
+      CuratedDoc(6L, good2, "fr"),           // lang NOT in allowlist
+      CuratedDoc(7L, good, "en"))            // dup of 1
+    val langs = Seq("en", "de")
+    val batch = CurateStream.curateKeptBatch(docs.toDF(), langs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val input = MemoryStream[CuratedDoc]
+    val q = CurateStream.curateKeptStream(input.toDS(), langs, 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_twin_out")
+      .start()
+    try {
+      // in-order arrival: ids nondecreasing per fingerprint across batches
+      input.addData(docs.take(3))
+      q.processAllAvailable()
+      input.addData(docs.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("curate_twin_out")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(streamed === batch)
+      // gate drops 4 (quality) and 6 (lang); dedup keeps min-id per
+      // canonical text: 1 (7 is a dup; 2's variant canonicalizes to a
+      // DIFFERENT fingerprint only if case/space survive — lower+collapse
+      // makes it a dup of 1 too) and 3 (5 is a dup)
+      assert(batch === Set((1L, "en"), (3L, "en")))
+    } finally q.stop()
+  }
 }
