@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object LinkPredict {
 
+  /** The LAZY scoring plan (no caching, no guard, no checkpoint) —
+    * the shape PlanShapeSpec pins (equi-join wedges + TakeOrdered
+    * exit); [[commonNeighbors]] wraps it with the persist / wedge-guard
+    * / eager-realize / unpersist lifecycle.
+    */
+  def commonNeighborsPlan(edges: DataFrame, aCol: String, bCol: String,
+                          k: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val adj = e.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+    scoreWedges(e, adj, deg, k)
+  }
+
   /** Top-`k` non-adjacent pairs by common-neighbor count over an
     * undirected edge list (`aCol` < `bCol`, deduped). Output:
     * (a, b, cn, deg_a, deg_b, jac_ppm), ordered by cn desc then (a, b).

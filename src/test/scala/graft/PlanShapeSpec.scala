@@ -297,7 +297,21 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("g5 link prediction: equi-join wedges + TakeOrdered exit, never a nested loop") {
-    val plan = planOf("g5_link_prediction")
+    // the gate's result is eagerly realized (the cache-lifecycle fix
+    // checkpoints the k rows before unpersisting e/adj/deg), so its
+    // own plan is a Scan of the realized rows — pin the LAZY scoring
+    // plan the operator wraps instead, on the same co-purchase edges
+    import org.apache.spark.sql.functions.col
+    val lo = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+      .filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"))
+      .distinct()
+    val plan = graft.operators.LinkPredict
+      .commonNeighborsPlan(edges, "p1", "p2", k = 20)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"g5 lost the heap exit:\n$plan")
     for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
       assert(!plan.contains(bad), s"g5 grew a $bad:\n$plan")
