@@ -97,12 +97,26 @@ object CrossEncoder {
     require(qToks.nonEmpty, "cross-encoder rerank: empty query")
     val cand = Bm25.topK(docs, idCol, textCol,
       terms = qToks.distinct.toSeq, k = nCandidates).select(col("id"))
+    rerankCandidates(docs, idCol, textCol, cand, query, model, k)
+  }
+
+  /** Stage 2 alone: score an EXTERNAL candidate pool (any retriever's
+    * top-N — BM25, ANN, or an RRF fusion of several) and emit the
+    * top-`k` by exact pair score. `candidateIds` must carry an `id`
+    * column; it is broadcast (a candidate pool is k-sized by contract).
+    */
+  def rerankCandidates(docs: DataFrame, idCol: String, textCol: String,
+                       candidateIds: DataFrame, query: String,
+                       model: NeuralModel, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qToks = tokens(query)
+    require(qToks.nonEmpty, "cross-encoder rerank: empty query")
     val pool = docs.select(col(idCol).cast("long").as("id"),
         col(textCol).as("t"))
-      .join(broadcast(cand), "id")
+      .join(broadcast(candidateIds.select(col("id"))), "id")
     import docs.sparkSession.implicits._
-    // stage 2: the pair scorer runs where an ONNX cross-encoder session
-    // would — once per partition, rows streamed through
+    // the pair scorer runs where an ONNX cross-encoder session would —
+    // once per partition, rows streamed through
     val scored = pool.as[(Long, String)].mapPartitions { it =>
       it.map { case (id, t) =>
         (id, score(model, interactionFeatures(qToks, tokens(t), model.d0)))

@@ -667,6 +667,31 @@ object Reference extends QueryPack {
         .orderBy(col("ce_score").desc, col("doc_id").asc)
     },
 
+    // THE FULL MODERN RETRIEVAL STACK as one composed gate (the x6/x7
+    // posture: every stage gated alone elsewhere, composed here):
+    // lexical BM25 top-20 + dense cosine top-20 fuse via RRF (t19's
+    // kernel) into a 12-candidate pool, the x8 cross-encoder re-scores
+    // each (query, doc) pair exactly, top-8 by BIGINT score. One lazy
+    // plan; only the two stage-1 retrievers touch the corpus.
+    "x10_retrieval_stack" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lex = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        terms = EmbedQuery.split(" ").toSeq, k = 20)
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val vec = Knn.topK(emb, col("embedding"), probe, 20, col("vec_id"))
+        .select(col("vec_id").as("id"), (-col("dist")).as("score"))
+      val fused = graft.operators.Hybrid.rrf(Seq(lex, vec), k = 12)
+      val path = s"/dev/shm/graft_ce_${new java.io.File(d).getName}"
+      graft.operators.NeuralEmbed.save(s,
+        graft.operators.NeuralEmbed.generate(EmbedDim, CrossHidden, 1), path)
+      val model = graft.operators.NeuralEmbed.load(s, path)
+      graft.operators.CrossEncoder.rerankCandidates(docs, "doc_id", "text",
+        fused.select(col("id")), EmbedQuery, model, k = 8)
+        .orderBy(col("ce_score").desc, col("doc_id").asc)
+    },
+
     "x4_neural_embed_search" -> { (s, d) =>
       import s.implicits._
       val path = s"/dev/shm/graft_nn_${new java.io.File(d).getName}"
@@ -1206,6 +1231,99 @@ object Reference extends QueryPack {
          |SELECT id AS doc_id, ce_score FROM y
          |ORDER BY ce_score DESC, doc_id ASC
          |LIMIT 10""".stripMargin
+    },
+
+    // t19's lexical/dense/RRF CTEs (the x8 query's 6 terms, probe 0)
+    // produce the fused 12-pool; x8's cross-feature forward pass scores
+    // it; top-8 exact BIGINT
+    "x10_retrieval_stack" -> {
+      import graft.operators.NeuralEmbed.{SeedW1, SeedB1, SeedW2, SeedB2}
+      val d0 = EmbedDim; val d1 = CrossHidden
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, t.term
+         |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+         |  WHERE t.term <> ''),
+         |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+         |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+         |q(term) AS (VALUES ('spark'), ('window'), ('merge'), ('batch'),
+         |            ('query'), ('join')),
+         |dft AS (
+         |  SELECT term, COUNT(DISTINCT id) AS df
+         |  FROM toks JOIN q USING (term) GROUP BY term),
+         |tf AS (
+         |  SELECT id, term, COUNT(*) AS tf
+         |  FROM toks JOIN q USING (term) GROUP BY id, term),
+         |sc AS (
+         |  SELECT tf.id,
+         |    SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * (1.2 + 1)
+         |      / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / s.avgdl))) AS score
+         |  FROM tf JOIN dft d USING (term) JOIN dl USING (id) CROSS JOIN stats s
+         |  GROUP BY tf.id),
+         |lex AS (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk
+         |  FROM sc QUALIFY rnk <= 20),
+         |vec AS (
+         |  SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY
+         |    1 - list_cosine_similarity(embedding,
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC,
+         |    vec_id ASC) AS rnk
+         |  FROM embeddings QUALIFY rnk <= 20),
+         |contrib AS (
+         |  SELECT id, CAST(1.0 AS DOUBLE) / (rnk + 60) AS c FROM lex
+         |  UNION ALL
+         |  SELECT id, CAST(1.0 AS DOUBLE) / (rnk + 60) AS c FROM vec),
+         |fused AS (
+         |  SELECT id, SUM(c) AS rrf FROM contrib GROUP BY id),
+         |cand0 AS (
+         |  SELECT id FROM fused ORDER BY rrf DESC, id ASC LIMIT 12),
+         |cand AS MATERIALIZED (
+         |  -- the engine's rerank joins candidates back onto documents;
+         |  -- an id with no document row never reaches the scorer
+         |  SELECT DISTINCT c.id FROM cand0 c
+         |  JOIN documents ON documents.doc_id = c.id),
+         |qt AS (SELECT unnest(string_split_regex(lower('$EmbedQuery'), '\\s+')) AS qterm),
+         |pf AS (
+         |  SELECT toks.id, concat(qt.qterm, ':', toks.term) AS s
+         |  FROM toks JOIN cand USING (id) CROSS JOIN qt),
+         |f AS (SELECT id, ${SketchSql.FnvSql} AS z FROM pf),
+         |${SketchSql.mixLayerCtes("f", Seq("id"))},
+         |xb AS (
+         |  SELECT id, CAST((u >> 1) % $d0 AS INT) AS idx,
+         |    CASE WHEN (u & 1) = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM fmu),
+         |xvi AS (SELECT id, idx, CAST(SUM(sgn) AS BIGINT) AS v
+         |        FROM xb GROUP BY id, idx),
+         |w1z AS (SELECT t, CAST($SeedW1 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 * d0 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("w1z", Seq("t"))},
+         |w1 AS (SELECT CAST(t // $d0 AS INT) AS i, CAST(t % $d0 AS INT) AS j,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w1zmu),
+         |b1z AS (SELECT t, CAST($SeedB1 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("b1z", Seq("t"))},
+         |b1 AS (SELECT CAST(t AS INT) AS i,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b1zmu),
+         |w2z AS (SELECT t, CAST($SeedW2 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, ${d1 - 1}) AS g(t)),
+         |${SketchSql.mixLayerCtes("w2z", Seq("t"))},
+         |w2 AS (SELECT CAST(t % $d1 AS INT) AS i,
+         |       CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM w2zmu),
+         |b2z AS (SELECT t, CAST($SeedB2 + t AS UBIGINT) AS z
+         |        FROM generate_series(0, 0) AS g(t)),
+         |${SketchSql.mixLayerCtes("b2z", Seq("t"))},
+         |b2 AS (SELECT CAST((u >> 8) % 15 AS BIGINT) - 7 AS w FROM b2zmu),
+         |h0 AS (SELECT x.id, w.i, SUM(w.w * x.v) AS s0
+         |       FROM w1 w JOIN xvi x ON w.j = x.idx GROUP BY x.id, w.i),
+         |hd AS (SELECT c.id, b.i, GREATEST(b.w + COALESCE(h0.s0, 0), 0) AS h
+         |       FROM cand c CROSS JOIN b1 b
+         |       LEFT JOIN h0 ON h0.id = c.id AND h0.i = b.i),
+         |y0 AS (SELECT h.id, SUM(w.w * h.h) AS s0
+         |       FROM w2 w JOIN hd h ON w.i = h.i GROUP BY h.id),
+         |y AS (SELECT y0.id, CAST((SELECT w FROM b2) + y0.s0 AS BIGINT) AS ce_score
+         |      FROM y0)
+         |SELECT id AS doc_id, ce_score FROM y
+         |ORDER BY ce_score DESC, doc_id ASC
+         |LIMIT 8""".stripMargin
     },
 
     "x4_neural_embed_search" ->
