@@ -229,6 +229,21 @@ object Vectors extends QueryPack {
       }.reduce(_ unionAll _).orderBy(col("r"))
     },
 
+    // CORPUS DATA MAP: cluster the embedding space (v7's deterministic
+    // k-means), label each cluster with its 3 most DISTINCTIVE terms —
+    // per-cluster TF against cluster-granularity DF (t49's quantized
+    // integer idf), so corpus-wide stopwords score low everywhere. The
+    // "what is in this training set" curation view; the oracle replays
+    // the k-means (IvfSql) and the cluster-level tf-idf verbatim.
+    "v37_cluster_labels" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      graft.operators.DataMap.clusterLabels(idx.assigned,
+        Tables.documents(s, d), "doc_id", "text", topTerms = 3)
+        .orderBy(col("bucket"), col("rnk"))
+    },
+
     "v36_jl_r_curve" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val probe = probeOf(s, d, 0L)
@@ -1158,6 +1173,36 @@ object Vectors extends QueryPack {
          |${row(10)} UNION ALL ${row(20)} UNION ALL ${row(40)}
          |ORDER BY r""".stripMargin
     },
+
+    // the v7 k-means CTEs assign buckets; cluster-granularity tf-idf
+    // (t49's quantized idf at the cluster level) labels them
+    "v37_cluster_labels" ->
+      s"""WITH ${IvfSql.embCtes}, ${IvfSql.kmeansCtes(nlist = 8, iters = 5, dim = 64)},
+         |toksw AS (
+         |  SELECT doc_id, t.term
+         |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+         |  WHERE t.term <> ''),
+         |at AS (
+         |  SELECT CAST(af.b AS BIGINT) AS bucket, toksw.term
+         |  FROM toksw JOIN af ON af.vec_id = toksw.doc_id),
+         |tfc AS MATERIALIZED (
+         |  SELECT bucket, term, COUNT(*) AS tf FROM at GROUP BY 1, 2),
+         |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+         |ncl AS (SELECT COUNT(DISTINCT b) AS n_cl FROM af),
+         |sizes AS (SELECT CAST(b AS BIGINT) AS bucket, COUNT(*) AS n_docs
+         |          FROM af GROUP BY 1),
+         |scq AS (
+         |  SELECT bucket, term,
+         |    CAST(tf * ((n_cl * 1000000) // df) AS BIGINT) AS score_q
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN ncl)
+         |SELECT bucket, n_docs, rnk, term, score_q FROM (
+         |  SELECT bucket, term, score_q,
+         |    CAST(row_number() OVER (PARTITION BY bucket
+         |      ORDER BY score_q DESC, term ASC) AS BIGINT) AS rnk
+         |  FROM scq) t
+         |JOIN sizes USING (bucket)
+         |WHERE rnk <= 3
+         |ORDER BY bucket, rnk""".stripMargin,
 
     // v29's integer-exact projection CTEs nominate per-r pools, exact
     // cosine re-ranks, hits counted against the cosine top-10

@@ -717,4 +717,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch === Set((1L, "en"), (3L, "en")))
     } finally q.stop()
   }
+
+  test("ANN ingest twins (13th): streamed appendSaved equals batch appendSaved and full-probe search stays exact") {
+    import spark.implicits._
+    import graft.operators.{Ivf, Knn}
+    import graft.streaming.AnnIngestStream
+    import org.apache.spark.sql.functions.col
+    implicit val sctx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 200L).map(i =>
+      (i, Array.tabulate(16)(_ => rnd.nextFloat() * 4 - 2)))
+    val all = rows.toDF("id", "emb")
+    val base = all.filter(col("id") % 5 =!= 0)
+    val extra = rows.filter(_._1 % 5 == 0)
+    val pathA = Files.createTempDirectory("graft-ann-batch").toString
+    val pathB = Files.createTempDirectory("graft-ann-stream").toString
+    val idx = Ivf.build(base, "id", "emb", nlist = 4, iters = 3)
+    Ivf.save(idx, pathA); Ivf.save(idx, pathB)
+    // batch path: one appendSaved of the whole extra set
+    Ivf.appendSaved(spark, pathA, extra.toDF("id", "emb"), "id", "emb")
+    // stream path: the same rows in two ordered micro-batches
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = AnnIngestStream.ingest(input.toDF().toDF("id", "emb"), pathB,
+      "id", "emb", Files.createTempDirectory("graft-ann-ckpt").toString)
+    try {
+      input.addData(extra.take(20)); q.processAllAvailable()
+      input.addData(extra.drop(20)); q.processAllAvailable()
+    } finally q.stop()
+    val probe = rows.head._2
+    def hits(path: String) =
+      Ivf.searchSaved(spark, path, probe, k = 10, nprobe = 4)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    // the index cannot tell how its rows arrived
+    assert(hits(pathB) === hits(pathA))
+    // full-probe search over the appended index equals exact cosine
+    // top-k over ALL rows (nothing lost or duplicated by ingestion)
+    val exact = Knn.topK(all, col("emb"), probe, k = 10, tieBreak = col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(hits(pathB).sorted === exact.sorted)
+  }
 }
