@@ -56,11 +56,19 @@ object Rolling {
     * [[Hll.estimate]] over day_us yields the approximate dau_w.
     */
   def rollingHllRegisters(df: DataFrame, tsCol: Column, keyCol: Column,
-                          windowDays: Int): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val perDay = Hll.registers(
+                          windowDays: Int): DataFrame =
+    rollupRegisters(Hll.registers(
       df.select(date_trunc("day", tsCol).as("d"), keyCol.as("k")),
-      Seq("d"), col("k"))
+      Seq("d"), col("k")), windowDays)
+
+  /** The trailing-window union-max TAIL alone, over an existing per-day
+    * register table `(d, bucket, max_rho)` — the batch read a DAU/WAU
+    * dashboard runs against the register SINK the streaming form
+    * ([[graft.streaming.EventsStream.dailyHllRegistersStream]])
+    * maintains; also e28b's second half.
+    */
+  def rollupRegisters(perDay: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val days = perDay.select(col("d")).distinct()
     perDay
       .select(explode(sequence(col("d"),

@@ -90,6 +90,22 @@ object EventsStream {
   def hllRegistersStream(events: DataFrame): DataFrame =
     graft.operators.Hll.registers(events, Seq("event_type"), col("user_id"))
 
+  /** Streaming twin of e28b's PER-DAY HLL registers (the 14th twin,
+    * the continuous-DAU/WAU pipeline): the same combinable max
+    * aggregate keyed by ACTIVITY DAY — state bounded at days × 256 BY
+    * CONSTRUCTION (user cardinality never enters), so no watermark or
+    * TTL on an unbounded stream; complete mode re-emits the register
+    * table per trigger. A dashboard runs e28b's trailing-window
+    * union-max ([[graft.operators.Rolling.rollupRegisters]]) as a
+    * batch read over the maintained sink — equivalence is max-merge
+    * mergeability twice over (per-day, then per-window; StreamingSpec
+    * pins both against the one-pass batch form).
+    */
+  def dailyHllRegistersStream(events: DataFrame): DataFrame =
+    graft.operators.Hll.registers(
+      events.select(date_trunc("day", col("ts")).as("d"), col("user_id")),
+      Seq("d"), col("user_id"))
+
   /** Streaming twin of the t44/e23 Count-Min registers: the SAME
     * combinable aggregation ([[graft.operators.CountMin.registersOver]])
     * over a streaming frame — frequency counterpart to the HLL twin

@@ -756,4 +756,35 @@ class StreamingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(hits(pathB).sorted === exact.sorted)
   }
+
+  test("rolling-actives twins (14th): streamed per-day registers + rollup equal batch e28b") {
+    import spark.implicits._
+    import graft.operators.Rolling
+    import org.apache.spark.sql.functions.col
+    implicit val sctx = spark.sqlContext
+    // 4 activity days with heavy user overlap between adjacent days
+    val evs = (for (day <- 0 until 4; u <- 0 until 150) yield
+      Event(day * 1000L + u,
+        java.sql.Timestamp.valueOf(f"2024-02-0${day + 1}%d 10:00:00"),
+        (u + day * 50).toLong, "view", 1.0, "{}")).toVector
+    val input = MemoryStream[Event]
+    val q = EventsStream.dailyHllRegistersStream(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dau_regs")
+      .start()
+    try {
+      input.addData(evs.take(300)); q.processAllAvailable()
+      input.addData(evs.drop(300)); q.processAllAvailable()
+    } finally q.stop()
+    // dashboard read: the e28b union-max tail over the maintained sink
+    val streamed = Rolling.rollupRegisters(spark.table("dau_regs"), 2)
+      .orderBy("day_us", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val batch = Rolling.rollingHllRegisters(evs.toDF(),
+      col("ts"), col("user_id"), windowDays = 2)
+      .orderBy("day_us", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._1).distinct.size === 4)
+  }
 }
