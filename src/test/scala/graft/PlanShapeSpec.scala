@@ -317,6 +317,22 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains(bad), s"g5 grew a $bad:\n$plan")
   }
 
+  test("x10 retrieval stack: candidate pool broadcasts, top-k heap exit, no nested loop beyond the 1-row stats combine") {
+    val plan = planOf("x10_retrieval_stack")
+    // the rerank joins the k-sized pool back onto documents via a
+    // broadcast, and the final top-8 exits through the heap
+    assert(plan.contains("TakeOrderedAndProject"), s"x10 lost the heap exit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"x10 lost the pool broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"x10 grew a cartesian product:\n$plan")
+  }
+
+  test("v37 data map: per-cluster top-k via the bounded heap, never a vocabulary-wide window") {
+    val plan = planOf("v37_cluster_labels")
+    assert(!plan.contains("Window"),
+      s"v37 grew a window — the label top-k must stay the topk_by heap:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"v37 grew a cartesian product:\n$plan")
+  }
+
   test("q54 lateral top-k decorrelates to WindowGroupLimit with the nation side broadcast") {
     val plan = planOf("q54_lateral_topk")
     // the per-outer-row LIMIT must become a rank group-limit (with the
