@@ -56,6 +56,37 @@ object Packing {
       Seq(col("grp"), col("id")))
   }
 
+  /** LENGTH-BUCKETED dynamic batching — the inference/training batch
+    * manifest (the public bucketed-batching practice: sort-by-length
+    * batching so pad tokens, which cost compute but carry no signal,
+    * are bounded by the bucket width): documents bucket by
+    * ceil(n_tok / bucketWidth), within a bucket order by (n_tok, id)
+    * and chunk into `batchSize`-doc batches; each batch pads to its own
+    * max. Output is the BATCH-LEVEL summary
+    * (bucket, batch_idx, n_docs, max_tok, pad_waste) — pad_waste =
+    * n_docs·max_tok − Σ n_tok, the number the bucket width is tuned on.
+    *
+    * Scale shape: one token-count pass, then per-BUCKET windows (the
+    * bucket key partitions the sort — never a corpus-wide window) and a
+    * combinable batch aggregate. Token-free documents batch nothing.
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    bucketWidth: Long = 16L, batchSize: Long = 8L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val t = docs.select(col(idCol).cast("long").as("id"),
+        token_count(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0L)
+      .withColumn("bucket",
+        div(col("n_tok") + lit(bucketWidth - 1L), bucketWidth))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("n_tok"), col("id"))
+    t.withColumn("batch_idx",
+        div((row_number().over(w) - 1).cast("long"), batchSize))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+        (count(lit(1)) * max(col("n_tok")) - sum(col("n_tok"))).as("pad_waste"))
+  }
+
   /** ONE global stream, no group key — the case a single unpartitioned
     * window would serialize onto one core (the q25 failure mode, fatal
     * at corpus scale). Classic two-pass distributed prefix sum instead:

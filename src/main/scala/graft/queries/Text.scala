@@ -542,6 +542,17 @@ object Text extends QueryPack {
         .orderBy(col("epoch"), col("shard"), col("pos"))
     },
 
+    // LENGTH-BUCKETED dynamic batching (sort-by-length batching):
+    // bucket by ceil(n_tok/16), order within bucket by (n_tok, id),
+    // chunk into 8-doc batches, each padding to its own max — the
+    // batch-level pad_waste summary the bucket width is tuned on.
+    // Per-bucket windows, never a corpus-wide sort.
+    "t50_length_batching" -> { (s, d) =>
+      graft.operators.Packing.lengthBatches(Tables.documents(s, d),
+        "doc_id", "text", bucketWidth = 16L, batchSize = 8L)
+        .orderBy(col("bucket"), col("batch_idx"))
+    },
+
     // fixed-window RAG chunk manifest: 40-token windows advancing by 30
     // (10-token overlap) — pure per-row array arithmetic inside codegen,
     // zero shuffle; the manifest carries md5 fingerprints, not text
@@ -1966,6 +1977,26 @@ object Text extends QueryPack {
         |  id AS doc_id
         |FROM s
         |ORDER BY epoch, shard, pos""".stripMargin,
+
+    // the identical bucket/order/chunk arithmetic; SUM widens to
+    // HUGEINT so pad_waste is CAST back
+    "t50_length_batching" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |f AS (SELECT id, n_tok, (n_tok + 15) // 16 AS bucket
+         |      FROM t WHERE n_tok > 0),
+         |r AS (SELECT bucket, n_tok, id,
+         |        row_number() OVER (PARTITION BY bucket
+         |          ORDER BY n_tok, id) - 1 AS rn
+         |      FROM f)
+         |SELECT bucket, CAST(rn // 8 AS BIGINT) AS batch_idx,
+         |  COUNT(*) AS n_docs, MAX(n_tok) AS max_tok,
+         |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
+         |FROM r GROUP BY 1, 2
+         |ORDER BY bucket, batch_idx""".stripMargin,
 
     // the identical chunk rule: starts 0, 30, 60, ... while
     // start < max(n - 10, 1); final chunk may be short; list slicing

@@ -585,6 +585,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(global7 === grouped) // partition boundaries cancel out
   }
 
+  test("Packing.lengthBatches: hand-computed buckets, batches, and pad waste") {
+    import spark.implicits._
+    // token counts: 1, 2, 3 (bucket 1 with width 4); 5, 6 (bucket 2);
+    // empty doc drops. batchSize 2 -> bucket 1 holds batches
+    // [1,2] (max 2, waste 1) and [3] (max 3, waste 0);
+    // bucket 2 holds [5,6] (max 6, waste 1)
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d e"), (5L, "a b c d e f"), (6L, "   ")).toDF("doc_id", "text")
+    val got = graft.operators.Packing.lengthBatches(docs, "doc_id", "text",
+      bucketWidth = 4L, batchSize = 2L)
+      .orderBy("bucket", "batch_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 2L, 2L, 1L),
+      (1L, 1L, 1L, 3L, 0L),
+      (2L, 0L, 2L, 6L, 1L)))
+  }
+
   test("BM25 all-miss query returns empty with the plan's schema (string ids too)") {
     import spark.implicits._
     val docs = Seq(("a", "spark join"), ("b", "nothing")).toDF("doc_id", "text")
