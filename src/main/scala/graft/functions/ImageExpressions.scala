@@ -656,3 +656,115 @@ object BmpPixelStats {
     new GenericInternalRow(Array[Any](w, h, w.toLong * h, sb, sg, sr, mn, mx))
   }
 }
+
+/** bmp_ahash(binary) -> bigint — a PERCEPTUAL average-hash over the
+  * same 24-bit BI_RGB BMP payload [[BmpPixelStats]] walks (the classic
+  * aHash construction, public: downsample to an 8x8 grid, threshold
+  * each cell against the global mean, pack 64 bits) — the image
+  * counterpart of the text SimHash: near-identical images differ in a
+  * few bits, so the d4 chunk-blocking + hamming verify turns a media
+  * corpus into near-dup pairs without any pairwise pixel diff.
+  *
+  * Exact-integer construction (both engines must agree bit-for-bit):
+  * per pixel the grayscale proxy is the raw CHANNEL SUM b+g+r (a
+  * monotone stand-in for the mean — thresholding is scale-free); cell
+  * (cy, cx) of the 8x8 grid collects storage row r into cy = r*8 div h
+  * and column x into cx = x*8 div w (integer floors; cells are
+  * non-empty iff w, h >= 8 — smaller images quarantine to NULL);
+  * bit(cy, cx) = 1 iff cellSum * nTotal > totalSum * nCell (the
+  * cross-multiplied strict mean comparison — no division anywhere).
+  * Cells index bit cy*8+cx of the result. Geometry is over STORAGE
+  * rows (the hash is a function of the bytes, not the display
+  * orientation; same-pipeline images share orientation, which is the
+  * near-dup use case). Every [[BmpPixelStats]] quarantine rule applies
+  * unchanged.
+  */
+case class BmpAhash(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "bmp_ahash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BmpAhash.hash64(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("ahash")
+      s"""
+      java.lang.Long $boxed = graft.functions.BmpAhash.hash64($c);
+      ${ev.isNull} = $boxed == null;
+      ${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BmpAhash {
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Shared eval/codegen kernel; null for anything not decodable or
+    * smaller than the 8x8 grid.
+    */
+  def hash64(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 54) return null
+    if (b(0) != 'B' || b(1) != 'M') return null
+    val dataOffset = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return null
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w < 8 || hRaw == 0 || w > (1 << 20)) return null
+    val h = math.abs(hRaw)
+    if (h < 8 || h > (1 << 20)) return null
+    if (planes != 1 || bpp != 24 || compression != 0) return null
+    val stride = ((w * 3L + 3L) / 4L) * 4L
+    val total = stride * h
+    if (total > BmpPixelStats.MaxPixelBytes) return null
+    if (dataOffset < 54 || dataOffset.toLong + total > b.length) return null
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var totalSum = 0L
+    var row = 0
+    while (row < h) {
+      val cy = row * 8 / h
+      var base = dataOffset + row * stride
+      var x = 0
+      while (x < w) {
+        val g = (b(base.toInt) & 0xff) + (b(base.toInt + 1) & 0xff) +
+          (b(base.toInt + 2) & 0xff)
+        val cell = cy * 8 + x * 8 / w
+        cellSum(cell) += g
+        cellN(cell) += 1L
+        totalSum += g
+        base += 3
+        x += 1
+      }
+      row += 1
+    }
+    val nTotal = w.toLong * h
+    var hash = 0L
+    var cell = 0
+    while (cell < 64) {
+      // strict cross-multiplied mean comparison — division-free, exact
+      if (cellSum(cell) * nTotal > totalSum * cellN(cell))
+        hash |= (1L << cell)
+      cell += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+}

@@ -523,22 +523,32 @@ object Dedup {
     * the pigeonhole guarantee with 4 chunks).
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val withSim = spread(docs).select(col(idCol).as("id"),
-      simhash64(shingle_set(col(textCol), n)).as("sim"))
+                          n: Int = 3, maxHamming: Int = 3): DataFrame =
+    hammingPairs(spread(docs).select(col(idCol).as("id"),
+      simhash64(shingle_set(col(textCol), n)).as("sig")), maxHamming)
+
+  /** The 64-bit hamming blocker alone, over ANY (id, sig) signature
+    * table — SimHash (d4), the image aHash (d23), or any other 64-bit
+    * perceptual fingerprint: candidates from equal 16-bit chunks (the
+    * pigeonhole guarantee: hamming <= 3 forces at least one of 4 chunks
+    * equal), verified by bit_count before the distinct so the dedup
+    * shuffle only carries true near-dups.
+    */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hammingPairs: 4x16-bit chunks guarantee recall only for " +
+        s"maxHamming <= 3, got $maxHamming")
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
     }
-    val chunked = withSim
-      .select(col("id"), col("sim"), explode(array(chunkStructs: _*)).as("cc"))
-      .select(col("id"), col("sim"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
-    // verify (cheap bit_count) BEFORE distinct so the dedup shuffle only
-    // carries true near-dups, not every bucket collision
-    chunked.toDF("id1", "sim1", "chunk", "v")
-      .join(chunked.toDF("id2", "sim2", "chunk", "v"), Seq("chunk", "v"))
+    val chunked = sigs
+      .select(col("id"), col("sig"), explode(array(chunkStructs: _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    chunked.toDF("id1", "sig1", "chunk", "v")
+      .join(chunked.toDF("id2", "sig2", "chunk", "v"), Seq("chunk", "v"))
       .filter(col("id1") < col("id2") &&
-        bit_count(col("sim1").bitwiseXOR(col("sim2"))) <= maxHamming)
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHamming)
       .select(col("id1"), col("id2"))
       .distinct()
       .orderBy(col("id1"), col("id2"))

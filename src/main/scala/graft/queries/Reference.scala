@@ -405,6 +405,56 @@ object Reference extends QueryPack {
     // blob) and must quarantine to NULL. The oracle states the expected
     // per-channel sums arithmetically from the pixel formula — an
     // inversion check on the decoder, padding excluded by construction.
+    // IMAGE NEAR-DUP (the multimodal arm of the dedup family): per
+    // document, construct a 24-bit BMP whose pixels derive from the
+    // doc's GROUP (doc_id div 4) — four variants per group share a base
+    // image, variants 1..3 perturb ONE pixel channel by +128 — then
+    // perceptual-aHash each blob (the REAL m8 decoder walk, 8x8
+    // cell-mean thresholding, exact integer) and pair via d4's 16-bit
+    // chunk blocking + hamming<=3 verify. Intra-group pairs survive
+    // (one perturbed pixel flips at most a few cells); cross-group
+    // hashes differ in ~half their bits and never pair.
+    "d23_image_near_dup" -> { (s, d) =>
+      import graft.functions.GraftFunctions.bmp_ahash
+      val g = expr("doc_id div 4")
+      val vr = col("doc_id") % 4
+      val w = (g % 5 + 8).cast("int")
+      val h = (g % 4 + 8).cast("int")
+      val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+      val stride = w * 3 + pad
+      val n = stride * h
+      def rowOf(i: Column) = floor(i.cast("double") / stride.cast("double")).cast("int")
+      def posOf(i: Column) = pmod(i, stride)
+      def byteVal(i: Column): Column = {
+        val px = (posOf(i) / 3).cast("int")
+        val ch = pmod(posOf(i), lit(3))
+        // group-dependent gradient FREQUENCIES (not just a constant
+        // offset, which mean-thresholding would cancel): each group's
+        // wraparound pattern — hence its bit layout — is its own
+        val base = pmod(g * 13 + px * (g % 7 + 3) + rowOf(i) * (g % 5 + 7)
+          + px * rowOf(i) * (g % 101 + 1) + ch * 11, lit(256))
+        when(posOf(i) >= w * 3, lit(0)).otherwise(
+          when(vr > 0 && px === (vr - 1).cast("int") &&
+            rowOf(i) === 0 && ch === 0,
+            pmod(base + 128, lit(256))).otherwise(base)).cast("int")
+      }
+      val rawHex = array_join(
+        transform(sequence(lit(0), n - 1), i => format_string("%02X", byteVal(i))), "")
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
+        pmod((v / 65536).cast("int"), lit(256)),
+        pmod((v / 16777216).cast("int"), lit(256)))
+      val bmpHex = concat(
+        lit("424D"), le32h(n + 54), lit("00000000"), le32h(lit(54)),
+        lit("28000000"), le32h(w), le32h(h), lit("0100"), lit("1800"),
+        lit("00000000"), le32h(n), lit("130B0000130B0000"),
+        lit("0000000000000000"))
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          bmp_ahash(unhex(concat(bmpHex, rawHex))).as("sig"))
+      graft.operators.Dedup.hammingPairs(sigs, maxHamming = 3)
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1002,6 +1052,57 @@ object Reference extends QueryPack {
     // the inversion expectations for the BMP decoder: per-channel sums
     // from the (doc_id + 3x + 7row + 11c) % 256 formula, padding never
     // entering the stats by construction; torn docs NULL
+    // the pixel values stated arithmetically (the m8 inversion posture
+    // — the oracle never parses a BMP), then the aHash bit rule as
+    // cross-multiplied integer comparisons and d4's chunk/hamming pairs
+    "d23_image_near_dup" ->
+      s"""WITH ge AS (
+         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+         |    (doc_id // 4) % 5 + 8 AS w, (doc_id // 4) % 4 + 8 AS h
+         |  FROM documents),
+         |ks AS (
+         |  SELECT doc_id, g, v, w, h,
+         |    unnest(generate_series(0, w * h - 1)) AS p
+         |  FROM ge),
+         |gr AS (
+         |  SELECT doc_id, w, h, p // w AS r, p % w AS x,
+         |    ((CASE WHEN v > 0 AND p % w = v - 1 AND p // w = 0
+         |           THEN (g * 13 + (p % w) * (g % 7 + 3)
+         |                 + (p // w) * (g % 5 + 7)
+         |                 + (p % w) * (p // w) * (g % 101 + 1) + 128) % 256
+         |           ELSE (g * 13 + (p % w) * (g % 7 + 3)
+         |                 + (p // w) * (g % 5 + 7)
+         |                 + (p % w) * (p // w) * (g % 101 + 1)) % 256 END)
+         |     + (g * 13 + (p % w) * (g % 7 + 3)
+         |        + (p // w) * (g % 5 + 7)
+         |        + (p % w) * (p // w) * (g % 101 + 1) + 11) % 256
+         |     + (g * 13 + (p % w) * (g % 7 + 3)
+         |        + (p // w) * (g % 5 + 7)
+         |        + (p % w) * (p // w) * (g % 101 + 1) + 22) % 256) AS gray
+         |  FROM ks),
+         |cells AS (
+         |  SELECT doc_id, ((r * 8) // h) * 8 + (x * 8) // w AS cell, gray
+         |  FROM gr),
+         |cs AS (SELECT doc_id, cell, CAST(SUM(gray) AS BIGINT) AS s,
+         |        COUNT(*) AS n FROM cells GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS ts,
+         |        COUNT(*) AS nt FROM gr GROUP BY 1),
+         |sig AS MATERIALIZED (
+         |  SELECT cs.doc_id,
+         |    CAST(SUM(CASE WHEN cs.s * tot.nt > tot.ts * cs.n
+         |         THEN CAST(CAST(1 AS UBIGINT) << cell AS HUGEINT) ELSE 0 END)
+         |      & ${SketchSql.Mask64} AS UBIGINT) AS u
+         |  FROM cs JOIN tot USING (doc_id) GROUP BY 1),
+         |chunked AS (
+         |  SELECT doc_id, u, c, (u >> (c * 16)) & 65535 AS v2
+         |  FROM sig, generate_series(0, 3) AS g2(c)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM chunked a JOIN chunked b
+         |    ON a.c = b.c AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.u, b.u)) <= 3)
+         |SELECT id1, id2 FROM cand ORDER BY id1, id2""".stripMargin,
+
     "m8_bmp_pixels" ->
       """WITH s AS (
         |  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS w,
