@@ -290,6 +290,30 @@ class ServeSpec extends AnyFunSuite {
     }
   }
 
+  test("ServeMain.start: boots both endpoints from a layers parquet (docker-compose shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve").toString + "/layers"
+    layers.write.mode("overwrite").parquet(dir)
+    val (http, mcp) = ServeMain.start(spark, dir, httpPort = 0, mcpPort = 0)
+    try {
+      val client = HttpClient.newHttpClient()
+      val sr = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${http.getAddress.getPort}/search"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"request_string":"red","limit":2}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(sr.statusCode === 200)
+      assert(sr.body.contains("\"layers\":["))
+      val mr = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${mcp.getAddress.getPort}/mcp"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"jsonrpc":"2.0","id":1,"method":"tools/list"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(mr.statusCode === 200 && mr.body.contains("gis_layer_search"))
+    } finally { http.stop(0); mcp.stop(0) }
+  }
+
   test("mcp http: concurrent tool calls share the session safely") {
     withMcpHttp { (client, port) =>
       import scala.concurrent.{Await, Future}
