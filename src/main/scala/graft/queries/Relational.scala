@@ -679,6 +679,36 @@ object Relational extends QueryPack {
         maxDegree = 140L, k = 20, refineFactor = 10)
     },
 
+    // QUANTILE SKETCH registers (the rank member of the sketch family —
+    // HLL=distinct, CMS/MG=frequency, this=quantiles, all in the
+    // registers-are-the-artifact posture): log-binned counts per
+    // return flag over floor(price*100) — bin = bitlen*16 + 4 mantissa
+    // bits, exact integer arithmetic both engines state identically;
+    // the exchange carries flags x <=1024 bins at ANY row count.
+    // Estimate accuracy (<=1/16 relative by construction) is
+    // spec-gated; mergeability is q57b.
+    "q57_quantile_registers" -> { (s, d) =>
+      graft.operators.QuantileSketch.registers(
+        Tables.lineitem(s, d), Seq("l_returnflag"),
+        floor(col("l_extendedprice") * 100))
+        .orderBy(col("l_returnflag"), col("bin"))
+    },
+
+    // CROSS-SHARD merge (the e19b property for ranks): odd/even shards
+    // sketch independently, merge by count ADDITION, and must equal the
+    // single-pass registers — the oracle IS q57's single-pass SQL
+    "q57b_quantile_merge" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = graft.operators.QuantileSketch.registers(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"),
+        floor(col("l_extendedprice") * 100))
+      val b = graft.operators.QuantileSketch.registers(
+        li.filter(col("l_orderkey") % 2 =!= 0), Seq("l_returnflag"),
+        floor(col("l_extendedprice") * 100))
+      graft.operators.QuantileSketch.merge(Seq("l_returnflag"), Seq(a, b))
+        .orderBy(col("l_returnflag"), col("bin"))
+    },
+
     // (g7's sf10-scale variant lives in `benchDefs` as g7x_capped_d100 —
     // same operator with the cap dialed for 100× node count, measured by
     // TimeQueries for the asymptotics table, not oracle-gated because it
@@ -1789,6 +1819,40 @@ object Relational extends QueryPack {
         |FROM cand JOIN deg da ON da.c = cand.u JOIN deg db ON db.c = cand.v
         |ORDER BY cn DESC, a ASC, b ASC
         |LIMIT 20""".stripMargin,
+
+    // the identical bit-length/mantissa bin arithmetic (bin() strips
+    // leading zeros in both engines — the e19 rho convention)
+    "q57_quantile_registers" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, v,
+        |    CASE WHEN v = 0 THEN 0 ELSE len(bin(v)) END AS L
+        |  FROM t)
+        |SELECT l_returnflag,
+        |  CAST(L * 16 + ((v >> GREATEST(L - 5, 0)) & 15) AS INT) AS bin,
+        |  COUNT(*) AS cnt
+        |FROM b GROUP BY 1, 2
+        |ORDER BY l_returnflag, bin""".stripMargin,
+
+    // merging is count addition: the single-pass statement is the
+    // oracle for the two-shard merge (hash equality IS the property)
+    "q57b_quantile_merge" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, v,
+        |    CASE WHEN v = 0 THEN 0 ELSE len(bin(v)) END AS L
+        |  FROM t)
+        |SELECT l_returnflag,
+        |  CAST(L * 16 + ((v >> GREATEST(L - 5, 0)) & 15) AS INT) AS bin,
+        |  COUNT(*) AS cnt
+        |FROM b GROUP BY 1, 2
+        |ORDER BY l_returnflag, bin""".stripMargin,
 
     // capped generate (wedge centers deg<=140 only, top-200 by capped
     // count) + exact refine (true counts over the FULL adjacency for
