@@ -679,6 +679,37 @@ object Relational extends QueryPack {
         maxDegree = 140L, k = 20, refineFactor = 10)
     },
 
+    // DOULION sampled triangle counting (Tsourakakis et al. 2009,
+    // public) — the measured-accuracy approximate arm for the triangle
+    // family, the g7b posture applied to g2: keep each edge with
+    // p = 1/2 via the t24 md5-threshold (deterministic, no RNG state),
+    // count triangles among the survivors, scale by 1/p^3 = 8 (exact
+    // integer). A triangle survives with p^3, so the estimator is
+    // unbiased and the wedge volume drops ~4x per halving — the knob
+    // that keeps g2 running when m^1.5 outgrows the budget. One row:
+    // exact, sampled, estimate, measured error.
+    "g8_sampled_triangles" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+        .distinct()
+      val keep = expr("cast(conv(substring(md5(concat('tri:', " +
+        "cast(p1 as string), ':', cast(p2 as string))), 1, 1), 16, 10) " +
+        "as int) < 8")
+      val exact = graft.operators.Triangles.perNode(edges, "p1", "p2")
+        .agg(expr("sum(n_tri) div 3").as("n_exact"))
+      val samp = graft.operators.Triangles.perNode(edges.filter(keep), "p1", "p2")
+        .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("n_sampled"))
+      exact.crossJoin(samp)
+        .select(col("n_exact"), col("n_sampled"),
+          (col("n_sampled") * 8).as("est"),
+          expr("(abs(n_sampled * 8 - n_exact) * 1000000L) " +
+            "div nullif(n_exact, 0)").as("err_ppm"))
+    },
+
     // QUANTILE SKETCH registers (the rank member of the sketch family —
     // HLL=distinct, CMS/MG=frequency, this=quantiles, all in the
     // registers-are-the-artifact posture): log-binned counts per
@@ -1819,6 +1850,28 @@ object Relational extends QueryPack {
         |FROM cand JOIN deg da ON da.c = cand.u JOIN deg db ON db.c = cand.v
         |ORDER BY cn DESC, a ASC, b ASC
         |LIMIT 20""".stripMargin,
+
+    // g2's id-ordered triangle enumeration twice — full edge set and
+    // the md5-threshold survivors — then the exact 8x scale-up
+    "g8_sampled_triangles" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.s AS a, b.s AS b
+        |      FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s),
+        |tri AS (SELECT COUNT(*) AS n_exact
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |ke AS MATERIALIZED (
+        |  SELECT a, b FROM e
+        |  WHERE CAST(concat('0x', substr(md5(concat('tri:', a, ':', b)), 1, 1))
+        |        AS INT) < 8),
+        |stri AS (SELECT COUNT(*) AS n_sampled
+        |         FROM ke e1 JOIN ke e2 ON e2.a = e1.b
+        |         JOIN ke e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_exact, n_sampled,
+        |  CAST(n_sampled * 8 AS BIGINT) AS est,
+        |  CAST(abs(n_sampled * 8 - n_exact) * 1000000
+        |       // nullif(n_exact, 0) AS BIGINT) AS err_ppm
+        |FROM tri, stri""".stripMargin,
 
     // the identical bit-length/mantissa bin arithmetic (bin() strips
     // leading zeros in both engines — the e19 rho convention)

@@ -129,4 +129,39 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === declarative)
   }
+
+  test("g8 sampling: md5-threshold survivors are deterministic and the 8x estimator is triangle-count arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dense-ish random graph so the sample holds triangles
+    val rnd = new scala.util.Random(5)
+    val es = Seq.fill(400)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val df = es.toDF("p1", "p2")
+    val keep = expr("cast(conv(substring(md5(concat('tri:', " +
+      "cast(p1 as string), ':', cast(p2 as string))), 1, 1), 16, 10) as int) < 8")
+    val kept = df.filter(keep).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic (pure function of the edge): repartition changes nothing
+    val kept2 = df.repartition(7).filter(keep).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === kept2)
+    // roughly half survive (p = 1/2 over the hash's first nibble)
+    assert(kept.size > es.size / 4 && kept.size < es.size * 3 / 4,
+      s"${kept.size} of ${es.size} survived")
+    // the estimator is EXACTLY 8x the surviving triangle count
+    def tris(edges: Set[(Long, Long)]): Long = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      (for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if edges((i, j)) && edges((j, k)) && edges((i, k))
+      } yield 1L).sum
+    }
+    val sampledTris = tris(kept)
+    val sparkSampled = graft.operators.Triangles.perNode(df.filter(keep), "p1", "p2")
+      .agg(expr("sum(n_tri) div 3")).head().getLong(0)
+    assert(sparkSampled === sampledTris)
+    assert(sampledTris * 8 === sparkSampled * 8) // the estimator arithmetic
+  }
 }
