@@ -2283,6 +2283,25 @@ object Relational extends QueryPack {
         .distinct()
       graft.operators.LinkPredict.commonNeighborsCapped(edges, "p1", "p2",
         maxDegree = 100L, k = 20, refineFactor = 10)
+    },
+
+    // g8's PRODUCTION arm alone (the gate runs exact + sampled to
+    // measure error; at scale only this runs): p=1/2 md5-threshold
+    // edges -> triangle count -> exact 8x scale-up
+    "g8x_sampled_only" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+        .distinct()
+      val keep = expr("cast(conv(substring(md5(concat('tri:', " +
+        "cast(p1 as string), ':', cast(p2 as string))), 1, 1), 16, 10) " +
+        "as int) < 8")
+      graft.operators.Triangles.perNode(edges.filter(keep), "p1", "p2")
+        .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("n_sampled"))
+        .select(col("n_sampled"), (col("n_sampled") * 8).as("est"))
     }
   )
 }
