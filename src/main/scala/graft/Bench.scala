@@ -261,10 +261,15 @@ object Bench {
     // detached scale spot-runs (e.g. the sf10 d8/e10 trend) where
     // benching all 90+ queries at 100x data buys nothing
     val names = {
+      // harness-tier gates (unguarded exact baselines run only to measure
+      // an approximation's recall/error) stay out of the hot suite — their
+      // production arms are priced by benchOnly siblings. An explicit
+      // SPARK_GRAFT_BENCH_ONLY list overrides (targeted spot-runs).
       val all = queryMap.keys.toSeq.sorted
+        .filterNot(SparkEntry.benchHarnessTier)
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-        .fold(all)(only => all.filter(only))
+        .fold(all)(only => queryMap.keys.toSeq.sorted.filter(only))
     }
 
     // Sentinel: the cheapest query in the suite (~0.13 s warm). A sentinel

@@ -48,4 +48,14 @@ object SparkEntry {
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
     Vectors.benchDefs ++ Relational.benchDefs
+
+  /** HARNESS-TIER gates: oracle-checked by Verify like every other gate,
+    * but excluded from the hot bench suite because they deliberately run
+    * an unguarded exact baseline to MEASURE an approximation's accuracy —
+    * pricing them in the suite prices the measurement harness, not any
+    * operator a production pipeline runs. Each has a `benchOnly` arm that
+    * prices its production path (the g8/g8x precedent):
+    * g7b -> g7bx_capped_sweep_only.
+    */
+  val benchHarnessTier: Set[String] = Set("g7b_capped_recall")
 }

@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   * win is a sketch that is ALSO an oracle-checkable integer table.
   *
   * Scale shape: one combinable aggregate; the exchange carries at most
-  * keys × (64 × 16) rows regardless of row count or value cardinality —
-  * the quantile analogue of the HLL argument. `estimate` is a
-  * driver-side fold over ONE key's ≤1024 bins.
+  * keys × (65 × 16) rows regardless of row count or value cardinality
+  * (bin = L*16 + sub with L ∈ [0,64], so ≤1040 distinct bins) — the
+  * quantile analogue of the HLL argument. `estimate` is a driver-side
+  * fold over ONE key's ≤1040 bins.
   */
 object QuantileSketch {
 
@@ -81,7 +82,7 @@ object QuantileSketch {
 
   /** Driver-side quantile estimate from ONE key's register rows
     * (bin -> cnt): the lower bound of the bin holding rank
-    * ceil(q * N). Bounded input by construction (≤ 1024 bins).
+    * ceil(q * N). Bounded input by construction (≤ 1040 bins).
     */
   def quantile(bins: Seq[(Int, Long)], q: Double): Long = {
     require(q > 0.0 && q <= 1.0, s"q must be in (0, 1], got $q")

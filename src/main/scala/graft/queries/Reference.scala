@@ -405,10 +405,12 @@ object Reference extends QueryPack {
     // blob) and must quarantine to NULL. The oracle states the expected
     // per-channel sums arithmetically from the pixel formula — an
     // inversion check on the decoder, padding excluded by construction.
-    // IMAGE NEAR-DUP (the multimodal arm of the dedup family): per
-    // document, construct a 24-bit BMP whose pixels derive from the
-    // doc's GROUP (doc_id div 4) — four variants per group share a base
-    // image, variants 1..3 perturb ONE pixel channel by +128 — then
+    // IMAGE NEAR-DUP (the multimodal arm of the dedup family): the
+    // synthetic BMP corpus — four variants per group (doc_id div 4)
+    // sharing a base gradient image, variants 1..3 perturbing ONE pixel
+    // channel by +128 — MATERIALIZED once to a parquet sidecar
+    // ([[graft.sources.BmpFixture]]; image bytes arrive as a binary
+    // column in production, nobody re-renders per query), then
     // perceptual-aHash each blob (the REAL m8 decoder walk, 8x8
     // cell-mean thresholding, exact integer) and pair via d4's 16-bit
     // chunk blocking + hamming<=3 verify. Intra-group pairs survive
@@ -416,42 +418,8 @@ object Reference extends QueryPack {
     // hashes differ in ~half their bits and never pair.
     "d23_image_near_dup" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_ahash
-      val g = expr("doc_id div 4")
-      val vr = col("doc_id") % 4
-      val w = (g % 5 + 8).cast("int")
-      val h = (g % 4 + 8).cast("int")
-      val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
-      val stride = w * 3 + pad
-      val n = stride * h
-      def rowOf(i: Column) = floor(i.cast("double") / stride.cast("double")).cast("int")
-      def posOf(i: Column) = pmod(i, stride)
-      def byteVal(i: Column): Column = {
-        val px = (posOf(i) / 3).cast("int")
-        val ch = pmod(posOf(i), lit(3))
-        // group-dependent gradient FREQUENCIES (not just a constant
-        // offset, which mean-thresholding would cancel): each group's
-        // wraparound pattern — hence its bit layout — is its own
-        val base = pmod(g * 13 + px * (g % 7 + 3) + rowOf(i) * (g % 5 + 7)
-          + px * rowOf(i) * (g % 101 + 1) + ch * 11, lit(256))
-        when(posOf(i) >= w * 3, lit(0)).otherwise(
-          when(vr > 0 && px === (vr - 1).cast("int") &&
-            rowOf(i) === 0 && ch === 0,
-            pmod(base + 128, lit(256))).otherwise(base)).cast("int")
-      }
-      val rawHex = array_join(
-        transform(sequence(lit(0), n - 1), i => format_string("%02X", byteVal(i))), "")
-      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
-        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
-        pmod((v / 65536).cast("int"), lit(256)),
-        pmod((v / 16777216).cast("int"), lit(256)))
-      val bmpHex = concat(
-        lit("424D"), le32h(n + 54), lit("00000000"), le32h(lit(54)),
-        lit("28000000"), le32h(w), le32h(h), lit("0100"), lit("1800"),
-        lit("00000000"), le32h(n), lit("130B0000130B0000"),
-        lit("0000000000000000"))
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id").as("id"),
-          bmp_ahash(unhex(concat(bmpHex, rawHex))).as("sig"))
+      val sigs = graft.sources.BmpFixture.blobs(s, d)
+        .select(col("id"), bmp_ahash(col("blob")).as("sig"))
       graft.operators.Dedup.hammingPairs(sigs, maxHamming = 3)
     },
 

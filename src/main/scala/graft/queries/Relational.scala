@@ -715,7 +715,7 @@ object Relational extends QueryPack {
     // registers-are-the-artifact posture): log-binned counts per
     // return flag over floor(price*100) — bin = bitlen*16 + 4 mantissa
     // bits, exact integer arithmetic both engines state identically;
-    // the exchange carries flags x <=1024 bins at ANY row count.
+    // the exchange carries flags x <=1040 bins at ANY row count.
     // Estimate accuracy (<=1/16 relative by construction) is
     // spec-gated; mergeability is q57b.
     "q57_quantile_registers" -> { (s, d) =>
@@ -774,25 +774,25 @@ object Relational extends QueryPack {
           count(lit(1)).as("cn"))
         .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
         .persist()
-      val exact20 = scored.orderBy(col("cn").desc, col("u"), col("v"))
-        .limit(20).select(col("u"), col("v")).localCheckpoint(true)
-      def cap20(ccn: String) = scored.filter(col(ccn) > 0L)
-        .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
-        .orderBy(col("cn").desc, col("u"), col("v")).limit(20)
-        .select(col("u"), col("v"))
-      val out = Seq(100L -> "ccn100", 140L -> "ccn140", 180L -> "ccn180")
-        .map { case (dcap, ccn) =>
-          exact20.agg(count(lit(1)).as("n_exact"))
-            .crossJoin(exact20.join(cap20(ccn), Seq("u", "v"), "left_semi")
-              .agg(count(lit(1)).as("n_hit")))
-            .select(lit(dcap).as("max_degree"), col("n_exact"), col("n_hit"),
-              expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"))
-        }
-        .reduce(_ unionAll _)
-        .orderBy(col("max_degree"))
-        .localCheckpoint(true)
-      scored.unpersist()
-      out
+      try {
+        val exact20 = scored.orderBy(col("cn").desc, col("u"), col("v"))
+          .limit(20).select(col("u"), col("v")).localCheckpoint(true)
+        def cap20(ccn: String) = scored.filter(col(ccn) > 0L)
+          .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
+          .orderBy(col("cn").desc, col("u"), col("v")).limit(20)
+          .select(col("u"), col("v"))
+        Seq(100L -> "ccn100", 140L -> "ccn140", 180L -> "ccn180")
+          .map { case (dcap, ccn) =>
+            exact20.agg(count(lit(1)).as("n_exact"))
+              .crossJoin(exact20.join(cap20(ccn), Seq("u", "v"), "left_semi")
+                .agg(count(lit(1)).as("n_hit")))
+              .select(lit(dcap).as("max_degree"), col("n_exact"), col("n_hit"),
+                expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"))
+          }
+          .reduce(_ unionAll _)
+          .orderBy(col("max_degree"))
+          .localCheckpoint(true)
+      } finally scored.unpersist()
     },
 
     // the same triangle count served through the BUCKETED physical
@@ -2283,6 +2283,42 @@ object Relational extends QueryPack {
         .distinct()
       graft.operators.LinkPredict.commonNeighborsCapped(edges, "p1", "p2",
         maxDegree = 100L, k = 20, refineFactor = 10)
+    },
+
+    // g7b's PRODUCTION arm alone (the g8x precedent): the ONE-PASS capped
+    // candidate sweep for all three caps D in {100,140,180} WITHOUT the
+    // unguarded exact wedge baseline the gate runs to measure recall.
+    // Centers are degree-filtered to the LARGEST cap BEFORE the wedge
+    // self-join — wedge volume is bounded by n*Dmax*(Dmax-1)/2 by
+    // construction, the g7 scale argument — and the per-cap conditional
+    // sums price what a production recall-knob sweep costs. The 24 s
+    // exact arm stays gate-only (Verify), out of the hot bench suite.
+    "g7bx_capped_sweep_only" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("a"), col("p2").as("b"))
+        .distinct()
+      val adj = e.select(col("a").as("c"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+      val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") <= 180L) // Dmax gate BEFORE the self-join
+      val l = adj.join(deg, "c").select(col("c"), col("n").as("u"), col("dg"))
+      val r = l.select(col("c"), col("u").as("v"))
+      val scored = l.join(r, "c").filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(
+          sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
+          sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
+          count(lit(1)).as("ccn180"))
+        .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      Seq("ccn100", "ccn140", "ccn180").map { ccn =>
+        scored.filter(col(ccn) > 0L)
+          .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
+          .select(lit(ccn.drop(3).toLong).as("max_degree"),
+            col("u"), col("v"), col(ccn).as("ccn"))
+      }.reduce(_ unionAll _)
     },
 
     // g8's PRODUCTION arm alone (the gate runs exact + sampled to

@@ -137,6 +137,11 @@ final class McpServer(layers: DataFrame, encoder: String => Array[Float]) {
     * Handlers run on a bounded pool; concurrent calls are safe (Spark
     * actions are thread-safe on a shared session).
     */
+  /** Hard cap on a streamable-http POST body (4 MiB) — far above any
+    * legitimate JSON-RPC tool call, far below anything that could
+    * pressure the shared serving JVM's heap. */
+  val MaxBodyBytes: Int = 4 * 1024 * 1024
+
   def startHttp(port: Int = 8081, poolSize: Int = 8): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/mcp", new HttpHandler {
@@ -145,8 +150,22 @@ final class McpServer(layers: DataFrame, encoder: String => Array[Float]) {
           if (ex.getRequestMethod != "POST") {
             reply(ex, 405, Some(error(JNull, -32600,
               "streamable-http: POST JSON-RPC messages to this endpoint")))
+          } else if (ex.getRequestHeaders.getFirst("Content-Length") match {
+            case null => false
+            case cl => try cl.toLong > MaxBodyBytes catch { case _: NumberFormatException => false }
+          }) {
+            // bound the body read BEFORE buffering — an oversized POST must
+            // not exhaust the serving JVM's heap (shared with Spark)
+            reply(ex, 413, Some(error(JNull, -32600,
+              s"request body exceeds $MaxBodyBytes bytes")))
           } else {
-            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            // chunked / unlabelled bodies get the same cap, enforced on read
+            val raw = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+            if (raw.length > MaxBodyBytes) {
+              reply(ex, 413, Some(error(JNull, -32600,
+                s"request body exceeds $MaxBodyBytes bytes")))
+            } else {
+            val body = new String(raw, UTF_8)
             val resp =
               try McpServer.this.handle(Json.parse(body))
               catch { case e: JsonParseException =>
@@ -155,6 +174,7 @@ final class McpServer(layers: DataFrame, encoder: String => Array[Float]) {
             resp match {
               case Some(r) => reply(ex, 200, Some(r))
               case None => reply(ex, 202, None)
+            }
             }
           }
         } finally ex.close()

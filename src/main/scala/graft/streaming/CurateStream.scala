@@ -53,9 +53,18 @@ object CurateStream {
 
   /** The streaming form: gate (stateless) then fingerprint-keyed
     * exactly-once keep-first (min-id within a batch, first batch wins).
+    *
+    * The state stores the KEPT id (not just a seen-bit), so violations
+    * of the in-order arrival contract are observable at runtime: a row
+    * arriving in a later batch with a SMALLER id than the kept one would
+    * silently diverge from the batch twin's global min-id — such rows
+    * are counted into `lateSmallerId` (pass an accumulator to monitor;
+    * alerting on a nonzero count is the operational contract check).
     */
   def curateKeptStream(docs: Dataset[CuratedDoc], langs: Seq[String],
-                       minQuality: Double): Dataset[CuratedDoc] = {
+                       minQuality: Double,
+                       lateSmallerId: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CuratedDoc] = {
     require(langs.nonEmpty, "curateKeptStream: empty language allowlist")
     import docs.sparkSession.implicits._
     val gated = docs.toDF()
@@ -68,11 +77,15 @@ object CurateStream {
       .groupByKey(_._4)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[(Long, String, String, String)],
-         state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
+         state: GroupState[Long]) =>
+          if (state.exists) {
+            val kept = state.get
+            val late = rows.count(_._1 < kept)
+            if (late > 0) lateSmallerId.foreach(_.add(late.toLong))
+            Iterator.empty
+          } else {
             val first = rows.minBy(_._1)
+            state.update(first._1)
             Iterator.single(CuratedDoc(first._1, first._2, first._3))
           }
       }

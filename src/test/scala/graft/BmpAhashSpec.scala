@@ -66,6 +66,23 @@ class BmpAhashSpec extends AnyFunSuite {
     assert(dFar > 10, s"different image only $dFar bits away")
   }
 
+  test("BmpFixture: sidecar blobs are byte-identical to inline synthesis and built once") {
+    val spark = SparkTestSession.spark
+    val d = "/root/testdata/sf0.001"
+    val inline = graft.sources.BmpFixture.synthesize(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val sidecar = graft.sources.BmpFixture.blobs(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(sidecar === inline)
+    // second call reuses the materialized copy (no rewrite: _SUCCESS mtime stable)
+    val marker = new java.io.File(
+      s"/dev/shm/graft_bmp_${new java.io.File(d).getName}", "_SUCCESS")
+    assert(marker.isFile)
+    val m0 = marker.lastModified
+    graft.sources.BmpFixture.blobs(spark, d).count()
+    assert(marker.lastModified === m0, "sidecar was rebuilt on a warm call")
+  }
+
   test("quarantine: sub-8x8, torn, and non-BMP blobs hash to null") {
     assert(BmpAhash.hash64(bmp(7, 8, (_, _, _) => 0)) === null)
     assert(BmpAhash.hash64(bmp(8, 7, (_, _, _) => 0)) === null)

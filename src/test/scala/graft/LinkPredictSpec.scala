@@ -98,4 +98,40 @@ class LinkPredictSpec extends AnyFunSuite {
       assert(op === harness, s"sweep/operator divergence at D=$dcap")
     }
   }
+
+  test("g7bx benchDef: per-cap candidate pools equal the gate's unfiltered capped counts") {
+    // the production arm pre-filters centers at Dmax BEFORE the wedge
+    // self-join; the gate counts conditionally over ALL centers. Pools
+    // must be identical: a pair whose only wedges run through a
+    // dropped center has ccn = 0 in the gate's table and is excluded
+    // by its > 0 filter either way.
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.benchDefs("g7bx_capped_sweep_only")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val lo = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
+      .filter(col("p1") < col("p2"))
+      .select(col("p1").as("a"), col("p2").as("b")).distinct()
+    val adj = e.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("dg"))
+    val l = adj.join(deg, "c").select(col("c"), col("n").as("u"), col("dg"))
+    val r = adj.select(col("c"), col("n").as("v"))
+    val scored = l.join(r, "c").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(
+        sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
+        sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
+        sum(when(col("dg") <= 180L, 1L).otherwise(0L)).as("ccn180"))
+      .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+    val want = Seq(100L, 140L, 180L).flatMap { dcap =>
+      scored.filter(col(s"ccn$dcap") > 0L)
+        .orderBy(col(s"ccn$dcap").desc, col("u"), col("v")).limit(200)
+        .select(col("u"), col("v"), col(s"ccn$dcap"))
+        .collect()
+        .map(r2 => (dcap, r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+    }.toSet
+    assert(got === want)
+  }
 }
