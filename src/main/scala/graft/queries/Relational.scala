@@ -2313,12 +2313,15 @@ object Relational extends QueryPack {
           sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
           count(lit(1)).as("ccn180"))
         .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
-      Seq("ccn100", "ccn140", "ccn180").map { ccn =>
-        scored.filter(col(ccn) > 0L)
-          .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
-          .select(lit(ccn.drop(3).toLong).as("max_degree"),
-            col("u"), col("v"), col(ccn).as("ccn"))
-      }.reduce(_ unionAll _)
+        .persist() // ONE wedge pass feeds all three cap arms (the gate's shape)
+      try {
+        Seq("ccn100", "ccn140", "ccn180").map { ccn =>
+          scored.filter(col(ccn) > 0L)
+            .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
+            .select(lit(ccn.drop(3).toLong).as("max_degree"),
+              col("u"), col("v"), col(ccn).as("ccn"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+      } finally scored.unpersist()
     },
 
     // g8's PRODUCTION arm alone (the gate runs exact + sampled to
