@@ -710,6 +710,37 @@ object Reference extends QueryPack {
         .orderBy(col("ce_score").desc, col("doc_id").asc)
     },
 
+    // the F8 LOADED-ARTIFACT seam under the gate: the quantized MLP
+    // travels as a REAL .onnx FILE (serialized and parsed through the
+    // public ONNX protobuf wire format — graft.operators.OnnxMlp), so
+    // the path a production deployment takes (export from a training
+    // framework -> model file -> engine loads it once per process,
+    // `backend/app.py:28-33`) is what the hash checks. Dims (48/24/32)
+    // differ from x4's generated-weights gate on purpose: a shape bug
+    // in the carrier (transposed W, swapped dims, truncated raw_data)
+    // cannot hide behind x4's square shapes. If the codec misreads ONE
+    // weight, every score diverges from the oracle's arithmetic
+    // restatement of the same forward pass.
+    "x11_onnx_embed_search" -> { (s, d) =>
+      import s.implicits._
+      val path = s"/dev/shm/graft_onnx_${new java.io.File(d).getName}/model.onnx"
+      graft.operators.OnnxMlp.writeFile(
+        graft.operators.NeuralEmbed.generate(OnnxD0, OnnxHidden, OnnxOut), path)
+      val model = graft.operators.OnnxMlp.readFile(path)
+      val docs = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .as[graft.operators.Embed.TextRow]
+      val emb = graft.operators.NeuralEmbed.embedText(docs, model).toDF()
+        .filter(dot_product(col("embedding"), col("embedding")) > 0)
+      val probe = graft.operators.NeuralEmbed.embedQuery(EmbedQuery, model)
+      Knn.topK(emb, col("embedding"), probe, k = 10, tieBreak = col("id"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("dist").asc, col("id").asc))
+          .cast("long"))
+        .select(col("id").as("doc_id"), col("rnk"))
+    },
+
     "x4_neural_embed_search" -> { (s, d) =>
       import s.implicits._
       val path = s"/dev/shm/graft_nn_${new java.io.File(d).getName}"
@@ -771,6 +802,13 @@ object Reference extends QueryPack {
   /** x8's cross-encoder hidden width (d0 = EmbedDim buckets, dOut = 1). */
   private val CrossHidden = 16
 
+  /** x11's ONNX-carried encoder shape — deliberately non-square so a
+    * transposed or dim-swapped weight read cannot round-trip silently.
+    */
+  private val OnnxD0 = 48
+  private val OnnxHidden = 24
+  private val OnnxOut = 32
+
   /** DuckDB SQL decoding the IEEE-754 double stored little-endian at
     * 0-based byte offset `off` of the hex-encoded blob column `hexCol`.
     * Exact for normal doubles and +-0 (the only values in geographic
@@ -799,9 +837,9 @@ object Reference extends QueryPack {
     * and `qy` (k, y), both exact-integer doubles — x4 ranks them
     * directly; x6 quantizes them through the v26 SQ stage first.
     */
-  private def neuralForwardCtes: String = {
+  private def neuralForwardCtes(d0: Int = EmbedDim, d1: Int = NeuralHidden,
+                                dOut: Int = EmbedDim): String = {
     import graft.operators.NeuralEmbed.{SeedW1, SeedB1, SeedW2, SeedB2}
-    val d0 = EmbedDim; val d1 = NeuralHidden; val dOut = EmbedDim
     s"""dt AS (
          |  SELECT doc_id, unnest(${SketchSql.ToksSql}) AS s
          |  FROM documents WHERE len(trim(text)) > 0),
@@ -1395,8 +1433,26 @@ object Reference extends QueryPack {
          |LIMIT 8""".stripMargin
     },
 
+    // x11 restates the SAME forward-pass template at the ONNX gate's
+    // non-square shape — the Spark side's weights arrived through the
+    // .onnx carrier, the oracle's through the splitmix generators the
+    // export serialized; equality IS the codec check
+    "x11_onnx_embed_search" ->
+      s"""WITH ${neuralForwardCtes(OnnxD0, OnnxHidden, OnnxOut)},
+         |dn AS (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
+         |qn AS (SELECT SUM(y * y) AS nq FROM qy),
+         |dp AS (SELECT d.doc_id, SUM(d.y * q.y) AS dot
+         |       FROM yd d JOIN qy q USING (k) GROUP BY d.doc_id),
+         |scored AS (
+         |  SELECT dn.doc_id,
+         |    1.0 - dp.dot / (SQRT(dn.nd) * SQRT((SELECT nq FROM qn))) AS dist
+         |  FROM dn JOIN dp USING (doc_id)
+         |  WHERE dn.nd > 0)
+         |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rnk
+         |FROM scored ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+
     "x4_neural_embed_search" ->
-      s"""WITH $neuralForwardCtes,
+      s"""WITH ${neuralForwardCtes()},
          |dn AS (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
          |qn AS (SELECT SUM(y * y) AS nq FROM qy),
          |dp AS (SELECT d.doc_id, SUM(d.y * q.y) AS dot
@@ -1414,7 +1470,7 @@ object Reference extends QueryPack {
     // double min), the same quantize/reconstruct/fold, the pool, and the
     // exact-cosine refine over the raw neural vectors
     "x6_neural_sq_pipeline" ->
-      s"""WITH $neuralForwardCtes,
+      s"""WITH ${neuralForwardCtes()},
          |ydn AS MATERIALIZED (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
          |ydf AS MATERIALIZED (
          |  SELECT yd.doc_id, yd.k, yd.y

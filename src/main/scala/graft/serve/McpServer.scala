@@ -137,11 +137,6 @@ final class McpServer(layers: DataFrame, encoder: String => Array[Float]) {
     * Handlers run on a bounded pool; concurrent calls are safe (Spark
     * actions are thread-safe on a shared session).
     */
-  /** Hard cap on a streamable-http POST body (4 MiB) — far above any
-    * legitimate JSON-RPC tool call, far below anything that could
-    * pressure the shared serving JVM's heap. */
-  val MaxBodyBytes: Int = 4 * 1024 * 1024
-
   def startHttp(port: Int = 8081, poolSize: Int = 8): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/mcp", new HttpHandler {
@@ -152,18 +147,18 @@ final class McpServer(layers: DataFrame, encoder: String => Array[Float]) {
               "streamable-http: POST JSON-RPC messages to this endpoint")))
           } else if (ex.getRequestHeaders.getFirst("Content-Length") match {
             case null => false
-            case cl => try cl.toLong > MaxBodyBytes catch { case _: NumberFormatException => false }
+            case cl => try cl.toLong > McpServer.MaxBodyBytes catch { case _: NumberFormatException => false }
           }) {
             // bound the body read BEFORE buffering — an oversized POST must
             // not exhaust the serving JVM's heap (shared with Spark)
             reply(ex, 413, Some(error(JNull, -32600,
-              s"request body exceeds $MaxBodyBytes bytes")))
+              s"request body exceeds ${McpServer.MaxBodyBytes} bytes")))
           } else {
             // chunked / unlabelled bodies get the same cap, enforced on read
-            val raw = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
-            if (raw.length > MaxBodyBytes) {
+            val raw = ex.getRequestBody.readNBytes(McpServer.MaxBodyBytes + 1)
+            if (raw.length > McpServer.MaxBodyBytes) {
               reply(ex, 413, Some(error(JNull, -32600,
-                s"request body exceeds $MaxBodyBytes bytes")))
+                s"request body exceeds ${McpServer.MaxBodyBytes} bytes")))
             } else {
             val body = new String(raw, UTF_8)
             val resp =
@@ -210,4 +205,12 @@ final class McpServer(layers: DataFrame, encoder: String => Array[Float]) {
       line = reader.readLine()
     }
   }
+}
+
+object McpServer {
+  /** Hard cap on a streamable-http POST body (4 MiB) — far above any
+    * legitimate JSON-RPC tool call, far below anything that could
+    * pressure the shared serving JVM's heap.
+    */
+  val MaxBodyBytes: Int = 4 * 1024 * 1024
 }

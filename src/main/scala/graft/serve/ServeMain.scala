@@ -32,7 +32,11 @@ object ServeMain {
     val dim = layers.select("embeddings").head().getSeq[Float](0).length
     val encoder: String => Array[Float] = weightsPath match {
       case Some(wp) =>
-        val model = graft.operators.NeuralEmbed.load(spark, wp)
+        // .onnx loads through the ONNX carrier; anything else is the
+        // parquet weight-table artifact — same NeuralModel either way
+        val model =
+          if (wp.endsWith(".onnx")) graft.operators.OnnxMlp.readFile(wp)
+          else graft.operators.NeuralEmbed.load(spark, wp)
         require(model.dOut == dim,
           s"weight artifact emits ${model.dOut}-dim vectors, corpus is $dim-dim")
         q => graft.operators.NeuralEmbed.embedQuery(q, model)

@@ -314,6 +314,46 @@ class ServeSpec extends AnyFunSuite {
     } finally { http.stop(0); mcp.stop(0) }
   }
 
+  test("ServeMain.start: boots with an .onnx encoder artifact (the F8 loaded-model seam)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-onnx").toString
+    layers.write.mode("overwrite").parquet(s"$dir/layers")
+    // corpus is 4-dim; the model's output width must match (dim check)
+    val m = graft.operators.NeuralEmbed.generate(16, 8, 4)
+    graft.operators.OnnxMlp.writeFile(m, s"$dir/encoder.onnx")
+    val (http, mcp) = ServeMain.start(spark, s"$dir/layers",
+      httpPort = 0, mcpPort = 0, weightsPath = Some(s"$dir/encoder.onnx"))
+    try {
+      val client = HttpClient.newHttpClient()
+      val sr = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${http.getAddress.getPort}/search"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"request_string":"flood zones","limit":2}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(sr.statusCode === 200 && sr.body.contains("\"layers\":["))
+      // the ranking must come from the LOADED model, not the hash fallback
+      val probe = graft.operators.NeuralEmbed.embedQuery("flood zones", m)
+      assert(probe.toSeq === graft.operators.NeuralEmbed.embedQuery("flood zones",
+        graft.operators.OnnxMlp.readFile(s"$dir/encoder.onnx")).toSeq)
+      // a mismatched output width refuses at boot
+      graft.operators.OnnxMlp.writeFile(
+        graft.operators.NeuralEmbed.generate(16, 8, 5), s"$dir/bad.onnx")
+      intercept[IllegalArgumentException] {
+        ServeMain.start(spark, s"$dir/layers", httpPort = 0, mcpPort = 0,
+          weightsPath = Some(s"$dir/bad.onnx"))
+      }
+    } finally { http.stop(0); mcp.stop(0) }
+  }
+
+  test("mcp http: oversized bodies refuse with 413 before buffering") {
+    withMcpHttp { (client, port) =>
+      val pad = "x" * (McpServer.MaxBodyBytes + 1024)
+      val r = postMcp(client, port,
+        s"""{"jsonrpc":"2.0","id":1,"method":"tools/list","params":{"pad":"$pad"}}""")
+      assert(r.statusCode === 413)
+    }
+  }
+
   test("mcp http: concurrent tool calls share the session safely") {
     withMcpHttp { (client, port) =>
       import scala.concurrent.{Await, Future}
