@@ -553,6 +553,22 @@ object Text extends QueryPack {
         .orderBy(col("bucket"), col("batch_idx"))
     },
 
+    // UNIGRAM-LM tokenizer training (Kudo 2018), one hard-EM round:
+    // substring seed vocabulary (minCount prune, single chars kept) ->
+    // Viterbi segmentation of the distinct-word table under exact
+    // integer log-probabilities (piecewise-linear bit-arithmetic log2,
+    // no float in the loop) -> frequency-weighted piece recount. The
+    // corpus is touched once (word counts); everything else is
+    // vocabulary-sized — the t30 posture for the OTHER tokenizer a
+    // pipeline trains. Oracle unrolls the SAME DP as 12 chained
+    // MATERIALIZED CTEs (max score, shortest-last-piece tie rule).
+    "t51_unigram_train" -> { (s, d) =>
+      graft.operators.UnigramLm.trainRound(
+        Tables.documents(s, d), "text", minCount = 50L)
+        .orderBy(col("viterbi_n").desc, col("piece").asc)
+        .limit(30)
+    },
+
     // fixed-window RAG chunk manifest: 40-token windows advancing by 30
     // (10-token overlap) — pure per-row array arithmetic inside codegen,
     // zero shuffle; the manifest carries md5 fingerprints, not text
@@ -1169,6 +1185,55 @@ object Text extends QueryPack {
   private def addModU(a: String, b: String) = SketchSql.addModU(a, b)
   private val fnvSql = SketchSql.FnvSql
   private def signedSql(u: String) = SketchSql.signedSql(u)
+
+  /** t51's ilog2 as SQL over an integer expression (the UnigramLm
+    * piecewise-linear log2: (bitlen-1)*2^16 + top 16 bits below the
+    * leading one — pure bit arithmetic, monotone, engine-portable).
+    */
+  private def ilog2Sql(x: String): String =
+    s"""(CAST(len(bin($x)) - 1 AS BIGINT) * 65536
+       | + CASE WHEN len(bin($x)) <= 17
+       |        THEN (($x) << (17 - len(bin($x)))) & 65535
+       |        ELSE (($x) >> (len(bin($x)) - 17)) & 65535 END)""".stripMargin
+
+  /** t51's Viterbi DP unrolled: state s{j} = per word, the best
+    * segmentation of its first j chars (score + piece list). Step j
+    * draws from s{j-1}..s{j-4} (pieces are 1..4 chars), joins the
+    * vocabulary on the candidate piece, and keeps ROW 1 under
+    * (score DESC, prev-position DESC) — max likelihood, ties to the
+    * SHORTEST last piece, the operator's stated rule. Each state is
+    * MATERIALIZED (referenced by up to four later steps AND the final
+    * union — DuckDB would otherwise re-expand multiplicatively, the g3
+    * lesson).
+    */
+  private def unigramDpCtes(maxLen: Int, maxPiece: Int): String = {
+    val s0 = """s0 AS MATERIALIZED (
+               |  SELECT w, c, CAST(0 AS BIGINT) AS score,
+               |    CAST([] AS VARCHAR[]) AS seg, 0 AS j
+               |  FROM twc)""".stripMargin
+    val steps = (1 to maxLen).map { j =>
+      val prev = (math.max(0, j - maxPiece) until j).map { i =>
+        s"""SELECT w, c, score, seg, $i AS i FROM s$i WHERE len(w) >= $j"""
+      }.mkString("\n      UNION ALL ")
+      s"""s$j AS MATERIALIZED (
+         |  SELECT w, c, score, seg, $j AS j FROM (
+         |    SELECT u.w, u.c, u.score + v.lp AS score,
+         |      list_append(u.seg, v.piece) AS seg,
+         |      ROW_NUMBER() OVER (PARTITION BY u.w
+         |        ORDER BY u.score + v.lp DESC, u.i DESC) AS rn
+         |    FROM (
+         |      $prev
+         |    ) u
+         |    JOIN lpv v ON v.piece = substr(u.w, u.i + 1, $j - u.i)
+         |  ) WHERE rn = 1)""".stripMargin
+    }
+    val fin = (1 to maxLen).map(j =>
+      s"SELECT c, seg FROM s$j WHERE len(w) = $j").mkString("\n    UNION ALL ")
+    (s0 +: steps).mkString(",\n") +
+      s""",
+         |fin AS (
+         |    $fin)""".stripMargin
+  }
 
   /** Shared by t18 (from-scratch BM25) and t28 (served from the saved
     * inverted index): the Okapi formula restated verbatim — same
@@ -1980,6 +2045,39 @@ object Text extends QueryPack {
 
     // the identical bucket/order/chunk arithmetic; SUM widens to
     // HUGEINT so pad_waste is CAST back
+    // the full hard-EM round restated: substring seed counts, the
+    // integer log-prob table (lp = ilog2(n) - ilog2(total)), the
+    // unrolled Viterbi DP, and the frequency-weighted piece recount
+    "t51_unigram_train" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |twc AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words
+         |  WHERE len(w) <= 12 GROUP BY w),
+         |subs AS (
+         |  SELECT c, unnest(flatten(list_transform(generate_series(1, len(w)),
+         |    s -> list_transform(generate_series(1, least(4, len(w) - s + 1)),
+         |      l -> substr(w, s, l))))) AS piece
+         |  FROM twc),
+         |vocab AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(c) AS BIGINT) AS n FROM subs GROUP BY piece
+         |  HAVING SUM(c) >= 50 OR len(piece) = 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM vocab),
+         |lpv AS MATERIALIZED (
+         |  SELECT piece, n,
+         |    ${ilog2Sql("n")} - (SELECT ${ilog2Sql("t")} FROM tot) AS lp
+         |  FROM vocab),
+         |${unigramDpCtes(12, 4)},
+         |pieces AS (SELECT unnest(seg) AS piece, c FROM fin),
+         |counts AS (
+         |  SELECT piece, CAST(SUM(c) AS BIGINT) AS viterbi_n
+         |  FROM pieces GROUP BY piece)
+         |SELECT v.piece, v.n AS seed_n, counts.viterbi_n
+         |FROM vocab v JOIN counts USING (piece)
+         |ORDER BY viterbi_n DESC, piece ASC
+         |LIMIT 30""".stripMargin,
+
     "t50_length_batching" ->
       s"""WITH t AS (
          |  SELECT doc_id AS id,
