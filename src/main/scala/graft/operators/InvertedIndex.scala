@@ -150,4 +150,79 @@ object InvertedIndex {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Physical per-bucket stats of the postings tier: parquet file count
+    * and bytes per `tb=` directory. Every [[appendSaved]] lands up to
+    * one file per writing task per bucket, so a streamed/batched ingest
+    * accretes small files until scan cost is dominated by per-file open
+    * overhead — the LSM small-segment problem, measured here so a
+    * policy can act on it.
+    */
+  def segmentStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketRe = "tb=(\\d+)".r
+    val rows = fs.listStatus(root).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case bucketRe(b) =>
+          val files = fs.listStatus(st.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          Some((b.toInt, files.length.toLong, files.map(_.getLen).sum))
+        case _ => None
+      })
+    rows.toDF("tb", "n_files", "bytes")
+  }
+
+  /** Compaction DECISION: flag buckets whose postings hold more than
+    * `maxFiles` segments. Pure policy over [[segmentStats]] — the IVF
+    * maintenanceDecision posture for the lexical tier.
+    */
+  def compactionPlan(spark: SparkSession, path: String, maxFiles: Int): DataFrame = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    segmentStats(spark, path)
+      .withColumn("compact", col("n_files") > maxFiles)
+  }
+
+  /** Rewrite the flagged buckets' postings as ONE file each. Logical
+    * content (and therefore every search result) is unchanged — only the
+    * segment layout collapses; doclens/stats are untouched.
+    *
+    * Write protocol per bucket (the rebalanceSaved posture): the merged
+    * file lands under `postings_compact/tb=N` first, the old directory
+    * is deleted, then the scratch renames onto it — rows are never
+    * memory-only. Not atomic as a group: run quiesced. A leftover
+    * `postings_compact` dir means a previous run crashed between the
+    * delete and the rename — this run REFUSES to start; recover by
+    * renaming the scratch dirs onto their `postings/tb=N` targets (or
+    * deleting them if the targets still exist — then they are redundant
+    * copies). Returns the number of buckets compacted.
+    */
+  def compactSaved(spark: SparkSession, path: String, maxFiles: Int): Int = {
+    val flagged = compactionPlan(spark, path, maxFiles)
+      .filter(col("compact")).select(col("tb"))
+      .collect().map(_.getInt(0)).sorted
+    if (flagged.isEmpty) return 0
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val scratchRoot = new org.apache.hadoop.fs.Path(s"$path/postings_compact")
+    require(!fs.exists(scratchRoot),
+      s"compact: $scratchRoot exists — leftovers of a crashed compaction. " +
+        "Rename its tb= dirs onto postings/ (or delete them if the " +
+        "postings/tb= targets still exist) before re-running.")
+    flagged.foreach { b =>
+      val scratch = new org.apache.hadoop.fs.Path(s"$path/postings_compact/tb=$b")
+      spark.read.parquet(s"$path/postings").filter(col("tb") === b)
+        .select(col("id"), col("term"), col("tf"))
+        .coalesce(1)
+        .write.mode("errorifexists").parquet(scratch.toString)
+      val target = new org.apache.hadoop.fs.Path(s"$path/postings/tb=$b")
+      if (!fs.delete(target, true))
+        throw new java.io.IOException(s"compact: failed deleting $target")
+      if (!fs.rename(scratch, target))
+        throw new java.io.IOException(s"compact: failed renaming $scratch onto $target")
+    }
+    fs.delete(scratchRoot, true)
+    flagged.length
+  }
 }

@@ -421,14 +421,29 @@ object Ivf {
                      maxBucketRows: Long, splitInto: Int = 2, iters: Int = 5,
                      sampleSize: Int = 100000, seed: Long = 42L): Int = {
     require(maxBucketRows > 0, s"maxBucketRows must be positive, got $maxBucketRows")
-    require(splitInto >= 2, s"splitInto must be >= 2, got $splitInto")
     import spark.implicits._
-    val centroids = loadCentroids(spark, path)
-    require(centroids.nonEmpty, s"$path carries no centroid sidecar — not a saved IVF index")
     val sizes = spark.read.parquet(s"$path/data")
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect()
     val oversized = sizes.filter(_._2 > maxBucketRows).map(_._1).sorted
+    rebalanceBuckets(spark, path, oversized.toSeq, splitInto, iters, sampleSize, seed)
+  }
+
+  /** Split an EXPLICIT list of buckets — the primitive
+    * [[rebalanceSaved]] (size policy) and [[maintainSaved]] (size+drift
+    * policy) both lower onto. Same write protocol, same crash-recovery
+    * orphan gate (doc on [[rebalanceSaved]]). Returns buckets split.
+    */
+  def rebalanceBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
+                       buckets: Seq[Int], splitInto: Int = 2, iters: Int = 5,
+                       sampleSize: Int = 100000, seed: Long = 42L): Int = {
+    require(splitInto >= 2, s"splitInto must be >= 2, got $splitInto")
+    import spark.implicits._
+    val centroids = loadCentroids(spark, path)
+    require(centroids.nonEmpty, s"$path carries no centroid sidecar — not a saved IVF index")
+    val oversized = buckets.distinct.sorted
+    oversized.foreach(b => require(b >= 0 && b < centroids.length,
+      s"rebalance: bucket $b outside the sidecar's ${centroids.length} buckets"))
     if (oversized.isEmpty) return 0
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -512,6 +527,63 @@ object Ivf {
       .agg(count(lit(1)).as("n"),
         (sum(col("qd")).cast("double") / count(lit(1)).cast("double") / lit(1e9))
           .as("mean_dist"))
+  }
+
+  /** Snapshot the current [[savedBucketStats]] as the index's baseline
+    * sidecar — taken at build/rebuild time, read by
+    * [[maintenanceDecision]] as the drift reference.
+    */
+  def snapshotStats(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    savedBucketStats(spark, path)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats_baseline")
+
+  /** The DECISION operator the health report feeds — v20 gives the
+    * MECHANISM (split a bucket), [[savedBucketStats]] the TELEMETRY;
+    * this is the policy between them, so maintenance can run unattended:
+    * flag a bucket for splitting when
+    *  - SKEW: its row count exceeds `sizeFactor` x the current
+    *    mean bucket size (appends concentrated somewhere), or
+    *  - DRIFT: its mean row-to-centroid distance exceeds `driftFactor`
+    *    x its baseline value from [[snapshotStats]] (the data moved
+    *    under a stale centroid — the recall killer skew checks miss).
+    * Buckets born after the snapshot (no baseline row) use the size arm
+    * only. Output: (bucket, n, mean_dist, base_mean_dist, split).
+    */
+  def maintenanceDecision(spark: org.apache.spark.sql.SparkSession, path: String,
+                          sizeFactor: Double = 2.0,
+                          driftFactor: Double = 1.5): DataFrame = {
+    val cur = savedBucketStats(spark, path)
+    val base = spark.read.parquet(s"$path/stats_baseline")
+      .select(col("bucket"), col("mean_dist").as("base_mean_dist"))
+    val meanN = cur.agg(avg(col("n"))).head().getDouble(0)
+    cur.join(base, Seq("bucket"), "left")
+      .withColumn("split",
+        col("n").cast("double") > lit(sizeFactor) * lit(meanN) ||
+          (col("base_mean_dist").isNotNull &&
+            col("mean_dist") > lit(driftFactor) * col("base_mean_dist")))
+      .select(col("bucket"), col("n"), col("mean_dist"),
+        col("base_mean_dist"), col("split"))
+  }
+
+  /** Decide, split the flagged buckets, refresh the baseline for the
+    * buckets that changed. Returns the decision table the run acted on
+    * (bounded: one row per bucket — the codebook-collect posture).
+    */
+  def maintainSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                    sizeFactor: Double = 2.0, driftFactor: Double = 1.5,
+                    splitInto: Int = 2): DataFrame = {
+    val decision = maintenanceDecision(spark, path, sizeFactor, driftFactor)
+      .localCheckpoint(true) // decide BEFORE mutating what it reads
+    // a bucket below splitInto rows cannot train sub-centroids — skip
+    // (it cannot be a skew problem at that size anyway)
+    val flagged = decision.filter(col("split") && col("n") >= splitInto)
+      .select(col("bucket")).collect().map(_.getInt(0)).toSeq
+    if (flagged.nonEmpty) {
+      rebalanceBuckets(spark, path, flagged, splitInto)
+      // post-split stats are the new normal for the touched id space
+      snapshotStats(spark, path)
+    }
+    decision
   }
 
   /** Query a saved index: centroid ranking on the driver, partition-pruned

@@ -741,6 +741,35 @@ object Reference extends QueryPack {
         .select(col("id").as("doc_id"), col("rnk"))
     },
 
+    // CORPUS LIFECYCLE as one flow — the x7/x10 composition posture
+    // extended through the INDEX BUILD: raw docs -> curation gate
+    // (language allowlist + quality threshold + fingerprint keep-first,
+    // the d11 front half) -> neural encode (the x4 model) -> IVF build
+    // + save -> serve. The gate checks the stage BOUNDARIES: full-probe
+    // search over the built index must equal exact kNN over exactly the
+    // curated-and-encoded corpus — a lost/duplicated doc at any seam
+    // (curation dedup, encode filter, bucket assignment, save layout)
+    // breaks the hash.
+    "x12_lifecycle_pipeline" -> { (s, d) =>
+      import s.implicits._
+      val curated = graft.operators.Curate.kept(Tables.documents(s, d),
+        "doc_id", "text", "lang", Seq("en", "de"), 0.5)
+      val model = graft.operators.NeuralEmbed.generate(EmbedDim, NeuralHidden, EmbedDim)
+      val emb = graft.operators.NeuralEmbed.embedText(
+        curated.filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id").as("id"), col("text"))
+          .as[graft.operators.Embed.TextRow], model).toDF()
+        .filter(dot_product(col("embedding"), col("embedding")) > 0)
+      val idx = graft.operators.Ivf.build(emb, "id", "embedding", nlist = 8, iters = 5)
+      val path = s"/dev/shm/graft_ivf_x12_${new java.io.File(d).getName}"
+      graft.operators.Ivf.save(idx, path)
+      graft.operators.Ivf.searchSaved(s, path,
+        graft.operators.NeuralEmbed.embedQuery(EmbedQuery, model),
+        k = 10, nprobe = 4096)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     "x4_neural_embed_search" -> { (s, d) =>
       import s.implicits._
       val path = s"/dev/shm/graft_nn_${new java.io.File(d).getName}"
@@ -838,11 +867,12 @@ object Reference extends QueryPack {
     * directly; x6 quantizes them through the v26 SQ stage first.
     */
   private def neuralForwardCtes(d0: Int = EmbedDim, d1: Int = NeuralHidden,
-                                dOut: Int = EmbedDim): String = {
+                                dOut: Int = EmbedDim,
+                                src: String = "documents"): String = {
     import graft.operators.NeuralEmbed.{SeedW1, SeedB1, SeedW2, SeedB2}
     s"""dt AS (
          |  SELECT doc_id, unnest(${SketchSql.ToksSql}) AS s
-         |  FROM documents WHERE len(trim(text)) > 0),
+         |  FROM $src WHERE len(trim(text)) > 0),
          |f AS (SELECT doc_id, ${SketchSql.FnvSql} AS z FROM dt),
          |${SketchSql.mixLayerCtes("f", Seq("doc_id"))},
          |db AS (
@@ -1432,6 +1462,50 @@ object Reference extends QueryPack {
          |ORDER BY ce_score DESC, doc_id ASC
          |LIMIT 8""".stripMargin
     },
+
+    // the whole lifecycle restated: the d11 curation CTEs feed the x4
+    // forward-pass template via its src hook, then exact cosine top-10
+    // over the curated-and-encoded corpus — what the engine's IVF
+    // full-probe serve must equal
+    "x12_lifecycle_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang,
+         |    (LEAST(1.0, n_tok / 20.0)
+         |     + n_distinct / GREATEST(n_tok, 1.0)
+         |     + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+         |     + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 AS quality
+         |  FROM (
+         |    SELECT doc_id, text, lang,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS DOUBLE) AS n_distinct,
+         |      CAST(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS DOUBLE) AS n_stop,
+         |      CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |      CAST(len(text) AS DOUBLE) AS n_chars
+         |    FROM documents) t0),
+         |g AS (SELECT doc_id, text FROM q
+         |      WHERE lang IN ('en', 'de') AND quality >= 0.5),
+         |curated AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |    FROM g
+         |    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)),
+         |${neuralForwardCtes(src = "curated")},
+         |dn AS (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
+         |qn AS (SELECT SUM(y * y) AS nq FROM qy),
+         |dp AS (SELECT d.doc_id, SUM(d.y * q2.y) AS dot
+         |       FROM yd d JOIN qy q2 USING (k) GROUP BY d.doc_id),
+         |scored AS (
+         |  SELECT dn.doc_id,
+         |    1.0 - dp.dot / (SQRT(dn.nd) * SQRT((SELECT nq FROM qn))) AS dist
+         |  FROM dn JOIN dp USING (doc_id)
+         |  WHERE dn.nd > 0)
+         |SELECT id FROM (
+         |  SELECT doc_id AS id FROM scored
+         |  ORDER BY dist, doc_id LIMIT 10) t
+         |ORDER BY id""".stripMargin,
 
     // x11 restates the SAME forward-pass template at the ONNX gate's
     // non-square shape — the Spark side's weights arrived through the

@@ -313,6 +313,31 @@ object Text extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // SEGMENT COMPACTION under the gate: the index built as three
+    // appends (each append lands up to one file per writer task per
+    // bucket — the LSM small-segment accretion a streamed ingest
+    // suffers), then the size-tiered policy (compactionPlan: more than
+    // one file -> flag) rewrites flagged buckets as one segment each.
+    // Search results MUST be bit-identical to t28's from-scratch oracle:
+    // compaction is physical, never logical. The plan/file-count
+    // mechanics are spec-pinned (filesystem facts DuckDB cannot state).
+    "t52_index_compaction" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val path = s"/dev/shm/graft_invidx_c_${new java.io.File(d).getName}"
+      graft.operators.InvertedIndex.save(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text", path, buckets = 8)
+      graft.operators.InvertedIndex.appendSaved(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", path)
+      graft.operators.InvertedIndex.appendSaved(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", path)
+      graft.operators.InvertedIndex.compactSaved(s, path, maxFiles = 1)
+      graft.operators.InvertedIndex.searchSaved(s, path,
+        terms = Seq("spark", "join", "fast", "window"), k = 10)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // sequence-packing manifest (the concat-then-chunk training-data
     // layout): per-lang token streams in doc_id order cut every 256
     // tokens; each doc's span and window range fall out of one grouped
@@ -1610,6 +1635,10 @@ object Text extends QueryPack {
     // are a lossless factoring of the same token stream, so the served
     // selection must equal the from-scratch one
     "t28_inverted_search" -> Bm25TopIdsSql,
+
+    // identical statement: three appends + physical compaction must
+    // change NOTHING the query can observe
+    "t52_index_compaction" -> Bm25TopIdsSql,
 
     // the same grouped running sum stated in SQL; spans and window ids
     // are pure integer arithmetic on the shared token-count expression

@@ -560,6 +560,34 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // UNATTENDED INDEX MAINTENANCE end-to-end: v20 gives the split
+    // mechanism, v23's health report the telemetry — this is the
+    // DECISION between them under the gate. Build on the label!=1
+    // slice, snapshot baseline stats, append the label-1 slice under
+    // fresh ids (a genuinely different distribution — measured drift),
+    // run maintainSaved (skew arm: n > 1.5x mean; drift arm: mean
+    // centroid distance > 1.1x its baseline), then full-probe search
+    // MUST equal exact kNN over the union corpus: the policy may split
+    // whatever it decides, it may lose or duplicate NOTHING.
+    "v38_drift_maintenance" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("label") =!= 1)
+      val path = s"/dev/shm/graft_ivf_v38_${new java.io.File(d).getName}"
+      val idx = graft.operators.Ivf.build(base, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      graft.operators.Ivf.save(idx, path)
+      graft.operators.Ivf.snapshotStats(s, path)
+      val drifted = e.filter(col("label") === 1)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      graft.operators.Ivf.appendSaved(s, path, drifted, "vec_id", "embedding")
+      graft.operators.Ivf.maintainSaved(s, path,
+        sizeFactor = 1.5, driftFactor = 1.1)
+      graft.operators.Ivf.searchSaved(s, path, probeOf(s, d, 0L),
+        k = 10, nprobe = 4096)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // Margin-based bitext mining (Artetxe & Schwenk 2019, public): for
     // every label-0 "source" vector, its two nearest label-1 "target"
     // vectors (the batch kNN join, k=2), mined iff the ratio margin
@@ -1565,6 +1593,21 @@ object Vectors extends QueryPack {
         |  FROM embeddings
         |  ORDER BY 1 - list_cosine_similarity(embedding,
         |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, vec_id ASC
+        |  LIMIT 10) t
+        |ORDER BY id""".stripMargin,
+
+    // the v20 integrity posture for the DECISION operator: whatever the
+    // policy split, full-probe search equals exact kNN over the union
+    // corpus (base slice + drifted slice under shifted ids)
+    "v38_drift_maintenance" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS id, embedding FROM embeddings WHERE label <> 1
+        |  UNION ALL
+        |  SELECT vec_id + 10000000 AS id, embedding FROM embeddings WHERE label = 1)
+        |SELECT id FROM (
+        |  SELECT id FROM corpus
+        |  ORDER BY 1 - list_cosine_similarity(embedding,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, id ASC
         |  LIMIT 10) t
         |ORDER BY id""".stripMargin,
 

@@ -76,6 +76,55 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("compaction: plan flags multi-segment buckets, rewrite collapses them, results identical") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-idx").toString + "/idx"
+    InvertedIndex.save(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", "text", path, buckets = 8)
+    InvertedIndex.appendSaved(docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      "doc_id", "text", path)
+    InvertedIndex.appendSaved(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+      "doc_id", "text", path)
+    val before = InvertedIndex.segmentStats(spark, path)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(before.values.exists(_ > 1L), "appends should leave multi-segment buckets")
+    val plan = InvertedIndex.compactionPlan(spark, path, maxFiles = 1)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    plan.foreach { case (tb, (nf, c)) =>
+      assert(c === (nf > 1L), s"bucket $tb: $nf files flagged $c")
+    }
+    val terms = Seq("spark", "join", "fast", "window")
+    val preSearch = InvertedIndex.searchSaved(spark, path, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val preDoclens = spark.read.parquet(s"$path/doclens").count()
+    val n = InvertedIndex.compactSaved(spark, path, maxFiles = 1)
+    assert(n === plan.count(_._2._2))
+    val after = InvertedIndex.segmentStats(spark, path)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after.keySet === before.keySet)
+    assert(after.values.forall(_ === 1L), s"segments left uncompacted: $after")
+    // physical only: scores bit-identical, doclens untouched
+    val postSearch = InvertedIndex.searchSaved(spark, path, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(postSearch === preSearch)
+    assert(spark.read.parquet(s"$path/doclens").count() === preDoclens)
+    // quiesced-run gate: a leftover scratch dir refuses the next run.
+    // Re-append fresh ids so buckets are multi-segment again (the run
+    // must get past the nothing-flagged early return to hit the gate).
+    InvertedIndex.appendSaved(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")).limit(50),
+      "doc_id", "text", path)
+    assert(InvertedIndex.compactionPlan(spark, path, maxFiles = 1)
+      .filter(col("compact")).count() > 0L, "fixture: re-append left nothing flagged")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/postings_compact/tb=0"))
+    val ex = intercept[IllegalArgumentException] {
+      InvertedIndex.compactSaved(spark, path, maxFiles = 1)
+    }
+    assert(ex.getMessage.contains("postings_compact"))
+  }
+
   test("stats sidecar carries the bucket fan-out; empty query refuses") {
     val path = idxPath
     val stats = spark.read.parquet(s"$path/stats").head()

@@ -643,6 +643,72 @@ class VectorSpec extends AnyFunSuite {
     assert(after.values.forall(v => v._2 >= 0.0 && v._2 <= 2.0))
   }
 
+  test("maintenanceDecision: skew arm and drift arm each flag their bucket, untouched bucket stays") {
+    import spark.implicits._
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // three tight clusters on distinct dominant axes, jitter on the next
+    def cluster(dom: Int, jit: Int, ids: Range): Seq[(Long, Array[Float])] =
+      ids.map { i =>
+        val v = new Array[Float](4)
+        v(dom) = 10f; v(jit) = (i % 5).toFloat
+        (i.toLong, unit(v))
+      }
+    val a = cluster(0, 1, 0 until 20)
+    val b = cluster(1, 2, 100 until 120)
+    val c = cluster(2, 3, 200 until 220)
+    val base = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val idx = Ivf.build(base, "vec_id", "embedding", nlist = 3, iters = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-maint").toString + "/idx"
+    Ivf.save(idx, path)
+    Ivf.snapshotStats(spark, path)
+    // skew: 60 more A-shaped rows; drift: 20 rows ASSIGNED to B's
+    // centroid but far from it (strong off-axis component)
+    val skew = cluster(0, 1, 1000 until 1060)
+    val drift = (2000 until 2020).map { i =>
+      val v = new Array[Float](4); v(1) = 10f; v(3) = 8f
+      (i.toLong, unit(v))
+    }
+    Ivf.appendSaved(spark, path, (skew ++ drift).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val decision = Ivf.maintenanceDecision(spark, path,
+      sizeFactor = 1.5, driftFactor = 1.5)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getBoolean(4))).toMap
+    // bucket identity via size: A-bucket has 80 rows, B-bucket 40, C 20
+    val byN = decision.map { case (bkt, (n, split)) => n -> (bkt, split) }
+    assert(byN.keySet === Set(80L, 40L, 20L), s"unexpected sizes: $decision")
+    assert(byN(80L)._2, "skewed bucket (80 rows > 1.5x mean 46.7) must flag")
+    assert(byN(40L)._2, "drifted bucket (mean dist >> baseline) must flag")
+    assert(!byN(20L)._2, "untouched bucket must NOT flag")
+    // act on it: splits applied, nothing lost or duplicated, and the
+    // full-probe search equals exact kNN over the union corpus
+    Ivf.maintainSaved(spark, path, sizeFactor = 1.5, driftFactor = 1.5)
+    val all = (a ++ b ++ c ++ skew ++ drift).toDF("vec_id", "embedding")
+    val probe = a.head._2
+    val exact = graft.operators.Knn.topK(all, col("embedding"), probe,
+      k = 10, tieBreak = col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val served = Ivf.searchSaved(spark, path, probe, k = 10, nprobe = 4096)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(served === exact)
+    val total = spark.read.parquet(s"$path/data").count()
+    assert(total === 140L, s"rows lost/duplicated by maintenance: $total")
+    // the refreshed baseline retires the DRIFT arm: any re-flag after
+    // maintenance must be the size arm's doing (a split can legitimately
+    // stay big), never a stale drift reference
+    val again = Ivf.maintenanceDecision(spark, path,
+      sizeFactor = 1.5, driftFactor = 1.5)
+      .collect().map(r => (r.getLong(1), r.getBoolean(4)))
+    val meanN = again.map(_._1).sum.toDouble / again.length
+    again.filter(_._2).foreach { case (n, _) =>
+      assert(n > 1.5 * meanN,
+        s"bucket with $n rows re-flagged by drift after the baseline refresh")
+    }
+  }
+
   test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
