@@ -91,6 +91,8 @@ object GraftFunctions {
   def gif_pixel_stats(bytes: Column): Column = toCol(GifPixelStats(toExpr(bytes)))
   /** BMP (24-bit BI_RGB) pixel decode to exact per-channel stats — see [[BmpPixelStats]]. */
   def bmp_pixel_stats(bytes: Column): Column = toCol(BmpPixelStats(toExpr(bytes)))
+
+  def jpeg_pixel_stats(bytes: Column): Column = toCol(JpegPixelStats(toExpr(bytes)))
   def bmp_ahash(bytes: Column): Column = toCol(BmpAhash(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
@@ -166,6 +168,7 @@ object GraftFunctions {
     "image_pixel_stats" -> { es => ImagePixelStats(es(0)) },
     "gif_pixel_stats" -> { es => GifPixelStats(es(0)) },
     "bmp_pixel_stats" -> { es => BmpPixelStats(es(0)) },
+    "jpeg_pixel_stats" -> { es => JpegPixelStats(es(0)) },
     "bmp_ahash" -> { es => BmpAhash(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
     "nfc_normalize" -> { es => NfcNormalize(es(0)) },

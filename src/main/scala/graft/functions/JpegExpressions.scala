@@ -1,0 +1,362 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Baseline-JPEG (SOF0) GRAYSCALE pixel decode — the last multimodal
+  * decode gap (m1 stops at SOFn metadata; PNG/GIF/BMP/PCM decode
+  * pixels): a complete entropy-to-samples walk of the dominant crawl
+  * format, implemented from the public ITU-T T.81 spec — DQT/DHT/SOF0/
+  * SOS segment parse, canonical Huffman DECODE (the spec's
+  * mincode/maxcode/valptr procedure), DC prediction + receive/extend,
+  * AC run-length with ZRL/EOB, dequantization, zigzag, and a
+  * double-precision separable 2-D IDCT (the reference formulation;
+  * IEEE-strict on JDK 17, so bit-deterministic) with level shift and
+  * clamp.
+  *
+  * Scope is the LUMA path the m-family needs: single-component (8-bit
+  * grayscale) baseline sequential, no restart markers, no progressive —
+  * anything else quarantines to NULL (the m5-m8 torn-blob posture:
+  * refuse loudly per row, never crash the job). Color JPEG decode is
+  * the same machinery times three components plus chroma upsampling;
+  * the seam stays per-row scan-fused either way.
+  *
+  * Output is the m8 stats shape (width, height, n_pixels, pixel_sum,
+  * pixel_min, pixel_max) — the decoder proves itself by INVERSION
+  * (the gate constructs JPEGs arithmetically and the oracle states the
+  * expected stats) and by a JDK-ImageIO DIFFERENTIAL (JpegSpec decodes
+  * ImageIO-encoded full-AC images within the ±1/sample envelope IEEE
+  * 1180 grants different conforming IDCTs).
+  */
+case class JpegPixelStats(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "jpeg_pixel_stats"
+  override def dataType: DataType = JpegPixelStats.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    JpegPixelStats.decodeStats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.JpegPixelStats.decodeStats($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object JpegPixelStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("pixel_sum", LongType),
+    StructField("pixel_min", IntegerType),
+    StructField("pixel_max", IntegerType)))
+
+  /** Refuse-before-walking bound (the BMP/PNG posture). */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
+  /** The T.81 zigzag order: zigzag(k) = natural index of the k-th
+    * coefficient in scan order.
+    */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1) u pi / 16) * C(u) table for the separable IDCT. */
+  private val CosT: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman table in the spec's DECODE representation. */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) == 0) maxCode(l) = -1
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(i: Int): Int = symbols(i)
+  }
+
+  /** Entropy-segment bit reader with 0xFF00 unstuffing; a marker byte
+    * (0xFF followed by anything but 0x00) or running off the buffer
+    * raises — callers translate to NULL.
+    */
+  private final class Bits(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) throw Torn
+        var v = b(pos) & 0xFF; pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length) throw Torn
+          val m = b(pos) & 0xFF; pos += 1
+          if (m != 0x00) throw Torn // RST/EOI inside scan: out of scope
+          v = 0xFF
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(h: Huff): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+          return h.symbol(h.valPtr(l) + code - h.minCode(l))
+        code = (code << 1) | bit()
+        l += 1
+      }
+      throw Torn // code longer than any table entry
+    }
+  }
+
+  private object Torn extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+
+  /** T.81 EXTEND: map an s-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode to a grayscale sample raster; null on anything outside the
+    * supported envelope or any torn/invalid stream.
+    */
+  def decodePixels(b: Array[Byte]): Array[Array[Int]] = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null // SOI
+    val qt = Array.ofDim[Int](4, 64)
+    val qtSeen = new Array[Boolean](4)
+    val dcT = new Array[Huff](4); val acT = new Array[Huff](4)
+    var w = 0; var h = 0
+    var dcSel = -1; var acSel = -1; var qSel = -1
+    var pos = 2
+    try {
+      while (true) {
+        if (pos + 1 >= b.length) return null
+        if ((b(pos) & 0xFF) != 0xFF) return null
+        val marker = b(pos + 1) & 0xFF; pos += 2
+        marker match {
+          case 0xD8 => () // stray SOI: tolerate
+          case 0xD9 => return null // EOI before SOS
+          case 0xC0 => // SOF0 baseline
+            val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
+            if (pos + len > b.length) return null
+            val precision = b(pos + 2) & 0xFF
+            h = ((b(pos + 3) & 0xFF) << 8) | (b(pos + 4) & 0xFF)
+            w = ((b(pos + 5) & 0xFF) << 8) | (b(pos + 6) & 0xFF)
+            val ncomp = b(pos + 7) & 0xFF
+            if (precision != 8 || ncomp != 1) return null // luma scope
+            val sampling = b(pos + 9) & 0xFF
+            if (sampling != 0x11) return null
+            qSel = b(pos + 10) & 0xFF
+            if (qSel > 3) return null
+            pos += len
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return null // non-baseline SOF: out of scope
+          case 0xDB => // DQT
+            val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
+            if (pos + len > b.length) return null
+            var p = pos + 2
+            while (p < pos + len) {
+              val pq = (b(p) & 0xFF) >> 4; val tq = b(p) & 0x0F
+              if (pq != 0 || tq > 3) return null // 8-bit tables only
+              if (p + 65 > pos + len) return null
+              var i = 0
+              while (i < 64) { qt(tq)(Zigzag(i)) = b(p + 1 + i) & 0xFF; i += 1 }
+              qtSeen(tq) = true
+              p += 65
+            }
+            pos += len
+          case 0xC4 => // DHT
+            val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
+            if (pos + len > b.length) return null
+            var p = pos + 2
+            while (p < pos + len) {
+              val tc = (b(p) & 0xFF) >> 4; val th = b(p) & 0x0F
+              if (tc > 1 || th > 3) return null
+              if (p + 17 > pos + len) return null
+              val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xFF)
+              val nsym = counts.sum
+              if (p + 17 + nsym > pos + len || nsym > 256) return null
+              val syms = Array.tabulate(nsym)(i => b(p + 17 + i) & 0xFF)
+              val huff = new Huff(counts, syms)
+              if (tc == 0) dcT(th) = huff else acT(th) = huff
+              p += 17 + nsym
+            }
+            pos += len
+          case 0xDD => return null // DRI/restart intervals: out of scope
+          case 0xDA => // SOS — entropy data follows
+            val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
+            if (pos + len > b.length) return null
+            val ns = b(pos + 2) & 0xFF
+            if (ns != 1) return null
+            dcSel = (b(pos + 4) & 0xFF) >> 4
+            acSel = b(pos + 4) & 0x0F
+            val (ss, se) = (b(pos + 5) & 0xFF, b(pos + 6) & 0xFF)
+            if (ss != 0 || se != 63) return null // baseline full scan
+            pos += len
+            return entropyDecode(b, pos, w, h,
+              if (qSel >= 0 && qtSeen(qSel)) qt(qSel) else return null,
+              if (dcSel <= 3) dcT(dcSel) else return null,
+              if (acSel <= 3) acT(acSel) else return null)
+          case m if m >= 0xD0 && m <= 0xD7 => return null // stray RST
+          case 0x01 => () // TEM, standalone
+          case _ => // APPn/COM/other: length-prefixed skip
+            if (pos + 1 >= b.length) return null
+            val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
+            if (len < 2 || pos + len > b.length) return null
+            pos += len
+        }
+      }
+      null
+    } catch { case Torn => null }
+  }
+
+  private def entropyDecode(b: Array[Byte], start: Int, w: Int, h: Int,
+                            q: Array[Int], dc: Huff, ac: Huff): Array[Array[Int]] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+    if (dc == null || ac == null) return null
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = Array.ofDim[Int](h, w)
+    val bits = new Bits(b, start)
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    var pred = 0
+    try {
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          java.util.Arrays.fill(coef, 0)
+          // DC
+          val t = bits.decode(dc)
+          if (t > 11) throw Torn
+          pred += extend(bits.bits(t), t)
+          coef(0) = pred * q(0)
+          // AC
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = bits.decode(ac)
+            val r = rs >> 4; val s = rs & 15
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += r
+              if (k > 63) throw Torn
+              coef(Zigzag(k)) = extend(bits.bits(s), s) * q(Zigzag(k))
+              k += 1
+            }
+          }
+          idctBlock(coef, tmp, out, bx * 8, by * 8, w, h)
+          bx += 1
+        }
+        by += 1
+      }
+      out
+    } catch { case Torn => null }
+  }
+
+  /** Separable double-precision IDCT + level shift + clamp, writing the
+    * (possibly clipped) block into the raster.
+    */
+  private def idctBlock(coef: Array[Int], tmp: Array[Array[Double]],
+                        out: Array[Array[Int]], x0: Int, y0: Int,
+                        w: Int, h: Int): Unit = {
+    // rows: for each coefficient row v, 1-D IDCT across u
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += CosT(u * 8 + x) * coef(v * 8 + u); u += 1 }
+        tmp(v)(x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += CosT(vv * 8 + y) * tmp(vv)(x); vv += 1 }
+        val px = x0 + x; val py = y0 + y
+        if (px < w && py < h) {
+          val sample = math.round(s / 4.0 + 128.0).toInt
+          out(py)(px) = if (sample < 0) 0 else if (sample > 255) 255 else sample
+        }
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Shared eval/codegen kernel: stats over the decoded raster. */
+  def decodeStats(b: Array[Byte]): InternalRow = {
+    val px = decodePixels(b)
+    if (px == null) return null
+    val h = px.length; val w = if (h == 0) 0 else px(0).length
+    if (h == 0 || w == 0) return null
+    var sum = 0L; var mn = 256; var mx = -1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(y)(x)
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, w.toLong * h, sum, mn, mx))
+  }
+}

@@ -423,6 +423,56 @@ object Reference extends QueryPack {
       graft.operators.Dedup.hammingPairs(sigs, maxHamming = 3)
     },
 
+    // JPEG PIXEL decode under the driver gate — the FIFTH payload-level
+    // decoder, closing the m-family's last format gap (m1 stopped at
+    // SOFn metadata; this is entropy-to-samples): per document,
+    // CONSTRUCT a complete single-component baseline JPEG in column
+    // arithmetic — real DQT/SOF0/DHT/SOS segments, a 4-bit DC table
+    // (category 4) + an 8-bit AC table (EOB only), so every block's
+    // entropy coding is exactly two 0xFF-free byte-aligned bytes — and
+    // decode it with the full T.81 walk (canonical Huffman, DC
+    // prediction, dequant, IDCT, level shift). Alternating +-d diffs
+    // keep the DC chain non-negative and make every block's value the
+    // EXACT integer 128 + 2*dc at q0 = 16 — the oracle states the stats
+    // arithmetically without parsing a byte (the m8 inversion posture).
+    // Docs with doc_id % 7 == 0 lose their last entropy byte (the torn
+    // blob) and must quarantine to NULL. Full-AC decode correctness is
+    // pinned separately by JpegSpec's ImageIO differential.
+    "m11_jpeg_pixels" -> { (s, d) =>
+      import graft.functions.GraftFunctions.jpeg_pixel_stats
+      val wb = (col("doc_id") % 3 + 1).cast("int")
+      val hb = (col("doc_id") % 2 + 1).cast("int")
+      val n = wb * hb
+      def dcByte(i: Column): Column =
+        when(pmod(i, lit(2)) === 0,
+          lit(8) + pmod(col("doc_id") + (i / 2).cast("int"), lit(8)))
+          .otherwise(lit(15) - (lit(8) +
+            pmod(col("doc_id") + ((i - 1) / 2).cast("int"), lit(8))))
+      val entropyHex = array_join(
+        transform(sequence(lit(0), n - 1),
+          i => format_string("%02X00", dcByte(i).cast("int"))), "")
+      val jpegHex = concat(
+        lit("FFD8"),                                    // SOI
+        lit("FFDB00430010"), lit("01" * 63),            // DQT: q0=16, rest 1
+        lit("FFC0000B08"),                              // SOF0: precision 8
+        format_string("%04X", hb * 8), format_string("%04X", wb * 8),
+        lit("01011100"),                                // 1 comp, 4:4:4, tq 0
+        lit("FFC4001400"), lit("00000001" + "00" * 12), lit("04"), // DC: len-4 code, cat 4
+        lit("FFC4001410"), lit("00000000000000010000000000000000"), lit("00"), // AC: len-8 EOB
+        lit("FFDA0008010100003F00"),                    // SOS
+        entropyHex,
+        lit("FFD9"))                                    // EOI
+      val hex = when(col("doc_id") % 7 === 0,
+        substring(jpegHex, lit(1), length(jpegHex) - 6)).otherwise(jpegHex)
+      Tables.documents(s, d)
+        .select(col("doc_id"), jpeg_pixel_stats(unhex(hex)).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"), col("p.pixel_sum").as("pixel_sum"),
+          col("p.pixel_min").as("pixel_min"), col("p.pixel_max").as("pixel_max"))
+        .orderBy(col("doc_id"))
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1138,6 +1188,40 @@ object Reference extends QueryPack {
          |    ON a.c = b.c AND a.v2 = b.v2 AND a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.u, b.u)) <= 3)
          |SELECT id1, id2 FROM cand ORDER BY id1, id2""".stripMargin,
+
+    // the m8 inversion posture for JPEG: with q0 = 16 the IDCT of a
+    // DC-only block is the exact integer 128 + 2*dc (dc*16/8, no
+    // rounding), so the oracle states every stat from the diff pattern
+    // alone — it never parses a byte of the stream the engine decodes
+    "m11_jpeg_pixels" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 3 + 1 AS INT) AS wb,
+        |    CAST(doc_id % 2 + 1 AS INT) AS hb
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, wb, hb,
+        |    unnest(generate_series(0, wb * hb - 1)) AS i
+        |  FROM s),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i % 2 = 0 THEN 8 + (doc_id + i // 2) % 8 ELSE 0 END AS dc
+        |  FROM b),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(64 * (128 + 2 * dc)) AS BIGINT) AS ps,
+        |    CAST(MIN(128 + 2 * dc) AS INT) AS mn,
+        |    CAST(MAX(128 + 2 * dc) AS INT) AS mx
+        |  FROM v GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 8 * wb END AS width,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 8 * hb END AS height,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(64 * wb * hb AS BIGINT) END AS n_pixels,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE ps END AS pixel_sum,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "m8_bmp_pixels" ->
       """WITH s AS (
