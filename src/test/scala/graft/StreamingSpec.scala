@@ -787,4 +787,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.map(_._1).distinct.size === 4)
   }
+
+  test("lexical ingest twins (15th): streamed appendSaved equals batch-built BM25, scores included") {
+    import spark.implicits._
+    import graft.operators.InvertedIndex
+    import graft.streaming.LexIngestStream
+    import org.apache.spark.sql.functions.col
+    implicit val sctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val extra = docs.filter(col("doc_id") % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val pathA = Files.createTempDirectory("graft-lex-batch").toString + "/idx"
+    val pathB = Files.createTempDirectory("graft-lex-stream").toString + "/idx"
+    InvertedIndex.save(base, "doc_id", "text", pathA, buckets = 8)
+    InvertedIndex.save(base, "doc_id", "text", pathB, buckets = 8)
+    // batch path: one appendSaved of the held-out slice
+    InvertedIndex.appendSaved(extra.toDF("doc_id", "text"), "doc_id", "text", pathA)
+    // stream path: the same docs across two micro-batches
+    val input = MemoryStream[(Long, String)]
+    val q = LexIngestStream.ingest(input.toDF().toDF("doc_id", "text"), pathB,
+      "doc_id", "text", Files.createTempDirectory("graft-lex-ckpt").toString)
+    try {
+      input.addData(extra.take(extra.length / 2)); q.processAllAvailable()
+      input.addData(extra.drop(extra.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("spark", "join", "fast", "window")
+    def hits(path: String) = InvertedIndex.searchSaved(spark, path, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the index cannot tell how its postings arrived — scores included
+    assert(hits(pathB) === hits(pathA))
+    // and both equal a from-scratch build over the whole corpus
+    val pathC = Files.createTempDirectory("graft-lex-fresh").toString + "/idx"
+    InvertedIndex.save(docs, "doc_id", "text", pathC, buckets = 8)
+    assert(hits(pathB) === hits(pathC))
+    // the operational price is segment accretion, and the lifecycle
+    // closes: compaction flattens it without changing a score
+    assert(InvertedIndex.segmentStats(spark, pathB)
+      .agg(org.apache.spark.sql.functions.max(col("n_files"))).head().getLong(0) > 1L)
+    InvertedIndex.compactSaved(spark, pathB, maxFiles = 1)
+    assert(hits(pathB) === hits(pathC))
+  }
 }
