@@ -718,6 +718,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation stream: a late SMALLER id for a seen fingerprint is counted, not silently kept") {
+    import spark.implicits._
+    import graft.streaming.CurateStream
+    import graft.streaming.CurateStream.CuratedDoc
+    implicit val sctx = spark.sqlContext
+    val text = "the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to find some other field of fresh grass to cross"
+    val late = spark.sparkContext.longAccumulator("curate_late_smaller_id")
+    val input = MemoryStream[CuratedDoc]
+    val q = CurateStream.curateKeptStream(input.toDS(), Seq("en"), 0.5, Some(late))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_late_out")
+      .start()
+    try {
+      input.addData(Seq(CuratedDoc(5L, text, "en")))
+      q.processAllAvailable()
+      // contract violation: id 2 arrives AFTER id 5 was kept
+      input.addData(Seq(CuratedDoc(2L, text, "en"), CuratedDoc(9L, text, "en")))
+      q.processAllAvailable()
+      val kept = spark.table("curate_late_out")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept === Seq(5L), "exactly-once: first batch's min-id stays kept")
+      // only the SMALLER late id counts (9 obeys the in-order contract)
+      assert(late.value === 1L,
+        s"late-smaller-id counter should read 1, got ${late.value}")
+    } finally q.stop()
+  }
+
   test("ANN ingest twins (13th): streamed appendSaved equals batch appendSaved and full-probe search stays exact") {
     import spark.implicits._
     import graft.operators.{Ivf, Knn}
