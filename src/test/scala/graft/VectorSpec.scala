@@ -673,6 +673,18 @@ class VectorSpec extends AnyFunSuite {
     }
     Ivf.appendSaved(spark, path, (skew ++ drift).toDF("vec_id", "embedding"),
       "vec_id", "embedding")
+    // recall payoff measurement: a probe INSIDE the drifted mode, served
+    // at nprobe=1, before vs after maintenance (the reason to split a
+    // drifted bucket is recall at small nprobe, not integrity)
+    val all0 = (a ++ b ++ c ++ skew ++ drift).toDF("vec_id", "embedding")
+    val driftProbe = drift.head._2
+    def exactTop(k: Int) = graft.operators.Knn.topK(all0, col("embedding"),
+      driftProbe, k = k, tieBreak = col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def servedTop(k: Int) = Ivf.searchSaved(spark, path, driftProbe,
+      k = k, nprobe = 1).select("id").collect().map(_.getLong(0)).toSet
+    val exact10 = exactTop(10)
+    val recallBefore = (servedTop(10) & exact10).size
     val decision = Ivf.maintenanceDecision(spark, path,
       sizeFactor = 1.5, driftFactor = 1.5)
       .collect().map(r => r.getInt(0) ->
@@ -696,6 +708,16 @@ class VectorSpec extends AnyFunSuite {
     assert(served === exact)
     val total = spark.read.parquet(s"$path/data").count()
     assert(total === 140L, s"rows lost/duplicated by maintenance: $total")
+    // the payoff: splitting the drifted bucket gives the drifted mode
+    // its own centroid, so the nprobe=1 probe now lands on it — recall
+    // must be perfect after maintenance and must not have been before
+    // (the stale shared centroid made nprobe=1 scan a mixed bucket,
+    // which HAPPENED to contain the neighbors; the sturdier claim is
+    // after == 10/10 and after >= before)
+    val recallAfter = (servedTop(10) & exact10).size
+    assert(recallAfter === 10, s"post-maintenance nprobe=1 recall $recallAfter/10")
+    assert(recallAfter >= recallBefore,
+      s"maintenance degraded recall: $recallBefore -> $recallAfter")
     // the refreshed baseline retires the DRIFT arm: any re-flag after
     // maintenance must be the size arm's doing (a split can legitimately
     // stay big), never a stale drift reference
