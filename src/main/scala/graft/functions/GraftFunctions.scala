@@ -93,6 +93,8 @@ object GraftFunctions {
   def bmp_pixel_stats(bytes: Column): Column = toCol(BmpPixelStats(toExpr(bytes)))
 
   def jpeg_pixel_stats(bytes: Column): Column = toCol(JpegPixelStats(toExpr(bytes)))
+
+  def jpeg_rgb_stats(bytes: Column): Column = toCol(JpegRgbStats(toExpr(bytes)))
   def bmp_ahash(bytes: Column): Column = toCol(BmpAhash(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
@@ -169,6 +171,7 @@ object GraftFunctions {
     "gif_pixel_stats" -> { es => GifPixelStats(es(0)) },
     "bmp_pixel_stats" -> { es => BmpPixelStats(es(0)) },
     "jpeg_pixel_stats" -> { es => JpegPixelStats(es(0)) },
+    "jpeg_rgb_stats" -> { es => JpegRgbStats(es(0)) },
     "bmp_ahash" -> { es => BmpAhash(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
     "nfc_normalize" -> { es => NfcNormalize(es(0)) },

@@ -55,6 +55,51 @@ case class JpegPixelStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** COLOR (YCbCr 4:4:4) baseline-JPEG decode to RGB stats — the m12
+  * surface on the same decode core: interleaved three-component MCUs
+  * (per-component quant/Huffman selectors and DC predictors), then the
+  * standard 16-bit fixed-point CCIR 601 color conversion (exact integer
+  * arithmetic — see [[JpegPixelStats.decodeRgb]]). Grayscale files pass
+  * through as R = G = B; chroma-subsampled files (4:2:0/4:2:2)
+  * quarantine to NULL — supporting them means an upsampling filter
+  * choice (nearest vs triangular) that changes samples, a scope line
+  * the doc draws explicitly.
+  */
+case class JpegRgbStats(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "jpeg_rgb_stats"
+  override def dataType: DataType = JpegRgbStats.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    JpegPixelStats.decodeRgbStats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.JpegPixelStats.decodeRgbStats($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object JpegRgbStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("pixel_min", IntegerType),
+    StructField("pixel_max", IntegerType)))
+}
+
 object JpegPixelStats {
   val Schema: StructType = StructType(Seq(
     StructField("width", IntegerType),
@@ -160,17 +205,22 @@ object JpegPixelStats {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode to a grayscale sample raster; null on anything outside the
-    * supported envelope or any torn/invalid stream.
+  /** Decode to per-component sample rasters (1 = grayscale, 3 = YCbCr
+    * at 4:4:4); null on anything outside the supported envelope or any
+    * torn/invalid stream.
     */
-  def decodePixels(b: Array[Byte]): Array[Array[Int]] = {
+  def decodeComponents(b: Array[Byte]): Array[Array[Array[Int]]] = {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null // SOI
     val qt = Array.ofDim[Int](4, 64)
     val qtSeen = new Array[Boolean](4)
     val dcT = new Array[Huff](4); val acT = new Array[Huff](4)
     var w = 0; var h = 0
-    var dcSel = -1; var acSel = -1; var qSel = -1
+    var ncomp = 0
+    val compId = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
     var pos = 2
     try {
       while (true) {
@@ -186,12 +236,19 @@ object JpegPixelStats {
             val precision = b(pos + 2) & 0xFF
             h = ((b(pos + 3) & 0xFF) << 8) | (b(pos + 4) & 0xFF)
             w = ((b(pos + 5) & 0xFF) << 8) | (b(pos + 6) & 0xFF)
-            val ncomp = b(pos + 7) & 0xFF
-            if (precision != 8 || ncomp != 1) return null // luma scope
-            val sampling = b(pos + 9) & 0xFF
-            if (sampling != 0x11) return null
-            qSel = b(pos + 10) & 0xFF
-            if (qSel > 3) return null
+            val nc = b(pos + 7) & 0xFF
+            if (precision != 8 || (nc != 1 && nc != 3)) return null
+            if (len < 8 + 3 * nc) return null
+            ncomp = nc
+            var ci = 0
+            while (ci < nc) {
+              compId(ci) = b(pos + 8 + 3 * ci) & 0xFF
+              // 4:4:4 only: every component 1x1 (no chroma subsampling)
+              if ((b(pos + 9 + 3 * ci) & 0xFF) != 0x11) return null
+              compQ(ci) = b(pos + 10 + 3 * ci) & 0xFF
+              if (compQ(ci) > 3) return null
+              ci += 1
+            }
             pos += len
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
@@ -232,16 +289,25 @@ object JpegPixelStats {
             val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
             if (pos + len > b.length) return null
             val ns = b(pos + 2) & 0xFF
-            if (ns != 1) return null
-            dcSel = (b(pos + 4) & 0xFF) >> 4
-            acSel = b(pos + 4) & 0x0F
-            val (ss, se) = (b(pos + 5) & 0xFF, b(pos + 6) & 0xFF)
+            if (ncomp == 0 || ns != ncomp || len < 6 + 2 * ns) return null
+            var ci = 0
+            while (ci < ns) {
+              // scan components must arrive in frame order (interleave rule)
+              if ((b(pos + 3 + 2 * ci) & 0xFF) != compId(ci)) return null
+              compDc(ci) = (b(pos + 4 + 2 * ci) & 0xFF) >> 4
+              compAc(ci) = b(pos + 4 + 2 * ci) & 0x0F
+              if (compDc(ci) > 3 || compAc(ci) > 3) return null
+              ci += 1
+            }
+            val (ss, se) = (b(pos + 3 + 2 * ns) & 0xFF, b(pos + 4 + 2 * ns) & 0xFF)
             if (ss != 0 || se != 63) return null // baseline full scan
             pos += len
-            return entropyDecode(b, pos, w, h,
-              if (qSel >= 0 && qtSeen(qSel)) qt(qSel) else return null,
-              if (dcSel <= 3) dcT(dcSel) else return null,
-              if (acSel <= 3) acT(acSel) else return null)
+            val qs = Array.tabulate(ncomp) { c =>
+              if (!qtSeen(compQ(c))) return null; qt(compQ(c))
+            }
+            val dcs = Array.tabulate(ncomp)(c => dcT(compDc(c)))
+            val acs = Array.tabulate(ncomp)(c => acT(compAc(c)))
+            return entropyDecode(b, pos, w, h, qs, dcs, acs)
           case m if m >= 0xD0 && m <= 0xD7 => return null // stray RST
           case 0x01 => () // TEM, standalone
           case _ => // APPn/COM/other: length-prefixed skip
@@ -255,44 +321,59 @@ object JpegPixelStats {
     } catch { case Torn => null }
   }
 
+  /** Interleaved-MCU entropy decode: at 4:4:4 each MCU holds one block
+    * per component in frame order, each component carrying its own DC
+    * predictor and table selectors. Returns one raster per component.
+    */
   private def entropyDecode(b: Array[Byte], start: Int, w: Int, h: Int,
-                            q: Array[Int], dc: Huff, ac: Huff): Array[Array[Int]] = {
+                            qs: Array[Array[Int]], dcs: Array[Huff],
+                            acs: Array[Huff]): Array[Array[Array[Int]]] = {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
-    if (dc == null || ac == null) return null
+    val nc = qs.length
+    var c0 = 0
+    while (c0 < nc) {
+      if (dcs(c0) == null || acs(c0) == null) return null
+      c0 += 1
+    }
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val out = Array.ofDim[Int](h, w)
+    val out = Array.fill(nc)(Array.ofDim[Int](h, w))
     val bits = new Bits(b, start)
     val coef = new Array[Int](64)
     val tmp = Array.ofDim[Double](8, 8)
-    var pred = 0
+    val pred = new Array[Int](nc)
     try {
       var by = 0
       while (by < bh) {
         var bx = 0
         while (bx < bw) {
-          java.util.Arrays.fill(coef, 0)
-          // DC
-          val t = bits.decode(dc)
-          if (t > 11) throw Torn
-          pred += extend(bits.bits(t), t)
-          coef(0) = pred * q(0)
-          // AC
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = bits.decode(ac)
-            val r = rs >> 4; val s = rs & 15
-            if (s == 0) {
-              if (r == 15) k += 16 // ZRL
-              else eob = true
-            } else {
-              k += r
-              if (k > 63) throw Torn
-              coef(Zigzag(k)) = extend(bits.bits(s), s) * q(Zigzag(k))
-              k += 1
+          var c = 0
+          while (c < nc) {
+            val q = qs(c)
+            java.util.Arrays.fill(coef, 0)
+            // DC
+            val t = bits.decode(dcs(c))
+            if (t > 11) throw Torn
+            pred(c) += extend(bits.bits(t), t)
+            coef(0) = pred(c) * q(0)
+            // AC
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = bits.decode(acs(c))
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                if (k > 63) throw Torn
+                coef(Zigzag(k)) = extend(bits.bits(s), s) * q(Zigzag(k))
+                k += 1
+              }
             }
+            idctBlock(coef, tmp, out(c), bx * 8, by * 8, w, h)
+            c += 1
           }
-          idctBlock(coef, tmp, out, bx * 8, by * 8, w, h)
           bx += 1
         }
         by += 1
@@ -336,6 +417,79 @@ object JpegPixelStats {
       }
       y += 1
     }
+  }
+
+  /** Grayscale raster — the m11 surface: single-component files only
+    * (a color file under the GRAY gate is a caller error, not a luma
+    * projection the caller never asked for).
+    */
+  def decodePixels(b: Array[Byte]): Array[Array[Int]] = {
+    val comps = decodeComponents(b)
+    if (comps == null || comps.length != 1) null else comps(0)
+  }
+
+  /** JFIF YCbCr -> RGB in the standard 16-bit fixed point (constants =
+    * round(c * 65536) of the published CCIR 601 factors — the same
+    * fixed-point formulation libjpeg documents):
+    *   R = Y + (91881  * (Cr-128) + 32768 >> 16)
+    *   G = Y - (22554  * (Cb-128) + 46802 * (Cr-128) + 32768 >> 16)
+    *   B = Y + (116130 * (Cb-128) + 32768 >> 16)
+    * Exact integer arithmetic, so the m12 oracle can state every sample.
+    * Single-component input maps to R = G = B = Y. Returns [3][h][w].
+    */
+  def decodeRgb(b: Array[Byte]): Array[Array[Array[Int]]] = {
+    val comps = decodeComponents(b)
+    if (comps == null) return null
+    if (comps.length == 1) return Array(comps(0), comps(0), comps(0))
+    val Array(yp, cbp, crp) = comps
+    val h = yp.length; val w = if (h == 0) 0 else yp(0).length
+    val out = Array.fill(3)(Array.ofDim[Int](h, w))
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val yy = yp(y)(x)
+        val cb = cbp(y)(x) - 128
+        val cr = crp(y)(x) - 128
+        out(0)(y)(x) = clamp(yy + ((91881 * cr + 32768) >> 16))
+        out(1)(y)(x) = clamp(yy - ((22554 * cb + 46802 * cr + 32768) >> 16))
+        out(2)(y)(x) = clamp(yy + ((116130 * cb + 32768) >> 16))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Shared eval/codegen kernel for the RGB stats shape (m8's columns:
+    * per-channel sums, global min/max over every sample).
+    */
+  def decodeRgbStats(b: Array[Byte]): InternalRow = {
+    val rgb = decodeRgb(b)
+    if (rgb == null) return null
+    val h = rgb(0).length; val w = if (h == 0) 0 else rgb(0)(0).length
+    if (h == 0 || w == 0) return null
+    val sums = new Array[Long](3)
+    var mn = 256; var mx = -1
+    var c = 0
+    while (c < 3) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = rgb(c)(y)(x)
+          sums(c) += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, w.toLong * h,
+      sums(0), sums(1), sums(2), mn, mx))
   }
 
   /** Shared eval/codegen kernel: stats over the decoded raster. */

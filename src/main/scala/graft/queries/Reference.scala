@@ -473,6 +473,58 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // COLOR JPEG (YCbCr 4:4:4) decode under the gate — m11's machinery
+    // times three interleaved components plus the 16-bit fixed-point
+    // CCIR 601 conversion: per document, construct a complete
+    // 3-component baseline JPEG (per-component selectors in SOF0/SOS,
+    // shared quant + Huffman tables, Y/Cb/Cr blocks interleaved per
+    // MCU, each two 0xFF-free byte-aligned bytes), decode with
+    // jpeg_rgb_stats. DC-only blocks at q0=16 make every Y/Cb/Cr sample
+    // the exact integer 128 + 2*d, and the color convert is integer
+    // shifts on non-negative operands — the oracle states R/G/B per
+    // block arithmetically. Torn docs (doc_id % 7 == 0, last entropy
+    // byte lost) quarantine to NULL.
+    "m12_jpeg_rgb" -> { (s, d) =>
+      import graft.functions.GraftFunctions.jpeg_rgb_stats
+      val wb = (col("doc_id") % 2 + 1).cast("int")
+      val hb = (col("doc_id") % 3 + 1).cast("int")
+      val n = wb * hb
+      def dmag(mult: Int, i: Column): Column = {
+        val pair = (when(pmod(i, lit(2)) === 0, i).otherwise(i - 1) / 2).cast("int")
+        lit(8) + pmod(col("doc_id") * mult + pair, lit(8))
+      }
+      def byteOf(mult: Int, i: Column): Column =
+        when(pmod(i, lit(2)) === 0, dmag(mult, i))
+          .otherwise(lit(15) - dmag(mult, i))
+      val entropyHex = array_join(
+        transform(sequence(lit(0), n - 1),
+          i => format_string("%02X00%02X00%02X00",
+            byteOf(1, i).cast("int"), byteOf(3, i).cast("int"),
+            byteOf(5, i).cast("int"))), "")
+      val jpegHex = concat(
+        lit("FFD8"),
+        lit("FFDB00430010"), lit("01" * 63),
+        lit("FFC0001108"),
+        format_string("%04X", hb * 8), format_string("%04X", wb * 8),
+        lit("03"), lit("011100"), lit("021100"), lit("031100"),
+        lit("FFC4001400"), lit("00000001" + "00" * 12), lit("04"),
+        lit("FFC4001410"), lit("00000000000000010000000000000000"), lit("00"),
+        lit("FFDA000C03"), lit("010002000300"), lit("003F00"),
+        entropyHex,
+        lit("FFD9"))
+      val hex = when(col("doc_id") % 7 === 0,
+        substring(jpegHex, lit(1), length(jpegHex) - 6)).otherwise(jpegHex)
+      Tables.documents(s, d)
+        .select(col("doc_id"), jpeg_rgb_stats(unhex(hex)).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"),
+          col("p.sum_r").as("sum_r"), col("p.sum_g").as("sum_g"),
+          col("p.sum_b").as("sum_b"),
+          col("p.pixel_min").as("pixel_min"), col("p.pixel_max").as("pixel_max"))
+        .orderBy(col("doc_id"))
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1219,6 +1271,52 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
         |       ELSE CAST(64 * wb * hb AS BIGINT) END AS n_pixels,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE ps END AS pixel_sum,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // per-block Y/Cb'/Cr' from the diff patterns, then the SAME 16-bit
+    // fixed-point conversion as integer division on non-negative
+    // operands (trunc == floor == arithmetic shift here; the engine's
+    // samples never reach a clamp at these magnitudes by construction)
+    "m12_jpeg_rgb" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS wb,
+        |    CAST(doc_id % 3 + 1 AS INT) AS hb
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, wb, hb,
+        |    unnest(generate_series(0, wb * hb - 1)) AS i
+        |  FROM s),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i % 2 = 0 THEN 2 * (8 + (doc_id * 1 + i // 2) % 8) ELSE 0 END AS yv,
+        |    CASE WHEN i % 2 = 0 THEN 2 * (8 + (doc_id * 3 + i // 2) % 8) ELSE 0 END AS cb,
+        |    CASE WHEN i % 2 = 0 THEN 2 * (8 + (doc_id * 5 + i // 2) % 8) ELSE 0 END AS cr
+        |  FROM b),
+        |px AS (
+        |  SELECT doc_id,
+        |    128 + yv + (91881 * cr + 32768) // 65536 AS r,
+        |    128 + yv - (22554 * cb + 46802 * cr + 32768) // 65536 AS g,
+        |    128 + yv + (116130 * cb + 32768) // 65536 AS bch
+        |  FROM v),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(64 * r) AS BIGINT) AS sr,
+        |    CAST(SUM(64 * g) AS BIGINT) AS sg,
+        |    CAST(SUM(64 * bch) AS BIGINT) AS sb,
+        |    CAST(LEAST(MIN(r), MIN(g), MIN(bch)) AS INT) AS mn,
+        |    CAST(GREATEST(MAX(r), MAX(g), MAX(bch)) AS INT) AS mx
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 8 * wb END AS width,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 8 * hb END AS height,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(64 * wb * hb AS BIGINT) END AS n_pixels,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sr END AS sum_r,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sg END AS sum_g,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sb END AS sum_b,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,

@@ -76,6 +76,90 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegPixelStats.decodeStats(prog) === null)
   }
 
+  /** 3-component 4:4:4 variant of [[dcOnlyJpeg]] — shared tables,
+    * per-component diffs, Y/Cb/Cr blocks interleaved per MCU.
+    */
+  def dcOnlyColorJpeg(wBlocks: Int, hBlocks: Int, q0: Int,
+                      dy: Seq[Int], dcb: Seq[Int], dcr: Seq[Int]): Array[Byte] = {
+    val n = wBlocks * hBlocks
+    require(dy.length == n && dcb.length == n && dcr.length == n)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xFF))
+    b(0xFF, 0xD8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00); b(q0); (1 until 64).foreach(_ => b(1))
+    val w = wBlocks * 8; val h = hBlocks * 8
+    b(0xFF, 0xC0, 0x00, 0x11, 0x08, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 0x03,
+      0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x00,
+      0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x04)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x10,
+      0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0x00)
+    b(0xFF, 0xDA, 0x00, 0x0C, 0x03, 0x01, 0x00, 0x02, 0x00, 0x03, 0x00,
+      0x00, 0x3F, 0x00)
+    (0 until n).foreach { i =>
+      Seq(dy(i), dcb(i), dcr(i)).foreach { d =>
+        require(math.abs(d) >= 8 && math.abs(d) <= 15, s"category-4 diff needed, got $d")
+        b(if (d > 0) d else d + 15, 0x00)
+      }
+    }
+    b(0xFF, 0xD9)
+    out.toByteArray
+  }
+
+  test("color fixture: exact per-channel values through the fixed-point CCIR 601 convert") {
+    // one block: dc Y=9, Cb=10, Cr=12 at q0=16 -> Y=146, Cb'=20, Cr'=24
+    val bytes = dcOnlyColorJpeg(1, 1, 16, Seq(9), Seq(10), Seq(12))
+    val r = JpegPixelStats.decodeRgbStats(bytes)
+    assert(r !== null)
+    val expR = 146 + ((91881 * 24 + 32768) >> 16)           // 146 + 34 = 180
+    val expG = 146 - ((22554 * 20 + 46802 * 24 + 32768) >> 16) // 146 - 24 = 122
+    val expB = 146 + ((116130 * 20 + 32768) >> 16)          // 146 + 35 = 181
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((64L * expR, 64L * expG, 64L * expB)))
+    assert((r.getInt(6), r.getInt(7)) === ((expG, expB)))
+    // grayscale input passes through the RGB surface as R = G = B
+    val gray = JpegPixelStats.decodeRgbStats(dcOnlyJpeg(1, 1, 16, Seq(9)))
+    assert((gray.getLong(3), gray.getLong(4), gray.getLong(5)) ===
+      ((64L * 146, 64L * 146, 64L * 146)))
+    // and a color file under the GRAY surface refuses (no silent luma)
+    assert(JpegPixelStats.decodeStats(bytes) === null)
+    // chroma subsampling (4:2:0) is out of scope: quarantine, not garble
+    val sub = bytes.clone()
+    val sofAt = (0 until sub.length - 1).find(i =>
+      (sub(i) & 0xFF) == 0xFF && (sub(i + 1) & 0xFF) == 0xC0).get
+    sub(sofAt + 11) = 0x22.toByte // Y sampling 2x2
+    assert(JpegPixelStats.decodeRgbStats(sub) === null)
+  }
+
+  test("JDK differential (color): ImageIO decodes our 4:4:4 files within +-2 per channel") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 4) {
+      val wB = 1 + rnd.nextInt(3); val hB = 1 + rnd.nextInt(3)
+      val n = wB * hB
+      // exact +m,-m pairs per component keep every DC chain in {0, m}
+      // (category-4 reachable, non-negative — the gate's pattern)
+      def alt(): Seq[Int] = {
+        val mags = IndexedSeq.fill((n + 1) / 2)(8 + rnd.nextInt(8))
+        (0 until n).map(i => if (i % 2 == 0) mags(i / 2) else -mags(i / 2))
+      }
+      val bytes = dcOnlyColorJpeg(wB, hB, 16, alt(), alt(), alt())
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(jdk !== null, "ImageIO refused our 4:4:4 color file")
+      val ours = JpegPixelStats.decodeRgb(bytes)
+      assert(ours !== null)
+      var maxDelta = 0
+      for (y <- 0 until hB * 8; x <- 0 until wB * 8) {
+        val rgb = jdk.getRGB(x, y)
+        maxDelta = math.max(maxDelta, Seq(
+          math.abs(ours(0)(y)(x) - ((rgb >> 16) & 0xFF)),
+          math.abs(ours(1)(y)(x) - ((rgb >> 8) & 0xFF)),
+          math.abs(ours(2)(y)(x) - (rgb & 0xFF))).max)
+      }
+      assert(maxDelta <= 2,
+        s"${wB}x$hB blocks: max per-channel delta $maxDelta vs ImageIO")
+    }
+  }
+
   test("JDK differential: ImageIO-encoded grayscale JPEGs decode within the IEEE-1180 +-1 envelope") {
     val rnd = new scala.util.Random(11)
     for ((w, h, quality) <- Seq((24, 16, 0.9f), (17, 9, 0.75f), (8, 8, 1.0f), (40, 33, 0.5f))) {
