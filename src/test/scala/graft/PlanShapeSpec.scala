@@ -342,4 +342,26 @@ class PlanShapeSpec extends AnyFunSuite {
     for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
       assert(!plan.contains(bad), s"q54 grew a $bad:\n$plan")
   }
+
+  test("x12 lifecycle SERVE plan: partition-pruned index scan + top-k heap, zero exchanges") {
+    // all pipeline stages before the serve ran at BUILD time — the
+    // returned plan must be the v1 kNN shape over the saved index
+    val df = SparkEntry.queries("x12_lifecycle_pipeline")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"x12 lost the top-k heap:\n$plan")
+    assert(plan.contains("PartitionFilters"), s"x12 lost bucket pruning:\n$plan")
+    assertNoShuffle(plan, "x12")
+  }
+
+  test("t52 post-compaction read keeps t28's pruned-and-pushed scan shape") {
+    val df = SparkEntry.queries("t52_index_compaction")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // directory pruning AND row-group pushdown must both survive the
+    // segment rewrite
+    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+      s"t52 lost tb directory pruning:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"t52 lost the term pushdown:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"t52 lost the top-k heap:\n$plan")
+  }
 }
