@@ -6,9 +6,15 @@
 # blessed Spark image for the FROM below; nothing here depends on a
 # specific patch tag.
 #
-#   docker build -t graft .
+#   docker build \
+#     --build-context spark=docker-image://apache/spark:4.0.0-scala2.13-java17-ubuntu \
+#     -t graft .
 #   docker run -p 8080:8080 -p 8081:8081 -v $PWD/data:/data graft \
 #     /data/layers.parquet 8080 8081
+#
+# (the --build-context flag is REQUIRED: the build stage copies
+# /opt/spark/jars from the named `spark` context; plain `docker build`
+# fails at that COPY --from=spark line)
 #
 # (This container image is a recipe verified by the tested non-container
 # path — tools/mkdist.sh + dist/bin/graft-serve — since the build host

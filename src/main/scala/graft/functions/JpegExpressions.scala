@@ -362,8 +362,13 @@ object JpegPixelStats {
               val rs = bits.decode(acs(c))
               val r = rs >> 4; val s = rs & 15
               if (s == 0) {
-                if (r == 15) k += 16 // ZRL
-                else eob = true
+                if (r == 15) { // ZRL: 16 zero coefficients
+                  k += 16
+                  // overshoot past the block end is as malformed as a
+                  // coefficient-run overshoot — refuse loudly (k == 64,
+                  // exactly filling the block, is the legal boundary)
+                  if (k > 64) throw Torn
+                } else eob = true
               } else {
                 k += r
                 if (k > 63) throw Torn

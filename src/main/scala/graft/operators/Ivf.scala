@@ -579,9 +579,24 @@ object Ivf {
     val flagged = decision.filter(col("split") && col("n") >= splitInto)
       .select(col("bucket")).collect().map(_.getInt(0)).toSeq
     if (flagged.nonEmpty) {
+      val preCount = loadCentroids(spark, path).length
       rebalanceBuckets(spark, path, flagged, splitInto)
-      // post-split stats are the new normal for the touched id space
-      snapshotStats(spark, path)
+      val postCount = loadCentroids(spark, path).length
+      // post-split stats are the new normal for the TOUCHED id space only
+      // (the split buckets + the fresh tail ids the split created);
+      // untouched buckets KEEP their original reference row so slow drift
+      // still accumulates against it across maintenance runs — a global
+      // snapshot here would reset every bucket's baseline each run and a
+      // bucket drifting slowly under driftFactor could never trip the arm.
+      val touched = (flagged ++ (preCount until postCount)).distinct
+      val fresh = savedBucketStats(spark, path)
+        .filter(col("bucket").isin(touched: _*))
+      val kept = spark.read.parquet(s"$path/stats_baseline")
+        .filter(!col("bucket").isin(touched: _*))
+      // baseline is one row per bucket — checkpoint the merge before
+      // overwriting the directory it reads from
+      val merged = kept.unionByName(fresh).localCheckpoint(true)
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/stats_baseline")
     }
     decision
   }

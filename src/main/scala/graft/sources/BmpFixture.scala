@@ -68,28 +68,51 @@ object BmpFixture {
       .select(col("doc_id").as("id"), unhex(concat(bmpHex, rawHex)).as("blob"))
   }
 
-  private def newestMtime(f: java.io.File): Long =
-    if (f.isDirectory)
-      Option(f.listFiles()).map(_.map(newestMtime).foldLeft(f.lastModified)(math.max))
-        .getOrElse(f.lastModified)
-    else f.lastModified
+  /** Deep (max-mtime, total-length) walk of the source — compared for
+    * EQUALITY, not ordering, so a source replaced with an OLDER copy
+    * (archive restore) still invalidates the sidecar.
+    */
+  private def srcFingerprint(f: java.io.File): String = {
+    def walk(x: java.io.File): (Long, Long) =
+      if (x.isDirectory)
+        Option(x.listFiles()).map(_.map(walk).foldLeft((x.lastModified, 0L)) {
+          case ((m, l), (m2, l2)) => (math.max(m, m2), l + l2)
+        }).getOrElse((x.lastModified, x.length))
+      else (x.lastModified, x.length)
+    val (m, l) = walk(f)
+    s"$m:$l"
+  }
 
   /** The blob table, served from the materialized sidecar (built on
-    * first use per sf dir, invalidated when the source is newer).
+    * first use per dataset, invalidated when the source fingerprint
+    * changes). The cache dir is keyed by a hash of the CANONICAL dataset
+    * path — two datasets whose directories share a basename get separate
+    * sidecars under the shared /dev/shm root.
     */
   def blobs(s: SparkSession, d: String): DataFrame = {
     val base = sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/dev/shm")
-    val dir = new java.io.File(base, s"graft_bmp_${new java.io.File(d).getName}")
+    val canon = new java.io.File(d).getCanonicalPath
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val dir = new java.io.File(base,
+      s"graft_bmp_${new java.io.File(d).getName}_$pathKey")
     val success = new java.io.File(dir, "_SUCCESS")
+    val fpFile = new java.io.File(dir, "_SRC_FP")
     val src = new java.io.File(d, "documents.parquet")
     try {
-      if (!success.isFile ||
-          (src.exists && success.lastModified < newestMtime(src)))
+      val want = if (src.exists) srcFingerprint(src) else ""
+      val have =
+        if (fpFile.isFile)
+          new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8")
+        else null
+      if (!success.isFile || have != want) {
         synthesize(s, d)
           // pre-spread: documents is one small file at gate scale; the
           // sidecar should scan at cluster parallelism like real data
           .repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        java.nio.file.Files.write(fpFile.toPath, want.getBytes("UTF-8"))
+      }
       s.read.parquet(dir.getAbsolutePath)
     } catch {
       case e: Exception =>

@@ -60,6 +60,12 @@ object CurateStream {
     * silently diverge from the batch twin's global min-id — such rows
     * are counted into `lateSmallerId` (pass an accumulator to monitor;
     * alerting on a nonzero count is the operational contract check).
+    *
+    * Checkpoint compatibility: the state type changed from
+    * `GroupState[Boolean]` (seen-bit) to `GroupState[Long]` (kept id) in
+    * round 13 — a streaming query restarted from a checkpoint written by
+    * the seen-bit version will fail or misdecode its state store. Start
+    * a NEW checkpoint directory when upgrading across that boundary.
     */
   def curateKeptStream(docs: Dataset[CuratedDoc], langs: Seq[String],
                        minQuality: Double,

@@ -731,6 +731,81 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("maintainSaved refreshes the baseline for SPLIT buckets only — slow drift accumulates across runs") {
+    import spark.implicits._
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def cluster(dom: Int, jit: Int, ids: Range): Seq[(Long, Array[Float])] =
+      ids.map { i =>
+        val v = new Array[Float](4)
+        v(dom) = 10f; v(jit) = (i % 5).toFloat
+        (i.toLong, unit(v))
+      }
+    val a = cluster(0, 1, 0 until 20)
+    val b = cluster(1, 2, 100 until 120)
+    val base = (a ++ b).toDF("vec_id", "embedding")
+    val idx = Ivf.build(base, "vec_id", "embedding", nlist = 2, iters = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-slowdrift").toString + "/idx"
+    Ivf.save(idx, path)
+    Ivf.snapshotStats(spark, path)
+    def baselineRows() = spark.read.parquet(s"$path/stats_baseline")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val stats0 = Ivf.savedBucketStats(spark, path)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // identify B's bucket by where a known B row landed
+    val bId = spark.read.parquet(s"$path/data")
+      .filter(col("id") === 100L).select("bucket").head().getInt(0)
+    val aId = (stats0.keySet - bId).head
+    val base0 = baselineRows()
+    // skew A hard (it must split); drift B MILDLY (under driftFactor)
+    val skew = cluster(0, 1, 1000 until 1080)
+    val mild = (2000 until 2008).map { i =>
+      val v = new Array[Float](4); v(1) = 10f; v(3) = 0.5f
+      (i.toLong, unit(v))
+    }
+    Ivf.appendSaved(spark, path, (skew ++ mild).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val d1 = Ivf.maintenanceDecision(spark, path, sizeFactor = 1.5, driftFactor = 1.5)
+      .collect().map(r => r.getInt(0) -> r.getBoolean(4)).toMap
+    assert(d1(aId), "skewed A must flag on the size arm")
+    assert(!d1(bId), s"fixture: B's mild drift must stay under driftFactor (decision $d1)")
+    Ivf.maintainSaved(spark, path, sizeFactor = 1.5, driftFactor = 1.5)
+    val base1 = baselineRows()
+    // the untouched bucket keeps its ORIGINAL baseline row byte-for-byte;
+    // a global re-snapshot here (the old behavior) would have raised it
+    // to the post-append mean and hidden the accumulated drift
+    assert(base1(bId) === base0(bId),
+      s"untouched bucket $bId baseline changed: ${base0(bId)} -> ${base1(bId)}")
+    // split buckets + fresh tail ids DO get refreshed baseline rows
+    assert(base1.keySet.size > base0.keySet.size, "tail buckets missing baseline rows")
+    assert(base1(aId) !== base0(aId), "split bucket's baseline must refresh")
+    // second mild batch: CUMULATIVE drift vs the original baseline now
+    // trips the arm — only observable because the baseline survived run 1
+    val mild2 = (3000 until 3016).map { i =>
+      val v = new Array[Float](4); v(1) = 10f; v(3) = 4f
+      (i.toLong, unit(v))
+    }
+    Ivf.appendSaved(spark, path, mild2.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val d2 = Ivf.maintenanceDecision(spark, path, sizeFactor = 1.5, driftFactor = 1.5)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(d2(bId)._2, s"cumulative drift on $bId must flag against the surviving baseline: $d2")
+    // integrity after acting on it: full-probe == exact over the union
+    Ivf.maintainSaved(spark, path, sizeFactor = 1.5, driftFactor = 1.5)
+    val all = (a ++ b ++ skew ++ mild ++ mild2).toDF("vec_id", "embedding")
+    val probe = b.head._2
+    val exact = graft.operators.Knn.topK(all, col("embedding"), probe,
+      k = 10, tieBreak = col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val served = Ivf.searchSaved(spark, path, probe, k = 10, nprobe = 4096)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(served === exact)
+    assert(spark.read.parquet(s"$path/data").count() ===
+      (a ++ b ++ skew ++ mild ++ mild2).size.toLong)
+  }
+
   test("IvfPq saved index: partition-pruned ADC search = in-memory composition; append joins stored buckets") {
     val e = Tables.embeddings(spark, sfDir)
     val base = e.filter(col("vec_id") % 2 === 0)
