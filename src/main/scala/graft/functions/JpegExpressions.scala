@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * Scope is the LUMA path the m-family needs: single-component (8-bit
   * grayscale) baseline sequential, no restart markers, no progressive —
   * anything else quarantines to NULL (the m5-m8 torn-blob posture:
-  * refuse loudly per row, never crash the job). Color JPEG decode is
-  * the same machinery times three components plus chroma upsampling;
-  * the seam stays per-row scan-fused either way.
+  * refuse loudly per row, never crash the job). Color JPEG decode
+  * (including 4:2:0/4:2:2 chroma subsampling) is the same machinery
+  * times three components plus box chroma upsampling — the
+  * [[JpegRgbStats]] surface; the seam stays per-row scan-fused either
+  * way.
   *
   * Output is the m8 stats shape (width, height, n_pixels, pixel_sum,
   * pixel_min, pixel_max) — the decoder proves itself by INVERSION
@@ -55,15 +57,20 @@ case class JpegPixelStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** COLOR (YCbCr 4:4:4) baseline-JPEG decode to RGB stats — the m12
+/** COLOR (YCbCr) baseline-JPEG decode to RGB stats — the m12/m13
   * surface on the same decode core: interleaved three-component MCUs
-  * (per-component quant/Huffman selectors and DC predictors), then the
-  * standard 16-bit fixed-point CCIR 601 color conversion (exact integer
-  * arithmetic — see [[JpegPixelStats.decodeRgb]]). Grayscale files pass
-  * through as R = G = B; chroma-subsampled files (4:2:0/4:2:2)
-  * quarantine to NULL — supporting them means an upsampling filter
-  * choice (nearest vs triangular) that changes samples, a scope line
-  * the doc draws explicitly.
+  * generic over sampling factors 1-2 (4:4:4, 4:2:2, 4:4:0, and the
+  * dominant real-crawl class 4:2:0 — per-component quant/Huffman
+  * selectors, DC predictors, and rasters at component resolution),
+  * chroma box-replicated to full resolution (sample replication, the
+  * libjpeg -nosmooth upsampler — a pure selection, chosen over the
+  * triangular filter precisely so inversion oracles can state every
+  * sample exactly; on a CONSTANT chroma plane every conforming
+  * upsampler agrees, which is what the ImageIO differential pins), then
+  * the standard 16-bit fixed-point CCIR 601 color conversion (exact
+  * integer arithmetic — see [[JpegPixelStats.decodeRgb]]). Grayscale
+  * files pass through as R = G = B; sampling factors above 2 (4:1:1)
+  * quarantine to NULL.
   */
 case class JpegRgbStats(child: Expression)
     extends UnaryExpression {
@@ -219,6 +226,8 @@ object JpegPixelStats {
     var ncomp = 0
     val compId = new Array[Int](3)
     val compQ = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
     var pos = 2
@@ -243,8 +252,13 @@ object JpegPixelStats {
             var ci = 0
             while (ci < nc) {
               compId(ci) = b(pos + 8 + 3 * ci) & 0xFF
-              // 4:4:4 only: every component 1x1 (no chroma subsampling)
-              if ((b(pos + 9 + 3 * ci) & 0xFF) != 0x11) return null
+              // sampling factors 1 and 2 cover 4:4:4 / 4:2:2 / 4:4:0 /
+              // 4:2:0 — everything a camera or web encoder emits; the
+              // rare 4:1:1 (factor 4) stays quarantined
+              val hv = b(pos + 9 + 3 * ci) & 0xFF
+              compH(ci) = hv >> 4; compV(ci) = hv & 0x0F
+              if (compH(ci) < 1 || compH(ci) > 2 ||
+                  compV(ci) < 1 || compV(ci) > 2) return null
               compQ(ci) = b(pos + 10 + 3 * ci) & 0xFF
               if (compQ(ci) > 3) return null
               ci += 1
@@ -307,7 +321,7 @@ object JpegPixelStats {
             }
             val dcs = Array.tabulate(ncomp)(c => dcT(compDc(c)))
             val acs = Array.tabulate(ncomp)(c => acT(compAc(c)))
-            return entropyDecode(b, pos, w, h, qs, dcs, acs)
+            return entropyDecode(b, pos, w, h, compH, compV, qs, dcs, acs)
           case m if m >= 0xD0 && m <= 0xD7 => return null // stray RST
           case 0x01 => () // TEM, standalone
           case _ => // APPn/COM/other: length-prefixed skip
@@ -321,11 +335,20 @@ object JpegPixelStats {
     } catch { case Torn => null }
   }
 
-  /** Interleaved-MCU entropy decode: at 4:4:4 each MCU holds one block
-    * per component in frame order, each component carrying its own DC
-    * predictor and table selectors. Returns one raster per component.
+  /** Interleaved-MCU entropy decode, general over sampling factors: an
+    * MCU holds Hi x Vi blocks per component in frame order (u fastest,
+    * then v — T.81 A.2.3), each component carrying its own DC predictor
+    * and table selectors at its OWN (possibly subsampled) resolution.
+    * Single-component scans are non-interleaved per the spec: one block
+    * per MCU walking ceil(w/8) x ceil(h/8), whatever the declared
+    * factors. Subsampled components are box-replicated to full
+    * resolution before returning (sample replication — libjpeg's
+    * -nosmooth / int_upsample behavior: a pure SELECTION, no new sample
+    * values, so inversion oracles can state every pixel arithmetically).
+    * Returns one full-resolution raster per component.
     */
   private def entropyDecode(b: Array[Byte], start: Int, w: Int, h: Int,
+                            hsRaw: Array[Int], vsRaw: Array[Int],
                             qs: Array[Array[Int]], dcs: Array[Huff],
                             acs: Array[Huff]): Array[Array[Array[Int]]] = {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
@@ -335,55 +358,86 @@ object JpegPixelStats {
       if (dcs(c0) == null || acs(c0) == null) return null
       c0 += 1
     }
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val out = Array.fill(nc)(Array.ofDim[Int](h, w))
+    val eh = Array.tabulate(nc)(c => if (nc == 1) 1 else hsRaw(c))
+    val ev = Array.tabulate(nc)(c => if (nc == 1) 1 else vsRaw(c))
+    val hmax = eh.max; val vmax = ev.max
+    // per-component dims (T.81 A.1.1): ceil(w * Hi / Hmax) etc.
+    val cw = Array.tabulate(nc)(c => ((w.toLong * eh(c) + hmax - 1) / hmax).toInt)
+    val ch = Array.tabulate(nc)(c => ((h.toLong * ev(c) + vmax - 1) / vmax).toInt)
+    val mcx = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcy = (h + 8 * vmax - 1) / (8 * vmax)
+    val sub = Array.tabulate(nc)(c => Array.ofDim[Int](ch(c), cw(c)))
     val bits = new Bits(b, start)
     val coef = new Array[Int](64)
     val tmp = Array.ofDim[Double](8, 8)
     val pred = new Array[Int](nc)
     try {
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
+      var my = 0
+      while (my < mcy) {
+        var mx = 0
+        while (mx < mcx) {
           var c = 0
           while (c < nc) {
             val q = qs(c)
-            java.util.Arrays.fill(coef, 0)
-            // DC
-            val t = bits.decode(dcs(c))
-            if (t > 11) throw Torn
-            pred(c) += extend(bits.bits(t), t)
-            coef(0) = pred(c) * q(0)
-            // AC
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = bits.decode(acs(c))
-              val r = rs >> 4; val s = rs & 15
-              if (s == 0) {
-                if (r == 15) { // ZRL: 16 zero coefficients
-                  k += 16
-                  // overshoot past the block end is as malformed as a
-                  // coefficient-run overshoot — refuse loudly (k == 64,
-                  // exactly filling the block, is the legal boundary)
-                  if (k > 64) throw Torn
-                } else eob = true
-              } else {
-                k += r
-                if (k > 63) throw Torn
-                coef(Zigzag(k)) = extend(bits.bits(s), s) * q(Zigzag(k))
-                k += 1
+            var bv = 0
+            while (bv < ev(c)) {
+              var bu = 0
+              while (bu < eh(c)) {
+                java.util.Arrays.fill(coef, 0)
+                // DC
+                val t = bits.decode(dcs(c))
+                if (t > 11) throw Torn
+                pred(c) += extend(bits.bits(t), t)
+                coef(0) = pred(c) * q(0)
+                // AC
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = bits.decode(acs(c))
+                  val r = rs >> 4; val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) { // ZRL: 16 zero coefficients
+                      k += 16
+                      // overshoot past the block end is as malformed as a
+                      // coefficient-run overshoot — refuse loudly (k == 64,
+                      // exactly filling the block, is the legal boundary)
+                      if (k > 64) throw Torn
+                    } else eob = true
+                  } else {
+                    k += r
+                    if (k > 63) throw Torn
+                    coef(Zigzag(k)) = extend(bits.bits(s), s) * q(Zigzag(k))
+                    k += 1
+                  }
+                }
+                idctBlock(coef, tmp, sub(c),
+                  (mx * eh(c) + bu) * 8, (my * ev(c) + bv) * 8, cw(c), ch(c))
+                bu += 1
               }
+              bv += 1
             }
-            idctBlock(coef, tmp, out(c), bx * 8, by * 8, w, h)
             c += 1
           }
-          bx += 1
+          mx += 1
         }
-        by += 1
+        my += 1
       }
-      out
+      // box-replicate subsampled components to full resolution: the
+      // source index y*Vi/Vmax stays in range because ch = ceil(h*Vi/Vmax)
+      Array.tabulate(nc) { c =>
+        if (cw(c) == w && ch(c) == h) sub(c)
+        else {
+          val full = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            val sy = sub(c)(y * ev(c) / vmax)
+            var x = 0
+            while (x < w) { full(y)(x) = sy(x * eh(c) / hmax); x += 1 }
+            y += 1
+          }
+          full
+        }
+      }
     } catch { case Torn => null }
   }
 

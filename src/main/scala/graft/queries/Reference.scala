@@ -525,6 +525,61 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // 4:2:0 CHROMA-SUBSAMPLED JPEG decode under the gate — the dominant
+    // real-crawl image class (what cameras and web encoders emit), the
+    // m12 scope line removed: per document, construct a complete
+    // 3-component baseline JPEG with Y at 2x2 and Cb/Cr at 1x1 — each
+    // 16x16-pixel MCU carries 4 Y blocks + 1 Cb + 1 Cr in stream order,
+    // every block two 0xFF-free byte-aligned bytes — and decode with
+    // jpeg_rgb_stats (generic sampling-factor MCU walk + BOX chroma
+    // replication: a pure selection, so each 64-pixel Y block sees its
+    // MCU's single chroma value and the oracle states R/G/B per block
+    // arithmetically, exactly as in m12). Torn docs (doc_id % 7 == 0)
+    // quarantine to NULL. Upsampler-independent correctness against a
+    // SECOND implementation is pinned by JpegSpec's ImageIO 4:2:0
+    // differential (constant-chroma files, where box == triangular).
+    "m13_jpeg_420" -> { (s, d) =>
+      import graft.functions.GraftFunctions.jpeg_rgb_stats
+      val wm = (col("doc_id") % 2 + 1).cast("int")
+      val hm = (col("doc_id") % 3 + 1).cast("int")
+      val nm = wm * hm
+      def dmag(mult: Int, i: Column): Column = {
+        val pair = (when(pmod(i, lit(2)) === 0, i).otherwise(i - 1) / 2).cast("int")
+        lit(8) + pmod(col("doc_id") * mult + pair, lit(8))
+      }
+      def byteOf(mult: Int, i: Column): Column =
+        when(pmod(i, lit(2)) === 0, dmag(mult, i))
+          .otherwise(lit(15) - dmag(mult, i))
+      val entropyHex = array_join(
+        transform(sequence(lit(0), nm - 1),
+          j => format_string("%02X00%02X00%02X00%02X00%02X00%02X00",
+            byteOf(1, j * 4).cast("int"), byteOf(1, j * 4 + 1).cast("int"),
+            byteOf(1, j * 4 + 2).cast("int"), byteOf(1, j * 4 + 3).cast("int"),
+            byteOf(3, j).cast("int"), byteOf(5, j).cast("int"))), "")
+      val jpegHex = concat(
+        lit("FFD8"),
+        lit("FFDB00430010"), lit("01" * 63),
+        lit("FFC0001108"),
+        format_string("%04X", hm * 16), format_string("%04X", wm * 16),
+        lit("03"), lit("012200"), lit("021100"), lit("031100"),
+        lit("FFC4001400"), lit("00000001" + "00" * 12), lit("04"),
+        lit("FFC4001410"), lit("00000000000000010000000000000000"), lit("00"),
+        lit("FFDA000C03"), lit("010002000300"), lit("003F00"),
+        entropyHex,
+        lit("FFD9"))
+      val hex = when(col("doc_id") % 7 === 0,
+        substring(jpegHex, lit(1), length(jpegHex) - 6)).otherwise(jpegHex)
+      Tables.documents(s, d)
+        .select(col("doc_id"), jpeg_rgb_stats(unhex(hex)).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"),
+          col("p.sum_r").as("sum_r"), col("p.sum_g").as("sum_g"),
+          col("p.sum_b").as("sum_b"),
+          col("p.pixel_min").as("pixel_min"), col("p.pixel_max").as("pixel_max"))
+        .orderBy(col("doc_id"))
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1314,6 +1369,52 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 8 * hb END AS height,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
         |       ELSE CAST(64 * wb * hb AS BIGINT) END AS n_pixels,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sr END AS sum_r,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sg END AS sum_g,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sb END AS sum_b,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // 4:2:0: q enumerates Y blocks (4 per MCU, stream order), so the
+    // MCU index is q // 4 and its single box-replicated chroma pair
+    // applies to all 64 pixels of each Y block — the same per-block
+    // fixed-point conversion as m12, indices shifted by the subsampling
+    "m13_jpeg_420" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS wm,
+        |    CAST(doc_id % 3 + 1 AS INT) AS hm
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, wm, hm,
+        |    unnest(generate_series(0, wm * hm * 4 - 1)) AS q
+        |  FROM s),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN q % 2 = 0 THEN 2 * (8 + (doc_id * 1 + q // 2) % 8) ELSE 0 END AS yv,
+        |    CASE WHEN (q // 4) % 2 = 0 THEN 2 * (8 + (doc_id * 3 + q // 8) % 8) ELSE 0 END AS cb,
+        |    CASE WHEN (q // 4) % 2 = 0 THEN 2 * (8 + (doc_id * 5 + q // 8) % 8) ELSE 0 END AS cr
+        |  FROM b),
+        |px AS (
+        |  SELECT doc_id,
+        |    128 + yv + (91881 * cr + 32768) // 65536 AS r,
+        |    128 + yv - (22554 * cb + 46802 * cr + 32768) // 65536 AS g,
+        |    128 + yv + (116130 * cb + 32768) // 65536 AS bch
+        |  FROM v),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(64 * r) AS BIGINT) AS sr,
+        |    CAST(SUM(64 * g) AS BIGINT) AS sg,
+        |    CAST(SUM(64 * bch) AS BIGINT) AS sb,
+        |    CAST(LEAST(MIN(r), MIN(g), MIN(bch)) AS INT) AS mn,
+        |    CAST(GREATEST(MAX(r), MAX(g), MAX(bch)) AS INT) AS mx
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 16 * wm END AS width,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 16 * hm END AS height,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(256 * wm * hm AS BIGINT) END AS n_pixels,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sr END AS sum_r,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sg END AS sum_g,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sb END AS sum_b,

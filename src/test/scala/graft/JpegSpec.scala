@@ -123,12 +123,127 @@ class JpegSpec extends AnyFunSuite {
       ((64L * 146, 64L * 146, 64L * 146)))
     // and a color file under the GRAY surface refuses (no silent luma)
     assert(JpegPixelStats.decodeStats(bytes) === null)
-    // chroma subsampling (4:2:0) is out of scope: quarantine, not garble
+    // sampling factors above 2 (4:1:1) stay out of scope: quarantine
     val sub = bytes.clone()
     val sofAt = (0 until sub.length - 1).find(i =>
       (sub(i) & 0xFF) == 0xFF && (sub(i + 1) & 0xFF) == 0xC0).get
-    sub(sofAt + 11) = 0x22.toByte // Y sampling 2x2
+    sub(sofAt + 11) = 0x41.toByte // Y sampling 4x1
     assert(JpegPixelStats.decodeRgbStats(sub) === null)
+  }
+
+  /** 4:2:0 variant: Y at 2x2, Cb/Cr at 1x1 — each MCU covers 16x16
+    * pixels and carries 4 Y blocks (u fastest, then v) + 1 Cb + 1 Cr.
+    * dy has 4 diffs per MCU in stream order; dcb/dcr one per MCU.
+    */
+  def dcOnly420Jpeg(wMcu: Int, hMcu: Int, q0: Int,
+                    dy: Seq[Int], dcb: Seq[Int], dcr: Seq[Int]): Array[Byte] = {
+    val n = wMcu * hMcu
+    require(dy.length == 4 * n && dcb.length == n && dcr.length == n)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xFF))
+    b(0xFF, 0xD8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00); b(q0); (1 until 64).foreach(_ => b(1))
+    val w = wMcu * 16; val h = hMcu * 16
+    b(0xFF, 0xC0, 0x00, 0x11, 0x08, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x00,
+      0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x04)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x10,
+      0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0x00)
+    b(0xFF, 0xDA, 0x00, 0x0C, 0x03, 0x01, 0x00, 0x02, 0x00, 0x03, 0x00,
+      0x00, 0x3F, 0x00)
+    def blk(d: Int): Unit = {
+      require(math.abs(d) >= 8 && math.abs(d) <= 15, s"category-4 diff needed, got $d")
+      b(if (d > 0) d else d + 15, 0x00)
+    }
+    (0 until n).foreach { j =>
+      (0 until 4).foreach(t => blk(dy(4 * j + t)))
+      blk(dcb(j)); blk(dcr(j))
+    }
+    b(0xFF, 0xD9)
+    out.toByteArray
+  }
+
+  test("4:2:0 fixture: MCU block order, per-quadrant luma, box-replicated chroma — every sample exact") {
+    // one 16x16 MCU at q0=16: Y quadrants 146/128/144/128, Cb'=20, Cr'=24
+    val bytes = dcOnly420Jpeg(1, 1, 16, Seq(9, -9, 8, -8), Seq(10), Seq(12))
+    val rgb = JpegPixelStats.decodeRgb(bytes)
+    assert(rgb !== null)
+    assert(rgb(0).length === 16 && rgb(0)(0).length === 16)
+    def expect(yv: Int): (Int, Int, Int) = (
+      yv + ((91881 * 24 + 32768) >> 16),
+      yv - ((22554 * 20 + 46802 * 24 + 32768) >> 16),
+      yv + ((116130 * 20 + 32768) >> 16))
+    // quadrant Y values: (0,0)->146 (dc 9), (0,8)->128, (8,0)->144 (dc 8), (8,8)->128
+    for (((py, px), yv) <- Seq(((0, 0), 146), ((0, 8), 128), ((7, 7), 146),
+                               ((8, 0), 144), ((8, 8), 128), ((15, 15), 128))) {
+      val (er, eg, eb) = expect(yv)
+      assert((rgb(0)(py)(px), rgb(1)(py)(px), rgb(2)(py)(px)) === ((er, eg, eb)),
+        s"pixel ($py,$px)")
+    }
+    // stats invert: each quadrant contributes 64 samples
+    val r = JpegPixelStats.decodeRgbStats(bytes)
+    val ys = Seq(146, 128, 144, 128)
+    assert(r.getLong(3) === ys.map(y => 64L * expect(y)._1).sum)
+    assert(r.getLong(4) === ys.map(y => 64L * expect(y)._2).sum)
+    assert(r.getLong(5) === ys.map(y => 64L * expect(y)._3).sum)
+    // two MCUs across: chroma alternates per MCU (predictor +10 then -10)
+    val two = dcOnly420Jpeg(2, 1, 16,
+      Seq(9, -9, 8, -8, 9, -9, 8, -8), Seq(10, -10), Seq(12, -12))
+    val rgb2 = JpegPixelStats.decodeRgb(two)
+    assert(rgb2 !== null)
+    val (er0, _, _) = expect(146)
+    assert(rgb2(0)(0)(0) === er0, "MCU 0 keeps its chroma")
+    assert(rgb2(0)(0)(16) === 146, "MCU 1 chroma back to neutral: R = Y")
+    // torn: drop one entropy byte
+    assert(JpegPixelStats.decodeRgbStats(bytes.dropRight(3)) === null)
+  }
+
+  test("JDK differential (4:2:0): ImageIO-encoded color JPEGs — the encoder's native subsampling — decode within +-2") {
+    // the JDK JPEG encoder emits 4:2:0 (Y 2x2) for RGB at every quality;
+    // gray-valued RGB keeps both chroma planes CONSTANT (exactly 128), so
+    // box and triangular upsamplers agree sample-for-sample and the
+    // differential pins the subsampled MCU walk + upsampling geometry,
+    // including non-multiple-of-16 croppings
+    val rnd = new scala.util.Random(37)
+    for ((w, h, quality) <- Seq((32, 24, 0.75f), (17, 9, 0.9f), (16, 16, 0.5f), (41, 35, 0.85f))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (96 + 64 * math.sin(x * 0.7) + 48 * math.cos(y * 0.5) + rnd.nextInt(32)).toInt
+          .max(0).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      // the fixture must actually be subsampled, or this test pins nothing
+      val sofAt = (0 until bytes.length - 1).find(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC0).get
+      assert((bytes(sofAt + 11) & 0xFF) === 0x22,
+        "JDK encoder stopped emitting 4:2:0 — fixture no longer subsampled")
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val ours = JpegPixelStats.decodeRgb(bytes)
+      assert(ours !== null, s"refused a well-formed 4:2:0 ${w}x$h q=$quality JPEG")
+      assert(ours(0).length === h && ours(0)(0).length === w)
+      var maxDelta = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = jdk.getRGB(x, y)
+        maxDelta = math.max(maxDelta, Seq(
+          math.abs(ours(0)(y)(x) - ((rgb >> 16) & 0xFF)),
+          math.abs(ours(1)(y)(x) - ((rgb >> 8) & 0xFF)),
+          math.abs(ours(2)(y)(x) - (rgb & 0xFF))).max)
+      }
+      assert(maxDelta <= 2,
+        s"${w}x$h q=$quality: max per-channel delta $maxDelta vs ImageIO on 4:2:0")
+    }
   }
 
   test("JDK differential (color): ImageIO decodes our 4:4:4 files within +-2 per channel") {
