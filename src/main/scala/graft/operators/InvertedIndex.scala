@@ -188,15 +188,20 @@ object InvertedIndex {
     * content (and therefore every search result) is unchanged — only the
     * segment layout collapses; doclens/stats are untouched.
     *
-    * Write protocol per bucket (the rebalanceSaved posture): the merged
-    * file lands under `postings_compact/tb=N` first, the old directory
-    * is deleted, then the scratch renames onto it — rows are never
-    * memory-only. Not atomic as a group: run quiesced. A leftover
+    * Write protocol (the rebalanceSaved posture, parallel across
+    * buckets): ALL flagged buckets' merged postings land under
+    * `postings_compact/tb=N` in ONE distributed job first — the scan is
+    * partition-pruned to the flagged directories and repartitioned by
+    * tb, so every bucket becomes exactly one file and hundreds of
+    * flagged buckets rewrite concurrently across the cluster instead of
+    * one driver-sequenced job each — then each old directory is deleted
+    * and its scratch renamed onto it (cheap metadata ops; rows are never
+    * memory-only). Not atomic as a group: run quiesced. A leftover
     * `postings_compact` dir means a previous run crashed between the
     * delete and the rename — this run REFUSES to start; recover by
-    * renaming the scratch dirs onto their `postings/tb=N` targets (or
-    * deleting them if the targets still exist — then they are redundant
-    * copies). Returns the number of buckets compacted.
+    * renaming the scratch tb= dirs onto their `postings/tb=N` targets
+    * (or deleting them if the targets still exist — then they are
+    * redundant copies). Returns the number of buckets compacted.
     */
   def compactSaved(spark: SparkSession, path: String, maxFiles: Int): Int = {
     val flagged = compactionPlan(spark, path, maxFiles)
@@ -210,12 +215,18 @@ object InvertedIndex {
       s"compact: $scratchRoot exists — leftovers of a crashed compaction. " +
         "Rename its tb= dirs onto postings/ (or delete them if the " +
         "postings/tb= targets still exist) before re-running.")
+    // phase 1, one job: each bucket's rows hash to one task (repartition
+    // on tb), so partitionBy emits exactly one file per bucket
+    spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(flagged.map(Integer.valueOf).toSeq: _*))
+      .select(col("tb"), col("id"), col("term"), col("tf"))
+      .repartition(flagged.length, col("tb"))
+      .write.mode("errorifexists").partitionBy("tb").parquet(scratchRoot.toString)
+    // phase 2, metadata sweep: swap each compacted directory into place
     flagged.foreach { b =>
       val scratch = new org.apache.hadoop.fs.Path(s"$path/postings_compact/tb=$b")
-      spark.read.parquet(s"$path/postings").filter(col("tb") === b)
-        .select(col("id"), col("term"), col("tf"))
-        .coalesce(1)
-        .write.mode("errorifexists").parquet(scratch.toString)
+      if (!fs.exists(scratch))
+        throw new java.io.IOException(s"compact: expected scratch $scratch missing")
       val target = new org.apache.hadoop.fs.Path(s"$path/postings/tb=$b")
       if (!fs.delete(target, true))
         throw new java.io.IOException(s"compact: failed deleting $target")

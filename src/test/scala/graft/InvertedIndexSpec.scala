@@ -99,6 +99,10 @@ class InvertedIndexSpec extends AnyFunSuite {
     val preDoclens = spark.read.parquet(s"$path/doclens").count()
     val n = InvertedIndex.compactSaved(spark, path, maxFiles = 1)
     assert(n === plan.count(_._2._2))
+    // the rewrite is ONE distributed job over ALL flagged buckets (not a
+    // driver-sequenced loop) — pin that the single call really covered
+    // several buckets, so the parallel path is what this test exercises
+    assert(n >= 2, s"fixture should flag several buckets in one run, got $n")
     val after = InvertedIndex.segmentStats(spark, path)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(after.keySet === before.keySet)
