@@ -927,6 +927,49 @@ object Reference extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // the MAINTAINED lifecycle — x12 extended through the operational
+    // seams the index accretes in production: curate -> encode -> IVF
+    // build/save -> snapshot the drift baseline -> append a genuinely
+    // different distribution (the docs the curation gate REJECTED:
+    // other-language / low-quality text, encoded under the same model,
+    // shifted ids) -> maintenanceDecision + maintainSaved act unattended
+    // (skew arm 1.5x mean, drift arm 1.1x baseline) -> serve. The pin is
+    // v38's posture inside x12's flow: full-probe search over the
+    // maintained index must equal exact kNN over exactly the union
+    // corpus — whatever the policy split, it lost/duplicated NOTHING,
+    // and every stage boundary (curation dedup, encode filter, append
+    // assignment, split rename, baseline bookkeeping) sits under the hash.
+    "x13_maintained_lifecycle" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextFunctions.quality_score
+      val docs = Tables.documents(s, d)
+      val curated = graft.operators.Curate.kept(docs,
+        "doc_id", "text", "lang", Seq("en", "de"), 0.5)
+      val model = graft.operators.NeuralEmbed.generate(EmbedDim, NeuralHidden, EmbedDim)
+      def encode(rows: org.apache.spark.sql.DataFrame) =
+        graft.operators.NeuralEmbed.embedText(
+          rows.filter(length(trim(col("text"))) > 0)
+            .select(col("id"), col("text"))
+            .as[graft.operators.Embed.TextRow], model).toDF()
+          .filter(dot_product(col("embedding"), col("embedding")) > 0)
+      val emb = encode(curated.select(col("doc_id").as("id"), col("text")))
+      val idx = graft.operators.Ivf.build(emb, "id", "embedding", nlist = 8, iters = 5)
+      val path = s"/dev/shm/graft_ivf_x13_${new java.io.File(d).getName}"
+      graft.operators.Ivf.save(idx, path)
+      graft.operators.Ivf.snapshotStats(s, path)
+      val drifted = encode(docs
+        .filter(!(col("lang").isInCollection(Seq("en", "de")) &&
+          quality_score(col("text")) >= 0.5))
+        .select((col("doc_id") + 10000000L).as("id"), col("text")))
+      graft.operators.Ivf.appendSaved(s, path, drifted, "id", "embedding")
+      graft.operators.Ivf.maintainSaved(s, path, sizeFactor = 1.5, driftFactor = 1.1)
+      graft.operators.Ivf.searchSaved(s, path,
+        graft.operators.NeuralEmbed.embedQuery(EmbedQuery, model),
+        k = 10, nprobe = 4096)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     "x4_neural_embed_search" -> { (s, d) =>
       import s.implicits._
       val path = s"/dev/shm/graft_nn_${new java.io.File(d).getName}"
@@ -1776,6 +1819,59 @@ object Reference extends QueryPack {
          |    FROM g
          |    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)),
          |${neuralForwardCtes(src = "curated")},
+         |dn AS (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
+         |qn AS (SELECT SUM(y * y) AS nq FROM qy),
+         |dp AS (SELECT d.doc_id, SUM(d.y * q2.y) AS dot
+         |       FROM yd d JOIN qy q2 USING (k) GROUP BY d.doc_id),
+         |scored AS (
+         |  SELECT dn.doc_id,
+         |    1.0 - dp.dot / (SQRT(dn.nd) * SQRT((SELECT nq FROM qn))) AS dist
+         |  FROM dn JOIN dp USING (doc_id)
+         |  WHERE dn.nd > 0)
+         |SELECT id FROM (
+         |  SELECT doc_id AS id FROM scored
+         |  ORDER BY dist, doc_id LIMIT 10) t
+         |ORDER BY id""".stripMargin,
+
+    // x13 restates x12's lifecycle with the REJECTED slice unioned in:
+    // maintenance is physical only (split buckets, refreshed baselines),
+    // so the full-probe serve must still equal exact cosine top-10 over
+    // the union corpus — curated docs at their ids, gate-rejected docs
+    // at +10M, both through the same forward-pass template
+    "x13_maintained_lifecycle" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang,
+         |    (LEAST(1.0, n_tok / 20.0)
+         |     + n_distinct / GREATEST(n_tok, 1.0)
+         |     + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+         |     + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 AS quality
+         |  FROM (
+         |    SELECT doc_id, text, lang,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+         |      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |           ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS DOUBLE) AS n_distinct,
+         |      CAST(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS DOUBLE) AS n_stop,
+         |      CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |      CAST(len(text) AS DOUBLE) AS n_chars
+         |    FROM documents) t0),
+         |g AS (SELECT doc_id, text FROM q
+         |      WHERE lang IN ('en', 'de') AND quality >= 0.5),
+         |curated AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |    FROM g
+         |    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)),
+         |rejected AS MATERIALIZED (
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM q
+         |  WHERE NOT (lang IN ('en', 'de') AND quality >= 0.5)
+         |    AND len(trim(text)) > 0),
+         |corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM curated
+         |  UNION ALL
+         |  SELECT doc_id, text FROM rejected),
+         |${neuralForwardCtes(src = "corpus")},
          |dn AS (SELECT doc_id, SUM(y * y) AS nd FROM yd GROUP BY doc_id),
          |qn AS (SELECT SUM(y * y) AS nq FROM qy),
          |dp AS (SELECT d.doc_id, SUM(d.y * q2.y) AS dot

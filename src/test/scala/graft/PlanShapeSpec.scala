@@ -353,6 +353,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoShuffle(plan, "x12")
   }
 
+  test("x13 POST-MAINTENANCE serve plan keeps x12's shape: pruned scan + top-k heap, zero exchanges") {
+    // build, drift-append, and the unattended split/baseline bookkeeping
+    // all ran at build time; what serves afterwards must still be the
+    // partition-pruned TakeOrderedAndProject over the (now re-bucketed)
+    // saved index — maintenance may not cost the serve path anything
+    val df = SparkEntry.queries("x13_maintained_lifecycle")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"x13 lost the top-k heap:\n$plan")
+    assert(plan.contains("PartitionFilters"), s"x13 lost bucket pruning:\n$plan")
+    assertNoShuffle(plan, "x13")
+  }
+
   test("t52 post-compaction read keeps t28's pruned-and-pushed scan shape") {
     val df = SparkEntry.queries("t52_index_compaction")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
