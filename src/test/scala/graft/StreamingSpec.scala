@@ -850,11 +850,23 @@ class StreamingSpec extends AnyFunSuite {
     val pathC = Files.createTempDirectory("graft-lex-fresh").toString + "/idx"
     InvertedIndex.save(docs, "doc_id", "text", pathC, buckets = 8)
     assert(hits(pathB) === hits(pathC))
-    // the operational price is segment accretion, and the lifecycle
-    // closes: compaction flattens it without changing a score
+    // the operational price is segment accretion; the COMPOSED lifecycle
+    // closes as one sequence — ingest accreted segments, telemetry sees
+    // them, the POLICY flags exactly the multi-segment buckets, the
+    // rewrite acts on all of them in one run, and serving cannot tell:
     assert(InvertedIndex.segmentStats(spark, pathB)
       .agg(org.apache.spark.sql.functions.max(col("n_files"))).head().getLong(0) > 1L)
-    InvertedIndex.compactSaved(spark, pathB, maxFiles = 1)
+    val plan = InvertedIndex.compactionPlan(spark, pathB, maxFiles = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(3))).toSeq
+    plan.foreach { case (tb, nf, c) =>
+      assert(c === (nf > 1L), s"bucket $tb: $nf files flagged $c") }
+    val flaggedN = plan.count(_._3)
+    assert(flaggedN >= 2, s"stream accretion should flag several buckets, got $flaggedN")
+    val compacted = InvertedIndex.compactSaved(spark, pathB, maxFiles = 1)
+    assert(compacted === flaggedN)
+    assert(InvertedIndex.segmentStats(spark, pathB)
+      .agg(org.apache.spark.sql.functions.max(col("n_files"))).head().getLong(0) === 1L)
+    // scores-included equality with the fresh build, post-compaction
     assert(hits(pathB) === hits(pathC))
   }
 }
