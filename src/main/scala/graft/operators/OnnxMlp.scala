@@ -15,14 +15,21 @@ import graft.operators.NeuralEmbed.NeuralModel
   *
   * and lowers it onto [[NeuralEmbed.NeuralModel]] — from there the
   * existing seam applies unchanged (parquet weight table, broadcast
-  * once, per-partition encoder). [[write]] is the matching exporter, so
-  * the codec round-trips and gates can produce a REAL .onnx fixture
-  * byte-stream without network access.
+  * once, per-partition encoder). The other common export spelling of
+  * the same MLP is accepted too:
+  *
+  *   MatMul(x, W1) -> Add(., B1) -> Relu -> MatMul -> Add
+  *
+  * (weights stored [in, out], transposed on read — the TF/keras-style
+  * export beside Gemm's PyTorch-style one), as is a 2-input Gemm whose
+  * absent C operand means a zero bias. [[write]] / [[writeMatMulAdd]]
+  * are the matching exporters, so both spellings round-trip and gates
+  * can produce REAL .onnx fixture byte-streams without network access.
   *
   * Scope (and why it is enough): this is NOT an ONNX runtime — it is a
   * weight CARRIER for the one graph shape the engine executes natively.
-  * The parser is strict: anything but the exact MLP shape (3 nodes, the
-  * two Gemm contracts, float32 initializers with INTEGRAL values in the
+  * The parser is strict: anything but the exact MLP shape (the two
+  * spellings above, float32 initializers with INTEGRAL values in the
   * int8 range) is refused loudly, because a silently misread weight is
   * the worst possible failure mode for a model artifact. Integral
   * weights are what a quantized export carries (Jacob et al. 2017;
@@ -173,12 +180,27 @@ object OnnxMlp {
       }
     }
     val ns = nodes.result()
-    require(ns.map(_.opType) == Seq("Gemm", "Relu", "Gemm"),
-      s"onnx: expected Gemm/Relu/Gemm, got ${ns.map(_.opType).mkString("/")}")
     val byName = inits.result().map(t => t.name -> t).toMap
 
-    def gemmWeights(n: Node): (Tensor, Tensor) = {
-      require(n.inputs.length == 3, s"onnx: Gemm needs 3 inputs (A, B, C), got ${n.inputs.length}")
+    def quantized(t: Tensor): Array[Int] = t.data.map { f =>
+      require(f == math.rint(f) && math.abs(f) <= 127.0f,
+        s"onnx: initializer '${t.name}' value $f is not an integral int8-range weight " +
+          "(this carrier runs exact-integer quantized models only)")
+      f.toInt
+    }
+    def initOf(name: String, what: String): Tensor = byName.getOrElse(name,
+      throw new IllegalArgumentException(s"onnx: $what input '$name' is not an initializer"))
+
+    /** One dense layer lowered to the engine layout: weights [out][in]
+      * row-major, bias length dOut.
+      */
+    case class Layer(dIn: Int, dOut: Int, w: Array[Int], b: Array[Int])
+
+    // Gemm(x, W[, C]; transB=1): weights already [out, in]; an absent C
+    // input (the 2-input export) means a zero bias
+    def gemmLayer(n: Node): Layer = {
+      require(n.inputs.length == 2 || n.inputs.length == 3,
+        s"onnx: Gemm needs 2 or 3 inputs (A, B[, C]), got ${n.inputs.length}")
       n.attrs.foreach {
         case ("alpha", Right(f)) => require(f == 1.0f, s"onnx: Gemm alpha $f unsupported (need 1)")
         case ("beta", Right(f)) => require(f == 1.0f, s"onnx: Gemm beta $f unsupported (need 1)")
@@ -188,34 +210,76 @@ object OnnxMlp {
       }
       require(n.attrs.get("transB").contains(Left(1L)),
         "onnx: Gemm needs explicit transB=1 (weights stored [out, in])")
-      def init(name: String) = byName.getOrElse(name,
-        throw new IllegalArgumentException(s"onnx: Gemm input '$name' is not an initializer"))
-      (init(n.inputs(1)), init(n.inputs(2)))
+      val wT = initOf(n.inputs(1), "Gemm")
+      require(wT.dims.length == 2, s"onnx: Gemm weight '${wT.name}' rank must be 2")
+      val dOut = wT.dims(0).toInt; val dIn = wT.dims(1).toInt
+      val b =
+        if (n.inputs.length == 3) {
+          val bT = initOf(n.inputs(2), "Gemm")
+          require(bT.dims.length == 1 && bT.dims.head.toInt == dOut,
+            s"onnx: Gemm bias '${bT.name}' length does not match layer width $dOut")
+          quantized(bT)
+        } else new Array[Int](dOut) // absent C: zero bias
+      Layer(dIn, dOut, quantized(wT), b)
     }
-    // dataflow: Relu consumes Gemm1's output, Gemm2 consumes Relu's
-    require(ns(1).inputs.headOption == ns(0).outputs.headOption,
-      "onnx: Relu input is not the first Gemm's output")
-    require(ns(2).inputs.headOption == ns(1).outputs.headOption,
-      "onnx: second Gemm's input is not the Relu output")
-    val (w1t, b1t) = gemmWeights(ns(0))
-    val (w2t, b2t) = gemmWeights(ns(2))
-    require(w1t.dims.length == 2 && w2t.dims.length == 2 &&
-      b1t.dims.length == 1 && b2t.dims.length == 1,
-      "onnx: weight ranks must be 2 (W) and 1 (B)")
-    val d1 = w1t.dims(0).toInt; val d0 = w1t.dims(1).toInt
-    val dOut = w2t.dims(0).toInt
-    require(w2t.dims(1).toInt == d1, s"onnx: W2 inner dim ${w2t.dims(1)} != W1 outer dim $d1")
-    require(b1t.dims.head.toInt == d1 && b2t.dims.head.toInt == dOut,
-      "onnx: bias lengths do not match layer widths")
 
-    def quantized(t: Tensor): Array[Int] = t.data.map { f =>
-      require(f == math.rint(f) && math.abs(f) <= 127.0f,
-        s"onnx: initializer '${t.name}' value $f is not an integral int8-range weight " +
-          "(this carrier runs exact-integer quantized models only)")
-      f.toInt
+    // MatMul(x, W) -> Add(., B): the other common export spelling —
+    // weights stored [in, out], transposed here to the engine layout
+    def matmulAddLayer(mm: Node, add: Node, upstream: String): Layer = {
+      require(mm.inputs.length == 2, s"onnx: MatMul needs 2 inputs, got ${mm.inputs.length}")
+      require(mm.inputs.headOption.contains(upstream),
+        s"onnx: MatMul's data input must be '$upstream'")
+      require(!byName.contains(mm.inputs.head),
+        "onnx: MatMul's data input must not be an initializer")
+      val wT = initOf(mm.inputs(1), "MatMul")
+      require(wT.dims.length == 2, s"onnx: MatMul weight '${wT.name}' rank must be 2")
+      val dIn = wT.dims(0).toInt; val dOut = wT.dims(1).toInt
+      val mmOut = mm.outputs.headOption.getOrElse(
+        throw new IllegalArgumentException("onnx: MatMul node has no output"))
+      require(add.inputs.length == 2, s"onnx: Add needs 2 inputs, got ${add.inputs.length}")
+      require(add.inputs.contains(mmOut), "onnx: Add must consume the MatMul output")
+      val bName = add.inputs.filterNot(_ == mmOut) match {
+        case Seq(one) => one
+        case _ => throw new IllegalArgumentException(
+          "onnx: Add needs exactly one bias operand beside the MatMul output")
+      }
+      val bT = initOf(bName, "Add")
+      require(bT.dims.length == 1 && bT.dims.head.toInt == dOut,
+        s"onnx: Add bias '${bT.name}' length does not match layer width $dOut")
+      val w = quantized(wT)
+      val t = new Array[Int](w.length)
+      var i = 0
+      while (i < dIn) {
+        var j = 0
+        while (j < dOut) { t(j * dIn + i) = w(i * dOut + j); j += 1 }
+        i += 1
+      }
+      Layer(dIn, dOut, t, quantized(bT))
     }
-    NeuralModel(d0, d1, dOut,
-      quantized(w1t), quantized(b1t), quantized(w2t), quantized(b2t))
+
+    val (l1, l2) = ns.map(_.opType) match {
+      case Seq("Gemm", "Relu", "Gemm") =>
+        // dataflow: Relu consumes Gemm1's output, Gemm2 consumes Relu's
+        require(ns(1).inputs.headOption == ns(0).outputs.headOption,
+          "onnx: Relu input is not the first Gemm's output")
+        require(ns(2).inputs.headOption == ns(1).outputs.headOption,
+          "onnx: second Gemm's input is not the Relu output")
+        (gemmLayer(ns(0)), gemmLayer(ns(2)))
+      case Seq("MatMul", "Add", "Relu", "MatMul", "Add") =>
+        require(ns(2).inputs.headOption == ns(1).outputs.headOption,
+          "onnx: Relu input is not the first Add's output")
+        val graphIn = ns(0).inputs.headOption.getOrElse(
+          throw new IllegalArgumentException("onnx: first MatMul has no inputs"))
+        val reluOut = ns(2).outputs.headOption.getOrElse(
+          throw new IllegalArgumentException("onnx: Relu node has no output"))
+        (matmulAddLayer(ns(0), ns(1), graphIn),
+          matmulAddLayer(ns(3), ns(4), reluOut))
+      case other => throw new IllegalArgumentException(
+        "onnx: expected Gemm/Relu/Gemm or MatMul/Add/Relu/MatMul/Add, got " +
+          other.mkString("/"))
+    }
+    require(l2.dIn == l1.dOut, s"onnx: W2 inner dim ${l2.dIn} != W1 outer dim ${l1.dOut}")
+    NeuralModel(l1.dIn, l1.dOut, l2.dOut, l1.w, l1.b, l2.w, l2.b)
   }
 
   def readFile(path: String): NeuralModel =
@@ -291,6 +355,16 @@ object OnnxMlp {
     w.result()
   }
 
+  private def finishModel(g: Writer): Array[Byte] = {
+    val opset = { val w = new Writer; w.stringField(1, ""); w.varintField(2, 13L); w.result() }
+    val model = new Writer
+    model.varintField(1, 8L) // ir_version
+    model.stringField(2, "graft")
+    model.bytesField(7, g.result())
+    model.bytesField(8, opset)
+    model.result()
+  }
+
   /** Serialize the model as a valid one-graph ONNX file (opset 13). */
   def write(m: NeuralModel): Array[Byte] = {
     val gemmAttrs = Seq(attrFloat("alpha", 1.0f), attrFloat("beta", 1.0f),
@@ -306,13 +380,41 @@ object OnnxMlp {
     g.bytesField(5, tensorBytes("B2", Seq(m.dOut), m.b2))
     g.bytesField(11, valueInfoBytes("x", m.d0))
     g.bytesField(12, valueInfoBytes("y", m.dOut))
-    val opset = { val w = new Writer; w.stringField(1, ""); w.varintField(2, 13L); w.result() }
-    val model = new Writer
-    model.varintField(1, 8L) // ir_version
-    model.stringField(2, "graft")
-    model.bytesField(7, g.result())
-    model.bytesField(8, opset)
-    model.result()
+    finishModel(g)
+  }
+
+  /** Serialize the SAME model in the other common export spelling —
+    * MatMul(x, W) -> Add -> Relu -> MatMul -> Add with weights stored
+    * [in, out] (the TF/keras-style export; Gemm transB=1 is the
+    * PyTorch-style one). [[read]] accepts both and lowers them onto the
+    * identical NeuralModel, so the two byte streams are
+    * forward-pass-equivalent by construction.
+    */
+  def writeMatMulAdd(m: NeuralModel): Array[Byte] = {
+    def transposed(w: Array[Int], dOut: Int, dIn: Int): Array[Int] = {
+      val t = new Array[Int](w.length)
+      var i = 0
+      while (i < dOut) {
+        var j = 0
+        while (j < dIn) { t(j * dOut + i) = w(i * dIn + j); j += 1 }
+        i += 1
+      }
+      t
+    }
+    val g = new Writer
+    g.bytesField(1, nodeBytes("MatMul", Seq("x", "W1"), Seq("mm0"), Seq.empty))
+    g.bytesField(1, nodeBytes("Add", Seq("mm0", "B1"), Seq("h0"), Seq.empty))
+    g.bytesField(1, nodeBytes("Relu", Seq("h0"), Seq("h"), Seq.empty))
+    g.bytesField(1, nodeBytes("MatMul", Seq("h", "W2"), Seq("mm1"), Seq.empty))
+    g.bytesField(1, nodeBytes("Add", Seq("mm1", "B2"), Seq("y"), Seq.empty))
+    g.stringField(2, "graft_quantized_mlp_matmul")
+    g.bytesField(5, tensorBytes("W1", Seq(m.d0, m.d1), transposed(m.w1, m.d1, m.d0)))
+    g.bytesField(5, tensorBytes("B1", Seq(m.d1), m.b1))
+    g.bytesField(5, tensorBytes("W2", Seq(m.d1, m.dOut), transposed(m.w2, m.dOut, m.d1)))
+    g.bytesField(5, tensorBytes("B2", Seq(m.dOut), m.b2))
+    g.bytesField(11, valueInfoBytes("x", m.d0))
+    g.bytesField(12, valueInfoBytes("y", m.dOut))
+    finishModel(g)
   }
 
   def writeFile(m: NeuralModel, path: String): Unit = {

@@ -32,6 +32,14 @@ object OnnxProperties extends Properties("graft.onnx") {
         got.w2.sameElements(m.w2) && got.b2.sameElements(m.b2)
     }
 
+  property("writeMatMulAdd -> read round-trips at any rectangle (transpose cannot hide)") =
+    forAll(model) { m =>
+      val got = OnnxMlp.read(OnnxMlp.writeMatMulAdd(m))
+      got.d0 == m.d0 && got.d1 == m.d1 && got.dOut == m.dOut &&
+        got.w1.sameElements(m.w1) && got.b1.sameElements(m.b1) &&
+        got.w2.sameElements(m.w2) && got.b2.sameElements(m.b2)
+    }
+
   property("any byte-level truncation into the graph refuses, never misreads") =
     forAll(model, Gen.choose(1, 40)) { (m, cut) =>
       val bytes = OnnxMlp.write(m)

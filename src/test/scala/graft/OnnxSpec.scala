@@ -84,6 +84,48 @@ class OnnxSpec extends AnyFunSuite {
     assert(m.b2.toSeq === Seq(4))
   }
 
+  test("MatMul+Add spelling round-trips: same model, forward pass identical to the Gemm spelling") {
+    val m = NeuralEmbed.generate(48, 24, 32) // non-square: a transposed read cannot hide
+    val got = OnnxMlp.read(OnnxMlp.writeMatMulAdd(m))
+    assert((got.d0, got.d1, got.dOut) === ((m.d0, m.d1, m.dOut)))
+    assert(got.w1.toSeq === m.w1.toSeq)
+    assert(got.b1.toSeq === m.b1.toSeq)
+    assert(got.w2.toSeq === m.w2.toSeq)
+    assert(got.b2.toSeq === m.b2.toSeq)
+    val text = "spark window merge batch query join"
+    assert(NeuralEmbed.embedQuery(text, got).toSeq ===
+      NeuralEmbed.embedQuery(text, OnnxMlp.read(OnnxMlp.write(m))).toSeq)
+    // bias may ride either Add operand order (commutative in exports)
+    val g =
+      ld(1, node("MatMul", Seq("x", "W1"), Seq("mm0"), Seq.empty)) ++
+      ld(1, node("Add", Seq("B1", "mm0"), Seq("h0"), Seq.empty)) ++ // bias FIRST
+      ld(1, node("Relu", Seq("h0"), Seq("h"), Seq.empty)) ++
+      ld(1, node("MatMul", Seq("h", "W2"), Seq("mm1"), Seq.empty)) ++
+      ld(1, node("Add", Seq("mm1", "B2"), Seq("y"), Seq.empty)) ++
+      ld(5, tensorAlt("W1", Seq(3L, 2L), Seq(1f, 4f, -2f, 5f, 3f, -6f))) ++ // [in=3, out=2]
+      ld(5, tensorAlt("B1", Seq(2L), Seq(7f, -7f))) ++
+      ld(5, tensorAlt("W2", Seq(2L, 1L), Seq(2f, -3f))) ++
+      ld(5, tensorAlt("B2", Seq(1L), Seq(4f)))
+    val alt = OnnxMlp.read(vi(1, 8L) ++ ld(7, g))
+    assert((alt.d0, alt.d1, alt.dOut) === ((3, 2, 1)))
+    assert(alt.w1.toSeq === Seq(1, -2, 3, 4, 5, -6), "transpose to [out][in] wrong")
+    assert(alt.w2.toSeq === Seq(2, -3))
+  }
+
+  test("absent-bias Gemm (2 inputs) reads as a zero bias") {
+    val g =
+      ld(1, node("Gemm", Seq("x", "W1"), Seq("h0"), Seq(attrI("transB", 1L)))) ++
+      ld(1, node("Relu", Seq("h0"), Seq("h"), Seq.empty)) ++
+      ld(1, node("Gemm", Seq("h", "W2", "B2"), Seq("y"), Seq(attrI("transB", 1L)))) ++
+      ld(5, tensorAlt("W1", Seq(2L, 3L), Seq(1f, -2f, 3f, 0f, 5f, -6f))) ++
+      ld(5, tensorAlt("W2", Seq(1L, 2L), Seq(2f, -3f))) ++
+      ld(5, tensorAlt("B2", Seq(1L), Seq(4f)))
+    val m = OnnxMlp.read(vi(1, 8L) ++ ld(7, g))
+    assert((m.d0, m.d1, m.dOut) === ((3, 2, 1)))
+    assert(m.b1.toSeq === Seq(0, 0), "absent C must mean a zero bias")
+    assert(m.b2.toSeq === Seq(4))
+  }
+
   test("strictness: wrong op order, missing transB, non-integral weight, dim mismatch all refuse") {
     val m = model
     val good = OnnxMlp.write(m)
@@ -124,6 +166,32 @@ class OnnxSpec extends AnyFunSuite {
     // truncated file (cut into the graph body, not just a trailing field)
     intercept[IllegalArgumentException] {
       OnnxMlp.read(good.dropRight(20))
+    }
+    // MatMul-spelling strictness: broken dataflow (Add not consuming the
+    // MatMul output) and a bias-less Add both refuse
+    val mmT = Seq(
+      tensorAlt("W1", Seq(3L, 2L), Seq(1f, 1f, 1f, 1f, 1f, 1f)),
+      tensorAlt("B1", Seq(2L), Seq(0f, 0f)),
+      tensorAlt("W2", Seq(2L, 1L), Seq(1f, 1f)),
+      tensorAlt("B2", Seq(1L), Seq(0f)))
+    def mmNodes(addIn: Seq[String]): Seq[Array[Byte]] = Seq(
+      node("MatMul", Seq("x", "W1"), Seq("mm0"), Seq.empty),
+      node("Add", addIn, Seq("h0"), Seq.empty),
+      node("Relu", Seq("h0"), Seq("h"), Seq.empty),
+      node("MatMul", Seq("h", "W2"), Seq("mm1"), Seq.empty),
+      node("Add", Seq("mm1", "B2"), Seq("y"), Seq.empty))
+    assert(OnnxMlp.read(graph(mmNodes(Seq("mm0", "B1")), mmT)).d0 === 3)
+    intercept[IllegalArgumentException] { // Add skips the MatMul output
+      OnnxMlp.read(graph(mmNodes(Seq("x", "B1")), mmT))
+    }
+    intercept[IllegalArgumentException] { // both Add operands initializers
+      OnnxMlp.read(graph(mmNodes(Seq("B1", "B1")), mmT))
+    }
+    // a 1-input Gemm is a malformed layer, not a zero-bias one
+    intercept[IllegalArgumentException] {
+      OnnxMlp.read(graph(Seq(
+        node("Gemm", Seq("x"), Seq("h0"), Seq(attrI("transB", 1L))),
+        okNodes(1), okNodes(2)), t))
     }
   }
 }
