@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   * clamp.
   *
   * Scope is the LUMA path the m-family needs: single-component (8-bit
-  * grayscale) baseline sequential, no restart markers, no progressive —
-  * anything else quarantines to NULL (the m5-m8 torn-blob posture:
-  * refuse loudly per row, never crash the job). Color JPEG decode
+  * grayscale) baseline sequential, restart intervals included (DRI +
+  * the cycling RSTn markers with per-interval DC predictor resets and
+  * byte re-alignment — what camera firmware emits for error resilience),
+  * no progressive — anything else quarantines to NULL (the m5-m8
+  * torn-blob posture: refuse loudly per row, never crash the job). Color JPEG decode
   * (including 4:2:0/4:2:2 chroma subsampling) is the same machinery
   * times three components plus box chroma upsampling — the
   * [[JpegRgbStats]] surface; the seam stays per-row scan-fused either
@@ -180,7 +182,10 @@ object JpegPixelStats {
         if (v == 0xFF) {
           if (pos >= b.length) throw Torn
           val m = b(pos) & 0xFF; pos += 1
-          if (m != 0x00) throw Torn // RST/EOI inside scan: out of scope
+          // a marker inside a coefficient read is a torn stream — RSTn
+          // markers are only legal at the interval boundaries the walk
+          // consumes explicitly via restart()
+          if (m != 0x00) throw Torn
           v = 0xFF
         }
         acc = v; n = 8
@@ -203,6 +208,18 @@ object JpegPixelStats {
         l += 1
       }
       throw Torn // code longer than any table entry
+    }
+    /** Consume the RSTn marker at a restart boundary: discard any
+      * buffered padding bits (byte-align — T.81 pads with 1-bits before
+      * a marker), then require the exact cycling marker index. A wrong
+      * or absent marker is a torn stream.
+      */
+    def restart(expectedIdx: Int): Unit = {
+      n = 0 // drop padding bits; markers are byte-aligned
+      if (pos + 1 >= b.length) throw Torn
+      if ((b(pos) & 0xFF) != 0xFF ||
+          (b(pos + 1) & 0xFF) != (0xD0 | (expectedIdx & 7))) throw Torn
+      pos += 2
     }
   }
 
@@ -230,6 +247,7 @@ object JpegPixelStats {
     val compV = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
+    var restartInterval = 0
     var pos = 2
     try {
       while (true) {
@@ -298,7 +316,11 @@ object JpegPixelStats {
               p += 17 + nsym
             }
             pos += len
-          case 0xDD => return null // DRI/restart intervals: out of scope
+          case 0xDD => // DRI: restart interval in MCUs (0 disables)
+            val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
+            if (len != 4 || pos + len > b.length) return null
+            restartInterval = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+            pos += len
           case 0xDA => // SOS — entropy data follows
             val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
             if (pos + len > b.length) return null
@@ -321,7 +343,8 @@ object JpegPixelStats {
             }
             val dcs = Array.tabulate(ncomp)(c => dcT(compDc(c)))
             val acs = Array.tabulate(ncomp)(c => acT(compAc(c)))
-            return entropyDecode(b, pos, w, h, compH, compV, qs, dcs, acs)
+            return entropyDecode(b, pos, w, h, compH, compV, qs, dcs, acs,
+              restartInterval)
           case m if m >= 0xD0 && m <= 0xD7 => return null // stray RST
           case 0x01 => () // TEM, standalone
           case _ => // APPn/COM/other: length-prefixed skip
@@ -350,7 +373,7 @@ object JpegPixelStats {
   private def entropyDecode(b: Array[Byte], start: Int, w: Int, h: Int,
                             hsRaw: Array[Int], vsRaw: Array[Int],
                             qs: Array[Array[Int]], dcs: Array[Huff],
-                            acs: Array[Huff]): Array[Array[Array[Int]]] = {
+                            acs: Array[Huff], ri: Int): Array[Array[Array[Int]]] = {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
     val nc = qs.length
     var c0 = 0
@@ -372,10 +395,20 @@ object JpegPixelStats {
     val tmp = Array.ofDim[Double](8, 8)
     val pred = new Array[Int](nc)
     try {
+      // restart bookkeeping: after every `ri` MCUs (when ri > 0) the
+      // stream byte-aligns, carries the cycling RSTn marker, and every
+      // component's DC predictor resets (T.81 F.2.1.3.1)
+      var mcuDone = 0
+      var rstIdx = 0
       var my = 0
       while (my < mcy) {
         var mx = 0
         while (mx < mcx) {
+          if (ri > 0 && mcuDone > 0 && mcuDone % ri == 0) {
+            bits.restart(rstIdx)
+            rstIdx = (rstIdx + 1) & 7
+            java.util.Arrays.fill(pred, 0)
+          }
           var c = 0
           while (c < nc) {
             val q = qs(c)
@@ -418,6 +451,7 @@ object JpegPixelStats {
             }
             c += 1
           }
+          mcuDone += 1
           mx += 1
         }
         my += 1

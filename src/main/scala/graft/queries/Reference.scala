@@ -580,6 +580,53 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // RESTART-MARKER JPEG decode under the gate — the error-resilience
+    // layout camera firmware emits: a DRI segment sets interval 1, so
+    // every block boundary byte-aligns, carries the cycling RSTn marker
+    // (D0..D7 wrapping), and RESETS the DC predictor. With reset, every
+    // block's value is its own diff (128 + 2*d_k at q0=16); without, the
+    // chain would accumulate — so the oracle's per-block statement is
+    // only reachable through correct restart semantics. Markers slot in
+    // between the byte-aligned two-byte blocks in column arithmetic.
+    // Torn docs (doc_id % 7 == 0, last entropy byte lost) quarantine.
+    // The JDK differential (JpegSpec) pins marker consumption and the
+    // reset EXACTLY against ImageIO on the same DRI files.
+    "m14_jpeg_restart" -> { (s, d) =>
+      import graft.functions.GraftFunctions.jpeg_pixel_stats
+      val wb = (col("doc_id") % 3 + 1).cast("int")
+      val hb = (col("doc_id") % 2 + 1).cast("int")
+      val n = wb * hb
+      def dcByte(i: Column): Column =
+        lit(8) + pmod(col("doc_id") + i, lit(8))
+      val entropyHex = array_join(
+        transform(sequence(lit(0), n - 1),
+          i => concat(
+            when(i === 0, lit("")).otherwise(
+              format_string("FFD%d", pmod(i - 1, lit(8)))),
+            format_string("%02X00", dcByte(i).cast("int")))), "")
+      val jpegHex = concat(
+        lit("FFD8"),
+        lit("FFDB00430010"), lit("01" * 63),
+        lit("FFC0000B08"),
+        format_string("%04X", hb * 8), format_string("%04X", wb * 8),
+        lit("01011100"),
+        lit("FFC4001400"), lit("00000001" + "00" * 12), lit("04"),
+        lit("FFC4001410"), lit("00000000000000010000000000000000"), lit("00"),
+        lit("FFDD00040001"),                            // DRI: interval 1
+        lit("FFDA0008010100003F00"),
+        entropyHex,
+        lit("FFD9"))
+      val hex = when(col("doc_id") % 7 === 0,
+        substring(jpegHex, lit(1), length(jpegHex) - 6)).otherwise(jpegHex)
+      Tables.documents(s, d)
+        .select(col("doc_id"), jpeg_pixel_stats(unhex(hex)).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"), col("p.pixel_sum").as("pixel_sum"),
+          col("p.pixel_min").as("pixel_min"), col("p.pixel_max").as("pixel_max"))
+        .orderBy(col("doc_id"))
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1461,6 +1508,39 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sr END AS sum_r,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sg END AS sum_g,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sb END AS sum_b,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // restart semantics in the statement itself: at interval 1 EVERY
+    // block's dc is its own diff (the predictor reset), so dc = d_i for
+    // all i — the un-reset chain would read a running sum instead and
+    // nothing downstream could repair the hash
+    "m14_jpeg_restart" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 3 + 1 AS INT) AS wb,
+        |    CAST(doc_id % 2 + 1 AS INT) AS hb
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, wb, hb,
+        |    unnest(generate_series(0, wb * hb - 1)) AS i
+        |  FROM s),
+        |v AS (
+        |  SELECT doc_id, 8 + (doc_id + i) % 8 AS dc
+        |  FROM b),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(64 * (128 + 2 * dc)) AS BIGINT) AS ps,
+        |    CAST(MIN(128 + 2 * dc) AS INT) AS mn,
+        |    CAST(MAX(128 + 2 * dc) AS INT) AS mx
+        |  FROM v GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 8 * wb END AS width,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 8 * hb END AS height,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(64 * wb * hb AS BIGINT) END AS n_pixels,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE ps END AS pixel_sum,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,

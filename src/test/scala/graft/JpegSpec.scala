@@ -59,7 +59,7 @@ class JpegSpec extends AnyFunSuite {
     assert((two.getInt(4), two.getInt(5)) === ((144, 160)))
   }
 
-  test("quarantine: torn entropy data, truncated header, progressive, color, DRI all NULL") {
+  test("quarantine: torn entropy data, truncated header, progressive, color all NULL") {
     val good = dcOnlyJpeg(2, 2, 16, Seq(9, -9, 9, -9))
     assert(JpegPixelStats.decodeStats(good) !== null)
     // torn: drop the EOI AND one entropy byte -> block decode runs dry
@@ -74,6 +74,86 @@ class JpegSpec extends AnyFunSuite {
       (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
     prog(sofAt + 1) = 0xC2.toByte
     assert(JpegPixelStats.decodeStats(prog) === null)
+  }
+
+  /** [[dcOnlyJpeg]] with a DRI segment (restart interval `ri` MCUs) and
+    * the cycling RSTn markers between intervals. Because every block is
+    * byte-aligned 2 bytes, restart markers slot in without re-padding.
+    */
+  def dcOnlyJpegDri(wBlocks: Int, hBlocks: Int, q0: Int, ri: Int,
+                    diffs: Seq[Int]): Array[Byte] = {
+    require(diffs.length == wBlocks * hBlocks)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xFF))
+    b(0xFF, 0xD8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00); b(q0); (1 until 64).foreach(_ => b(1))
+    val w = wBlocks * 8; val h = hBlocks * 8
+    b(0xFF, 0xC0, 0x00, 0x0B, 0x08, h >> 8, h & 0xFF, w >> 8, w & 0xFF,
+      0x01, 0x01, 0x11, 0x00)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x00,
+      0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x04)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x10,
+      0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0x00)
+    b(0xFF, 0xDD, 0x00, 0x04, ri >> 8, ri & 0xFF) // DRI
+    b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00)
+    var rst = 0
+    diffs.zipWithIndex.foreach { case (d, k) =>
+      if (k > 0 && k % ri == 0) { // RSTn between intervals
+        b(0xFF, 0xD0 | (rst & 7)); rst += 1
+      }
+      require(math.abs(d) >= 8 && math.abs(d) <= 15, s"category-4 diff needed, got $d")
+      b(if (d > 0) d else d + 15, 0x00)
+    }
+    b(0xFF, 0xD9)
+    out.toByteArray
+  }
+
+  test("restart markers: DC predictors reset per interval, marker index cycles, wrong marker torn") {
+    // ri = 1: every block's diff stands alone — values 128 + 2*d_k,
+    // which the UN-reset chain would read as a running sum instead
+    val diffs = Seq(9, 10, 11, 12, 13, 14, 15, 8, 9, 10) // 10 blocks -> RST0..D7,D0
+    val bytes = dcOnlyJpegDri(5, 2, 16, 1, diffs)
+    val r = JpegPixelStats.decodeStats(bytes)
+    assert(r !== null, "restart-marker stream refused")
+    assert(r.getLong(3) === diffs.map(d => 64L * (128 + 2 * d)).sum)
+    assert((r.getInt(4), r.getInt(5)) === ((128 + 16, 128 + 30)))
+    // ri = 2 with alternating pairs: predictor resets where a pair ends,
+    // so values match the non-DRI m11 pattern — the two encodings of the
+    // same image must decode identically
+    val paired = Seq(9, -9, 12, -12, 15, -15)
+    val withDri = JpegPixelStats.decodeStats(dcOnlyJpegDri(3, 2, 16, 2, paired))
+    val without = JpegPixelStats.decodeStats(dcOnlyJpeg(3, 2, 16, paired))
+    assert(withDri.getLong(3) === without.getLong(3))
+    assert((withDri.getInt(4), withDri.getInt(5)) ===
+      ((without.getInt(4), without.getInt(5))))
+    // a wrong restart index is a torn stream, not a silent resync
+    val bad = bytes.clone()
+    val firstRst = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xFF) == 0xFF && (bad(i + 1) & 0xFF) == 0xD0).get
+    bad(firstRst + 1) = 0xD5.toByte
+    assert(JpegPixelStats.decodeStats(bad) === null)
+    // a MISSING restart marker is torn too
+    val missing = bytes.take(firstRst) ++ bytes.drop(firstRst + 2)
+    assert(JpegPixelStats.decodeStats(missing) === null)
+  }
+
+  test("JDK differential (restart markers): ImageIO agrees on our DRI files exactly") {
+    // DC-only blocks decode to exact integers in both decoders — the
+    // differential pins marker consumption, byte re-alignment, and the
+    // predictor reset against an independent implementation
+    val rnd = new scala.util.Random(59)
+    for (ri <- Seq(1, 2, 3, 7)) {
+      val wB = 4; val hB = 3
+      val diffs = IndexedSeq.fill(wB * hB)(8 + rnd.nextInt(8))
+      val bytes = dcOnlyJpegDri(wB, hB, 16, ri, diffs)
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(jdk !== null, s"ImageIO refused our DRI=$ri file")
+      val ours = JpegPixelStats.decodePixels(bytes)
+      assert(ours !== null, s"we refused our own DRI=$ri file")
+      for (y <- 0 until hB * 8; x <- 0 until wB * 8)
+        assert(ours(y)(x) === jdk.getRaster.getSample(x, y, 0),
+          s"ri=$ri sample ($y,$x)")
+    }
   }
 
   /** 3-component 4:4:4 variant of [[dcOnlyJpeg]] — shared tables,
