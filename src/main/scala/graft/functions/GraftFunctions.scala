@@ -96,6 +96,8 @@ object GraftFunctions {
 
   def jpeg_rgb_stats(bytes: Column): Column = toCol(JpegRgbStats(toExpr(bytes)))
   def bmp_ahash(bytes: Column): Column = toCol(BmpAhash(toExpr(bytes)))
+  /** WARC (ISO 28500) record splitter — see [[WarcRecords]]. */
+  def warc_records(bytes: Column): Column = toCol(WarcRecords(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
@@ -173,6 +175,7 @@ object GraftFunctions {
     "jpeg_pixel_stats" -> { es => JpegPixelStats(es(0)) },
     "jpeg_rgb_stats" -> { es => JpegRgbStats(es(0)) },
     "bmp_ahash" -> { es => BmpAhash(es(0)) },
+    "warc_records" -> { es => WarcRecords(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
     "nfc_normalize" -> { es => NfcNormalize(es(0)) },
     "cm_buckets" -> { es => CmBuckets(es(0),

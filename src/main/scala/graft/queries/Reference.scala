@@ -627,6 +627,46 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // WARC RECORD EXTRACTION under the gate — the crawl container (ISO
+    // 28500, Common Crawl's distribution format): per document,
+    // construct a complete two-record WARC blob in column arithmetic —
+    // a warcinfo record (no target URI, block surfaced whole) and a
+    // response record whose block is a real HTTP/1.1 response (status
+    // varies by doc, headers stripped from the surfaced body) — split it
+    // with warc_records + posexplode. Content-Length is computed from
+    // the component lengths, so the parser's exact-cover contract is
+    // under the hash. Torn docs (doc_id % 7 == 0, last bytes lost) must
+    // quarantine the WHOLE blob: they contribute NO rows, and the
+    // oracle states every field arithmetically for the rest.
+    "m15_warc_records" -> { (s, d) =>
+      import graft.functions.GraftFunctions.warc_records
+      val status = when(col("doc_id") % 5 === 0, lit(404)).otherwise(lit(200))
+      val body = concat(lit("doc "), col("doc_id"), lit(" "), col("lang"))
+      val http = concat(
+        format_string("HTTP/1.1 %d OK\r\nContent-Type: text/plain\r\n\r\n", status),
+        body)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:"),
+        col("doc_id"),
+        lit(">\r\nContent-Length: 15\r\n\r\nsoftware: graft\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        col("doc_id"),
+        format_string("\r\nContent-Length: %d\r\n\r\n", length(http)),
+        http, lit("\r\n\r\n"))
+      val blob = when(col("doc_id") % 7 === 0,
+        warc.substr(lit(1), length(warc) - 3)).otherwise(warc)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(warc_records(blob.cast("binary"))).as(Seq("rec_idx", "r")))
+        .select(col("doc_id"), col("rec_idx").cast("int").as("rec_idx"),
+          col("r.rec_type").as("rec_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_length").as("content_length"),
+          col("r.http_status").as("http_status"),
+          col("r.body").as("body"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1511,6 +1551,37 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the m8 inversion posture for WARC: the oracle never parses a byte
+    // — it states both records' fields from the construction arithmetic
+    // (content lengths from component string lengths), and torn docs
+    // contribute no rows at all (whole-blob quarantine)
+    "m15_warc_records" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    'doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang AS body,
+        |    CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |recs AS (
+        |  SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+        |    'warcinfo' AS rec_type,
+        |    CAST(NULL AS VARCHAR) AS target_uri,
+        |    CAST(15 AS BIGINT) AS content_length,
+        |    CAST(NULL AS INT) AS http_status,
+        |    'software: graft' AS body
+        |  FROM s
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT),
+        |    'response',
+        |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+        |    CAST(45 + len(body) AS BIGINT),
+        |    status,
+        |    body
+        |  FROM s)
+        |SELECT doc_id, rec_idx, rec_type, target_uri, content_length,
+        |  http_status, body
+        |FROM recs ORDER BY doc_id, rec_idx""".stripMargin,
 
     // restart semantics in the statement itself: at interval 1 EVERY
     // block's dc is its own diff (the predictor reset), so dc = d_i for
