@@ -572,6 +572,37 @@ object Text extends QueryPack {
     // chunk into 8-doc batches, each padding to its own max — the
     // batch-level pad_waste summary the bucket width is tuned on.
     // Per-bucket windows, never a corpus-wide sort.
+    // PII SCRUBBING under the gate — the redaction pass every
+    // public-crawl pipeline runs (emails / IPv4 / phone numbers, the
+    // C4/RedPajama-style rules) as a fixed-order chain of built-in
+    // regexp stages, whole-stage codegen, zero shuffle. The corpus text
+    // is digit-free by construction, so the gate WEAVES synthetic PII
+    // around each doc's real prefix in column arithmetic and the oracle
+    // states the identical regex chain in RE2 — the patterns use only
+    // the subset Java regex and RE2 agree on (doc on operators/Pii).
+    // Counts are per-stage (as the previous stage left the text), so
+    // the stage ORDER itself is under the hash.
+    "t54_pii_scrub" -> { (s, d) =>
+      val id = col("doc_id")
+      val phone = concat(
+        when(id % 2 === 0, lit("+")).otherwise(lit("")),
+        format_string("%03d-%03d-%04d", (id % 1000).cast("int"),
+          ((id * 7) % 1000).cast("int"), (id % 10000).cast("int")))
+      val ip = format_string("10.%d.%d.%d", (id % 256).cast("int"),
+        ((id * 3) % 256).cast("int"), (id % 100).cast("int"))
+      val email = concat(lit("user"), id.cast("string"),
+        lit("@mail"), (id % 10).cast("string"), lit(".com"))
+      val extra = when(id % 3 === 0,
+        lit(" also 10.1.2.3 and x@y.io")).otherwise(lit(""))
+      val piiText = concat(lit("reach "), email, lit(" or "), phone,
+        lit(" from "), ip, extra, lit(" then "),
+        substring(col("text"), 1, 60))
+      graft.operators.Pii.scrub(
+        Tables.documents(s, d).select(id, piiText.as("text")), "text")
+        .select(id, col("n_email"), col("n_ip"), col("n_phone"), col("redacted"))
+        .orderBy(id)
+    },
+
     "t50_length_batching" -> { (s, d) =>
       graft.operators.Packing.lengthBatches(Tables.documents(s, d),
         "doc_id", "text", bucketWidth = 16L, batchSize = 8L)
@@ -2124,6 +2155,45 @@ object Text extends QueryPack {
          |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
          |FROM r GROUP BY 1, 2
          |ORDER BY bucket, batch_idx""".stripMargin,
+
+    // the identical three-stage chain in RE2; single-quoted SQL strings
+    // keep the backslashes literal
+    "t54_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'reach user' || CAST(doc_id AS VARCHAR) || '@mail'
+        |      || CAST(doc_id % 10 AS VARCHAR) || '.com or '
+        |      || CASE WHEN doc_id % 2 = 0 THEN '+' ELSE '' END
+        |      || printf('%03d-%03d-%04d', doc_id % 1000, (doc_id * 7) % 1000,
+        |                doc_id % 10000)
+        |      || ' from '
+        |      || printf('10.%d.%d.%d', doc_id % 256, (doc_id * 3) % 256,
+        |                doc_id % 100)
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' also 10.1.2.3 and x@y.io'
+        |         ELSE '' END
+        |      || ' then ' || left(text, 60) AS t
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |    regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |s2 AS (
+        |  SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t1,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |    regexp_replace(t1,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, n_email, n_ip,
+        |    CAST(len(regexp_extract_all(t2, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phone,
+        |    regexp_replace(t2, '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted
+        |  FROM s2)
+        |SELECT doc_id, n_email, n_ip, n_phone, redacted
+        |FROM s3 ORDER BY doc_id""".stripMargin,
 
     // the identical chunk rule: starts 0, 30, 60, ... while
     // start < max(n - 10, 1); final chunk may be short; list slicing
