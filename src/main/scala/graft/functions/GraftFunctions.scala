@@ -98,6 +98,8 @@ object GraftFunctions {
   def bmp_ahash(bytes: Column): Column = toCol(BmpAhash(toExpr(bytes)))
   /** WARC (ISO 28500) record splitter — see [[WarcRecords]]. */
   def warc_records(bytes: Column): Column = toCol(WarcRecords(toExpr(bytes)))
+  /** Multi-member GZIP inflation with bomb refusal — see [[Gunzip]]. */
+  def gunzip(bytes: Column): Column = toCol(Gunzip(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
@@ -176,6 +178,7 @@ object GraftFunctions {
     "jpeg_rgb_stats" -> { es => JpegRgbStats(es(0)) },
     "bmp_ahash" -> { es => BmpAhash(es(0)) },
     "warc_records" -> { es => WarcRecords(es(0)) },
+    "gunzip" -> { es => Gunzip(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
     "nfc_normalize" -> { es => NfcNormalize(es(0)) },
     "cm_buckets" -> { es => CmBuckets(es(0),

@@ -119,6 +119,24 @@ object EventsStream {
     graft.operators.CountMin.registersOver(
       events.select(col("event_type")), col("event_type"), depth, width)
 
+  /** Streaming twin of the q57 quantile-sketch registers (the 16th
+    * twin, completing the sketch-family trio of stream forms beside
+    * HLL distincts and CMS frequencies): the SAME log-binned count
+    * aggregate ([[graft.operators.QuantileSketch.registers]]) over a
+    * streaming frame — a plain combinable COUNT keyed by (type, bin),
+    * so state is bounded at types x <=1040 bins BY CONSTRUCTION and no
+    * watermark or TTL is needed on an unbounded stream; complete mode
+    * re-emits the register table per trigger. A dashboard reads
+    * quantiles off the maintained sink with
+    * [[graft.operators.QuantileSketch.quantile]]; batch == stream is
+    * count ADDITION mergeability (the q57b property), StreamingSpec
+    * pins it registers-exact and through the quantile read.
+    */
+  def quantileRegistersStream(events: DataFrame): DataFrame =
+    graft.operators.QuantileSketch.registers(
+      events.select(col("event_type"), col("value")),
+      Seq("event_type"), floor(col("value") * 100))
+
   /** Batch form of the HOPPING (sliding) window count: 1-hour windows
     * every 30 minutes — each event lands in two windows (oracle-checked
     * as e9; Spark's window() is usable in batch plans directly).

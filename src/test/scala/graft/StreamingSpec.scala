@@ -816,6 +816,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct.size === 4)
   }
 
+  test("quantile-register twins (16th): streamed log-bin counts equal batch, and the quantile read agrees") {
+    import spark.implicits._
+    import graft.operators.QuantileSketch
+    import org.apache.spark.sql.functions.{col, floor}
+    implicit val sctx = spark.sqlContext
+    val evs = (0 until 600).map { i =>
+      Event(i.toLong, java.sql.Timestamp.valueOf("2024-02-01 10:00:00"),
+        (i % 37).toLong, if (i % 3 == 0) "view" else "buy",
+        (i * i % 997) / 10.0 + i, "{}")
+    }.toVector
+    val input = MemoryStream[Event]
+    val q = EventsStream.quantileRegistersStream(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("q_regs")
+      .start()
+    try {
+      input.addData(evs.take(250)); q.processAllAvailable()
+      input.addData(evs.drop(250)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("q_regs").orderBy("event_type", "bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val batch = QuantileSketch.registers(evs.toDF(), Seq("event_type"),
+      floor(col("value") * 100))
+      .orderBy("event_type", "bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._1).distinct.sorted === Seq("buy", "view"))
+    // the dashboard read off the maintained sink: same median estimate
+    for (t <- Seq("view", "buy"); p <- Seq(0.5, 0.9)) {
+      val s = QuantileSketch.quantile(
+        streamed.filter(_._1 == t).map(x => (x._2, x._3)), p)
+      val b = QuantileSketch.quantile(
+        batch.filter(_._1 == t).map(x => (x._2, x._3)), p)
+      assert(s === b, s"quantile($t, $p)")
+    }
+  }
+
   test("lexical ingest twins (15th): streamed appendSaved equals batch-built BM25, scores included") {
     import spark.implicits._
     import graft.operators.InvertedIndex

@@ -93,6 +93,36 @@ class WarcSpec extends AnyFunSuite {
     assert(rows(good + good).map(_._1) === Seq("warcinfo", "warcinfo"))
   }
 
+  test("gunzip: per-record gzip members (the .warc.gz layout) inflate to the same records") {
+    import graft.functions.Gunzip
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val info = rec("WARC/1.0",
+      Seq("WARC-Type" -> "warcinfo", "Content-Length" -> "15"),
+      "software: graft")
+    val http = "HTTP/1.1 200 OK\r\n\r\npayload"
+    val resp = rec("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://x.org/a",
+        "Content-Length" -> http.length.toString),
+      http)
+    // Common Crawl's layout: one gzip MEMBER per record, concatenated
+    val multi = gz(info) ++ gz(resp)
+    val inflated = Gunzip.inflate(multi)
+    assert(inflated !== null, "multi-member stream refused")
+    assert(new String(inflated, "UTF-8") === info + resp)
+    assert(rows(info + resp).map(_._1) === Seq("warcinfo", "response"))
+    // refusals: not gzip, truncated trailer, corrupt deflate byte
+    assert(Gunzip.inflate("not gzip at all!!!".getBytes("UTF-8")) === null)
+    assert(Gunzip.inflate(gz(info).dropRight(2)) === null)
+    val corrupt = gz(info)
+    corrupt(14) = (corrupt(14) ^ 0x55).toByte
+    assert(Gunzip.inflate(corrupt) === null)
+    assert(Gunzip.inflate(Array[Byte]()) === null)
+  }
+
   test("binary-safe bodies: content-length covers bytes, not chars") {
     // a body with CRLFCRLF INSIDE it must not be mistaken for a separator
     val tricky = "a\r\n\r\nb"
