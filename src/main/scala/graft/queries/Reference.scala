@@ -667,6 +667,44 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"), col("rec_idx"))
     },
 
+    // THE CRAWL FRONT DOOR as one composed plan — what actually stands
+    // between a web crawl and a training corpus: WARC record extraction
+    // (m15) -> HTTP-200 response filter -> PII scrub (t54) -> quality
+    // gate -> fingerprint keep-first dedup (d11's front half), ONE lazy
+    // plan, so the extraction/scrub/gate/dedup boundaries all sit under
+    // a single hash. The PII constants are shared across docs, so the
+    // fingerprint collides exactly where document CONTENT collides and
+    // the dedup genuinely bites; 404 responses and torn blobs (doc_id %
+    // 7 == 0, whole-blob quarantine) never reach curation.
+    "x14_crawl_front_door" -> { (s, d) =>
+      import graft.functions.GraftFunctions.warc_records
+      import graft.functions.TextFunctions.{fingerprint, quality_score}
+      val id = col("doc_id")
+      val status = when(id % 5 === 0, lit(404)).otherwise(lit(200))
+      val body = concat(lit("contact admin@example.com or 10.0.0.1 "), col("text"))
+      val http = concat(
+        format_string("HTTP/1.1 %d OK\r\nContent-Type: text/plain\r\n\r\n", status),
+        body)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        id.cast("string"),
+        format_string("\r\nContent-Length: %d\r\n\r\n", length(http)),
+        http, lit("\r\n\r\n"))
+      val blob = when(id % 7 === 0,
+        warc.substr(lit(1), length(warc) - 3)).otherwise(warc)
+      val extracted = Tables.documents(s, d)
+        .select(id, explode(warc_records(blob.cast("binary"))).as("r"))
+        .filter(col("r.rec_type") === "response" && col("r.http_status") === 200)
+        .select(id, col("r.body").as("raw"))
+      val scrubbed = graft.operators.Pii.scrub(extracted, "raw")
+        .select(id, col("redacted"))
+      scrubbed.filter(quality_score(col("redacted")) >= 0.5)
+        .withColumn("fp", fingerprint(col("redacted")))
+        .groupBy(col("fp")).agg(min(id).as("doc_id"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1551,6 +1589,54 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the front door restated: bodies from the construction arithmetic
+    // (404s and torn docs excluded up front — they never reach the
+    // chain), then t54's scrub stages, x12's quality formula over the
+    // REDACTED text, and d11's md5 keep-first — every boundary under
+    // one hash
+    "x14_crawl_front_door" ->
+      """WITH raw0 AS (
+        |  SELECT doc_id,
+        |    'contact admin@example.com or 10.0.0.1 ' || text AS t
+        |  FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0),
+        |s1 AS (
+        |  SELECT doc_id, regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM raw0),
+        |s2 AS (
+        |  SELECT doc_id, regexp_replace(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, regexp_replace(t2,
+        |    '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted
+        |  FROM s2),
+        |q AS (
+        |  SELECT doc_id, redacted,
+        |    (LEAST(1.0, n_tok / 20.0)
+        |     + n_distinct / GREATEST(n_tok, 1.0)
+        |     + LEAST(1.0, n_stop / GREATEST(n_tok, 1.0) * 5.0)
+        |     + n_alpha / GREATEST(n_chars, 1.0)) / 4.0 AS quality
+        |  FROM (
+        |    SELECT doc_id, redacted,
+        |      CAST(CASE WHEN len(trim(redacted)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(redacted), '\s+')) END AS DOUBLE) AS n_tok,
+        |      CAST(CASE WHEN len(trim(redacted)) = 0 THEN 0
+        |           ELSE len(list_distinct(string_split_regex(trim(redacted), '\s+'))) END AS DOUBLE) AS n_distinct,
+        |      CAST(len(regexp_extract_all(redacted, '\b(the|a|of|to|and)\b')) AS DOUBLE) AS n_stop,
+        |      CAST(len(regexp_replace(lower(redacted), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |      CAST(len(redacted) AS DOUBLE) AS n_chars
+        |    FROM s3) t0),
+        |g AS (SELECT doc_id, redacted FROM q WHERE quality >= 0.5),
+        |k AS (
+        |  SELECT MIN(doc_id) AS doc_id, fp FROM (
+        |    SELECT doc_id,
+        |      md5(regexp_replace(lower(trim(redacted)), '\s+', ' ', 'g')) AS fp
+        |    FROM g)
+        |  GROUP BY fp)
+        |SELECT doc_id, fp FROM k ORDER BY doc_id""".stripMargin,
 
     // the m8 inversion posture for WARC: the oracle never parses a byte
     // — it states both records' fields from the construction arithmetic
