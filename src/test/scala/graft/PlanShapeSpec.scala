@@ -365,6 +365,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoShuffle(plan, "x13")
   }
 
+  test("t54 scrub and m15 WARC-split plans: scan-fused per-row work, only the output sort shuffles") {
+    for (name <- Seq("t54_pii_scrub", "m15_warc_records")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange SinglePartition"),
+        s"$name grew a data shuffle (only the ORDER BY range exchange is expected):\n$plan")
+    }
+  }
+
+  test("x14 front door: one fp-keyed exchange with map-side partial, everything else fused") {
+    val plan = planOf("x14_crawl_front_door")
+    // extraction (Generate) + scrub + quality all fuse into the scan side;
+    // the keep-first dedup is a partial-then-final aggregate pair around
+    // the ONE hash exchange; the only other exchange is the output sort
+    assert(plan.contains("Generate"), s"x14 lost the record explode:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1, s"x14 needs exactly one data shuffle, found $hashExchanges:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"x14 lost the map-side partial aggregate:\n$plan")
+  }
+
   test("t52 post-compaction read keeps t28's pruned-and-pushed scan shape") {
     val df = SparkEntry.queries("t52_index_compaction")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
