@@ -603,6 +603,40 @@ object Text extends QueryPack {
         .orderBy(id)
     },
 
+    // C4 LINE-LEVEL CLEANING under the gate (Raffel et al. 2020 §2.2,
+    // the published recipe): the corpus text is single-line by
+    // construction, so the gate BUILDS a multi-line page per doc from
+    // the doc's own tokens — six lines sliced at arithmetic offsets,
+    // suffixed so every rule has a live arm (terminal punctuation
+    // present/absent, 3-word short lines, a "javascript" line) — plus
+    // page-level injections (lorem ipsum at doc_id % 11, a brace line
+    // at doc_id % 13). The operator is pure higher-order array code
+    // (split -> filter lambda -> array_join): zero explode, zero
+    // shuffle; the oracle states the same lambdas over the same
+    // construction in DuckDB list functions.
+    "t55_c4_line_filters" -> { (s, d) =>
+      val id = col("doc_id")
+      val toks = split(col("text"), " ")
+      def line(i: Int): Column = {
+        val take = if (i % 3 == 2) 3 else 8
+        val start = pmod(lit(i * 7), greatest(size(toks) - take, lit(1))) + 1
+        val base = array_join(slice(toks, start, lit(take)), " ")
+        val sfx = pmod(id + i, lit(4))
+        concat(base,
+          when(sfx === 0, lit("."))
+            .when(sfx === 1, lit("!"))
+            .when(sfx === 2, lit(""))
+            .otherwise(lit(" javascript.")))
+      }
+      val page0 = concat_ws("\n", (0 until 6).map(line): _*)
+      val page = concat(page0,
+        when(id % 11 === 0, lit("\nlorem ipsum dolor sit amet then some.")).otherwise(lit("")),
+        when(id % 13 === 0, lit("\nif (x) { return the value; }")).otherwise(lit("")))
+      graft.operators.C4Filters.page(
+        Tables.documents(s, d).select(id, page.as("page")), "doc_id", "page")
+        .orderBy(id)
+    },
+
     "t50_length_batching" -> { (s, d) =>
       graft.operators.Packing.lengthBatches(Tables.documents(s, d),
         "doc_id", "text", bucketWidth = 16L, batchSize = 8L)
@@ -2155,6 +2189,50 @@ object Text extends QueryPack {
          |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
          |FROM r GROUP BY 1, 2
          |ORDER BY bucket, batch_idx""".stripMargin,
+
+    // the identical construction + lambdas in DuckDB list functions;
+    // line expressions generated by the same Scala loop the engine uses
+    "t55_c4_line_filters" -> {
+      // single-line on purpose: the outer template's stripMargin must
+      // not see these (a leading "||" would lose a pipe to the margin)
+      def lineSql(i: Int): String = {
+        val take = if (i % 3 == 2) 3 else 8
+        s"concat(array_to_string(list_slice(toks, ($i * 7) % GREATEST(len(toks) - $take, 1) + 1, " +
+          s"($i * 7) % GREATEST(len(toks) - $take, 1) + $take), ' '), " +
+          s"CASE WHEN (doc_id + $i) % 4 = 0 THEN '.' WHEN (doc_id + $i) % 4 = 1 THEN '!' " +
+          s"WHEN (doc_id + $i) % 4 = 2 THEN '' ELSE ' javascript.' END)"
+      }
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pg AS (
+         |  SELECT doc_id,
+         |    concat_ws(chr(10), ${(0 until 6).map(lineSql).mkString(", ")})
+         |    || CASE WHEN doc_id % 11 = 0
+         |            THEN chr(10) || 'lorem ipsum dolor sit amet then some.'
+         |            ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0
+         |            THEN chr(10) || 'if (x) { return the value; }'
+         |            ELSE '' END AS page
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id,
+         |    string_split(page, chr(10)) AS lines,
+         |    list_filter(string_split(page, chr(10)), l ->
+         |      regexp_matches(l, '[.!?"]$$')
+         |      AND len(string_split(l, ' ')) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) AS kept,
+         |    contains(page, '{') AS has_brace,
+         |    contains(lower(page), 'lorem ipsum') AS has_lorem
+         |  FROM pg)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  has_brace, has_lorem,
+         |  (NOT has_brace AND NOT has_lorem AND len(kept) >= 3) AS keep_page,
+         |  CASE WHEN NOT has_brace AND NOT has_lorem AND len(kept) >= 3
+         |       THEN array_to_string(kept, chr(10)) END AS cleaned
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     // the identical three-stage chain in RE2; single-quoted SQL strings
     // keep the backslashes literal
