@@ -100,6 +100,11 @@ object GraftFunctions {
   def warc_records(bytes: Column): Column = toCol(WarcRecords(toExpr(bytes)))
   /** Multi-member GZIP inflation with bomb refusal — see [[Gunzip]]. */
   def gunzip(bytes: Column): Column = toCol(Gunzip(toExpr(bytes)))
+  /** ZIP central-directory listing — see [[ZipEntries]]. */
+  def zip_entries(bytes: Column): Column = toCol(ZipEntries(toExpr(bytes)))
+  /** One ZIP entry's bytes, CRC-verified — see [[ZipExtract]]. */
+  def zip_extract(bytes: Column, name: Column): Column =
+    toCol(ZipExtract(toExpr(bytes), toExpr(name)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
@@ -179,6 +184,8 @@ object GraftFunctions {
     "bmp_ahash" -> { es => BmpAhash(es(0)) },
     "warc_records" -> { es => WarcRecords(es(0)) },
     "gunzip" -> { es => Gunzip(es(0)) },
+    "zip_entries" -> { es => ZipEntries(es(0)) },
+    "zip_extract" -> { es => ZipExtract(es(0), es(1)) },
     "fnv64" -> { es => Fnv64(es(0)) },
     "nfc_normalize" -> { es => NfcNormalize(es(0)) },
     "cm_buckets" -> { es => CmBuckets(es(0),

@@ -705,6 +705,60 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ZIP CONTAINER walk under the gate — the archive family documents
+    // travel in (docx/xlsx/epub are ZIP): per document, construct a
+    // complete two-entry STORED archive in column arithmetic — real
+    // local headers, central directory, and EOCD with exact-cover
+    // size/offset bookkeeping — and LIST it with zip_entries (routing
+    // reads the central directory only; entry data is never touched, so
+    // a 10 GB member costs nothing to route past). The walk's exact-
+    // cover contracts (directory abuts EOCD, local headers exist at
+    // their offsets with matching names) are what the arithmetic
+    // construction exercises; extraction incl. deflate + CRC verify is
+    // pinned by ZipSpec's JDK differential on real archives. Torn docs
+    // (doc_id % 7 == 0) quarantine whole.
+    "m16_zip_entries" -> { (s, d) =>
+      import graft.functions.GraftFunctions.zip_entries
+      val id = col("doc_id")
+      def le16h(v: Column) = format_string("%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
+        pmod((v / 65536).cast("int"), lit(256)),
+        pmod((v / 16777216).cast("int"), lit(256)))
+      val body1 = concat(lit("alpha "), id.cast("string"))
+      val body2 = concat(lit("beta "), col("lang"), lit(" "), (id % 7).cast("string"))
+      val l1 = length(body1).cast("int"); val l2 = length(body2).cast("int")
+      def local(nameHex: String, nlen: Int, body: Column, blen: Column) = concat(
+        lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000" + "00000000"),
+        le32h(blen), le32h(blen), le16h(lit(nlen)), lit("0000"),
+        lit(nameHex), hex(body))
+      def central(nameHex: String, nlen: Int, blen: Column, off: Column) = concat(
+        lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000" + "00000000"),
+        le32h(blen), le32h(blen), le16h(lit(nlen)),
+        lit("0000" + "0000" + "0000" + "0000" + "00000000"),
+        le32h(off), lit(nameHex))
+      val n1hex = "612E747874"             // "a.txt"
+      val n2hex = "6E6F7465732F622E747874" // "notes/b.txt"
+      val off2 = lit(30 + 5) + l1
+      val cdOff = off2 + lit(30 + 11) + l2
+      val zipHex = concat(
+        local(n1hex, 5, body1, l1),
+        local(n2hex, 11, body2, l2),
+        central(n1hex, 5, l1, lit(0)),
+        central(n2hex, 11, l2, off2),
+        lit("504B0506" + "0000" + "0000"), le16h(lit(2)), le16h(lit(2)),
+        le32h(lit(46 + 5 + 46 + 11)), le32h(cdOff), lit("0000"))
+      val blob = when(id % 7 === 0,
+        zipHex.substr(lit(1), length(zipHex) - 6)).otherwise(zipHex)
+      Tables.documents(s, d)
+        .select(id, posexplode(zip_entries(unhex(blob))).as(Seq("idx", "e")))
+        .select(id, col("idx").cast("int").as("idx"),
+          col("e.name").as("name"), col("e.method").as("method"),
+          col("e.csize").as("csize"), col("e.usize").as("usize"))
+        .orderBy(id, col("idx"))
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1589,6 +1643,27 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the m8 inversion posture for ZIP: listing fields stated purely
+    // from the construction arithmetic (entry sizes are the component
+    // string lengths); torn docs contribute no rows
+    "m16_zip_entries" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len('alpha ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS l1,
+        |    CAST(len('beta ' || lang || ' ' || CAST(doc_id % 7 AS VARCHAR)) AS BIGINT) AS l2
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |r AS (
+        |  SELECT doc_id, CAST(0 AS INT) AS idx, 'a.txt' AS name,
+        |    CAST(0 AS INT) AS method, l1 AS csize, l1 AS usize
+        |  FROM s
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT), 'notes/b.txt',
+        |    CAST(0 AS INT), l2, l2
+        |  FROM s)
+        |SELECT doc_id, idx, name, method, csize, usize
+        |FROM r ORDER BY doc_id, idx""".stripMargin,
 
     // the front door restated: bodies from the construction arithmetic
     // (404s and torn docs excluded up front — they never reach the
