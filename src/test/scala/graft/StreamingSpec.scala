@@ -853,6 +853,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl front-door twins (17th): streamed extract+scrub+gate+keep-first equals batch x14 flow") {
+    import spark.implicits._
+    import graft.streaming.CrawlStream
+    import org.apache.spark.sql.functions.col
+    implicit val sctx = spark.sqlContext
+    def warcBlob(id: Long, status: Int, body: String): Array[Byte] = {
+      val http = s"HTTP/1.1 $status OK\r\nContent-Type: text/plain\r\n\r\n$body"
+      val full = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/$id\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+      val b = full.getBytes("UTF-8")
+      if (id % 13 == 0) b.dropRight(3) else b // torn arm: whole-blob quarantine
+    }
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).limit(20).collect().map(_.getString(0))
+    // 40 blobs over 20 texts: ids i and i+20 share content (fp dup);
+    // PII woven so the scrub stage is live; 404s at id % 5 == 0
+    val blobs = (0 until 40).map { i =>
+      val status = if (i % 5 == 0) 404 else 200
+      (i.toLong, warcBlob(i.toLong, status,
+        s"contact admin@example.com or 10.0.0.1 ${texts(i % 20)}"))
+    }
+    val batch = CrawlStream.frontDoorBatch(blobs.toDF("doc_id", "blob"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch.nonEmpty, "fixture: nothing survived the batch front door")
+    // where BOTH duplicates survive the gates, keep-first keeps the
+    // smaller id — a larger kept id only appears when its twin was
+    // 404/torn/low-quality (batch == stream still pins those cases)
+    val keptIds = batch.map(_._1)
+    assert(keptIds.exists(_ < 20), "fixture: no small-id survivors at all")
+    assert(!(0 until 20).exists(i =>
+      keptIds.contains(i.toLong) && keptIds.contains(i + 20L)),
+      "a duplicate pair survived dedup")
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = CrawlStream.frontDoorStream(input.toDF().toDF("doc_id", "blob"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("front_door")
+      .start()
+    try {
+      // per-key in-order: the smaller duplicate ids all arrive in batch 1
+      input.addData(blobs.take(20)); q.processAllAvailable()
+      input.addData(blobs.drop(20)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("front_door").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("lexical ingest twins (15th): streamed appendSaved equals batch-built BM25, scores included") {
     import spark.implicits._
     import graft.operators.InvertedIndex
