@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first shape: the ENTIRE pass is higher-order array functions
   * on the line array — split, filter-with-lambda, array_join — pure
-  * per-row codegen with ZERO explode and ZERO shuffle (the q49
-  * surface); at 100 TB it is just another fused column on the scan,
-  * exactly like the Gopher flags (t25) and the PII chain (t54).
+  * per-row work with ZERO explode and ZERO shuffle (the q49 surface;
+  * the lambdas themselves evaluate interpreted, CodegenFallback, but
+  * stay inside the scan's projection); at 100 TB it is just another
+  * per-row column on the scan, like the Gopher flags (t25) and the
+  * PII chain (t54).
   */
 object C4Filters {
 

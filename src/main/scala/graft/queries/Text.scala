@@ -603,6 +603,23 @@ object Text extends QueryPack {
         .orderBy(id)
     },
 
+    // SNIPPET EXTRACTION under the gate — the search-result highlighter:
+    // the width-12 token window with the most query-term hits per doc,
+    // leftmost on ties. Only hit-anchored windows need scoring (an
+    // optimal window shifts right onto its first hit without losing
+    // any), so the pass is O(hits^2) nested-lambda array code fused into
+    // the scan — zero explode, zero shuffle; the oracle states the same
+    // anchored scoring in DuckDB list lambdas, with the leftmost rule
+    // carried by list_position/array_position returning the FIRST max.
+    "t56_snippet_windows" -> { (s, d) =>
+      graft.operators.Snippets.bestWindow(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("spark", "join", "merge", "window"), w = 12)
+        .select(col("doc_id"), col("n_hits"), col("best_hits"),
+          col("best_pos"), col("snippet"))
+        .orderBy(col("doc_id"))
+    },
+
     // C4 LINE-LEVEL CLEANING under the gate (Raffel et al. 2020 §2.2,
     // the published recipe): the corpus text is single-line by
     // construction, so the gate BUILDS a multi-line page per doc from
@@ -2189,6 +2206,31 @@ object Text extends QueryPack {
          |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
          |FROM r GROUP BY 1, 2
          |ORDER BY bucket, batch_idx""".stripMargin,
+
+    // the identical hit-anchored scoring in DuckDB list lambdas
+    "t56_snippet_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(generate_series(1, len(toks)),
+        |      i -> list_contains(['spark', 'join', 'merge', 'window'], toks[i])) AS pos
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, toks, pos,
+        |    list_transform(pos, p1 ->
+        |      len(list_filter(pos, o -> o >= p1 AND o < p1 + 12))) AS scores
+        |  FROM p WHERE len(pos) > 0),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    CAST(len(pos) AS BIGINT) AS n_hits,
+        |    CAST(list_aggregate(scores, 'max') AS BIGINT) AS best_hits,
+        |    CAST(pos[list_position(scores, list_aggregate(scores, 'max'))] AS BIGINT) AS best_pos
+        |  FROM s)
+        |SELECT doc_id, n_hits, best_hits, best_pos,
+        |  array_to_string(list_slice(toks, CAST(best_pos AS INT),
+        |    CAST(best_pos AS INT) + 11), ' ') AS snippet
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // the identical construction + lambdas in DuckDB list functions;
     // line expressions generated by the same Scala loop the engine uses
