@@ -105,6 +105,10 @@ object GraftFunctions {
   /** One ZIP entry's bytes, CRC-verified — see [[ZipExtract]]. */
   def zip_extract(bytes: Column, name: Column): Column =
     toCol(ZipExtract(toExpr(bytes), toExpr(name)))
+  /** BOM/UTF-8/fallback charset sniff — see [[CharsetDetect]]. */
+  def charset_detect(bytes: Column): Column = toCol(CharsetDetect(toExpr(bytes)))
+  /** Strict decode on the detected branch — see [[CharsetDecode]]. */
+  def charset_decode(bytes: Column): Column = toCol(CharsetDecode(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
@@ -186,6 +190,8 @@ object GraftFunctions {
     "gunzip" -> { es => Gunzip(es(0)) },
     "zip_entries" -> { es => ZipEntries(es(0)) },
     "zip_extract" -> { es => ZipExtract(es(0), es(1)) },
+    "charset_detect" -> { es => CharsetDetect(es(0)) },
+    "charset_decode" -> { es => CharsetDecode(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
     "nfc_normalize" -> { es => NfcNormalize(es(0)) },
     "cm_buckets" -> { es => CmBuckets(es(0),

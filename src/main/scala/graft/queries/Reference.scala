@@ -759,6 +759,48 @@ object Reference extends QueryPack {
         .orderBy(id, col("idx"))
     },
 
+    // CHARSET sniff + strict decode under the gate — the step between a
+    // crawl record's payload bytes and every text operator: per document,
+    // construct the SAME ascii source string under five wire encodings
+    // (UTF-16LE with an astral surrogate pair, UTF-8 with BOM + é,
+    // bare UTF-8 with an em dash / pure ASCII, windows-1252 curly
+    // quotes, UTF-16BE) in column arithmetic, then detect + decode.
+    // The oracle states both the detected LABEL and the decoded STRING
+    // from the construction arithmetic (chr() of the exact code points
+    // the bytes spell), so the BOM ladder, the strict RFC 3629 scan,
+    // surrogate-pair recombination, and the WHATWG CP1252 index are all
+    // under one hash. Torn docs (doc_id % 7 == 0) carry a UTF-16LE BOM
+    // over an odd-length body: detection still reports the claim,
+    // decode refuses NULL — the claim/quarantine split pinned.
+    "m17_charset_decode" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{charset_decode, charset_detect}
+      val id = col("doc_id")
+      val src = concat(lit("doc "), id.cast("string"), lit(" "), col("lang"))
+      def asciiHex(c: Column) = array_join(
+        transform(sequence(lit(1), length(c)),
+          i => format_string("%02X", ascii(c.substr(i, lit(1))))), "")
+      def utf16leHex(c: Column) = array_join(
+        transform(sequence(lit(1), length(c)),
+          i => format_string("%02X00", ascii(c.substr(i, lit(1))))), "")
+      def utf16beHex(c: Column) = array_join(
+        transform(sequence(lit(1), length(c)),
+          i => format_string("00%02X", ascii(c.substr(i, lit(1))))), "")
+      val arm = pmod(id, lit(5))
+      val hexCol = when(id % 7 === 0,
+          concat(lit("FFFE"), utf16leHex(src), lit("41")))          // odd body: torn
+        .when(arm === 0, concat(lit("FFFE"), utf16leHex(src), lit("3DD800DE"))) // + U+1F600
+        .when(arm === 1, concat(lit("EFBBBF"), asciiHex(src), lit("C3A9")))     // + é
+        .when(arm === 2, when(id % 2 === 0,
+            concat(asciiHex(src), lit("E28094"))).otherwise(asciiHex(src)))     // + — / pure
+        .when(arm === 3, concat(asciiHex(src), lit("93E994")))                  // + “é”
+        .otherwise(concat(lit("FEFF"), utf16beHex(src)))
+      Tables.documents(s, d)
+        .select(id,
+          charset_detect(unhex(hexCol)).as("charset"),
+          charset_decode(unhex(hexCol)).as("text"))
+        .orderBy(id)
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1664,6 +1706,39 @@ object Reference extends QueryPack {
         |  FROM s)
         |SELECT doc_id, idx, name, method, csize, usize
         |FROM r ORDER BY doc_id, idx""".stripMargin,
+
+    // the inversion posture for charset decode: label and decoded text
+    // stated purely from the construction arithmetic — chr() of the
+    // exact code points the constructed bytes spell (128512 = U+1F600
+    // via the LE surrogate pair, 233 = é, 8212 = em dash, 8220/8221 =
+    // the CP1252 curly quotes); torn docs keep their claimed label and
+    // lose their text
+    "m17_charset_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang AS src,
+        |    doc_id % 5 AS arm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 7 = 0 THEN 'utf-16le'
+        |    WHEN arm = 0 THEN 'utf-16le'
+        |    WHEN arm = 1 THEN 'utf-8-bom'
+        |    WHEN arm = 2 AND doc_id % 2 = 0 THEN 'utf-8'
+        |    WHEN arm = 2 THEN 'ascii'
+        |    WHEN arm = 3 THEN 'windows-1252'
+        |    ELSE 'utf-16be'
+        |  END AS charset,
+        |  CASE
+        |    WHEN doc_id % 7 = 0 THEN NULL
+        |    WHEN arm = 0 THEN src || chr(128512)
+        |    WHEN arm = 1 THEN src || chr(233)
+        |    WHEN arm = 2 AND doc_id % 2 = 0 THEN src || chr(8212)
+        |    WHEN arm = 2 THEN src
+        |    WHEN arm = 3 THEN src || chr(8220) || chr(233) || chr(8221)
+        |    ELSE src
+        |  END AS text
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the front door restated: bodies from the construction arithmetic
     // (404s and torn docs excluded up front — they never reach the
