@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Column-API and SQL-registry surface for graft's native expressions —
   * the Spark analogue of the reference's `CREATE EXTENSION postgis/vector`
@@ -115,6 +116,9 @@ object GraftFunctions {
   def audio_pcm_stats(bytes: Column): Column = toCol(AudioPcmStats(toExpr(bytes)))
 
   // --- web corpus ----------------------------------------------------------
+  /** RFC 9309 robots.txt evaluation for a fixed agent — see [[RobotsAllowed]]. */
+  def robots_allowed(robotsTxt: Column, path: Column, agent: String): Column =
+    toCol(RobotsAllowed(toExpr(robotsTxt), toExpr(path), agent))
   /** RFC 3986 syntax normalization — see [[UrlCanonicalize]]. */
   def url_canonicalize(url: Column): Column = toCol(UrlCanonicalize(toExpr(url)))
   /** Lowercased host of a URL — see [[UrlHost]]. */
@@ -202,6 +206,8 @@ object GraftFunctions {
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },
+    "robots_allowed" -> { es => RobotsAllowed(es(0), es(1),
+      es(2).eval().asInstanceOf[UTF8String].toString) },
     "url_host"        -> { es => UrlHost(es(0)) },
     "video_meta"      -> { es => VideoMeta(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(

@@ -603,6 +603,40 @@ object Text extends QueryPack {
         .orderBy(id)
     },
 
+    // ROBOTS.TXT (RFC 9309) evaluation under the gate — the crawl-
+    // governance decision that runs before any fetch enters the m15/x14
+    // front door: per doc, construct a policy in column arithmetic
+    // whose rules exercise longest-match precedence (Allow /private/pub*
+    // 13 octets beats Disallow /private/ 9), the $ end anchor (/tmp$
+    // blocks /tmp, not /tmp<id>), a PER-DOC anchored rule (/id/<id>$ —
+    // the policy text itself varies by row), group selection (graftbot's
+    // groups vs the * fallback evaluated on the SAME rows), and the
+    // no-match default-allow. The oracle states both agents' decisions
+    // per arm arithmetically (the m-family inversion posture). Per-row
+    // scan-fused; at 100 TB this is a per-host robots dimension
+    // broadcast onto the URL stream.
+    "t57_robots_gate" -> { (s, d) =>
+      import graft.functions.GraftFunctions.robots_allowed
+      val id = col("doc_id")
+      val robots = concat(
+        lit("# crawl policy\nUser-agent: graftbot\nDisallow: /private/\n" +
+          "Allow: /private/pub*\nDisallow: /tmp$\nDisallow: /id/"),
+        id.cast("string"),
+        lit("$\nUser-agent: *\nDisallow: /\nAllow: /open/\n"))
+      val arm = pmod(id, lit(6))
+      val path = when(arm === 0, concat(lit("/private/x"), id.cast("string")))
+        .when(arm === 1, concat(lit("/private/pub"), id.cast("string")))
+        .when(arm === 2, lit("/tmp"))
+        .when(arm === 3, concat(lit("/tmp"), id.cast("string")))
+        .when(arm === 4, concat(lit("/id/"), id.cast("string")))
+        .otherwise(concat(lit("/open/"), id.cast("string")))
+      Tables.documents(s, d)
+        .select(id, path.as("path"),
+          robots_allowed(robots, path, "graftbot").as("graft_ok"),
+          robots_allowed(robots, path, "otherbot").as("other_ok"))
+        .orderBy(id)
+    },
+
     // SNIPPET EXTRACTION under the gate — the search-result highlighter:
     // the width-12 token window with the most query-term hits per doc,
     // leftmost on ties. Only hit-anchored windows need scoring (an
@@ -2206,6 +2240,34 @@ object Text extends QueryPack {
          |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
          |FROM r GROUP BY 1, 2
          |ORDER BY bucket, batch_idx""".stripMargin,
+
+    // the inversion posture for the robots gate: both agents' decisions
+    // stated per arm from the construction arithmetic (graftbot: the
+    // specific group's longest-match outcomes; otherbot: the * group's
+    // Disallow / vs Allow /open/)
+    "t57_robots_gate" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN '/tmp'
+        |    WHEN 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+        |    WHEN 4 THEN '/id/' || CAST(doc_id AS VARCHAR)
+        |    ELSE '/open/' || CAST(doc_id AS VARCHAR)
+        |  END AS path,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN FALSE  -- Disallow /private/
+        |    WHEN 1 THEN TRUE   -- Allow /private/pub* (13) beats /private/ (9)
+        |    WHEN 2 THEN FALSE  -- /tmp$ anchors
+        |    WHEN 3 THEN TRUE   -- /tmp$ does not match a longer path
+        |    WHEN 4 THEN FALSE  -- the per-doc /id/<id>$ rule
+        |    ELSE TRUE          -- no graftbot rule matches: default allow
+        |  END AS graft_ok,
+        |  CASE doc_id % 6
+        |    WHEN 5 THEN TRUE   -- Allow /open/ (6) beats Disallow / (1)
+        |    ELSE FALSE         -- the * group disallows everything else
+        |  END AS other_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the identical hit-anchored scoring in DuckDB list lambdas
     "t56_snippet_windows" ->

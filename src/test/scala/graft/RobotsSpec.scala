@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Robots
+
+class RobotsSpec extends AnyFunSuite {
+
+  private def ok(robots: String, path: String, agent: String = "graftbot"): Boolean =
+    Robots.allowed(robots, agent.toLowerCase, path)
+
+  test("longest-match precedence: the REP reference vectors") {
+    // allow /p beats disallow / (5.. no: lengths 2 vs 1)
+    val r1 = "User-agent: *\nAllow: /p\nDisallow: /\n"
+    assert(ok(r1, "/page"))
+    assert(!ok(r1, "/x"))
+    // equal-length tie goes to allow
+    val r2 = "User-agent: *\nAllow: /folder\nDisallow: /folder\n"
+    assert(ok(r2, "/folder/page"))
+    // /*.htm (6) beats /page (5)
+    val r3 = "User-agent: *\nAllow: /page\nDisallow: /*.htm\n"
+    assert(!ok(r3, "/page.htm"))
+    assert(ok(r3, "/page.php"))
+    // /$ (2) beats / (1): only the root is allowed
+    val r4 = "User-agent: *\nAllow: /$\nDisallow: /\n"
+    assert(ok(r4, "/"))
+    assert(!ok(r4, "/page"))
+  }
+
+  test("wildcard matching: *, $, and their combinations") {
+    val r = "User-agent: *\nDisallow: /fish*\n"
+    assert(!ok(r, "/fish"))
+    assert(!ok(r, "/fishheads/yummy.html"))
+    assert(ok(r, "/Fish.asp")) // byte-literal: case matters in paths
+    val rp = "User-agent: *\nDisallow: /*.php\n"
+    assert(!ok(rp, "/index.php"))
+    assert(!ok(rp, "/folder/filename.php?parameters"))
+    assert(ok(rp, "/windows.PHP"))
+    val rAnchor = "User-agent: *\nDisallow: /*.php$\n"
+    assert(!ok(rAnchor, "/filename.php"))
+    assert(ok(rAnchor, "/filename.php?parameters"))
+    val rTmp = "User-agent: *\nDisallow: /tmp$\n"
+    assert(!ok(rTmp, "/tmp"))
+    assert(ok(rTmp, "/tmpfile"))
+    // a $ not at the end is a literal octet
+    val rMid = "User-agent: *\nDisallow: /a$b\n"
+    assert(!ok(rMid, "/a$bc"))
+    assert(ok(rMid, "/ab"))
+    // multiple stars backtrack correctly
+    val rMulti = "User-agent: *\nDisallow: /a*b*c$\n"
+    assert(!ok(rMulti, "/aXbYbZc"))
+    assert(ok(rMulti, "/aXbYcZ"))
+  }
+
+  test("group selection: exact token beats *, case-insensitive, merged across the file") {
+    val r =
+      """User-agent: GraftBot
+        |Disallow: /private/
+        |
+        |User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /extra/
+        |""".stripMargin
+    // both graftbot groups merge; the * group is NOT consulted for graftbot
+    assert(!ok(r, "/private/x"))
+    assert(!ok(r, "/extra/x"))
+    assert(ok(r, "/public/x"))
+    // an unknown agent falls to the * group
+    assert(!ok(r, "/public/x", agent = "otherbot"))
+    // consecutive user-agent lines share one rule block
+    val shared = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert(!ok(shared, "/x/1", agent = "a"))
+    assert(!ok(shared, "/x/1", agent = "b"))
+    assert(ok(shared, "/x/1", agent = "c"))
+  }
+
+  test("defaults: no matching group, no matching rule, empty values, rules before any group") {
+    assert(ok("User-agent: otherbot\nDisallow: /\n", "/anything"))
+    assert(ok("User-agent: *\nDisallow: /private/\n", "/public/x"))
+    // `Disallow:` with no value disallows nothing (the RFC's own example)
+    assert(ok("User-agent: *\nDisallow:\n", "/anything"))
+    // rules before any user-agent line belong to no group
+    assert(ok("Disallow: /\nUser-agent: *\nAllow: /\n", "/x"))
+    // an empty file allows everything
+    assert(ok("", "/x"))
+  }
+
+  test("lenient parse: comments, CRLF, junk lines, unknown fields never poison the policy") {
+    val r = "# policy\r\nUser-Agent: *   # trailing comment\r\n" +
+      "Crawl-delay: 10\r\nSitemap: https://x/s.xml\r\n<<<garbage>>>\r\n" +
+      "DISALLOW: /secret/\r\n"
+    assert(!ok(r, "/secret/x"))
+    assert(ok(r, "/open"))
+  }
+
+  test("line cap: rules past MaxLines are ignored, the policy up to the cap stands") {
+    val pad = Array.fill(Robots.MaxLines - 2)("# pad").mkString("\n")
+    val r = s"User-agent: *\nDisallow: /a\n$pad\nDisallow: /b\n"
+    assert(!ok(r, "/a1"))
+    assert(ok(r, "/b1")) // past the cap: never parsed
+  }
+}
