@@ -106,6 +106,11 @@ object GraftFunctions {
   /** One ZIP entry's bytes, CRC-verified — see [[ZipExtract]]. */
   def zip_extract(bytes: Column, name: Column): Column =
     toCol(ZipExtract(toExpr(bytes), toExpr(name)))
+  /** TAR (ustar) header walk — see [[TarEntries]]. */
+  def tar_entries(bytes: Column): Column = toCol(TarEntries(toExpr(bytes)))
+  /** One TAR regular file's bytes, bounds-checked — see [[TarExtract]]. */
+  def tar_extract(bytes: Column, name: Column): Column =
+    toCol(TarExtract(toExpr(bytes), toExpr(name)))
   /** BOM/UTF-8/fallback charset sniff — see [[CharsetDetect]]. */
   def charset_detect(bytes: Column): Column = toCol(CharsetDetect(toExpr(bytes)))
   /** Strict decode on the detected branch — see [[CharsetDecode]]. */
@@ -194,6 +199,8 @@ object GraftFunctions {
     "gunzip" -> { es => Gunzip(es(0)) },
     "zip_entries" -> { es => ZipEntries(es(0)) },
     "zip_extract" -> { es => ZipExtract(es(0), es(1)) },
+    "tar_entries" -> { es => TarEntries(es(0)) },
+    "tar_extract" -> { es => TarExtract(es(0), es(1)) },
     "charset_detect" -> { es => CharsetDetect(es(0)) },
     "charset_decode" -> { es => CharsetDecode(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },

@@ -801,6 +801,75 @@ object Reference extends QueryPack {
         .orderBy(id)
     },
 
+    // TAR (ustar) walk under the gate — the corpus-mirror distribution
+    // format (.tar.gz = gunzip -> this): per document, construct a
+    // complete two-entry POSIX ustar archive in column arithmetic —
+    // real 512-byte headers with the octal size field and the byte-sum
+    // CHECKSUM computed arithmetically (the constant template sum is a
+    // Scala constant; the variable size digits enter both the field
+    // and the checksum as column math), entry 2 exercising the POSIX
+    // prefix join — then list it with tar_entries and extract entry 2.
+    // Torn docs (doc_id % 7 == 0) lose their final byte: no longer a
+    // 512-multiple, whole-blob NULL, zero rows. Listing walks headers
+    // only; extraction is a bounds-checked copy (integrity in the
+    // .tar.gz composition comes from the gzip CRC, pinned by TarSpec).
+    "m18_tar_entries" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{tar_entries, tar_extract}
+      val id = col("doc_id")
+      def hexOf(str: String) = str.getBytes("UTF-8").map("%02X".format(_)).mkString
+      def zeros(n: Int) = "00" * n
+      def constSum(name: String, prefix: String): Int =
+        name.getBytes("UTF-8").map(_ & 0xFF).sum +
+          "0000644".getBytes.map(_ & 0xFF).sum +
+          2 * "0000000".getBytes.map(_ & 0xFF).sum +
+          9 * '0' + 11 * '0' + 8 * ' ' + '0' +
+          "ustar".getBytes.map(_ & 0xFF).sum + 2 * '0' +
+          prefix.getBytes("UTF-8").map(_ & 0xFF).sum
+      // 512-byte header as hex: fixed template + variable size digits +
+      // checksum (6 octal digit chars, each 0x30+digit)
+      def header(name: String, prefix: String, l: Column): Column = {
+        val d1 = (l / 8).cast("int"); val d0 = pmod(l, lit(8)).cast("int")
+        val chk = lit(constSum(name, prefix) + 96) + d1 + d0
+        val chkHex = concat((5 to 0 by -1).map { i =>
+          format_string("3%d", pmod((chk / math.pow(8, i).toInt).cast("int"), lit(8)))
+        }: _*)
+        concat(
+          lit(hexOf(name) + zeros(100 - name.length) +
+            hexOf("0000644") + "00" + hexOf("0000000") + "00" + hexOf("0000000") + "00" +
+            hexOf("000000000")),
+          format_string("3%d3%d00", d1, d0),
+          lit(hexOf("00000000000") + "00"),
+          chkHex, lit("0020"),
+          lit("30" + zeros(100) + hexOf("ustar") + "00" + "3030" +
+            zeros(32 + 32 + 8 + 8) +
+            hexOf(prefix) + zeros(155 - prefix.length) + zeros(12)))
+      }
+      def asciiHex(c: Column) = array_join(
+        transform(sequence(lit(1), length(c)),
+          i => format_string("%02X", ascii(c.substr(i, lit(1))))), "")
+      // pad-to-block as a SLICE of a constant zero run (no per-row array)
+      val zeroRun = lit(zeros(512))
+      def padTo512(l: Column) = zeroRun.substr(lit(1), (lit(512) - l) * 2)
+      val body1 = format_string("alpha %07d", id) // constant length 13
+      val body2 = concat(lit("beta "), col("lang"), lit(" "), (id % 7).cast("string"))
+      val l2 = length(body2).cast("bigint")
+      val tarHex = concat(
+        header("a.txt", "", lit(13L)), asciiHex(body1), padTo512(lit(13L)),
+        header("b.txt", "docs", l2), asciiHex(body2), padTo512(l2),
+        lit(zeros(1024)))
+      val blob = when(id % 7 === 0,
+        tarHex.substr(lit(1), length(tarHex) - 2)).otherwise(tarHex)
+      Tables.documents(s, d)
+        .select(id,
+          posexplode(tar_entries(unhex(blob))).as(Seq("idx", "e")),
+          decode(tar_extract(unhex(blob), lit("docs/b.txt")), "UTF-8").as("body_b"))
+        .select(id, col("idx").cast("int").as("idx"),
+          col("e.name").as("name"), col("e.typeflag").as("typeflag"),
+          col("e.size").as("size"), col("e.offset").as("offset"),
+          col("body_b"))
+        .orderBy(id, col("idx"))
+    },
+
     "m8_bmp_pixels" -> { (s, d) =>
       import graft.functions.GraftFunctions.bmp_pixel_stats
       val w = (col("doc_id") % 4 + 1).cast("int")
@@ -1705,6 +1774,28 @@ object Reference extends QueryPack {
         |    CAST(0 AS INT), l2, l2
         |  FROM s)
         |SELECT doc_id, idx, name, method, csize, usize
+        |FROM r ORDER BY doc_id, idx""".stripMargin,
+
+    // the m16 inversion posture for TAR: listing fields stated from the
+    // construction arithmetic (entry 2's size is the component string
+    // length; offsets are block arithmetic), the prefix join and the
+    // extracted body stated literally; torn docs contribute no rows
+    "m18_tar_entries" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'beta ' || lang || ' ' || CAST(doc_id % 7 AS VARCHAR) AS body_b
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |r AS (
+        |  SELECT doc_id, CAST(0 AS INT) AS idx, 'a.txt' AS name,
+        |    '0' AS typeflag, CAST(13 AS BIGINT) AS size,
+        |    CAST(512 AS BIGINT) AS "offset", body_b
+        |  FROM s
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT), 'docs/b.txt',
+        |    '0', CAST(len(body_b) AS BIGINT), CAST(1536 AS BIGINT), body_b
+        |  FROM s)
+        |SELECT doc_id, idx, name, typeflag, size, "offset", body_b
         |FROM r ORDER BY doc_id, idx""".stripMargin,
 
     // the inversion posture for charset decode: label and decoded text
