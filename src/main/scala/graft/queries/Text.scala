@@ -637,6 +637,27 @@ object Text extends QueryPack {
         .orderBy(id)
     },
 
+    // CRAWL-FRONTIER politeness scheduling under the gate — after t57
+    // admits a URL, assign it a fetch offset honoring the host's crawl
+    // delay and the fleet's per-cycle capacity: hosts from doc
+    // arithmetic with a deliberately HOT host (every third doc lands on
+    // host 0 — the skew case a real frontier has), priority classes,
+    // per-host delays, capacity 8 per 60 s cycle. One host-keyed
+    // shuffle; the per-host serial rank is inherent to politeness and
+    // bounded by it. All-integer schedule, stated exactly in SQL.
+    "t58_crawl_schedule" -> { (s, d) =>
+      val id = col("doc_id")
+      val host = when(id % 3 === 0, lit(0L)).otherwise(pmod(id, lit(37L)))
+      graft.operators.Frontier.schedule(
+        Tables.documents(s, d).select(id,
+          host.as("host_id"), pmod(id, lit(5L)).as("priority"),
+          (lit(1L) + pmod(host, lit(4L))).as("delay_s")),
+        host = col("host_id"), priority = col("priority"), tie = id,
+        delaySec = col("delay_s"), perCycle = 8, cycleLenSec = 60L)
+        .select(id, col("host_id"), col("slot"), col("fetch_offset_s"))
+        .orderBy(id)
+    },
+
     // SNIPPET EXTRACTION under the gate — the search-result highlighter:
     // the width-12 token window with the most query-term hits per doc,
     // leftmost on ties. Only hit-anchored windows need scoring (an
@@ -2240,6 +2261,23 @@ object Text extends QueryPack {
          |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
          |FROM r GROUP BY 1, 2
          |ORDER BY bucket, batch_idx""".stripMargin,
+
+    // the identical window + integer schedule arithmetic in DuckDB
+    "t58_crawl_schedule" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END AS host_id,
+        |    doc_id % 5 AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, host_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host_id
+        |      ORDER BY priority DESC, doc_id) - 1 AS BIGINT) AS slot,
+        |    1 + host_id % 4 AS delay_s
+        |  FROM c)
+        |SELECT doc_id, host_id, slot,
+        |  CAST((slot // 8) * 60 + (slot % 8) * delay_s AS BIGINT) AS fetch_offset_s
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the inversion posture for the robots gate: both agents' decisions
     // stated per arm from the construction arithmetic (graftbot: the
