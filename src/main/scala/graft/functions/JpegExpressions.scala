@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
   * clamp.
   *
   * Scope is the LUMA path the m-family needs: single-component (8-bit
-  * grayscale) baseline sequential, restart intervals included (DRI +
-  * the cycling RSTn markers with per-interval DC predictor resets and
-  * byte re-alignment — what camera firmware emits for error resilience),
-  * no progressive — anything else quarantines to NULL (the m5-m8
-  * torn-blob posture: refuse loudly per row, never crash the job). Color JPEG decode
+  * grayscale), baseline sequential AND progressive (SOF2 — the
+  * multi-scan web-optimized class; see [[ProgState]]), restart
+  * intervals included (DRI + the cycling RSTn markers with
+  * per-interval DC predictor resets and byte re-alignment — what
+  * camera firmware emits for error resilience) — anything else
+  * quarantines to NULL (the m5-m8 torn-blob posture: refuse loudly
+  * per row, never crash the job). Color JPEG decode
   * (including 4:2:0/4:2:2 chroma subsampling) is the same machinery
   * times three components plus box chroma upsampling — the
   * [[JpegRgbStats]] surface; the seam stays per-row scan-fused either
@@ -248,6 +250,8 @@ object JpegPixelStats {
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
     var restartInterval = 0
+    var progressive = false
+    var prog: ProgState = null
     var pos = 2
     try {
       while (true) {
@@ -256,8 +260,10 @@ object JpegPixelStats {
         val marker = b(pos + 1) & 0xFF; pos += 2
         marker match {
           case 0xD8 => () // stray SOI: tolerate
-          case 0xD9 => return null // EOI before SOS
-          case 0xC0 => // SOF0 baseline
+          case 0xD9 => // EOI: the legal end of a progressive stream
+            if (!progressive || prog == null) return null // EOI before SOS
+            return prog.finish(w, h, compQ, qt, qtSeen)
+          case sof @ (0xC0 | 0xC2) => // SOF0 baseline / SOF2 progressive
             val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
             if (pos + len > b.length) return null
             val precision = b(pos + 2) & 0xFF
@@ -266,7 +272,9 @@ object JpegPixelStats {
             val nc = b(pos + 7) & 0xFF
             if (precision != 8 || (nc != 1 && nc != 3)) return null
             if (len < 8 + 3 * nc) return null
+            if (ncomp != 0) return null // two frames: torn
             ncomp = nc
+            progressive = sof == 0xC2
             var ci = 0
             while (ci < nc) {
               compId(ci) = b(pos + 8 + 3 * ci) & 0xFF
@@ -281,10 +289,14 @@ object JpegPixelStats {
               if (compQ(ci) > 3) return null
               ci += 1
             }
+            if (progressive) {
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+              prog = new ProgState(w, h, ncomp, compH, compV)
+            }
             pos += len
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return null // non-baseline SOF: out of scope
+            return null // non-baseline, non-progressive SOF: out of scope
           case 0xDB => // DQT
             val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
             if (pos + len > b.length) return null
@@ -325,26 +337,56 @@ object JpegPixelStats {
             val len = ((b(pos) & 0xFF) << 8) | (b(pos + 1) & 0xFF)
             if (pos + len > b.length) return null
             val ns = b(pos + 2) & 0xFF
-            if (ncomp == 0 || ns != ncomp || len < 6 + 2 * ns) return null
-            var ci = 0
-            while (ci < ns) {
-              // scan components must arrive in frame order (interleave rule)
-              if ((b(pos + 3 + 2 * ci) & 0xFF) != compId(ci)) return null
-              compDc(ci) = (b(pos + 4 + 2 * ci) & 0xFF) >> 4
-              compAc(ci) = b(pos + 4 + 2 * ci) & 0x0F
-              if (compDc(ci) > 3 || compAc(ci) > 3) return null
-              ci += 1
+            if (ncomp == 0 || len < 6 + 2 * ns) return null
+            if (progressive) {
+              // progressive scan: 1..ncomp components, any spectral band
+              if (ns < 1 || ns > ncomp) return null
+              val scomp = new Array[Int](ns)
+              val sdc = new Array[Int](ns); val sac = new Array[Int](ns)
+              var ci = 0
+              var lastIdx = -1
+              while (ci < ns) {
+                val id = b(pos + 3 + 2 * ci) & 0xFF
+                var idx = -1
+                var j = 0
+                while (j < ncomp) { if (compId(j) == id) idx = j; j += 1 }
+                if (idx < 0 || idx <= lastIdx) return null // unknown / out of frame order
+                lastIdx = idx
+                scomp(ci) = idx
+                sdc(ci) = (b(pos + 4 + 2 * ci) & 0xFF) >> 4
+                sac(ci) = b(pos + 4 + 2 * ci) & 0x0F
+                if (sdc(ci) > 3 || sac(ci) > 3) return null
+                ci += 1
+              }
+              val ss = b(pos + 3 + 2 * ns) & 0xFF
+              val se = b(pos + 4 + 2 * ns) & 0xFF
+              val ahAl = b(pos + 5 + 2 * ns) & 0xFF
+              val ah = ahAl >> 4; val al = ahAl & 0x0F
+              pos += len
+              pos = prog.scan(b, pos, scomp, sdc, sac, ss, se, ah, al,
+                dcT, acT, restartInterval)
+            } else {
+              if (ns != ncomp) return null
+              var ci = 0
+              while (ci < ns) {
+                // scan components must arrive in frame order (interleave rule)
+                if ((b(pos + 3 + 2 * ci) & 0xFF) != compId(ci)) return null
+                compDc(ci) = (b(pos + 4 + 2 * ci) & 0xFF) >> 4
+                compAc(ci) = b(pos + 4 + 2 * ci) & 0x0F
+                if (compDc(ci) > 3 || compAc(ci) > 3) return null
+                ci += 1
+              }
+              val (ss, se) = (b(pos + 3 + 2 * ns) & 0xFF, b(pos + 4 + 2 * ns) & 0xFF)
+              if (ss != 0 || se != 63) return null // baseline full scan
+              pos += len
+              val qs = Array.tabulate(ncomp) { c =>
+                if (!qtSeen(compQ(c))) return null; qt(compQ(c))
+              }
+              val dcs = Array.tabulate(ncomp)(c => dcT(compDc(c)))
+              val acs = Array.tabulate(ncomp)(c => acT(compAc(c)))
+              return entropyDecode(b, pos, w, h, compH, compV, qs, dcs, acs,
+                restartInterval)
             }
-            val (ss, se) = (b(pos + 3 + 2 * ns) & 0xFF, b(pos + 4 + 2 * ns) & 0xFF)
-            if (ss != 0 || se != 63) return null // baseline full scan
-            pos += len
-            val qs = Array.tabulate(ncomp) { c =>
-              if (!qtSeen(compQ(c))) return null; qt(compQ(c))
-            }
-            val dcs = Array.tabulate(ncomp)(c => dcT(compDc(c)))
-            val acs = Array.tabulate(ncomp)(c => acT(compAc(c)))
-            return entropyDecode(b, pos, w, h, compH, compV, qs, dcs, acs,
-              restartInterval)
           case m if m >= 0xD0 && m <= 0xD7 => return null // stray RST
           case 0x01 => () // TEM, standalone
           case _ => // APPn/COM/other: length-prefixed skip
@@ -473,6 +515,286 @@ object JpegPixelStats {
         }
       }
     } catch { case Torn => null }
+  }
+
+  /** Progressive (SOF2) decode state — T.81 Annex G: coefficients
+    * accumulate across scans (spectral selection bands Ss..Se at
+    * successive-approximation precision Ah/Al), then dequantize + IDCT
+    * once at EOI. The four scan kinds:
+    *   - DC first (Ss=Se=0, Ah=0): baseline DC differences, stored
+    *     `<< Al`; interleaved (any frame-order component subset) or
+    *     single-component.
+    *   - DC refine (Ah>0): one raw bit per block, OR-ed in at `Al`.
+    *   - AC first (Ss>0, Ah=0): run/size with the EOB-RUN extension
+    *     ((1<<r)-1 + r extra bits of block skips); single-component
+    *     only (the spec forbids interleaved progressive AC).
+    *   - AC refine (Ss>0, Ah>0): the correction-bit walk — every
+    *     nonzero-history coefficient crossed consumes one bit; new
+    *     coefficients arrive as ±1<<Al (s != 1 is torn).
+    * Sequencing is enforced per coefficient: first scan of a band needs
+    * Ah=0; a refinement needs Ah = previous Al and Al = Ah-1; AC before
+    * the component's DC is torn; a missing DC band at EOI is torn.
+    * Restart intervals byte-align, consume the cycling RSTn, and reset
+    * BOTH the DC predictors and the EOB run.
+    */
+  private final class ProgState(w: Int, h: Int, nc: Int,
+                                hsRaw: Array[Int], vsRaw: Array[Int]) {
+    private val eh = Array.tabulate(nc)(c => if (nc == 1) 1 else hsRaw(c))
+    private val ev = Array.tabulate(nc)(c => if (nc == 1) 1 else vsRaw(c))
+    private val hmax = eh.max; private val vmax = ev.max
+    private val cw = Array.tabulate(nc)(c => ((w.toLong * eh(c) + hmax - 1) / hmax).toInt)
+    private val ch = Array.tabulate(nc)(c => ((h.toLong * ev(c) + vmax - 1) / vmax).toInt)
+    private val mcx = (w + 8 * hmax - 1) / (8 * hmax)
+    private val mcy = (h + 8 * vmax - 1) / (8 * vmax)
+    private val wB = Array.tabulate(nc)(c => mcx * eh(c))
+    private val hB = Array.tabulate(nc)(c => mcy * ev(c))
+    private val nbw = Array.tabulate(nc)(c => (cw(c) + 7) / 8)
+    private val nbh = Array.tabulate(nc)(c => (ch(c) + 7) / 8)
+    private val coefs = Array.tabulate(nc)(c => new Array[Int](wB(c) * hB(c) * 64))
+    private val approx = Array.fill(nc, 64)(-1) // last Al per coefficient; -1 = unseen
+    private var anyScan = false
+
+    /** Decode one scan's entropy data; returns the position after it. */
+    def scan(b: Array[Byte], start: Int, scomp: Array[Int], sdc: Array[Int],
+             sac: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+             dcT: Array[Huff], acT: Array[Huff], ri: Int): Int = {
+      val ns = scomp.length
+      if (ss > 63 || se > 63 || se < ss || al > 13 || ah > 13) throw Torn
+      if (ss == 0 && se != 0) throw Torn // a DC band is exactly {0}
+      if (ss > 0 && ns != 1) throw Torn  // no interleaved progressive AC
+      var i = 0
+      while (i < ns) {
+        val c = scomp(i)
+        if (ss > 0 && approx(c)(0) < 0) throw Torn // AC before the DC band
+        var k = ss
+        while (k <= se) {
+          val prev = approx(c)(k)
+          if (prev < 0) { if (ah != 0) throw Torn }
+          else if (ah != prev || al != ah - 1) throw Torn
+          approx(c)(k) = al
+          k += 1
+        }
+        i += 1
+      }
+      anyScan = true
+      val bits = new Bits(b, start)
+      val pred = new Array[Int](ns)
+      var eobrun = 0
+      var rstIdx = 0
+      var unitDone = 0
+      def restartCheck(): Unit =
+        if (ri > 0 && unitDone > 0 && unitDone % ri == 0) {
+          bits.restart(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+
+      if (ss == 0) {
+        def dcBlock(cf: Array[Int], base: Int, tab: Huff, pi: Int): Unit =
+          if (ah == 0) {
+            val t = bits.decode(tab)
+            if (t > 11) throw Torn
+            pred(pi) += extend(bits.bits(t), t)
+            cf(base) = pred(pi) << al
+          } else if (bits.bit() == 1) cf(base) |= (1 << al)
+        if (ns == 1) {
+          val c = scomp(0)
+          val tab = if (ah == 0) {
+            val t = dcT(sdc(0)); if (t == null) throw Torn; t
+          } else null
+          var by = 0
+          while (by < nbh(c)) {
+            var bx = 0
+            while (bx < nbw(c)) {
+              restartCheck()
+              dcBlock(coefs(c), (by * wB(c) + bx) * 64, tab, 0)
+              unitDone += 1
+              bx += 1
+            }
+            by += 1
+          }
+        } else {
+          val tabs = Array.tabulate(ns) { j =>
+            if (ah == 0) { val t = dcT(sdc(j)); if (t == null) throw Torn; t }
+            else null
+          }
+          var my = 0
+          while (my < mcy) {
+            var mx = 0
+            while (mx < mcx) {
+              restartCheck()
+              var j = 0
+              while (j < ns) {
+                val c = scomp(j)
+                var bv = 0
+                while (bv < ev(c)) {
+                  var bu = 0
+                  while (bu < eh(c)) {
+                    dcBlock(coefs(c),
+                      ((my * ev(c) + bv) * wB(c) + (mx * eh(c) + bu)) * 64,
+                      tabs(j), j)
+                    bu += 1
+                  }
+                  bv += 1
+                }
+                j += 1
+              }
+              unitDone += 1
+              mx += 1
+            }
+            my += 1
+          }
+        }
+      } else {
+        // AC scans: single component, non-interleaved block walk
+        val c = scomp(0)
+        val acTab = acT(sac(0)); if (acTab == null) throw Torn
+        val cf = coefs(c)
+        val p1 = 1 << al; val mneg = -1 << al
+        var by = 0
+        while (by < nbh(c)) {
+          var bx = 0
+          while (bx < nbw(c)) {
+            restartCheck()
+            val base = (by * wB(c) + bx) * 64
+            if (ah == 0) {
+              // AC first
+              if (eobrun > 0) eobrun -= 1
+              else {
+                var k = ss
+                var done = false
+                while (k <= se && !done) {
+                  val rs = bits.decode(acTab)
+                  val r = rs >> 4; val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) {
+                      k += 16
+                      if (k > se + 1) throw Torn // ZRL past the band end
+                    } else {
+                      eobrun = (1 << r) - 1
+                      if (r > 0) eobrun += bits.bits(r)
+                      done = true
+                    }
+                  } else {
+                    k += r
+                    if (k > se) throw Torn
+                    cf(base + Zigzag(k)) = extend(bits.bits(s), s) << al
+                    k += 1
+                  }
+                }
+              }
+            } else {
+              // AC refine: the G.2 correction-bit walk
+              var k = ss
+              if (eobrun == 0) {
+                var ended = false
+                while (k <= se && !ended) {
+                  val rs = bits.decode(acTab)
+                  var r = rs >> 4; val s0 = rs & 15
+                  var newVal = 0
+                  if (s0 != 0) {
+                    if (s0 != 1) throw Torn // refinement inserts only ±1<<Al
+                    newVal = if (bits.bit() == 1) p1 else mneg
+                  } else if (r != 15) {
+                    // refine EOB runs INCLUDE the current block: its
+                    // remaining band positions still drain correction
+                    // bits in the eobrun tail below, which decrements
+                    eobrun = 1 << r
+                    if (r > 0) eobrun += bits.bits(r)
+                    ended = true
+                  } // r == 15, s == 0: ZRL — skip 16 zero-history positions
+                  if (!ended) {
+                    var advancing = true
+                    while (advancing && k <= se) {
+                      val z = base + Zigzag(k)
+                      if (cf(z) != 0) {
+                        if (bits.bit() == 1 && (cf(z) & p1) == 0)
+                          cf(z) += (if (cf(z) >= 0) p1 else mneg)
+                      } else {
+                        r -= 1
+                        if (r < 0) advancing = false // the target zero position
+                      }
+                      if (advancing) k += 1
+                    }
+                    if (newVal != 0) {
+                      if (k > se) throw Torn
+                      cf(base + Zigzag(k)) = newVal
+                    }
+                    k += 1
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                // inside an EOB run: correction bits for the rest of the band
+                while (k <= se) {
+                  val z = base + Zigzag(k)
+                  if (cf(z) != 0) {
+                    if (bits.bit() == 1 && (cf(z) & p1) == 0)
+                      cf(z) += (if (cf(z) >= 0) p1 else mneg)
+                  }
+                  k += 1
+                }
+                eobrun -= 1
+              }
+            }
+            unitDone += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      bits.pos
+    }
+
+    /** Dequantize + IDCT every real block, then box-replicate subsampled
+      * components — the same output contract as the baseline path.
+      */
+    def finish(w: Int, h: Int, compQ: Array[Int], qt: Array[Array[Int]],
+               qtSeen: Array[Boolean]): Array[Array[Array[Int]]] = {
+      if (!anyScan) return null
+      var c = 0
+      while (c < nc) {
+        if (approx(c)(0) < 0) return null // DC band never coded
+        if (!qtSeen(compQ(c))) return null
+        c += 1
+      }
+      val sub = Array.tabulate(nc)(c => Array.ofDim[Int](ch(c), cw(c)))
+      val coefD = new Array[Int](64)
+      val tmp = Array.ofDim[Double](8, 8)
+      c = 0
+      while (c < nc) {
+        val q = qt(compQ(c))
+        val cf = coefs(c)
+        var by = 0
+        while (by < nbh(c)) {
+          var bx = 0
+          while (bx < nbw(c)) {
+            val base = (by * wB(c) + bx) * 64
+            var i = 0
+            while (i < 64) { coefD(i) = cf(base + i) * q(i); i += 1 }
+            idctBlock(coefD, tmp, sub(c), bx * 8, by * 8, cw(c), ch(c))
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      Array.tabulate(nc) { c =>
+        if (cw(c) == w && ch(c) == h) sub(c)
+        else {
+          val full = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            val sy = sub(c)(y * ev(c) / vmax)
+            var x = 0
+            while (x < w) { full(y)(x) = sy(x * eh(c) / hmax); x += 1 }
+            y += 1
+          }
+          full
+        }
+      }
+    }
   }
 
   /** Separable double-precision IDCT + level shift + clamp, writing the

@@ -473,6 +473,52 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // PROGRESSIVE JPEG (SOF2) decode under the gate — the multi-scan
+    // web-optimized class m11/m12 quarantined: per document, construct
+    // a complete THREE-SCAN progressive file in column arithmetic —
+    // scan 1 codes every block's DC difference at successive-
+    // approximation precision Al=1 (one byte per block: the category-4
+    // code + 4 magnitude bits), scan 2 REFINES to Al=0 (one raw bit per
+    // block, zero-padded into one byte), scan 3 walks the full 1..63 AC
+    // band as per-block EOBs. Pixels land on exact integers — block b's
+    // value is 128 + 2*((pred_b << 1) | refine_bit_b) at q0=16 — so the
+    // oracle states the scan COMPOSITION arithmetically: a decoder that
+    // mis-merges the refine bit or mis-walks the band cannot hash equal.
+    // Full-AC progressive (EOB runs, correction-bit walks, the
+    // encoder's own scan scripts) is pinned by JpegSpec's ImageIO
+    // differentials on SOF2 files the JDK encoder itself emits. Torn
+    // docs (doc_id % 7 == 0) lose their EOI: NULL.
+    "m19_progressive_jpeg" -> { (s, d) =>
+      import graft.functions.GraftFunctions.jpeg_pixel_stats
+      val id = col("doc_id")
+      val d0 = (lit(8) + pmod(id, lit(8))).cast("int")
+      val d1 = (lit(8) + pmod(id, lit(5))).cast("int")
+      val b0 = pmod(id, lit(2)).cast("int")
+      val b1 = pmod(expr("doc_id div 2"), lit(2)).cast("int")
+      val jpegHex = concat(
+        lit("FFD8"),                                    // SOI
+        lit("FFDB00430010"), lit("01" * 63),            // DQT: q0=16, rest 1
+        lit("FFC2000B0800080010" + "01011100"),         // SOF2: 16x8, 1 comp
+        lit("FFC4001400"), lit("00000001" + "00" * 12), lit("04"), // DC: len-4 cat-4
+        lit("FFC4001410"), lit("00000000000000010000000000000000"), lit("00"), // AC: len-8 EOB
+        lit("FFDA000801010000" + "0001"),               // SOS 1: DC first, Al=1
+        format_string("%02X%02X", d0, d1),
+        lit("FFDA000801010000" + "0010"),               // SOS 2: DC refine, Ah=1
+        format_string("%02X", b0 * 128 + b1 * 64),
+        lit("FFDA000801010001" + "3F00"),               // SOS 3: AC first, 1..63
+        lit("0000"),                                    // EOB per block
+        lit("FFD9"))                                    // EOI
+      val hex = when(id % 7 === 0,
+        substring(jpegHex, lit(1), length(jpegHex) - 4)).otherwise(jpegHex)
+      Tables.documents(s, d)
+        .select(id, jpeg_pixel_stats(unhex(hex)).as("p"))
+        .select(id,
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"), col("p.pixel_sum").as("pixel_sum"),
+          col("p.pixel_min").as("pixel_min"), col("p.pixel_max").as("pixel_max"))
+        .orderBy(id)
+    },
+
     // COLOR JPEG (YCbCr 4:4:4) decode under the gate — m11's machinery
     // times three interleaved components plus the 16-bit fixed-point
     // CCIR 601 conversion: per document, construct a complete
@@ -1662,6 +1708,36 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the m11 inversion posture for the progressive composition: block
+    // b's pixel value is 128 + 2*((pred_b << 1) | refine_bit_b) — the
+    // DC-first shift, the refine-bit merge, and the all-EOB AC band are
+    // all under the hash; torn docs keep their row with NULL stats
+    "m19_progressive_jpeg" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 8 AS d0,
+        |    8 + doc_id % 5 AS d1,
+        |    doc_id % 2 AS b0,
+        |    (doc_id // 2) % 2 AS b1
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    128 + 4 * d0 + 2 * b0 AS p0,
+        |    128 + 4 * (d0 + d1) + 2 * b1 AS p1
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(8 AS INT) END AS height,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(128 AS BIGINT) END AS n_pixels,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(64 * (p0 + p1) AS BIGINT) END AS pixel_sum,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(LEAST(p0, p1) AS INT) END AS pixel_min,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(GREATEST(p0, p1) AS INT) END AS pixel_max
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // per-block Y/Cb'/Cr' from the diff patterns, then the SAME 16-bit
     // fixed-point conversion as integer division on non-negative

@@ -68,7 +68,8 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegPixelStats.decodeStats(good.take(6)) === null)
     assert(JpegPixelStats.decodeStats("notajpeg".getBytes) === null)
     assert(JpegPixelStats.decodeStats(Array[Byte]()) === null)
-    // progressive (SOF2): flip the SOF marker
+    // a baseline stream relabeled SOF2 is a LYING progressive file (its
+    // scan declares the 0..63 band with Ss=0, illegal outside baseline)
     val prog = good.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
@@ -448,6 +449,155 @@ class JpegSpec extends AnyFunSuite {
       }
       assert(maxDelta <= 1,
         s"${w}x$h q=$quality: max per-sample delta $maxDelta vs ImageIO (IEEE-1180 grants 1)")
+    }
+  }
+
+  // ---- progressive (SOF2) ----
+
+  /** Hand-built 3-scan progressive grayscale file (the m19 gate shape):
+    * DC first at Al=1 (one byte per block: category-4 code + 4 magnitude
+    * bits), DC refine to Al=0 (two bits + 1-padding), then an AC-first
+    * scan of the full 1..63 band that is all-EOB (one 0x00 byte per
+    * block). Pixels land on exact integers: 128 + 2*((pred<<1)|bit)
+    * at q0=16.
+    */
+  def progressiveJpeg(d0: Int, d1: Int, b0: Int, b1: Int): Array[Byte] = {
+    require(d0 >= 8 && d0 <= 15 && d1 >= 8 && d1 <= 15)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xFF))
+    b(0xFF, 0xD8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00); b(16); (1 until 64).foreach(_ => b(1))
+    b(0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x10, 0x01, 0x01, 0x11, 0x00)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x00,
+      0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x04)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x10,
+      0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0x00)
+    b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x00, 0x01) // DC first, Al=1
+    b(d0, d1)
+    b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x00, 0x10) // DC refine, Ah=1
+    b(b0 * 128 + b1 * 64) // zero padding bits: keeps the byte 0xFF-free
+    b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x01, 0x3F, 0x00) // AC first, all-EOB
+    b(0x00, 0x00)
+    b(0xFF, 0xD9)
+    out.toByteArray
+  }
+
+  test("progressive fixture: DC first + refine compose exactly; AC band walk runs") {
+    for ((d0, d1, b0, b1) <- Seq((9, 8, 1, 0), (15, 15, 0, 1), (8, 12, 1, 1))) {
+      val r = JpegPixelStats.decodeStats(progressiveJpeg(d0, d1, b0, b1))
+      assert(r !== null, s"refused ($d0,$d1,$b0,$b1)")
+      val p0 = 128 + 2 * ((d0 << 1) | b0)
+      val p1 = 128 + 2 * (((d0 + d1) << 1) | b1)
+      assert((r.getInt(0), r.getInt(1), r.getLong(2)) === ((16, 8, 128L)))
+      assert(r.getLong(3) === 64L * p0 + 64L * p1, s"sum ($d0,$d1,$b0,$b1)")
+      assert((r.getInt(4), r.getInt(5)) === ((p0 min p1, p0 max p1)))
+    }
+  }
+
+  test("progressive sequencing refusals: AC before DC, bad Ah chain, missing DC at EOI, truncation") {
+    val good = progressiveJpeg(9, 8, 1, 0)
+    assert(JpegPixelStats.decodeStats(good) !== null)
+    // truncated mid-scan
+    assert(JpegPixelStats.decodeStats(good.dropRight(3)) === null)
+    // AC-only file: drop both DC scans (SOS1 data is 2 bytes, SOS2 is 1)
+    def findSos(b: Array[Byte], n: Int): Int = {
+      var c = 0
+      (0 until b.length - 1).find { i =>
+        if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xDA) { c += 1; c == n }
+        else false
+      }.get
+    }
+    val s1 = findSos(good, 1); val s3 = findSos(good, 3)
+    val acOnly = good.take(s1) ++ good.drop(s3)
+    assert(JpegPixelStats.decodeStats(acOnly) === null)
+    // refine without a first scan: keep only the refine DC scan
+    val s2 = findSos(good, 2)
+    val refineFirst = good.take(s1) ++ good.slice(s2, s3) ++ good.drop(s3)
+    assert(JpegPixelStats.decodeStats(refineFirst) === null)
+    // skipping the refine (Al=1 then AC at Al=0) is LEGAL per band: the
+    // AC band's own first scan carries its own Ah=0
+    val noRefine = good.take(s2) ++ good.drop(s3)
+    assert(JpegPixelStats.decodeStats(noRefine) !== null)
+    // DC-only progressive (no AC scan at all) is legal too
+    val dcOnly = good.take(s3) ++ good.drop(good.length - 2)
+    assert(JpegPixelStats.decodeStats(dcOnly) !== null)
+  }
+
+  test("JDK differential (progressive grayscale): ImageIO's own multi-scan files decode within +-1") {
+    val rnd = new scala.util.Random(23)
+    for ((w, h, quality) <- Seq((24, 16, 0.9f), (17, 9, 0.75f), (40, 33, 0.5f))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0,
+          (96 + 64 * math.sin(x * 0.7) + 48 * math.cos(y * 0.5) + rnd.nextInt(32)).toInt
+            .max(0).min(255))
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      // the file must really be progressive (SOF2), else this test is vacuous
+      assert((0 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2),
+        "encoder did not emit SOF2")
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val ours = JpegPixelStats.decodePixels(bytes)
+      assert(ours !== null, s"refused a well-formed progressive ${w}x$h q=$quality")
+      var maxDelta = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(ours(y)(x) - jdk.getRaster.getSample(x, y, 0))
+        if (d > maxDelta) maxDelta = d
+      }
+      assert(maxDelta <= 1,
+        s"progressive ${w}x$h q=$quality: max delta $maxDelta vs ImageIO")
+    }
+  }
+
+  test("JDK differential (progressive color): the encoder's native subsampled multi-scan files decode within +-2") {
+    val rnd = new scala.util.Random(31)
+    for ((w, h, quality) <- Seq((32, 24, 0.8f), (19, 13, 0.6f))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (96 + 64 * math.sin(x * 0.5) + 48 * math.cos(y * 0.4) + rnd.nextInt(24)).toInt
+          .max(0).min(255)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g) // gray-valued RGB: constant chroma
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      assert((0 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2),
+        "encoder did not emit SOF2")
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val rgb = JpegPixelStats.decodeRgb(bytes)
+      assert(rgb !== null, s"refused a progressive color ${w}x$h q=$quality")
+      var maxDelta = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val px = jdk.getRGB(x, y)
+        val deltas = Seq(
+          math.abs(rgb(0)(y)(x) - ((px >> 16) & 0xFF)),
+          math.abs(rgb(1)(y)(x) - ((px >> 8) & 0xFF)),
+          math.abs(rgb(2)(y)(x) - (px & 0xFF)))
+        if (deltas.max > maxDelta) maxDelta = deltas.max
+      }
+      assert(maxDelta <= 2,
+        s"progressive color ${w}x$h q=$quality: max delta $maxDelta vs ImageIO")
     }
   }
 }
