@@ -751,6 +751,67 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // CRAWL GOVERNANCE composed (the PRE-fetch half + decode, the
+    // complement of x14's post-fetch half): robots.txt admission (t57's
+    // policy and arms) -> frontier politeness scheduling over exactly
+    // the ADMITTED candidates (t58's hot-host arithmetic) -> fetch
+    // returning per-doc BYTES in varying charsets -> strict decode
+    // (m17; torn UTF-16 bodies quarantine by absence) -> fingerprint
+    // keep-first dedup with the keeper carrying its own schedule slot.
+    // One lazy plan: admission, scheduling, decode, and dedup
+    // boundaries all under a single hash — an URL the policy refuses
+    // must never be scheduled, a torn fetch must never reach dedup,
+    // and the keeper's slot must be the one scheduled BEFORE the fetch.
+    "x15_crawl_governance" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{charset_decode, robots_allowed}
+      import graft.functions.TextFunctions.fingerprint
+      val id = col("doc_id")
+      val robots = concat(
+        lit("# crawl policy\nUser-agent: graftbot\nDisallow: /private/\n" +
+          "Allow: /private/pub*\nDisallow: /tmp$\nDisallow: /id/"),
+        id.cast("string"),
+        lit("$\nUser-agent: *\nDisallow: /\nAllow: /open/\n"))
+      val arm = pmod(id, lit(6))
+      val path = when(arm === 0, concat(lit("/private/x"), id.cast("string")))
+        .when(arm === 1, concat(lit("/private/pub"), id.cast("string")))
+        .when(arm === 2, lit("/tmp"))
+        .when(arm === 3, concat(lit("/tmp"), id.cast("string")))
+        .when(arm === 4, concat(lit("/id/"), id.cast("string")))
+        .otherwise(concat(lit("/open/"), id.cast("string")))
+      val host = when(id % 3 === 0, lit(0L)).otherwise(pmod(id, lit(37L)))
+      val admitted = Tables.documents(s, d)
+        .select(id, col("lang"), host.as("host_id"),
+          pmod(id, lit(5L)).as("priority"),
+          (lit(1L) + pmod(host, lit(4L))).as("delay_s"))
+        .filter(robots_allowed(robots, path, "graftbot"))
+      val sched = graft.operators.Frontier.schedule(admitted,
+        host = col("host_id"), priority = col("priority"), tie = id,
+        delaySec = col("delay_s"), perCycle = 8, cycleLenSec = 60L)
+      val src = concat(lit("page "), col("lang"), lit(" "), (id % 13).cast("string"))
+      def asciiHex(c: Column) = array_join(
+        transform(sequence(lit(1), length(c)),
+          i => format_string("%02X", ascii(c.substr(i, lit(1))))), "")
+      def utf16leHex(c: Column) = array_join(
+        transform(sequence(lit(1), length(c)),
+          i => format_string("%02X00", ascii(c.substr(i, lit(1))))), "")
+      val bytesHex = when(id % 11 === 0,
+          concat(lit("FFFE"), utf16leHex(src), lit("41")))     // torn fetch
+        .when(id % 2 === 0, concat(lit("FFFE"), utf16leHex(src)))
+        .otherwise(concat(asciiHex(src), lit("9394")))         // cp1252 quotes
+      sched
+        .withColumn("text", charset_decode(unhex(bytesHex)))
+        .filter(col("text").isNotNull)
+        .withColumn("fp", fingerprint(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
+          min_by(col("host_id"), id).as("host_id"),
+          min_by(col("slot"), id).as("slot"),
+          min_by(col("fetch_offset_s"), id).as("fetch_offset_s"))
+        .select(col("doc_id"), col("n_dups"), col("host_id"),
+          col("slot"), col("fetch_offset_s"))
+        .orderBy(col("doc_id"))
+    },
+
     // ZIP CONTAINER walk under the gate — the archive family documents
     // travel in (docx/xlsx/epub are ZIP): per document, construct a
     // complete two-entry STORED archive in column arithmetic — real
@@ -1851,6 +1912,42 @@ object Reference extends QueryPack {
         |  FROM s)
         |SELECT doc_id, idx, name, method, csize, usize
         |FROM r ORDER BY doc_id, idx""".stripMargin,
+
+    // the governance flow restated: t57's admission outcomes select the
+    // arms, the schedule window runs over exactly those rows, torn
+    // fetches (doc_id % 11 = 0) vanish before dedup, text stated by
+    // inversion (UTF-16LE decodes to the source; CP1252 appends the
+    // curly quotes), keep-first grouped by the text itself (fingerprint
+    // is injective here), keeper's slot joined back by id
+    "x15_crawl_governance" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END AS host_id,
+        |    doc_id % 5 AS priority
+        |  FROM documents
+        |  WHERE doc_id % 6 IN (1, 3, 5)),
+        |sched AS (
+        |  SELECT doc_id, lang, host_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host_id
+        |      ORDER BY priority DESC, doc_id) - 1 AS BIGINT) AS slot,
+        |    1 + host_id % 4 AS delay_s
+        |  FROM c),
+        |sched2 AS (
+        |  SELECT doc_id, lang, host_id, slot,
+        |    CAST((slot // 8) * 60 + (slot % 8) * delay_s AS BIGINT) AS fetch_offset_s
+        |  FROM sched),
+        |fetched AS (
+        |  SELECT doc_id, host_id, slot, fetch_offset_s,
+        |    'page ' || lang || ' ' || CAST(doc_id % 13 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 2 = 1 THEN chr(8220) || chr(8221) ELSE '' END AS text
+        |  FROM sched2
+        |  WHERE doc_id % 11 <> 0),
+        |kept AS (
+        |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |  FROM fetched GROUP BY text)
+        |SELECT k.doc_id, k.n_dups, f.host_id, f.slot, f.fetch_offset_s
+        |FROM kept k JOIN fetched f USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
 
     // the m16 inversion posture for TAR: listing fields stated from the
     // construction arithmetic (entry 2's size is the component string
