@@ -853,6 +853,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("frontier twins (18th): streamed per-host slot assignment equals the batch FIFO schedule") {
+    import spark.implicits._
+    import graft.streaming.FrontierStream
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    implicit val sctx = spark.sqlContext
+    // t58's arithmetic incl. the hot host; constant priority = the
+    // arrival-order arm the streaming frontier implements
+    val cands = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("url_id"))
+      .withColumn("host_id",
+        when(col("url_id") % 3 === 0, lit(0L)).otherwise(pmod(col("url_id"), lit(37L))))
+      .withColumn("delay_s", lit(1L) + pmod(col("host_id"), lit(4L)))
+    val batch = graft.operators.Frontier.schedule(cands,
+        host = col("host_id"), priority = lit(0L), tie = col("url_id"),
+        delaySec = col("delay_s"), perCycle = 8, cycleLenSec = 60L)
+      .select("url_id", "host_id", "slot", "fetch_offset_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rows = cands.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = FrontierStream.scheduleStream(
+        input.toDF().toDF("url_id", "host_id", "delay_s"), perCycle = 8, cycleLenSec = 60L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frontier_stream")
+      .start()
+    try {
+      // per-key in-order: ascending url_id split across two micro-batches
+      input.addData(rows.take(rows.length / 2).toSeq); q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("frontier_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    // state is one counter per host: a third batch resumes numbering
+    assert(streamed.groupBy(_._2).forall { case (_, g) =>
+      g.map(_._3).toSeq.sorted === (0L until g.size).toSeq })
+  }
+
   test("crawl front-door twins (17th): streamed extract+scrub+gate+keep-first equals batch x14 flow") {
     import spark.implicits._
     import graft.streaming.CrawlStream
