@@ -386,6 +386,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x14 lost the map-side partial aggregate:\n$plan")
   }
 
+  test("m17/m18/m19 decode gates: scan-fused per-row kernels, only the output sort shuffles") {
+    for (name <- Seq("m17_charset_decode", "m18_tar_entries", "m19_progressive_jpeg")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name grew a data shuffle:\n$plan")
+      assert("Exchange rangepartitioning".r.findAllIn(plan).size === 1,
+        s"$name should shuffle only for the output sort:\n$plan")
+    }
+  }
+
+  test("x15 governance: exactly two data exchanges — the host-keyed window and the fp-keyed keep-first") {
+    val plan = planOf("x15_crawl_governance")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 2,
+      s"x15 needs exactly two data shuffles (window + dedup), found $hashExchanges:\n$plan")
+    assert(plan.contains("Window"), s"x15 lost the schedule window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"x15 lost the map-side partial aggregate:\n$plan")
+  }
+
+  test("t58 frontier: one host-keyed exchange feeding the rank window") {
+    val plan = planOf("t58_crawl_schedule")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"t58 needs exactly one data shuffle:\n$plan")
+    assert(plan.contains("Window"), s"t58 lost the rank window:\n$plan")
+  }
+
   test("t52 post-compaction read keeps t28's pruned-and-pushed scan shape") {
     val df = SparkEntry.queries("t52_index_compaction")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
