@@ -62,6 +62,45 @@ case class CharsetDetect(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** charset_decode_html(binary): the WHATWG "prescan the byte stream"
+  * step composed into the m17 ladder — real HTML payloads DECLARE
+  * their encoding in a `<meta charset=...>` or
+  * `<meta http-equiv=content-type content="...charset=...">` tag, and
+  * a crawl that ignores the declaration mis-decodes every legacy page
+  * whose bytes happen to validate as something else. Ladder:
+  *   1. BOM (outranks everything, as in [[CharsetDecode]]).
+  *   2. Meta prescan over the first 1024 bytes (the standard's window):
+  *      a declared `utf-8`/`us-ascii` body must VALIDATE (a meta that
+  *      lies quarantines NULL — the BOM-lie posture); declared
+  *      `windows-1252`/`iso-8859-1`/`latin1` decode via the WHATWG
+  *      index (the standard maps them to the same decoder); any other
+  *      or unparseable label falls through to step 3 (prescan is a
+  *      hint, not a contract — unknown labels are not torn).
+  *   3. The m17 content ladder (strict UTF-8 scan, CP1252 fallback).
+  * Scope: ASCII-superset prescan (the standard's own assumption),
+  * double/single-quoted or unquoted attribute values, attributes
+  * in any order; `<!-- -->` comments skipped so a commented-out meta
+  * never drives the decode.
+  */
+case class CharsetDecodeHtml(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "charset_decode_html"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Charsets.decodeHtml(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Charsets.decodeHtml($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CharsetDecode(child: Expression) extends UnaryExpression {
   override def prettyName: String = "charset_decode"
   override def dataType: DataType = StringType
@@ -199,6 +238,70 @@ object Charsets {
       i += 1
     }
     UTF8String.fromString(new String(out))
+  }
+
+  private val AttrRe =
+    """([a-z][a-z0-9\-]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"']+))""".r
+  private val ContentCharsetRe =
+    """charset\s*=\s*["']?\s*([a-z0-9_\-]+)""".r
+
+  /** WHATWG-style meta prescan over the first 1024 bytes. Returns the
+    * declared label lowercased, or null when no meta declares one.
+    * ASCII-superset read (ISO-8859-1 view — the standard's own
+    * assumption for the prescan), comments skipped.
+    */
+  private[functions] def metaCharset(b: Array[Byte]): String = {
+    val n = math.min(b.length, 1024)
+    val s = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("<!--", i)) {
+        val end = s.indexOf("-->", i + 4)
+        if (end < 0) return null // comment runs past the window: no signal
+        i = end + 3
+      } else if (s.startsWith("<meta", i) && i + 5 < s.length &&
+                 " \t\n\r\f/".indexOf(s.charAt(i + 5)) >= 0) {
+        val end = s.indexOf('>', i)
+        val tag = if (end < 0) s.substring(i) else s.substring(i, end)
+        val attrs = AttrRe.findAllMatchIn(tag).map { m =>
+          val v = Option(m.group(3)).orElse(Option(m.group(4)))
+            .getOrElse(m.group(5))
+          m.group(1) -> v.trim
+        }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+        attrs.get("charset") match {
+          case Some(c) if c.nonEmpty => return c
+          case _ =>
+            if (attrs.get("http-equiv").contains("content-type"))
+              attrs.get("content").foreach { content =>
+                ContentCharsetRe.findFirstMatchIn(content)
+                  .foreach(m => return m.group(1))
+              }
+        }
+        if (end < 0) return null
+        i = end + 1
+      } else i += 1
+    }
+    null
+  }
+
+  /** The HTML ladder: BOM, then the meta declaration (a lying utf-8
+    * declaration quarantines; cp1252-family labels decode totally;
+    * unknown labels fall through), then the content ladder.
+    */
+  def decodeHtml(b: Array[Byte]): UTF8String = {
+    if (b == null) return null
+    if (hasBom(b, 0xEF, 0xBB, 0xBF) || hasBom2(b, 0xFF, 0xFE) ||
+        hasBom2(b, 0xFE, 0xFF)) return decode(b)
+    metaCharset(b) match {
+      case "utf-8" | "utf8" | "us-ascii" | "ascii" =>
+        if (utf8Class(b, 0) < 0) null // the declaration lies: torn
+        else UTF8String.fromBytes(b, 0, b.length)
+      case "windows-1252" | "iso-8859-1" | "iso8859-1" | "latin1" | "l1" |
+           "cp1252" | "x-cp1252" | "iso_8859-1" =>
+        decodeCp1252(b) // the WHATWG index maps all of these to cp1252
+      case _ => decode(b) // no/unknown label: the content ladder
+    }
   }
 
   def decode(b: Array[Byte]): UTF8String = {

@@ -115,6 +115,8 @@ object GraftFunctions {
   def charset_detect(bytes: Column): Column = toCol(CharsetDetect(toExpr(bytes)))
   /** Strict decode on the detected branch — see [[CharsetDecode]]. */
   def charset_decode(bytes: Column): Column = toCol(CharsetDecode(toExpr(bytes)))
+  /** HTML decode with the WHATWG meta prescan — see [[CharsetDecodeHtml]]. */
+  def charset_decode_html(bytes: Column): Column = toCol(CharsetDecodeHtml(toExpr(bytes)))
   /** Audio-container header parse (WAV/MP3) — see [[AudioMeta]]. */
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
@@ -203,6 +205,7 @@ object GraftFunctions {
     "tar_extract" -> { es => TarExtract(es(0), es(1)) },
     "charset_detect" -> { es => CharsetDetect(es(0)) },
     "charset_decode" -> { es => CharsetDecode(es(0)) },
+    "charset_decode_html" -> { es => CharsetDecodeHtml(es(0)) },
     "fnv64" -> { es => Fnv64(es(0)) },
     "nfc_normalize" -> { es => NfcNormalize(es(0)) },
     "cm_buckets" -> { es => CmBuckets(es(0),

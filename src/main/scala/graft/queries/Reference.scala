@@ -908,6 +908,50 @@ object Reference extends QueryPack {
         .orderBy(id)
     },
 
+    // HTML META-PRESCAN decode under the gate (the WHATWG step between
+    // m17's BOM sniff and its content heuristic): per document,
+    // construct an HTML page whose <meta> DECLARATION and whose BYTES
+    // disagree in controlled ways — valid-UTF-8 bytes declared
+    // windows-1252 (the declaration must WIN: Ã© not é), the http-equiv
+    // content-type spelling, a commented-out meta (must NOT win), and
+    // no meta at all (the content ladder decides). Overlays: a UTF-8
+    // BOM outranks a contradicting meta (doc_id % 13), and a meta that
+    // LIES about utf-8 over invalid bytes quarantines NULL
+    // (doc_id % 11 — the m17 BOM-lie posture applied to declarations).
+    // The oracle states every decoded string by inversion (chr() of the
+    // exact code points each path produces), so declaration precedence,
+    // comment skipping, and the lie arm all sit under one hash.
+    "m20_meta_charset" -> { (s, d) =>
+      import graft.functions.GraftFunctions.charset_decode_html
+      val id = col("doc_id")
+      def asciiHex(c: Column) = array_join(
+        transform(sequence(lit(1), length(c)),
+          i => format_string("%02X", ascii(c.substr(i, lit(1))))), "")
+      val arm = pmod(id, lit(4))
+      val meta = when(arm === 0, lit("<meta charset=\"windows-1252\">"))
+        .when(arm === 1,
+          lit("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=utf-8\">"))
+        .when(arm === 2, lit("<!--<meta charset=\"windows-1252\">-->"))
+        .otherwise(lit(""))
+      val post = lit("</body></html>")
+      def page(m: Column, tailHex: String) =
+        concat(asciiHex(concat(lit("<html><head>"), m,
+            lit("</head><body>page "), col("lang"), lit(" "),
+            pmod(id, lit(10)).cast("string"), lit(" "))),
+          lit(tailHex), asciiHex(post))
+      val hexCol = when(id % 11 === 0,
+          page(lit("<meta charset=\"utf-8\">"), "93"))            // lying declaration
+        .when(id % 13 === 0,
+          concat(lit("EFBBBF"), page(lit("<meta charset=\"windows-1252\">"), "C3A9")))
+        .when(arm === 0, page(meta, "C3A9"))   // declared cp1252 over utf-8 bytes
+        .when(arm === 1, page(meta, "C3A9"))   // declared utf-8, valid
+        .when(arm === 2, page(meta, "C3A9"))   // commented meta: ladder utf-8
+        .otherwise(page(meta, "93"))           // no meta: ladder cp1252
+      Tables.documents(s, d)
+        .select(id, charset_decode_html(unhex(hexCol)).as("text"))
+        .orderBy(id)
+    },
+
     // TAR (ustar) walk under the gate — the corpus-mirror distribution
     // format (.tar.gz = gunzip -> this): per document, construct a
     // complete two-entry POSIX ustar archive in column arithmetic —
@@ -1912,6 +1956,36 @@ object Reference extends QueryPack {
         |  FROM s)
         |SELECT doc_id, idx, name, method, csize, usize
         |FROM r ORDER BY doc_id, idx""".stripMargin,
+
+    // the inversion posture for the meta prescan: each arm's decoded
+    // string stated literally (233 = é via utf-8, 195/169 = Ã© when the
+    // same bytes are DECLARED cp1252, 8220 = the cp1252 curly quote);
+    // the lying declaration vanishes to NULL, the BOM overlay wins
+    "m20_meta_charset" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, doc_id % 4 AS arm,
+        |    'page ' || lang || ' ' || CAST(doc_id % 10 AS VARCHAR) || ' ' AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 11 = 0 THEN NULL
+        |    WHEN doc_id % 13 = 0 THEN
+        |      '<html><head><meta charset="windows-1252"></head><body>'
+        |      || body || chr(233) || '</body></html>'
+        |    WHEN arm = 0 THEN
+        |      '<html><head><meta charset="windows-1252"></head><body>'
+        |      || body || chr(195) || chr(169) || '</body></html>'
+        |    WHEN arm = 1 THEN
+        |      '<html><head><meta http-equiv="Content-Type" content="text/html; charset=utf-8"></head><body>'
+        |      || body || chr(233) || '</body></html>'
+        |    WHEN arm = 2 THEN
+        |      '<html><head><!--<meta charset="windows-1252">--></head><body>'
+        |      || body || chr(233) || '</body></html>'
+        |    ELSE
+        |      '<html><head></head><body>'
+        |      || body || chr(8220) || '</body></html>'
+        |  END AS text
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the governance flow restated: t57's admission outcomes select the
     // arms, the schedule window runs over exactly those rows, torn
