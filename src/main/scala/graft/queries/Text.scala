@@ -637,6 +637,40 @@ object Text extends QueryPack {
         .orderBy(id)
     },
 
+    // BOILERPLATE REMOVAL under the gate (jusText-family main-content
+    // extraction): per doc, construct a six-block page where every rule
+    // has a live arm — a link-dense nav (bad before any length test),
+    // two prose blocks whose appended function words guarantee the
+    // stopword-density keep, a SHORT block between them (kept by
+    // neighbor smoothing), a stopword-free promo footer (bad by
+    // density), and the SAME kind of short block after the footer
+    // (dropped by the same smoothing) — so the class string is a
+    // constant the oracle states, and kept_text is the inversion of
+    // the construction. Pure array HOFs fused into the scan: zero
+    // explode, zero shuffle.
+    "t59_boilerplate" -> { (s, d) =>
+      val id = col("doc_id")
+      val toks = split(col("text"), " ")
+      def sliceTxt(i: Int) = {
+        val start = pmod(lit(i * 7), greatest(size(toks) - 6, lit(1))) + 1
+        array_join(slice(toks, start, lit(6)), " ")
+      }
+      val c1 = concat(sliceTxt(1), lit(" the of and to a is."))
+      val c2 = concat(sliceTxt(2), lit(" the of and in it on."))
+      val short1 = substring(element_at(toks, 1), 1, 6)
+      val short2 = substring(element_at(toks, 2), 1, 6)
+      val footer = array_join(transform(sequence(lit(1), lit(12)),
+        i => format_string("promo%d_%d", pmod(id, lit(7)), i)), " ")
+      val html = concat(
+        lit("<html><body><div><a href=\"/\">Home</a> <a href=\"/about\">About</a></div><p>"),
+        c1, lit("</p><p>"), short1, lit("</p><p>"), c2, lit("</p><div>"),
+        footer, lit("</div><p>"), short2, lit("</p></body></html>"))
+      graft.operators.Boilerplate.extract(
+          Tables.documents(s, d).select(id, col("text")), html)
+        .select(id, col("n_blocks"), col("n_kept"), col("classes"), col("kept_text"))
+        .orderBy(id)
+    },
+
     // CRAWL-FRONTIER politeness scheduling under the gate — after t57
     // admits a URL, assign it a fetch offset honoring the host's crawl
     // delay and the fleet's per-cycle capacity: hosts from doc
@@ -2261,6 +2295,31 @@ object Text extends QueryPack {
          |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
          |FROM r GROUP BY 1, 2
          |ORDER BY bucket, batch_idx""".stripMargin,
+
+    // the inversion posture for boilerplate removal: the class string
+    // is a constant of the construction, kept_text restates the slice
+    // arithmetic (same start formula as the engine's builder)
+    "t59_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(toks,
+        |        1 + (7 % greatest(len(toks) - 6, 1)),
+        |        6 + (7 % greatest(len(toks) - 6, 1))), ' ')
+        |      || ' the of and to a is.' AS c1,
+        |    substr(toks[1], 1, 6) AS s1,
+        |    array_to_string(list_slice(toks,
+        |        1 + (14 % greatest(len(toks) - 6, 1)),
+        |        6 + (14 % greatest(len(toks) - 6, 1))), ' ')
+        |      || ' the of and in it on.' AS c2
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(6 AS INT) AS n_blocks,
+        |  CAST(3 AS INT) AS n_kept,
+        |  'bad good good good bad bad' AS classes,
+        |  c1 || ' ' || s1 || ' ' || c2 AS kept_text
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // the identical window + integer schedule arithmetic in DuckDB
     "t58_crawl_schedule" ->
