@@ -751,6 +751,82 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // BYTES-TO-CORPUS composed (x16 — the deepest crawl composition:
+    // every stage between wire bytes and curated text under ONE hash):
+    // WARC record extraction over hex-constructed blobs whose HTTP
+    // bodies carry REAL non-ASCII bytes (the reason the blob must be
+    // built in hex) -> HTTP-200 filter -> HTML charset decode via the
+    // meta prescan (m20: even docs declare utf-8 over ASCII, odd docs
+    // declare windows-1252 over 0x93/0x94 curly-quote bytes, so the
+    // SAME pipeline yields different-but-stated text per parity; a
+    // lying utf-8 declaration at doc_id % 11 quarantines) -> boilerplate
+    // removal (t59: nav and promo footer drop, both prose blocks
+    // survive, classes constant) -> PII scrub (t54: the email and IP
+    // planted in the second prose block redact) -> fingerprint
+    // keep-first (collisions engineered by (parity, lang, doc_id % 13)).
+    // Torn WARC blobs (doc_id % 7) and 404s (doc_id % 5) never reach
+    // decode; torn decodes never reach boilerplate.
+    "x16_bytes_to_corpus" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{charset_decode_html, warc_records}
+      import graft.functions.TextFunctions.fingerprint
+      val id = col("doc_id")
+      // codegen'd: hex() of a string column IS the ASCII-hex of its bytes
+      def asciiHex(c: Column) = hex(c)
+      val k = pmod(id, lit(13)).cast("string")
+      val nav = "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a></div>"
+      val footerDiv = "<div>promo1 promo2 promo3 promo4 promo5 promo6 " +
+        "promo7 promo8 promo9 promo10 promo11 promo12</div>"
+      val proseTail = concat(lit(" "), col("lang"), lit(" "), k,
+        lit(" the of and to a is.</p><p>contact admin@example.com or " +
+          "10.0.0.1 beta "), col("lang"), lit(" "), k,
+        lit(" the of and in it on.</p>" + footerDiv + "</body></html>"))
+      val evenHtmlHex = asciiHex(concat(
+        lit("<html><head><meta charset=\"utf-8\"></head><body>" + nav + "<p>alpha"),
+        proseTail))
+      val oddHtmlHex = concat(
+        asciiHex(lit("<html><head><meta charset=\"windows-1252\"></head><body>" +
+          nav + "<p>")),
+        lit("93"), asciiHex(lit("alpha")), lit("94"),
+        asciiHex(proseTail))
+      val lyingHtmlHex = concat(
+        asciiHex(lit("<html><head><meta charset=\"utf-8\"></head><body>x")),
+        lit("93"))
+      val htmlHex = when(id % 11 === 0, lyingHtmlHex)
+        .when(id % 2 === 0, evenHtmlHex)
+        .otherwise(oddHtmlHex)
+      val status = when(id % 5 === 0, lit(404)).otherwise(lit(200))
+      val headHex = asciiHex(format_string(
+        "HTTP/1.1 %d OK\r\nContent-Type: text/html\r\n\r\n", status))
+      val httpHex = concat(headHex, htmlHex)
+      val warcHex = concat(
+        asciiHex(concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/"),
+          id.cast("string"),
+          format_string("\r\nContent-Length: %d\r\n\r\n",
+            (length(httpHex) / 2).cast("int")))),
+        httpHex, asciiHex(lit("\r\n\r\n")))
+      val blobHex = when(id % 7 === 0,
+        warcHex.substr(lit(1), length(warcHex) - 6)).otherwise(warcHex)
+      val extracted = Tables.documents(s, d)
+        .select(id, col("lang"), explode(warc_records(unhex(blobHex))).as("r"))
+        .filter(col("r.rec_type") === "response" && col("r.http_status") === 200)
+        .select(id, col("lang"),
+          charset_decode_html(col("r.body").cast("binary")).as("html"))
+        .filter(col("html").isNotNull)
+      val curated = graft.operators.Pii.scrub(
+        graft.operators.Boilerplate.extract(extracted, col("html"))
+          .select(id, col("n_kept"), col("classes"), col("kept_text")),
+        "kept_text")
+      curated
+        .withColumn("fp", fingerprint(col("redacted")))
+        .groupBy(col("fp"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
+          min_by(col("redacted"), id).as("redacted"),
+          min_by(col("classes"), id).as("classes"))
+        .select(col("doc_id"), col("n_dups"), col("classes"), col("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
     // CRAWL GOVERNANCE composed (the PRE-fetch half + decode, the
     // complement of x14's post-fetch half): robots.txt admission (t57's
     // policy and arms) -> frontier politeness scheduling over exactly
@@ -788,12 +864,10 @@ object Reference extends QueryPack {
         host = col("host_id"), priority = col("priority"), tie = id,
         delaySec = col("delay_s"), perCycle = 8, cycleLenSec = 60L)
       val src = concat(lit("page "), col("lang"), lit(" "), (id % 13).cast("string"))
-      def asciiHex(c: Column) = array_join(
-        transform(sequence(lit(1), length(c)),
-          i => format_string("%02X", ascii(c.substr(i, lit(1))))), "")
-      def utf16leHex(c: Column) = array_join(
-        transform(sequence(lit(1), length(c)),
-          i => format_string("%02X00", ascii(c.substr(i, lit(1))))), "")
+      // codegen'd: hex() of a string column IS the ASCII-hex of its bytes
+      def asciiHex(c: Column) = hex(c)
+      // ASCII -> UTF-16LE bytes: interleave 00 after each byte pair
+      def utf16leHex(c: Column) = regexp_replace(hex(c), "(..)", "$100")
       val bytesHex = when(id % 11 === 0,
           concat(lit("FFFE"), utf16leHex(src), lit("41")))     // torn fetch
         .when(id % 2 === 0, concat(lit("FFFE"), utf16leHex(src)))
@@ -883,15 +957,11 @@ object Reference extends QueryPack {
       import graft.functions.GraftFunctions.{charset_decode, charset_detect}
       val id = col("doc_id")
       val src = concat(lit("doc "), id.cast("string"), lit(" "), col("lang"))
-      def asciiHex(c: Column) = array_join(
-        transform(sequence(lit(1), length(c)),
-          i => format_string("%02X", ascii(c.substr(i, lit(1))))), "")
-      def utf16leHex(c: Column) = array_join(
-        transform(sequence(lit(1), length(c)),
-          i => format_string("%02X00", ascii(c.substr(i, lit(1))))), "")
-      def utf16beHex(c: Column) = array_join(
-        transform(sequence(lit(1), length(c)),
-          i => format_string("00%02X", ascii(c.substr(i, lit(1))))), "")
+      // codegen'd: hex() of a string column IS the ASCII-hex of its bytes
+      def asciiHex(c: Column) = hex(c)
+      // ASCII -> UTF-16LE bytes: interleave 00 after each byte pair
+      def utf16leHex(c: Column) = regexp_replace(hex(c), "(..)", "$100")
+      def utf16beHex(c: Column) = regexp_replace(hex(c), "(..)", "00$1")
       val arm = pmod(id, lit(5))
       val hexCol = when(id % 7 === 0,
           concat(lit("FFFE"), utf16leHex(src), lit("41")))          // odd body: torn
@@ -924,9 +994,8 @@ object Reference extends QueryPack {
     "m20_meta_charset" -> { (s, d) =>
       import graft.functions.GraftFunctions.charset_decode_html
       val id = col("doc_id")
-      def asciiHex(c: Column) = array_join(
-        transform(sequence(lit(1), length(c)),
-          i => format_string("%02X", ascii(c.substr(i, lit(1))))), "")
+      // codegen'd: hex() of a string column IS the ASCII-hex of its bytes
+      def asciiHex(c: Column) = hex(c)
       val arm = pmod(id, lit(4))
       val meta = when(arm === 0, lit("<meta charset=\"windows-1252\">"))
         .when(arm === 1,
@@ -995,9 +1064,8 @@ object Reference extends QueryPack {
             zeros(32 + 32 + 8 + 8) +
             hexOf(prefix) + zeros(155 - prefix.length) + zeros(12)))
       }
-      def asciiHex(c: Column) = array_join(
-        transform(sequence(lit(1), length(c)),
-          i => format_string("%02X", ascii(c.substr(i, lit(1))))), "")
+      // codegen'd: hex() of a string column IS the ASCII-hex of its bytes
+      def asciiHex(c: Column) = hex(c)
       // pad-to-block as a SLICE of a constant zero run (no per-row array)
       val zeroRun = lit(zeros(512))
       def padTo512(l: Column) = zeroRun.substr(lit(1), (lit(512) - l) * 2)
@@ -1986,6 +2054,34 @@ object Reference extends QueryPack {
         |      || body || chr(8220) || '</body></html>'
         |  END AS text
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the bytes-to-corpus flow restated end to end by inversion: the
+    // eligibility arms (torn WARC, 404, lying declaration) vanish up
+    // front, the decoded text differs by parity exactly where the
+    // declared charset made it differ (8220/8221 = the cp1252 curly
+    // quotes around 'alpha'), boilerplate keeps the two prose blocks
+    // (constant class string), the scrub rewrites the planted email/IP,
+    // and keep-first groups on the redacted text itself
+    "x16_bytes_to_corpus" ->
+      """WITH e AS (
+        |  SELECT doc_id, lang,
+        |    CAST(doc_id % 13 AS VARCHAR) AS k, doc_id % 2 AS par
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0 AND doc_id % 11 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN par = 0 THEN 'alpha'
+        |         ELSE chr(8220) || 'alpha' || chr(8221) END
+        |    || ' ' || lang || ' ' || k
+        |    || ' the of and to a is. contact <EMAIL> or <IP> beta '
+        |    || lang || ' ' || k || ' the of and in it on.' AS redacted
+        |  FROM e),
+        |g AS (
+        |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |    redacted
+        |  FROM r GROUP BY redacted)
+        |SELECT doc_id, n_dups, 'bad good good bad' AS classes, redacted
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // the governance flow restated: t57's admission outcomes select the
     // arms, the schedule window runs over exactly those rows, torn
