@@ -413,6 +413,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"t58 lost the rank window:\n$plan")
   }
 
+  test("m20/t59 page pipelines: scan-fused, only the output sort shuffles") {
+    for (name <- Seq("m20_meta_charset", "t59_boilerplate")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name grew a data shuffle:\n$plan")
+    }
+  }
+
+  test("x16 bytes-to-corpus: ONE fp-keyed exchange; extract/decode/boilerplate/scrub all fuse") {
+    val plan = planOf("x16_bytes_to_corpus")
+    assert(plan.contains("Generate"), s"x16 lost the record explode:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"x16 needs exactly one data shuffle (the keep-first), found $hashExchanges:\n$plan")
+    // min_by on strings pushes the aggregate to sort-based; the
+    // partial/final pair around the exchange is what matters
+    assert("(Hash|Sort)Aggregate".r.findAllIn(plan).size >= 2,
+      s"x16 lost the map-side partial aggregate:\n$plan")
+  }
+
   test("t52 post-compaction read keeps t28's pruned-and-pushed scan shape") {
     val df = SparkEntry.queries("t52_index_compaction")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
