@@ -94,7 +94,7 @@ object Robots {
     * path end; otherwise the pattern matches any PREFIX of the path
     * (expressed as fullGlob(pat + "*", path)).
     */
-  private[functions] def ruleMatches(pattern: String, path: String): Boolean = {
+  private[graft] def ruleMatches(pattern: String, path: String): Boolean = {
     if (pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$')
       fullGlob(pattern.substring(0, pattern.length - 1), path)
     else if (pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '*')

@@ -95,6 +95,30 @@ class RobotsSpec extends AnyFunSuite {
     assert(ok(r, "/open"))
   }
 
+  test("randomized differential: the backtracking glob agrees with a regex reference on 20k cases") {
+    val rnd = new scala.util.Random(77)
+    def randomFrom(chars: String, maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    var checked = 0
+    while (checked < 20000) {
+      val pattern = "/" + randomFrom("ab/*", 8) + (if (rnd.nextBoolean()) "$" else "")
+      val path = "/" + randomFrom("ab/", 10)
+      // reference: translate the REP pattern to an anchored regex
+      val anchored = pattern.endsWith("$")
+      val core = (if (anchored) pattern.dropRight(1) else pattern)
+        .flatMap {
+          case '*' => ".*"
+          case c if "\\^$.|?+()[]{}".contains(c) => "\\" + c
+          case c => c.toString
+        }
+      val re = ("^" + core + (if (anchored) "$" else ".*") + "$").r
+      val expected = re.findFirstIn(path).isDefined
+      val got = graft.functions.Robots.ruleMatches(pattern, path)
+      assert(got === expected, s"pattern=$pattern path=$path")
+      checked += 1
+    }
+  }
+
   test("line cap: rules past MaxLines are ignored, the policy up to the cap stands") {
     val pad = Array.fill(Robots.MaxLines - 2)("# pad").mkString("\n")
     val r = s"User-agent: *\nDisallow: /a\n$pad\nDisallow: /b\n"
