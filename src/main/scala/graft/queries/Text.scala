@@ -637,6 +637,50 @@ object Text extends QueryPack {
         .orderBy(id)
     },
 
+    // SITEMAP PARSE + INCREMENTAL RECRAWL under the gate — crawl
+    // DISCOVERY (the stage robots/frontier feed on): per doc, construct
+    // a three-URL sitemap XML; parse it with BUILT-INS ONLY
+    // (regexp_extract_all + zip_with + explode — when the format is
+    // this regular, a custom Expression would be the anti-pattern),
+    // then join the parsed lastmod against a fetch history and decide
+    // refetch = lastmod > last_fetch (ISO dates compare as strings).
+    // The join is fact-to-fact on the URL (both sides corpus-sized —
+    // the honest shuffle a 100 TB recrawl pays once per cycle); the
+    // oracle restates both branches arithmetically, so the XML parse,
+    // the zip alignment, and the date comparison all sit under the
+    // hash.
+    "t60_sitemap_recrawl" -> { (s, d) =>
+      val id = col("doc_id")
+      def urlOf(k: Int) = format_string(
+        "https://h%d.example.com/d%d/p%d", pmod(id, lit(37)), id, lit(k))
+      def lastmodOf(k: Int) = format_string(
+        "2024-01-%02d", pmod(id + k * 7, lit(28)) + 1)
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        concat((1 to 3).map(k => concat(
+          lit("<url><loc>"), urlOf(k), lit("</loc><lastmod>"),
+          lastmodOf(k), lit("</lastmod></url>"))): _*),
+        lit("</urlset>"))
+      val locs = regexp_extract_all(xml, lit("<loc>([^<]*)</loc>"), lit(1))
+      val mods = regexp_extract_all(xml, lit("<lastmod>([^<]*)</lastmod>"), lit(1))
+      val parsed = Tables.documents(s, d)
+        .select(id, explode(zip_with(locs, mods,
+          (l, m) => struct(l.as("url"), m.as("lastmod")))).as("e"))
+        .select(id, col("e.url").as("url"), col("e.lastmod").as("lastmod"))
+      val history = Tables.documents(s, d)
+        .select(explode(array((1 to 3).map(k => struct(
+          format_string("https://h%d.example.com/d%d/p%d",
+            pmod(col("doc_id"), lit(37)), col("doc_id"), lit(k)).as("url"),
+          format_string("2024-01-%02d",
+            pmod(col("doc_id") * 3 + k * 5, lit(28)) + 1).as("last_fetch"))): _*))
+          .as("h"))
+        .select(col("h.url").as("url"), col("h.last_fetch").as("last_fetch"))
+      parsed.join(history, Seq("url"), "inner")
+        .select(id, col("url"), col("lastmod"),
+          col("last_fetch"), (col("lastmod") > col("last_fetch")).as("refetch"))
+        .orderBy(id, col("url"))
+    },
+
     // BOILERPLATE REMOVAL under the gate (jusText-family main-content
     // extraction): per doc, construct a six-block page where every rule
     // has a live arm — a link-dense nav (bad before any length test),
@@ -2295,6 +2339,24 @@ object Text extends QueryPack {
          |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
          |FROM r GROUP BY 1, 2
          |ORDER BY bucket, batch_idx""".stripMargin,
+
+    // both branches restated arithmetically: url/lastmod from the
+    // sitemap construction, last_fetch from the history formula, the
+    // refetch decision as the same string comparison
+    "t60_sitemap_recrawl" ->
+      """WITH k AS (
+        |  SELECT doc_id, unnest(generate_series(1, 3)) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/d'
+        |      || CAST(doc_id AS VARCHAR) || '/p' || CAST(k AS VARCHAR) AS url,
+        |    printf('2024-01-%02d', (doc_id + k * 7) % 28 + 1) AS lastmod,
+        |    printf('2024-01-%02d', (doc_id * 3 + k * 5) % 28 + 1) AS last_fetch
+        |  FROM k)
+        |SELECT doc_id, url, lastmod, last_fetch,
+        |  lastmod > last_fetch AS refetch
+        |FROM r ORDER BY doc_id, url""".stripMargin,
 
     // the inversion posture for boilerplate removal: the class string
     // is a constant of the construction, kept_text restates the slice
