@@ -294,12 +294,15 @@ object Charsets {
     if (hasBom(b, 0xEF, 0xBB, 0xBF) || hasBom2(b, 0xFF, 0xFE) ||
         hasBom2(b, 0xFE, 0xFF)) return decode(b)
     metaCharset(b) match {
-      case "utf-8" | "utf8" | "us-ascii" | "ascii" =>
+      case "utf-8" | "utf8" =>
         if (utf8Class(b, 0) < 0) null // the declaration lies: torn
         else UTF8String.fromBytes(b, 0, b.length)
       case "windows-1252" | "iso-8859-1" | "iso8859-1" | "latin1" | "l1" |
-           "cp1252" | "x-cp1252" | "iso_8859-1" =>
-        decodeCp1252(b) // the WHATWG index maps all of these to cp1252
+           "cp1252" | "x-cp1252" | "iso_8859-1" | "us-ascii" | "ascii" =>
+        // the WHATWG label table maps all of these (incl. us-ascii) to
+        // windows-1252 — a us-ascii page with 0x80-0xFF bytes decodes
+        // via the CP1252 index, it does not quarantine
+        decodeCp1252(b)
       case _ => decode(b) // no/unknown label: the content ladder
     }
   }

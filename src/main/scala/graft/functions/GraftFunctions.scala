@@ -126,6 +126,11 @@ object GraftFunctions {
   /** RFC 9309 robots.txt evaluation for a fixed agent — see [[RobotsAllowed]]. */
   def robots_allowed(robotsTxt: Column, path: Column, agent: String): Column =
     toCol(RobotsAllowed(toExpr(robotsTxt), toExpr(path), agent))
+  /** Crawl-delay seconds for a fixed agent (default when absent) — see
+    * [[RobotsCrawlDelay]].
+    */
+  def robots_crawl_delay(robotsTxt: Column, default: Column, agent: String): Column =
+    toCol(RobotsCrawlDelay(toExpr(robotsTxt), toExpr(default.cast("bigint")), agent))
   /** RFC 3986 syntax normalization — see [[UrlCanonicalize]]. */
   def url_canonicalize(url: Column): Column = toCol(UrlCanonicalize(toExpr(url)))
   /** Lowercased host of a URL — see [[UrlHost]]. */
@@ -216,13 +221,38 @@ object GraftFunctions {
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },
-    "robots_allowed" -> { es => RobotsAllowed(es(0), es(1),
-      es(2).eval().asInstanceOf[UTF8String].toString) },
+    "robots_allowed" -> { es => RobotsAllowed(es(0), es(1), literalString("robots_allowed",
+      "(string robots_txt, string path, string-literal agent)", es(2))) },
+    "robots_crawl_delay" -> { es => RobotsCrawlDelay(es(0), cast(es(1), "bigint"),
+      literalString("robots_crawl_delay",
+        "(string robots_txt, bigint default, string-literal agent)", es(2))) },
     "url_host"        -> { es => UrlHost(es(0)) },
     "video_meta"      -> { es => VideoMeta(es(0)) },
     "st_transform_point" -> { es => STTransformPoint(Seq(
       cast(es(0), "double"), cast(es(1), "double"), cast(es(2), "int"), cast(es(3), "int"))) },
   )
+
+  /** SQL-registry helper: require a foldable string argument (e.g. the
+    * agent token baked into the expression at build time) and raise a
+    * clean AnalysisException — not a ClassCastException — when the call
+    * site passes a non-literal or non-string.
+    */
+  private def literalString(fn: String, signature: String, e: Expression): String = {
+    val ok = e.foldable &&
+      e.dataType == org.apache.spark.sql.types.StringType
+    if (!ok)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("reason" ->
+          s"$fn expects $signature; the agent argument must be a string literal, got ${e.sql}"))
+    val v = e.eval()
+    if (v == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("reason" ->
+          s"$fn expects $signature; the agent argument must not be NULL"))
+    v.asInstanceOf[UTF8String].toString
+  }
 
   /** SQL-registry helper: cast an argument expression to the expected type. */
   private def cast(e: Expression, to: String): Expression =

@@ -23,9 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * GNU old-format `ustar  `), octal fields must parse, every entry's
   * data must fit, the two-zero-block terminator must be present, and
   * anything after it must be zero padding (tar pads to its blocking
-  * factor). No GNU longname/longlink ('L'/'K') or pax extended headers
-  * ('x'/'g') — those entries refuse loudly rather than silently
-  * mis-listing a 100-char-truncated name.
+  * factor).
+  *
+  * Long names (round 16 — real tarballs carry these routinely):
+  * GNU longname entries ('L': data = full name for the NEXT entry,
+  * trailing NULs stripped) and pax extended headers ('x' per-file,
+  * 'g' global defaults; strict "len keyword=value\n" record framing
+  * per POSIX pax) are consumed as META entries — never listed. The
+  * `path` keyword overrides the next entry's name ('x' beats 'L'
+  * beats 'g' beats the split prefix/name fields) and the `size`
+  * keyword overrides its data length (how pax stores >8 GiB members,
+  * where the 12-char octal field cannot). Unknown pax keywords are
+  * ignored per the spec's own rule; a MALFORMED pax record, a
+  * non-terminated longname, or a meta entry with no following real
+  * entry refuses the whole blob. GNU longlink ('K') is consumed and
+  * discarded (linknames are not listed).
   *
   * Listing walks headers only — a 10 GB member is skipped by
   * arithmetic, never read. Extraction is a bounds-checked copy (tar has
@@ -128,12 +140,63 @@ object TarEntries {
     true
   }
 
+  /** Parse pax extended-header records ("%d keyword=value\n" where the
+    * decimal length counts the WHOLE record incl. itself and the
+    * newline). Returns (path, size) with null/-1 for absent; null pair
+    * reference on malformation.
+    */
+  private def paxRecords(b: Array[Byte], off: Int, len: Int): (String, Long) = {
+    var path: String = null
+    var size = -1L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val recStart = i
+      var recLen = 0L
+      var digits = 0
+      while (i < end && b(i) >= '0'.toByte && b(i) <= '9'.toByte) {
+        recLen = recLen * 10 + (b(i) - '0'.toByte); digits += 1; i += 1
+        if (recLen > len) return null
+      }
+      if (digits == 0 || i >= end || b(i) != ' '.toByte) return null
+      i += 1
+      val recEnd = recStart + recLen.toInt
+      if (recEnd > end || recEnd <= i || b(recEnd - 1) != '\n'.toByte) return null
+      val body = new String(b, i, recEnd - 1 - i, java.nio.charset.StandardCharsets.UTF_8)
+      val eq = body.indexOf('=')
+      if (eq <= 0) return null
+      val keyword = body.substring(0, eq)
+      val value = body.substring(eq + 1)
+      keyword match {
+        case "path" =>
+          if (value.isEmpty) return null
+          path = value
+        case "size" =>
+          if (value.isEmpty || value.length > 13 || !value.forall(_.isDigit)) return null
+          val v = value.toLong
+          if (v > (1L << 40)) return null // same 1 TiB refusal as octal()
+          size = v
+        case _ => // mtime/atime/ctime/uid/...: ignored per the pax spec
+      }
+      i = recEnd
+    }
+    (path, size)
+  }
+
   private def parse(b: Array[Byte]): Seq[Entry] = {
     if (b == null || b.length < 1024 || b.length % 512 != 0) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var pos = 0
+    // pax 'g' defaults + pending per-file overrides ('x' / 'L')
+    var globalPath: String = null
+    var globalSize = -1L
+    var nextPaxPath: String = null
+    var nextPaxSize = -1L
+    var nextLongName: String = null
+    var pendingMeta = false // an 'L'/'K'/'x' with no real entry yet
     while (pos + 512 <= b.length) {
       if (zeroBlock(b, pos)) {
+        if (pendingMeta) return null // meta entry with nothing to apply to
         // terminator: a second zero block, then only zero padding
         if (pos + 1024 > b.length) return null
         var i = pos + 512
@@ -159,18 +222,66 @@ object TarEntries {
       if (size < 0) return null
       val tf0 = b(pos + 156).toChar
       val tf = if (tf0 == '\u0000') '0' else tf0 // old-format NUL = regular file
-      if (tf == 'L' || tf == 'K' || tf == 'x' || tf == 'g') return null // out of scope: refuse
-      val base = nulString(b, pos, 100)
-      if (base.isEmpty) return null
-      // POSIX prefix only under the NUL-terminated magic (GNU reuses the area)
-      val prefix = if (b(pos + 262) == 0.toByte) nulString(b, pos + 345, 155) else ""
-      val name = if (prefix.isEmpty) base else prefix + "/" + base
       val dataOffset = pos + 512L
       val dataBlocks = (size + 511) / 512
       val next = dataOffset + 512L * dataBlocks
       if (next > b.length) return null // torn: data does not fit
-      out += Entry(name, tf, size, dataOffset)
-      pos = next.toInt
+      tf match {
+        case 'L' => // GNU longname: data = next entry's full name
+          if (size <= 0 || size > (1L << 20)) return null
+          var end = dataOffset.toInt + size.toInt
+          while (end > dataOffset && b(end - 1) == 0.toByte) end -= 1
+          if (end == dataOffset) return null // empty longname: torn
+          nextLongName = new String(b, dataOffset.toInt, end - dataOffset.toInt,
+            java.nio.charset.StandardCharsets.UTF_8)
+          pendingMeta = true
+          pos = next.toInt
+        case 'K' => // GNU longlink: linknames are not listed — consume
+          pendingMeta = true
+          pos = next.toInt
+        case 'x' =>
+          val rec = paxRecords(b, dataOffset.toInt, size.toInt)
+          if (rec == null) return null
+          if (rec._1 != null) nextPaxPath = rec._1
+          if (rec._2 >= 0) nextPaxSize = rec._2
+          pendingMeta = true
+          pos = next.toInt
+        case 'g' =>
+          val rec = paxRecords(b, dataOffset.toInt, size.toInt)
+          if (rec == null) return null
+          if (rec._1 != null) globalPath = rec._1
+          if (rec._2 >= 0) globalSize = rec._2
+          pendingMeta = true
+          pos = next.toInt
+        case _ =>
+          val base = nulString(b, pos, 100)
+          // POSIX prefix only under the NUL-terminated magic (GNU reuses the area)
+          val headerName =
+            if (base.isEmpty) null
+            else {
+              val prefix = if (b(pos + 262) == 0.toByte) nulString(b, pos + 345, 155) else ""
+              if (prefix.isEmpty) base else prefix + "/" + base
+            }
+          // precedence: 'x' path > 'L' longname > header fields > 'g' default
+          val name =
+            if (nextPaxPath != null) nextPaxPath
+            else if (nextLongName != null) nextLongName
+            else if (headerName != null) headerName
+            else if (globalPath != null) globalPath
+            else return null
+          // pax size overrides the octal field (the >8 GiB member path);
+          // data consumption must follow the OVERRIDDEN size
+          val effSize =
+            if (nextPaxSize >= 0) nextPaxSize
+            else if (globalSize >= 0) globalSize
+            else size
+          val effNext = dataOffset + 512L * ((effSize + 511) / 512)
+          if (effNext > b.length) return null // torn under the pax size
+          out += Entry(name, tf, effSize, dataOffset)
+          nextPaxPath = null; nextPaxSize = -1L; nextLongName = null
+          pendingMeta = false
+          pos = effNext.toInt
+      }
     }
     null // fell off the end without the two-zero-block terminator
   }
@@ -188,7 +299,9 @@ object TarEntries {
   def extract(b: Array[Byte], name: String): Array[Byte] = {
     val es = parse(b)
     if (es == null) return null
-    es.find(e => e.name == name && e.typeflag == '0') match {
+    // tar overwrite semantics: the LAST occurrence of a duplicate
+    // member name is authoritative (later entries overwrite on unpack)
+    es.reverseIterator.find(e => e.name == name && e.typeflag == '0') match {
       case Some(e) =>
         val out = new Array[Byte](e.size.toInt)
         System.arraycopy(b, e.offset.toInt, out, 0, e.size.toInt)

@@ -125,4 +125,46 @@ class RobotsSpec extends AnyFunSuite {
     assert(!ok(r, "/a1"))
     assert(ok(r, "/b1")) // past the cap: never parsed
   }
+
+  test("longest-match precedence counts OCTETS, not Java chars (non-ASCII patterns)") {
+    // The decisive vector: on path /éx both rules match. Allow /*x is
+    // 3 chars = 3 octets; Disallow /éx is 3 chars = 4 octets (é is
+    // 2 bytes in UTF-8). Char counting ties them (tie → allow); octet
+    // counting — the RFC's "octets as written" — ranks the disallow
+    // longer, so the path is BLOCKED.
+    assert("é".getBytes("UTF-8").length === 2)
+    val r = "User-agent: *\nAllow: /*x\nDisallow: /éx\n"
+    assert(!ok(r, "/éx"))
+    // and the inverse orientation: Allow the multibyte pattern, it wins
+    val r2 = "User-agent: *\nDisallow: /*x\nAllow: /éx\n"
+    assert(ok(r2, "/éx"))
+    // ASCII patterns are unaffected (octets == chars)
+    val r3 = "User-agent: *\nAllow: /ax\nDisallow: /a\n"
+    assert(ok(r3, "/ax"))
+  }
+
+  test("crawl-delay: selected-group scope, max-of-merged, junk ignored, default when absent") {
+    def delay(r: String, agent: String = "graftbot", d: Long = 9L): Long =
+      Robots.crawlDelay(r, agent.toLowerCase, d)
+    // basic: the * group's delay applies
+    assert(delay("User-agent: *\nCrawl-delay: 4\nDisallow: /x\n") === 4L)
+    // exact group beats *: graftbot gets 2, others get 10
+    val r = "User-agent: graftbot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 10\n"
+    assert(delay(r) === 2L)
+    assert(delay(r, agent = "otherbot") === 10L)
+    // merged groups take the MAX (most polite)
+    val r2 = "User-agent: graftbot\nCrawl-delay: 3\nUser-agent: graftbot\nCrawl-delay: 7\n"
+    assert(delay(r2) === 7L)
+    // junk values are ignored (lenient parse): fractional, negative, words
+    assert(delay("User-agent: *\nCrawl-delay: 1.5\n") === 9L)
+    assert(delay("User-agent: *\nCrawl-delay: fast\n") === 9L)
+    // absent → caller default
+    assert(delay("User-agent: *\nDisallow: /x\n") === 9L)
+    // crawl-delay before any group is ignored
+    assert(delay("Crawl-delay: 5\nUser-agent: *\nDisallow: /x\n") === 9L)
+    // a crawl-delay line ends a UA run: the next User-agent starts a NEW group
+    val r3 = "User-agent: a\nCrawl-delay: 5\nUser-agent: graftbot\nCrawl-delay: 6\n"
+    assert(delay(r3) === 6L)
+    assert(delay(r3, agent = "a") === 5L)
+  }
 }

@@ -141,10 +141,13 @@ class TarSpec extends AnyFunSuite {
     f"$sum%06o".getBytes.zipWithIndex.foreach { case (c, i) => badSize(148 + i) = c }
     badSize(154) = 0; badSize(155) = ' '.toByte
     assert(TarEntries.list(badSize) === null)
-    // GNU longname / pax extended headers refuse rather than mis-list
+    // a meta entry (longname / pax) with no following real entry is torn
     val gnuLong = handTar(Seq(("././@LongLink", "x".getBytes, 'L', "")))
     assert(TarEntries.list(gnuLong) === null)
-    val pax = handTar(Seq(("pax_header", "x".getBytes, 'x', "")))
+    // malformed pax records (no "len " framing) refuse the whole blob
+    val pax = handTar(Seq(
+      ("pax_header", "x".getBytes, 'x', ""),
+      ("a.txt", "abc".getBytes, '0', "")))
     assert(TarEntries.list(pax) === null)
     // non-block-multiple and sub-minimum blobs
     assert(TarEntries.list(good.take(1000)) === null)
@@ -152,10 +155,77 @@ class TarSpec extends AnyFunSuite {
     assert(TarEntries.list(null) === null)
   }
 
-  test("real-tool long names (>100 chars) produce out-of-scope entries that refuse loudly") {
+  test("GNU-tar differential: 'L' longname entries list and extract the full >100-char name") {
     assume(tarBin.canExecute)
     val longName = ("d" * 60) + "/" + ("f" * 60) + ".txt"
-    val tar = systemTar(Seq(longName -> "x".getBytes), "gnu") // GNU emits an 'L' longname entry
-    assert(TarEntries.list(tar) === null)
+    val tar = systemTar(Seq(longName -> "long payload".getBytes), "gnu") // GNU emits an 'L' entry
+    val es = listed(tar)
+    assert(es.filter(_._2 == "0").map(_._1) === Seq(longName))
+    assert(TarEntries.extract(tar, longName).toSeq === "long payload".getBytes.toSeq)
+  }
+
+  test("GNU-tar differential: pax archives (x extended headers) list and extract correctly") {
+    assume(tarBin.canExecute)
+    // pax format emits an 'x' header per member (mtime/atime records at
+    // minimum; a path record for the >100-char name)
+    val longName = ("p" * 70) + "/" + ("q" * 70) + ".bin"
+    val data = Seq(
+      "short.txt" -> "hello pax".getBytes("UTF-8"),
+      longName -> Array.tabulate(700)(i => (i * 13 + 5).toByte))
+    val tar = systemTar(data, "pax")
+    val es = listed(tar)
+    val files = es.filter(_._2 == "0").map(e => e._1 -> e._3).toMap
+    assert(files === data.map(e => e._1 -> e._2.length.toLong).toMap)
+    for ((name, bytes) <- data)
+      assert(TarEntries.extract(tar, name).toSeq === bytes.toSeq, name)
+  }
+
+  test("hand-built pax: path and size records override the header fields; 'g' defaults apply") {
+    def paxData(records: (String, String)*): Array[Byte] = {
+      val sb = new StringBuilder
+      records.foreach { case (k, v) =>
+        val body = s" $k=$v\n"
+        // record length counts its own digits
+        var len = body.length + 1
+        while ((len.toString.length + body.length) != len) len = len.toString.length + body.length
+        sb.append(len).append(body)
+      }
+      sb.toString.getBytes("UTF-8")
+    }
+    // 'x' path override: header says x.txt, pax says the real (long) name
+    val realName = "very/long/replacement/name.txt"
+    val t1 = handTar(Seq(
+      ("pax_header", paxData("path" -> realName, "mtime" -> "1700000000.5"), 'x', ""),
+      ("x.txt", "abcd".getBytes, '0', "")))
+    val es1 = listed(t1)
+    assert(es1.map(e => (e._1, e._2, e._3)) === Seq((realName, "0", 4L)))
+    assert(TarEntries.extract(t1, realName).toSeq === "abcd".getBytes.toSeq)
+    // 'x' size override: pax size 3 beats the octal field's 4 (and data
+    // consumption follows the override: 3 bytes still pad to one block)
+    val t2 = handTar(Seq(
+      ("pax_header", paxData("size" -> "3"), 'x', ""),
+      ("s.txt", "abcd".getBytes, '0', "")))
+    assert(listed(t2).map(_._3) === Seq(3L))
+    assert(TarEntries.extract(t2, "s.txt").toSeq === "abc".getBytes.toSeq)
+    // 'g' global default applies to entries with no per-file override
+    val t3 = handTar(Seq(
+      ("pax_global", paxData("size" -> "2"), 'g', ""),
+      ("a.txt", "abcd".getBytes, '0', ""),
+      ("b.txt", "efgh".getBytes, '0', "")))
+    assert(listed(t3).map(_._3) === Seq(2L, 2L))
+    // malformed record framing refuses: length that does not cover the newline
+    val bad = "7 path=abc\n".getBytes("UTF-8") // says 7, record is 11
+    val t4 = handTar(Seq(
+      ("pax_header", bad, 'x', ""),
+      ("a.txt", "abcd".getBytes, '0', "")))
+    assert(TarEntries.list(t4) === null)
+  }
+
+  test("duplicate member names: extract returns the LAST occurrence (tar overwrite semantics)") {
+    val t = handTar(Seq(
+      ("dup.txt", "old contents".getBytes, '0', ""),
+      ("dup.txt", "new contents".getBytes, '0', "")))
+    assert(listed(t).size === 2)
+    assert(TarEntries.extract(t, "dup.txt").toSeq === "new contents".getBytes.toSeq)
   }
 }
