@@ -681,6 +681,99 @@ object Text extends QueryPack {
         .orderBy(id, col("url"))
     },
 
+    // SITEMAP INDEX + GZIPPED SHARDS under the gate (round 16) — the
+    // missing FIRST hop of crawl discovery: real-world discovery hits a
+    // <sitemapindex> pointing at sitemap-N.xml.gz shards, one nesting
+    // level above t60's flat <urlset>. Per doc, construct the index AND
+    // the shard blobs as REAL GZIP MEMBERS in column arithmetic (header
+    // + one STORED deflate block + Spark's built-in crc32 + ISIZE, all
+    // little-endian hex -> unhex), so [[Gunzip]]'s CRC verification
+    // sits under the hash. Arms: a shard listed in the index with no
+    // blob (the 404 — inner-join drops it), and a shard whose CRC is
+    // bumped by one (torn gzip -> NULL -> quarantined by absence:
+    // doc_id%7==0 loses shard 2). The engine path is index parse ->
+    // shard fetch join -> gunzip -> urlset parse -> recrawl join — the
+    // t60 decision fed by discovered rather than given URLs. Shuffles:
+    // the fetch join and the history join, exactly the two a 100 TB
+    // discovery cycle pays.
+    "t60b_sitemap_index" -> { (s, d) =>
+      val id = col("doc_id")
+      def shardUrl(sh: Column) = format_string(
+        "https://h%d.example.com/sitemap-%d.xml.gz", pmod(id, lit(37)), sh)
+      def urlOf(sh: Int, k: Int) = format_string(
+        "https://h%d.example.com/s%d/d%d/p%d",
+        pmod(id, lit(37)), lit(sh), id, lit(k))
+      def lastmodOf(sh: Int, k: Int) = format_string(
+        "2024-02-%02d", pmod(id + sh * 3 + k * 7, lit(28)) + 1)
+      def shardXml(sh: Int) = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        concat((1 to 2).map(k => concat(
+          lit("<url><loc>"), urlOf(sh, k), lit("</loc><lastmod>"),
+          lastmodOf(sh, k), lit("</lastmod></url>"))): _*),
+        lit("</urlset>"))
+      def le16(n: Column) = format_string("%02X%02X",
+        n.bitwiseAND(lit(255)), shiftright(n, 8).bitwiseAND(lit(255)))
+      def le32(n: Column) = format_string("%02X%02X%02X%02X",
+        n.bitwiseAND(lit(255)), shiftright(n, 8).bitwiseAND(lit(255)),
+        shiftright(n, 16).bitwiseAND(lit(255)),
+        shiftright(n, 24).bitwiseAND(lit(255)))
+      // RFC 1952 member: 10-byte header (CM=8 deflate, no flags, OS=255),
+      // one final STORED deflate block (BFINAL=1/BTYPE=00, LEN, ~LEN),
+      // then CRC-32 and ISIZE little-endian
+      def gzipOf(xml: Column, crcBump: Column) = {
+        val n = octet_length(xml)
+        unhex(concat(
+          lit("1F8B08000000000000FF"),
+          lit("01"), le16(n), le16(lit(65535) - n),
+          hex(xml),
+          le32(pmod(crc32(xml.cast("binary")) + crcBump, lit(4294967296L))),
+          le32(n)))
+      }
+      val docs = Tables.documents(s, d)
+      val blobs = docs.select(id, explode(array(
+          struct(shardUrl(lit(1)).as("shard_url"),
+            gzipOf(shardXml(1), lit(0L)).as("gz")),
+          struct(shardUrl(lit(2)).as("shard_url"),
+            gzipOf(shardXml(2),
+              when(id % 7 === 0, lit(1L)).otherwise(lit(0L))).as("gz"))))
+          .as("b"))
+        .select(id, col("b.shard_url").as("shard_url"), col("b.gz").as("gz"))
+      val indexXml = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        lit("<sitemap><loc>"), shardUrl(lit(1)), lit("</loc></sitemap>"),
+        lit("<sitemap><loc>"), shardUrl(lit(2)), lit("</loc></sitemap>"),
+        when(id % 5 === 0, concat(lit("<sitemap><loc>"), shardUrl(lit(3)),
+          lit("</loc></sitemap>"))).otherwise(lit("")),
+        lit("</sitemapindex>"))
+      val discovered = docs.select(id, explode(
+          regexp_extract_all(indexXml, lit("<loc>([^<]*)</loc>"), lit(1)))
+          .as("shard_url"))
+      val fetched = discovered.join(blobs, Seq("doc_id", "shard_url"), "inner")
+        .withColumn("xml",
+          graft.functions.GraftFunctions.gunzip(col("gz")).cast("string"))
+        .filter(col("xml").isNotNull) // torn gzip: quarantined by absence
+      val locs = regexp_extract_all(col("xml"), lit("<loc>([^<]*)</loc>"), lit(1))
+      val mods = regexp_extract_all(col("xml"), lit("<lastmod>([^<]*)</lastmod>"), lit(1))
+      val parsed = fetched.select(id, col("shard_url"),
+        explode(zip_with(locs, mods,
+          (l, m) => struct(l.as("url"), m.as("lastmod")))).as("e"))
+        .select(id, col("shard_url"), col("e.url").as("url"),
+          col("e.lastmod").as("lastmod"))
+      val history = docs.select(explode(array((for {
+          sh <- 1 to 2; k <- 1 to 2
+        } yield struct(
+          format_string("https://h%d.example.com/s%d/d%d/p%d",
+            pmod(col("doc_id"), lit(37)), lit(sh), col("doc_id"), lit(k)).as("url"),
+          format_string("2024-02-%02d",
+            pmod(col("doc_id") * 3 + sh * 5 + k * 11, lit(28)) + 1).as("last_fetch"))): _*))
+          .as("h"))
+        .select(col("h.url").as("url"), col("h.last_fetch").as("last_fetch"))
+      parsed.join(history, Seq("url"), "inner")
+        .select(id, col("shard_url"), col("url"), col("lastmod"),
+          col("last_fetch"), (col("lastmod") > col("last_fetch")).as("refetch"))
+        .orderBy(id, col("url"))
+    },
+
     // BOILERPLATE REMOVAL under the gate (jusText-family main-content
     // extraction): per doc, construct a six-block page where every rule
     // has a live arm — a link-dense nav (bad before any length test),
@@ -2355,6 +2448,33 @@ object Text extends QueryPack {
         |    printf('2024-01-%02d', (doc_id * 3 + k * 5) % 28 + 1) AS last_fetch
         |  FROM k)
         |SELECT doc_id, url, lastmod, last_fetch,
+        |  lastmod > last_fetch AS refetch
+        |FROM r ORDER BY doc_id, url""".stripMargin,
+
+    // everything restated arithmetically from the construction: shard 3
+    // never has a blob (dropped by the fetch join), shard 2 is torn
+    // (CRC bump) exactly when doc_id % 7 = 0 — the gzip round-trip and
+    // both quarantine arms sit under the hash by ABSENCE of their rows
+    "t60b_sitemap_index" ->
+      """WITH sk AS (
+        |  SELECT doc_id, unnest(generate_series(1, 2)) AS sh
+        |  FROM documents),
+        |kk AS (
+        |  SELECT doc_id, sh, unnest(generate_series(1, 2)) AS k
+        |  FROM sk WHERE NOT (sh = 2 AND doc_id % 7 = 0)),
+        |r AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 37 AS VARCHAR)
+        |      || '.example.com/sitemap-' || CAST(sh AS VARCHAR)
+        |      || '.xml.gz' AS shard_url,
+        |    'https://h' || CAST(doc_id % 37 AS VARCHAR)
+        |      || '.example.com/s' || CAST(sh AS VARCHAR) || '/d'
+        |      || CAST(doc_id AS VARCHAR) || '/p' || CAST(k AS VARCHAR) AS url,
+        |    printf('2024-02-%02d', (doc_id + sh * 3 + k * 7) % 28 + 1) AS lastmod,
+        |    printf('2024-02-%02d',
+        |      (doc_id * 3 + sh * 5 + k * 11) % 28 + 1) AS last_fetch
+        |  FROM kk)
+        |SELECT doc_id, shard_url, url, lastmod, last_fetch,
         |  lastmod > last_fetch AS refetch
         |FROM r ORDER BY doc_id, url""".stripMargin,
 
