@@ -940,6 +940,65 @@ object Reference extends QueryPack {
         .orderBy(id, col("idx"))
     },
 
+    // ZIP64 under the gate (round 16 — any archive >4 GiB is ZIP64, the
+    // 100 TB norm; m16's scope line removed): per doc, construct a
+    // single-entry STORED archive in the FULL ZIP64 spelling — the
+    // central directory escapes csize/usize/offset to 0xFFFFFFFF and
+    // carries the real values in the 0x0001 extra field, the EOCD
+    // escapes its counts/size/offset, and the ZIP64 EOCD record +
+    // locator route the walk — all in column arithmetic (CRC-32 from
+    // the built-in). The CRC-verified extraction rides the same hash
+    // (payload column). Torn docs (doc_id % 7 == 0) declare TWO disks
+    // in the locator — the multi-disk refusal arm. The JDK differential
+    // on a real >65535-entry ZIP64 archive lives in ZipSpec.
+    "m16b_zip64_entries" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{zip_entries, zip_extract}
+      val id = col("doc_id")
+      def le16h(v: Column) = format_string("%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("long"), lit(256)),
+        pmod((v / 65536).cast("long"), lit(256)),
+        pmod((v / 16777216).cast("long"), lit(256)))
+      def le64h(v: Column) = concat(le32h(v), lit("00000000"))
+      val body = concat(lit("payload "), id.cast("string"))
+      val blen = octet_length(body).cast("long")
+      val crc = crc32(body.cast("binary"))
+      val nameHex = "6269672E62696E" // "big.bin"
+      val local = concat(
+        lit("504B0304" + "2D00" + "0000" + "0000" + "0000" + "0000"),
+        le32h(crc), le32h(blen), le32h(blen),
+        lit("0700" + "0000" + nameHex), hex(body))
+      val cdOff = blen + 37 // 30 header + 7 name + body
+      val extra = concat(lit("0100" + "1800"),
+        le64h(blen), le64h(blen), le64h(lit(0L)))
+      val central = concat(
+        lit("504B0102" + "2D00" + "2D00" + "0000" + "0000" + "0000" + "0000"),
+        le32h(crc), lit("FFFFFFFF" + "FFFFFFFF"),
+        lit("0700" + "1C00" + "0000" + "0000" + "0000" + "00000000"),
+        lit("FFFFFFFF" + nameHex), extra)
+      val cdSize = 46L + 7 + 28
+      val z64Off = cdOff + cdSize
+      val z64 = concat(
+        lit("504B0606"), le64h(lit(44L)), lit("2D00" + "2D00"),
+        lit("00000000" + "00000000"),
+        le64h(lit(1L)), le64h(lit(1L)), le64h(lit(cdSize)), le64h(cdOff))
+      val disks = when(id % 7 === 0, lit(2L)).otherwise(lit(1L))
+      val locator = concat(
+        lit("504B0607" + "00000000"), le64h(z64Off), le32h(disks))
+      val eocd = lit("504B0506" + "0000" + "0000" + "FFFF" + "FFFF" +
+        "FFFFFFFF" + "FFFFFFFF" + "0000")
+      val blob = unhex(concat(local, central, z64, locator, eocd))
+      Tables.documents(s, d)
+        .select(id, posexplode(zip_entries(blob)).as(Seq("idx", "e")),
+          zip_extract(blob, lit("big.bin")).cast("string").as("payload"))
+        .select(id, col("idx").cast("int").as("idx"),
+          col("e.name").as("name"), col("e.method").as("method"),
+          col("e.csize").as("csize"), col("e.usize").as("usize"),
+          col("payload"))
+        .orderBy(id)
+    },
+
     // CHARSET sniff + strict decode under the gate — the step between a
     // crawl record's payload bytes and every text operator: per document,
     // construct the SAME ascii source string under five wire encodings
@@ -2024,6 +2083,19 @@ object Reference extends QueryPack {
         |  FROM s)
         |SELECT doc_id, idx, name, method, csize, usize
         |FROM r ORDER BY doc_id, idx""".stripMargin,
+
+    // ZIP64 inversion: one stored entry whose sizes are the payload's
+    // length, extraction is the payload itself; the two-disk torn arm
+    // (doc_id % 7 == 0) contributes no rows
+    "m16b_zip64_entries" ->
+      """SELECT doc_id, CAST(0 AS INT) AS idx, 'big.bin' AS name,
+        |  CAST(0 AS INT) AS method,
+        |  CAST(len('payload ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS csize,
+        |  CAST(len('payload ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS usize,
+        |  'payload ' || CAST(doc_id AS VARCHAR) AS payload
+        |FROM documents
+        |WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the inversion posture for the meta prescan: each arm's decoded
     // string stated literally (233 = é via utf-8, 195/169 = Ã© when the

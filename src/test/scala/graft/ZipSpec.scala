@@ -90,4 +90,97 @@ class ZipSpec extends AnyFunSuite {
     (0 until b.length - 4).find(i =>
       (b(i) & 0xFF) == 0x50 && (b(i + 1) & 0xFF) == 0x4B &&
         (b(i + 2) & 0xFF) == 0x01 && (b(i + 3) & 0xFF) == 0x02).get
+
+  test("JDK differential: a real ZIP64 archive (>65535 entries) lists identically to ZipFile") {
+    // the JDK writer switches to ZIP64 EOCD + locator exactly when the
+    // entry count escapes the 16-bit field
+    val n = 65600
+    val bos = new java.io.ByteArrayOutputStream(8 << 20)
+    val z = new java.util.zip.ZipOutputStream(bos)
+    (0 until n).foreach { i =>
+      z.putNextEntry(new java.util.zip.ZipEntry(s"e$i")); z.closeEntry()
+    }
+    z.close()
+    val bytes = bos.toByteArray
+    // confirm the fixture really is ZIP64: EOCD total-entries field escaped
+    val eocd = bytes.length - 22
+    assert((bytes(eocd + 10) & 0xFF) == 0xFF && (bytes(eocd + 11) & 0xFF) == 0xFF)
+    val got = listNames(bytes)
+    assert(got.size === n)
+    // differential against the JDK's own reader on the same bytes
+    val tmp = java.nio.file.Files.createTempFile("graft_zip64", ".zip")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      val zf = new java.util.zip.ZipFile(tmp.toFile)
+      try {
+        val jdk = {
+          val e = zf.entries()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (e.hasMoreElements) buf += e.nextElement().getName
+          buf.toSeq
+        }
+        assert(got.map(_._1) === jdk)
+      } finally zf.close()
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  /** Hand-built single-entry STORED archive with per-entry ZIP64 escapes
+    * (usize/csize/offset all 0xFFFFFFFF in the CD, real values in the
+    * 0x0001 extra) + ZIP64 EOCD record, locator, and escaped EOCD.
+    */
+  private def handZip64(data: Array[Byte], name: String,
+                        totalDisks: Int = 1, recordGap: Int = 0): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val nameB = name.getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    val local = ByteBuffer.allocate(30 + nameB.length).order(ByteOrder.LITTLE_ENDIAN)
+    local.putInt(0x04034b50).putShort(45).putShort(0).putShort(0)
+      .putShort(0).putShort(0).putInt(crc.getValue.toInt)
+      .putInt(data.length).putInt(data.length)
+      .putShort(nameB.length.toShort).putShort(0).put(nameB)
+    val cdOff = 30 + nameB.length + data.length
+    val extra = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+    extra.putShort(0x0001).putShort(24)
+      .putLong(data.length.toLong).putLong(data.length.toLong).putLong(0L)
+    val cd = ByteBuffer.allocate(46 + nameB.length + 28).order(ByteOrder.LITTLE_ENDIAN)
+    cd.putInt(0x02014b50).putShort(45).putShort(45).putShort(0).putShort(0)
+      .putShort(0).putShort(0).putInt(crc.getValue.toInt)
+      .putInt(0xFFFFFFFF).putInt(0xFFFFFFFF) // csize/usize escaped
+      .putShort(nameB.length.toShort).putShort(28).putShort(0)
+      .putShort(0).putShort(0).putInt(0)
+      .putInt(0xFFFFFFFF) // local offset escaped
+      .put(nameB).put(extra.array())
+    val cdSize = 46 + nameB.length + 28
+    val z64Off = cdOff + cdSize + recordGap
+    val z64 = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    z64.putInt(0x06064b50).putLong(44L).putShort(45).putShort(45)
+      .putInt(0).putInt(0).putLong(1L).putLong(1L)
+      .putLong(cdSize.toLong).putLong(cdOff.toLong)
+    val loc = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    loc.putInt(0x07064b50).putInt(0).putLong(z64Off.toLong).putInt(totalDisks)
+    val eocd = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+    eocd.putInt(0x06054b50).putShort(0).putShort(0)
+      .putShort(0xFFFF.toShort).putShort(0xFFFF.toShort)
+      .putInt(0xFFFFFFFF).putInt(0xFFFFFFFF).putShort(0)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(local.array()); bos.write(data); bos.write(cd.array())
+    bos.write(new Array[Byte](recordGap))
+    bos.write(z64.array()); bos.write(loc.array()); bos.write(eocd.array())
+    bos.toByteArray
+  }
+
+  test("per-entry ZIP64 escapes: real values come from the 0x0001 extra; structural lies refuse") {
+    val data = "zip64 member contents".getBytes("UTF-8")
+    val good = handZip64(data, "big.bin")
+    val got = listNames(good)
+    assert(got === Seq(("big.bin", 0, data.length.toLong)))
+    assert(ZipEntries.extract(good, "big.bin").toSeq === data.toSeq)
+    // multi-disk locator refuses
+    assert(ZipEntries.list(handZip64(data, "big.bin", totalDisks = 2)) === null)
+    // ZIP64 EOCD record not abutting the directory/locator refuses
+    assert(ZipEntries.list(handZip64(data, "big.bin", recordGap = 8)) === null)
+    // escaped EOCD without a locator refuses (strip locator + zip64 record)
+    val noLoc = good.dropRight(98) ++ good.takeRight(22)
+    assert(ZipEntries.list(noLoc) === null)
+  }
 }
