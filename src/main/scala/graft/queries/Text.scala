@@ -829,6 +829,37 @@ object Text extends QueryPack {
         .orderBy(id)
     },
 
+    // CRAWL-DELAY FROM ROBOTS → FRONTIER (round 16): t58's schedule with
+    // the per-host delay SOURCED from the host's own robots.txt via
+    // robots_crawl_delay — the de-facto (non-RFC-9309, universally
+    // emitted) field, integer seconds, selected-group scope. Arms: hosts
+    // ≡0 mod 3 omit the field (the caller default 2 applies), others
+    // declare 1+host%4 in an exact graftbot group that must BEAT the *
+    // group's decoy Crawl-delay 30 — group selection sits under the
+    // schedule hash (a wrong selection shifts every fetch offset). At
+    // 100 TB the delay evaluates once per HOST on the robots dimension.
+    "t58b_schedule_robots_delay" -> { (s, d) =>
+      import graft.functions.GraftFunctions.robots_crawl_delay
+      val id = col("doc_id")
+      val host = when(id % 3 === 0, lit(0L)).otherwise(pmod(id, lit(37L)))
+      val robots = when(pmod(host, lit(3)) === 0,
+          lit("User-agent: graftbot\nDisallow: /tmp\n" +
+            "User-agent: *\nCrawl-delay: 30\n"))
+        .otherwise(concat(
+          lit("User-agent: graftbot\nCrawl-delay: "),
+          (lit(1L) + pmod(host, lit(4L))).cast("string"),
+          lit("\nUser-agent: *\nCrawl-delay: 30\n")))
+      graft.operators.Frontier.schedule(
+        Tables.documents(s, d).select(id,
+          host.as("host_id"), pmod(id, lit(5L)).as("priority"),
+          robots_crawl_delay(robots, lit(2L), "graftbot").as("delay_s")),
+        host = col("host_id"), priority = col("priority"), tie = id,
+        delaySec = col("delay_s"), perCycle = 8, cycleLenSec = 60L)
+        .select(id, col("host_id"), col("delay_s"), col("slot"),
+          col("fetch_offset_s"))
+        .orderBy(id)
+    },
+
     // SNIPPET EXTRACTION under the gate — the search-result highlighter:
     // the width-12 token window with the most query-term hits per doc,
     // leftmost on ties. Only hit-anchored windows need scoring (an
@@ -2517,6 +2548,29 @@ object Text extends QueryPack {
         |    1 + host_id % 4 AS delay_s
         |  FROM c)
         |SELECT doc_id, host_id, slot,
+        |  CAST((slot // 8) * 60 + (slot % 8) * delay_s AS BIGINT) AS fetch_offset_s
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the same window + schedule arithmetic with the delay stated from
+    // the robots construction: absent field -> the default 2, present
+    // field -> 1 + host % 4 (the * group's decoy 30 must never win)
+    "t58b_schedule_robots_delay" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END AS host_id,
+        |    doc_id % 5 AS priority
+        |  FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, host_id, priority,
+        |    CAST(CASE WHEN host_id % 3 = 0 THEN 2
+        |         ELSE 1 + host_id % 4 END AS BIGINT) AS delay_s
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id, host_id, delay_s,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host_id
+        |      ORDER BY priority DESC, doc_id) - 1 AS BIGINT) AS slot
+        |  FROM c2)
+        |SELECT doc_id, host_id, delay_s, slot,
         |  CAST((slot // 8) * 60 + (slot % 8) * delay_s AS BIGINT) AS fetch_offset_s
         |FROM r ORDER BY doc_id""".stripMargin,
 
