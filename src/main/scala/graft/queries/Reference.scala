@@ -886,6 +886,135 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // THE FULL CRAWL CYCLE composed (x17, round 16 — discovery INTO
+    // governance INTO bytes-to-corpus, the loop whose segments r15
+    // built): sitemap parse (t60's built-ins-only XML) -> recrawl
+    // decision against fetch history (only STALE urls proceed) ->
+    // robots admission on the url's own path (arm 0 refused by
+    // Disallow /private/, arm 1 saved by the longer Allow
+    // /private/pub*) -> frontier scheduling over exactly the admitted
+    // rows with the delay SOURCED from the same robots text
+    // (robots_crawl_delay; hosts ≡0 mod 3 omit the field -> default 2)
+    // -> fetch returning HTML bytes whose meta declaration drives the
+    // decode (m20's parity arms; a lying utf-8 declaration at
+    // (id+k)%11==0 quarantines) -> boilerplate removal (x16's 4-block
+    // page) -> PII scrub -> fingerprint keep-first whose keeper carries
+    // its own PRE-fetch schedule slot. ONE lazy plan, one hash; the
+    // keeper columns ride the aggregate as min_by — no join-back.
+    // Shuffles: the url history join + the host window + the fp group —
+    // exactly x15's two plus t60's join, the three a 100 TB cycle pays.
+    "x17_crawl_cycle" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{charset_decode_html,
+        robots_allowed, robots_crawl_delay}
+      import graft.functions.TextFunctions.fingerprint
+      val id = col("doc_id")
+      val host = when(id % 3 === 0, lit(0L)).otherwise(pmod(id, lit(37L)))
+      def pathOf(k: Int) = concat(
+        when(pmod(id + k, lit(3)) === 0, lit("/private/x"))
+          .when(pmod(id + k, lit(3)) === 1, lit("/private/pub"))
+          .otherwise(lit("/open/")),
+        id.cast("string"), lit(s"k$k"))
+      def urlOf(k: Int) = concat(
+        lit("https://h"), host.cast("string"), lit(".example.com"), pathOf(k))
+      def lastmodOf(k: Int) = format_string(
+        "2024-03-%02d", pmod(id + k * 7, lit(28)) + 1)
+      // discovery: one sitemap per doc, parsed with built-ins only (t60)
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        concat((1 to 3).map(k => concat(
+          lit("<url><loc>"), urlOf(k), lit("</loc><lastmod>"),
+          lastmodOf(k), lit("</lastmod></url>"))): _*),
+        lit("</urlset>"))
+      val locs = regexp_extract_all(xml, lit("<loc>([^<]*)</loc>"), lit(1))
+      val mods = regexp_extract_all(xml, lit("<lastmod>([^<]*)</lastmod>"), lit(1))
+      val parsed = Tables.documents(s, d)
+        .select(id, col("lang"), explode(zip_with(locs, mods,
+          (l, m) => struct(l.as("url"), m.as("lastmod")))).as("e"))
+        .select(id, col("lang"), col("e.url").as("url"),
+          col("e.lastmod").as("lastmod"))
+      val history = Tables.documents(s, d)
+        .select(explode(array((1 to 3).map { k =>
+          val hid = col("doc_id")
+          val hhost = when(hid % 3 === 0, lit(0L)).otherwise(pmod(hid, lit(37L)))
+          struct(
+            concat(lit("https://h"), hhost.cast("string"), lit(".example.com"),
+              when(pmod(hid + k, lit(3)) === 0, lit("/private/x"))
+                .when(pmod(hid + k, lit(3)) === 1, lit("/private/pub"))
+                .otherwise(lit("/open/")),
+              hid.cast("string"), lit(s"k$k")).as("url"),
+            format_string("2024-03-%02d",
+              pmod(hid * 3 + k * 5, lit(28)) + 1).as("last_fetch"))
+        }: _*)).as("h"))
+        .select(col("h.url").as("url"), col("h.last_fetch").as("last_fetch"))
+      val stale = parsed.join(history, Seq("url"), "inner")
+        .filter(col("lastmod") > col("last_fetch"))
+      // governance: robots admission + schedule, delay from the robots text
+      val robots = when(pmod(host, lit(3)) === 0,
+          lit("User-agent: graftbot\nDisallow: /private/\n" +
+            "Allow: /private/pub*\nUser-agent: *\nDisallow: /\nCrawl-delay: 30\n"))
+        .otherwise(concat(
+          lit("User-agent: graftbot\nDisallow: /private/\n" +
+            "Allow: /private/pub*\nCrawl-delay: "),
+          (lit(1L) + pmod(host, lit(4L))).cast("string"),
+          lit("\nUser-agent: *\nDisallow: /\nCrawl-delay: 30\n")))
+      val path = regexp_extract(col("url"), "^https://[^/]+(/.+)$", 1)
+      val kc = regexp_extract(col("url"), "k([0-9]+)$", 1).cast("long")
+      val admitted = stale
+        .withColumn("k", kc)
+        .filter(robots_allowed(robots, path, "graftbot"))
+        .withColumn("host_id", host)
+        .withColumn("priority", pmod(id + col("k"), lit(5L)))
+        .withColumn("delay_s", robots_crawl_delay(robots, lit(2L), "graftbot"))
+      val sched = graft.operators.Frontier.schedule(admitted,
+        host = col("host_id"), priority = col("priority"), tie = col("url"),
+        delaySec = col("delay_s"), perCycle = 8, cycleLenSec = 60L)
+      // fetch: HTML bytes built in hex (bodies carry real non-ASCII), the
+      // x16 page over the COLLIDING key (parity, lang, m)
+      def asciiHex(c: Column) = hex(c)
+      val m = pmod(id + col("k"), lit(13)).cast("string")
+      val par = pmod(id + col("k"), lit(2))
+      val nav = "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a></div>"
+      val footerDiv = "<div>promo1 promo2 promo3 promo4 promo5 promo6 " +
+        "promo7 promo8 promo9 promo10 promo11 promo12</div>"
+      val proseTail = concat(lit(" "), col("lang"), lit(" "), m,
+        lit(" the of and to a is.</p><p>contact admin@example.com or " +
+          "10.0.0.1 beta "), col("lang"), lit(" "), m,
+        lit(" the of and in it on.</p>" + footerDiv + "</body></html>"))
+      val evenHtmlHex = asciiHex(concat(
+        lit("<html><head><meta charset=\"utf-8\"></head><body>" + nav + "<p>alpha"),
+        proseTail))
+      val oddHtmlHex = concat(
+        asciiHex(lit("<html><head><meta charset=\"windows-1252\"></head><body>" +
+          nav + "<p>")),
+        lit("93"), asciiHex(lit("alpha")), lit("94"),
+        asciiHex(proseTail))
+      val lyingHtmlHex = concat(
+        asciiHex(lit("<html><head><meta charset=\"utf-8\"></head><body>x")),
+        lit("93"))
+      val htmlHex = when(pmod(id + col("k"), lit(11)) === 0, lyingHtmlHex)
+        .when(par === 0, evenHtmlHex)
+        .otherwise(oddHtmlHex)
+      val fetched = sched
+        .withColumn("html", charset_decode_html(unhex(htmlHex)))
+        .filter(col("html").isNotNull)
+      val curated = graft.operators.Pii.scrub(
+        graft.operators.Boilerplate.extract(fetched, col("html"))
+          .select(id, col("k"), col("slot"), col("fetch_offset_s"),
+            col("kept_text")),
+        "kept_text")
+      curated
+        .withColumn("fp", fingerprint(col("redacted")))
+        .groupBy(col("fp"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
+          min_by(col("k"), id).as("k"),
+          min_by(col("slot"), id).as("slot"),
+          min_by(col("fetch_offset_s"), id).as("fetch_offset_s"),
+          min_by(col("redacted"), id).as("redacted"))
+        .select(col("doc_id"), col("k"), col("n_dups"), col("slot"),
+          col("fetch_offset_s"), col("redacted"))
+        .orderBy(col("doc_id"), col("k"))
+    },
+
     // ZIP CONTAINER walk under the gate — the archive family documents
     // travel in (docx/xlsx/epub are ZIP): per document, construct a
     // complete two-entry STORED archive in column arithmetic — real
@@ -2190,6 +2319,63 @@ object Reference extends QueryPack {
         |SELECT k.doc_id, k.n_dups, f.host_id, f.slot, f.fetch_offset_s
         |FROM kept k JOIN fetched f USING (doc_id)
         |ORDER BY k.doc_id""".stripMargin,
+
+    // the full cycle restated: discovery arms select the urls, the
+    // staleness comparison and the robots decision gate them, the
+    // schedule window runs over exactly the admitted rows (delay from
+    // the robots construction), torn decodes vanish, redacted text
+    // stated by inversion of the x16 page, keeper joined back by
+    // (doc_id, text) — a doc's rows never collide with each other, so
+    // the pair is unique
+    "x17_crawl_cycle" ->
+      """WITH kk AS (
+        |  SELECT doc_id, lang, unnest(generate_series(1, 3)) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, CAST(k AS BIGINT) AS k,
+        |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END AS host_id,
+        |    (doc_id + k) % 3 AS arm,
+        |    (doc_id + k) % 5 AS priority,
+        |    (doc_id + k) % 2 AS par,
+        |    CAST((doc_id + k) % 13 AS VARCHAR) AS m
+        |  FROM kk),
+        |c2 AS (
+        |  SELECT *,
+        |    'https://h' || CAST(host_id AS VARCHAR) || '.example.com'
+        |      || CASE arm WHEN 0 THEN '/private/x'
+        |                  WHEN 1 THEN '/private/pub' ELSE '/open/' END
+        |      || CAST(doc_id AS VARCHAR) || 'k' || CAST(k AS VARCHAR) AS url,
+        |    printf('2024-03-%02d', (doc_id + k * 7) % 28 + 1) AS lastmod,
+        |    printf('2024-03-%02d', (doc_id * 3 + k * 5) % 28 + 1) AS last_fetch
+        |  FROM c),
+        |adm AS (
+        |  SELECT * FROM c2
+        |  WHERE lastmod > last_fetch AND arm <> 0),
+        |sched AS (
+        |  SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host_id
+        |      ORDER BY priority DESC, url) - 1 AS BIGINT) AS slot,
+        |    CASE WHEN host_id % 3 = 0 THEN 2
+        |         ELSE 1 + host_id % 4 END AS delay_s
+        |  FROM adm),
+        |fetched AS (
+        |  SELECT doc_id, k, slot,
+        |    CAST((slot // 8) * 60 + (slot % 8) * delay_s AS BIGINT) AS fetch_offset_s,
+        |    CASE WHEN par = 0 THEN 'alpha'
+        |         ELSE chr(8220) || 'alpha' || chr(8221) END
+        |    || ' ' || lang || ' ' || m
+        |    || ' the of and to a is. contact <EMAIL> or <IP> beta '
+        |    || lang || ' ' || m || ' the of and in it on.' AS redacted
+        |  FROM sched
+        |  WHERE (doc_id + k) % 11 <> 0),
+        |kept AS (
+        |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |    redacted
+        |  FROM fetched GROUP BY redacted)
+        |SELECT kt.doc_id, f.k, kt.n_dups, f.slot, f.fetch_offset_s, kt.redacted
+        |FROM kept kt
+        |JOIN fetched f ON kt.doc_id = f.doc_id AND kt.redacted = f.redacted
+        |ORDER BY kt.doc_id, f.k""".stripMargin,
 
     // the m16 inversion posture for TAR: listing fields stated from the
     // construction arithmetic (entry 2's size is the component string

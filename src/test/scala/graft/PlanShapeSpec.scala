@@ -406,6 +406,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x15 lost the map-side partial aggregate:\n$plan")
   }
 
+  test("x17 crawl cycle: the host window + fp keep-first shuffles, plus at most the history join") {
+    val plan = planOf("x17_crawl_cycle")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // the url history join broadcasts at gate scale (2 exchanges); at
+    // fact-to-fact scale it becomes an SMJ (3) — both are the designed
+    // shape, anything more is a regression
+    assert(hashExchanges >= 2 && hashExchanges <= 3,
+      s"x17 should pay window + dedup (+ history join), found $hashExchanges:\n$plan")
+    assert(plan.contains("Window"), s"x17 lost the schedule window:\n$plan")
+    // min_by on a string payload plans as SortAggregate — the map-side
+    // partial stage is what matters
+    assert(plan.contains("partial_min"),
+      s"x17 lost the map-side partial aggregate:\n$plan")
+  }
+
   test("t58 frontier: one host-keyed exchange feeding the rank window") {
     val plan = planOf("t58_crawl_schedule")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
