@@ -63,9 +63,10 @@ case class JpegPixelStats(child: Expression)
 
 /** COLOR (YCbCr) baseline-JPEG decode to RGB stats — the m12/m13
   * surface on the same decode core: interleaved three-component MCUs
-  * generic over sampling factors 1-2 (4:4:4, 4:2:2, 4:4:0, and the
-  * dominant real-crawl class 4:2:0 — per-component quant/Huffman
-  * selectors, DC predictors, and rasters at component resolution),
+  * generic over the full legal T.81 sampling-factor range 1-4 (4:4:4,
+  * 4:2:2, 4:4:0, the dominant real-crawl class 4:2:0, and the DV-class
+  * 4:1:1 at factor 4 — per-component quant/Huffman selectors, DC
+  * predictors, and rasters at component resolution),
   * chroma box-replicated to full resolution (sample replication, the
   * libjpeg -nosmooth upsampler — a pure selection, chosen over the
   * triangular filter precisely so inversion oracles can state every
@@ -73,8 +74,7 @@ case class JpegPixelStats(child: Expression)
   * upsampler agrees, which is what the ImageIO differential pins), then
   * the standard 16-bit fixed-point CCIR 601 color conversion (exact
   * integer arithmetic — see [[JpegPixelStats.decodeRgb]]). Grayscale
-  * files pass through as R = G = B; sampling factors above 2 (4:1:1)
-  * quarantine to NULL.
+  * files pass through as R = G = B.
   */
 case class JpegRgbStats(child: Expression)
     extends UnaryExpression {
@@ -278,13 +278,14 @@ object JpegPixelStats {
             var ci = 0
             while (ci < nc) {
               compId(ci) = b(pos + 8 + 3 * ci) & 0xFF
-              // sampling factors 1 and 2 cover 4:4:4 / 4:2:2 / 4:4:0 /
-              // 4:2:0 — everything a camera or web encoder emits; the
-              // rare 4:1:1 (factor 4) stays quarantined
+              // the full legal T.81 factor range 1-4: factors 1-2 cover
+              // 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0, factor 4 is the DV-class
+              // 4:1:1 (round 16 — the MCU walk and box replication are
+              // sampling-generic, so the widening is just this bound)
               val hv = b(pos + 9 + 3 * ci) & 0xFF
               compH(ci) = hv >> 4; compV(ci) = hv & 0x0F
-              if (compH(ci) < 1 || compH(ci) > 2 ||
-                  compV(ci) < 1 || compV(ci) > 2) return null
+              if (compH(ci) < 1 || compH(ci) > 4 ||
+                  compV(ci) < 1 || compV(ci) > 4) return null
               compQ(ci) = b(pos + 10 + 3 * ci) & 0xFF
               if (compQ(ci) > 3) return null
               ci += 1

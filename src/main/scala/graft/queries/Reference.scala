@@ -626,6 +626,57 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // 4:1:1 CHROMA (sampling factor 4) under the gate (round 16 — the
+    // last JPEG sampling class, the m13 scope line removed): Y at 4x1,
+    // so each 32x8-pixel MCU carries 4 Y blocks + 1 Cb + 1 Cr — the
+    // SAME six-block stream order as 4:2:0, which is exactly why the
+    // sampling-generic MCU walk needed only its factor bound widened.
+    // The chroma block box-replicates across the whole MCU, so the
+    // oracle is m13's statement with the raster turned sideways
+    // (32*wm x 8*hm). Torn docs (doc_id % 7 == 0) quarantine; the
+    // ImageIO differential on constructed 4:1:1 files lives in JpegSpec.
+    "m13b_jpeg_411" -> { (s, d) =>
+      import graft.functions.GraftFunctions.jpeg_rgb_stats
+      val wm = (col("doc_id") % 2 + 1).cast("int")
+      val hm = (col("doc_id") % 3 + 1).cast("int")
+      val nm = wm * hm
+      def dmag(mult: Int, i: Column): Column = {
+        val pair = (when(pmod(i, lit(2)) === 0, i).otherwise(i - 1) / 2).cast("int")
+        lit(8) + pmod(col("doc_id") * mult + pair, lit(8))
+      }
+      def byteOf(mult: Int, i: Column): Column =
+        when(pmod(i, lit(2)) === 0, dmag(mult, i))
+          .otherwise(lit(15) - dmag(mult, i))
+      val entropyHex = array_join(
+        transform(sequence(lit(0), nm - 1),
+          j => format_string("%02X00%02X00%02X00%02X00%02X00%02X00",
+            byteOf(1, j * 4).cast("int"), byteOf(1, j * 4 + 1).cast("int"),
+            byteOf(1, j * 4 + 2).cast("int"), byteOf(1, j * 4 + 3).cast("int"),
+            byteOf(3, j).cast("int"), byteOf(5, j).cast("int"))), "")
+      val jpegHex = concat(
+        lit("FFD8"),
+        lit("FFDB00430010"), lit("01" * 63),
+        lit("FFC0001108"),
+        format_string("%04X", hm * 8), format_string("%04X", wm * 32),
+        lit("03"), lit("014100"), lit("021100"), lit("031100"),
+        lit("FFC4001400"), lit("00000001" + "00" * 12), lit("04"),
+        lit("FFC4001410"), lit("00000000000000010000000000000000"), lit("00"),
+        lit("FFDA000C03"), lit("010002000300"), lit("003F00"),
+        entropyHex,
+        lit("FFD9"))
+      val hex = when(col("doc_id") % 7 === 0,
+        substring(jpegHex, lit(1), length(jpegHex) - 6)).otherwise(jpegHex)
+      Tables.documents(s, d)
+        .select(col("doc_id"), jpeg_rgb_stats(unhex(hex)).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"),
+          col("p.sum_r").as("sum_r"), col("p.sum_g").as("sum_g"),
+          col("p.sum_b").as("sum_b"),
+          col("p.pixel_min").as("pixel_min"), col("p.pixel_max").as("pixel_max"))
+        .orderBy(col("doc_id"))
+    },
+
     // RESTART-MARKER JPEG decode under the gate — the error-resilience
     // layout camera firmware emits: a DRI segment sets interval 1, so
     // every block boundary byte-aligns, carries the cycling RSTn marker
@@ -2183,6 +2234,50 @@ object Reference extends QueryPack {
         |SELECT s.doc_id,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 16 * wm END AS width,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 16 * hm END AS height,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(256 * wm * hm AS BIGINT) END AS n_pixels,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sr END AS sum_r,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sg END AS sum_g,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sb END AS sum_b,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mn END AS pixel_min,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE mx END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // 4:1:1: identical block stream to m13 (4 Y + chroma pair per MCU),
+    // raster turned sideways — only the width/height lines differ
+    "m13b_jpeg_411" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS wm,
+        |    CAST(doc_id % 3 + 1 AS INT) AS hm
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, wm, hm,
+        |    unnest(generate_series(0, wm * hm * 4 - 1)) AS q
+        |  FROM s),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN q % 2 = 0 THEN 2 * (8 + (doc_id * 1 + q // 2) % 8) ELSE 0 END AS yv,
+        |    CASE WHEN (q // 4) % 2 = 0 THEN 2 * (8 + (doc_id * 3 + q // 8) % 8) ELSE 0 END AS cb,
+        |    CASE WHEN (q // 4) % 2 = 0 THEN 2 * (8 + (doc_id * 5 + q // 8) % 8) ELSE 0 END AS cr
+        |  FROM b),
+        |px AS (
+        |  SELECT doc_id,
+        |    128 + yv + (91881 * cr + 32768) // 65536 AS r,
+        |    128 + yv - (22554 * cb + 46802 * cr + 32768) // 65536 AS g,
+        |    128 + yv + (116130 * cb + 32768) // 65536 AS bch
+        |  FROM v),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(64 * r) AS BIGINT) AS sr,
+        |    CAST(SUM(64 * g) AS BIGINT) AS sg,
+        |    CAST(SUM(64 * bch) AS BIGINT) AS sb,
+        |    CAST(LEAST(MIN(r), MIN(g), MIN(bch)) AS INT) AS mn,
+        |    CAST(GREATEST(MAX(r), MAX(g), MAX(bch)) AS INT) AS mx
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 32 * wm END AS width,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE 8 * hm END AS height,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
         |       ELSE CAST(256 * wm * hm AS BIGINT) END AS n_pixels,
         |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE sr END AS sum_r,

@@ -341,6 +341,78 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDelta <= 2, s"4:2:2 delta $maxDelta vs ImageIO")
   }
 
+  def dcOnly411Jpeg(wMcu: Int, hMcu: Int, q0: Int,
+                    dy: Seq[Int], dcb: Seq[Int], dcr: Seq[Int]): Array[Byte] = {
+    val n = wMcu * hMcu
+    require(dy.length == 4 * n && dcb.length == n && dcr.length == n)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xFF))
+    b(0xFF, 0xD8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00); b(q0); (1 until 64).foreach(_ => b(1))
+    val w = wMcu * 32; val h = hMcu * 8
+    b(0xFF, 0xC0, 0x00, 0x11, 0x08, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 0x03,
+      0x01, 0x41, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00) // Y 4x1 (4:1:1)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x00,
+      0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x04)
+    b(0xFF, 0xC4, 0x00, 0x14, 0x10,
+      0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0x00)
+    b(0xFF, 0xDA, 0x00, 0x0C, 0x03, 0x01, 0x00, 0x02, 0x00, 0x03, 0x00,
+      0x00, 0x3F, 0x00)
+    def blk(d: Int): Unit = {
+      require(math.abs(d) >= 8 && math.abs(d) <= 15)
+      b(if (d > 0) d else d + 15, 0x00)
+    }
+    (0 until n).foreach { j =>
+      (0 until 4).foreach(u => blk(dy(4 * j + u)))
+      blk(dcb(j)); blk(dcr(j))
+    }
+    b(0xFF, 0xD9)
+    out.toByteArray
+  }
+
+  test("4:1:1 fixture (factor 4): four Y blocks per MCU decode exactly; ImageIO agrees") {
+    // one 32x8 MCU: Y quarters via the prediction chain 146/128/148/128,
+    // Cb'=20, Cr'=24 replicated across the whole MCU
+    val bytes = dcOnly411Jpeg(1, 1, 16, Seq(9, -9, 10, -10), Seq(10), Seq(12))
+    val rgb = JpegPixelStats.decodeRgb(bytes)
+    assert(rgb !== null)
+    assert(rgb(0).length === 8 && rgb(0)(0).length === 32)
+    def expect(yv: Int): (Int, Int, Int) = (
+      yv + ((91881 * 24 + 32768) >> 16),
+      yv - ((22554 * 20 + 46802 * 24 + 32768) >> 16),
+      yv + ((116130 * 20 + 32768) >> 16))
+    for (((py, px), yv) <- Seq(((0, 0), 146), ((7, 7), 146), ((0, 8), 128),
+        ((3, 16), 148), ((7, 23), 148), ((0, 24), 128), ((7, 31), 128))) {
+      val (er, eg, eb) = expect(yv)
+      assert((rgb(0)(py)(px), rgb(1)(py)(px), rgb(2)(py)(px)) === ((er, eg, eb)),
+        s"pixel ($py,$px)")
+    }
+    // independent implementation: ImageIO decodes the same 4:1:1 file
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(jdk !== null, "ImageIO refused our 4:1:1 file")
+    var maxDelta = 0
+    for (y <- 0 until 8; x <- 0 until 32) {
+      val p = jdk.getRGB(x, y)
+      maxDelta = math.max(maxDelta, Seq(
+        math.abs(rgb(0)(y)(x) - ((p >> 16) & 0xFF)),
+        math.abs(rgb(1)(y)(x) - ((p >> 8) & 0xFF)),
+        math.abs(rgb(2)(y)(x) - (p & 0xFF))).max)
+    }
+    assert(maxDelta <= 2, s"4:1:1 delta $maxDelta vs ImageIO")
+    // a multi-MCU 4:1:1 file exercises the raster placement too
+    val two = dcOnly411Jpeg(2, 1, 16,
+      Seq(9, -9, 10, -10, 11, -11, 12, -12), Seq(10, 8), Seq(12, 9))
+    val rgb2 = JpegPixelStats.decodeRgb(two)
+    assert(rgb2 !== null)
+    assert(rgb2(0)(0).length === 64)
+    // factor 5 and other illegal values still quarantine
+    val bad = bytes.clone()
+    val sofAt = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xFF) == 0xFF && (bad(i + 1) & 0xFF) == 0xC0).get
+    bad(sofAt + 11) = 0x51.toByte // H=5
+    assert(JpegPixelStats.decodeRgbStats(bad) === null)
+  }
+
   test("JDK differential (4:2:0): ImageIO-encoded color JPEGs — the encoder's native subsampling — decode within +-2") {
     // the JDK JPEG encoder emits 4:2:0 (Y 2x2) for RGB at every quality;
     // gray-valued RGB keeps both chroma planes CONSTANT (exactly 128), so
