@@ -242,14 +242,14 @@ object GraftFunctions {
       e.dataType == org.apache.spark.sql.types.StringType
     if (!ok)
       throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "_LEGACY_ERROR_TEMP_3055",
-        messageParameters = Map("reason" ->
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
           s"$fn expects $signature; the agent argument must be a string literal, got ${e.sql}"))
     val v = e.eval()
     if (v == null)
       throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "_LEGACY_ERROR_TEMP_3055",
-        messageParameters = Map("reason" ->
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
           s"$fn expects $signature; the agent argument must not be NULL"))
     v.asInstanceOf[UTF8String].toString
   }

@@ -35,6 +35,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d.getString(1) === "POINT (1.5 2.5)")
   }
 
+  test("SQL robots functions: literal agent works, a non-literal agent is a clean analysis error") {
+    val ok = extSpark.sql(
+      "SELECT robots_allowed('User-agent: *\nDisallow: /x\n', '/x1', 'bot') AS a, " +
+        "robots_crawl_delay('User-agent: *\nCrawl-delay: 4\n', 9L, 'bot') AS d")
+      .head()
+    assert(ok.getBoolean(0) === false)
+    assert(ok.getLong(1) === 4L)
+    // a non-literal agent argument must raise an AnalysisException at
+    // plan time, not a ClassCastException at build time
+    val e = intercept[Exception] {
+      extSpark.sql("SELECT robots_allowed('User-agent: *\n', '/p', CAST(id AS STRING)) " +
+        "FROM range(3)").collect()
+    }
+    assert(e.getMessage.contains("string literal"), e.getMessage)
+  }
+
   test("SpatialFilterPushdown adds sargable bbox conjuncts that reach the parquet scan") {
     import extSpark.implicits._
     // parquet-backed so ConvertToLocalRelation can't fold the filter away
