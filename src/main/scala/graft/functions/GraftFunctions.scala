@@ -131,6 +131,9 @@ object GraftFunctions {
     */
   def robots_crawl_delay(robotsTxt: Column, default: Column, agent: String): Column =
     toCol(RobotsCrawlDelay(toExpr(robotsTxt), toExpr(default.cast("bigint")), agent))
+  /** `Sitemap:` discovery URLs in file order — see [[RobotsSitemaps]]. */
+  def robots_sitemaps(robotsTxt: Column): Column =
+    toCol(RobotsSitemaps(toExpr(robotsTxt)))
   /** RFC 3986 syntax normalization — see [[UrlCanonicalize]]. */
   def url_canonicalize(url: Column): Column = toCol(UrlCanonicalize(toExpr(url)))
   /** Lowercased host of a URL — see [[UrlHost]]. */
@@ -223,6 +226,7 @@ object GraftFunctions {
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },
     "robots_allowed" -> { es => RobotsAllowed(es(0), es(1), literalString("robots_allowed",
       "(string robots_txt, string path, string-literal agent)", es(2))) },
+    "robots_sitemaps" -> { es => RobotsSitemaps(es(0)) },
     "robots_crawl_delay" -> { es => RobotsCrawlDelay(es(0), cast(es(1), "bigint"),
       literalString("robots_crawl_delay",
         "(string robots_txt, bigint default, string-literal agent)", es(2))) },

@@ -68,6 +68,39 @@ case class RobotsAllowed(left: Expression, right: Expression, agent: String)
     copy(left = l, right = r)
 }
 
+/** robots_sitemaps(robots_txt) — the `Sitemap:` discovery field (the
+  * sitemaps.org extension RFC 9309 §2.2.4 acknowledges): absolute
+  * sitemap URLs in file order. NOT group-scoped — the field applies to
+  * all agents wherever it appears, so this parses independently of
+  * group selection. Lenient like the rest of the parser (junk lines
+  * never poison; empty values skipped); total, never NULL. Feeds the
+  * t60b sitemap-index walk: robots -> sitemap index -> urlset shards ->
+  * recrawl decision is the complete discovery chain.
+  */
+case class RobotsSitemaps(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "robots_sitemaps"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string robots_txt, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(robots: Any): Any =
+    Robots.sitemapArray(robots.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, r => s"""
+      ${ev.value} = graft.functions.Robots.sitemapArray($r.toString());
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** robots_crawl_delay(robots_txt, default_seconds) for a fixed crawler
   * agent — the politeness input [[graft.operators.Frontier]] schedules
   * with, sourced from the same parse as [[RobotsAllowed]]. `Crawl-delay`
@@ -236,6 +269,31 @@ object Robots {
     var best = -1L
     chosen.foreach { g => if (g.delay > best) best = g.delay }
     if (best < 0) default else best
+  }
+
+  /** `Sitemap:` URLs in file order — field-scoped (not group-scoped),
+    * same lenient line parse and MaxLines cap as the policy fields.
+    */
+  def sitemapArray(robotsTxt: String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lines = 0
+    val it = robotsTxt.split("\n", -1).iterator
+    while (it.hasNext && lines < MaxLines) {
+      lines += 1
+      var line = it.next()
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        if (key == "sitemap") {
+          val value = line.substring(colon + 1).trim
+          if (value.nonEmpty) out += UTF8String.fromString(value)
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** Parse cap: a robots.txt is a policy file, not a corpus — a

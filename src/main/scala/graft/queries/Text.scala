@@ -774,6 +774,35 @@ object Text extends QueryPack {
         .orderBy(id, col("url"))
     },
 
+    // ROBOTS `Sitemap:` DISCOVERY under the gate (round 16 — the true
+    // ZEROTH hop: robots.txt names the sitemap index, which t60b walks
+    // into shards, which t60 turns into a recrawl decision): per doc,
+    // construct a robots.txt whose Sitemap fields exercise the
+    // field-scoped (NOT group-scoped) semantics — one at top of file,
+    // one INSIDE the graftbot group (still collected; the field applies
+    // to all agents wherever it appears per the sitemaps.org extension
+    // RFC 9309 acknowledges), one with a trailing comment, an
+    // empty-value line skipped, and a third URL only when doc_id%5==0
+    // (row-count arm). File order under the hash via posexplode.
+    "t60c_robots_sitemaps" -> { (s, d) =>
+      import graft.functions.GraftFunctions.robots_sitemaps
+      val id = col("doc_id")
+      val host = pmod(id, lit(37)).cast("string")
+      val robots = concat(
+        lit("Sitemap: https://h"), host,
+        lit(".example.com/sitemap-index.xml\n" +
+          "User-agent: graftbot\nDisallow: /private/\n" +
+          "Sitemap: https://h"), host,
+        lit(".example.com/sitemap-"), pmod(id, lit(7)).cast("string"),
+        lit(".xml.gz # shard\nSitemap:\nUser-agent: *\nDisallow: /\n"),
+        when(id % 5 === 0, concat(lit("Sitemap: https://cdn.example.org/sm/"),
+          id.cast("string"), lit(".xml\n"))).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(id, posexplode(robots_sitemaps(robots)).as(Seq("idx", "sm_url")))
+        .select(id, col("idx").cast("int").as("idx"), col("sm_url"))
+        .orderBy(id, col("idx"))
+    },
+
     // BOILERPLATE REMOVAL under the gate (jusText-family main-content
     // extraction): per doc, construct a six-block page where every rule
     // has a live arm — a link-dense nav (bad before any length test),
@@ -2508,6 +2537,28 @@ object Text extends QueryPack {
         |SELECT doc_id, shard_url, url, lastmod, last_fetch,
         |  lastmod > last_fetch AS refetch
         |FROM r ORDER BY doc_id, url""".stripMargin,
+
+    // file-order inversion: idx 0 = the top-of-file index, idx 1 = the
+    // in-group shard (field-scoped, comment stripped), idx 2 only on
+    // the doc_id%5 arm; the empty-value line contributes nothing
+    "t60c_robots_sitemaps" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(0 AS INT) AS idx,
+        |    'https://h' || CAST(doc_id % 37 AS VARCHAR)
+        |      || '.example.com/sitemap-index.xml' AS sm_url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT),
+        |    'https://h' || CAST(doc_id % 37 AS VARCHAR)
+        |      || '.example.com/sitemap-' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.xml.gz'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS INT),
+        |    'https://cdn.example.org/sm/' || CAST(doc_id AS VARCHAR) || '.xml'
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, idx, sm_url
+        |FROM r ORDER BY doc_id, idx""".stripMargin,
 
     // the inversion posture for boilerplate removal: the class string
     // is a constant of the construction, kept_text restates the slice

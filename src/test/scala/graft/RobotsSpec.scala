@@ -143,6 +143,25 @@ class RobotsSpec extends AnyFunSuite {
     assert(ok(r3, "/ax"))
   }
 
+  test("sitemaps: field-scoped collection in file order, comments stripped, empties skipped") {
+    def sitemaps(r: String): Seq[String] = {
+      val arr = Robots.sitemapArray(r)
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    val r = "Sitemap: https://a/s.xml\n" +
+      "User-agent: bot\nDisallow: /x\n" +
+      "Sitemap: https://a/in-group.xml # trailing comment\n" +
+      "Sitemap:\n" + // empty value: skipped
+      "sitemap: https://a/lower.xml\n" // key case-insensitive
+    assert(sitemaps(r) === Seq("https://a/s.xml", "https://a/in-group.xml",
+      "https://a/lower.xml"))
+    // the URL's own colon is not the key separator
+    assert(sitemaps("Sitemap: http://h:8080/s.xml\n") === Seq("http://h:8080/s.xml"))
+    assert(sitemaps("User-agent: *\nDisallow: /\n") === Seq.empty)
+    // sitemap lines do not perturb group parsing
+    assert(!ok("User-agent: *\nSitemap: https://a/s.xml\nDisallow: /x\n", "/x1"))
+  }
+
   test("crawl-delay: selected-group scope, max-of-merged, junk ignored, default when absent") {
     def delay(r: String, agent: String = "graftbot", d: Long = 9L): Long =
       Robots.crawlDelay(r, agent.toLowerCase, d)
