@@ -1066,6 +1066,43 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"), col("k"))
     },
 
+    // MULTIMODAL (image-text) CORPUS CURATION composed (x18, round 16 —
+    // the m-family's decoders + d23's perceptual hash turned into the
+    // curation flow a vision-language corpus runs): per image blob
+    // (the d23 BMP fixture), decode gate (torn blobs — doc_id % 7 loses
+    // the pixel-array tail — quarantine by absence), metadata gate
+    // (width >= 9 drops the narrowest fixture class), caption quality
+    // gate (the paired caption must carry >= 3 tokens; doc_id % 9 docs
+    // get the 1-token stub), then PERCEPTUAL near-dup dedup: a doc is
+    // dropped iff a SMALLER-id survivor sits within hamming <= 3 of its
+    // aHash (the keep-first rule as an anti-join on d23's banded pair
+    // evidence — no transitive clustering, so the oracle states it as
+    // NOT EXISTS over the same pair CTE). Every stage boundary under
+    // ONE hash; pair volume is banded (16-bit chunks), never all-pairs.
+    "x18_multimodal_curation" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{bmp_ahash, bmp_pixel_stats}
+      import graft.functions.TextFunctions.token_count
+      val bid = col("id")
+      val blobs = graft.sources.BmpFixture.blobs(s, d)
+      val torn = when(bid % 7 === 0,
+        expr("substring(blob, 1, length(blob) - 3)")).otherwise(col("blob"))
+      val caption = when(bid % 9 === 0, lit("img"))
+        .otherwise(format_string("photo of item %d", pmod(bid, lit(17))))
+      val kept = blobs.select(bid,
+          bmp_pixel_stats(torn).as("p"),
+          bmp_ahash(torn).as("sig"),
+          caption.as("caption"))
+        .filter(col("sig").isNotNull && col("p").isNotNull) // decode gate
+        .filter(col("p.width") >= 9)                        // metadata gate
+        .filter(token_count(col("caption")) >= 3)           // caption gate
+      val pairs = graft.operators.Dedup.hammingPairs(
+        kept.select(bid, col("sig")), maxHamming = 3)
+      kept.join(pairs.select(col("id2").as("id")), Seq("id"), "left_anti")
+        .select(bid.as("doc_id"), col("p.width").as("width"),
+          col("p.height").as("height"), col("caption"))
+        .orderBy(col("doc_id"))
+    },
+
     // ZIP CONTAINER walk under the gate — the archive family documents
     // travel in (docx/xlsx/epub are ZIP): per document, construct a
     // complete two-entry STORED archive in column arithmetic — real
@@ -2039,6 +2076,65 @@ object Reference extends QueryPack {
     // the pixel values stated arithmetically (the m8 inversion posture
     // — the oracle never parses a BMP), then the aHash bit rule as
     // cross-multiplied integer comparisons and d4's chunk/hamming pairs
+        // d23's exact aHash derivation (pixel arithmetic -> cell means ->
+    // 64-bit signature) with the three curation gates applied before
+    // banding; the keep-first rule is NOT EXISTS over the same pair CTE
+    "x18_multimodal_curation" ->
+      s"""WITH ge AS (
+         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+         |    (doc_id // 4) % 5 + 8 AS w, (doc_id // 4) % 4 + 8 AS h
+         |  FROM documents),
+         |ks AS (
+         |  SELECT doc_id, g, v, w, h,
+         |    unnest(generate_series(0, w * h - 1)) AS p
+         |  FROM ge),
+         |gr AS (
+         |  SELECT doc_id, w, h, p // w AS r, p % w AS x,
+         |    ((CASE WHEN v > 0 AND p % w = v - 1 AND p // w = 0
+         |           THEN (g * 13 + (p % w) * (g % 7 + 3)
+         |                 + (p // w) * (g % 5 + 7)
+         |                 + (p % w) * (p // w) * (g % 101 + 1) + 128) % 256
+         |           ELSE (g * 13 + (p % w) * (g % 7 + 3)
+         |                 + (p // w) * (g % 5 + 7)
+         |                 + (p % w) * (p // w) * (g % 101 + 1)) % 256 END)
+         |     + (g * 13 + (p % w) * (g % 7 + 3)
+         |        + (p // w) * (g % 5 + 7)
+         |        + (p % w) * (p // w) * (g % 101 + 1) + 11) % 256
+         |     + (g * 13 + (p % w) * (g % 7 + 3)
+         |        + (p // w) * (g % 5 + 7)
+         |        + (p % w) * (p // w) * (g % 101 + 1) + 22) % 256) AS gray
+         |  FROM ks),
+         |cells AS (
+         |  SELECT doc_id, ((r * 8) // h) * 8 + (x * 8) // w AS cell, gray
+         |  FROM gr),
+         |cs AS (SELECT doc_id, cell, CAST(SUM(gray) AS BIGINT) AS s,
+         |        COUNT(*) AS n FROM cells GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS ts,
+         |        COUNT(*) AS nt FROM gr GROUP BY 1),
+         |sig AS MATERIALIZED (
+         |  SELECT cs.doc_id,
+         |    CAST(SUM(CASE WHEN cs.s * tot.nt > tot.ts * cs.n
+         |         THEN CAST(CAST(1 AS UBIGINT) << cell AS HUGEINT) ELSE 0 END)
+         |      & ${SketchSql.Mask64} AS UBIGINT) AS u
+         |  FROM cs JOIN tot USING (doc_id) GROUP BY 1),
+         |elig AS (
+         |  SELECT s2.doc_id, s2.u, ge.w, ge.h
+         |  FROM sig s2 JOIN ge USING (doc_id)
+         |  WHERE s2.doc_id % 7 <> 0 AND ge.w >= 9 AND s2.doc_id % 9 <> 0),
+         |chunked AS (
+         |  SELECT doc_id, u, c, (u >> (c * 16)) & 65535 AS v2
+         |  FROM elig, generate_series(0, 3) AS g2(c)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM chunked a JOIN chunked b
+         |    ON a.c = b.c AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.u, b.u)) <= 3)
+         |SELECT e.doc_id, CAST(e.w AS INT) AS width, CAST(e.h AS INT) AS height,
+         |  'photo of item ' || CAST(e.doc_id % 17 AS VARCHAR) AS caption
+         |FROM elig e
+         |WHERE NOT EXISTS (SELECT 1 FROM cand c2 WHERE c2.id2 = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin,
+
     "d23_image_near_dup" ->
       s"""WITH ge AS (
          |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
