@@ -938,6 +938,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("sitemap discovery twins (19th): streamed parse + stream-static recrawl join equals batch t60 flow") {
+    import spark.implicits._
+    import graft.streaming.DiscoveryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sctx = spark.sqlContext
+    def xmlOf(id: Long): String = {
+      val urls = (1 to 3).map(k =>
+        s"<url><loc>https://h${id % 7}.example.com/d$id/p$k</loc>" +
+          s"<lastmod>2024-01-${"%02d".format((id + k * 7) % 28 + 1)}</lastmod></url>")
+      s"""<?xml version="1.0"?><urlset>${urls.mkString}</urlset>"""
+    }
+    val sitemaps = (0L until 30L).map(id => (id, xmlOf(id)))
+    // history covers k=1,2 only — k=3 urls are NEW (inner join drops
+    // them, exactly the batch behavior the twin must reproduce)
+    val history = (for { id <- 0L until 30L; k <- 1 to 2 } yield (
+      s"https://h${id % 7}.example.com/d$id/p$k",
+      "2024-01-" + "%02d".format((id * 3 + k * 5) % 28 + 1)))
+      .toDF("url", "last_fetch")
+    val batch = DiscoveryStream.recrawlBatch(
+        sitemaps.toDF("doc_id", "xml"), history)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    assert(batch.size === 60, "fixture: every (doc, k<=2) url joins once")
+    assert(batch.exists(_._5) && batch.exists(!_._5),
+      "fixture: both refetch outcomes live")
+    val input = MemoryStream[(Long, String)]
+    val q = DiscoveryStream.recrawlStream(
+        input.toDF().toDF("doc_id", "xml"), history)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("discovery")
+      .start()
+    try {
+      input.addData(sitemaps.take(12)); q.processAllAvailable()
+      input.addData(sitemaps.drop(12)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("discovery").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    assert(streamed === batch)
+  }
+
   test("lexical ingest twins (15th): streamed appendSaved equals batch-built BM25, scores included") {
     import spark.implicits._
     import graft.operators.InvertedIndex
