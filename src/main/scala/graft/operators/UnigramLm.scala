@@ -53,6 +53,15 @@ object UnigramLm {
   val MaxPiece = 4
   val MaxWordLen = 12
 
+  /** Driver-side vocabulary cap for the EM broadcast (the codebook-
+    * collect posture made LOUD): the piece map is bounded by the
+    * minCount prune in practice, but a pathological corpus + tiny
+    * minCount could push the collect toward driver memory — count
+    * first and refuse, never OOM silently. 2M pieces ≈ a few hundred
+    * MB broadcast, the practical ceiling for a driver-shipped model.
+    */
+  val MaxVocab = 2000000L
+
   /** Piecewise-linear integer log2, scale 2^16: monotone, exact, and
     * portable as pure bit arithmetic (see object doc). x >= 1.
     */
@@ -90,7 +99,13 @@ object UnigramLm {
     */
   def emRound(spark: SparkSession, words: DataFrame, vocab: DataFrame): DataFrame = {
     import spark.implicits._
-    // bounded by the minCount prune — the codebook-collect posture
+    // bounded by the minCount prune — the codebook-collect posture,
+    // counted BEFORE the collect so an unpruned vocabulary refuses
+    // loudly instead of OOMing the driver
+    val vocabCount = vocab.count()
+    require(vocabCount <= MaxVocab,
+      s"unigram emRound: vocabulary $vocabCount exceeds MaxVocab=$MaxVocab — " +
+        "raise minCount (the piece map must fit a driver broadcast)")
     val pieces: Map[String, Long] = vocab.select(col("piece"), col("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val logT = ilog2(pieces.valuesIterator.sum)
