@@ -1103,6 +1103,61 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // AUDIO CORPUS CURATION composed (x19, round 16 — the speech-corpus
+    // sibling of x18, on the m5 WAV machinery): per doc, construct a
+    // complete PCM16 WAV in column arithmetic with every gate given a
+    // live arm — torn data chunk (doc_id % 7: declared size overruns →
+    // decode NULL → absent), sample-rate gate (doc_id % 4 files carry
+    // 8 kHz headers; audio_meta reads the header, the gate keeps
+    // >= 16 kHz), duration gate (n_samples >= 10 drops the shortest
+    // length classes), clipping gate (doc_id % 6 files carry one
+    // full-scale 32767 sample; max_amp < 32000 drops them) — then
+    // exact-PCM keep-first dedup (fingerprint = md5 of the payload
+    // bytes; payloads derive from doc_id % 13, so collisions are real).
+    // Metadata, payload stats, and dedup boundaries under ONE hash.
+    "x19_audio_curation" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{audio_meta, audio_pcm_stats}
+      val id = col("doc_id")
+      val m = pmod(id, lit(13))
+      def le16h(v: Column) =
+        format_string("%02X%02X", v % 256, (v / 256).cast("int"))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        v % 256, (v / 256).cast("int") % 256,
+        (v / 65536).cast("int") % 256, (v / 16777216).cast("int") % 256)
+      val n = (pmod(m, lit(7)) + 8).cast("int")
+      val pcmHex = array_join(transform(sequence(lit(0), n - 1), k => {
+        val sv = when(id % 6 === 0 && k === n - 1, lit(32767))
+          .otherwise(pmod(m * 31 + k * 17, lit(2048)) - 1024)
+        val u = pmod(sv, lit(65536)).cast("int")
+        format_string("%02X%02X", u % 256, (u / 256).cast("int"))
+      }), "")
+      val sr = when(id % 4 === 0, lit(8000)).otherwise(lit(16000))
+      val dataSize = n * 2
+      val declared = when(id % 7 === 0, dataSize + 4).otherwise(dataSize)
+      val wav = concat(
+        lit("RIFF").cast("binary"), unhex(le32h(lit(36) + dataSize)),
+        lit("WAVEfmt ").cast("binary"),
+        unhex(concat(lit("100000000100"),
+          le16h(lit(1)), le32h(sr), le32h(sr * 2),
+          le16h(lit(2)), le16h(lit(16)))),
+        lit("data").cast("binary"), unhex(le32h(declared)), unhex(pcmHex))
+      Tables.documents(s, d)
+        .select(id, audio_meta(wav).as("meta"), audio_pcm_stats(wav).as("p"),
+          md5(pcmHex).as("fp"))
+        .filter(col("p").isNotNull)               // decode gate: torn absent
+        .filter(col("meta.sample_rate") >= 16000) // rate gate (header read)
+        .filter(col("p.n_samples") >= 10)         // duration gate
+        .filter(col("p.max_amp") < 32000)         // clipping gate
+        .groupBy(col("fp"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
+          min_by(col("meta.sample_rate"), id).as("sample_rate"),
+          min_by(col("p.n_samples"), id).as("n_samples"),
+          min_by(col("p.sum_amp"), id).as("sum_amp"))
+        .select(col("doc_id"), col("n_dups"), col("sample_rate"),
+          col("n_samples"), col("sum_amp"))
+        .orderBy(col("doc_id"))
+    },
+
     // ZIP CONTAINER walk under the gate — the archive family documents
     // travel in (docx/xlsx/epub are ZIP): per document, construct a
     // complete two-entry STORED archive in column arithmetic — real
@@ -2076,7 +2131,32 @@ object Reference extends QueryPack {
     // the pixel values stated arithmetically (the m8 inversion posture
     // — the oracle never parses a BMP), then the aHash bit rule as
     // cross-multiplied integer comparisons and d4's chunk/hamming pairs
-        // d23's exact aHash derivation (pixel arithmetic -> cell means ->
+        // survivors and their stats stated purely from the construction
+    // arithmetic: the four gate predicates select the doc ids, the PCM
+    // formula gives the per-m sample stats, dedup groups by m (the
+    // payload is a pure function of doc_id % 13 for survivors)
+    "x19_audio_curation" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 13 AS m FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 4 <> 0 AND doc_id % 6 <> 0
+        |    AND (doc_id % 13) % 7 >= 2),
+        |ks AS (
+        |  SELECT m, unnest(generate_series(0, (m % 7) + 7)) AS k
+        |  FROM (SELECT DISTINCT m FROM s) t),
+        |amp AS (
+        |  SELECT m,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM((m * 31 + k * 17) % 2048 - 1024) AS BIGINT) AS sum_amp
+        |  FROM ks GROUP BY m),
+        |g AS (
+        |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups, m
+        |  FROM s GROUP BY m)
+        |SELECT g.doc_id, g.n_dups, CAST(16000 AS INT) AS sample_rate,
+        |  amp.n_samples, amp.sum_amp
+        |FROM g JOIN amp USING (m)
+        |ORDER BY g.doc_id""".stripMargin,
+
+    // d23's exact aHash derivation (pixel arithmetic -> cell means ->
     // 64-bit signature) with the three curation gates applied before
     // banding; the keep-first rule is NOT EXISTS over the same pair CTE
     "x18_multimodal_curation" ->
