@@ -938,6 +938,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("media ingest twins (20th): streamed decode+gates+keep-first over WAV blobs equals batch x19 flow") {
+    import spark.implicits._
+    import graft.streaming.MediaIngestStream
+    implicit val sctx = spark.sqlContext
+    // complete PCM16 WAV bytes (the m5 layout): payload from m, arms
+    // for torn / 8 kHz / clipped
+    def wavOf(id: Long): Array[Byte] = {
+      val m = (id % 13).toInt
+      val n = m % 7 + 8
+      val sr = if (id % 4 == 0) 8000 else 16000
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+      out.write("RIFF".getBytes); le32(36 + n * 2)
+      out.write("WAVEfmt ".getBytes); le32(16); le16(1); le16(1)
+      le32(sr); le32(sr * 2); le16(2); le16(16)
+      out.write("data".getBytes)
+      le32(if (id % 7 == 0) n * 2 + 4 else n * 2) // torn: declared overrun
+      (0 until n).foreach { k =>
+        val sv = if (id % 6 == 0 && k == n - 1) 32767
+          else (m * 31 + k * 17) % 2048 - 1024
+        le16(sv & 0xFFFF)
+      }
+      out.toByteArray
+    }
+    val wavs = (0L until 40L).map(id => (id, wavOf(id)))
+    val batch = MediaIngestStream.ingestBatch(wavs.toDF("doc_id", "wav"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch.nonEmpty, "fixture: nothing survived the batch gates")
+    // survivors dedup on the payload class m — duplicates must collapse
+    val keptM = batch.map(_._1 % 13)
+    assert(keptM.size === batch.size, "a duplicate payload class survived twice")
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MediaIngestStream.ingestStream(input.toDF().toDF("doc_id", "wav"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("media_ingest")
+      .start()
+    try {
+      input.addData(wavs.take(20)); q.processAllAvailable()
+      input.addData(wavs.drop(20)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("media_ingest").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("sitemap discovery twins (19th): streamed parse + stream-static recrawl join equals batch t60 flow") {
     import spark.implicits._
     import graft.streaming.DiscoveryStream
