@@ -220,3 +220,83 @@ object AudioPcmStats {
     new GenericInternalRow(Array[Any](n.toLong, sum, min, max))
   }
 }
+
+/** mp3_frames(binary) -> struct(n_frames, sample_rate, n_samples,
+  * duration_ms) — the FULL frame walk [[AudioMeta]]'s first-header
+  * parse stops short of: real MP3s are VBR, so duration is only
+  * knowable by walking every frame (each MPEG-1 Layer III frame is
+  * floor(144 * bitrate / sample_rate) + padding bytes and carries
+  * exactly 1152 samples — ISO/IEC 11172-3 §2.4). Header-only: the walk
+  * jumps by computed frame lengths and never reads audio data, so a
+  * long file costs its frame COUNT, not its bytes.
+  *
+  * Strict scope (the m-family refuse-loudly posture): MPEG-1 Layer III
+  * only, every frame must parse (sync, version, layer, valid
+  * bitrate/sample-rate indices), the sample rate must be CONSTANT
+  * across frames (bitrate may vary — that is VBR), and frames must
+  * exactly cover the blob. ID3v2 prefixes and trailing tags refuse
+  * rather than being skipped silently (scope line; a tag walk is a
+  * separate routing step).
+  */
+case class Mp3Frames(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "mp3_frames"
+  override def dataType: DataType = Mp3Frames.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Mp3Frames.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Mp3Frames.decode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Mp3Frames {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_frames", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  /** Shared eval/codegen kernel; null on ANY malformation. */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    var pos = 0
+    var frames = 0L
+    var sr0 = -1
+    while (pos < b.length) {
+      if (pos + 4 > b.length) return null // torn header
+      if (u8(b, pos) != 0xff || (u8(b, pos + 1) & 0xe0) != 0xe0) return null
+      val version = (u8(b, pos + 1) >> 3) & 3
+      val layer = (u8(b, pos + 1) >> 1) & 3
+      if (version != 3 || layer != 1) return null // MPEG-1 Layer III only
+      val bitrateIdx = (u8(b, pos + 2) >> 4) & 0xf
+      val srIdx = (u8(b, pos + 2) >> 2) & 3
+      if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return null
+      val sr = AudioMeta.Mp3SampleRates(srIdx)
+      if (sr0 < 0) sr0 = sr
+      else if (sr != sr0) return null // sample rate must be constant
+      val pad = (u8(b, pos + 2) >> 1) & 1
+      val flen = 144 * AudioMeta.Mp3Kbps(bitrateIdx - 1) * 1000 / sr + pad
+      if (flen < 4 || pos + flen > b.length) return null // torn frame
+      pos += flen
+      frames += 1
+    }
+    if (frames == 0) return null
+    val samples = frames * 1152L
+    new GenericInternalRow(Array[Any](
+      frames, sr0, samples, samples * 1000L / sr0))
+  }
+}

@@ -121,6 +121,8 @@ object GraftFunctions {
   def audio_meta(bytes: Column): Column = toCol(AudioMeta(toExpr(bytes)))
   /** WAV PCM16 payload decode to exact sample stats — see [[AudioPcmStats]]. */
   def audio_pcm_stats(bytes: Column): Column = toCol(AudioPcmStats(toExpr(bytes)))
+  /** Full MP3 frame walk (VBR-safe duration) — see [[Mp3Frames]]. */
+  def mp3_frames(bytes: Column): Column = toCol(Mp3Frames(toExpr(bytes)))
 
   // --- web corpus ----------------------------------------------------------
   /** RFC 9309 robots.txt evaluation for a fixed agent — see [[RobotsAllowed]]. */
@@ -223,6 +225,7 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue()) },
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
+    "mp3_frames"      -> { es => Mp3Frames(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },
     "robots_allowed" -> { es => RobotsAllowed(es(0), es(1), literalString("robots_allowed",
       "(string robots_txt, string path, string-literal agent)", es(2))) },

@@ -208,10 +208,14 @@ object ImageMeta {
   * stubbed" caveat for one format per modality.
   *
   * Scope: 8-bit depth, greyscale (colour type 0, 1 channel) and
-  * truecolour (type 2, 3 channels), non-interlaced — the regime where
-  * "decode" is inflate + filter arithmetic and the output is exact
-  * integers. Palette/alpha/16-bit/interlaced NULL out (quarantine, not
-  * error), as do: bad signature, missing/short IHDR, zero/negative
+  * truecolour (type 2, 3 channels); both progressive layouts — method
+  * 0 (sequential) and method 1 (Adam7 interlace, round 16: the raw
+  * stream is the concatenation of 7 sub-images at the spec's pass
+  * offsets, each filter-reconstructed independently; statistics are
+  * order-free, so no deinterlace placement is needed — but the pass
+  * DIMENSIONS must be exactly right or the stream length mismatches
+  * and the decode refuses). Palette/alpha/16-bit NULL out (quarantine,
+  * not error), as do: bad signature, missing/short IHDR, zero/negative
   * dimensions, a decoded size past the 64 MiB zip-bomb guard (a 100 TB
   * scan must bound hostile blobs BEFORE inflating), inflate failures
   * (including a wrong adler32 — the zlib checksum IS verified), a
@@ -282,14 +286,22 @@ object ImagePixelStats {
     // dimension sanity BEFORE any size arithmetic: keeps the
     // (rowBytes + 1) * h product far from Long overflow
     if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24) ||
-      bitDepth != 8 || interlace != 0) return null
+      bitDepth != 8 || interlace > 1) return null
     val channels = colorType match {
       case 0 => 1 // greyscale
       case 2 => 3 // truecolour
       case _ => return null
     }
-    val rowBytes = w * channels
-    val total = (rowBytes + 1) * h
+    // pass geometry: one full-frame pass sequential, the 7 Adam7
+    // sub-images interlaced (spec §8.2); empty passes contribute
+    // NO scanlines (not even filter bytes)
+    val passes: Array[(Long, Long)] =
+      if (interlace == 0) Array((w, h))
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        (math.max(0L, (w - x0 + dx - 1) / dx),
+          math.max(0L, (h - y0 + dy - 1) / dy))
+      }.filter(p => p._1 > 0 && p._2 > 0)
+    val total = passes.map { case (pw, ph) => (pw * channels + 1) * ph }.sum
     if (total > MaxDecodedBytes) return null
     // chunk walk: concatenate IDAT payloads, stop at IEND / end of blob
     val idat = new java.io.ByteArrayOutputStream()
@@ -323,45 +335,57 @@ object ImagePixelStats {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // filter reconstruction, spec §9 (bpp = channels at bit depth 8)
-    val stride = rowBytes.toInt
-    val recon = new Array[Int](stride) // current row, reconstructed
-    val prior = new Array[Int](stride) // previous row, reconstructed
+    // filter reconstruction, spec §9 (bpp = channels at bit depth 8),
+    // one independent sub-image per pass
     var sum = 0L
     var min = 256
     var max = -1
-    var y = 0
-    while (y < h) {
-      val base = y * (stride + 1)
-      val f = raw(base) & 0xff
-      if (f > 4) return null
-      var x = 0
-      while (x < stride) {
-        val rw = raw(base + 1 + x) & 0xff
-        val a = if (x >= channels) recon(x - channels) else 0
-        val up = prior(x)
-        val c = if (x >= channels && y > 0) prior(x - channels) else 0
-        val v = f match {
-          case 0 => rw
-          case 1 => rw + a
-          case 2 => rw + (if (y > 0) up else 0)
-          case 3 => rw + (a + (if (y > 0) up else 0)) / 2
-          case 4 =>
-            val bb = if (y > 0) up else 0
-            rw + paeth(a, bb, c)
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (pw, ph) = passes(pi)
+      val stride = (pw * channels).toInt
+      val recon = new Array[Int](stride) // current row, reconstructed
+      val prior = new Array[Int](stride) // previous row, reconstructed
+      var y = 0
+      while (y < ph) {
+        val f = raw(base) & 0xff
+        if (f > 4) return null
+        var x = 0
+        while (x < stride) {
+          val rw = raw(base + 1 + x) & 0xff
+          val a = if (x >= channels) recon(x - channels) else 0
+          val up = prior(x)
+          val c = if (x >= channels && y > 0) prior(x - channels) else 0
+          val v = f match {
+            case 0 => rw
+            case 1 => rw + a
+            case 2 => rw + (if (y > 0) up else 0)
+            case 3 => rw + (a + (if (y > 0) up else 0)) / 2
+            case 4 =>
+              val bb = if (y > 0) up else 0
+              rw + paeth(a, bb, c)
+          }
+          recon(x) = v & 0xff
+          sum += recon(x)
+          if (recon(x) < min) min = recon(x)
+          if (recon(x) > max) max = recon(x)
+          x += 1
         }
-        recon(x) = v & 0xff
-        sum += recon(x)
-        if (recon(x) < min) min = recon(x)
-        if (recon(x) > max) max = recon(x)
-        x += 1
+        System.arraycopy(recon, 0, prior, 0, stride)
+        base += stride + 1
+        y += 1
       }
-      System.arraycopy(recon, 0, prior, 0, stride)
-      y += 1
+      pi += 1
     }
     new GenericInternalRow(Array[Any](
       w.toInt, h.toInt, channels, w * h, sum, min, max))
   }
+
+  /** Adam7 pass offsets/increments (x0, y0, dx, dy) — spec §8.2. */
+  private val Adam7: Array[(Long, Long, Long, Long)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c

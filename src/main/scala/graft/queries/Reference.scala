@@ -295,6 +295,41 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // MP3 FULL-FRAME WALK under the gate (m22, round 16 — the duration
+    // a VBR file only reveals frame by frame; AudioMeta's first-header
+    // parse cannot give it): per doc, construct a multi-frame MPEG-1
+    // Layer III blob in column arithmetic where the BITRATE INDEX
+    // VARIES PER FRAME (real VBR — frame lengths differ, so the walk
+    // must compute each one: floor(144·kbps·1000/sr) + padding) and
+    // the padding bit alternates; mp3_frames jumps header to header
+    // and never reads audio bytes. Torn docs (doc_id % 7 == 0, one
+    // byte lost) refuse whole. The oracle states frame count and the
+    // 1152-samples-per-frame duration arithmetically.
+    "m22_mp3_duration" -> { (s, d) =>
+      import graft.functions.GraftFunctions.mp3_frames
+      val id = col("doc_id")
+      val nf = (id % 5 + 2).cast("int")
+      val kbpsTable = typedLit(Seq(32, 40, 48, 56, 64, 80, 96, 112,
+        128, 160, 192, 224, 256, 320))
+      val framesHex = array_join(transform(sequence(lit(0), nf - 1), j => {
+        val idx = (pmod(id + j, lit(14)) + 1).cast("int")
+        val pad = pmod(id + j, lit(2)).cast("int")
+        val kbps = element_at(kbpsTable, idx)
+        val flen = (kbps * 144000 / lit(44100)).cast("int") + pad
+        concat(format_string("FFFB%02X00", idx * 16 + pad * 2),
+          repeat(lit("00"), flen - 4))
+      }), "")
+      val hex = when(id % 7 === 0,
+        substring(framesHex, lit(1), length(framesHex) - 2)).otherwise(framesHex)
+      Tables.documents(s, d)
+        .select(id, mp3_frames(unhex(hex)).as("p"))
+        .select(id, col("p.n_frames").as("n_frames"),
+          col("p.sample_rate").as("sample_rate"),
+          col("p.n_samples").as("n_samples"),
+          col("p.duration_ms").as("duration_ms"))
+        .orderBy(id)
+    },
+
     // PAYLOAD-level decode under the driver gate — the step past the
     // m1-m4 header parsers: per document, CONSTRUCT a complete PCM16
     // WAV (RIFF + fmt + data, samples synthesized from doc_id
@@ -394,6 +429,87 @@ object Reference extends QueryPack {
           col("p.pixel_sum").as("pixel_sum"), col("p.pixel_min").as("pixel_min"),
           col("p.pixel_max").as("pixel_max"))
         .orderBy(col("doc_id"))
+    },
+
+    // ADAM7 INTERLACED PNG decode under the gate (m21, round 16 — the
+    // progressive layout method 1, the m6 scope line removed): per doc,
+    // construct an interlaced PNG whose zlib stored block carries the
+    // CONCATENATION of the 7 sub-images (per-pass dimensions
+    // ceil((w-x0)/dx) x ceil((h-y0)/dy), empty passes contributing no
+    // scanlines, each row filter-0 + greys at the pass's GLOBAL pixel
+    // coordinates) and the adler32 computed in-query over that exact
+    // stream. The oracle states the stats over the plain (x,y) grid —
+    // pass-structure-free — so a decoder with wrong pass geometry
+    // refuses on stream length and one that drops or double-counts a
+    // sub-image cannot hash equal. Torn docs (doc_id % 9 == 0) flip an
+    // adler bit. The ImageIO differential on encoder-written interlaced
+    // files lives in MultimodalSpec.
+    "m21_png_interlaced" -> { (s, d) =>
+      import graft.functions.GraftFunctions.image_pixel_stats
+      val id = col("doc_id")
+      val w = (id % 6 + 3).cast("int")
+      val h = (id % 4 + 3).cast("int")
+      def gray(x: Column, y: Column): Column =
+        pmod(id + x * 3 + y * 7, lit(256)).cast("int")
+      // Adam7 pass table (x0, y0, dx, dy) — spec §8.2
+      val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      def pwOf(p: (Int, Int, Int, Int)): Column =
+        greatest(lit(0), ((w - p._1 + p._3 - 1) / p._3).cast("int"))
+      def phOf(p: (Int, Int, Int, Int)): Column =
+        greatest(lit(0), ((h - p._2 + p._4 - 1) / p._4).cast("int"))
+      // per-pass byte stream: ph rows of (filter 0 + pw greys at the
+      // pass's global coordinates); empty passes contribute nothing
+      def passBytes(p: (Int, Int, Int, Int)): (Column, Column) = {
+        val pw = pwOf(p); val ph = phOf(p)
+        val np = ph * (pw + 1)
+        val hexCol = when(pw === 0 || ph === 0, lit(""))
+          .otherwise(array_join(transform(sequence(lit(0), np - 1), i => {
+            val r = (i / (pw + 1)).cast("int")
+            val pos = pmod(i, pw + 1)
+            when(pos === 0, lit("00")).otherwise(format_string("%02X",
+              gray(lit(p._1) + (pos - 1) * p._3, lit(p._2) + r * p._4)))
+          }), ""))
+        (hexCol, when(pw === 0 || ph === 0, lit(0)).otherwise(np))
+      }
+      val parts = passes.map(passBytes)
+      val rawHex = concat(parts.map(_._1): _*)
+      val n = parts.map(_._2).reduce(_ + _)
+      // adler32 over the concatenated stream, stated on the hex string
+      // itself (conv of each byte pair) — one pass, no global index math
+      val pairs = sequence(lit(0), n - 1)
+      def byteAt(i: Column): Column =
+        conv(substring(rawHex, (i * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+      val aSum = aggregate(pairs, lit(0L), (acc, i) => acc + byteAt(i))
+      val bSum = aggregate(pairs, lit(0L),
+        (acc, i) => acc + (n.cast("long") - i.cast("long")) * byteAt(i))
+      val adlerA = pmod(lit(1L) + aSum, lit(65521L)).cast("int")
+      val adlerB = pmod(n.cast("long") + bSum, lit(65521L)).cast("int")
+      val adlerOut = when(id % 9 === 0, adlerA.bitwiseXOR(lit(1))).otherwise(adlerA)
+      def le16h(v: Column) =
+        format_string("%02X%02X", v % 256, (v / 256).cast("int"))
+      val zlibLen = n + 11
+      val pngHex = concat(
+        lit("89504E470D0A1A0A"),
+        lit("0000000D49484452"),
+        format_string("%08X%08X", w, h),
+        lit("0800000001"),                            // depth 8, grey, ADAM7
+        lit("00000000"),
+        format_string("%08X", zlibLen), lit("49444154"),
+        lit("780101"),
+        le16h(n), le16h(lit(65535) - n),
+        rawHex,
+        format_string("%04X%04X", adlerB, adlerOut),
+        lit("00000000"),
+        lit("0000000049454E4400000000"))
+      Tables.documents(s, d)
+        .select(id, image_pixel_stats(unhex(pngHex)).as("p"))
+        .select(id,
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.channels").as("channels"), col("p.n_pixels").as("n_pixels"),
+          col("p.pixel_sum").as("pixel_sum"), col("p.pixel_min").as("pixel_min"),
+          col("p.pixel_max").as("pixel_max"))
+        .orderBy(id)
     },
 
     // BMP PIXEL decode under the driver gate — the fourth payload-level
@@ -2105,6 +2221,48 @@ object Reference extends QueryPack {
       """WITH s AS (
         |  SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS w,
         |         CAST(doc_id % 8 + 1 AS INT) AS h
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k FROM s),
+        |px AS (
+        |  SELECT doc_id, (doc_id + 3 * (k % w) + 7 * (k // w)) % 256 AS v FROM ks),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |    CAST(SUM(v) AS BIGINT) AS pixel_sum,
+        |    CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE w END AS width,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE h END AS height,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE 1 END AS channels,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE n_pixels END AS n_pixels,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_min END AS pixel_min,
+        |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_max END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // frame count and the 1152-samples-per-frame arithmetic; torn NULL
+    "m22_mp3_duration" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 5 + 2 AS BIGINT) END AS n_frames,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(44100 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST((doc_id % 5 + 2) * 1152 AS BIGINT) END AS n_samples,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST((doc_id % 5 + 2) * 1152 * 1000 // 44100 AS BIGINT)
+        |       END AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Adam7: the oracle is deliberately PASS-STRUCTURE-FREE — stats
+    // over the plain (x,y) grid; only a correct 7-pass walk with exact
+    // per-pass dimensions reproduces them through the length-checked
+    // inflate
+    "m21_png_interlaced" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(doc_id % 6 + 3 AS INT) AS w,
+        |         CAST(doc_id % 4 + 3 AS INT) AS h
         |  FROM documents),
         |ks AS (
         |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k FROM s),

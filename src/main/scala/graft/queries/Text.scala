@@ -774,6 +774,66 @@ object Text extends QueryPack {
         .orderBy(id, col("url"))
     },
 
+    // INCREMENTAL-CRAWL CONVERGENCE under the gate (x17b's discovery
+    // half run TWICE, round 16): cycle 1 parses the sitemap, joins the
+    // fetch history, and fetches every stale URL; the history then
+    // UPDATES (fetched urls carry their cycle-1 lastmod as the new
+    // last_fetch — a left join with coalesce); cycle 2's sitemap
+    // changes ONLY the k=2 urls of doc_id%3==0 docs (a newer month).
+    // The engine derives cycle 2's refetch set through the actual
+    // two-cycle dataflow — parse, join, update, parse, join — and the
+    // oracle states the convergence theorem directly: refetch2 is TRUE
+    // exactly on the changed urls (unchanged-and-fetched urls satisfy
+    // lastmod = last_fetch, unchanged-and-skipped ones still satisfy
+    // lastmod <= last_fetch; the strict > never refires either). The
+    // property that makes recrawl INCREMENTAL, under one hash.
+    "t60d_recrawl_converges" -> { (s, d) =>
+      val id = col("doc_id")
+      def urlOf(k: Int) = format_string(
+        "https://h%d.example.com/d%d/p%d", pmod(id, lit(37)), id, lit(k))
+      def lastmod1Of(k: Int) = format_string(
+        "2024-01-%02d", pmod(id + k * 7, lit(28)) + 1)
+      def lastmod2Of(k: Int): Column =
+        if (k == 2)
+          when(id % 3 === 0, format_string("2024-04-%02d", pmod(id, lit(28)) + 1))
+            .otherwise(lastmod1Of(k))
+        else lastmod1Of(k)
+      def xmlOf(lm: Int => Column) = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        concat((1 to 3).map(k => concat(
+          lit("<url><loc>"), urlOf(k), lit("</loc><lastmod>"),
+          lm(k), lit("</lastmod></url>"))): _*),
+        lit("</urlset>"))
+      def parsed(xml: Column) = {
+        val locs = regexp_extract_all(xml, lit("<loc>([^<]*)</loc>"), lit(1))
+        val mods = regexp_extract_all(xml, lit("<lastmod>([^<]*)</lastmod>"), lit(1))
+        Tables.documents(s, d)
+          .select(id, explode(zip_with(locs, mods,
+            (l, m) => struct(l.as("url"), m.as("lastmod")))).as("e"))
+          .select(id, col("e.url").as("url"), col("e.lastmod").as("lastmod"))
+      }
+      val history1 = Tables.documents(s, d)
+        .select(explode(array((1 to 3).map(k => struct(
+          format_string("https://h%d.example.com/d%d/p%d",
+            pmod(col("doc_id"), lit(37)), col("doc_id"), lit(k)).as("url"),
+          format_string("2024-01-%02d",
+            pmod(col("doc_id") * 3 + k * 5, lit(28)) + 1).as("last_fetch"))): _*))
+          .as("h"))
+        .select(col("h.url").as("url"), col("h.last_fetch").as("last_fetch"))
+      val fetched1 = parsed(xmlOf(lastmod1Of))
+        .join(history1, Seq("url"), "inner")
+        .filter(col("lastmod") > col("last_fetch"))
+        .select(col("url"), col("lastmod").as("new_fetch"))
+      val history2 = history1.join(fetched1, Seq("url"), "left")
+        .select(col("url"),
+          coalesce(col("new_fetch"), col("last_fetch")).as("last_fetch"))
+      parsed(xmlOf(lastmod2Of))
+        .join(history2, Seq("url"), "inner")
+        .select(id, col("url"), col("lastmod"), col("last_fetch"),
+          (col("lastmod") > col("last_fetch")).as("refetch"))
+        .orderBy(id, col("url"))
+    },
+
     // ROBOTS `Sitemap:` DISCOVERY under the gate (round 16 — the true
     // ZEROTH hop: robots.txt names the sitemap index, which t60b walks
     // into shards, which t60 turns into a recrawl decision): per doc,
@@ -2537,6 +2597,33 @@ object Text extends QueryPack {
         |SELECT doc_id, shard_url, url, lastmod, last_fetch,
         |  lastmod > last_fetch AS refetch
         |FROM r ORDER BY doc_id, url""".stripMargin,
+
+    // the convergence theorem stated in closed form: lastmod2 and the
+    // updated last_fetch from the construction arithmetic, and refetch
+    // TRUE exactly on the changed urls — the engine must reach this
+    // through its actual two-cycle dataflow or the hash breaks
+    "t60d_recrawl_converges" ->
+      """WITH k AS (
+        |  SELECT doc_id, unnest(generate_series(1, 3)) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, k,
+        |    'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/d'
+        |      || CAST(doc_id AS VARCHAR) || '/p' || CAST(k AS VARCHAR) AS url,
+        |    printf('2024-01-%02d', (doc_id + k * 7) % 28 + 1) AS lastmod1,
+        |    printf('2024-01-%02d', (doc_id * 3 + k * 5) % 28 + 1) AS last_fetch1
+        |  FROM k),
+        |r2 AS (
+        |  SELECT doc_id, k, url,
+        |    CASE WHEN k = 2 AND doc_id % 3 = 0
+        |         THEN printf('2024-04-%02d', doc_id % 28 + 1)
+        |         ELSE lastmod1 END AS lastmod,
+        |    CASE WHEN lastmod1 > last_fetch1 THEN lastmod1
+        |         ELSE last_fetch1 END AS last_fetch
+        |  FROM r)
+        |SELECT doc_id, url, lastmod, last_fetch,
+        |  (k = 2 AND doc_id % 3 = 0) AS refetch
+        |FROM r2 ORDER BY doc_id, url""".stripMargin,
 
     // file-order inversion: idx 0 = the top-of-file index, idx 1 = the
     // in-group shard (field-scoped, comment stripped), idx 2 only on

@@ -439,7 +439,7 @@ class MultimodalSpec extends AnyFunSuite {
       (4L, "RIFF0000WAVEfmt ".getBytes("ISO-8859-1")),
       (5L, "RIFF0000AVI LIST".getBytes("ISO-8859-1")),
       (6L, b(0, 0, 0, 24) ++ "ftypmp42".getBytes("ISO-8859-1")),
-      (7L, "ID3 ".getBytes("ISO-8859-1")),
+      (7L, "ID3\u0003\u0000".getBytes("ISO-8859-1")),
       (8L, b(0xFF, 0xFB, 0x90, 0x00)),              // bare MP3 frame sync
       (9L, "RIFF0000XXXX".getBytes("ISO-8859-1")),  // RIFF but unknown subtype
       (10L, "GIF".getBytes("ISO-8859-1")),          // truncated magic
@@ -591,6 +591,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) === null, "truncated IDAT must quarantine")
     assert(got(5L) === null)
     assert(got(6L) === null)
+  }
+
+  test("image_pixel_stats: Adam7 interlaced PNGs — ImageIO-encoded (independent encoder) decode exactly") {
+    // the JDK PNG writer emits real Adam7 streams under progressive
+    // mode; our pass-geometry walk must fold the same stats the
+    // source raster carries — exact, not an envelope (PNG is lossless)
+    val rnd = new scala.util.Random(41)
+    for ((w, h) <- Seq((1, 1), (2, 3), (7, 5), (8, 8), (9, 4), (16, 11))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val vals = Array.fill(w * h)(rnd.nextInt(256))
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, vals(y * w + x))
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val bytes = bos.toByteArray
+      // confirm the fixture really is interlaced (IHDR byte 28)
+      assert((bytes(8 + 4 + 4 + 13 - 1) & 0xFF) === 1, s"${w}x$h not Adam7")
+      val row = graft.functions.ImagePixelStats.decode(bytes)
+      assert(row !== null, s"refused the JDK's ${w}x$h Adam7 file")
+      assert(row.getInt(0) === w)
+      assert(row.getInt(1) === h)
+      assert(row.getLong(4) === vals.map(_.toLong).sum, s"${w}x$h sum")
+      assert(row.getInt(5) === vals.min)
+      assert(row.getInt(6) === vals.max)
+    }
+  }
+
+  test("mp3_frames: VBR frame walk — per-frame lengths, padding, constant-rate contract, torn refusal") {
+    import graft.functions.Mp3Frames
+    val kbpsTable = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    def frame(bitrateIdx: Int, srIdx: Int, pad: Int): Array[Byte] = {
+      val sr = Array(44100, 48000, 32000)(srIdx)
+      val flen = 144 * kbpsTable(bitrateIdx - 1) * 1000 / sr + pad
+      val b = new Array[Byte](flen)
+      b(0) = 0xFF.toByte; b(1) = 0xFB.toByte
+      b(2) = ((bitrateIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      b
+    }
+    // three VBR frames at 44.1 kHz with mixed padding
+    val blob = frame(1, 0, 0) ++ frame(9, 0, 1) ++ frame(14, 0, 0)
+    val row = Mp3Frames.decode(blob)
+    assert(row !== null)
+    assert(row.getLong(0) === 3L)
+    assert(row.getInt(1) === 44100)
+    assert(row.getLong(2) === 3456L)
+    assert(row.getLong(3) === 3456L * 1000 / 44100)
+    // a 48 kHz frame in a 44.1 kHz stream breaks the constant-rate contract
+    assert(Mp3Frames.decode(frame(5, 0, 0) ++ frame(5, 1, 0)) === null)
+    // torn: last frame loses a byte
+    assert(Mp3Frames.decode(blob.dropRight(1)) === null)
+    // trailing garbage refuses (exact cover)
+    assert(Mp3Frames.decode(blob ++ Array[Byte](0x54, 0x41, 0x47)) === null)
+    // free/forbidden bitrate indices and reserved sample-rate index refuse
+    val badIdx = frame(5, 0, 0); badIdx(2) = 0x00
+    assert(Mp3Frames.decode(badIdx) === null)
+    assert(Mp3Frames.decode(Array[Byte]()) === null)
+    assert(Mp3Frames.decode(null) === null)
   }
 
   test("image_meta SQL registration + codegen/interpreted agreement") {
