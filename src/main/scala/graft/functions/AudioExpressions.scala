@@ -234,9 +234,12 @@ object AudioPcmStats {
   * only, every frame must parse (sync, version, layer, valid
   * bitrate/sample-rate indices), the sample rate must be CONSTANT
   * across frames (bitrate may vary — that is VBR), and frames must
-  * exactly cover the blob. ID3v2 prefixes and trailing tags refuse
-  * rather than being skipped silently (scope line; a tag walk is a
-  * separate routing step).
+  * exactly cover the blob between the tags. Tags (round 16): a leading
+  * ID3v2 container is skipped by its syncsafe declared length (id3.org
+  * v2.3/2.4 header; a declared length past the blob is torn) and a
+  * trailing 128-byte ID3v1 "TAG" block is excluded from frame
+  * coverage — the two layouts real MP3s ship with. Anything else
+  * between or after frames refuses.
   */
 case class Mp3Frames(child: Expression)
     extends UnaryExpression {
@@ -274,10 +277,30 @@ object Mp3Frames {
   def decode(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 4) return null
     var pos = 0
+    var end = b.length
+    // leading ID3v2: "ID3" + version(2) + flags + 4-byte SYNCSAFE size
+    // of the tag body (header's 10 bytes excluded)
+    if (u8(b, 0) == 'I' && u8(b, 1) == 'D' && u8(b, 2) == '3') {
+      if (b.length < 10) return null
+      var sz = 0L
+      var i = 6
+      while (i < 10) {
+        val v = u8(b, i)
+        if ((v & 0x80) != 0) return null // non-syncsafe size byte: torn
+        sz = (sz << 7) | v
+        i += 1
+      }
+      if (10 + sz >= end) return null // tag swallows the blob: torn
+      pos = (10 + sz).toInt
+    }
+    // trailing ID3v1: exactly 128 bytes starting "TAG"
+    if (end - pos >= 128 && u8(b, end - 128) == 'T' &&
+        u8(b, end - 127) == 'A' && u8(b, end - 126) == 'G')
+      end -= 128
     var frames = 0L
     var sr0 = -1
-    while (pos < b.length) {
-      if (pos + 4 > b.length) return null // torn header
+    while (pos < end) {
+      if (pos + 4 > end) return null // torn header
       if (u8(b, pos) != 0xff || (u8(b, pos + 1) & 0xe0) != 0xe0) return null
       val version = (u8(b, pos + 1) >> 3) & 3
       val layer = (u8(b, pos + 1) >> 1) & 3
@@ -290,7 +313,7 @@ object Mp3Frames {
       else if (sr != sr0) return null // sample rate must be constant
       val pad = (u8(b, pos + 2) >> 1) & 1
       val flen = 144 * AudioMeta.Mp3Kbps(bitrateIdx - 1) * 1000 / sr + pad
-      if (flen < 4 || pos + flen > b.length) return null // torn frame
+      if (flen < 4 || pos + flen > end) return null // torn frame
       pos += flen
       frames += 1
     }

@@ -302,8 +302,12 @@ object Reference extends QueryPack {
     // VARIES PER FRAME (real VBR — frame lengths differ, so the walk
     // must compute each one: floor(144·kbps·1000/sr) + padding) and
     // the padding bit alternates; mp3_frames jumps header to header
-    // and never reads audio bytes. Torn docs (doc_id % 7 == 0, one
-    // byte lost) refuse whole. The oracle states frame count and the
+    // and never reads audio bytes. Tag arm: doc_id % 3 == 0 docs are
+    // wrapped in a leading ID3v2 (real syncsafe size) AND a trailing
+    // 128-byte ID3v1 — the oracle does NOT change, so tag transparency
+    // sits under the hash. Torn docs (doc_id % 7 == 0, one byte lost —
+    // for tagged docs that byte is the tag tail, for bare docs a frame
+    // byte) refuse whole. The oracle states frame count and the
     // 1152-samples-per-frame duration arithmetically.
     "m22_mp3_duration" -> { (s, d) =>
       import graft.functions.GraftFunctions.mp3_frames
@@ -319,8 +323,14 @@ object Reference extends QueryPack {
         concat(format_string("FFFB%02X00", idx * 16 + pad * 2),
           repeat(lit("00"), flen - 4))
       }), "")
+      // ID3v2: header + 133 zero body bytes (syncsafe 00 00 01 05);
+      // ID3v1: "TAG" + 125 zero bytes
+      val id3v2Hex = "49443303000000000105" + "00" * 133
+      val id3v1Hex = "544147" + "00" * 125
+      val taggedHex = when(id % 3 === 0,
+        concat(lit(id3v2Hex), framesHex, lit(id3v1Hex))).otherwise(framesHex)
       val hex = when(id % 7 === 0,
-        substring(framesHex, lit(1), length(framesHex) - 2)).otherwise(framesHex)
+        substring(taggedHex, lit(1), length(taggedHex) - 2)).otherwise(taggedHex)
       Tables.documents(s, d)
         .select(id, mp3_frames(unhex(hex)).as("p"))
         .select(id, col("p.n_frames").as("n_frames"),
@@ -473,10 +483,18 @@ object Reference extends QueryPack {
         (hexCol, when(pw === 0 || ph === 0, lit(0)).otherwise(np))
       }
       val parts = passes.map(passBytes)
-      val rawHex = concat(parts.map(_._1): _*)
-      val n = parts.map(_._2).reduce(_ + _)
-      // adler32 over the concatenated stream, stated on the hex string
-      // itself (conv of each byte pair) — one pass, no global index math
+      // STAGE the raw stream as a named column before the adler folds —
+      // an aggregate lambda referencing the construction TREE would
+      // re-evaluate all seven pass transforms per element (the t59
+      // quadratic-lambda lesson; measured 34.9 -> ~1 s here)
+      val staged = Tables.documents(s, d).select(id,
+        w.as("w"), h.as("h"),
+        concat(parts.map(_._1): _*).as("raw_hex"),
+        parts.map(_._2).reduce(_ + _).as("nb"))
+      val n = col("nb")
+      val rawHex = col("raw_hex")
+      // adler32 over the staged stream, stated on the hex string itself
+      // (conv of each byte pair) — one pass, no global index math
       val pairs = sequence(lit(0), n - 1)
       def byteAt(i: Column): Column =
         conv(substring(rawHex, (i * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
@@ -492,7 +510,7 @@ object Reference extends QueryPack {
       val pngHex = concat(
         lit("89504E470D0A1A0A"),
         lit("0000000D49484452"),
-        format_string("%08X%08X", w, h),
+        format_string("%08X%08X", col("w"), col("h")),
         lit("0800000001"),                            // depth 8, grey, ADAM7
         lit("00000000"),
         format_string("%08X", zlibLen), lit("49444154"),
@@ -502,7 +520,7 @@ object Reference extends QueryPack {
         format_string("%04X%04X", adlerB, adlerOut),
         lit("00000000"),
         lit("0000000049454E4400000000"))
-      Tables.documents(s, d)
+      staged
         .select(id, image_pixel_stats(unhex(pngHex)).as("p"))
         .select(id,
           col("p.width").as("width"), col("p.height").as("height"),

@@ -655,6 +655,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp3Frames.decode(badIdx) === null)
     assert(Mp3Frames.decode(Array[Byte]()) === null)
     assert(Mp3Frames.decode(null) === null)
+    // leading ID3v2 (syncsafe size) and trailing 128-byte ID3v1 are the
+    // two tag layouts real MP3s ship with — both skipped, frames exact
+    val id3v2 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 1, 5) ++
+      new Array[Byte](133) // size = (1<<7)|5 = 133 body bytes
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    val tagged = id3v2 ++ blob ++ id3v1
+    val rt = Mp3Frames.decode(tagged)
+    assert(rt !== null)
+    assert(rt.getLong(0) === 3L)
+    // a lying ID3v2 size (past the blob) is torn
+    val lying = Array[Byte]('I', 'D', '3', 3, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F) ++ blob
+    assert(Mp3Frames.decode(lying) === null)
+    // a non-syncsafe size byte is torn
+    val nonSync = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0x80.toByte, 0) ++ blob
+    assert(Mp3Frames.decode(nonSync) === null)
   }
 
   test("image_meta SQL registration + codegen/interpreted agreement") {
