@@ -90,6 +90,8 @@ object GraftFunctions {
   def image_pixel_stats(bytes: Column): Column = toCol(ImagePixelStats(toExpr(bytes)))
   /** GIF LZW pixel decode to exact palette-index stats — see [[GifPixelStats]]. */
   def gif_pixel_stats(bytes: Column): Column = toCol(GifPixelStats(toExpr(bytes)))
+  /** Animated-GIF frame/duration walk (no decode) — see [[GifFrames]]. */
+  def gif_frames(bytes: Column): Column = toCol(GifFrames(toExpr(bytes)))
   /** BMP (24-bit BI_RGB) pixel decode to exact per-channel stats — see [[BmpPixelStats]]. */
   def bmp_pixel_stats(bytes: Column): Column = toCol(BmpPixelStats(toExpr(bytes)))
 
@@ -226,6 +228,7 @@ object GraftFunctions {
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "mp3_frames"      -> { es => Mp3Frames(es(0)) },
+    "gif_frames"      -> { es => GifFrames(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },
     "robots_allowed" -> { es => RobotsAllowed(es(0), es(1), literalString("robots_allowed",
       "(string robots_txt, string path, string-literal agent)", es(2))) },

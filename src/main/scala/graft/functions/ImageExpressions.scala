@@ -792,3 +792,110 @@ object BmpAhash {
     java.lang.Long.valueOf(hash)
   }
 }
+
+/** gif_frames(binary) -> struct(n_frames, total_delay_cs, width,
+  * height) — the ANIMATED-GIF walk [[GifPixelStats]]'s first-image
+  * decode stops short of: frame count and total duration are the
+  * routing facts an animation needs, and they come from walking every
+  * block to the trailer — image descriptors counted (local color
+  * tables and LZW sub-blocks SKIPPED by length, never decoded, so a
+  * 10k-frame GIF costs its block count, not its pixels), Graphic
+  * Control Extension delays (GIF89a spec §23, centiseconds) summed.
+  *
+  * Strict scope (refuse-loudly): valid header + LSD, every block
+  * well-formed, a 0x3B trailer present with NOTHING after it (exact
+  * cover), at least one frame, GCE data sub-block exactly 4 bytes.
+  */
+case class GifFrames(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "gif_frames"
+  override def dataType: DataType = GifFrames.Schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GifFrames.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GifFrames.decode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GifFrames {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_frames", LongType),
+    StructField("total_delay_cs", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Skip a sub-block chain; returns the offset past the 0x00
+    * terminator, or -1 if torn.
+    */
+  private def skipSubBlocks(b: Array[Byte], start: Int): Int = {
+    var off = start
+    var bs = 1
+    while (bs != 0) {
+      if (off >= b.length) return -1
+      bs = b(off) & 0xff; off += 1
+      if (off + bs > b.length) return -1
+      off += bs
+    }
+    off
+  }
+
+  /** Shared eval/codegen kernel; null on ANY malformation. */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 14) return null
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return null
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w <= 0 || h <= 0) return null
+    val gflags = b(10) & 0xff
+    var off = 13
+    if ((gflags & 0x80) != 0) off += 3 * (1 << ((gflags & 7) + 1))
+    var frames = 0L
+    var delay = 0L
+    while (true) {
+      if (off >= b.length) return null // fell off without a trailer
+      (b(off) & 0xff) match {
+        case 0x3b => // trailer: exact cover
+          if (off + 1 != b.length || frames == 0) return null
+          return new GenericInternalRow(Array[Any](frames, delay, w, h))
+        case 0x2c => // image descriptor: count, skip LCT + LZW data
+          if (off + 10 > b.length) return null
+          val iflags = b(off + 9) & 0xff
+          off += 10
+          if ((iflags & 0x80) != 0) off += 3 * (1 << ((iflags & 7) + 1))
+          if (off >= b.length) return null
+          off += 1 // LZW minimum code size
+          off = skipSubBlocks(b, off)
+          if (off < 0) return null
+          frames += 1
+        case 0x21 => // extension
+          if (off + 2 > b.length) return null
+          val label = b(off + 1) & 0xff
+          if (label == 0xf9) {
+            // GCE: exactly one 4-byte data sub-block, delay at bytes 1-2
+            if (off + 7 > b.length || (b(off + 2) & 0xff) != 4) return null
+            delay += le16(b, off + 4)
+          }
+          off = skipSubBlocks(b, off + 2)
+          if (off < 0) return null
+        case _ => return null // junk block introducer
+      }
+    }
+    null // unreachable
+  }
+}

@@ -295,6 +295,41 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ANIMATED-GIF FRAME WALK under the gate (m23, round 16 — the
+    // routing facts an animation needs, frame count + total duration,
+    // from a walk that never decodes a pixel): per doc, construct a
+    // multi-frame GIF89a in column arithmetic — LSD, then per frame a
+    // Graphic Control Extension carrying a per-frame delay and an
+    // image descriptor whose LZW data is an opaque skipped sub-block —
+    // and walk it with gif_frames (descriptors counted, GCE delays
+    // summed, data jumped by sub-block lengths). Torn docs
+    // (doc_id % 7 == 0) lose the trailer and refuse whole.
+    "m23_gif_frames" -> { (s, d) =>
+      import graft.functions.GraftFunctions.gif_frames
+      val id = col("doc_id")
+      val nf = (id % 4 + 1).cast("int")
+      def le16h(v: Column) =
+        format_string("%02X%02X", v % 256, (v / 256).cast("int"))
+      val framesHex = array_join(transform(sequence(lit(0), nf - 1), j => {
+        val delay = pmod(id + j * 3, lit(50)) + 1
+        concat(
+          lit("21F9" + "04" + "00"), le16h(delay), lit("00" + "00"), // GCE
+          lit("2C" + "0000" + "0000"), le16h(lit(2)), le16h(lit(2)), // descriptor
+          lit("00" + "08" + "03" + "010203" + "00")) // no LCT, minCode, data
+      }), "")
+      val gifHex = concat(
+        lit("474946383961"), le16h(lit(2)), le16h(lit(2)), lit("000000"),
+        framesHex, lit("3B"))
+      val hex = when(id % 7 === 0,
+        substring(gifHex, lit(1), length(gifHex) - 2)).otherwise(gifHex)
+      Tables.documents(s, d)
+        .select(id, gif_frames(unhex(hex)).as("p"))
+        .select(id, col("p.n_frames").as("n_frames"),
+          col("p.total_delay_cs").as("total_delay_cs"),
+          col("p.width").as("width"), col("p.height").as("height"))
+        .orderBy(id)
+    },
+
     // MP3 FULL-FRAME WALK under the gate (m22, round 16 — the duration
     // a VBR file only reveals frame by frame; AudioMeta's first-header
     // parse cannot give it): per doc, construct a multi-frame MPEG-1
@@ -2257,6 +2292,24 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_sum END AS pixel_sum,
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_min END AS pixel_min,
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_max END AS pixel_max
+        |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // frame count + summed per-frame delays, all arithmetic; torn NULL
+    "m23_gif_frames" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS nf FROM documents),
+        |ds AS (
+        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS j FROM s),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id + j * 3) % 50 + 1) AS BIGINT) AS total_delay
+        |  FROM ds GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(nf AS BIGINT) END AS n_frames,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE total_delay END AS total_delay_cs,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE CAST(2 AS INT) END AS width,
+        |  CASE WHEN s.doc_id % 7 = 0 THEN NULL ELSE CAST(2 AS INT) END AS height
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // frame count and the 1152-samples-per-frame arithmetic; torn NULL

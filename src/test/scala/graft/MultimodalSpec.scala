@@ -625,6 +625,51 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gif_frames: JDK-written animated GIFs (independent encoder) — frames counted, delays summed") {
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val delays = Seq(10, 25, 7, 40)
+    for ((d, f) <- delays.zipWithIndex) {
+      val img = new java.awt.image.BufferedImage(4, 3,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      for (y <- 0 until 3; x <- 0 until 4)
+        img.setRGB(x, y, (x * 40 + y * 70 + f * 30) << 8)
+      val spec = new javax.imageio.ImageTypeSpecifier(img)
+      val meta = writer.getDefaultImageMetadata(spec, writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", d.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    val row = graft.functions.GifFrames.decode(bytes)
+    assert(row !== null, "refused the JDK's animated GIF")
+    assert(row.getLong(0) === delays.length.toLong)
+    assert(row.getLong(1) === delays.sum.toLong)
+    assert(row.getInt(2) === 4)
+    assert(row.getInt(3) === 3)
+    // torn: trailer lost
+    assert(graft.functions.GifFrames.decode(bytes.dropRight(1)) === null)
+    // trailing garbage after the trailer refuses (exact cover)
+    assert(graft.functions.GifFrames.decode(bytes ++ Array[Byte](0)) === null)
+    // a single-frame still (the m7 fixture path) walks as one frame
+    val still = graft.functions.GifFrames.decode(imageIoGif(5, 4, 3)._1)
+    assert(still !== null)
+    assert(still.getLong(0) === 1L)
+  }
+
   test("mp3_frames: VBR frame walk — per-frame lengths, padding, constant-rate contract, torn refusal") {
     import graft.functions.Mp3Frames
     val kbpsTable = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
