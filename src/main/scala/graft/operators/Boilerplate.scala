@@ -112,4 +112,84 @@ object Boilerplate {
         array_join(transform(col("__kept"), _.getField("text")), " "))
       .drop("__segs", "__scored0", "__scored1", "__scored", "__final", "__kept")
   }
+
+  /** The ITERATED smoothing variant (round 16 — closes the documented
+    * one-pass deviation): jusText's propagation through RUNS of short
+    * blocks, as `passes` synchronous rounds of "a short block becomes
+    * good when an immediate neighbor is good", then unpromoted shorts
+    * finalize bad. Promotion is monotone, so round k marks exactly the
+    * shorts within chain-distance k of a good block; `passes` bounds
+    * the propagation distance (real pages' short runs are tiny — the
+    * default covers runs of 8). Every round is its OWN staged
+    * projection reading the PREVIOUS round's array (the measured
+    * staged-HOF discipline — cost is linear in passes, never
+    * quadratic in blocks).
+    */
+  def extractIterated(df: org.apache.spark.sql.DataFrame, html: Column,
+                      passes: Int = 4,
+                      stopwords: Seq[String] = DefaultStopwords,
+                      linkDensityMax: Double = 0.2,
+                      minLen: Int = 15,
+                      stopwordMin: Double = 0.25): org.apache.spark.sql.DataFrame = {
+    require(passes >= 1, "boilerplate: at least one smoothing pass")
+    val sw = array(stopwords.map(s0 => lit(s0.toLowerCase)): _*)
+    def strippedOf(c: Column): Column =
+      trim(regexp_replace(regexp_replace(c, lit("<[^>]*>"), lit(" ")),
+        lit("\\s+"), lit(" ")))
+    var cur = df
+      .withColumn("__segs", filter(split(html, BlockSplit),
+        c => length(strippedOf(c)) > 0))
+      .withColumn("__scored0", transform(col("__segs"), { c =>
+        val linkChars = aggregate(
+          regexp_extract_all(c, lit("(?i)<a[^>]*>([^<]*)</a>"), lit(1)),
+          lit(0), (acc, x) => acc + length(x))
+        struct(strippedOf(c).as("text"), linkChars.as("lc"))
+      }))
+      .withColumn("__scored1", transform(col("__scored0"), b =>
+        struct(b.getField("text").as("text"), b.getField("lc").as("lc"),
+          split(b.getField("text"), " ").as("toks"))))
+      .withColumn("__it0", transform(col("__scored1"), { b =>
+        val stripped = b.getField("text")
+        val ld = b.getField("lc").cast("double") /
+          greatest(length(stripped), lit(1)).cast("double")
+        val toks = b.getField("toks")
+        val swc = size(filter(toks, t => array_contains(sw, lower(t))))
+        val swd = swc.cast("double") / greatest(size(toks), lit(1)).cast("double")
+        val cls = when(ld > linkDensityMax, lit("bad"))
+          .when(length(stripped) < minLen, lit("short"))
+          .when(swd >= stopwordMin, lit("good"))
+          .otherwise(lit("bad"))
+        struct(stripped.as("text"), cls.as("base"))
+      }))
+    var k = 0
+    while (k < passes) {
+      val prev = s"__it$k"
+      cur = cur.withColumn(s"__it${k + 1}", transform(col(prev), (b, i) => {
+        val prevGood = coalesce(
+          get(col(prev), i - 1).getField("base") === "good", lit(false))
+        val nextGood = coalesce(
+          get(col(prev), i + 1).getField("base") === "good", lit(false))
+        val cls = when(b.getField("base") === "short" && (prevGood || nextGood),
+          lit("good")).otherwise(b.getField("base"))
+        struct(b.getField("text").as("text"), cls.as("base"))
+      }))
+      k += 1
+    }
+    val out = cur
+      .withColumn("__final", transform(col(s"__it$passes"), b =>
+        struct(b.getField("text").as("text"),
+          when(b.getField("base") === "short", lit("bad"))
+            .otherwise(b.getField("base")).as("cls"))))
+      .withColumn("__kept", filter(col("__final"), b => b.getField("cls") === "good"))
+      .withColumn("n_blocks", size(col("__it0")))
+      .withColumn("n_kept", size(col("__kept")))
+      .withColumn("classes",
+        array_join(transform(col("__final"), _.getField("cls")), " "))
+      .withColumn("kept_text",
+        array_join(transform(col("__kept"), _.getField("text")), " "))
+    (0 to passes).foldLeft(
+      out.drop("__segs", "__scored0", "__scored1", "__final", "__kept")) {
+      (d2, i) => d2.drop(s"__it$i")
+    }
+  }
 }

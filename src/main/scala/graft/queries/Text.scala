@@ -897,6 +897,41 @@ object Text extends QueryPack {
         .orderBy(id)
     },
 
+    // ITERATED BOILERPLATE SMOOTHING under the gate (t59b, round 16 —
+    // the documented one-pass deviation closed): a RUN of three short
+    // blocks between two good paragraphs is exactly where one
+    // smoothing pass and jusText's iterated propagation DISAGREE (the
+    // middle short has no good immediate neighbor until its siblings
+    // promote). The gate runs BOTH variants on the same page and pins
+    // both class strings — one-pass drops the middle short, the
+    // 2-pass fixpoint keeps it; the short after the footer stays bad
+    // under both (no good neighbor at any distance).
+    "t59b_boilerplate_iterated" -> { (s, d) =>
+      val id = col("doc_id")
+      val toks = split(col("text"), " ")
+      def sliceTxt(i: Int) = {
+        val start = pmod(lit(i * 7), greatest(size(toks) - 6, lit(1))) + 1
+        array_join(slice(toks, start, lit(6)), " ")
+      }
+      val c1 = concat(sliceTxt(1), lit(" the of and to a is."))
+      val c2 = concat(sliceTxt(2), lit(" the of and in it on."))
+      def short(k: Int) = substring(element_at(toks, k), 1, 6)
+      val footer = array_join(transform(sequence(lit(1), lit(12)),
+        i => format_string("promo%d_%d", pmod(id, lit(7)), i)), " ")
+      val html = concat(
+        lit("<html><body><div><a href=\"/\">Home</a> <a href=\"/about\">About</a></div><p>"),
+        c1, lit("</p><p>"), short(1), lit("</p><p>"), short(2),
+        lit("</p><p>"), short(3), lit("</p><p>"), c2, lit("</p><div>"),
+        footer, lit("</div><p>"), short(4), lit("</p></body></html>"))
+      val base = Tables.documents(s, d).select(id, col("text"))
+      val one = graft.operators.Boilerplate.extract(base, html)
+        .select(id, col("text"), col("classes").as("classes_one"))
+      graft.operators.Boilerplate.extractIterated(one, html, passes = 2)
+        .select(id, col("classes_one"), col("classes").as("classes_fix"),
+          col("n_kept").as("n_kept_fix"), col("kept_text").as("kept_text_fix"))
+        .orderBy(id)
+    },
+
     // CRAWL-FRONTIER politeness scheduling under the gate — after t57
     // admits a URL, assign it a fetch offset honoring the host's crawl
     // delay and the fleet's per-cycle capacity: hosts from doc
@@ -2670,6 +2705,33 @@ object Text extends QueryPack {
         |  CAST(3 AS INT) AS n_kept,
         |  'bad good good good bad bad' AS classes,
         |  c1 || ' ' || s1 || ' ' || c2 AS kept_text
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // both class strings are CONSTANTS of the construction; kept_text
+    // restates the slice arithmetic (t59's posture) with the three
+    // promoted shorts in place
+    "t59b_boilerplate_iterated" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(toks,
+        |        1 + (7 % greatest(len(toks) - 6, 1)),
+        |        6 + (7 % greatest(len(toks) - 6, 1))), ' ')
+        |      || ' the of and to a is.' AS c1,
+        |    substr(toks[1], 1, 6) AS s1,
+        |    substr(toks[2], 1, 6) AS s2,
+        |    substr(toks[3], 1, 6) AS s3,
+        |    array_to_string(list_slice(toks,
+        |        1 + (14 % greatest(len(toks) - 6, 1)),
+        |        6 + (14 % greatest(len(toks) - 6, 1))), ' ')
+        |      || ' the of and in it on.' AS c2
+        |  FROM t)
+        |SELECT doc_id,
+        |  'bad good good bad good good bad bad' AS classes_one,
+        |  'bad good good good good good bad bad' AS classes_fix,
+        |  CAST(5 AS INT) AS n_kept_fix,
+        |  c1 || ' ' || s1 || ' ' || s2 || ' ' || s3 || ' ' || c2 AS kept_text_fix
         |FROM b ORDER BY doc_id""".stripMargin,
 
     // the identical window + integer schedule arithmetic in DuckDB
