@@ -55,7 +55,7 @@ object Privacy {
     */
   def dpCounts(df: DataFrame, keys: Seq[String], tag: String = "r1"): DataFrame = {
     // \u0001-separated so composite keys cannot alias ("1","23" vs "12","3")
-    val keyStr = concat_ws("", keys.map(k => col(k).cast("string")): _*)
+    val keyStr = concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .select(keys.map(col) :+
