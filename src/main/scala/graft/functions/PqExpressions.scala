@@ -65,6 +65,32 @@ object PqCodec {
     new GenericArrayData(out)
   }
 
+  /** Reconstruct one code: the concatenation of its codebook rows —
+    * the PQ decode FAISS calls `reconstruct`, the approximate inverse
+    * of [[encode]] (exact for vectors that ARE codebook rows). Used by
+    * the saved-index maintenance path, which must split buckets from
+    * codes alone (IVF-PQ never stores the float corpus).
+    */
+  def decode(code: ArrayData, codebooks: Array[Float], m: Int, k: Int,
+             subDim: Int): ArrayData = {
+    if (code == null) return null
+    if (code.numElements() != m) return null
+    val cs = code.toIntArray()
+    val out = new Array[Float](m * subDim)
+    var j = 0
+    while (j < m) {
+      val c = cs(j)
+      if (c < 0 || c >= k) return null
+      var d0 = 0
+      while (d0 < subDim) {
+        out(j * subDim + d0) = codebooks((j * k + c) * subDim + d0)
+        d0 += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC distance of one code against a prepared [j][c] table (flattened
     * row-major), summed over ascending j — matches the oracle's explicit
     * left-to-right addition chain.
@@ -103,6 +129,36 @@ case class PqEncode(child: Expression, codebooks: Array[Float], m: Int, k: Int,
     val cb = ctx.addReferenceObj("codebooks", codebooks, "float[]")
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.functions.PqCodec.encode($c, $cb, $m, $k, $subDim);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+
+/** pq_decode(code) -> array<float>: codebook-row reconstruction (see
+  * [[PqCodec.decode]]).
+  */
+case class PqDecode(child: Expression, codebooks: Array[Float], m: Int, k: Int,
+                    subDim: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "pq_decode"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqCodec.decode(v.asInstanceOf[ArrayData], codebooks, m, k, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PqCodec.decode($c, $cb, $m, $k, $subDim);
       ${ev.isNull} = ${ev.value} == null;
     """)
   }

@@ -128,4 +128,171 @@ object IvfPq {
       assigned.count()
     } finally assigned.unpersist()
   }
+
+  // --- unattended maintenance (round 16 — the v38 posture on the
+  // compressed layout): IVF-PQ stores codes, never the float corpus,
+  // so telemetry and splitting both run on RECONSTRUCTIONS (PqDecode:
+  // codebook-row concatenation, FAISS's `reconstruct`). The codes
+  // themselves are bucket-INDEPENDENT (codebooks are global), so a
+  // split MOVES code rows between bucket directories without
+  // re-encoding anything — full-probe ADC results are invariant under
+  // the whole operation, which is exactly what the v39 gate pins.
+
+  /** The codes with their reconstructions — (id, bucket, code, recon). */
+  private def reconstructed(spark: SparkSession, path: String): DataFrame = {
+    val model = Pq.loadModel(spark, path)
+    spark.read.parquet(s"$path/codes")
+      .withColumn("recon", GraftColumnBridge.column(
+        graft.functions.PqDecode(
+          GraftColumnBridge.expression(col("code")),
+          model.flat, model.m, model.k, model.subDim)))
+  }
+
+  /** Saved-index health report on reconstructions — per bucket, row
+    * count + mean cosine distance of reconstructions to the centroid
+    * (nano-quantized long sums; order-independent). One pruned-free
+    * scan, centroids broadcast.
+    *
+    * Scope note: reconstruction drift is BOUNDED BY THE CODEBOOK SPAN —
+    * appended rows whose novelty quantizes back onto the baseline
+    * population's entries register no drift (they are also served
+    * indistinguishably, so the blind spot is self-consistent); drift
+    * registers exactly when rows start snapping to entries far from
+    * the bucket centroid, which is also when ADC quality degrades.
+    * The size arm needs no such caveat.
+    */
+  def savedBucketStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val cents = Ivf.loadCentroids(spark, path)
+    require(cents.nonEmpty, s"$path carries no centroid sidecar — not a saved IVF-PQ index")
+    val cdf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("bucket", "centroid")
+    reconstructed(spark, path)
+      .join(broadcast(cdf), Seq("bucket"))
+      .withColumn("qd", floor(graft.functions.GraftFunctions.cosine_distance(
+        col("recon"), col("centroid")) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("qd")).cast("double") / count(lit(1)).cast("double") / lit(1e9))
+          .as("mean_dist"))
+  }
+
+  /** Snapshot the current stats as the drift baseline sidecar. */
+  def snapshotStats(spark: SparkSession, path: String): Unit =
+    savedBucketStats(spark, path)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats_baseline")
+
+  /** The v38 policy on the compressed layout: flag a bucket when its
+    * size exceeds `sizeFactor` x the mean, or its reconstruction-drift
+    * exceeds `driftFactor` x its baseline. Buckets born after the
+    * snapshot use the size arm only.
+    */
+  def maintenanceDecision(spark: SparkSession, path: String,
+                          sizeFactor: Double = 2.0,
+                          driftFactor: Double = 1.5): DataFrame = {
+    val cur = savedBucketStats(spark, path)
+    val base = spark.read.parquet(s"$path/stats_baseline")
+      .select(col("bucket"), col("mean_dist").as("base_mean_dist"))
+    val meanN = cur.agg(avg(col("n"))).head().getDouble(0)
+    cur.join(base, Seq("bucket"), "left")
+      .withColumn("split",
+        col("n").cast("double") > lit(sizeFactor) * lit(meanN) ||
+          (col("base_mean_dist").isNotNull &&
+            col("mean_dist") > lit(driftFactor) * col("base_mean_dist")))
+      .select(col("bucket"), col("n"), col("mean_dist"),
+        col("base_mean_dist"), col("split"))
+  }
+
+  /** Split an explicit list of buckets on their reconstructions: sub-
+    * k-means (deterministic seeded — [[Ivf.trainCentroids]]) over a
+    * bounded reconstruction sample, code rows MOVED (never re-encoded)
+    * to sub-0's renamed directory / fresh tail ids, centroid sidecar
+    * extended — the [[Ivf.rebalanceBuckets]] write protocol (scratch
+    * id, delete-then-rename, crash-leftover refusal) on the codes
+    * layout. Returns buckets split.
+    */
+  def rebalanceBuckets(spark: SparkSession, path: String,
+                       buckets: Seq[Int], splitInto: Int = 2, iters: Int = 5,
+                       sampleSize: Int = 100000, seed: Long = 42L): Int = {
+    require(splitInto >= 2, s"splitInto must be >= 2, got $splitInto")
+    import spark.implicits._
+    val centroids = Ivf.loadCentroids(spark, path)
+    require(centroids.nonEmpty, s"$path carries no centroid sidecar — not a saved IVF-PQ index")
+    val targets = buckets.distinct.sorted
+    targets.foreach(b => require(b >= 0 && b < centroids.length,
+      s"rebalance: bucket $b outside the sidecar's ${centroids.length} buckets"))
+    if (targets.isEmpty) return 0
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketIdRe = "bucket=(\\d+)".r
+    val orphanDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .map(_.getPath.getName)
+      .collect { case bucketIdRe(n) if n.toInt >= centroids.length => n.toInt }
+      .sorted
+    require(orphanDirs.isEmpty,
+      s"rebalance: bucket dirs ${orphanDirs.mkString(",")} have no sidecar " +
+        s"centroid (sidecar holds ${centroids.length}) — leftovers of a " +
+        "crashed rebalance; recover by hand before re-running.")
+    val cents = scala.collection.mutable.ArrayBuffer(centroids.toSeq: _*)
+    targets.foreach { b =>
+      val rows = reconstructed(spark, path)
+        .filter(col("bucket") === b).select(col("id"), col("code"), col("recon"))
+      val sample = Ivf.drawSample(rows.select(col("id"), col("recon")),
+        "id", "recon", splitInto, sampleSize, seed).map(_._2)
+      require(sample.length >= splitInto,
+        s"bucket $b sample ${sample.length} < splitInto $splitInto")
+      val sub = Ivf.trainCentroids(sample, splitInto, iters)
+      val tailBase = cents.length
+      val scratch = tailBase + (splitInto - 1)
+      val bc = spark.sparkContext.broadcast(sub)
+      val reassigned = rows.as[(Long, Array[Int], Array[Float])]
+        .mapPartitions { iter =>
+          val cs = bc.value
+          iter.map { case (id, code, recon) =>
+            val j = Ivf.nearestCentroid(recon, cs)
+            (id, code, if (j == 0) scratch else tailBase + (j - 1))
+          }
+        }
+        .toDF("id", "code", "bucket")
+      reassigned.write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+      val oldDir = new org.apache.hadoop.fs.Path(s"$path/codes/bucket=$b")
+      val scratchDir = new org.apache.hadoop.fs.Path(s"$path/codes/bucket=$scratch")
+      if (!fs.delete(oldDir, true))
+        throw new java.io.IOException(s"rebalance: failed deleting $oldDir")
+      if (fs.exists(scratchDir) && !fs.rename(scratchDir, oldDir))
+        throw new java.io.IOException(s"rebalance: failed renaming $scratchDir onto $oldDir")
+      cents(b) = sub(0)
+      cents ++= sub.drop(1)
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    targets.length
+  }
+
+  /** Decide, split the flagged buckets, refresh the baseline for the
+    * TOUCHED id space only (the v38 rule: untouched buckets keep their
+    * reference row so slow drift still accumulates across runs).
+    */
+  def maintainSaved(spark: SparkSession, path: String,
+                    sizeFactor: Double = 2.0, driftFactor: Double = 1.5,
+                    splitInto: Int = 2): DataFrame = {
+    val decision = maintenanceDecision(spark, path, sizeFactor, driftFactor)
+      .localCheckpoint(true) // decide BEFORE mutating what it reads
+    val flagged = decision.filter(col("split") && col("n") >= splitInto)
+      .select(col("bucket")).collect().map(_.getInt(0)).toSeq
+    if (flagged.nonEmpty) {
+      val preCount = Ivf.loadCentroids(spark, path).length
+      rebalanceBuckets(spark, path, flagged, splitInto)
+      val postCount = Ivf.loadCentroids(spark, path).length
+      val touched = (flagged ++ (preCount until postCount)).distinct
+      val fresh = savedBucketStats(spark, path)
+        .filter(col("bucket").isin(touched: _*))
+      val kept = spark.read.parquet(s"$path/stats_baseline")
+        .filter(!col("bucket").isin(touched: _*))
+      val merged = kept.unionByName(fresh).localCheckpoint(true)
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/stats_baseline")
+    }
+    decision
+  }
 }

@@ -588,6 +588,40 @@ object Vectors extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // IVF-PQ UNATTENDED MAINTENANCE (v39, round 16 — the v38 posture on
+    // the COMPRESSED layout, the maintenance matrix's last gap): build
+    // + train on the base slice, save codes partitioned by bucket,
+    // snapshot the reconstruction-drift baseline, append the label-1
+    // slice under +10M ids (drift the codes layout never saw), run
+    // maintainSaved — which must decide, split, and move CODE rows
+    // between bucket directories WITHOUT re-encoding (PQ codes are
+    // bucket-independent; splitting runs on PqDecode reconstructions
+    // because IVF-PQ never stores the float corpus) — then full-probe
+    // ADC search over the union, which is INVARIANT under any bucket
+    // layout: the policy may split whatever it decides, it may lose,
+    // duplicate, or re-encode NOTHING. The probe row stays unshifted on
+    // both sides so the oracle's probe CTE finds it.
+    "v39_ivfpq_maintain" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("label") =!= 1 || col("vec_id") === 0)
+      val idx = graft.operators.Ivf.build(base, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      val model = graft.operators.Pq.train(base, "vec_id", "embedding",
+        m = 4, k = 8, iters = 3)
+      val path = s"/dev/shm/graft_ivfpq_v39_${new java.io.File(d).getName}"
+      graft.operators.IvfPq.save(idx, model, path)
+      graft.operators.IvfPq.snapshotStats(s, path)
+      val drifted = e.filter(col("label") === 1 && col("vec_id") =!= 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      graft.operators.IvfPq.appendSaved(s, path, drifted, "vec_id", "embedding")
+      graft.operators.IvfPq.maintainSaved(s, path,
+        sizeFactor = 1.5, driftFactor = 1.1)
+      graft.operators.IvfPq.searchSaved(s, path, probeOf(s, d, 0L),
+        k = 10, nprobe = 4096)
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+
     // Margin-based bitext mining (Artetxe & Schwenk 2019, public): for
     // every label-0 "source" vector, its two nearest label-1 "target"
     // vectors (the batch kNN join, k=2), mined iff the ratio margin
@@ -1610,6 +1644,39 @@ object Vectors extends QueryPack {
         |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, id ASC
         |  LIMIT 10) t
         |ORDER BY id""".stripMargin,
+
+    // v14's train-on-base ADC oracle over the DRIFTED union: codebooks
+    // from the base slice, codes over every union row, FULL ADC top-10
+    // (no bucket restriction — full-probe results are invariant under
+    // any bucket layout, which is exactly what puts the maintenance
+    // run's moves under the hash)
+    "v39_ivfpq_maintain" ->
+      s"""WITH emb0 AS (
+         |  SELECT CASE WHEN label = 1 AND vec_id <> 0
+         |              THEN vec_id + 10000000 ELSE vec_id END AS vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |emb AS MATERIALIZED (
+         |  SELECT vec_id, v, list_inner_product(v, v) AS nn FROM emb0),
+         |base AS MATERIALIZED (
+         |  SELECT vec_id, v FROM emb WHERE vec_id < 10000000),
+         |${(0 until 4).map(j => PqSql.subspaceCtes(j, k = 8, iters = 3,
+              subDim = 16, probeId = 0L, trainSrc = "base")).mkString(",\n")},
+         |adc AS (
+         |  SELECT c0.vec_id, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+         |  FROM code0 c0
+         |  JOIN code1 c1 USING (vec_id)
+         |  JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN tab0 t0 ON c0.b = t0.b
+         |  JOIN tab1 t1 ON c1.b = t1.b
+         |  JOIN tab2 t2 ON c2.b = t2.b
+         |  JOIN tab3 t3 ON c3.b = t3.b),
+         |topk AS (
+         |  SELECT vec_id AS id FROM adc
+         |  ORDER BY dist, vec_id
+         |  LIMIT 10)
+         |SELECT id FROM topk ORDER BY id""".stripMargin,
 
     // v3's knnJoin oracle shape restricted to the label split, pivoted;
     // the margin states the same (1 - d) double pipeline the engine

@@ -731,6 +731,74 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ maintainSaved: codes move between buckets WITHOUT re-encoding; full-probe ADC invariant") {
+    import spark.implicits._
+    import graft.operators.{Ivf, IvfPq, Pq}
+    import org.apache.spark.sql.functions.col
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def cluster(dom: Int, jit: Int, ids: Range): Seq[(Long, Array[Float])] =
+      ids.map { i =>
+        val v = new Array[Float](4)
+        v(dom) = 10f; v(jit) = (i % 5).toFloat
+        (i.toLong, unit(v))
+      }
+    val a = cluster(0, 1, 0 until 20)
+    // B is a TIGHT cluster (constant jitter) so its reconstruction
+    // baseline is near zero — reconstruction drift only registers when
+    // appended rows snap to DIFFERENT codebook entries than the
+    // baseline population (recon drift is bounded by the codebook
+    // span; off-span drift quantizes away — the scope note on
+    // IvfPq.savedBucketStats)
+    val b = (100 until 120).map { i =>
+      val v = new Array[Float](4); v(1) = 10f; v(2) = 2f
+      (i.toLong, unit(v))
+    }
+    val c = cluster(2, 3, 200 until 220)
+    val base = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val idx = Ivf.build(base, "vec_id", "embedding", nlist = 3, iters = 8)
+    val model = Pq.train(base, "vec_id", "embedding", m = 2, k = 4, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-pqmaint").toString + "/idx"
+    IvfPq.save(idx, model, path)
+    IvfPq.snapshotStats(spark, path)
+    val skew = cluster(0, 1, 1000 until 1060)
+    // drift rows assign to B (dominant dim 1) but their second subspace
+    // snaps to C-owned codebook entries — the reconstruction lands far
+    // from B's centroid, which is what the drift arm measures
+    val drift = (2000 until 2020).map { i =>
+      val v = new Array[Float](4); v(1) = 10f; v(2) = 8f; v(3) = 3f
+      (i.toLong, unit(v))
+    }
+    IvfPq.appendSaved(spark, path, (skew ++ drift).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    // the code multiset and full-probe ADC results BEFORE maintenance
+    def codesNow() = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("code").cast("array<int>").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    def adcTop() = IvfPq.searchSaved(spark, path, a.head._2, k = 10, nprobe = 4096)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val codesBefore = codesNow()
+    val adcBefore = adcTop()
+    val decision = IvfPq.maintenanceDecision(spark, path,
+        sizeFactor = 1.5, driftFactor = 1.5)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(decision(80L), "skewed bucket must flag on the size arm")
+    assert(decision(40L), "drifted bucket must flag on the reconstruction-drift arm")
+    assert(!decision(20L), "untouched bucket must NOT flag")
+    def nBuckets() = spark.read.parquet(s"$path/centroids").count()
+    val pre = nBuckets()
+    IvfPq.maintainSaved(spark, path, sizeFactor = 1.5, driftFactor = 1.5)
+    val post = nBuckets()
+    assert(post > pre, s"maintenance split nothing: $pre -> $post")
+    // codes are MOVED, never re-encoded: identical (id, code) multiset
+    assert(codesNow() === codesBefore,
+      "maintenance changed or lost code rows (must move, never re-encode)")
+    // full-probe ADC is invariant under any bucket layout
+    assert(adcTop() === adcBefore, "full-probe ADC changed under maintenance")
+  }
+
   test("maintainSaved refreshes the baseline for SPLIT buckets only — slow drift accumulates across runs") {
     import spark.implicits._
     def unit(v: Array[Float]): Array[Float] = {
