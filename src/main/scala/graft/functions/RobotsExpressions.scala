@@ -223,9 +223,11 @@ object Robots {
           case "crawl-delay" =>
             inUaRun = false
             // integer seconds only; junk values ignored (lenient parse)
+            // most-polite rule applies WITHIN a group too: a duplicate
+            // Crawl-delay line takes the max, same as merged groups
             if (groups.nonEmpty && value.nonEmpty && value.forall(_.isDigit) &&
                 value.length <= 9)
-              groups.last.delay = value.toLong
+              groups.last.delay = math.max(groups.last.delay, value.toLong)
           case _ => // sitemap, junk: ignored (lenient parse)
         }
       }

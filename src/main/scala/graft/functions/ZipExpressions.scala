@@ -134,7 +134,10 @@ object ZipEntries {
       if (u32(b, loc + 4) != 0L) return null // disk holding the ZIP64 EOCD
       if (u32(b, loc + 16) != 1L) return null // single-disk only
       val z64 = u64(b, loc + 8)
-      if (z64 < 0 || z64 + 56 > loc) return null
+      // overflow-safe bound: z64 is attacker-controlled u64, so the
+      // additive form (z64 + 56 > loc) wraps for values near Long.MAX
+      // and would pass; loc is a small Int, the subtraction cannot wrap
+      if (z64 < 0 || z64 > loc.toLong - 56) return null
       val zp = z64.toInt
       if (u32(b, zp) != 0x06064b50L) return null
       if (u64(b, zp + 4) != 44L) return null // no extensible data sector
@@ -211,7 +214,9 @@ object ZipEntries {
       val name = new String(b, p + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
       // the local header must exist at its offset with the same name
-      if (localOff < 0 || localOff + 30 > b.length) return null
+      // (subtractive bound — localOff may be a hostile u64 from the
+      // 0x0001 extra, and localOff + 30 wraps negative near Long.MAX)
+      if (localOff < 0 || localOff > b.length.toLong - 30) return null
       val lp = localOff.toInt
       if (u32(b, lp) != 0x04034b50L) return null
       val lNameLen = u16(b, lp + 26)
@@ -219,7 +224,11 @@ object ZipEntries {
       if (lp + 30 + lNameLen > b.length || lNameLen != nameLen ||
           new String(b, lp + 30, lNameLen,
             java.nio.charset.StandardCharsets.UTF_8) != name) return null
-      if (lp + 30 + lNameLen + lExtraLen + csize > b.length) return null
+      // sizes above the blob itself are structurally absurd — reject
+      // before the additive fits-check so a hostile ZIP64 csize/usize
+      // near Long.MAX cannot wrap the sum past it (tar's 1 TiB posture)
+      if (csize > b.length || usize < 0 || usize > (1L << 40)) return null
+      if (lp.toLong + 30 + lNameLen + lExtraLen + csize > b.length) return null
       out += Entry(name, method, crc, csize, usize, localOff)
       p += 46 + nameLen + extraLen + commLen
       i += 1

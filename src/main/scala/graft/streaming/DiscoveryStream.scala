@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Sitemap discovery as a CONTINUOUS flow (t60's batch recrawl decision
   * in streaming form — the 19th batch==stream twin): the XML parse
-  * (regexp_extract_all + zip_with + explode, built-ins only, exactly
-  * t60's arm of the custom-operator ladder) is stateless per-row work,
+  * (regexp_extract_all over `<url>` blocks + explode + per-block
+  * regexp_extract, built-ins only, exactly t60's arm of the
+  * custom-operator ladder) is stateless per-row work,
   * and the recrawl decision is a STREAM-STATIC inner join against the
   * fetch-history dimension — the e15 enrichment class: the static side
   * is re-read per trigger, there is NO state store, no watermark, and
@@ -25,15 +26,25 @@ object DiscoveryStream {
     * join the fetch history on the URL, decide
     * `refetch = lastmod > last_fetch` (ISO dates compare as strings).
     * `sitemaps` needs (doc_id, xml); `history` needs (url, last_fetch).
+    *
+    * Pairing contract: loc and lastmod are pulled from the SAME `<url>`
+    * block (extract-blocks-then-extract-fields, never two independent
+    * document-wide scans zipped positionally — `<lastmod>` is optional
+    * in real sitemaps, and one absent tag would shift every later URL
+    * onto the wrong date). A `<url>` missing either field is skipped
+    * (the recrawl decision needs both; discovery of undated URLs is
+    * t60c's arm). Both extracts run AFTER the explode, so they are
+    * codegen'd per-row regexps, not per-element lambdas.
     */
   private def decide(sitemaps: DataFrame, history: DataFrame): DataFrame = {
-    val locs = regexp_extract_all(col("xml"), lit("<loc>([^<]*)</loc>"), lit(1))
-    val mods = regexp_extract_all(col("xml"), lit("<lastmod>([^<]*)</lastmod>"), lit(1))
+    val blocks = regexp_extract_all(col("xml"),
+      lit("(?s)<url>(.*?)</url>"), lit(1))
     sitemaps
-      .select(col("doc_id"), explode(zip_with(locs, mods,
-        (l, m) => struct(l.as("url"), m.as("lastmod")))).as("e"))
-      .select(col("doc_id"), col("e.url").as("url"),
-        col("e.lastmod").as("lastmod"))
+      .select(col("doc_id"), explode(blocks).as("b"))
+      .select(col("doc_id"),
+        regexp_extract(col("b"), "<loc>([^<]*)</loc>", 1).as("url"),
+        regexp_extract(col("b"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"))
+      .filter(col("url") =!= "" && col("lastmod") =!= "")
       .join(history, Seq("url"), "inner")
       .select(col("doc_id"), col("url"), col("lastmod"), col("last_fetch"),
         (col("lastmod") > col("last_fetch")).as("refetch"))

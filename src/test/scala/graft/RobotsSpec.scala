@@ -174,6 +174,10 @@ class RobotsSpec extends AnyFunSuite {
     // merged groups take the MAX (most polite)
     val r2 = "User-agent: graftbot\nCrawl-delay: 3\nUser-agent: graftbot\nCrawl-delay: 7\n"
     assert(delay(r2) === 7L)
+    // duplicate lines WITHIN one group take the max too (same
+    // most-polite rule — a later smaller value must not overwrite)
+    assert(delay("User-agent: *\nCrawl-delay: 8\nCrawl-delay: 2\n") === 8L)
+    assert(delay("User-agent: *\nCrawl-delay: 2\nCrawl-delay: 8\n") === 8L)
     // junk values are ignored (lenient parse): fractional, negative, words
     assert(delay("User-agent: *\nCrawl-delay: 1.5\n") === 9L)
     assert(delay("User-agent: *\nCrawl-delay: fast\n") === 9L)

@@ -995,18 +995,35 @@ class StreamingSpec extends AnyFunSuite {
           s"<lastmod>2024-01-${"%02d".format((id + k * 7) % 28 + 1)}</lastmod></url>")
       s"""<?xml version="1.0"?><urlset>${urls.mkString}</urlset>"""
     }
-    val sitemaps = (0L until 30L).map(id => (id, xmlOf(id)))
+    // doc 30: the middle <url> carries no <lastmod> — it must be
+    // SKIPPED, and must NOT shift p3's date onto p2 (the failure mode
+    // of pairing two independent document-wide scans positionally)
+    val ragged = (30L,
+      """<?xml version="1.0"?><urlset>""" +
+        "<url><loc>https://r.example.com/p1</loc><lastmod>2024-02-10</lastmod></url>" +
+        "<url><loc>https://r.example.com/p2</loc></url>" +
+        "<url><loc>https://r.example.com/p3</loc><lastmod>2024-02-20</lastmod></url></urlset>")
+    val sitemaps = (0L until 30L).map(id => (id, xmlOf(id))) :+ ragged
     // history covers k=1,2 only — k=3 urls are NEW (inner join drops
     // them, exactly the batch behavior the twin must reproduce)
-    val history = (for { id <- 0L until 30L; k <- 1 to 2 } yield (
+    val history = ((for { id <- 0L until 30L; k <- 1 to 2 } yield (
       s"https://h${id % 7}.example.com/d$id/p$k",
-      "2024-01-" + "%02d".format((id * 3 + k * 5) % 28 + 1)))
+      "2024-01-" + "%02d".format((id * 3 + k * 5) % 28 + 1))) ++ Seq(
+      ("https://r.example.com/p1", "2024-02-15"),
+      ("https://r.example.com/p2", "2024-02-15"),
+      ("https://r.example.com/p3", "2024-02-15")))
       .toDF("url", "last_fetch")
     val batch = DiscoveryStream.recrawlBatch(
         sitemaps.toDF("doc_id", "xml"), history)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getBoolean(4))).toSet
-    assert(batch.size === 60, "fixture: every (doc, k<=2) url joins once")
+    assert(batch.size === 62, "fixture: every (doc, k<=2) url joins once, + p1/p3")
+    assert(!batch.exists(_._2 == "https://r.example.com/p2"),
+      "an undated url must be skipped, not joined with a shifted date")
+    assert(batch.exists(t => t._2 == "https://r.example.com/p1" &&
+      t._3 == "2024-02-10" && !t._5), "p1 pairs with ITS lastmod (stale)")
+    assert(batch.exists(t => t._2 == "https://r.example.com/p3" &&
+      t._3 == "2024-02-20" && t._5), "p3 pairs with ITS lastmod (refetch)")
     assert(batch.exists(_._5) && batch.exists(!_._5),
       "fixture: both refetch outcomes live")
     val input = MemoryStream[(Long, String)]

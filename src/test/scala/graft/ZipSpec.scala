@@ -183,4 +183,31 @@ class ZipSpec extends AnyFunSuite {
     val noLoc = good.dropRight(98) ++ good.takeRight(22)
     assert(ZipEntries.list(noLoc) === null)
   }
+
+  test("overflow-hostile ZIP64 offsets and sizes quarantine to NULL, never throw") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def patch(b: Array[Byte], pos: Int, v: Long): Array[Byte] = {
+      val c = b.clone()
+      ByteBuffer.wrap(c, pos, 8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+      c
+    }
+    val data = "zip64 member contents".getBytes("UTF-8")
+    val name = "big.bin"
+    val good = handZip64(data, name)
+    assert(listNames(good).map(_._1) === Seq(name)) // fixture sanity
+    // locator's ZIP64-EOCD offset near Long.MAX: the additive bound
+    // (z64 + 56) would wrap negative and pass, then z64.toInt indexes
+    // negative — must be a clean NULL, not an ArrayIndexOutOfBounds
+    assert(ZipEntries.list(patch(good, good.length - 34, Long.MaxValue - 40L)) === null)
+    // the 0x0001 extra's values sit at cd + 46 + nameLen + 4, in
+    // APPNOTE order (usize, csize, localOff)
+    val extraVals = (30 + name.length + data.length) + 46 + name.length + 4
+    // per-entry local-header offset near Long.MAX (same wrap, same crash)
+    assert(ZipEntries.list(patch(good, extraVals + 16, Long.MaxValue - 20L)) === null)
+    // csize near Long.MAX: the data-fits sum wraps past b.length and the
+    // listing would report a structurally absurd size instead of refusing
+    assert(ZipEntries.list(patch(good, extraVals + 8, Long.MaxValue - 100L)) === null)
+    // usize past the 1 TiB single-blob bound refuses (tar's posture)
+    assert(ZipEntries.list(patch(good, extraVals, 1L << 41)) === null)
+  }
 }
