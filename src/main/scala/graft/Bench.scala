@@ -155,6 +155,26 @@ object Bench {
     noClean ++ slow
   }
 
+  /** Per-query drift vs the standing BASELINE.md minima: (compared,
+    * flagged) where flagged lists every query whose recorded best exceeds
+    * 2x its standing entry (+50 ms jitter slack), with the ratio. The
+    * targeted RE-RUN tier stays at 3x (re-measuring is expensive); the
+    * REPORT must not — a 2-3x drift was structurally invisible to the
+    * suite's own alarm through round 16 (g2_triangles drifted to 2.62x
+    * across three rounds while four runs claimed "zero flags"). Pure, so
+    * BenchSpec pins the threshold.
+    */
+  private[graft] def vsStanding(
+      results: Seq[(String, Double)],
+      baseline: Map[String, Double]): (Int, Seq[(String, Double)]) = {
+    val compared = results.filter { case (n, v) => v >= 0 && baseline.contains(n) }
+    val flagged = compared.collect {
+      case (n, v) if v > 2 * baseline(n) + 0.05 =>
+        n -> math.rint(v / baseline(n) * 100.0) / 100.0
+    }
+    (compared.size, flagged)
+  }
+
   /** The one stdout JSON line, fitted to a HARD budget. The driver records
     * only the LAST 2000 chars of stdout; "[info] " (7) + line + newline +
     * sbt's success trailer (~80, longer when the total grows an "(MM:SS)"
@@ -357,12 +377,23 @@ object Bench {
       s""""rerun_budget_sec":$rerunBudgetSec,"staged":$staged}"""
 
     val results = names.map(n => n -> round3(bestOf(meas(n))))
+    // drift report vs standing minima: a >2x breach is a RECORDED flag
+    // in the durable JSON, not a judge-side discovery (round-16 verdict)
+    val (vsCompared, vsFlagged) = vsStanding(results, baseline)
+    val vsJson = {
+      val fl = vsFlagged.map { case (n, r) => "\"" + n + "\":" + r }
+        .mkString("{", ",", "}")
+      s"""{"compared":$vsCompared,"flag2x_count":${vsFlagged.size},"flag2x":$fl}"""
+    }
+    if (vsFlagged.nonEmpty)
+      System.err.println(s"[bench] ${vsFlagged.size} queries above 2x standing: " +
+        vsFlagged.map { case (n, r) => s"$n=${r}x" }.mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = round3(results.map(_._2).filter(_ >= 0).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stall":$stallJson,"sf":"$sfDirEnv"}"""
+      s""""stall":$stallJson,"vs_standing":$vsJson,"sf":"$sfDirEnv"}"""
     // The driver records only the LAST ~2000 chars of stdout, and sbt's
     // own success trailer consumes ~72 of them — round 4's full line
     // (2.2 KB) was beheaded into parsed:null. The stdout line therefore

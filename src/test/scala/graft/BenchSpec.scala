@@ -69,4 +69,19 @@ class BenchSpec extends AnyFunSuite with Matchers {
     line shouldBe
       """{"metric":"total","value":4.7,"unit":"sec","queries":{"q1":0.12,"q2":4.6},"sf":"sf0.01"}"""
   }
+
+  test("vs-standing report flags at 2x (+slack), even though re-runs fire at 3x") {
+    val base = Map("a" -> 1.0, "b" -> 0.5, "c" -> 2.0)
+    val results = Seq(
+      "a" -> 2.62,  // 2.62x standing: flagged (the g2 drift class)
+      "b" -> 1.04,  // 2.08x but within +50 ms slack path? 2*0.5+0.05=1.05 -> NOT flagged
+      "c" -> 3.9,   // 1.95x: not flagged
+      "d" -> 99.0,  // no standing entry: compared-count excludes it
+      "e" -> -1.0)  // never ran: excluded
+    val (compared, flagged) = Bench.vsStanding(results, base)
+    compared shouldBe 3
+    flagged shouldBe Seq("a" -> 2.62)
+    // a breach just past the slack IS flagged, with the rounded ratio
+    Bench.vsStanding(Seq("b" -> 1.06), base)._2 shouldBe Seq("b" -> 2.12)
+  }
 }
