@@ -125,6 +125,10 @@ object GraftFunctions {
   def audio_pcm_stats(bytes: Column): Column = toCol(AudioPcmStats(toExpr(bytes)))
   /** Full MP3 frame walk (VBR-safe duration) — see [[Mp3Frames]]. */
   def mp3_frames(bytes: Column): Column = toCol(Mp3Frames(toExpr(bytes)))
+  /** PDF metadata (version/pages/objects) — see [[PdfMeta]]. */
+  def pdf_meta(bytes: Column): Column = toCol(PdfMeta(toExpr(bytes)))
+  /** PDF text extraction (Tj/TJ walk) — see [[PdfText]]. */
+  def pdf_text(bytes: Column): Column = toCol(PdfText(toExpr(bytes)))
 
   // --- web corpus ----------------------------------------------------------
   /** RFC 9309 robots.txt evaluation for a fixed agent — see [[RobotsAllowed]]. */
@@ -228,6 +232,8 @@ object GraftFunctions {
     "audio_meta"      -> { es => AudioMeta(es(0)) },
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "mp3_frames"      -> { es => Mp3Frames(es(0)) },
+    "pdf_meta"        -> { es => PdfMeta(es(0)) },
+    "pdf_text"        -> { es => PdfText(es(0)) },
     "gif_frames"      -> { es => GifFrames(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },
     "robots_allowed" -> { es => RobotsAllowed(es(0), es(1), literalString("robots_allowed",

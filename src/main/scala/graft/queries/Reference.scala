@@ -295,6 +295,82 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // PDF TEXT + METADATA under the gate (m24, round 17 — the format a
+    // corpus mirror ships in bulk that the m-family still lacked): per
+    // doc, construct a COMPLETE two-page classic-xref PDF in column
+    // arithmetic — catalog, page tree, one uncompressed content stream
+    // and one FlateDecode stream carried as a zlib STORED block whose
+    // adler32 is computed IN-QUERY over the exact content bytes (the m6
+    // pattern; here the only varying bytes are the 7 doc_id digits, so
+    // the two modular sums are seven codegen'd terms, no aggregate()
+    // lambda) — and extract text through the real walk: xref parse,
+    // page-tree traversal, stream decode, Tj/TJ operators (the -200
+    // kern in page 1 must render as ONE space). Torn docs (doc_id % 9
+    // == 0) flip the adler's low bit: pdf_text refuses whole (zlib
+    // checksum) and the row quarantines by absence; pdf_meta would
+    // still answer — the routing walk never decodes content — which
+    // the spec pins (PdfSpec), keeping decode cost off the triage
+    // path. The oracle states version/pages/objects and the exact
+    // expected text arithmetically: an inversion check on the parser.
+    "m24_pdf_text" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{pdf_meta, pdf_text}
+      val id = col("doc_id")
+      def hexOf(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      val dHex = hex(format_string("%07d", pmod(id, lit(10000000L))))
+      // fixed-width template (digits rendered %07d) -> every offset is
+      // a compile-time constant the xref table can state
+      val D = "0000000"
+      val c1 = s"BT (doc $D alpha) Tj ET BT [(beta)-200($D)] TJ ET"
+      val c2 = s"BT (flate $D) Tj ET"
+      val header = "%PDF-1.4\n"
+      val o1 = "1 0 obj\n<</Type /Catalog /Pages 2 0 R>>\nendobj\n"
+      val o2 = "2 0 obj\n<</Type /Pages /Kids [3 0 R 4 0 R] /Count 2>>\nendobj\n"
+      val o3 = "3 0 obj\n<</Type /Page /Parent 2 0 R /Contents 5 0 R>>\nendobj\n"
+      val o4 = "4 0 obj\n<</Type /Page /Parent 2 0 R /Contents 6 0 R>>\nendobj\n"
+      val o5 = s"5 0 obj\n<</Length ${c1.length}>>\nstream\n$c1\nendstream\nendobj\n"
+      val n2 = c2.length // stored-block payload length
+      val zLen = n2 + 11 // zlib hdr (2) + stored hdr (5) + adler (4)
+      val o6a = s"6 0 obj\n<</Length $zLen /Filter /FlateDecode>>\nstream\n"
+      val o6b = "\nendstream\nendobj\n"
+      val offs = Seq(o1, o2, o3, o4, o5).scanLeft(header.length)(_ + _.length)
+      val xrefAt = offs.last + o6a.length + zLen + o6b.length
+      val xref = "xref\n0 7\n0000000000 65535 f \n" +
+        offs.map(o => f"$o%010d 00000 n \n").mkString +
+        s"trailer\n<</Size 7 /Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n"
+      // adler32 over c2 with the REAL digits: the template's digit bytes
+      // are '0' (48), the real ones 48 + d_k, so each sum is its template
+      // constant plus the digits' closed-form contribution
+      val tmpl = c2.getBytes("ISO-8859-1").map(_ & 0xFF)
+      val sumT = tmpl.sum
+      val sumBT = tmpl.zipWithIndex.map { case (v, i) => (n2 - i) * v }.sum
+      def digit(k: Int): Column = // most-significant digit first, at c2 pos 10+k
+        pmod(expr(s"(doc_id % 10000000) div ${math.pow(10, 6 - k).toLong}"), lit(10))
+      val aCol = pmod(lit(1L + sumT) +
+        (0 to 6).map(k => digit(k).cast("long")).reduce(_ + _), lit(65521L)).cast("int")
+      val bCol = pmod(lit(n2.toLong + sumBT) +
+        (0 to 6).map(k => (digit(k) * (n2 - 10 - k)).cast("long")).reduce(_ + _),
+        lit(65521L)).cast("int")
+      val aOut = when(id % 9 === 0, aCol.bitwiseXOR(lit(1))).otherwise(aCol)
+      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+      val pdfHex = concat(
+        lit(hexOf(header + o1 + o2 + o3 + o4) +
+          hexOf(s"5 0 obj\n<</Length ${c1.length}>>\nstream\nBT (doc ")), dHex,
+        lit(hexOf(" alpha) Tj ET BT [(beta)-200(")), dHex,
+        lit(hexOf(")] TJ ET\nendstream\nendobj\n") + hexOf(o6a) +
+          "780101" + le16h(n2) + le16h(0xFFFF - n2) + hexOf("BT (flate ")), dHex,
+        lit(hexOf(") Tj ET")),
+        format_string("%04X%04X", bCol, aOut),
+        lit(hexOf(o6b + xref)))
+      val pdf = unhex(pdfHex)
+      Tables.documents(s, d)
+        .select(id, pdf_meta(pdf).as("m"), pdf_text(pdf).as("txt"))
+        .filter(col("txt").isNotNull)
+        .select(id, col("m.version").as("version"), col("m.pages").as("pages"),
+          col("m.objects").as("objects"), col("txt"))
+        .orderBy(id)
+    },
+
     // ANIMATED-GIF FRAME WALK under the gate (m23, round 16 — the
     // routing facts an animation needs, frame count + total duration,
     // from a walk that never decodes a pixel): per doc, construct a
@@ -2397,6 +2473,20 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_min END AS pixel_min,
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_max END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // version/pages/objects + the exact text the construction put in;
+    // torn docs (flipped adler) quarantine by absence
+    "m24_pdf_text" ->
+      """SELECT doc_id, '1.4' AS version, CAST(2 AS INT) AS pages,
+        |  CAST(6 AS INT) AS objects,
+        |  'doc ' || D || ' alpha' || chr(10) ||
+        |  'beta ' || D || chr(10) ||
+        |  'flate ' || D || chr(10) AS txt
+        |FROM (SELECT doc_id,
+        |        lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') AS D
+        |      FROM documents)
+        |WHERE doc_id % 9 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // frame count + summed per-frame delays, all arithmetic; torn NULL
     "m23_gif_frames" ->
