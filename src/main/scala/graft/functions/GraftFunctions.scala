@@ -103,6 +103,8 @@ object GraftFunctions {
   def warc_records(bytes: Column): Column = toCol(WarcRecords(toExpr(bytes)))
   /** Multi-member GZIP inflation with bomb refusal — see [[Gunzip]]. */
   def gunzip(bytes: Column): Column = toCol(Gunzip(toExpr(bytes)))
+  /** Zstandard (RFC 8878) inflation, same posture — see [[Zunstd]]. */
+  def zunstd(bytes: Column): Column = toCol(Zunstd(toExpr(bytes)))
   /** ZIP central-directory listing — see [[ZipEntries]]. */
   def zip_entries(bytes: Column): Column = toCol(ZipEntries(toExpr(bytes)))
   /** One ZIP entry's bytes, CRC-verified — see [[ZipExtract]]. */
@@ -215,6 +217,7 @@ object GraftFunctions {
     "bmp_ahash" -> { es => BmpAhash(es(0)) },
     "warc_records" -> { es => WarcRecords(es(0)) },
     "gunzip" -> { es => Gunzip(es(0)) },
+    "zunstd" -> { es => Zunstd(es(0)) },
     "zip_entries" -> { es => ZipEntries(es(0)) },
     "zip_extract" -> { es => ZipExtract(es(0), es(1)) },
     "tar_entries" -> { es => TarEntries(es(0)) },

@@ -73,6 +73,128 @@ object Reference extends QueryPack {
     */
   private val ParcelProbe = Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.1f)
 
+  /** Shared construction + pipeline for the mirror-ingestion composed
+    * gates (x20 gzip / x20b zstd): per doc, a 4-member ustar tar built
+    * in column arithmetic (duplicate path where the SECOND occurrence
+    * is authoritative, a pax extended header renaming its follower, a
+    * cp1252 member for the charset stage), wrapped in the requested
+    * REAL container (gzip member with stored deflate + crc32, or an
+    * RFC 8878 zstd single-segment frame with one stored block), then
+    * ingested: inflate -> tar walk -> extract (pax rename + last-dup
+    * under the hash) -> charset decode -> fingerprint keep-first. One
+    * data exchange (the keep-first pair); every decode stage fused into
+    * the scan. Torn docs break the container integrity field (crc32
+    * bump / frame-content-size lie) and quarantine by absence.
+    */
+  private def mirrorIngest(s: SparkSession, d: String, container: String): DataFrame = {
+      import graft.functions.GraftFunctions.{charset_decode, gunzip, zunstd,
+        tar_entries, tar_extract}
+      import graft.functions.TextFunctions.fingerprint
+      val id = col("doc_id")
+      val m = pmod(id, lit(13))
+      def hexOf(str: String) = str.getBytes("UTF-8").map("%02X".format(_)).mkString
+      def zeros(n: Int) = "00" * n
+      // 512-byte ustar header with a 3-octal-digit size (l < 512)
+      def constSum(name: String, prefix: String, tf: Char): Int =
+        name.getBytes("UTF-8").map(_ & 0xFF).sum +
+          "0000644".getBytes.map(_ & 0xFF).sum +
+          2 * "0000000".getBytes.map(_ & 0xFF).sum +
+          8 * '0' + 11 * '0' + 8 * ' ' + tf +
+          "ustar".getBytes.map(_ & 0xFF).sum + 2 * '0' +
+          prefix.getBytes("UTF-8").map(_ & 0xFF).sum
+      def header(name: String, prefix: String, tf: Char, l: Column): Column = {
+        val d2 = (l / 64).cast("int")
+        val d1 = pmod((l / 8).cast("int"), lit(8))
+        val d0 = pmod(l, lit(8)).cast("int")
+        val chk = lit(constSum(name, prefix, tf) + 144) + d2 + d1 + d0
+        val chkHex = concat((5 to 0 by -1).map { i =>
+          format_string("3%d", pmod((chk / math.pow(8, i).toInt).cast("int"), lit(8)))
+        }: _*)
+        concat(
+          lit(hexOf(name) + zeros(100 - name.length) +
+            hexOf("0000644") + "00" + hexOf("0000000") + "00" + hexOf("0000000") + "00" +
+            hexOf("00000000")),
+          format_string("3%d3%d3%d00", d2, d1, d0),
+          lit(hexOf("00000000000") + "00"),
+          chkHex, lit("0020"),
+          lit("%02X".format(tf.toInt) + zeros(100) + hexOf("ustar") + "00" + "3030" +
+            zeros(32 + 32 + 8 + 8) +
+            hexOf(prefix) + zeros(155 - prefix.length) + zeros(12)))
+      }
+      def asciiHex(c: Column) = hex(c)
+      val zeroRun = lit(zeros(512))
+      def padTo512(l: Column) = zeroRun.substr(lit(1), (lit(512) - l) * 2)
+      // member 1 + its duplicate (tar overwrite: v2 is authoritative)
+      val bodyA1 = format_string("alpha %02d v1", m) // 11 bytes
+      val bodyA2 = format_string("alpha %02d v2", m)
+      // pax path: 74 chars (>100 with no pax is unrepresentable split-free)
+      val paxPath = concat(lit("mirror/" + "m" * 60 + "-"),
+        format_string("%02d", m), lit(".txt"))
+      val paxData = concat(lit("83 path="), paxPath, lit("\n")) // 83 bytes exactly
+      // member 3: cp1252 curly quotes around the lang token
+      val bodyBHex = concat(asciiHex(format_string("beta %02d ", m)),
+        lit("93"), asciiHex(col("lang")), lit("94"))
+      val l2 = lit(10L) + length(col("lang"))
+      val tarHex = concat(
+        header("a.txt", "docs", '0', lit(11L)), asciiHex(bodyA1), padTo512(lit(11L)),
+        header("a.txt", "docs", '0', lit(11L)), asciiHex(bodyA2), padTo512(lit(11L)),
+        header("pax_hdr", "", 'x', lit(83L)), asciiHex(paxData), padTo512(lit(83L)),
+        header("x.txt", "", '0', l2), bodyBHex, padTo512(l2),
+        lit(zeros(1024)))
+      // real gzip member (t60b): header + stored deflate + crc32 + isize
+      def le16(v: Column) = format_string("%02X%02X",
+        v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)))
+      def le32(v: Column) = format_string("%02X%02X%02X%02X",
+        v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
+        shiftright(v, 16).bitwiseAND(lit(255)),
+        shiftright(v, 24).bitwiseAND(lit(255)))
+      val tarBin = unhex(tarHex)
+      val tlen = octet_length(tarBin)
+      val torn = id % 7 === 0
+      val tarB = container match {
+        case "gzip" =>
+          // torn arm: bump the crc32 -> member integrity check refuses
+          val crcBump = when(torn, lit(1L)).otherwise(lit(0L))
+          gunzip(unhex(concat(
+            lit("1F8B08000000000000FF"),
+            lit("01"), le16(tlen), le16(lit(65535) - tlen),
+            tarHex,
+            le32(pmod(crc32(tarBin) + crcBump, lit(4294967296L))),
+            le32(tlen))))
+        case "zstd" =>
+          // RFC 8878 single-segment frame, one RAW (stored) block:
+          // magic, FHD 0x60 (2-byte FCS holding size-256), LE24 block
+          // header (last=1, type=raw, size<<3). Torn arm: the frame
+          // content size lies by one byte -> the decoder refuses.
+          def le24(v: Column) = format_string("%02X%02X%02X",
+            v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
+            shiftright(v, 16).bitwiseAND(lit(255)))
+          val fcs = tlen - lit(256) + when(torn, lit(1)).otherwise(lit(0))
+          zunstd(unhex(concat(
+            lit("28B52FFD"), lit("60"), le16(fcs),
+            le24(shiftleft(tlen, 3).bitwiseOR(lit(1))),
+            tarHex)))
+      }
+      val curated = Tables.documents(s, d)
+        .select(id, col("lang"),
+          tar_entries(tarB).as("entries"),
+          decode(tar_extract(tarB, lit("docs/a.txt")), "UTF-8").as("a_text"),
+          charset_decode(tar_extract(tarB, paxPath)).as("b_text"))
+        .filter(col("entries").isNotNull) // torn gzip/tar: absent
+        .select(id, size(col("entries")).as("n_entries"),
+          col("a_text"), col("b_text"))
+      curated
+        .withColumn("fp", fingerprint(concat(col("a_text"), lit(" | "), col("b_text"))))
+        .groupBy(col("fp"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
+          min_by(col("n_entries"), id).as("n_entries"),
+          min_by(col("a_text"), id).as("a_text"),
+          min_by(col("b_text"), id).as("b_text"))
+        .select(col("doc_id"), col("n_dups"), col("n_entries"),
+          col("a_text"), col("b_text"))
+        .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_reference_search" -> { (s, d) =>
       Search.plan(layersFrom(s, d), SearchRequest(
@@ -1323,97 +1445,19 @@ object Reference extends QueryPack {
     // construction); then gunzip -> tar_entries -> tar_extract ->
     // charset_decode -> fingerprint keep-first, one lazy plan. Torn
     // docs (doc_id % 7: bumped gzip CRC) never reach the tar walk.
-    "x20_mirror_ingest" -> { (s, d) =>
-      import graft.functions.GraftFunctions.{charset_decode, gunzip,
-        tar_entries, tar_extract}
-      import graft.functions.TextFunctions.fingerprint
-      val id = col("doc_id")
-      val m = pmod(id, lit(13))
-      def hexOf(str: String) = str.getBytes("UTF-8").map("%02X".format(_)).mkString
-      def zeros(n: Int) = "00" * n
-      // 512-byte ustar header with a 3-octal-digit size (l < 512)
-      def constSum(name: String, prefix: String, tf: Char): Int =
-        name.getBytes("UTF-8").map(_ & 0xFF).sum +
-          "0000644".getBytes.map(_ & 0xFF).sum +
-          2 * "0000000".getBytes.map(_ & 0xFF).sum +
-          8 * '0' + 11 * '0' + 8 * ' ' + tf +
-          "ustar".getBytes.map(_ & 0xFF).sum + 2 * '0' +
-          prefix.getBytes("UTF-8").map(_ & 0xFF).sum
-      def header(name: String, prefix: String, tf: Char, l: Column): Column = {
-        val d2 = (l / 64).cast("int")
-        val d1 = pmod((l / 8).cast("int"), lit(8))
-        val d0 = pmod(l, lit(8)).cast("int")
-        val chk = lit(constSum(name, prefix, tf) + 144) + d2 + d1 + d0
-        val chkHex = concat((5 to 0 by -1).map { i =>
-          format_string("3%d", pmod((chk / math.pow(8, i).toInt).cast("int"), lit(8)))
-        }: _*)
-        concat(
-          lit(hexOf(name) + zeros(100 - name.length) +
-            hexOf("0000644") + "00" + hexOf("0000000") + "00" + hexOf("0000000") + "00" +
-            hexOf("00000000")),
-          format_string("3%d3%d3%d00", d2, d1, d0),
-          lit(hexOf("00000000000") + "00"),
-          chkHex, lit("0020"),
-          lit("%02X".format(tf.toInt) + zeros(100) + hexOf("ustar") + "00" + "3030" +
-            zeros(32 + 32 + 8 + 8) +
-            hexOf(prefix) + zeros(155 - prefix.length) + zeros(12)))
-      }
-      def asciiHex(c: Column) = hex(c)
-      val zeroRun = lit(zeros(512))
-      def padTo512(l: Column) = zeroRun.substr(lit(1), (lit(512) - l) * 2)
-      // member 1 + its duplicate (tar overwrite: v2 is authoritative)
-      val bodyA1 = format_string("alpha %02d v1", m) // 11 bytes
-      val bodyA2 = format_string("alpha %02d v2", m)
-      // pax path: 74 chars (>100 with no pax is unrepresentable split-free)
-      val paxPath = concat(lit("mirror/" + "m" * 60 + "-"),
-        format_string("%02d", m), lit(".txt"))
-      val paxData = concat(lit("83 path="), paxPath, lit("\n")) // 83 bytes exactly
-      // member 3: cp1252 curly quotes around the lang token
-      val bodyBHex = concat(asciiHex(format_string("beta %02d ", m)),
-        lit("93"), asciiHex(col("lang")), lit("94"))
-      val l2 = lit(10L) + length(col("lang"))
-      val tarHex = concat(
-        header("a.txt", "docs", '0', lit(11L)), asciiHex(bodyA1), padTo512(lit(11L)),
-        header("a.txt", "docs", '0', lit(11L)), asciiHex(bodyA2), padTo512(lit(11L)),
-        header("pax_hdr", "", 'x', lit(83L)), asciiHex(paxData), padTo512(lit(83L)),
-        header("x.txt", "", '0', l2), bodyBHex, padTo512(l2),
-        lit(zeros(1024)))
-      // real gzip member (t60b): header + stored deflate + crc32 + isize
-      def le16(v: Column) = format_string("%02X%02X",
-        v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)))
-      def le32(v: Column) = format_string("%02X%02X%02X%02X",
-        v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
-        shiftright(v, 16).bitwiseAND(lit(255)),
-        shiftright(v, 24).bitwiseAND(lit(255)))
-      val tarBin = unhex(tarHex)
-      val tlen = octet_length(tarBin)
-      val crcBump = when(id % 7 === 0, lit(1L)).otherwise(lit(0L))
-      val gz = unhex(concat(
-        lit("1F8B08000000000000FF"),
-        lit("01"), le16(tlen), le16(lit(65535) - tlen),
-        tarHex,
-        le32(pmod(crc32(tarBin) + crcBump, lit(4294967296L))),
-        le32(tlen)))
-      val tarB = graft.functions.GraftFunctions.gunzip(gz)
-      val curated = Tables.documents(s, d)
-        .select(id, col("lang"),
-          tar_entries(tarB).as("entries"),
-          decode(tar_extract(tarB, lit("docs/a.txt")), "UTF-8").as("a_text"),
-          charset_decode(tar_extract(tarB, paxPath)).as("b_text"))
-        .filter(col("entries").isNotNull) // torn gzip/tar: absent
-        .select(id, size(col("entries")).as("n_entries"),
-          col("a_text"), col("b_text"))
-      curated
-        .withColumn("fp", fingerprint(concat(col("a_text"), lit(" | "), col("b_text"))))
-        .groupBy(col("fp"))
-        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
-          min_by(col("n_entries"), id).as("n_entries"),
-          min_by(col("a_text"), id).as("a_text"),
-          min_by(col("b_text"), id).as("b_text"))
-        .select(col("doc_id"), col("n_dups"), col("n_entries"),
-          col("a_text"), col("b_text"))
-        .orderBy(col("doc_id"))
-    },
+    "x20_mirror_ingest" -> { (s, d) => mirrorIngest(s, d, "gzip") },
+
+    // x20's pipeline through a REAL ZSTANDARD frame (x20b, round 17 —
+    // `.tar.zst` is the emerging mirror default): the identical tar is
+    // wrapped in an RFC 8878 single-segment frame holding one RAW
+    // (stored) block, constructed in column arithmetic (magic, FHD
+    // 0x60 = 2-byte frame-content-size, LE24 block header), and
+    // inflated by zunstd (the zstd-jni decoder Spark itself ships).
+    // Torn docs lie about the frame content size by one byte — the
+    // decoder must refuse, quarantining by absence exactly like x20's
+    // bumped crc32. Same oracle shape: the container swap must be
+    // invisible under the hash.
+    "x20b_mirror_ingest_zstd" -> { (s, d) => mirrorIngest(s, d, "zstd") },
 
     // MULTIMODAL (image-text) CORPUS CURATION composed (x18, round 16 —
     // the m-family's decoders + d23's perceptual hash turned into the
@@ -2584,6 +2628,25 @@ object Reference extends QueryPack {
     // decode, three listed entries (the pax header is meta, never
     // listed), torn gzip docs contribute nothing
     "x20_mirror_ingest" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, doc_id % 13 AS m FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    'alpha ' || printf('%02d', m) || ' v2' AS a_text,
+        |    'beta ' || printf('%02d', m) || ' '
+        |      || chr(8220) || lang || chr(8221) AS b_text
+        |  FROM s),
+        |g AS (
+        |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |    a_text, b_text
+        |  FROM r GROUP BY a_text, b_text)
+        |SELECT doc_id, n_dups, CAST(3 AS INT) AS n_entries, a_text, b_text
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the container swap is invisible under the hash: identical output
+    // to x20 through the zstd frame instead of the gzip member
+    "x20b_mirror_ingest_zstd" ->
       """WITH s AS (
         |  SELECT doc_id, lang, doc_id % 13 AS m FROM documents
         |  WHERE doc_id % 7 <> 0),
