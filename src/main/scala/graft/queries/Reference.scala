@@ -493,6 +493,66 @@ object Reference extends QueryPack {
         .orderBy(id)
     },
 
+    // FLAC STREAMINFO under the gate (m25, round 17 — lossless speech
+    // corpora ship FLAC; the walk yields the routing facts plus the
+    // unencoded-PCM MD5 that keys exact-audio dedup): per doc,
+    // construct a complete FLAC metadata section in column arithmetic —
+    // magic, STREAMINFO with the RFC 9639 bit packing assembled from
+    // shifts over doc-derived rate/channels/bits/total, a 32-hex-char
+    // MD5 from four %08x lanes, a last-flagged padding block, and the
+    // first frame's sync bytes. Torn docs (doc_id % 9 == 0) truncate
+    // inside the padding block's declared length and refuse whole.
+    // The oracle restates every unpacked field arithmetically: an
+    // inversion check on the bit layout.
+    "m25_flac_streaminfo" -> { (s, d) =>
+      import graft.functions.GraftFunctions.flac_streaminfo
+      val id = col("doc_id")
+      val rate = (id % 5 + 1) * 8000
+      val ch = id % 3 + 1
+      val bps = lit(16) + (id % 2) * 8
+      val total = id * 100 + 1
+      def h2(c: Column) = format_string("%02x", c)
+      val md5Hex = format_string("%08x%08x%08x%08x",
+        pmod(id * 2654435761L, lit(4294967296L)),
+        pmod(id * 40503 + 7, lit(4294967296L)),
+        pmod(id + 123456789, lit(4294967296L)),
+        pmod(id * 97 + 13, lit(4294967296L)))
+      val flacHex = concat(
+        // fLaC | STREAMINFO (type 0, len 34) | blocksizes 4096/4096 |
+        // framesizes unknown
+        lit("664c614300000022" + "10001000" + "000000000000"),
+        h2(shiftright(rate, 12)),
+        h2(shiftright(rate, 4).bitwiseAND(lit(255))),
+        h2(shiftleft(rate.bitwiseAND(lit(15)), 4)
+          .bitwiseOR(shiftleft(ch - 1, 1))
+          .bitwiseOR(shiftright(bps - 1, 4))),
+        h2(shiftleft((bps - 1).bitwiseAND(lit(15)), 4)
+          .bitwiseOR(shiftright(total, 32).bitwiseAND(lit(15)))),
+        h2(shiftright(total, 24).bitwiseAND(lit(255))),
+        h2(shiftright(total, 16).bitwiseAND(lit(255))),
+        h2(shiftright(total, 8).bitwiseAND(lit(255))),
+        h2(total.bitwiseAND(lit(255))),
+        md5Hex,
+        // last-flagged 4-byte padding block, then the frame sync
+        lit("8100000400000000" + "fff8" + "6910"))
+      // torn: cut 10 bytes -> the padding block's declared 4 bytes
+      // overrun the blob (and the sync is gone with them)
+      val hexOut = when(id % 9 === 0,
+        flacHex.substr(lit(1), length(flacHex) - 20)).otherwise(flacHex)
+      val f = flac_streaminfo(unhex(hexOut))
+      Tables.documents(s, d)
+        .select(id, f.as("f"))
+        .filter(col("f").isNotNull)
+        .select(id,
+          col("f.sample_rate").as("sample_rate"),
+          col("f.channels").as("channels"),
+          col("f.bits_per_sample").as("bits_per_sample"),
+          col("f.total_samples").as("total_samples"),
+          col("f.md5").as("md5"),
+          col("f.n_meta_blocks").as("n_meta_blocks"))
+        .orderBy(id)
+    },
+
     // ANIMATED-GIF FRAME WALK under the gate (m23, round 16 — the
     // routing facts an animation needs, frame count + total duration,
     // from a walk that never decodes a pixel): per doc, construct a
@@ -2517,6 +2577,23 @@ object Reference extends QueryPack {
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_min END AS pixel_min,
         |  CASE WHEN s.doc_id % 9 = 0 THEN NULL ELSE pixel_max END AS pixel_max
         |FROM s JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // every unpacked STREAMINFO field restated arithmetically; torn
+    // docs quarantine by absence
+    "m25_flac_streaminfo" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 5 + 1) * 8000 AS INT) AS sample_rate,
+        |  CAST(doc_id % 3 + 1 AS INT) AS channels,
+        |  CAST(16 + (doc_id % 2) * 8 AS INT) AS bits_per_sample,
+        |  CAST(doc_id * 100 + 1 AS BIGINT) AS total_samples,
+        |  printf('%08x%08x%08x%08x',
+        |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT),
+        |    CAST((doc_id * 40503 + 7) % 4294967296 AS BIGINT),
+        |    CAST((doc_id + 123456789) % 4294967296 AS BIGINT),
+        |    CAST((doc_id * 97 + 13) % 4294967296 AS BIGINT)) AS md5,
+        |  CAST(2 AS INT) AS n_meta_blocks
+        |FROM documents WHERE doc_id % 9 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // version/pages/objects + the exact text the construction put in;
     // torn docs (flipped adler) quarantine by absence
