@@ -129,6 +129,8 @@ object GraftFunctions {
   def mp3_frames(bytes: Column): Column = toCol(Mp3Frames(toExpr(bytes)))
   /** FLAC STREAMINFO walk (rate/channels/bits/samples/md5) — see [[FlacStreaminfo]]. */
   def flac_streaminfo(bytes: Column): Column = toCol(FlacStreaminfo(toExpr(bytes)))
+  /** MJPEG frame payloads out of an AVI container — see [[AviFrames]]. */
+  def avi_frames(bytes: Column): Column = toCol(AviFrames(toExpr(bytes)))
   /** PDF metadata (version/pages/objects) — see [[PdfMeta]]. */
   def pdf_meta(bytes: Column): Column = toCol(PdfMeta(toExpr(bytes)))
   /** PDF text extraction (Tj/TJ walk) — see [[PdfText]]. */
@@ -238,6 +240,7 @@ object GraftFunctions {
     "audio_pcm_stats" -> { es => AudioPcmStats(es(0)) },
     "mp3_frames"      -> { es => Mp3Frames(es(0)) },
     "flac_streaminfo" -> { es => FlacStreaminfo(es(0)) },
+    "avi_frames"      -> { es => AviFrames(es(0)) },
     "pdf_meta"        -> { es => PdfMeta(es(0)) },
     "pdf_text"        -> { es => PdfText(es(0)) },
     "gif_frames"      -> { es => GifFrames(es(0)) },

@@ -200,3 +200,117 @@ object VideoMeta {
     null
   }
 }
+
+/** avi_frames(binary) -> array<binary> — the MJPEG frame payloads out
+  * of an AVI container (m26): m3's [[VideoMeta]] walk routes the
+  * container, this walk hands each `00dc` chunk's bytes to
+  * [[JpegPixelStats]] (MJPEG frames are baseline JPEGs), giving video
+  * the pixel-level curation signal images got in x18 — via
+  * posexplode + a per-ROW decode, never a per-element lambda.
+  *
+  * Strict scope (refuse-loudly, whole-blob NULL): RIFF/AVI framing
+  * with word alignment throughout; the FIRST stream header must be
+  * `vids` with handler `MJPG` (this is the MJPEG walk, not a general
+  * demuxer); exactly one stream; inside `movi` only `00dc`/`00db`
+  * video chunks (no interleaved audio in scope); the collected frame
+  * count must EQUAL avih's dwTotalFrames (a container that lies about
+  * its frame count is torn); `idx1` and standard `JUNK` padding are
+  * skipped unread. Caps: 4096 frames, 256 MB total payload.
+  */
+case class AviFrames(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "avi_frames"
+  override def dataType: DataType = ArrayType(BinaryType)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    AviFrames.frames(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AviFrames.frames($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AviFrames {
+  private val MaxFrames = 4096
+  private val MaxBytes = 256L * 1024 * 1024
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def is4cc(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  def frames(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (b == null || b.length < 12) return null
+    if (!is4cc(b, 0, "RIFF") || !is4cc(b, 8, "AVI ")) return null
+    var totalFrames = -1L
+    var mjpeg = false
+    var out: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (is4cc(b, i, "LIST") && i + 12 <= b.length) {
+        val listEnd = i.toLong + 8 + size
+        if (listEnd > b.length) return null
+        if (is4cc(b, i + 8, "hdrl")) {
+          var k = i + 12
+          while (k + 8 <= listEnd) {
+            val s2 = le32(b, k + 4)
+            if (is4cc(b, k, "avih")) {
+              if (s2 < 40 || k + 8 + 40 > listEnd) return null
+              totalFrames = le32(b, k + 8 + 16)
+              if (le32(b, k + 8 + 24) != 1L) return null // exactly one stream
+            } else if (is4cc(b, k, "LIST") && k + 12 <= listEnd &&
+                is4cc(b, k + 8, "strl")) {
+              // first child must be strh: fccType vids, handler MJPG
+              val p = k + 12
+              if (p + 16 > listEnd || !is4cc(b, p, "strh")) return null
+              if (!is4cc(b, p + 8, "vids") || !is4cc(b, p + 12, "MJPG")) return null
+              mjpeg = true
+            }
+            val nk = k.toLong + 8 + s2 + (s2 & 1)
+            if (nk <= k || nk > listEnd) return null
+            k = nk.toInt
+          }
+        } else if (is4cc(b, i + 8, "movi")) {
+          if (totalFrames < 0 || !mjpeg) return null // hdrl must precede
+          out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var total = 0L
+          var k = i + 12
+          while (k + 8 <= listEnd) {
+            val s2 = le32(b, k + 4)
+            if (!is4cc(b, k, "00dc") && !is4cc(b, k, "00db")) return null
+            if (k.toLong + 8 + s2 > listEnd) return null // torn chunk
+            if (out.size >= MaxFrames) return null
+            total += s2
+            if (total > MaxBytes) return null
+            out += java.util.Arrays.copyOfRange(b, k + 8, (k + 8 + s2).toInt)
+            val nk = k.toLong + 8 + s2 + (s2 & 1)
+            if (nk <= k) return null
+            k = nk.toInt
+          }
+          if (k.toLong != listEnd && k.toLong != listEnd + (listEnd & 1)) return null
+        }
+      } else if (!is4cc(b, i, "idx1") && !is4cc(b, i, "JUNK"))
+        return null // only the index and standard JUNK padding may appear
+      val next = i.toLong + 8 + size + (size & 1)
+      if (next <= i || next > b.length) return null
+      i = next.toInt
+    }
+    if (out == null) return null // no movi list
+    if (out.size.toLong != totalFrames) return null // frame-count lie
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray[Any])
+  }
+}

@@ -73,6 +73,60 @@ object Reference extends QueryPack {
     */
   private val ParcelProbe = Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.1f)
 
+  /** Shared MJPEG-AVI construction for m26/x21: per doc, a complete
+    * single-stream RIFF/AVI whose `movi` chunks are REAL baseline
+    * JPEGs (the m11 recipe — canonical Huffman, category-4 DC, q0=16,
+    * so block b of frame f lands on the EXACT integer 128 + 2*dc):
+    * nf = doc_id%3 + 2 frames at 25 fps (40 ms/frame), 8x8 greyscale —
+    * except doc_id%5 == 0 videos, whose frames are 16x8 (two blocks,
+    * alternating +d/-d diffs -> values [128+2d, 128]) while the avih
+    * still SAYS 8x8: the dims-consistency bait x21's gate must catch.
+    * Frame f's block value v_f = 144 + 2*((doc_id+f)%8). Torn docs
+    * (doc_id%7 == 0) lose their last 2 bytes and refuse whole.
+    */
+  private def mjpegAviHex(id: Column): Column = {
+    val nf = id % 3 + 2
+    val wb = when(id % 5 === 0, lit(2)).otherwise(lit(1))
+    def le32h(v: Int) = f"${v & 255}%02X${(v >> 8) & 255}%02X${(v >> 16) & 255}%02X${(v >> 24) & 255}%02X"
+    def le32c(v: Column) = format_string("%02X%02X%02X%02X",
+      v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
+      shiftright(v, 16).bitwiseAND(lit(255)),
+      shiftright(v, 24).bitwiseAND(lit(255)))
+    // baseline JPEG template (m11), height 8 fixed, width wb*8 spliced
+    val preA = "FFD8" + "FFDB00430010" + "01" * 63 + "FFC0000B08" + "0008"
+    val preB = "01011100" +
+      "FFC4001400" + "00000001" + "00" * 12 + "04" +
+      "FFC4001410" + "00000000000000010000000000000000" + "00" +
+      "FFDA0008010100003F00"
+    val jpegLen = lit((preA.length + 4 + preB.length) / 2 + 2) + wb * 2
+    val pad = pmod(jpegLen, lit(2))
+    val chunkBytes = lit(8) + jpegLen + pad
+    val avihHex = concat(lit("61766968" + le32h(56) + le32h(40000) +
+      le32h(0) + le32h(0) + le32h(0)), le32c(nf),
+      lit(le32h(0) + le32h(1) + le32h(0) + le32h(8) + le32h(8) + "00" * 16))
+    val strlHex = "4C495354" + le32h(4 + 64) + "7374726C" +
+      "73747268" + le32h(56) + "76696473" + "4D4A5047" + "00" * 48
+    val hdrlHex = concat(lit("4C495354" + le32h(4 + 64 + 76) + "6864726C"),
+      avihHex, lit(strlHex))
+    def dcOf(f: Column) = lit(8) + pmod(id + f, lit(8))
+    val chunksHex = array_join(transform(sequence(lit(0), nf - 1), f => concat(
+      lit("30306463"), le32c(jpegLen),
+      lit(preA), format_string("%04X", wb * 8), lit(preB),
+      when(wb === 1, format_string("%02X00", dcOf(f)))
+        .otherwise(format_string("%02X00%02X00", dcOf(f), lit(15) - dcOf(f))),
+      lit("FFD9"),
+      when(pad === 1, lit("00")).otherwise(lit("")))), "")
+    val moviSize = lit(4) + nf * chunkBytes
+    val riffSize = lit(168) + nf * chunkBytes
+    val aviHex = concat(
+      lit("52494646"), le32c(riffSize), lit("41564920"),
+      hdrlHex,
+      lit("4C495354"), le32c(moviSize), lit("6D6F7669"),
+      chunksHex)
+    when(id % 7 === 0, aviHex.substr(lit(1), length(aviHex) - 4))
+      .otherwise(aviHex)
+  }
+
   /** Shared construction + pipeline for the mirror-ingestion composed
     * gates (x20 gzip / x20b zstd): per doc, a 4-member ustar tar built
     * in column arithmetic (duplicate path where the SECOND occurrence
@@ -551,6 +605,78 @@ object Reference extends QueryPack {
           col("f.md5").as("md5"),
           col("f.n_meta_blocks").as("n_meta_blocks"))
         .orderBy(id)
+    },
+
+    // MJPEG-IN-AVI FRAME DECODE under the gate (m26, round 17): walk
+    // the AVI built by [[mjpegAviHex]] with avi_frames (strict RIFF
+    // framing, vids/MJPG stream header required, frame count must
+    // match avih) and decode EVERY frame's pixels with
+    // jpeg_pixel_stats — posexplode then a per-ROW decode, the
+    // scan-fused shape (never a per-element lambda). The oracle states
+    // each frame's stats from the m11 closed form (block value
+    // 128 + 2*dc): an inversion check on the demux + decode pair.
+    // Torn docs quarantine by absence.
+    "m26_avi_mjpeg" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{avi_frames, jpeg_pixel_stats}
+      val id = col("doc_id")
+      val avi = unhex(mjpegAviHex(id))
+      Tables.documents(s, d)
+        .select(id, posexplode(avi_frames(avi)).as(Seq("idx", "frame")))
+        .select(id, col("idx").cast("int").as("idx"),
+          jpeg_pixel_stats(col("frame")).as("p"))
+        .select(id, col("idx"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_pixels").as("n_pixels"), col("p.pixel_sum").as("pixel_sum"),
+          col("p.pixel_min").as("pixel_min"), col("p.pixel_max").as("pixel_max"))
+        .orderBy(id, col("idx"))
+    },
+
+    // VIDEO CORPUS CURATION composed (x21, round 17 — the x18/x19
+    // shape for the video modality, ONE plan under ONE hash): demux +
+    // decode gates (avi_frames/jpeg_pixel_stats NULLs quarantine torn
+    // containers and undecodable frames), a duration floor from
+    // video_meta (>= 120 ms drops the 2-frame shorts), a
+    // dims-consistency gate (every frame's decoded width/height must
+    // equal the avih header's claim — doc_id%5 == 0 videos lie and are
+    // dropped), an overexposure gate on the first frame's level, then
+    // exact-media keep-first dedup keyed on md5 over the CONCATENATED
+    // FRAME PAYLOADS (the x19 posture: container metadata may differ,
+    // identical frames are the duplicate). Two data exchanges: the
+    // per-video re-aggregation and the keep-first group.
+    "x21_video_curation" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{avi_frames, jpeg_pixel_stats, video_meta}
+      val id = col("doc_id")
+      val avi = unhex(mjpegAviHex(id))
+      val perFrame = Tables.documents(s, d)
+        .select(id,
+          video_meta(avi).as("meta"),
+          md5(array_join(transform(avi_frames(avi),
+            f => hex(f)), "")).as("sig"),
+          posexplode(avi_frames(avi)).as(Seq("idx", "frame")))
+        .select(id, col("meta"), col("sig"), col("idx"),
+          jpeg_pixel_stats(col("frame")).as("p"))
+      val perVideo = perFrame
+        .groupBy(id, col("sig"),
+          col("meta.width").as("hdr_w"), col("meta.height").as("hdr_h"),
+          col("meta.duration_ms").as("duration_ms"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("p.pixel_sum")).as("level_sum"),
+          min((col("p.width") === col("meta.width").cast("int") &&
+            col("p.height") === col("meta.height").cast("int")).cast("int"))
+            .as("dims_ok"),
+          max(when(col("idx") === 0, col("p.pixel_max"))).as("first_level"),
+          min(col("p.pixel_sum").isNotNull.cast("int")).as("decode_ok"))
+      perVideo
+        .filter(col("decode_ok") === 1 && col("dims_ok") === 1 &&
+          col("duration_ms") >= 120 && col("first_level") <= 156)
+        .groupBy(col("sig"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
+          min_by(col("n_frames"), id).as("n_frames"),
+          min_by(col("duration_ms"), id).as("duration_ms"),
+          min_by(col("level_sum"), id).as("level_sum"))
+        .select(col("doc_id"), col("n_dups"), col("n_frames"),
+          col("duration_ms"), col("level_sum"))
+        .orderBy(col("doc_id"))
     },
 
     // ANIMATED-GIF FRAME WALK under the gate (m23, round 16 — the
@@ -2594,6 +2720,51 @@ object Reference extends QueryPack {
         |  CAST(2 AS INT) AS n_meta_blocks
         |FROM documents WHERE doc_id % 9 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    // per-frame stats from the m11 closed form (block value 128+2*dc;
+    // 16x8 videos carry a second 128-valued block); torn absent
+    "m26_avi_mjpeg" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS nf,
+        |    CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS wb
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |f AS (
+        |  SELECT doc_id, wb, unnest(generate_series(0, nf - 1)) AS idx
+        |  FROM s),
+        |v AS (
+        |  SELECT doc_id, idx, wb,
+        |    144 + 2 * ((doc_id + idx) % 8) AS val
+        |  FROM f)
+        |SELECT doc_id, CAST(idx AS INT) AS idx,
+        |  CAST(wb * 8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(wb * 64 AS BIGINT) AS n_pixels,
+        |  CAST(64 * val + CASE WHEN wb = 2 THEN 8192 ELSE 0 END AS BIGINT)
+        |    AS pixel_sum,
+        |  CAST(CASE WHEN wb = 2 THEN 128 ELSE val END AS INT) AS pixel_min,
+        |  CAST(val AS INT) AS pixel_max
+        |FROM v ORDER BY doc_id, idx""".stripMargin,
+
+    // survivors = not torn (%7), honest dims (%5), long enough (%3),
+    // not overexposed (%8); duplicate class = (doc_id%8 values, nf) =
+    // doc_id % 24 — the md5-of-frames key is injective on classes
+    "x21_video_curation" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS nf FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+        |    AND doc_id % 3 <> 0 AND doc_id % 8 <> 7),
+        |f AS (
+        |  SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS idx
+        |  FROM s),
+        |lv AS (
+        |  SELECT doc_id, nf,
+        |    CAST(SUM(64 * (144 + 2 * ((doc_id + idx) % 8))) AS BIGINT)
+        |      AS level_sum
+        |  FROM f GROUP BY doc_id, nf)
+        |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |  CAST(MIN(nf) AS BIGINT) AS n_frames,
+        |  CAST(MIN(nf) * 40 AS BIGINT) AS duration_ms,
+        |  MIN(level_sum) AS level_sum
+        |FROM lv GROUP BY doc_id % 24 ORDER BY doc_id""".stripMargin,
 
     // version/pages/objects + the exact text the construction put in;
     // torn docs (flipped adler) quarantine by absence

@@ -916,4 +916,94 @@ class MultimodalSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+  /** Full MJPEG AVI: hand-built RIFF framing (independent offset
+    * bookkeeping) around REAL baseline JPEGs written by ImageIO — the
+    * independent-encoder differential for [[graft.functions.AviFrames]].
+    */
+  private def mjpegAvi(jpegs: Seq[Array[Byte]], mspf: Int,
+                       frameCountLie: Int = 0,
+                       handler: String = "MJPG"): Array[Byte] = {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    val avih = fcc("avih") ++ le32(56) ++
+      le32(mspf) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(jpegs.size + frameCountLie) ++ le32(0) ++
+      le32(1) ++ le32(0) ++ le32(8) ++ le32(8) ++ Array.fill[Byte](16)(0)
+    val strh = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc(handler) ++
+      Array.fill[Byte](48)(0)
+    val strl = fcc("LIST") ++ le32(4 + strh.length) ++ fcc("strl") ++ strh
+    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+      fcc("hdrl") ++ avih ++ strl
+    val chunks = jpegs.flatMap { j =>
+      fcc("00dc") ++ le32(j.length) ++ j ++
+        (if (j.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    }.toArray
+    val movi = fcc("LIST") ++ le32(4 + chunks.length) ++ fcc("movi") ++ chunks
+    fcc("RIFF") ++ le32(4 + hdrl.length + movi.length) ++ fcc("AVI ") ++
+      hdrl ++ movi
+  }
+
+  private def imageIoJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (seed + x * 7 + y * 13) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  test("avi_frames: ImageIO-encoded MJPEG frames extract byte-exact and decode like ImageIO") {
+    import graft.functions.{AviFrames, JpegPixelStats}
+    val jpegs = (0 until 3).map(i => imageIoJpeg(16, 8, 40 + i * 50))
+    val avi = mjpegAvi(jpegs, mspf = 33333)
+    val arr = AviFrames.frames(avi)
+    assert(arr !== null, "refused a well-formed MJPEG AVI")
+    assert(arr.numElements() === 3)
+    for (i <- 0 until 3) {
+      val got = arr.getBinary(i)
+      assert(got.toSeq === jpegs(i).toSeq, s"frame $i bytes differ")
+      // and the per-frame decode agrees with ImageIO on the same bytes
+      val stats = JpegPixelStats.decodeStats(got)
+      assert(stats !== null, s"frame $i did not decode")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpegs(i)))
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        sum += img.getRaster.getSample(x, y, 0)
+      val n = img.getWidth * img.getHeight
+      // JpegSpec's ImageIO convention: IDCT rounding differs by <= 2
+      // per pixel on lossy data (byte-exact is the EXTRACTION contract)
+      assert(math.abs(stats.getLong(3) - sum) <= 2L * n,
+        s"frame $i pixel_sum vs ImageIO: ${stats.getLong(3)} vs $sum")
+    }
+    // video_meta routes the same container (the m3 walk is untouched)
+    val meta = graft.functions.VideoMeta.parse(avi)
+    assert(meta !== null)
+    assert(meta.getInt(4) === 1)
+  }
+
+  test("avi_frames refusals: frame-count lie, non-MJPEG handler, torn chunk, foreign chunks") {
+    import graft.functions.AviFrames
+    val jpegs = (0 until 2).map(i => imageIoJpeg(8, 8, 10 + i))
+    val good = mjpegAvi(jpegs, 33333)
+    assert(AviFrames.frames(good) !== null)
+    // avih claims one more frame than movi carries
+    assert(AviFrames.frames(mjpegAvi(jpegs, 33333, frameCountLie = 1)) === null)
+    // stream handler is not MJPG
+    assert(AviFrames.frames(mjpegAvi(jpegs, 33333, handler = "H264")) === null)
+    // torn: cut into the last chunk
+    assert(AviFrames.frames(good.dropRight(10)) === null)
+    // an audio chunk inside movi is out of the MJPEG walk's scope
+    val audio = {
+      val s = new String(good, "ISO-8859-1")
+      val at = s.indexOf("00dc")
+      val bad = good.clone(); bad(at + 2) = 'w'; bad(at + 3) = 'b'
+      bad
+    }
+    assert(AviFrames.frames(audio) === null)
+    // not an AVI at all
+    assert(AviFrames.frames("RIFFxxxxWAVEfmt ".getBytes) === null)
+  }
+
 }
