@@ -421,6 +421,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x17 lost the map-side partial aggregate:\n$plan")
   }
 
+  test("x18 curation: banded-pair + keep-first shuffles only; the anti-join may cross broadcast->SMJ") {
+    val plan = planOf("x18_multimodal_curation")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // the banded 16-bit-chunk candidate join + its DISTINCT cost 2-3
+    // exchanges; the keep-first anti-join side broadcasts at gate scale
+    // and crosses to an SMJ exchange pair at image-corpus scale — both
+    // are the designed shape (the x17 history-join convention), anything
+    // past the window is a regression
+    assert(hashExchanges >= 3 && hashExchanges <= 5,
+      s"x18 should pay banded pair + dedup (+ keep-first SMJ), found $hashExchanges:\n$plan")
+    assert(plan.contains("LeftAnti"), s"x18 lost the keep-first anti-join:\n$plan")
+    assert("(SortMergeJoin|BroadcastHashJoin) .*LeftAnti".r
+      .findFirstIn(plan).nonEmpty,
+      s"x18 anti-join is neither hash nor sort-merge:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"x18 anti-join degraded to a nested loop:\n$plan")
+    // the banded candidate join itself (id1 < id2 under the bit_count
+    // refinement) must stay an equi-join on the band key
+    assert(plan.contains("bit_count"),
+      s"x18 lost the hamming refinement before the distinct:\n$plan")
+  }
+
   test("t58 frontier: one host-keyed exchange feeding the rank window") {
     val plan = planOf("t58_crawl_schedule")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
