@@ -44,7 +44,9 @@ object Multimodal {
     * composition (binary substring equality + one masked-byte check for
     * the MP3 frame sync), fully codegen; recognizes the same containers
     * the typed parsers read: png, gif, jpeg, webp, tiff, wav, avi,
-    * mp4, mp3.
+    * mp4, mp3 — and (round 17) the archive/document families the
+    * engine's walks parse: gzip, zstd, zip, tar (ustar at offset 257),
+    * warc, pdf, flac.
     * NULL in -> NULL out; anything unrecognized (including truncated
     * magic) -> 'unknown' — triage never throws.
     */
@@ -70,6 +72,18 @@ object Multimodal {
         lit(Array[Byte]('M'.toByte, 'M'.toByte, 0x00.toByte, 0x2a.toByte)), lit("tiff"))
       .when(substring(c, 5, 4) === ascii("ftyp"), lit("mp4"))
       .when(substring(c, 1, 3) === ascii("ID3"), lit("mp3"))
+      .when(substring(c, 1, 2) ===
+        lit(Array[Byte](0x1F.toByte, 0x8B.toByte)), lit("gzip"))
+      .when(substring(c, 1, 4) ===
+        lit(Array[Byte](0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte)), lit("zstd"))
+      .when(substring(c, 1, 4) ===
+        lit(Array[Byte]('P'.toByte, 'K'.toByte, 0x03.toByte, 0x04.toByte)), lit("zip"))
+      .when(substring(c, 1, 4) ===
+        lit(Array[Byte]('P'.toByte, 'K'.toByte, 0x05.toByte, 0x06.toByte)), lit("zip"))
+      .when(substring(c, 258, 5) === ascii("ustar"), lit("tar"))
+      .when(substring(c, 1, 5) === ascii("WARC/"), lit("warc"))
+      .when(substring(c, 1, 5) === ascii("%PDF-"), lit("pdf"))
+      .when(substring(c, 1, 4) === ascii("fLaC"), lit("flac"))
       .when(b1 === 255 && b2.bitwiseAND(lit(224)) === 224, lit("mp3"))
       .otherwise(lit("unknown"))
   }

@@ -2115,7 +2115,7 @@ object Reference extends QueryPack {
     // the expected routing directly
     "m4_media_format" -> { (s, d) =>
       import graft.operators.Multimodal.media_format
-      val k = (col("doc_id") % 8).cast("int")
+      val k = (col("doc_id") % 15).cast("int")
       val blob = when(k === 0, lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte,
           'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a)))
         .when(k === 1, lit("GIF89a").cast("binary"))
@@ -2127,6 +2127,14 @@ object Reference extends QueryPack {
         .when(k === 5, concat(lit(Array[Byte](0, 0, 0, 24)),
           lit("ftypisom").cast("binary")))
         .when(k === 6, concat(lit("ID3").cast("binary"), lit(Array[Byte](3, 0))))
+        // round 17: the archive/document families the engine now walks
+        .when(k === 8, lit(Array[Byte](0x1F.toByte, 0x8B.toByte, 0x08.toByte, 0x00.toByte)))
+        .when(k === 9, lit(Array[Byte](0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte)))
+        .when(k === 10, concat(lit("PK").cast("binary"), lit(Array[Byte](3, 4, 20, 0))))
+        .when(k === 11, lit("%PDF-1.4\n%junk").cast("binary"))
+        .when(k === 12, lit("fLaC").cast("binary"))
+        .when(k === 13, lit("WARC/1.0\r\nWARC-Type: response").cast("binary"))
+        .when(k === 14, concat(unhex(lit("00" * 257)), lit("ustar").cast("binary")))
         .otherwise(lit("plain text bytes").cast("binary"))
       Tables.documents(s, d)
         .select(col("doc_id"), media_format(blob).as("fmt"))
@@ -3629,10 +3637,14 @@ object Reference extends QueryPack {
     // arithmetic with duration_ms = units * 1000 // timescale (the ISO
     "m4_media_format" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 8 AS INT)
+        |  CASE CAST(doc_id % 15 AS INT)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
         |    WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'mp4'
-        |    WHEN 6 THEN 'mp3' ELSE 'unknown' END AS fmt
+        |    WHEN 6 THEN 'mp3'
+        |    WHEN 8 THEN 'gzip' WHEN 9 THEN 'zstd' WHEN 10 THEN 'zip'
+        |    WHEN 11 THEN 'pdf' WHEN 12 THEN 'flac' WHEN 13 THEN 'warc'
+        |    WHEN 14 THEN 'tar'
+        |    ELSE 'unknown' END AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // 14496-12 movie-header semantics in exact integer math); AVI from

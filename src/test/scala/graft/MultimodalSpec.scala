@@ -444,7 +444,17 @@ class MultimodalSpec extends AnyFunSuite {
       (9L, "RIFF0000XXXX".getBytes("ISO-8859-1")),  // RIFF but unknown subtype
       (10L, "GIF".getBytes("ISO-8859-1")),          // truncated magic
       (11L, "plain old text".getBytes("UTF-8")),
-      (12L, null)
+      (12L, null),
+      // round 17: the archive/document families the engine's walks parse
+      (13L, b(0x1F, 0x8B, 0x08, 0x00)),
+      (14L, b(0x28, 0xB5, 0x2F, 0xFD, 0x20)),
+      (15L, "PK".getBytes("ISO-8859-1") ++ b(3, 4)),
+      (16L, "PK".getBytes("ISO-8859-1") ++ b(5, 6)), // empty-archive EOCD
+      (17L, "%PDF-1.7\n".getBytes("ISO-8859-1")),
+      (18L, "fLaC ".getBytes("ISO-8859-1")),
+      (19L, "WARC/1.0\r\n".getBytes("ISO-8859-1")),
+      (20L, new Array[Byte](257) ++ "ustar".getBytes("ISO-8859-1")),
+      (21L, new Array[Byte](257) ++ "notar".getBytes("ISO-8859-1"))
     )
     val got = rows.toDF("id", "blob")
       .select(col("id"), Multimodal.media_format(col("blob")).as("fmt"))
@@ -452,7 +462,10 @@ class MultimodalSpec extends AnyFunSuite {
       .toMap
     assert(got === Map(1L -> "png", 2L -> "gif", 3L -> "jpeg", 4L -> "wav",
       5L -> "avi", 6L -> "mp4", 7L -> "mp3", 8L -> "mp3", 9L -> "unknown",
-      10L -> "unknown", 11L -> "unknown", 12L -> null))
+      10L -> "unknown", 11L -> "unknown", 12L -> null,
+      13L -> "gzip", 14L -> "zstd", 15L -> "zip", 16L -> "zip",
+      17L -> "pdf", 18L -> "flac", 19L -> "warc", 20L -> "tar",
+      21L -> "unknown"))
   }
 
   /** PCM16 WAV with real samples (optionally a junk chunk before fmt). */
