@@ -73,6 +73,72 @@ object Reference extends QueryPack {
     */
   private val ParcelProbe = Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.1f)
 
+  /** Shared two-page PDF fixture for m24/x22: a complete classic-xref
+    * PDF in column arithmetic — catalog, page tree, one uncompressed
+    * content stream and one FlateDecode stream carried as a zlib STORED
+    * block whose adler32 is computed in-query (the m6 pattern; the only
+    * varying bytes are the 7 `dval` digits and the 5-char `word`, so
+    * the two modular sums are seven codegen'd terms each). All object
+    * sizes are fixed-width, so every xref offset is a compile-time
+    * constant. Extracted text contract:
+    * `doc <D> <word>\nbeta <D>\nflate <D>\n` with D = %07d of dval.
+    * `tornAdler` flips the zlib checksum's low bit -> pdf_text refuses
+    * whole (pdf_meta still answers — the routing walk never decodes).
+    * Returns (hex column, total byte length — constant by design).
+    */
+  private def pdfFixtureHex(dval: Column, word: Column,
+      tornAdler: Column): (Column, Int) = {
+    def hexOf(str: String) =
+      str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+    val dHex = hex(format_string("%07d", dval))
+    val D = "0000000"
+    val c1 = s"BT (doc $D aaaaa) Tj ET BT [(beta)-200($D)] TJ ET"
+    val c2 = s"BT (flate $D) Tj ET"
+    val header = "%PDF-1.4\n"
+    val o1 = "1 0 obj\n<</Type /Catalog /Pages 2 0 R>>\nendobj\n"
+    val o2 = "2 0 obj\n<</Type /Pages /Kids [3 0 R 4 0 R] /Count 2>>\nendobj\n"
+    val o3 = "3 0 obj\n<</Type /Page /Parent 2 0 R /Contents 5 0 R>>\nendobj\n"
+    val o4 = "4 0 obj\n<</Type /Page /Parent 2 0 R /Contents 6 0 R>>\nendobj\n"
+    val o5 = s"5 0 obj\n<</Length ${c1.length}>>\nstream\n$c1\nendstream\nendobj\n"
+    val n2 = c2.length // stored-block payload length
+    val zLen = n2 + 11 // zlib hdr (2) + stored hdr (5) + adler (4)
+    val o6a = s"6 0 obj\n<</Length $zLen /Filter /FlateDecode>>\nstream\n"
+    val o6b = "\nendstream\nendobj\n"
+    val offs = Seq(o1, o2, o3, o4, o5).scanLeft(header.length)(_ + _.length)
+    val xrefAt = offs.last + o6a.length + zLen + o6b.length
+    val xref = "xref\n0 7\n0000000000 65535 f \n" +
+      offs.map(o => f"$o%010d 00000 n \n").mkString +
+      s"trailer\n<</Size 7 /Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n"
+    // adler32 over c2 with the REAL digits: the template digit bytes are
+    // '0' (48), the real ones 48 + d_k — each sum is its template
+    // constant plus the digits' closed-form contribution
+    val tmpl = c2.getBytes("ISO-8859-1").map(_ & 0xFF)
+    val sumT = tmpl.sum
+    val sumBT = tmpl.zipWithIndex.map { case (v, i) => (n2 - i) * v }.sum
+    def digit(k: Int): Column = // most-significant first, at c2 pos 10+k
+      pmod(floor(dval.cast("double") / math.pow(10, 6 - k)).cast("long"), lit(10L))
+    val aCol = pmod(lit(1L + sumT) +
+      (0 to 6).map(k => digit(k)).reduce(_ + _), lit(65521L)).cast("int")
+    val bCol = pmod(lit(n2.toLong + sumBT) +
+      (0 to 6).map(k => digit(k) * (n2 - 10 - k)).reduce(_ + _),
+      lit(65521L)).cast("int")
+    val aOut = when(tornAdler, aCol.bitwiseXOR(lit(1))).otherwise(aCol)
+    def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+    val pdfHex = concat(
+      lit(hexOf(header + o1 + o2 + o3 + o4) +
+        hexOf(s"5 0 obj\n<</Length ${c1.length}>>\nstream\nBT (doc ")), dHex,
+      lit(hexOf(" ")), hex(word),
+      lit(hexOf(") Tj ET BT [(beta)-200(")), dHex,
+      lit(hexOf(")] TJ ET\nendstream\nendobj\n") + hexOf(o6a) +
+        "780101" + le16h(n2) + le16h(0xFFFF - n2) + hexOf("BT (flate ")), dHex,
+      lit(hexOf(") Tj ET")),
+      format_string("%04X%04X", bCol, aOut),
+      lit(hexOf(o6b + xref)))
+    val pdfLen = (header + o1 + o2 + o3 + o4 + o5 + o6a).length + zLen +
+      (o6b + xref).length
+    (pdfHex, pdfLen)
+  }
+
   /** Shared MJPEG-AVI construction for m26/x21: per doc, a complete
     * single-stream RIFF/AVI whose `movi` chunks are REAL baseline
     * JPEGs (the m11 recipe — canonical Huffman, category-4 DC, q0=16,
@@ -491,53 +557,8 @@ object Reference extends QueryPack {
     "m24_pdf_text" -> { (s, d) =>
       import graft.functions.GraftFunctions.{pdf_meta, pdf_text}
       val id = col("doc_id")
-      def hexOf(str: String) =
-        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
-      val dHex = hex(format_string("%07d", pmod(id, lit(10000000L))))
-      // fixed-width template (digits rendered %07d) -> every offset is
-      // a compile-time constant the xref table can state
-      val D = "0000000"
-      val c1 = s"BT (doc $D alpha) Tj ET BT [(beta)-200($D)] TJ ET"
-      val c2 = s"BT (flate $D) Tj ET"
-      val header = "%PDF-1.4\n"
-      val o1 = "1 0 obj\n<</Type /Catalog /Pages 2 0 R>>\nendobj\n"
-      val o2 = "2 0 obj\n<</Type /Pages /Kids [3 0 R 4 0 R] /Count 2>>\nendobj\n"
-      val o3 = "3 0 obj\n<</Type /Page /Parent 2 0 R /Contents 5 0 R>>\nendobj\n"
-      val o4 = "4 0 obj\n<</Type /Page /Parent 2 0 R /Contents 6 0 R>>\nendobj\n"
-      val o5 = s"5 0 obj\n<</Length ${c1.length}>>\nstream\n$c1\nendstream\nendobj\n"
-      val n2 = c2.length // stored-block payload length
-      val zLen = n2 + 11 // zlib hdr (2) + stored hdr (5) + adler (4)
-      val o6a = s"6 0 obj\n<</Length $zLen /Filter /FlateDecode>>\nstream\n"
-      val o6b = "\nendstream\nendobj\n"
-      val offs = Seq(o1, o2, o3, o4, o5).scanLeft(header.length)(_ + _.length)
-      val xrefAt = offs.last + o6a.length + zLen + o6b.length
-      val xref = "xref\n0 7\n0000000000 65535 f \n" +
-        offs.map(o => f"$o%010d 00000 n \n").mkString +
-        s"trailer\n<</Size 7 /Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n"
-      // adler32 over c2 with the REAL digits: the template's digit bytes
-      // are '0' (48), the real ones 48 + d_k, so each sum is its template
-      // constant plus the digits' closed-form contribution
-      val tmpl = c2.getBytes("ISO-8859-1").map(_ & 0xFF)
-      val sumT = tmpl.sum
-      val sumBT = tmpl.zipWithIndex.map { case (v, i) => (n2 - i) * v }.sum
-      def digit(k: Int): Column = // most-significant digit first, at c2 pos 10+k
-        pmod(expr(s"(doc_id % 10000000) div ${math.pow(10, 6 - k).toLong}"), lit(10))
-      val aCol = pmod(lit(1L + sumT) +
-        (0 to 6).map(k => digit(k).cast("long")).reduce(_ + _), lit(65521L)).cast("int")
-      val bCol = pmod(lit(n2.toLong + sumBT) +
-        (0 to 6).map(k => (digit(k) * (n2 - 10 - k)).cast("long")).reduce(_ + _),
-        lit(65521L)).cast("int")
-      val aOut = when(id % 9 === 0, aCol.bitwiseXOR(lit(1))).otherwise(aCol)
-      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
-      val pdfHex = concat(
-        lit(hexOf(header + o1 + o2 + o3 + o4) +
-          hexOf(s"5 0 obj\n<</Length ${c1.length}>>\nstream\nBT (doc ")), dHex,
-        lit(hexOf(" alpha) Tj ET BT [(beta)-200(")), dHex,
-        lit(hexOf(")] TJ ET\nendstream\nendobj\n") + hexOf(o6a) +
-          "780101" + le16h(n2) + le16h(0xFFFF - n2) + hexOf("BT (flate ")), dHex,
-        lit(hexOf(") Tj ET")),
-        format_string("%04X%04X", bCol, aOut),
-        lit(hexOf(o6b + xref)))
+      val (pdfHex, _) = pdfFixtureHex(pmod(id, lit(10000000L)),
+        lit("alpha"), id % 9 === 0)
       val pdf = unhex(pdfHex)
       Tables.documents(s, d)
         .select(id, pdf_meta(pdf).as("m"), pdf_text(pdf).as("txt"))
@@ -545,6 +566,53 @@ object Reference extends QueryPack {
         .select(id, col("m.version").as("version"), col("m.pages").as("pages"),
           col("m.objects").as("objects"), col("txt"))
         .orderBy(id)
+    },
+
+    // COMPRESSED-DOCUMENT-MIRROR curation composed (x22, round 17 —
+    // m24 in the pipeline, the document sibling of x20/x21, ONE plan
+    // under ONE hash): per doc, the two-page PDF fixture is wrapped in
+    // an RFC 8878 zstd stored frame (the wire format a modern mirror
+    // ships) and ingested end-to-end — zunstd -> pdf_text -> a
+    // token-count quality floor -> keep-first dedup on the extracted
+    // text (documents are duplicates by CONTENT class, doc_id % 13).
+    // THREE live refusal/gate arms: a frame-content-size lie
+    // (doc_id % 7, zunstd refuses), a flipped zlib adler inside the PDF
+    // (doc_id % 9, pdf_text refuses — the two container layers
+    // quarantine independently), and a blanked content word
+    // (doc_id % 4, the 6-token doc falls below the 7-token floor).
+    // One data exchange (the keep-first group) + the output sort.
+    "x22_document_mirror" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{pdf_text, zunstd}
+      val id = col("doc_id")
+      val (pdfHex, pdfLen) = pdfFixtureHex(pmod(id, lit(13)),
+        when(id % 4 === 0, lit("     ")).otherwise(lit("alpha")),
+        id % 9 === 0)
+      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+      def le24h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X"
+      // stored zstd frame: magic, FHD 0x60 (2-byte FCS), FCS, raw block
+      val fcsLie = when(id % 7 === 0, lit(1)).otherwise(lit(0))
+      val frameHex = concat(
+        lit("28B52FFD60"),
+        format_string("%02X%02X",
+          (lit(pdfLen - 256) + fcsLie).bitwiseAND(lit(255)),
+          shiftright(lit(pdfLen - 256) + fcsLie, 8).bitwiseAND(lit(255))),
+        lit(le24h(1 | (pdfLen << 3))),
+        pdfHex)
+      val txt = pdf_text(zunstd(unhex(frameHex)))
+      Tables.documents(s, d)
+        .select(id, txt.as("txt"))
+        .filter(col("txt").isNotNull)
+        .select(id, col("txt"),
+          // trim() strips SPACES only — the trailing newline would count
+          // as a phantom token through split's kept trailing empty
+          size(split(regexp_replace(col("txt"), "^\\s+|\\s+$", ""), "\\s+"))
+            .as("n_tokens"))
+        .filter(col("n_tokens") >= 7)
+        .groupBy(col("txt"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
+          min_by(col("n_tokens"), id).as("n_tokens"))
+        .select(col("doc_id"), col("n_dups"), col("n_tokens"), col("txt"))
+        .orderBy(col("doc_id"))
     },
 
     // FLAC STREAMINFO under the gate (m25, round 17 — lossless speech
@@ -2773,6 +2841,23 @@ object Reference extends QueryPack {
         |  CAST(MIN(nf) * 40 AS BIGINT) AS duration_ms,
         |  MIN(level_sum) AS level_sum
         |FROM lv GROUP BY doc_id % 24 ORDER BY doc_id""".stripMargin,
+
+    // survivors = honest frame size (%7), intact adler (%9), wordy
+    // enough (%4); duplicate class = the content class doc_id % 13
+    "x22_document_mirror" ->
+      """WITH s AS (
+        |  SELECT doc_id, lpad(CAST(doc_id % 13 AS VARCHAR), 7, '0') AS D
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 9 <> 0 AND doc_id % 4 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    'doc ' || D || ' alpha' || chr(10) ||
+        |    'beta ' || D || chr(10) ||
+        |    'flate ' || D || chr(10) AS txt
+        |  FROM s)
+        |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |  CAST(7 AS INT) AS n_tokens, txt
+        |FROM r GROUP BY txt ORDER BY doc_id""".stripMargin,
 
     // version/pages/objects + the exact text the construction put in;
     // torn docs (flipped adler) quarantine by absence

@@ -1042,6 +1042,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("document ingest twins (21st): streamed zstd -> pdf_text -> gate -> keep-first equals batch x22 flow") {
+    import spark.implicits._
+    import graft.streaming.DocumentIngestStream
+    implicit val sctx = spark.sqlContext
+    // one-page classic-xref PDF (straight-line builder, independent of
+    // the engine's parser) holding one Tj line
+    def pdfOf(text: String): Array[Byte] = {
+      val c = s"BT ($text) Tj ET".getBytes("ISO-8859-1")
+      val out = new java.io.ByteArrayOutputStream()
+      val offs = scala.collection.mutable.ArrayBuffer[Int]()
+      out.write("%PDF-1.4\n".getBytes("ISO-8859-1"))
+      def obj(n: Int, body: String): Unit = {
+        offs += out.size()
+        out.write(s"$n 0 obj\n$body\nendobj\n".getBytes("ISO-8859-1"))
+      }
+      obj(1, "<</Type /Catalog /Pages 2 0 R>>")
+      obj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>")
+      obj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>")
+      offs += out.size()
+      out.write(s"4 0 obj\n<</Length ${c.length}>>\nstream\n".getBytes("ISO-8859-1"))
+      out.write(c)
+      out.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      val xrefAt = out.size()
+      out.write(("xref\n0 5\n0000000000 65535 f \n" +
+        offs.map(o => f"$o%010d 00000 n \n").mkString +
+        s"trailer\n<</Size 5 /Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n")
+        .getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    def zst(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.setChecksum(true); z.write(b); z.close()
+      bos.toByteArray
+    }
+    val blobs: Seq[(Long, Array[Byte])] = (0L until 40L).map { id =>
+      val cls = id % 5
+      // short-doc arm (id%4): 2 tokens, below the 7-token floor
+      val text = if (id % 4 == 0) s"doc $cls"
+        else s"doc $cls alpha beta gamma delta here"
+      val z = zst(pdfOf(text))
+      // torn-frame arm (id%7): zunstd must refuse, quarantine by absence
+      (id, if (id % 7 == 0) z.dropRight(3) else z)
+    }
+    val batch = DocumentIngestStream.ingestBatch(blobs.toDF("doc_id", "blob"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // survivors: id%7 != 0 and id%4 != 0; one kept doc per content class
+    assert(batch.size === 5, s"expected 5 content classes, got ${batch.size}")
+    assert(batch.map(_._1).forall(id => id % 7 != 0 && id % 4 != 0))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = DocumentIngestStream.ingestStream(
+        input.toDF().toDF("doc_id", "blob"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_ingest")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-doc-ckpt").toString)
+      .start()
+    try {
+      input.addData(blobs.take(20)); q.processAllAvailable()
+      input.addData(blobs.drop(20)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("doc_ingest").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("lexical ingest twins (15th): streamed appendSaved equals batch-built BM25, scores included") {
     import spark.implicits._
     import graft.operators.InvertedIndex
