@@ -1805,6 +1805,80 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // CROSS-CONTAINER AUDIO DEDUP composed (x23, round 17 — the reason
+    // m25 surfaces the STREAMINFO md5): a recording mirrored as WAV by
+    // one source and FLAC by another is the SAME audio, and RFC 9639's
+    // md5-of-unencoded-PCM is the collision key. Per doc, the carrier
+    // alternates by parity: even ids build a mono 16 kHz WAV and the
+    // engine keys it by md5 over the data chunk's PCM BYTES (an honest
+    // read off the container); odd ids build a FLAC whose STREAMINFO
+    // md5 is computed in-query over the SAME class-derived PCM (what a
+    // real encoder writes, per the spec) and the engine keys it by
+    // READING that field back through flac_streaminfo. Same class =
+    // same key regardless of container -> keep-first groups carry BOTH
+    // carrier kinds (n_wav/n_flac prove the cross-container collision
+    // under the hash). Torn docs (doc_id % 7 == 0: WAV declared-size
+    // lie / FLAC missing first-frame sync) quarantine by absence.
+    "x23_cross_container_audio" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{audio_pcm_stats, flac_streaminfo}
+      val id = col("doc_id")
+      val m = pmod(id, lit(9))
+      def le16h(v: Column) =
+        format_string("%02X%02X", v % 256, (v / 256).cast("int"))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        v % 256, (v / 256).cast("int") % 256,
+        (v / 65536).cast("int") % 256, (v / 16777216).cast("int") % 256)
+      val n = (pmod(m, lit(5)) + 8).cast("int")
+      // class-derived PCM — identical for both carriers of a class
+      val pcmHex = array_join(transform(sequence(lit(0), n - 1), k => {
+        val sv = pmod(m * 31 + k * 17, lit(2048)) - 1024
+        val u = pmod(sv, lit(65536)).cast("int")
+        format_string("%02X%02X", u % 256, (u / 256).cast("int"))
+      }), "")
+      val pcmMd5 = md5(unhex(pcmHex)) // what a FLAC encoder would write
+      val dataSize = n * 2
+      val declared = when(id % 7 === 0, dataSize + 4).otherwise(dataSize)
+      val wav = concat(
+        lit("RIFF").cast("binary"), unhex(le32h(lit(36) + dataSize)),
+        lit("WAVEfmt ").cast("binary"),
+        unhex(concat(lit("100000000100"),
+          le16h(lit(1)), le32h(lit(16000)), le32h(lit(32000)),
+          le16h(lit(2)), le16h(lit(16)))),
+        lit("data").cast("binary"), unhex(le32h(declared)), unhex(pcmHex))
+      // FLAC: fLaC | last-flagged STREAMINFO(34) | 4096/4096 blocksizes |
+      // unknown framesizes | rate 16000 / ch 1 / bps 16 / total n packed |
+      // the PCM md5 | first-frame sync
+      val flacHex = concat(
+        lit("664c614380000022" + "10001000" + "000000000000" +
+          "03e800f0" + "000000"),
+        format_string("%02x", n),
+        pcmMd5,
+        lit("fff86910"))
+      val flacT = when(id % 7 === 0,
+        flacHex.substr(lit(1), length(flacHex) - 8)).otherwise(flacHex)
+      val isWav = id % 2 === 0
+      val f = flac_streaminfo(unhex(flacT))
+      val p = audio_pcm_stats(wav)
+      // the key is READ from each carrier: the WAV's PCM bytes hashed,
+      // the FLAC's STREAMINFO md5 field
+      val fp = when(isWav, md5(wav.substr(lit(45), dataSize)))
+        .otherwise(f.getField("md5"))
+      val samples = when(isWav, p.getField("n_samples"))
+        .otherwise(f.getField("total_samples"))
+      Tables.documents(s, d)
+        .select(id, isWav.as("is_wav"), fp.as("fp"), samples.as("n_samples"),
+          when(isWav, p.isNotNull).otherwise(f.isNotNull).as("ok"))
+        .filter(col("ok")) // torn carriers quarantine by absence
+        .groupBy(col("fp"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"),
+          sum(col("is_wav").cast("long")).as("n_wav"),
+          sum((!col("is_wav")).cast("long")).as("n_flac"),
+          min_by(col("n_samples"), id).as("n_samples"))
+        .select(col("doc_id"), col("n_dups"), col("n_wav"), col("n_flac"),
+          col("n_samples"))
+        .orderBy(col("doc_id"))
+    },
+
     // ZIP CONTAINER walk under the gate — the archive family documents
     // travel in (docx/xlsx/epub are ZIP): per document, construct a
     // complete two-entry STORED archive in column arithmetic — real
@@ -2841,6 +2915,21 @@ object Reference extends QueryPack {
         |  CAST(MIN(nf) * 40 AS BIGINT) AS duration_ms,
         |  MIN(level_sum) AS level_sum
         |FROM lv GROUP BY doc_id % 24 ORDER BY doc_id""".stripMargin,
+
+    // one kept row per PCM class with BOTH carrier kinds counted —
+    // the cross-container collision is the hash's subject; torn absent
+    "x23_cross_container_audio" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 9 AS m, doc_id % 2 AS carrier
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |g AS (
+        |  SELECT m, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |    CAST(SUM(CASE WHEN carrier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wav,
+        |    CAST(SUM(CASE WHEN carrier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flac
+        |  FROM s GROUP BY m)
+        |SELECT doc_id, n_dups, n_wav, n_flac,
+        |  CAST(m % 5 + 8 AS BIGINT) AS n_samples
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // survivors = honest frame size (%7), intact adler (%9), wordy
     // enough (%4); duplicate class = the content class doc_id % 13
