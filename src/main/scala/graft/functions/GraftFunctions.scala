@@ -135,6 +135,8 @@ object GraftFunctions {
   def pdf_meta(bytes: Column): Column = toCol(PdfMeta(toExpr(bytes)))
   /** PDF text extraction (Tj/TJ walk) — see [[PdfText]]. */
   def pdf_text(bytes: Column): Column = toCol(PdfText(toExpr(bytes)))
+  /** PDF document-information dictionary — see [[PdfInfo]]. */
+  def pdf_info(bytes: Column): Column = toCol(PdfInfo(toExpr(bytes)))
 
   // --- web corpus ----------------------------------------------------------
   /** RFC 9309 robots.txt evaluation for a fixed agent — see [[RobotsAllowed]]. */
@@ -243,6 +245,7 @@ object GraftFunctions {
     "avi_frames"      -> { es => AviFrames(es(0)) },
     "pdf_meta"        -> { es => PdfMeta(es(0)) },
     "pdf_text"        -> { es => PdfText(es(0)) },
+    "pdf_info"        -> { es => PdfInfo(es(0)) },
     "gif_frames"      -> { es => GifFrames(es(0)) },
     "url_canonicalize" -> { es => UrlCanonicalize(es(0)) },
     "robots_allowed" -> { es => RobotsAllowed(es(0), es(1), literalString("robots_allowed",

@@ -92,11 +92,52 @@ case class PdfText(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** pdf_info(binary) -> the document-information dictionary (provenance
+  * metadata a corpus pipeline routes and dedups on): /Title /Author
+  * /Subject /Creator /Producer /CreationDate /ModDate, each null when
+  * absent. Strings decode per ISO 32000 §7.9.2: a UTF-16BE BOM (FE FF)
+  * selects UTF-16BE, anything else reads as the PDFDocEncoding
+  * Latin-1 subset. A document that parses but has NO /Info yields an
+  * all-null row (absence of metadata is a fact, not a malformation);
+  * a torn or encrypted document yields NULL like [[PdfMeta]].
+  */
+case class PdfInfo(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "pdf_info"
+  override def dataType: DataType = PdfWalk.InfoSchema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PdfWalk.info(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PdfWalk.info($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object PdfWalk {
   val MetaSchema: StructType = StructType(Seq(
     StructField("version", StringType),
     StructField("pages", IntegerType),
     StructField("objects", IntegerType)))
+
+  val InfoSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("author", StringType),
+    StructField("subject", StringType),
+    StructField("creator", StringType),
+    StructField("producer", StringType),
+    StructField("creation_date", StringType),
+    StructField("mod_date", StringType)))
 
   // Resource caps (refuse past any — scan-task memory is bounded by
   // construction): xref entries, page count, one inflated stream, the
@@ -781,6 +822,37 @@ object PdfWalk {
       val pgs = pages(doc)
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(version(b)), pgs.size, doc.xref.size))
+    } catch {
+      case Refused => null
+      case scala.util.control.NonFatal(_) => null
+    }
+
+  /** ISO 32000 §7.9.2 text-string decode: UTF-16BE when BOM'd, else
+    * the PDFDocEncoding Latin-1 subset.
+    */
+  private def textString(s: Array[Byte]): UTF8String =
+    if (s.length >= 2 && (s(0) & 0xFF) == 0xFE && (s(1) & 0xFF) == 0xFF)
+      UTF8String.fromString(new String(s, 2, s.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE))
+    else UTF8String.fromString(new String(s,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  def info(b: Array[Byte]): GenericInternalRow =
+    try {
+      val doc = open(b)
+      val fields = Array("/Title", "/Author", "/Subject", "/Creator",
+        "/Producer", "/CreationDate", "/ModDate")
+      doc.trailer.get("/Info").map(doc.resolve(_, 0)) match {
+        case Some(PDict(m)) =>
+          new GenericInternalRow(fields.map[Any] { k =>
+            m.get(k).map(doc.resolve(_, 0)) match {
+              case Some(PStr(s)) => textString(s)
+              case _ => null // absent or a non-string value: null field
+            }
+          })
+        case _ => // parses, but carries no information dictionary
+          new GenericInternalRow(new Array[Any](fields.length))
+      }
     } catch {
       case Refused => null
       case scala.util.control.NonFatal(_) => null

@@ -568,6 +568,64 @@ object Reference extends QueryPack {
         .orderBy(id)
     },
 
+    // PDF DOCUMENT-INFORMATION dictionary under the gate (m24b, round
+    // 17 — the provenance fields a mirror routes and dedups on): per
+    // doc, a one-page PDF whose /Info object is the LAST body object,
+    // so its length may VARY by arm while every other offset stays a
+    // compile-time constant (only startxref is computed). Docs with
+    // doc_id % 3 == 0 write the Title as a UTF-16BE hex string with a
+    // BOM — built by interleaving "00" into hex() (codegen, the m16
+    // lesson) — and must decode to the SAME title as the literal arm:
+    // the §7.9.2 two-encoding contract sits under one oracle. Torn
+    // docs (doc_id % 7 == 0) lose the trailer and refuse whole.
+    "m24b_pdf_info" -> { (s, d) =>
+      import graft.functions.GraftFunctions.pdf_info
+      val id = col("doc_id")
+      def hexOf(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      val dHex = hex(format_string("%07d", pmod(id, lit(10000000L))))
+      val header = "%PDF-1.4\n"
+      val o1 = "1 0 obj\n<</Type /Catalog /Pages 2 0 R>>\nendobj\n"
+      val o2 = "2 0 obj\n<</Type /Pages /Kids [3 0 R] /Count 1>>\nendobj\n"
+      val o3 = "3 0 obj\n<</Type /Page /Parent 2 0 R>>\nendobj\n"
+      val offs = Seq(o1, o2, o3).scanLeft(header.length)(_ + _.length)
+      // /Info object 4: title arm varies the byte length — literal
+      // "(t 0000123)" vs "<FEFF 00-interleaved>" — author/producer fixed
+      val titleLit = concat(lit(hexOf("(t ")), dHex, lit(hexOf(")")))
+      // UTF-16BE LITERAL string: raw BOM + 00-interleaved bytes are
+      // legal inside ( ) per §7.3.4.2 — "(" FE FF | 00 't' 00 ' ' |
+      // 00 digit ... ")" ; the 00-interleave of the ASCII digit hex is
+      // one codegen'd regexp_replace (the m16 lesson)
+      val title16 = concat(lit("28FEFF00740020"),
+        regexp_replace(dHex, "(..)", "00$1"), lit("29"))
+      val utf16 = id % 3 === 0
+      val o4head = "4 0 obj\n<</Title "
+      val o4tail = " /Author (a graft) /CreationDate (D:20260816120000Z)>>\nendobj\n"
+      val o4len = lit(o4head.length + o4tail.length) +
+        when(utf16, lit(1 + 2 + 4 + 14 + 1)).otherwise(lit(3 + 7 + 1))
+      val o4hex = concat(lit(hexOf(o4head)),
+        when(utf16, title16).otherwise(titleLit), lit(hexOf(o4tail)))
+      val xrefAt = lit(offs.last) + o4len
+      val pdfHex = concat(
+        lit(hexOf(header + o1 + o2 + o3)), o4hex,
+        lit(hexOf("xref\n0 5\n0000000000 65535 f \n" +
+          offs.map(o => f"$o%010d 00000 n \n").mkString)),
+        lit(hexOf("trailer\n<</Size 5 /Root 1 0 R /Info 4 0 R>>\nstartxref\n")),
+        hex(format_string("%d", xrefAt)),
+        lit(hexOf("\n%%EOF\n")))
+      val hexOut = when(id % 7 === 0,
+        pdfHex.substr(lit(1), length(pdfHex) - 40)).otherwise(pdfHex)
+      val i = pdf_info(unhex(hexOut))
+      Tables.documents(s, d)
+        .select(id, i.as("i"))
+        .filter(col("i").isNotNull)
+        .select(id,
+          col("i.title").as("title"), col("i.author").as("author"),
+          col("i.creation_date").as("creation_date"),
+          col("i.producer").as("producer"))
+        .orderBy(id)
+    },
+
     // COMPRESSED-DOCUMENT-MIRROR curation composed (x22, round 17 —
     // m24 in the pipeline, the document sibling of x20/x21, ONE plan
     // under ONE hash): per doc, the two-page PDF fixture is wrapped in
@@ -2915,6 +2973,17 @@ object Reference extends QueryPack {
         |  CAST(MIN(nf) * 40 AS BIGINT) AS duration_ms,
         |  MIN(level_sum) AS level_sum
         |FROM lv GROUP BY doc_id % 24 ORDER BY doc_id""".stripMargin,
+
+    // both title arms decode to the SAME string (the §7.9.2 contract);
+    // absent /Producer is a null FIELD; torn docs absent
+    "m24b_pdf_info" ->
+      """SELECT doc_id,
+        |  't ' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') AS title,
+        |  'a graft' AS author,
+        |  'D:20260816120000Z' AS creation_date,
+        |  CAST(NULL AS VARCHAR) AS producer
+        |FROM documents WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // one kept row per PCM class with BOTH carrier kinds counted —
     // the cross-container collision is the hash's subject; torn absent

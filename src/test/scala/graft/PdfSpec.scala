@@ -69,6 +69,57 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  private def infoOf(b: Array[Byte]): Option[Seq[String]] =
+    Option(PdfWalk.info(b)).map(r => (0 until 7).map(i =>
+      if (r.isNullAt(i)) null else r.getUTF8String(i).toString))
+
+  test("pdf_info: real files' document-information dictionaries read exactly") {
+    realFile("/usr/share/doc/libtasn1-doc/libtasn1.pdf") match {
+      case None => cancel("host fixture not present")
+      case Some(b) =>
+        // pdfTeX wrote no Title/Author/Subject; the provenance fields are set
+        val Some(Seq(title, author, subject, creator, producer, cdate, mdate)) = infoOf(b)
+        assert(title === null && author === null && subject === null)
+        assert(creator === "TeX")
+        assert(producer === "pdfTeX-1.40.24")
+        assert(cdate === "D:20250208122313Z")
+        assert(mdate === "D:20250208122313Z")
+    }
+    realFile("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf") match {
+      case None => cancel("host fixture not present")
+      case Some(b) =>
+        // this writer emits EMPTY strings (present, not absent) for
+        // Title/Author — the distinction the schema must carry
+        val Some(Seq(title, author, _, creator, producer, _, _)) = infoOf(b)
+        assert(title === "")
+        assert(author === "")
+        assert(creator === "LaTeX with hyperref")
+        assert(producer === "pdfTeX-1.40.22")
+    }
+  }
+
+  test("pdf_info: UTF-16BE BOM strings decode; missing /Info is all-null, torn is NULL") {
+    val b = new Builder
+    b.obj(1, "<</Type /Catalog /Pages 2 0 R>>")
+    b.obj(2, "<</Type /Pages /Kids [] /Count 0>>")
+    // UTF-16BE title with BOM; Latin-1 author with an escape
+    val title16 = "FEFF" + "Título PDF".map(c => f"${c.toInt}%04X").mkString
+    b.obj(3, s"<</Title <$title16> /Author (Ana \\(QA\\)) /Producer (graft)>>")
+    val pdf = b.finish(" /Info 3 0 R")
+    assert(infoOf(pdf) === Some(Seq("Título PDF", "Ana (QA)", null,
+      null, "graft", null, null)))
+    // no /Info: the doc parses, every field null
+    val bare = {
+      val b2 = new Builder
+      b2.obj(1, "<</Type /Catalog /Pages 2 0 R>>")
+      b2.obj(2, "<</Type /Pages /Kids [] /Count 0>>")
+      b2.finish()
+    }
+    assert(infoOf(bare) === Some(Seq(null, null, null, null, null, null, null)))
+    // torn: same refusal as the other walks
+    assert(PdfWalk.info(pdf.dropRight(20)) === null)
+  }
+
   // ---- hand-built classic fixture -------------------------------------------
 
   /** Straight-line classic-xref builder: appends objects, records their
