@@ -131,6 +131,10 @@ object GraftFunctions {
   def flac_streaminfo(bytes: Column): Column = toCol(FlacStreaminfo(toExpr(bytes)))
   /** MJPEG frame payloads out of an AVI container — see [[AviFrames]]. */
   def avi_frames(bytes: Column): Column = toCol(AviFrames(toExpr(bytes)))
+  /** OGG page walk + Opus/Vorbis ID header — see [[OggMeta]]. */
+  def ogg_meta(bytes: Column): Column = toCol(OggMeta(toExpr(bytes)))
+  /** RFC 3533 page CRC (unreflected 0x04C11DB7) — see [[OggCrc]]. */
+  def ogg_crc(bytes: Column): Column = toCol(OggCrc(toExpr(bytes)))
   /** PDF metadata (version/pages/objects) — see [[PdfMeta]]. */
   def pdf_meta(bytes: Column): Column = toCol(PdfMeta(toExpr(bytes)))
   /** PDF text extraction (Tj/TJ walk) — see [[PdfText]]. */
@@ -243,6 +247,8 @@ object GraftFunctions {
     "mp3_frames"      -> { es => Mp3Frames(es(0)) },
     "flac_streaminfo" -> { es => FlacStreaminfo(es(0)) },
     "avi_frames"      -> { es => AviFrames(es(0)) },
+    "ogg_meta"        -> { es => OggMeta(es(0)) },
+    "ogg_crc"         -> { es => OggCrc(es(0)) },
     "pdf_meta"        -> { es => PdfMeta(es(0)) },
     "pdf_text"        -> { es => PdfText(es(0)) },
     "pdf_info"        -> { es => PdfInfo(es(0)) },

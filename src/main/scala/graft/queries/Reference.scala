@@ -1863,6 +1863,65 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // OGG CONTAINER walk under the gate (m27, round 17 — the Opus/
+    // Vorbis half of the lossless/compressed-audio line m25 opened):
+    // per doc, construct a complete two-page OGG stream in column
+    // arithmetic — BOS page carrying a real OpusHead (even ids) or
+    // Vorbis identification header (odd ids), EOS page whose granule
+    // states the total — with EVERY page's RFC 3533 CRC computed by
+    // ogg_crc over the zero-checksum page bytes and spliced in
+    // (exactly crc32's role in the gzip gates; the unreflected
+    // 0x04C11DB7 CRC has no built-in). Torn docs (doc_id % 7 == 0)
+    // flip a payload byte AFTER the checksum splice — the CRC gate is
+    // what refuses them. The oracle restates every ID-header field.
+    "m27_ogg_meta" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{ogg_crc, ogg_meta}
+      val id = col("doc_id")
+      def hexOf(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
+        shiftright(v, 16).bitwiseAND(lit(255)),
+        shiftright(v, 24).bitwiseAND(lit(255)))
+      def le64h(v: Column) = concat(le32h(v), le32h(shiftright(v, 32)))
+      def withCrc(preHex: Column, postHex: Column): Column = {
+        val zeroed = concat(preHex, lit("00000000"), postHex)
+        concat(preHex, le32h(ogg_crc(unhex(zeroed))), postHex)
+      }
+      val opus = id % 2 === 0
+      val ch = pmod(id, lit(3)) + 1
+      val rate = (pmod(id, lit(6)) + 1) * 8000
+      val total = id * 960 + 960
+      val idHdr = when(opus, concat(
+          lit(hexOf("OpusHead") + "01"), format_string("%02X", ch),
+          lit("3801"), le32h(rate), lit("000000")))
+        .otherwise(concat(
+          lit("01" + hexOf("vorbis") + "00000000"), format_string("%02X", ch),
+          le32h(rate), lit("00" * 12 + "6601")))
+      val lacing1 = when(opus, lit("13")).otherwise(lit("1E")) // 19 / 30
+      val p1 = withCrc(
+        lit("4F676753" + "00" + "02" + "0000000000000000" +
+          "07000000" + "00000000"),
+        concat(lit("01"), lacing1, idHdr))
+      val p2 = withCrc(
+        concat(lit("4F676753" + "00" + "04"), le64h(total),
+          lit("07000000" + "01000000")),
+        lit("01" + "0A" + "09" * 10))
+      // torn: corrupt the last payload byte AFTER the CRC was spliced
+      val p2out = when(id % 7 === 0,
+        concat(p2.substr(lit(1), length(p2) - 2), lit("EE"))).otherwise(p2)
+      val m = ogg_meta(unhex(concat(p1, p2out)))
+      Tables.documents(s, d)
+        .select(id, m.as("m"))
+        .filter(col("m").isNotNull)
+        .select(id,
+          col("m.codec").as("codec"), col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.total_samples").as("total_samples"),
+          col("m.n_pages").as("n_pages"))
+        .orderBy(id)
+    },
+
     // CROSS-CONTAINER AUDIO DEDUP composed (x23, round 17 — the reason
     // m25 surfaces the STREAMINFO md5): a recording mirrored as WAV by
     // one source and FLAC by another is the SAME audio, and RFC 9639's
@@ -2973,6 +3032,18 @@ object Reference extends QueryPack {
         |  CAST(MIN(nf) * 40 AS BIGINT) AS duration_ms,
         |  MIN(level_sum) AS level_sum
         |FROM lv GROUP BY doc_id % 24 ORDER BY doc_id""".stripMargin,
+
+    // every identification-header field restated arithmetically; torn
+    // (post-splice payload flip -> CRC mismatch) absent
+    "m27_ogg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(doc_id % 3 + 1 AS INT) AS channels,
+        |  CAST((doc_id % 6 + 1) * 8000 AS INT) AS sample_rate,
+        |  CAST(doc_id * 960 + 960 AS BIGINT) AS total_samples,
+        |  CAST(2 AS INT) AS n_pages
+        |FROM documents WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // both title arms decode to the SAME string (the §7.9.2 contract);
     // absent /Producer is a null FIELD; torn docs absent
