@@ -443,6 +443,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x18 lost the hamming refinement before the distinct:\n$plan")
   }
 
+  test("x21 video curation: per-video re-agg + keep-first only; demux/decode/gates fuse") {
+    val plan = planOf("x21_video_curation")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 2,
+      s"x21 needs exactly two data shuffles (re-agg + dedup), found $hashExchanges:\n$plan")
+  }
+
+  test("x22/x23 mirror pipelines: ONE content-keyed exchange; inflate/extract/gates fuse") {
+    for (name <- Seq("x22_document_mirror", "x23_cross_container_audio")) {
+      val plan = planOf(name)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges === 1,
+        s"$name needs exactly one data shuffle (keep-first), found $hashExchanges:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name lost the map-side partial aggregate:\n$plan")
+    }
+  }
+
   test("t58 frontier: one host-keyed exchange feeding the rank window") {
     val plan = planOf("t58_crawl_schedule")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
