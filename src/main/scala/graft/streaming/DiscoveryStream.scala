@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sitemap discovery as a CONTINUOUS flow (t60's batch recrawl decision
@@ -36,13 +36,24 @@ object DiscoveryStream {
     * t60c's arm). Both extracts run AFTER the explode, so they are
     * codegen'd per-row regexps, not per-element lambdas.
     */
+  /** The five XML predefined entities, unescaped in REVERSE of escape
+    * order — `&amp;` last, so `&amp;lt;` correctly yields the literal
+    * text `&lt;`, not `<`. The sitemap protocol REQUIRES entity-escaped
+    * URLs, so a real `<loc>` with a query string carries `&amp;`.
+    */
+  private def unescapeXml(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+  }
+
   private def decide(sitemaps: DataFrame, history: DataFrame): DataFrame = {
     val blocks = regexp_extract_all(col("xml"),
       lit("(?s)<url>(.*?)</url>"), lit(1))
     sitemaps
       .select(col("doc_id"), explode(blocks).as("b"))
       .select(col("doc_id"),
-        regexp_extract(col("b"), "<loc>([^<]*)</loc>", 1).as("url"),
+        unescapeXml(regexp_extract(col("b"), "<loc>([^<]*)</loc>", 1)).as("url"),
         regexp_extract(col("b"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"))
       .filter(col("url") =!= "" && col("lastmod") =!= "")
       .join(history, Seq("url"), "inner")

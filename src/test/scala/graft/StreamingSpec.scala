@@ -998,9 +998,11 @@ class StreamingSpec extends AnyFunSuite {
     // doc 30: the middle <url> carries no <lastmod> — it must be
     // SKIPPED, and must NOT shift p3's date onto p2 (the failure mode
     // of pairing two independent document-wide scans positionally)
+    // ...and p1's loc carries the entity-escaped ampersand the sitemap
+    // protocol REQUIRES — it must unescape before the history join
     val ragged = (30L,
       """<?xml version="1.0"?><urlset>""" +
-        "<url><loc>https://r.example.com/p1</loc><lastmod>2024-02-10</lastmod></url>" +
+        "<url><loc>https://r.example.com/p1?a=1&amp;b=2</loc><lastmod>2024-02-10</lastmod></url>" +
         "<url><loc>https://r.example.com/p2</loc></url>" +
         "<url><loc>https://r.example.com/p3</loc><lastmod>2024-02-20</lastmod></url></urlset>")
     val sitemaps = (0L until 30L).map(id => (id, xmlOf(id))) :+ ragged
@@ -1009,7 +1011,7 @@ class StreamingSpec extends AnyFunSuite {
     val history = ((for { id <- 0L until 30L; k <- 1 to 2 } yield (
       s"https://h${id % 7}.example.com/d$id/p$k",
       "2024-01-" + "%02d".format((id * 3 + k * 5) % 28 + 1))) ++ Seq(
-      ("https://r.example.com/p1", "2024-02-15"),
+      ("https://r.example.com/p1?a=1&b=2", "2024-02-15"), // UNescaped key
       ("https://r.example.com/p2", "2024-02-15"),
       ("https://r.example.com/p3", "2024-02-15")))
       .toDF("url", "last_fetch")
@@ -1020,8 +1022,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size === 62, "fixture: every (doc, k<=2) url joins once, + p1/p3")
     assert(!batch.exists(_._2 == "https://r.example.com/p2"),
       "an undated url must be skipped, not joined with a shifted date")
-    assert(batch.exists(t => t._2 == "https://r.example.com/p1" &&
-      t._3 == "2024-02-10" && !t._5), "p1 pairs with ITS lastmod (stale)")
+    assert(batch.exists(t => t._2 == "https://r.example.com/p1?a=1&b=2" &&
+      t._3 == "2024-02-10" && !t._5),
+      "p1 unescapes &amp; and pairs with ITS lastmod (stale)")
     assert(batch.exists(t => t._2 == "https://r.example.com/p3" &&
       t._3 == "2024-02-20" && t._5), "p3 pairs with ITS lastmod (refetch)")
     assert(batch.exists(_._5) && batch.exists(!_._5),
