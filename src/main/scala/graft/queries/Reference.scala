@@ -1863,6 +1863,84 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // DOCX TEXT EXTRACTION composed (x24, round 17 — the office-suite
+    // format corpus mirrors actually ship; docx IS a ZIP, so this is
+    // m16's walk + CRC-verified extraction feeding text built-ins):
+    // per doc, a two-entry STORED archive ([Content_Types].xml stub +
+    // word/document.xml with real crc32s so zip_extract's integrity
+    // check sits under the hash) whose WordprocessingML body carries
+    // the text in <w:t> runs. Extraction must (a) strip tracked
+    // DELETIONS first — every doc_id % 5 == 0 document carries a
+    // <w:del> run whose text is NOT document text; the dedup groups
+    // prove the strip, because an extractor that greps <w:t> naively
+    // splits every content class in two — and (b) unescape the XML
+    // entities (&amp; in the body). Keep-first on the extracted text;
+    // torn archives (doc_id % 7 == 0) quarantine by absence.
+    "x24_docx_text" -> { (s, d) =>
+      import graft.functions.GraftFunctions.zip_extract
+      val id = col("doc_id")
+      def hexOf(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      def le16h(v: Column) = format_string("%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
+        pmod((v / 65536).cast("int"), lit(256)),
+        pmod((v / 16777216).cast("int"), lit(256)))
+      val c = pmod(id, lit(11)).cast("string")
+      val body1 = lit("""<Types xmlns="ct"/>""")
+      val body2 = concat(
+        lit("<w:document><w:body><w:p><w:r><w:t>Doc "), c,
+        lit(" heading</w:t></w:r></w:p>"),
+        when(id % 5 === 0,
+          lit("<w:del><w:r><w:t>REMOVED DRAFT</w:t></w:r></w:del>"))
+          .otherwise(lit("")),
+        lit("""<w:p><w:r><w:t xml:space="preserve">body &amp; tail """), c,
+        lit("</w:t></w:r></w:p></w:body></w:document>"))
+      val l1 = length(body1).cast("int"); val l2 = length(body2).cast("int")
+      def local(nameHex: String, nlen: Int, body: Column, blen: Column) = concat(
+        lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        le32h(crc32(body.cast("binary"))),
+        le32h(blen), le32h(blen), le16h(lit(nlen)), lit("0000"),
+        lit(nameHex), hex(body))
+      def central(nameHex: String, nlen: Int, body: Column, blen: Column,
+                  off: Column) = concat(
+        lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        le32h(crc32(body.cast("binary"))),
+        le32h(blen), le32h(blen), le16h(lit(nlen)),
+        lit("0000" + "0000" + "0000" + "0000" + "00000000"),
+        le32h(off), lit(nameHex))
+      val n1 = "[Content_Types].xml"; val n1hex = hexOf(n1)
+      val n2 = "word/document.xml"; val n2hex = hexOf(n2)
+      val off2 = lit(30 + n1.length) + l1
+      val cdOff = off2 + lit(30 + n2.length) + l2
+      val zipHex = concat(
+        local(n1hex, n1.length, body1, l1),
+        local(n2hex, n2.length, body2, l2),
+        central(n1hex, n1.length, body1, l1, lit(0)),
+        central(n2hex, n2.length, body2, l2, off2),
+        lit("504B0506" + "0000" + "0000"), le16h(lit(2)), le16h(lit(2)),
+        le32h(lit(46 + n1.length + 46 + n2.length)), le32h(cdOff), lit("0000"))
+      val blob = unhex(when(id % 7 === 0,
+        zipHex.substr(lit(1), length(zipHex) - 6)).otherwise(zipHex))
+      val xml = decode(zip_extract(blob, lit("word/document.xml")), "UTF-8")
+      // tracked deletions are NOT document text — strip BEFORE the runs
+      val kept = regexp_replace(xml, "(?s)<w:del>.*?</w:del>", "")
+      val runs = regexp_extract_all(kept, lit("<w:t[^>]*>([^<]*)</w:t>"), lit(1))
+      val txt = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&amp;" -> "&")
+        .foldLeft(array_join(runs, " ")) { case (acc, (e, r)) =>
+          regexp_replace(acc, e, r)
+        }
+      Tables.documents(s, d)
+        .select(id, txt.as("txt"))
+        .filter(col("txt").isNotNull)
+        .groupBy(col("txt"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"), col("txt"))
+        .orderBy(col("doc_id"))
+    },
+
     // OGG CONTAINER walk under the gate (m27, round 17 — the Opus/
     // Vorbis half of the lossless/compressed-audio line m25 opened):
     // per doc, construct a complete two-page OGG stream in column
@@ -3032,6 +3110,19 @@ object Reference extends QueryPack {
         |  CAST(MIN(nf) * 40 AS BIGINT) AS duration_ms,
         |  MIN(level_sum) AS level_sum
         |FROM lv GROUP BY doc_id % 24 ORDER BY doc_id""".stripMargin,
+
+    // one kept row per content class — the <w:del> strip is proven by
+    // the grouping (a naive extractor splits every class); torn absent
+    "x24_docx_text" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(doc_id % 11 AS VARCHAR) AS c
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    'Doc ' || c || ' heading body & tail ' || c AS txt
+        |  FROM s)
+        |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups, txt
+        |FROM r GROUP BY txt ORDER BY doc_id""".stripMargin,
 
     // every identification-header field restated arithmetically; torn
     // (post-splice payload flip -> CRC mismatch) absent
