@@ -1941,6 +1941,115 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // EPUB INDIRECTION CHAIN composed (x25, round 17 — the other
+    // office/publishing ZIP, and a walk x24 doesn't exercise: EPUB
+    // locates its content through TWO levels of in-archive indirection,
+    // META-INF/container.xml -> rootfile full-path -> OPF manifest
+    // href, resolved RELATIVE to the OPF's directory). The gate makes
+    // the indirection real: the OPF lives at OPS/content.opf or
+    // book/pkg.opf by doc parity, and the chapter href is ch1.xhtml or
+    // text/intro.xhtml by doc_id % 3 — four layout combinations, so an
+    // extractor that hardcodes any path fails most of the corpus. Each
+    // hop is a CRC-verified zip_extract whose NAME is a column read
+    // from the previous hop. Torn archives (doc_id % 7 == 0)
+    // quarantine by absence.
+    "x25_epub_chain" -> { (s, d) =>
+      import graft.functions.GraftFunctions.zip_extract
+      val id = col("doc_id")
+      def hexOf(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      def le16h(v: Column) = format_string("%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
+        pmod((v / 65536).cast("int"), lit(256)),
+        pmod((v / 16777216).cast("int"), lit(256)))
+      val opfPath = when(id % 2 === 0, lit("OPS/content.opf"))
+        .otherwise(lit("book/pkg.opf"))
+      val href = when(id % 3 === 0, lit("text/intro.xhtml"))
+        .otherwise(lit("ch1.xhtml"))
+      val dir = regexp_replace(opfPath, "[^/]*$", "")
+      val chapterPath = concat(dir, href)
+      val body1 = concat(
+        lit("""<container><rootfiles><rootfile full-path=""""), opfPath,
+        lit("""" media-type="application/oebps-package+xml"/></rootfiles></container>"""))
+      val body2 = concat(
+        lit("""<package><manifest><item id="c1" href=""""), href,
+        lit("""" media-type="application/xhtml+xml"/></manifest></package>"""))
+      val body3 = concat(
+        lit("<html><body><p>Chapter "), format_string("%05d", pmod(id, lit(100000L))),
+        lit(" text &amp; more</p></body></html>"))
+      val n1 = "META-INF/container.xml"
+      // STAGED construction (the t59/m21 lesson, here forced by janino's
+      // method-size limit: one monolithic projection fell back to
+      // interpreted eval and the 3 zip_extract hops re-evaluated the
+      // whole construction subtree — 10.5 s at sf0.1; staging the blob
+      // and each hop as named MULTI-REFERENCED columns keeps every
+      // projection codegen-sized and the blob computed ONCE)
+      def localHdr(crcHex: Column, blen: Column, nlen: Column,
+                   nameHex: Column, bodyHex: Column) = concat(
+        lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, le32h(blen), le32h(blen), le16h(nlen), lit("0000"),
+        nameHex, bodyHex)
+      def centralHdr(crcHex: Column, blen: Column, nlen: Column,
+                     nameHex: Column, off: Column) = concat(
+        lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, le32h(blen), le32h(blen), le16h(nlen),
+        lit("0000" + "0000" + "0000" + "0000" + "00000000"),
+        le32h(off), nameHex)
+      val staged = Tables.documents(s, d).select(id.as("doc_id"))
+        .withColumn("b1", body1)
+        .withColumn("b2", body2)
+        .withColumn("b3", body3)
+        .withColumn("nm2", opfPath)
+        .withColumn("nm3", chapterPath)
+        // every piece the headers need, staged ONCE: crc hexes, body
+        // hexes, lengths — so each subsequent expression stays small
+        .withColumn("c1x", le32h(crc32(col("b1").cast("binary"))))
+        .withColumn("c2x", le32h(crc32(col("b2").cast("binary"))))
+        .withColumn("c3x", le32h(crc32(col("b3").cast("binary"))))
+        .withColumn("h1", hex(col("b1")))
+        .withColumn("h2", hex(col("b2")))
+        .withColumn("h3", hex(col("b3")))
+        .withColumn("l1", length(col("b1")).cast("int"))
+        .withColumn("l2", length(col("b2")).cast("int"))
+        .withColumn("l3", length(col("b3")).cast("int"))
+        .withColumn("k2", length(col("nm2")).cast("int"))
+        .withColumn("k3", length(col("nm3")).cast("int"))
+        .withColumn("s1", lit(30 + n1.length) + col("l1"))
+        .withColumn("s2", lit(30) + col("k2") + col("l2"))
+        .withColumn("zipHex", concat(
+          localHdr(col("c1x"), col("l1"), lit(n1.length), lit(hexOf(n1)), col("h1")),
+          localHdr(col("c2x"), col("l2"), col("k2"), hex(col("nm2")), col("h2")),
+          localHdr(col("c3x"), col("l3"), col("k3"), hex(col("nm3")), col("h3")),
+          centralHdr(col("c1x"), col("l1"), lit(n1.length), lit(hexOf(n1)), lit(0)),
+          centralHdr(col("c2x"), col("l2"), col("k2"), hex(col("nm2")), col("s1")),
+          centralHdr(col("c3x"), col("l3"), col("k3"), hex(col("nm3")),
+            col("s1") + col("s2")),
+          lit("504B0506" + "0000" + "0000"), le16h(lit(3)), le16h(lit(3)),
+          le32h(lit(3 * 46 + n1.length) + col("k2") + col("k3")),
+          le32h(col("s1") + col("s2") + lit(30) + col("k3") + col("l3")),
+          lit("0000")))
+        .withColumn("blob", unhex(when(col("doc_id") % 7 === 0,
+          col("zipHex").substr(lit(1), length(col("zipHex")) - 6))
+          .otherwise(col("zipHex"))))
+        // the chain: each hop's NAME comes from the previous hop's content
+        .withColumn("c1", decode(zip_extract(col("blob"), lit(n1)), "UTF-8"))
+        .withColumn("opf_path", regexp_extract(col("c1"), "full-path=\"([^\"]*)\"", 1))
+        .withColumn("opf", decode(zip_extract(col("blob"), col("opf_path")), "UTF-8"))
+        .withColumn("href", regexp_extract(col("opf"),
+          "<item[^>]*href=\"([^\"]*)\"[^>]*media-type=\"application/xhtml\\+xml\"", 1))
+        .withColumn("chapter_path",
+          concat(regexp_replace(col("opf_path"), "[^/]*$", ""), col("href")))
+        .withColumn("xhtml", decode(zip_extract(col("blob"), col("chapter_path")), "UTF-8"))
+        .withColumn("txt", trim(regexp_replace(regexp_replace(regexp_replace(
+          col("xhtml"), "<[^>]*>", " "), "&amp;", "&"), "\\s+", " ")))
+      staged
+        .select(col("doc_id"), col("opf_path"), col("chapter_path"), col("txt"))
+        .filter(col("txt").isNotNull)
+        .orderBy(col("doc_id"))
+    },
+
     // OGG CONTAINER walk under the gate (m27, round 17 — the Opus/
     // Vorbis half of the lossless/compressed-audio line m25 opened):
     // per doc, construct a complete two-page OGG stream in column
@@ -3110,6 +3219,19 @@ object Reference extends QueryPack {
         |  CAST(MIN(nf) * 40 AS BIGINT) AS duration_ms,
         |  MIN(level_sum) AS level_sum
         |FROM lv GROUP BY doc_id % 24 ORDER BY doc_id""".stripMargin,
+
+    // the chain's three hops restated arm-by-arm; torn absent
+    "x25_epub_chain" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'OPS/content.opf'
+        |       ELSE 'book/pkg.opf' END AS opf_path,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'OPS/' ELSE 'book/' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'text/intro.xhtml'
+        |        ELSE 'ch1.xhtml' END) AS chapter_path,
+        |  'Chapter ' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+        |    || ' text & more' AS txt
+        |FROM documents WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // one kept row per content class — the <w:del> strip is proven by
     // the grouping (a naive extractor splits every class); torn absent
