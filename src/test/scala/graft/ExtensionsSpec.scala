@@ -35,6 +35,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d.getString(1) === "POINT (1.5 2.5)")
   }
 
+  test("round-17 functions resolve and evaluate from pure SQL") {
+    // zunstd: RFC 8878 single-segment stored frame holding 'abc'
+    // (magic, FHD 0x20, FCS 3, block header 1|3<<3 LE24, payload)
+    val r = extSpark.sql(
+      "SELECT decode(zunstd(unhex('28B52FFD2003' || '190000' || '616263')), 'UTF-8') AS z, " +
+        "ogg_crc(unhex('')) AS c0, ogg_crc(unhex('4F676753')) AS c1")
+      .head()
+    assert(r.getString(0) === "abc")
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) !== 0L)
+    // the walks resolve from SQL and keep the NULL-in/NULL-out contract
+    val n = extSpark.sql(
+      "SELECT pdf_meta(x) AS a, pdf_text(x) AS b, pdf_info(x) AS c, " +
+        "flac_streaminfo(x) AS d, avi_frames(x) AS e, ogg_meta(x) AS f " +
+        "FROM (SELECT CAST(NULL AS BINARY) AS x)")
+      .head()
+    (0 until 6).foreach(i => assert(n.isNullAt(i), s"field $i"))
+  }
+
   test("SQL robots functions: literal agent works, a non-literal agent is a clean analysis error") {
     val ok = extSpark.sql(
       "SELECT robots_allowed('User-agent: *\nDisallow: /x\n', '/x1', 'bot') AS a, " +
