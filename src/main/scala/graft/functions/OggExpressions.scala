@@ -19,6 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Vorbis I §4.2.2: version 0, channels, rate). Audio packets are
   * never decoded (the header-walk posture).
   *
+  * UNITS (RFC 7845 §4 vs Vorbis I §A.2): `total_samples` is the EOS
+  * granule position AS STORED. For Opus that is in 48 kHz units and
+  * INCLUDES `pre_skip` (also surfaced, 48 kHz units), regardless of
+  * the input `sample_rate` — duration_sec = (total_samples −
+  * pre_skip) / 48000.0. For Vorbis the granule counts samples at
+  * `sample_rate` and `pre_skip` is 0 — duration_sec = total_samples /
+  * sample_rate. Downstream duration math must branch on `codec`.
+  *
   * Strict scope (whole-blob NULL): first page must carry BOS and the
   * whole ID header; last page must carry EOS with a real granule
   * position (total samples); ONE logical bitstream only (a second
@@ -80,6 +88,7 @@ object OggMeta {
     StructField("codec", StringType),
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
+    StructField("pre_skip", IntegerType),
     StructField("total_samples", LongType),
     StructField("n_pages", IntegerType)))
 
@@ -134,6 +143,7 @@ object OggMeta {
     var codec: String = null
     var channels = -1
     var rate = -1L
+    var preSkip = 0
     while (p < b.length) {
       if (p + 27 > b.length) return null
       if (b(p) != 'O' || b(p + 1) != 'g' || b(p + 2) != 'g' || b(p + 3) != 'S')
@@ -166,6 +176,7 @@ object OggMeta {
           if (u8(b, q + 8) != 1) return null // OpusHead version
           codec = "opus"
           channels = u8(b, q + 9)
+          preSkip = le16(b, q + 10) // RFC 7845 §5.1: 48 kHz samples
           rate = le32(b, q + 12) // input sample rate
         } else if (payload >= 30 && u8(b, q) == 0x01 && b(q + 1) == 'v' &&
             b(q + 2) == 'o' && b(q + 3) == 'r' && b(q + 4) == 'b' &&
@@ -193,7 +204,8 @@ object OggMeta {
     }
     if (!sawBos || !sawEos) return null
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(codec), channels, rate.toInt, lastGranule, pages))
+      UTF8String.fromString(codec), channels, rate.toInt, preSkip,
+      lastGranule, pages))
   }
 
   /** Page CRC with bytes 22-25 (the stored checksum) read as zero. */

@@ -783,16 +783,57 @@ object PdfWalk {
               }
               stack = Nil
             case "BI" =>
-              // inline image: skip to the EI delimiter (whitespace-framed)
-              var i = lx.p
-              var found = -1
-              while (found < 0 && i + 2 < data.length) {
-                if (isWs(data(i) & 0xFF) && data(i + 1) == 'E' && data(i + 2) == 'I' &&
-                    (i + 3 >= data.length || isWs(data(i + 3) & 0xFF))) found = i + 3
-                i += 1
+              // inline image (ISO 32000 §8.9.7): parse the BI..ID dict
+              // with the real lexer — /L (PDF 2.0: /Length) gives the
+              // EXACT encoded-data byte count, making the skip
+              // deterministic. Without it, fall back to scanning for a
+              // whitespace-framed EI, but VALIDATE each candidate by
+              // dry-lexing the resume point: raw image bytes can contain
+              // " EI " by chance, and resuming there would silently
+              // garble the extracted text — a partial answer, against
+              // the whole-blob-or-nothing posture. A candidate whose
+              // resume doesn't tokenize is skipped as a false match; no
+              // clean candidate at all refuses. Residual (documented)
+              // risk: a false EI whose following image bytes ALSO lex
+              // cleanly for the lookahead window is indistinguishable
+              // from the real delimiter without decoding the image.
+              var imgLen = -1L
+              var sawId = false
+              while (!sawId) {
+                lx.token() match {
+                  case PKw("ID") => sawId = true
+                  case PName(k) =>
+                    val v = lx.token()
+                    if (k == "L" || k == "Length") v match {
+                      case PInt(n) if n >= 0 => imgLen = n
+                      case _ => refuse()
+                    }
+                  case _ => refuse() // dict keys must be names
+                }
               }
-              if (found < 0) refuse()
-              lx.p = found
+              // exactly one whitespace byte separates ID from the data
+              if (lx.p >= data.length || !isWs(data(lx.p) & 0xFF)) refuse()
+              val dataStart = lx.p + 1
+              if (imgLen >= 0) {
+                val end = dataStart.toLong + imgLen
+                if (end > data.length) refuse()
+                var j = end.toInt
+                while (j < data.length && isWs(data(j) & 0xFF)) j += 1
+                if (j + 2 > data.length || data(j) != 'E' || data(j + 1) != 'I' ||
+                    (j + 2 < data.length && !isWs(data(j + 2) & 0xFF))) refuse()
+                lx.p = j + 2
+              } else {
+                var i = dataStart
+                var found = -1
+                while (found < 0 && i + 2 < data.length) {
+                  if (isWs(data(i) & 0xFF) && data(i + 1) == 'E' && data(i + 2) == 'I' &&
+                      (i + 3 >= data.length || isWs(data(i + 3) & 0xFF)) &&
+                      lexesCleanly(data, i + 3)) found = i + 3
+                  i += 1
+                }
+                if (found < 0) refuse()
+                lx.p = found
+              }
               stack = Nil
             case _ => stack = Nil // any other operator clears its operands
           }
@@ -800,6 +841,23 @@ object PdfWalk {
       }
     }
   }
+
+  /** Dry-run lex from `from`: the next up-to-8 tokens must parse without
+    * refusal (running off the end cleanly counts as clean). Guards the
+    * EI fallback scan against false matches inside raw image bytes.
+    */
+  private def lexesCleanly(data: Array[Byte], from: Int): Boolean =
+    try {
+      val t = new Lexer(data, from)
+      var k = 0
+      while (k < 8) {
+        t.ws()
+        if (t.p >= data.length) return true
+        t.token()
+        k += 1
+      }
+      true
+    } catch { case Refused => false }
 
   // ---- public entry points ---------------------------------------------------
   private def open(b: Array[Byte]): Doc = {

@@ -288,6 +288,7 @@ object AviFrames {
           out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           var total = 0L
           var k = i + 12
+          var lastOdd = false
           while (k + 8 <= listEnd) {
             val s2 = le32(b, k + 4)
             if (!is4cc(b, k, "00dc") && !is4cc(b, k, "00db")) return null
@@ -296,11 +297,17 @@ object AviFrames {
             total += s2
             if (total > MaxBytes) return null
             out += java.util.Arrays.copyOfRange(b, k + 8, (k + 8 + s2).toInt)
+            lastOdd = (s2 & 1) == 1
             val nk = k.toLong + 8 + s2 + (s2 & 1)
             if (nk <= k) return null
             k = nk.toInt
           }
-          if (k.toLong != listEnd && k.toLong != listEnd + (listEnd & 1)) return null
+          // the cursor must land EXACTLY on the declared LIST end; the
+          // one-byte overrun some writers produce (final chunk's pad
+          // byte not counted in the LIST size) is accepted ONLY when
+          // the final chunk was odd-sized — keyed on that chunk's own
+          // pad, never on the parity of the end offset
+          if (k.toLong != listEnd && !(lastOdd && k.toLong == listEnd + 1)) return null
         }
       } else if (!is4cc(b, i, "idx1") && !is4cc(b, i, "JUNK"))
         return null // only the index and standard JUNK padding may appear

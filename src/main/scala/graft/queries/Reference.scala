@@ -690,7 +690,10 @@ object Reference extends QueryPack {
       val rate = (id % 5 + 1) * 8000
       val ch = id % 3 + 1
       val bps = lit(16) + (id % 2) * 8
-      val total = id * 100 + 1
+      // STREAMINFO's total-samples field is 36 bits — mod the fixture
+      // value into range (and restate the mod in the oracle) so no
+      // doc_id can silently truncate high bits in the packing
+      val total = pmod(id * 100 + 1, lit(1L << 36))
       def h2(c: Column) = format_string("%02x", c)
       val md5Hex = format_string("%08x%08x%08x%08x",
         pmod(id * 2654435761L, lit(4294967296L)),
@@ -2104,6 +2107,7 @@ object Reference extends QueryPack {
         .select(id,
           col("m.codec").as("codec"), col("m.channels").as("channels"),
           col("m.sample_rate").as("sample_rate"),
+          col("m.pre_skip").as("pre_skip"),
           col("m.total_samples").as("total_samples"),
           col("m.n_pages").as("n_pages"))
         .orderBy(id)
@@ -3165,7 +3169,7 @@ object Reference extends QueryPack {
         |  CAST((doc_id % 5 + 1) * 8000 AS INT) AS sample_rate,
         |  CAST(doc_id % 3 + 1 AS INT) AS channels,
         |  CAST(16 + (doc_id % 2) * 8 AS INT) AS bits_per_sample,
-        |  CAST(doc_id * 100 + 1 AS BIGINT) AS total_samples,
+        |  CAST((doc_id * 100 + 1) % 68719476736 AS BIGINT) AS total_samples,
         |  printf('%08x%08x%08x%08x',
         |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT),
         |    CAST((doc_id * 40503 + 7) % 4294967296 AS BIGINT),
@@ -3253,6 +3257,7 @@ object Reference extends QueryPack {
         |  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
         |  CAST(doc_id % 3 + 1 AS INT) AS channels,
         |  CAST((doc_id % 6 + 1) * 8000 AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 312 ELSE 0 END AS INT) AS pre_skip,
         |  CAST(doc_id * 960 + 960 AS BIGINT) AS total_samples,
         |  CAST(2 AS INT) AS n_pages
         |FROM documents WHERE doc_id % 7 <> 0

@@ -935,7 +935,8 @@ class MultimodalSpec extends AnyFunSuite {
     */
   private def mjpegAvi(jpegs: Seq[Array[Byte]], mspf: Int,
                        frameCountLie: Int = 0,
-                       handler: String = "MJPG"): Array[Byte] = {
+                       handler: String = "MJPG",
+                       dropFinalPad: Boolean = false): Array[Byte] = {
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
       ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
     def fcc(s: String) = s.getBytes("US-ASCII")
@@ -948,11 +949,17 @@ class MultimodalSpec extends AnyFunSuite {
     val strl = fcc("LIST") ++ le32(4 + strh.length) ++ fcc("strl") ++ strh
     val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
       fcc("hdrl") ++ avih ++ strl
-    val chunks = jpegs.flatMap { j =>
+    val chunksFull = jpegs.flatMap { j =>
       fcc("00dc") ++ le32(j.length) ++ j ++
         (if (j.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
     }.toArray
-    val movi = fcc("LIST") ++ le32(4 + chunks.length) ++ fcc("movi") ++ chunks
+    // some writers leave the FINAL chunk's pad byte out of the movi
+    // LIST's declared size (the quirk the end check must key on the
+    // chunk's own parity, not the list end's)
+    val chunks = if (dropFinalPad && jpegs.nonEmpty && jpegs.last.length % 2 == 1)
+      chunksFull.dropRight(1) else chunksFull
+    val movi = fcc("LIST") ++ le32(4 + chunks.length) ++ fcc("movi") ++ chunks ++
+      (if (chunks.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
     fcc("RIFF") ++ le32(4 + hdrl.length + movi.length) ++ fcc("AVI ") ++
       hdrl ++ movi
   }
@@ -1017,6 +1024,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AviFrames.frames(audio) === null)
     // not an AVI at all
     assert(AviFrames.frames("RIFFxxxxWAVEfmt ".getBytes) === null)
+  }
+
+  test("movi end: a final odd chunk's dropped pad is keyed on the CHUNK's parity, not the list end's") {
+    import graft.functions.AviFrames
+    def blob(n: Int) = Array.tabulate(n)(i => (i * 31 + 7).toByte)
+    // odd final chunk, pad left out of the declared movi size — both
+    // list-end parities must accept (the old end-offset-parity check
+    // refused one of them and would have accepted a stray byte after an
+    // even final chunk on the other)
+    for (first <- Seq(4, 5)) {
+      val a = mjpegAvi(Seq(blob(first), blob(7)), 33333, dropFinalPad = true)
+      val fa = AviFrames.frames(a)
+      assert(fa !== null, s"first=$first: dropped final pad wrongly refused")
+      assert(fa.numElements() === 2)
+      assert(fa.getBinary(1).toSeq === blob(7).toSeq)
+      // pads included → exact landing still accepted
+      assert(AviFrames.frames(mjpegAvi(Seq(blob(first), blob(7)), 33333)) !== null)
+    }
   }
 
 }

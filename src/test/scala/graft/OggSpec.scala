@@ -55,7 +55,7 @@ class OggSpec extends AnyFunSuite {
 
   private def walk(b: Array[Byte]) =
     Option(OggMeta.walk(b)).map(r => (r.getUTF8String(0).toString,
-      r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5)))
 
   test("Opus and Vorbis streams: ID header fields, page count, EOS granule as total") {
     for ((ch, rate, total) <- Seq((1, 16000, 48000L), (2, 48000, 960L),
@@ -63,11 +63,11 @@ class OggSpec extends AnyFunSuite {
       val opus = page(0x02, 0, 7, 0, opusHead(ch, rate)) ++
         page(0x00, total / 2, 7, 1, Array.fill(40)(9: Byte)) ++
         page(0x04, total, 7, 2, Array.fill(10)(3: Byte))
-      assert(walk(opus) === Some(("opus", ch, rate, total, 3)),
+      assert(walk(opus) === Some(("opus", ch, rate, 312, total, 3)),
         s"opus ch=$ch rate=$rate")
       val vorb = page(0x02, 0, 9, 0, vorbisId(ch, rate)) ++
         page(0x04, total, 9, 1, Array.fill(5)(2: Byte))
-      assert(walk(vorb) === Some(("vorbis", ch, rate, total, 2)),
+      assert(walk(vorb) === Some(("vorbis", ch, rate, 0, total, 2)),
         s"vorbis ch=$ch rate=$rate")
     }
   }
@@ -76,7 +76,20 @@ class OggSpec extends AnyFunSuite {
     val big = Array.tabulate(700)(i => (i % 251).toByte)
     val ogg = page(0x02, 0, 5, 0, opusHead(2, 48000)) ++
       page(0x04, 1920, 5, 1, big)
-    assert(walk(ogg) === Some(("opus", 2, 48000, 1920L, 2)))
+    assert(walk(ogg) === Some(("opus", 2, 48000, 312, 1920L, 2)))
+  }
+
+  test("Opus pre_skip surfaced in 48 kHz units; vorbis pre_skip is 0 (RFC 7845 §4)") {
+    // total_samples is the EOS granule AS STORED — for Opus, 48 kHz
+    // units INCLUDING pre_skip; duration = (total - pre_skip) / 48000
+    val opus = page(0x02, 0, 3, 0, opusHead(1, 16000, preskip = 3840)) ++
+      page(0x04, 3840 + 96000, 3, 1, Array.fill(6)(1: Byte))
+    val Some((codec, _, rate, pre, total, _)) = walk(opus)
+    assert(codec === "opus" && rate === 16000 && pre === 3840)
+    assert((total - pre).toDouble / 48000.0 === 2.0) // NOT total/rate
+    val vorb = page(0x02, 0, 4, 0, vorbisId(2, 44100)) ++
+      page(0x04, 44100, 4, 1, Array.fill(6)(1: Byte))
+    assert(walk(vorb).map(_._4) === Some(0))
   }
 
   test("refusal matrix: CRC, version, BOS/EOS rules, multiplexing, torn, unknown codec") {

@@ -189,6 +189,36 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  private def onePagePdf(content: String): Array[Byte] = {
+    val b = new Builder
+    b.obj(1, "<</Type /Catalog /Pages 2 0 R>>")
+    b.obj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.obj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>")
+    val c = content.getBytes("ISO-8859-1")
+    b.stream(4, s"<</Length ${c.length}>>", c)
+    b.finish()
+  }
+
+  test("inline images: /L skips exactly over a false EI; no-/L scan validates the resume") {
+    // /L-declared data CONTAINS a whitespace-framed " EI " — the exact
+    // length makes the skip deterministic; the false match is never seen
+    val data = "A EI B~!" // 8 bytes, " EI " ws-framed at offset 1
+    val withL = onePagePdf(
+      s"BT (before) Tj ET BI /W 2 /H 1 /BPC 8 /CS /G /L 8 ID $data EI BT (after) Tj ET")
+    assert(textOf(withL) === "before\nafter\n")
+    // no /L: the first ws-framed EI candidate sits inside the data and
+    // its resume does NOT tokenize (a lone ')' refuses) — the scan must
+    // reject that candidate and land on the real delimiter
+    val noL = onePagePdf(
+      "BI /W 1 /H 1 /BPC 8 /CS /G ID x EI ))) EI BT (clean) Tj ET")
+    assert(textOf(noL) === "clean\n")
+    // refusals, not partial answers: /L overrunning the stream; BI with
+    // no EI at all; a non-name key inside the BI dict
+    assert(PdfWalk.text(onePagePdf("BI /L 999 ID xx EI")) === null)
+    assert(PdfWalk.text(onePagePdf("BT (t) Tj ET BI /W 1 ID xxxx")) === null)
+    assert(PdfWalk.text(onePagePdf("BI 3 /W ID xx EI")) === null)
+  }
+
   test("incremental-update /Prev chain: first-writer-wins picks the newest section") {
     // build a one-page doc, then append an update section that REPLACES
     // the content object and chains to the original xref via /Prev
