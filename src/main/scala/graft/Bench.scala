@@ -175,6 +175,17 @@ object Bench {
     (compared.size, flagged)
   }
 
+  /** Warm floor of one query's measurements, given newest-first
+    * (time, clean) entries as `meas` stores them: min of the CLEAN
+    * measurements excluding the first CHRONOLOGICAL rep (the cold one);
+    * -1 when no warm clean rep exists. Pure, so BenchSpec pins the
+    * cold-rep exclusion.
+    */
+  private[graft] def warmFloor(newestFirst: List[(Double, Boolean)]): Double = {
+    val warm = newestFirst.reverse.drop(1).filter(_._2).map(_._1)
+    if (warm.isEmpty) -1.0 else warm.min
+  }
+
   /** The one stdout JSON line, fitted to a HARD budget. The driver records
     * only the LAST 2000 chars of stdout; "[info] " (7) + line + newline +
     * sbt's success trailer (~80, longer when the total grows an "(MM:SS)"
@@ -416,7 +427,30 @@ object Bench {
           .map { case (t, c) => s"[${round3(t)},$c]" }.mkString("[", ",", "]")
         "\"" + n + "\":" + ms
       }.mkString("{", ",", "}")
-      val full = line.dropRight(1) + s""","raw":$raw}"""
+      // warm floor: min of CLEAN measurements excluding the first
+      // chronological rep (the cold one) — warm drift recorded the way
+      // cold drift is (the round-16 g2 lesson applied one level deeper:
+      // its warm floor crept 7.14 -> 8.94 while the cold-min alarm read
+      // quiet). -1 when no warm clean rep exists. File-only: the stdout
+      // line has a hard 1820-char budget.
+      val warmPairs = names.map { n =>
+        val w = warmFloor(meas(n))
+        n -> (if (w < 0) -1.0 else round3(w))
+      }
+      val warmFlagged = warmPairs.collect {
+        case (n, w) if w >= 0 && baseline.get(n).exists(s => w > 2 * s + 0.05) =>
+          n -> math.rint(w / baseline(n) * 100.0) / 100.0
+      }
+      if (warmFlagged.nonEmpty)
+        System.err.println(s"[bench] ${warmFlagged.size} queries with WARM floor " +
+          "above 2x standing: " +
+          warmFlagged.map { case (n, r) => s"$n=${r}x" }.mkString(", "))
+      val warmJson = warmPairs.map { case (n, w) => "\"" + n + "\":" + w }
+        .mkString("{", ",", "}")
+      val warmFlagJson = warmFlagged.map { case (n, r) => "\"" + n + "\":" + r }
+        .mkString("{", ",", "}")
+      val full = line.dropRight(1) +
+        s""","warm_floor":$warmJson,"warm_flag2x":$warmFlagJson,"raw":$raw}"""
       // the current checkout first: a bench run from another working copy
       // must not overwrite a different repo's durable record (round-4
       // advice); SPARK_GRAFT_BENCH_DIR overrides for detached runs

@@ -84,4 +84,18 @@ class BenchSpec extends AnyFunSuite with Matchers {
     // a breach just past the slack IS flagged, with the rounded ratio
     Bench.vsStanding(Seq("b" -> 1.06), base)._2 shouldBe Seq("b" -> 2.12)
   }
+
+  test("warm floor excludes the cold (first chronological) rep and dirty reps") {
+    // meas stores newest-first: chronological order is the REVERSE
+    val newestFirst = List((2.0, true), (3.0, false), (9.0, true))
+    // chronological: 9.0 (cold, excluded), 3.0 (dirty, excluded), 2.0
+    Bench.warmFloor(newestFirst) shouldBe 2.0
+    // only the cold rep exists -> no warm floor
+    Bench.warmFloor(List((9.0, true))) shouldBe -1.0
+    // cold rep is NOT excluded by cleanliness — position alone drops it
+    Bench.warmFloor(List((4.0, true), (0.1, true))) shouldBe 4.0
+    Bench.warmFloor(Nil) shouldBe -1.0
+    // all warm reps dirty -> no warm floor (a stall epoch is not a floor)
+    Bench.warmFloor(List((2.0, false), (9.0, true))) shouldBe -1.0
+  }
 }
