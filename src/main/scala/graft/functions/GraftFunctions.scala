@@ -105,6 +105,8 @@ object GraftFunctions {
   def gunzip(bytes: Column): Column = toCol(Gunzip(toExpr(bytes)))
   /** Zstandard (RFC 8878) inflation, same posture — see [[Zunstd]]. */
   def zunstd(bytes: Column): Column = toCol(Zunstd(toExpr(bytes)))
+  /** XZ/LZMA2 inflation, same posture — see [[Zunxz]]. */
+  def zunxz(bytes: Column): Column = toCol(Zunxz(toExpr(bytes)))
   /** ZIP central-directory listing — see [[ZipEntries]]. */
   def zip_entries(bytes: Column): Column = toCol(ZipEntries(toExpr(bytes)))
   /** One ZIP entry's bytes, CRC-verified — see [[ZipExtract]]. */
@@ -228,6 +230,7 @@ object GraftFunctions {
     "warc_records" -> { es => WarcRecords(es(0)) },
     "gunzip" -> { es => Gunzip(es(0)) },
     "zunstd" -> { es => Zunstd(es(0)) },
+    "zunxz" -> { es => Zunxz(es(0)) },
     "zip_entries" -> { es => ZipEntries(es(0)) },
     "zip_extract" -> { es => ZipExtract(es(0), es(1)) },
     "tar_entries" -> { es => TarEntries(es(0)) },

@@ -193,8 +193,71 @@ object Reference extends QueryPack {
       .otherwise(aviHex)
   }
 
+  /** Check-none XZ stream holding `dataHex`'s bytes in ONE LZMA2
+    * uncompressed chunk, assembled in column arithmetic (xz file format
+    * spec 1.2.1 — public; every CRC32 here is the zlib polynomial the
+    * built-in `crc32` computes, which is why check=None + header CRCs
+    * is the constructible profile). Payload must be 1..65536 bytes
+    * (one uncompressed chunk). Fixed parts (stream flags, the 8
+    * block-header bytes with the 16 KiB dict prop) carry plan-time
+    * Scala CRC constants; the index CRC and footer CRC are column
+    * `crc32` over the varying bytes. `crcBump` (0 or 1) bumps the
+    * block-header CRC — the decoder refuses the whole stream, the
+    * torn-quarantine arm. XzSpec pins the identical construction in
+    * straight-line Scala against the library and the xz CLI.
+    */
+  private def xzWrapHex(dataHex: Column, crcBump: Column): Column = {
+    def le32(v: Column) = format_string("%02X%02X%02X%02X",
+      v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
+      shiftright(v, 16).bitwiseAND(lit(255)),
+      shiftright(v, 24).bitwiseAND(lit(255)))
+    def crcConst(bytes: Int*): Long = {
+      val c = new java.util.zip.CRC32()
+      bytes.foreach(b => c.update(b))
+      c.getValue
+    }
+    def leHexConst(v: Long): String =
+      f"${v & 255}%02X${(v >> 8) & 255}%02X${(v >> 16) & 255}%02X${(v >> 24) & 255}%02X"
+    // multi-byte varints are little-endian base-128 (spec §1.2)
+    def varint(v: Column) = when(v < 128, format_string("%02X", v))
+      .otherwise(format_string("%02X%02X",
+        v.bitwiseAND(lit(127)).bitwiseOR(lit(128)), shiftright(v, 7)))
+    def vlen(v: Column) = when(v < 128, lit(1)).otherwise(lit(2))
+    val dlen = (length(dataHex) / 2).cast("long")
+    // stream header: magic | flags 00 00 (check=None) | CRC32(flags)
+    val hdrHex = lit("FD377A585A00" + "0000" + leHexConst(crcConst(0, 0)))
+    // block header (12 B): size byte 02, flags 00 (1 filter, no size
+    // fields), LZMA2 id 21, props len 01, dict prop 04 (16 KiB), 3 pad
+    // zeros, CRC32 of the 8 bytes (+ the torn bump)
+    val bhConst = crcConst(0x02, 0x00, 0x21, 0x01, 0x04, 0, 0, 0)
+    val bhHex = concat(lit("0200210104000000"),
+      le32(pmod(lit(bhConst) + crcBump, lit(4294967296L))))
+    // LZMA2: one uncompressed chunk (control 01 = dict reset),
+    // size-1 BE16, payload, end marker 00
+    val lzma2Hex = concat(lit("01"),
+      format_string("%02X%02X", shiftright(dlen - 1, 8).bitwiseAND(lit(255)),
+        (dlen - 1).bitwiseAND(lit(255))),
+      dataHex, lit("00"))
+    val unpadded = lit(12L) + dlen + 4 // header + chunk framing + payload
+    val blockPadHex = lit("000000").substr(lit(1),
+      (pmod(lit(4) - pmod(unpadded, lit(4)), lit(4)) * 2).cast("int"))
+    // index: indicator 00, count 01, record (unpadded, uncompressed),
+    // pad to 4, CRC32 of everything before the CRC
+    val idxBodyHex = concat(lit("0001"), varint(unpadded), varint(dlen))
+    val idxBodyLen = lit(2) + vlen(unpadded) + vlen(dlen)
+    val idxPadLen = pmod(lit(4) - pmod(idxBodyLen, lit(4)), lit(4))
+    val idxPaddedHex = concat(idxBodyHex,
+      lit("000000").substr(lit(1), (idxPadLen * 2).cast("int")))
+    val idxHex = concat(idxPaddedHex, le32(crc32(unhex(idxPaddedHex))))
+    // footer: CRC32(backward LE32 ++ flags), backward, flags, YZ
+    val backward = (idxBodyLen + idxPadLen + 4) / 4 - 1
+    val tailHex = concat(le32(backward.cast("long")), lit("0000"))
+    val footerHex = concat(le32(crc32(unhex(tailHex))), tailHex, lit("595A"))
+    concat(hdrHex, bhHex, lzma2Hex, blockPadHex, idxHex, footerHex)
+  }
+
   /** Shared construction + pipeline for the mirror-ingestion composed
-    * gates (x20 gzip / x20b zstd): per doc, a 4-member ustar tar built
+    * gates (x20 gzip / x20b zstd / x20c xz): per doc, a 4-member ustar tar built
     * in column arithmetic (duplicate path where the SECOND occurrence
     * is authoritative, a pax extended header renaming its follower, a
     * cp1252 member for the charset stage), wrapped in the requested
@@ -208,7 +271,7 @@ object Reference extends QueryPack {
     */
   private def mirrorIngest(s: SparkSession, d: String, container: String): DataFrame = {
       import graft.functions.GraftFunctions.{charset_decode, gunzip, zunstd,
-        tar_entries, tar_extract}
+        zunxz, tar_entries, tar_extract}
       import graft.functions.TextFunctions.fingerprint
       val id = col("doc_id")
       val m = pmod(id, lit(13))
@@ -294,6 +357,12 @@ object Reference extends QueryPack {
             lit("28B52FFD"), lit("60"), le16(fcs),
             le24(shiftleft(tlen, 3).bitwiseOR(lit(1))),
             tarHex)))
+        case "xz" =>
+          // check-none XZ stream, one LZMA2 uncompressed chunk (the
+          // xzWrapHex construction XzSpec pins). Torn arm: the block
+          // header CRC32 is bumped -> the decoder refuses whole.
+          zunxz(unhex(xzWrapHex(tarHex,
+            when(torn, lit(1L)).otherwise(lit(0L)))))
       }
       val curated = Tables.documents(s, d)
         .select(id, col("lang"),
@@ -1774,6 +1843,19 @@ object Reference extends QueryPack {
     // invisible under the hash.
     "x20b_mirror_ingest_zstd" -> { (s, d) => mirrorIngest(s, d, "zstd") },
 
+    // x20's pipeline through a REAL XZ stream (x20c, round 18 — the
+    // long tail of dataset/software mirrors is `.tar.xz`: GNU,
+    // kernel.org, Debian-era dumps): the identical tar rides a
+    // check-none XZ stream holding one LZMA2 uncompressed chunk,
+    // assembled in column arithmetic (magic, block header with its
+    // real CRC32, BE16 chunk size, index varints, footer — xzWrapHex),
+    // and inflated by zunxz (the org.tukaani decoder Spark itself
+    // ships). Torn docs bump the block-header CRC32 — the decoder
+    // refuses, quarantining by absence exactly like x20's bumped
+    // member crc32. Same oracle shape: the container swap must be
+    // invisible under the hash.
+    "x20c_mirror_ingest_xz" -> { (s, d) => mirrorIngest(s, d, "xz") },
+
     // MULTIMODAL (image-text) CORPUS CURATION composed (x18, round 16 —
     // the m-family's decoders + d23's perceptual hash turned into the
     // curation flow a vision-language corpus runs): per image blob
@@ -2110,6 +2192,31 @@ object Reference extends QueryPack {
           col("m.pre_skip").as("pre_skip"),
           col("m.total_samples").as("total_samples"),
           col("m.n_pages").as("n_pages"))
+        .orderBy(id)
+    },
+
+    // XZ INFLATION under the gate (m28, round 18 — the `.tar.xz` long
+    // tail of dataset/software mirrors, the verdict's top format gap):
+    // per doc, wrap a doc-derived payload in the check-none XZ stream
+    // xzWrapHex assembles in column arithmetic (magic, real block
+    // header CRC32, one LZMA2 uncompressed chunk, index varints,
+    // footer), inflate with zunxz (the org.tukaani decoder Spark
+    // itself ships), and emit the decoded text + its byte length.
+    // Torn docs (doc_id % 9 == 0) bump the block-header CRC32 — the
+    // decoder refuses whole and they quarantine by absence. The
+    // oracle restates the payload arithmetically: an inversion check
+    // on the whole stream assembly.
+    "m28_xz_inflate" -> { (s, d) =>
+      import graft.functions.GraftFunctions.zunxz
+      val id = col("doc_id")
+      val payload = format_string("mirror doc %07d lang %s via xz",
+        pmod(id, lit(10000000L)), col("lang"))
+      val z = zunxz(unhex(xzWrapHex(hex(payload),
+        when(id % 9 === 0, lit(1L)).otherwise(lit(0L)))))
+      Tables.documents(s, d)
+        .select(id, decode(z, "UTF-8").as("text"))
+        .filter(col("text").isNotNull)
+        .select(id, col("text"), octet_length(col("text")).as("n_bytes"))
         .orderBy(id)
     },
 
@@ -3450,6 +3557,36 @@ object Reference extends QueryPack {
         |  FROM r GROUP BY a_text, b_text)
         |SELECT doc_id, n_dups, CAST(3 AS INT) AS n_entries, a_text, b_text
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the container swap is invisible under the hash: identical output
+    // to x20/x20b through the XZ stream
+    "x20c_mirror_ingest_xz" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, doc_id % 13 AS m FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    'alpha ' || printf('%02d', m) || ' v2' AS a_text,
+        |    'beta ' || printf('%02d', m) || ' '
+        |      || chr(8220) || lang || chr(8221) AS b_text
+        |  FROM s),
+        |g AS (
+        |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |    a_text, b_text
+        |  FROM r GROUP BY a_text, b_text)
+        |SELECT doc_id, n_dups, CAST(3 AS INT) AS n_entries, a_text, b_text
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the decoded text restated arithmetically — an inversion check on
+    // the whole column-arithmetic XZ stream assembly; torn absent
+    "m28_xz_inflate" ->
+      """SELECT doc_id,
+        |  'mirror doc ' || printf('%07d', doc_id % 10000000)
+        |    || ' lang ' || lang || ' via xz' AS text,
+        |  CAST(strlen('mirror doc ' || printf('%07d', doc_id % 10000000)
+        |    || ' lang ' || lang || ' via xz') AS INT) AS n_bytes
+        |FROM documents WHERE doc_id % 9 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // d23's exact aHash derivation (pixel arithmetic -> cell means ->
     // 64-bit signature) with the three curation gates applied before
