@@ -44,11 +44,23 @@ object Multimodal {
     * composition (binary substring equality + one masked-byte check for
     * the MP3 frame sync), fully codegen; recognizes the same containers
     * the typed parsers read: png, gif, jpeg, webp, tiff, wav, avi,
-    * mp4, mp3 — and (round 17) the archive/document families the
+    * mp4, mp3 — and the archive/document families the
     * engine's walks parse: gzip, zstd, zip, tar (ustar at offset 257),
-    * warc, pdf, flac.
+    * warc, pdf, flac, xz (round 18), ogg (round 18).
     * NULL in -> NULL out; anything unrecognized (including truncated
     * magic) -> 'unknown' — triage never throws.
+    *
+    * BROTLI (named refusal, round 18): a raw brotli stream carries NO
+    * magic bytes — RFC 7932 frames start directly with a window-size
+    * bitfield, so `Content-Encoding: br` payloads are STRUCTURALLY
+    * undetectable by magic triage and land in 'unknown' here by
+    * construction (spec-pinned). The engine does not decode brotli:
+    * no public decoder ships on the Spark runtime classpath and this
+    * build adds no dependencies, so the honest posture is this
+    * documented refusal rather than a silent absence — a crawl
+    * pipeline must inflate `br` bodies before ingest (or store the
+    * declared encoding beside the blob) because no content-sniffing
+    * stage can recover it downstream.
     */
   def media_format(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def ascii(s: String) = lit(s.getBytes("ISO-8859-1"))
@@ -80,6 +92,10 @@ object Multimodal {
         lit(Array[Byte]('P'.toByte, 'K'.toByte, 0x03.toByte, 0x04.toByte)), lit("zip"))
       .when(substring(c, 1, 4) ===
         lit(Array[Byte]('P'.toByte, 'K'.toByte, 0x05.toByte, 0x06.toByte)), lit("zip"))
+      .when(substring(c, 1, 6) ===
+        lit(Array[Byte](0xFD.toByte, '7'.toByte, 'z'.toByte,
+          'X'.toByte, 'Z'.toByte, 0x00.toByte)), lit("xz"))
+      .when(substring(c, 1, 4) === ascii("OggS"), lit("ogg"))
       .when(substring(c, 258, 5) === ascii("ustar"), lit("tar"))
       .when(substring(c, 1, 5) === ascii("WARC/"), lit("warc"))
       .when(substring(c, 1, 5) === ascii("%PDF-"), lit("pdf"))

@@ -2667,12 +2667,12 @@ object Reference extends QueryPack {
     // values arithmetically — duration_ms through the same integer
     // division the spec implies (units * 1000 / timescale for MP4,
     // frames * usPerFrame / 1000 for AVI).
-    // magic-byte triage over one blob per container family (doc_id % 8
+    // magic-byte triage over one blob per container family (doc_id % 17
     // picks the format; 7 is plain text) — the inversion oracle states
     // the expected routing directly
     "m4_media_format" -> { (s, d) =>
       import graft.operators.Multimodal.media_format
-      val k = (col("doc_id") % 15).cast("int")
+      val k = (col("doc_id") % 17).cast("int")
       val blob = when(k === 0, lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte,
           'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a)))
         .when(k === 1, lit("GIF89a").cast("binary"))
@@ -2692,6 +2692,9 @@ object Reference extends QueryPack {
         .when(k === 12, lit("fLaC").cast("binary"))
         .when(k === 13, lit("WARC/1.0\r\nWARC-Type: response").cast("binary"))
         .when(k === 14, concat(unhex(lit("00" * 257)), lit("ustar").cast("binary")))
+        // round 18: xz and ogg
+        .when(k === 15, unhex(lit("FD377A585A00")))
+        .when(k === 16, lit("OggS").cast("binary"))
         .otherwise(lit("plain text bytes").cast("binary"))
       Tables.documents(s, d)
         .select(col("doc_id"), media_format(blob).as("fmt"))
@@ -4306,13 +4309,14 @@ object Reference extends QueryPack {
     // arithmetic with duration_ms = units * 1000 // timescale (the ISO
     "m4_media_format" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 15 AS INT)
+        |  CASE CAST(doc_id % 17 AS INT)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
         |    WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'mp4'
         |    WHEN 6 THEN 'mp3'
         |    WHEN 8 THEN 'gzip' WHEN 9 THEN 'zstd' WHEN 10 THEN 'zip'
         |    WHEN 11 THEN 'pdf' WHEN 12 THEN 'flac' WHEN 13 THEN 'warc'
         |    WHEN 14 THEN 'tar'
+        |    WHEN 15 THEN 'xz' WHEN 16 THEN 'ogg'
         |    ELSE 'unknown' END AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -454,7 +454,13 @@ class MultimodalSpec extends AnyFunSuite {
       (18L, "fLaC ".getBytes("ISO-8859-1")),
       (19L, "WARC/1.0\r\n".getBytes("ISO-8859-1")),
       (20L, new Array[Byte](257) ++ "ustar".getBytes("ISO-8859-1")),
-      (21L, new Array[Byte](257) ++ "notar".getBytes("ISO-8859-1"))
+      (21L, new Array[Byte](257) ++ "notar".getBytes("ISO-8859-1")),
+      // round 18: xz and ogg; brotli's NAMED refusal — a valid raw
+      // brotli stream (the 1-byte empty stream 0x3B) has no magic and
+      // MUST land in 'unknown': br is undetectable by construction
+      (22L, b(0xFD, '7', 'z', 'X', 'Z', 0x00)),
+      (23L, "OggS ".getBytes("ISO-8859-1")),
+      (24L, b(0x3B))
     )
     val got = rows.toDF("id", "blob")
       .select(col("id"), Multimodal.media_format(col("blob")).as("fmt"))
@@ -465,7 +471,8 @@ class MultimodalSpec extends AnyFunSuite {
       10L -> "unknown", 11L -> "unknown", 12L -> null,
       13L -> "gzip", 14L -> "zstd", 15L -> "zip", 16L -> "zip",
       17L -> "pdf", 18L -> "flac", 19L -> "warc", 20L -> "tar",
-      21L -> "unknown"))
+      21L -> "unknown",
+      22L -> "xz", 23L -> "ogg", 24L -> "unknown"))
   }
 
   /** PCM16 WAV with real samples (optionally a junk chunk before fmt). */
