@@ -2135,6 +2135,127 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // XLSX CELL EXTRACTION composed (x26, round 18 — the office format
+    // government data mirrors, the reference's own domain, ship above
+    // all else; SpreadsheetML splits a sheet's strings ACROSS the
+    // archive): per doc, a three-entry STORED zip whose sheet1.xml
+    // carries all three cell kinds — t="s" cells resolving through
+    // xl/sharedStrings.xml (one entity-escaped), an inlineStr cell,
+    // and a numeric cell emitted as-is — so an extractor that reads
+    // only the sheet, or only the string table, breaks most of the
+    // corpus. FORMULAS REFUSE LOUDLY: doc_id % 5 == 0 sheets carry a
+    // <f> cell and the whole document quarantines (a cached <v> beside
+    // a formula is a stale answer, not data — the dedup groups prove
+    // the refusal). Torn archives (doc_id % 7 == 0) quarantine by
+    // absence. Keep-first on the extracted row; one data exchange.
+    "x26_xlsx_cells" -> { (s, d) =>
+      import graft.functions.GraftFunctions.zip_extract
+      val id = col("doc_id")
+      def hexOf(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      def le16h(v: Column) = format_string("%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)))
+      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
+        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
+        pmod((v / 65536).cast("int"), lit(256)),
+        pmod((v / 16777216).cast("int"), lit(256)))
+      val m = pmod(id, lit(11))
+      val body1 = lit("""<Types xmlns="ct"/>""")
+      val body2 = concat(
+        lit("""<sst count="2" uniqueCount="2"><si><t>name """),
+        m.cast("string"),
+        lit("""</t></si><si><t xml:space="preserve">qty &amp; spare</t></si></sst>"""))
+      val body3 = concat(
+        lit("""<worksheet><sheetData><row r="1">""" +
+          """<c r="A1" t="s"><v>0</v></c>"""),
+        lit("""<c r="B1"><v>"""), (m * 7).cast("string"), lit("</v></c>"),
+        lit("""</row><row r="2">"""),
+        lit("""<c r="A2" t="inlineStr"><is><t>inline """), m.cast("string"),
+        lit("</t></is></c>"),
+        lit("""<c r="B2" t="s"><v>1</v></c>"""),
+        when(id % 5 === 0, concat(
+          lit("""<c r="C2"><f>B1*2</f><v>"""), (m * 14).cast("string"),
+          lit("</v></c>"))).otherwise(lit("")),
+        lit("</row></sheetData></worksheet>"))
+      val n1 = "[Content_Types].xml"
+      val n2 = "xl/sharedStrings.xml"
+      val n3 = "xl/worksheets/sheet1.xml"
+      def localHdr(crcHex: Column, blen: Column, nameHex: String,
+                   bodyHex: Column) = concat(
+        lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, le32h(blen), le32h(blen),
+        le16h(lit(nameHex.length / 2)), lit("0000"), lit(nameHex), bodyHex)
+      def centralHdr(crcHex: Column, blen: Column, nameHex: String,
+                     off: Column) = concat(
+        lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, le32h(blen), le32h(blen), le16h(lit(nameHex.length / 2)),
+        lit("0000" + "0000" + "0000" + "0000" + "00000000"),
+        le32h(off), lit(nameHex))
+      // staged per the x25 lesson: blob and both extracted parts are
+      // named multi-referenced columns, every projection janino-sized
+      val staged = Tables.documents(s, d).select(id.as("doc_id"))
+        .withColumn("b1", body1)
+        .withColumn("b2", body2)
+        .withColumn("b3", body3)
+        .withColumn("c1x", le32h(crc32(col("b1").cast("binary"))))
+        .withColumn("c2x", le32h(crc32(col("b2").cast("binary"))))
+        .withColumn("c3x", le32h(crc32(col("b3").cast("binary"))))
+        .withColumn("h1", hex(col("b1")))
+        .withColumn("h2", hex(col("b2")))
+        .withColumn("h3", hex(col("b3")))
+        .withColumn("l1", length(col("b1")).cast("int"))
+        .withColumn("l2", length(col("b2")).cast("int"))
+        .withColumn("l3", length(col("b3")).cast("int"))
+        .withColumn("s1", lit(30 + n1.length) + col("l1"))
+        .withColumn("s2", lit(30 + n2.length) + col("l2"))
+        .withColumn("zipHex", concat(
+          localHdr(col("c1x"), col("l1"), hexOf(n1), col("h1")),
+          localHdr(col("c2x"), col("l2"), hexOf(n2), col("h2")),
+          localHdr(col("c3x"), col("l3"), hexOf(n3), col("h3")),
+          centralHdr(col("c1x"), col("l1"), hexOf(n1), lit(0)),
+          centralHdr(col("c2x"), col("l2"), hexOf(n2), col("s1")),
+          centralHdr(col("c3x"), col("l3"), hexOf(n3), col("s1") + col("s2")),
+          lit("504B0506" + "0000" + "0000"), le16h(lit(3)), le16h(lit(3)),
+          le32h(lit(3 * 46 + n1.length + n2.length + n3.length)),
+          le32h(col("s1") + col("s2") + lit(30 + n3.length) + col("l3")),
+          lit("0000")))
+        .withColumn("blob", unhex(when(col("doc_id") % 7 === 0,
+          col("zipHex").substr(lit(1), length(col("zipHex")) - 6))
+          .otherwise(col("zipHex"))))
+        .withColumn("sst", decode(zip_extract(col("blob"), lit(n2)), "UTF-8"))
+        .withColumn("sheet", decode(zip_extract(col("blob"), lit(n3)), "UTF-8"))
+        // refuse-loudly on formulas: a <f> anywhere quarantines the doc
+        .withColumn("sheet_ok",
+          when(col("sheet").contains("<f>"), lit(null).cast("string"))
+            .otherwise(col("sheet")))
+        .withColumn("strings",
+          expr("regexp_extract_all(sst, '<t[^>]*>([^<]*)</t>', 1)"))
+        .withColumn("cells",
+          expr("regexp_extract_all(sheet_ok, '<c [^>]*>.*?</c>', 0)"))
+        // the cell walk: t="s" resolves through the string table,
+        // inlineStr reads its own <t>, plain cells emit <v> as-is
+        .withColumn("vals", transform(col("cells"), cell => {
+          val v = regexp_extract(cell, "<v>([^<]*)</v>", 1)
+          when(cell.contains("t=\"s\""),
+            element_at(col("strings"), v.cast("int") + 1))
+            .when(cell.contains("t=\"inlineStr\""),
+              regexp_extract(cell, "<t[^>]*>([^<]*)</t>", 1))
+            .otherwise(v)
+        }))
+        .withColumn("row_text", Seq("&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+          .foldLeft(array_join(col("vals"), " | ")) { case (acc, (e, r)) =>
+            regexp_replace(acc, e, r)
+          })
+      staged
+        .select(col("doc_id"), size(col("cells")).as("n_cells"), col("row_text"))
+        .filter(col("row_text").isNotNull)
+        .groupBy(col("row_text"), col("n_cells"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"), col("n_cells"), col("row_text"))
+        .orderBy(col("doc_id"))
+    },
+
     // OGG CONTAINER walk under the gate (m27, round 17 — the Opus/
     // Vorbis half of the lossless/compressed-audio line m25 opened):
     // per doc, construct a complete two-page OGG stream in column
@@ -3359,6 +3480,22 @@ object Reference extends QueryPack {
         |  FROM s)
         |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups, txt
         |FROM r GROUP BY txt ORDER BY doc_id""".stripMargin,
+
+    // the cell walk restated: shared strings resolve, inline strings
+    // read in place, numerics as-is; formula docs (%5) REFUSED, torn
+    // (%7) absent — the group counts prove both quarantines
+    "x26_xlsx_cells" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 11 AS m FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    'name ' || m || ' | ' || (m * 7) || ' | inline ' || m
+        |      || ' | qty & spare' AS row_text
+        |  FROM s)
+        |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |  CAST(4 AS INT) AS n_cells, row_text
+        |FROM r GROUP BY row_text ORDER BY doc_id""".stripMargin,
 
     // every identification-header field restated arithmetically; torn
     // (post-splice payload flip -> CRC mismatch) absent
