@@ -107,6 +107,8 @@ object GraftFunctions {
   def zunstd(bytes: Column): Column = toCol(Zunstd(toExpr(bytes)))
   /** XZ/LZMA2 inflation, same posture — see [[Zunxz]]. */
   def zunxz(bytes: Column): Column = toCol(Zunxz(toExpr(bytes)))
+  /** Little-endian fixed-width hex of an integral — see [[LeHex]]. */
+  def le_hex(v: Column, width: Int): Column = toCol(LeHex(toExpr(v), width))
   /** ZIP central-directory listing — see [[ZipEntries]]. */
   def zip_entries(bytes: Column): Column = toCol(ZipEntries(toExpr(bytes)))
   /** One ZIP entry's bytes, CRC-verified — see [[ZipExtract]]. */
@@ -231,6 +233,8 @@ object GraftFunctions {
     "gunzip" -> { es => Gunzip(es(0)) },
     "zunstd" -> { es => Zunstd(es(0)) },
     "zunxz" -> { es => Zunxz(es(0)) },
+    "le_hex" -> { es => LeHex(es(0),
+      es(1).eval().asInstanceOf[Number].intValue()) },
     "zip_entries" -> { es => ZipEntries(es(0)) },
     "zip_extract" -> { es => ZipExtract(es(0), es(1)) },
     "tar_entries" -> { es => TarEntries(es(0)) },

@@ -325,25 +325,30 @@ object Reference extends QueryPack {
         header("x.txt", "", '0', l2), bodyBHex, padTo512(l2),
         lit(zeros(1024)))
       // real gzip member (t60b): header + stored deflate + crc32 + isize
-      def le16(v: Column) = format_string("%02X%02X",
-        v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)))
-      def le32(v: Column) = format_string("%02X%02X%02X%02X",
-        v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
-        shiftright(v, 16).bitwiseAND(lit(255)),
-        shiftright(v, 24).bitwiseAND(lit(255)))
-      val tarBin = unhex(tarHex)
-      val tlen = octet_length(tarBin)
+      import graft.functions.GraftFunctions.le_hex
+      def le16(v: Column) = le_hex(v, 2)
+      def le32(v: Column) = le_hex(v, 4)
       val torn = id % 7 === 0
-      val tarB = container match {
+      // STAGED (round 18): tarHex is a ~20-subexpression construction
+      // referenced by the container wrapper as content AND length AND
+      // crc — as one collapsed projection the x20c variant blew
+      // janino's 64 KB, lost whole-stage codegen and with it common-
+      // subexpression elimination, and the interpreted tree re-built
+      // the tar PER REFERENCE (60.6 s at sf0.1 vs zstd's 3.7 — the
+      // x25 lesson again). Named multi-referenced columns make the
+      // sharing structural instead of an optimizer courtesy.
+      def tlenC = col("g_tlen")
+      def tarHexC = col("g_tarhex")
+      val wrapped: Column = container match {
         case "gzip" =>
           // torn arm: bump the crc32 -> member integrity check refuses
           val crcBump = when(torn, lit(1L)).otherwise(lit(0L))
           gunzip(unhex(concat(
             lit("1F8B08000000000000FF"),
-            lit("01"), le16(tlen), le16(lit(65535) - tlen),
-            tarHex,
-            le32(pmod(crc32(tarBin) + crcBump, lit(4294967296L))),
-            le32(tlen))))
+            lit("01"), le16(tlenC), le16(lit(65535) - tlenC),
+            tarHexC,
+            le32(pmod(crc32(unhex(tarHexC)) + crcBump, lit(4294967296L))),
+            le32(tlenC))))
         case "zstd" =>
           // RFC 8878 single-segment frame, one RAW (stored) block:
           // magic, FHD 0x60 (2-byte FCS holding size-256), LE24 block
@@ -352,23 +357,32 @@ object Reference extends QueryPack {
           def le24(v: Column) = format_string("%02X%02X%02X",
             v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
             shiftright(v, 16).bitwiseAND(lit(255)))
-          val fcs = tlen - lit(256) + when(torn, lit(1)).otherwise(lit(0))
+          val fcs = tlenC - lit(256) + when(torn, lit(1)).otherwise(lit(0))
           zunstd(unhex(concat(
             lit("28B52FFD"), lit("60"), le16(fcs),
-            le24(shiftleft(tlen, 3).bitwiseOR(lit(1))),
-            tarHex)))
+            le24(shiftleft(tlenC, 3).bitwiseOR(lit(1))),
+            tarHexC)))
         case "xz" =>
           // check-none XZ stream, one LZMA2 uncompressed chunk (the
           // xzWrapHex construction XzSpec pins). Torn arm: the block
           // header CRC32 is bumped -> the decoder refuses whole.
-          zunxz(unhex(xzWrapHex(tarHex,
+          zunxz(unhex(xzWrapHex(tarHexC,
             when(torn, lit(1L)).otherwise(lit(0L)))))
       }
       val curated = Tables.documents(s, d)
+        .select(id, col("lang"))
+        .withColumn("g_tarhex", tarHex)
+        .withColumn("g_tlen", (length(tarHexC) / 2).cast("int"))
+        .withColumn("g_blob", wrapped)
+        .select(id, col("lang"), col("g_blob"))
+        // span split (the x25 observe rung): the tar construction and
+        // the walk/extract halves each compile as their own whole-stage
+        // method; no exchange, free row-count metric
+        .observe(s"x20_${container}_construction", count(lit(1)).as("docs_built"))
         .select(id, col("lang"),
-          tar_entries(tarB).as("entries"),
-          decode(tar_extract(tarB, lit("docs/a.txt")), "UTF-8").as("a_text"),
-          charset_decode(tar_extract(tarB, paxPath)).as("b_text"))
+          tar_entries(col("g_blob")).as("entries"),
+          decode(tar_extract(col("g_blob"), lit("docs/a.txt")), "UTF-8").as("a_text"),
+          charset_decode(tar_extract(col("g_blob"), paxPath)).as("b_text"))
         .filter(col("entries").isNotNull) // torn gzip/tar: absent
         .select(id, size(col("entries")).as("n_entries"),
           col("a_text"), col("b_text"))
@@ -2039,16 +2053,16 @@ object Reference extends QueryPack {
     // from the previous hop. Torn archives (doc_id % 7 == 0)
     // quarantine by absence.
     "x25_epub_chain" -> { (s, d) =>
-      import graft.functions.GraftFunctions.zip_extract
+      import graft.functions.GraftFunctions.{le_hex, zip_extract}
       val id = col("doc_id")
       def hexOf(str: String) =
         str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
-      def le16h(v: Column) = format_string("%02X%02X",
-        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)))
-      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
-        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
-        pmod((v / 65536).cast("int"), lit(256)),
-        pmod((v / 16777216).cast("int"), lit(256)))
+      // native le_hex, not the format_string spelling: the generated
+      // code per field is one static call, which is what lets this
+      // whole per-row chain compile as ONE whole-stage method (round-18
+      // fix; see LeHex's Scaladoc)
+      def le16h(v: Column) = le_hex(v, 2)
+      def le32h(v: Column) = le_hex(v, 4)
       val opfPath = when(id % 2 === 0, lit("OPS/content.opf"))
         .otherwise(lit("book/pkg.opf"))
       val href = when(id % 3 === 0, lit("text/intro.xhtml"))
@@ -2070,18 +2084,28 @@ object Reference extends QueryPack {
       // interpreted eval and the 3 zip_extract hops re-evaluated the
       // whole construction subtree — 10.5 s at sf0.1; staging the blob
       // and each hop as named MULTI-REFERENCED columns keeps every
-      // projection codegen-sized and the blob computed ONCE)
-      def localHdr(crcHex: Column, blen: Column, nlen: Column,
+      // projection codegen-sized and the blob computed ONCE).
+      // Round 18, one rung deeper: the zipHex projection ITSELF blew
+      // janino's 64 KB because every le32h/le16h length field expanded
+      // its format_string(pmod/div...) subtree in place — four per
+      // header, eighteen headers' worth in one generated method (whole-
+      // stage codegen cannot split methods over deferred local
+      // variables). Staging the FORMATTED hex pieces (lNx/kNx, each
+      // referenced 4x/2x so CollapseProject keeps the layer) shrinks
+      // the zipHex method to literal+ref concatenation and the whole
+      // chain compiles — no interpreted fallback anywhere.
+      def localHdr(crcHex: Column, lenHex: Column, nlenHex: Column,
                    nameHex: Column, bodyHex: Column) = concat(
         lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
-        crcHex, le32h(blen), le32h(blen), le16h(nlen), lit("0000"),
+        crcHex, lenHex, lenHex, nlenHex, lit("0000"),
         nameHex, bodyHex)
-      def centralHdr(crcHex: Column, blen: Column, nlen: Column,
-                     nameHex: Column, off: Column) = concat(
+      def centralHdr(crcHex: Column, lenHex: Column, nlenHex: Column,
+                     nameHex: Column, offHex: Column) = concat(
         lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000"),
-        crcHex, le32h(blen), le32h(blen), le16h(nlen),
+        crcHex, lenHex, lenHex, nlenHex,
         lit("0000" + "0000" + "0000" + "0000" + "00000000"),
-        le32h(off), nameHex)
+        offHex, nameHex)
+      val n1lenHex = f"${n1.length}%02X00" // le16 of a known-small length
       val staged = Tables.documents(s, d).select(id.as("doc_id"))
         .withColumn("b1", body1)
         .withColumn("b2", body2)
@@ -2096,6 +2120,8 @@ object Reference extends QueryPack {
         .withColumn("h1", hex(col("b1")))
         .withColumn("h2", hex(col("b2")))
         .withColumn("h3", hex(col("b3")))
+        .withColumn("hn2", hex(col("nm2")))
+        .withColumn("hn3", hex(col("nm3")))
         .withColumn("l1", length(col("b1")).cast("int"))
         .withColumn("l2", length(col("b2")).cast("int"))
         .withColumn("l3", length(col("b3")).cast("int"))
@@ -2103,21 +2129,38 @@ object Reference extends QueryPack {
         .withColumn("k3", length(col("nm3")).cast("int"))
         .withColumn("s1", lit(30 + n1.length) + col("l1"))
         .withColumn("s2", lit(30) + col("k2") + col("l2"))
+        // the formatted hex pieces, each multi-referenced downstream
+        .withColumn("l1x", le32h(col("l1")))
+        .withColumn("l2x", le32h(col("l2")))
+        .withColumn("l3x", le32h(col("l3")))
+        .withColumn("k2x", le16h(col("k2")))
+        .withColumn("k3x", le16h(col("k3")))
         .withColumn("zipHex", concat(
-          localHdr(col("c1x"), col("l1"), lit(n1.length), lit(hexOf(n1)), col("h1")),
-          localHdr(col("c2x"), col("l2"), col("k2"), hex(col("nm2")), col("h2")),
-          localHdr(col("c3x"), col("l3"), col("k3"), hex(col("nm3")), col("h3")),
-          centralHdr(col("c1x"), col("l1"), lit(n1.length), lit(hexOf(n1)), lit(0)),
-          centralHdr(col("c2x"), col("l2"), col("k2"), hex(col("nm2")), col("s1")),
-          centralHdr(col("c3x"), col("l3"), col("k3"), hex(col("nm3")),
-            col("s1") + col("s2")),
-          lit("504B0506" + "0000" + "0000"), le16h(lit(3)), le16h(lit(3)),
+          localHdr(col("c1x"), col("l1x"), lit(n1lenHex), lit(hexOf(n1)), col("h1")),
+          localHdr(col("c2x"), col("l2x"), col("k2x"), col("hn2"), col("h2")),
+          localHdr(col("c3x"), col("l3x"), col("k3x"), col("hn3"), col("h3")),
+          centralHdr(col("c1x"), col("l1x"), lit(n1lenHex), lit(hexOf(n1)),
+            lit("00000000")),
+          centralHdr(col("c2x"), col("l2x"), col("k2x"), col("hn2"),
+            le32h(col("s1"))),
+          centralHdr(col("c3x"), col("l3x"), col("k3x"), col("hn3"),
+            le32h(col("s1") + col("s2"))),
+          lit("504B0506" + "0000" + "0000" + "0300" + "0300"),
           le32h(lit(3 * 46 + n1.length) + col("k2") + col("k3")),
           le32h(col("s1") + col("s2") + lit(30) + col("k3") + col("l3")),
           lit("0000")))
         .withColumn("blob", unhex(when(col("doc_id") % 7 === 0,
           col("zipHex").substr(lit(1), length(col("zipHex")) - 6))
           .otherwise(col("zipHex"))))
+        .select(col("doc_id"), col("blob"))
+        // observe() = CollectMetricsExec, which does not participate in
+        // whole-stage codegen: it cuts the per-row chain into TWO
+        // generated methods (construction | extraction) with NO
+        // exchange, NO extra pass, and a free row-count metric — the
+        // remaining rung after le_hex shrank the field rendering
+        // (janino's 64 KB is per method and WSCG can't split over
+        // deferred local variables)
+        .observe("x25_construction", count(lit(1)).as("docs_built"))
         // the chain: each hop's NAME comes from the previous hop's content
         .withColumn("c1", decode(zip_extract(col("blob"), lit(n1)), "UTF-8"))
         .withColumn("opf_path", regexp_extract(col("c1"), "full-path=\"([^\"]*)\"", 1))
@@ -2149,16 +2192,12 @@ object Reference extends QueryPack {
     // the refusal). Torn archives (doc_id % 7 == 0) quarantine by
     // absence. Keep-first on the extracted row; one data exchange.
     "x26_xlsx_cells" -> { (s, d) =>
-      import graft.functions.GraftFunctions.zip_extract
+      import graft.functions.GraftFunctions.{le_hex, zip_extract}
       val id = col("doc_id")
       def hexOf(str: String) =
         str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
-      def le16h(v: Column) = format_string("%02X%02X",
-        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)))
-      def le32h(v: Column) = format_string("%02X%02X%02X%02X",
-        pmod(v, lit(256)), pmod((v / 256).cast("int"), lit(256)),
-        pmod((v / 65536).cast("int"), lit(256)),
-        pmod((v / 16777216).cast("int"), lit(256)))
+      def le16h(v: Column) = le_hex(v, 2)
+      def le32h(v: Column) = le_hex(v, 4)
       val m = pmod(id, lit(11))
       val body1 = lit("""<Types xmlns="ct"/>""")
       val body2 = concat(
@@ -2336,6 +2375,10 @@ object Reference extends QueryPack {
         when(id % 9 === 0, lit(1L)).otherwise(lit(0L)))))
       Tables.documents(s, d)
         .select(id, decode(z, "UTF-8").as("text"))
+        // observe blocks the isnotnull pushdown that would otherwise
+        // clone the whole construct+inflate tree into the Filter (one
+        // decode per row, not two; free torn-rate visibility)
+        .observe("m28_inflate", count(lit(1)).as("docs_seen"))
         .filter(col("text").isNotNull)
         .select(id, col("text"), octet_length(col("text")).as("n_bytes"))
         .orderBy(id)
