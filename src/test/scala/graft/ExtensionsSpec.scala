@@ -54,6 +54,25 @@ class ExtensionsSpec extends AnyFunSuite {
     (0 until 6).foreach(i => assert(n.isNullAt(i), s"field $i"))
   }
 
+  test("round-18 functions resolve and evaluate from pure SQL") {
+    // zunxz: check-none stream holding one LZMA2 uncompressed chunk
+    // with 'abc' (XzSpec's hand-built construction, inlined hex)
+    val xzAbc = "FD377A585A000000FF12D941" + // magic | flags | crc32(flags)
+      "020021010400000060B0F559" +           // block header + its crc32
+      "01000261626300" + "00" +              // chunk(abc) | end | pad
+      "0001130303A560D8" +                   // index + crc32
+      "06729E7A010000000000595A"             // footer
+    val r = extSpark.sql(
+      s"SELECT decode(zunxz(unhex('$xzAbc')), 'UTF-8') AS x, " +
+        "le_hex(258, 4) AS l4, le_hex(CAST(65535 AS BIGINT), 2) AS l2, " +
+        "zunxz(CAST(NULL AS BINARY)) AS n, zunxz(unhex('FD37')) AS torn")
+      .head()
+    assert(r.getString(0) === "abc")
+    assert(r.getString(1) === "02010000")
+    assert(r.getString(2) === "FFFF")
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("SQL robots functions: literal agent works, a non-literal agent is a clean analysis error") {
     val ok = extSpark.sql(
       "SELECT robots_allowed('User-agent: *\nDisallow: /x\n', '/x1', 'bot') AS a, " +
