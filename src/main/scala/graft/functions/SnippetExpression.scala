@@ -39,12 +39,12 @@ case class SnippetWindow(child: Expression, terms: Seq[String], w: Int)
   }
 
   override def nullSafeEval(v: Any): Any =
-    SnippetWindow.eval(v.asInstanceOf[UTF8String].toString, termSet, w)
+    SnippetWindow.compute(v.asInstanceOf[UTF8String].toString, termSet, w)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef = ctx.addReferenceObj("termSet", termSet, "java.util.HashSet<String>")
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.SnippetWindow.eval($c.toString(), $setRef, $w);
+      ${ev.value} = graft.functions.SnippetWindow.compute($c.toString(), $setRef, $w);
       ${ev.isNull} = ${ev.value} == null;
     """)
   }
@@ -59,7 +59,15 @@ object SnippetWindow {
     StructField("best_pos", LongType),
     StructField("snippet", StringType)))
 
-  def eval(text: String, terms: java.util.HashSet[String], w: Int): InternalRow = {
+  /** Named `compute`, NOT `eval`: the case class inherits
+    * Expression.eval(InternalRow), and that clash SUPPRESSES the
+    * companion's static forwarder — so generated code calling
+    * `SnippetWindow.eval(String, HashSet, int)` failed janino
+    * compilation and the expression ran interpreted (with the
+    * whole-stage span disabled around it) from its introduction
+    * until round 18. Never name a codegen-target helper `eval`.
+    */
+  def compute(text: String, terms: java.util.HashSet[String], w: Int): InternalRow = {
     val toks = text.split(" ", -1)
     var h = 0
     var i = 0
