@@ -207,10 +207,7 @@ object Reference extends QueryPack {
     * straight-line Scala against the library and the xz CLI.
     */
   private def xzWrapHex(dataHex: Column, crcBump: Column): Column = {
-    def le32(v: Column) = format_string("%02X%02X%02X%02X",
-      v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)),
-      shiftright(v, 16).bitwiseAND(lit(255)),
-      shiftright(v, 24).bitwiseAND(lit(255)))
+    def le32(v: Column) = graft.functions.GraftFunctions.le_hex(v, 4)
     def crcConst(bytes: Int*): Long = {
       val c = new java.util.zip.CRC32()
       bytes.foreach(b => c.update(b))
@@ -2295,6 +2292,93 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // PPTX SLIDE TEXT composed (x27, round 18 — the third office
+    // sibling, closing the DOCX/XLSX/PPTX matrix; DrawingML puts slide
+    // text in <a:t> runs, but AUTO-UPDATING FIELDS (<a:fld> — slide
+    // numbers, dates) render text that is NOT authored content): per
+    // doc, a two-entry STORED zip whose slide1.xml carries real runs
+    // plus, on doc_id % 5 == 0, an <a:fld> slide-number run the
+    // extractor must strip FIRST — a naive <a:t> grep splits every
+    // content class in two, which the dedup groups prove (the w:del
+    // analog). Entities unescaped; torn archives (doc_id % 7 == 0)
+    // quarantine by absence. Keep-first on the extracted text.
+    "x27_pptx_text" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{le_hex, zip_extract}
+      val id = col("doc_id")
+      def hexOf(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      def le16h(v: Column) = le_hex(v, 2)
+      def le32h(v: Column) = le_hex(v, 4)
+      val m = pmod(id, lit(11))
+      val body1 = lit("""<Types xmlns="ct"/>""")
+      val body2 = concat(
+        lit("""<p:sld><p:cSld><p:spTree><p:sp><p:txBody>""" +
+          """<a:p><a:r><a:t>Slide """), m.cast("string"),
+        lit(" title</a:t></a:r></a:p>"),
+        when(id % 5 === 0, lit(
+          """<a:p><a:fld id="{8A1C}" type="slidenum"><a:t>7</a:t></a:fld></a:p>"""))
+          .otherwise(lit("")),
+        lit("""<a:p><a:r><a:t>bullet &amp; point """), m.cast("string"),
+        lit("</a:t></a:r></a:p>" +
+          "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"))
+      val n1 = "[Content_Types].xml"
+      val n2 = "ppt/slides/slide1.xml"
+      def localHdr(crcHex: Column, lenHex: Column, nameHex: String,
+                   bodyHex: Column) = concat(
+        lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, lenHex, lenHex,
+        le16h(lit(nameHex.length / 2)), lit("0000"), lit(nameHex), bodyHex)
+      def centralHdr(crcHex: Column, lenHex: Column, nameHex: String,
+                     offHex: Column) = concat(
+        lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, lenHex, lenHex, le16h(lit(nameHex.length / 2)),
+        lit("0000" + "0000" + "0000" + "0000" + "00000000"),
+        offHex, lit(nameHex))
+      val staged = Tables.documents(s, d).select(id.as("doc_id"))
+        .withColumn("b1", body1)
+        .withColumn("b2", body2)
+        .withColumn("c1x", le32h(crc32(col("b1").cast("binary"))))
+        .withColumn("c2x", le32h(crc32(col("b2").cast("binary"))))
+        .withColumn("h1", hex(col("b1")))
+        .withColumn("h2", hex(col("b2")))
+        .withColumn("l1", length(col("b1")).cast("int"))
+        .withColumn("l2", length(col("b2")).cast("int"))
+        .withColumn("l1x", le32h(length(col("b1")).cast("int")))
+        .withColumn("l2x", le32h(length(col("b2")).cast("int")))
+        .withColumn("s1", lit(30 + n1.length) + col("l1"))
+        .withColumn("zipHex", concat(
+          localHdr(col("c1x"), col("l1x"), hexOf(n1), col("h1")),
+          localHdr(col("c2x"), col("l2x"), hexOf(n2), col("h2")),
+          centralHdr(col("c1x"), col("l1x"), hexOf(n1), lit("00000000")),
+          centralHdr(col("c2x"), col("l2x"), hexOf(n2), le32h(col("s1"))),
+          lit("504B0506" + "0000" + "0000" + "0200" + "0200"),
+          le32h(lit(2 * 46 + n1.length + n2.length)),
+          le32h(col("s1") + lit(30 + n2.length) + col("l2")),
+          lit("0000")))
+        .withColumn("blob", unhex(when(col("doc_id") % 7 === 0,
+          col("zipHex").substr(lit(1), length(col("zipHex")) - 6))
+          .otherwise(col("zipHex"))))
+        .select(col("doc_id"), col("blob"))
+        .observe("x27_construction", count(lit(1)).as("docs_built"))
+        .withColumn("xml", decode(zip_extract(col("blob"), lit(n2)), "UTF-8"))
+        // auto-updating fields are NOT authored content — strip first
+        .withColumn("kept", regexp_replace(col("xml"),
+          "(?s)<a:fld[^>]*>.*?</a:fld>", ""))
+        .withColumn("txt", Seq("&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+          .foldLeft(array_join(expr(
+            "regexp_extract_all(kept, '<a:t>([^<]*)</a:t>', 1)"), " ")) {
+            case (acc, (e, r)) => regexp_replace(acc, e, r)
+          })
+      staged
+        .select(col("doc_id"), col("txt"))
+        .filter(col("txt").isNotNull)
+        .groupBy(col("txt"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"), col("txt"))
+        .orderBy(col("doc_id"))
+    },
+
     // OGG CONTAINER walk under the gate (m27, round 17 — the Opus/
     // Vorbis half of the lossless/compressed-audio line m25 opened):
     // per doc, construct a complete two-page OGG stream in column
@@ -3520,6 +3604,20 @@ object Reference extends QueryPack {
         |r AS (
         |  SELECT doc_id,
         |    'Doc ' || c || ' heading body & tail ' || c AS txt
+        |  FROM s)
+        |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups, txt
+        |FROM r GROUP BY txt ORDER BY doc_id""".stripMargin,
+
+    // slide text with the <a:fld> strip restated: field docs (%5) keep
+    // their authored runs only, torn (%7) absent — a naive <a:t> grep
+    // would split every %5 class in two
+    "x27_pptx_text" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 11 AS m FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    'Slide ' || m || ' title bullet & point ' || m AS txt
         |  FROM s)
         |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups, txt
         |FROM r GROUP BY txt ORDER BY doc_id""".stripMargin,
