@@ -109,6 +109,12 @@ object GraftFunctions {
   def zunxz(bytes: Column): Column = toCol(Zunxz(toExpr(bytes)))
   /** Little-endian fixed-width hex of an integral — see [[LeHex]]. */
   def le_hex(v: Column, width: Int): Column = toCol(LeHex(toExpr(v), width))
+  /** BZIP2 inflation, same posture — see [[Zunbz2]]. */
+  def zunbz2(bytes: Column): Column = toCol(Zunbz2(toExpr(bytes)))
+  /** BZIP2 compression (write + fixture seam) — see [[Bzip2Deflate]]. */
+  def bzip2_deflate(bytes: Column): Column = toCol(Bzip2Deflate(toExpr(bytes)))
+  /** LZ4 frame inflation, same posture — see [[Zunlz4]]. */
+  def zunlz4(bytes: Column): Column = toCol(Zunlz4(toExpr(bytes)))
   /** ZIP central-directory listing — see [[ZipEntries]]. */
   def zip_entries(bytes: Column): Column = toCol(ZipEntries(toExpr(bytes)))
   /** One ZIP entry's bytes, CRC-verified — see [[ZipExtract]]. */
@@ -235,6 +241,9 @@ object GraftFunctions {
     "zunxz" -> { es => Zunxz(es(0)) },
     "le_hex" -> { es => LeHex(es(0),
       es(1).eval().asInstanceOf[Number].intValue()) },
+    "zunbz2" -> { es => Zunbz2(es(0)) },
+    "bzip2_deflate" -> { es => Bzip2Deflate(es(0)) },
+    "zunlz4" -> { es => Zunlz4(es(0)) },
     "zip_entries" -> { es => ZipEntries(es(0)) },
     "zip_extract" -> { es => ZipExtract(es(0), es(1)) },
     "tar_entries" -> { es => TarEntries(es(0)) },

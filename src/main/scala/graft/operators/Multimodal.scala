@@ -46,7 +46,7 @@ object Multimodal {
     * the typed parsers read: png, gif, jpeg, webp, tiff, wav, avi,
     * mp4, mp3 — and the archive/document families the
     * engine's walks parse: gzip, zstd, zip, tar (ustar at offset 257),
-    * warc, pdf, flac, xz (round 18), ogg (round 18).
+    * warc, pdf, flac, xz, ogg, bzip2, lz4 (all four round 18).
     * NULL in -> NULL out; anything unrecognized (including truncated
     * magic) -> 'unknown' — triage never throws.
     *
@@ -66,6 +66,7 @@ object Multimodal {
     def ascii(s: String) = lit(s.getBytes("ISO-8859-1"))
     val b1 = conv(hex(substring(c, 1, 1)), 16, 10).cast("int")
     val b2 = conv(hex(substring(c, 2, 1)), 16, 10).cast("int")
+    val b4 = conv(hex(substring(c, 4, 1)), 16, 10).cast("int")
     when(c.isNull, lit(null).cast("string"))
       .when(substring(c, 1, 4) ===
         lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), lit("png"))
@@ -96,6 +97,11 @@ object Multimodal {
         lit(Array[Byte](0xFD.toByte, '7'.toByte, 'z'.toByte,
           'X'.toByte, 'Z'.toByte, 0x00.toByte)), lit("xz"))
       .when(substring(c, 1, 4) === ascii("OggS"), lit("ogg"))
+      .when(substring(c, 1, 3) === ascii("BZh") &&
+        b4 >= 0x31 && b4 <= 0x39, lit("bzip2"))
+      .when(substring(c, 1, 4) ===
+        lit(Array[Byte](0x04.toByte, 0x22.toByte, 0x4D.toByte, 0x18.toByte)),
+        lit("lz4"))
       .when(substring(c, 258, 5) === ascii("ustar"), lit("tar"))
       .when(substring(c, 1, 5) === ascii("WARC/"), lit("warc"))
       .when(substring(c, 1, 5) === ascii("%PDF-"), lit("pdf"))

@@ -365,11 +365,28 @@ object Reference extends QueryPack {
           // header CRC32 is bumped -> the decoder refuses whole.
           zunxz(unhex(xzWrapHex(tarHexC,
             when(torn, lit(1L)).otherwise(lit(0L)))))
+        case "bz2" =>
+          // bzip2 has NO stored mode (BWT+MTF+Huffman always), so the
+          // stream rides the engine's own deterministic encoder seam
+          // (bzip2_deflate; independence carried by Bzip2Spec's
+          // two-sided CLI differential). Torn arm: flip one byte deep
+          // in the ENCODED stream -> the block CRC refuses whole.
+          def bzh = col("g_bzhex")
+          val flipped = concat(substring(bzh, 1, 40),
+            graft.functions.GraftFunctions.le_hex(
+              conv(substring(bzh, 41, 2), 16, 10).cast("int")
+                .bitwiseXOR(lit(16)), 1),
+            substring(bzh, 43, 1 << 30))
+          graft.functions.GraftFunctions.zunbz2(
+            unhex(when(torn, flipped).otherwise(bzh)))
       }
       val curated = Tables.documents(s, d)
         .select(id, col("lang"))
         .withColumn("g_tarhex", tarHex)
         .withColumn("g_tlen", (length(tarHexC) / 2).cast("int"))
+        .withColumn("g_bzhex", if (container == "bz2")
+          hex(graft.functions.GraftFunctions.bzip2_deflate(unhex(tarHexC)))
+          else lit(""))
         .withColumn("g_blob", wrapped)
         .select(id, col("lang"), col("g_blob"))
         // span split (the x25 observe rung): the tar construction and
@@ -1867,6 +1884,18 @@ object Reference extends QueryPack {
     // invisible under the hash.
     "x20c_mirror_ingest_xz" -> { (s, d) => mirrorIngest(s, d, "xz") },
 
+    // x20's pipeline through a REAL BZIP2 stream (x20d, round 18 —
+    // `.tar.bz2` is the CLASSIC mirror format, a decade of kernel.org
+    // and Debian archives): bzip2 has no stored mode, so the identical
+    // tar rides the engine's deterministic encoder seam
+    // (bzip2_deflate) and is inflated by zunbz2 (commons-compress,
+    // which Spark itself ships). Torn docs flip one byte deep in the
+    // encoded stream — the block CRC refuses, quarantining by absence.
+    // Same oracle shape: the container swap is invisible under the
+    // hash, and Bzip2Spec's two-sided CLI differential carries the
+    // encode/decode independence the in-gate round-trip cannot.
+    "x20d_mirror_ingest_bz2" -> { (s, d) => mirrorIngest(s, d, "bz2") },
+
     // MULTIMODAL (image-text) CORPUS CURATION composed (x18, round 16 —
     // the m-family's decoders + d23's perceptual hash turned into the
     // curation flow a vision-language corpus runs): per image blob
@@ -2468,6 +2497,71 @@ object Reference extends QueryPack {
         .orderBy(id)
     },
 
+    // BZIP2 INFLATION under the gate (m29, round 18 — the classic
+    // `.tar.bz2` mirror era): per doc, the payload rides the engine's
+    // deterministic bzip2 encoder seam (no stored mode exists in
+    // bzip2, so column arithmetic cannot assemble a stream — the
+    // two-sided CLI differential in Bzip2Spec carries encode/decode
+    // independence), inflates through zunbz2, and the oracle restates
+    // the payload arithmetically. Torn docs (doc_id % 9 == 0) flip
+    // one byte deep in the ENCODED stream — the block CRC is what
+    // refuses them, whole-blob.
+    "m29_bzip2_inflate" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{bzip2_deflate, le_hex, zunbz2}
+      val id = col("doc_id")
+      val payload = format_string("mirror doc %07d lang %s via bz2",
+        pmod(id, lit(10000000L)), col("lang"))
+      Tables.documents(s, d)
+        .select(id, hex(bzip2_deflate(payload.cast("binary"))).as("zh"))
+        // stage + observe: the encoder is per-row expensive and the
+        // flip references zh three times (m28's pushdown lesson)
+        .observe("m29_encode", count(lit(1)).as("docs_encoded"))
+        .withColumn("blob", unhex(when(id % 9 === 0,
+          concat(substring(col("zh"), 1, 40),
+            le_hex(conv(substring(col("zh"), 41, 2), 16, 10).cast("int")
+              .bitwiseXOR(lit(16)), 1),
+            substring(col("zh"), 43, 1 << 30)))
+          .otherwise(col("zh"))))
+        .select(id, decode(zunbz2(col("blob")), "UTF-8").as("text"))
+        .observe("m29_inflate", count(lit(1)).as("docs_seen"))
+        .filter(col("text").isNotNull)
+        .select(id, col("text"), octet_length(col("text")).as("n_bytes"))
+        .orderBy(id)
+    },
+
+    // LZ4 FRAME INFLATION under the gate (m30, round 18 — the
+    // speed-first mirror/log-shipper format): the frame spec HAS
+    // uncompressed blocks, so the whole frame assembles in column
+    // arithmetic like the zstd stored frames — magic, FLG 0x60 /
+    // BD 0x40, the descriptor HC byte (xxh32 of the two, a PLAN-TIME
+    // constant), one raw block (LE32 size with the high bit set),
+    // EndMark — and inflates through zunlz4 (lz4-java, Spark's own
+    // shuffle codec library). Torn docs (doc_id % 9 == 0) flip the HC
+    // byte — the header checksum refuses whole. Oracle restates the
+    // payload: an inversion check on the frame assembly.
+    "m30_lz4_inflate" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{le_hex, zunlz4}
+      val id = col("doc_id")
+      val payload = format_string("mirror doc %07d lang %s via lz4",
+        pmod(id, lit(10000000L)), col("lang"))
+      val hc = (net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+        .hash(Array[Byte](0x60, 0x40), 0, 2, 0) >> 8) & 0xFF
+      val hcHex = f"$hc%02X"
+      val hcTornHex = f"${hc ^ 0x01}%02X"
+      val ph = hex(payload)
+      val frameHex = concat(
+        lit("04224D18" + "6040"),
+        when(id % 9 === 0, lit(hcTornHex)).otherwise(lit(hcHex)),
+        le_hex(lit(2147483648L) + (length(ph) / 2).cast("long"), 4),
+        ph, lit("00000000"))
+      Tables.documents(s, d)
+        .select(id, decode(zunlz4(unhex(frameHex)), "UTF-8").as("text"))
+        .observe("m30_inflate", count(lit(1)).as("docs_seen"))
+        .filter(col("text").isNotNull)
+        .select(id, col("text"), octet_length(col("text")).as("n_bytes"))
+        .orderBy(id)
+    },
+
     // CROSS-CONTAINER AUDIO DEDUP composed (x23, round 17 — the reason
     // m25 surfaces the STREAMINFO md5): a recording mirrored as WAV by
     // one source and FLAC by another is the SAME audio, and RFC 9639's
@@ -2915,12 +3009,12 @@ object Reference extends QueryPack {
     // values arithmetically — duration_ms through the same integer
     // division the spec implies (units * 1000 / timescale for MP4,
     // frames * usPerFrame / 1000 for AVI).
-    // magic-byte triage over one blob per container family (doc_id % 17
+    // magic-byte triage over one blob per container family (doc_id % 19
     // picks the format; 7 is plain text) — the inversion oracle states
     // the expected routing directly
     "m4_media_format" -> { (s, d) =>
       import graft.operators.Multimodal.media_format
-      val k = (col("doc_id") % 17).cast("int")
+      val k = (col("doc_id") % 19).cast("int")
       val blob = when(k === 0, lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte,
           'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a)))
         .when(k === 1, lit("GIF89a").cast("binary"))
@@ -2940,9 +3034,11 @@ object Reference extends QueryPack {
         .when(k === 12, lit("fLaC").cast("binary"))
         .when(k === 13, lit("WARC/1.0\r\nWARC-Type: response").cast("binary"))
         .when(k === 14, concat(unhex(lit("00" * 257)), lit("ustar").cast("binary")))
-        // round 18: xz and ogg
+        // round 18: xz, ogg, bzip2, lz4
         .when(k === 15, unhex(lit("FD377A585A00")))
         .when(k === 16, lit("OggS").cast("binary"))
+        .when(k === 17, lit("BZh91AY&SY").cast("binary"))
+        .when(k === 18, unhex(lit("04224D186040")))
         .otherwise(lit("plain text bytes").cast("binary"))
       Tables.documents(s, d)
         .select(col("doc_id"), media_format(blob).as("fmt"))
@@ -3858,6 +3954,49 @@ object Reference extends QueryPack {
         |SELECT doc_id, n_dups, CAST(3 AS INT) AS n_entries, a_text, b_text
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    // decoded text restated; torn (flipped in-stream byte -> block CRC
+    // refusal) absent — the round-trip rides the engine encoder but
+    // the CRC-refusal arm and the Bzip2Spec CLI differential keep the
+    // decoder honestly under test
+    "m29_bzip2_inflate" ->
+      """SELECT doc_id,
+        |  'mirror doc ' || printf('%07d', doc_id % 10000000)
+        |    || ' lang ' || lang || ' via bz2' AS text,
+        |  CAST(strlen('mirror doc ' || printf('%07d', doc_id % 10000000)
+        |    || ' lang ' || lang || ' via bz2') AS INT) AS n_bytes
+        |FROM documents WHERE doc_id % 9 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // decoded text restated — an inversion check on the whole
+    // column-arithmetic LZ4 frame assembly; torn (HC flip) absent
+    "m30_lz4_inflate" ->
+      """SELECT doc_id,
+        |  'mirror doc ' || printf('%07d', doc_id % 10000000)
+        |    || ' lang ' || lang || ' via lz4' AS text,
+        |  CAST(strlen('mirror doc ' || printf('%07d', doc_id % 10000000)
+        |    || ' lang ' || lang || ' via lz4') AS INT) AS n_bytes
+        |FROM documents WHERE doc_id % 9 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // the container swap is invisible under the hash: identical output
+    // to x20/x20b/x20c through the bzip2 stream
+    "x20d_mirror_ingest_bz2" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, doc_id % 13 AS m FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    'alpha ' || printf('%02d', m) || ' v2' AS a_text,
+        |    'beta ' || printf('%02d', m) || ' '
+        |      || chr(8220) || lang || chr(8221) AS b_text
+        |  FROM s),
+        |g AS (
+        |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |    a_text, b_text
+        |  FROM r GROUP BY a_text, b_text)
+        |SELECT doc_id, n_dups, CAST(3 AS INT) AS n_entries, a_text, b_text
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // the decoded text restated arithmetically — an inversion check on
     // the whole column-arithmetic XZ stream assembly; torn absent
     "m28_xz_inflate" ->
@@ -4587,7 +4726,7 @@ object Reference extends QueryPack {
     // arithmetic with duration_ms = units * 1000 // timescale (the ISO
     "m4_media_format" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 17 AS INT)
+        |  CASE CAST(doc_id % 19 AS INT)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
         |    WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'mp4'
         |    WHEN 6 THEN 'mp3'
@@ -4595,6 +4734,7 @@ object Reference extends QueryPack {
         |    WHEN 11 THEN 'pdf' WHEN 12 THEN 'flac' WHEN 13 THEN 'warc'
         |    WHEN 14 THEN 'tar'
         |    WHEN 15 THEN 'xz' WHEN 16 THEN 'ogg'
+        |    WHEN 17 THEN 'bzip2' WHEN 18 THEN 'lz4'
         |    ELSE 'unknown' END AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
 

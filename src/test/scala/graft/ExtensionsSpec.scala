@@ -71,6 +71,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(1) === "02010000")
     assert(r.getString(2) === "FFFF")
     assert(r.isNullAt(3) && r.isNullAt(4))
+    // bzip2 round-trips through its own SQL pair; lz4 inflates a
+    // hand-assembled uncompressed-block frame (HC for FLG 60 BD 40)
+    val hc = (net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+      .hash(Array[Byte](0x60, 0x40), 0, 2, 0) >> 8) & 0xFF
+    val lz4Abc = f"04224D186040$hc%02X" + "03000080" + "616263" + "00000000"
+    val r2 = extSpark.sql(
+      "SELECT decode(zunbz2(bzip2_deflate(encode('abc', 'UTF-8'))), 'UTF-8') AS b, " +
+        s"decode(zunlz4(unhex('$lz4Abc')), 'UTF-8') AS l, " +
+        "zunbz2(unhex('425A6830')) AS badDigit, " +
+        "zunlz4(unhex('04224D18')) AS tornL")
+      .head()
+    assert(r2.getString(0) === "abc")
+    assert(r2.getString(1) === "abc")
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
   }
 
   test("SQL robots functions: literal agent works, a non-literal agent is a clean analysis error") {

@@ -460,7 +460,10 @@ class MultimodalSpec extends AnyFunSuite {
       // MUST land in 'unknown': br is undetectable by construction
       (22L, b(0xFD, '7', 'z', 'X', 'Z', 0x00)),
       (23L, "OggS ".getBytes("ISO-8859-1")),
-      (24L, b(0x3B))
+      (24L, b(0x3B)),
+      (25L, "BZh91AY&SY".getBytes("ISO-8859-1")),
+      (26L, "BZh0".getBytes("ISO-8859-1")), // block-size digit out of range
+      (27L, b(0x04, 0x22, 0x4D, 0x18, 0x60, 0x40))
     )
     val got = rows.toDF("id", "blob")
       .select(col("id"), Multimodal.media_format(col("blob")).as("fmt"))
@@ -472,7 +475,8 @@ class MultimodalSpec extends AnyFunSuite {
       13L -> "gzip", 14L -> "zstd", 15L -> "zip", 16L -> "zip",
       17L -> "pdf", 18L -> "flac", 19L -> "warc", 20L -> "tar",
       21L -> "unknown",
-      22L -> "xz", 23L -> "ogg", 24L -> "unknown"))
+      22L -> "xz", 23L -> "ogg", 24L -> "unknown",
+      25L -> "bzip2", 26L -> "unknown", 27L -> "lz4"))
   }
 
   /** PCM16 WAV with real samples (optionally a junk chunk before fmt). */
