@@ -46,7 +46,12 @@ object Multimodal {
     * the typed parsers read: png, gif, jpeg, webp, tiff, wav, avi,
     * mp4, mp3 — and the archive/document families the
     * engine's walks parse: gzip, zstd, zip, tar (ustar at offset 257),
-    * warc, pdf, flac, xz, ogg, bzip2, lz4 (all four round 18).
+    * warc, pdf, flac, xz, ogg, bzip2, lz4 (all four round 18) — plus
+    * two RECOGNIZED-BUT-REFUSED names, 'rar' and '7z' (round 18):
+    * both have magic, neither has a decoder here (no public rar
+    * decoder exists on this classpath; 7z is out of the decode
+    * surface by choice), so triage NAMES them for quarantine routing
+    * instead of burying them in 'unknown'.
     * NULL in -> NULL out; anything unrecognized (including truncated
     * magic) -> 'unknown' — triage never throws.
     *
@@ -102,6 +107,17 @@ object Multimodal {
       .when(substring(c, 1, 4) ===
         lit(Array[Byte](0x04.toByte, 0x22.toByte, 0x4D.toByte, 0x18.toByte)),
         lit("lz4"))
+      // recognized-but-refused: NAMED at triage (unlike brotli these
+      // have magic), not decoded — no public decoder for rar ships
+      // anywhere, and 7z is out of the decode surface by choice; a
+      // pipeline routes them to quarantine WITH the format named
+      // rather than burying them in 'unknown'
+      .when(substring(c, 1, 6) ===
+        lit(Array[Byte]('R'.toByte, 'a'.toByte, 'r'.toByte, '!'.toByte,
+          0x1A.toByte, 0x07.toByte)), lit("rar")) // v4 ..00 and v5 ..01 00 share this prefix
+      .when(substring(c, 1, 6) ===
+        lit(Array[Byte](0x37.toByte, 0x7A.toByte, 0xBC.toByte,
+          0xAF.toByte, 0x27.toByte, 0x1C.toByte)), lit("7z"))
       .when(substring(c, 258, 5) === ascii("ustar"), lit("tar"))
       .when(substring(c, 1, 5) === ascii("WARC/"), lit("warc"))
       .when(substring(c, 1, 5) === ascii("%PDF-"), lit("pdf"))

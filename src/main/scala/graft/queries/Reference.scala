@@ -3009,12 +3009,12 @@ object Reference extends QueryPack {
     // values arithmetically — duration_ms through the same integer
     // division the spec implies (units * 1000 / timescale for MP4,
     // frames * usPerFrame / 1000 for AVI).
-    // magic-byte triage over one blob per container family (doc_id % 19
+    // magic-byte triage over one blob per container family (doc_id % 21
     // picks the format; 7 is plain text) — the inversion oracle states
     // the expected routing directly
     "m4_media_format" -> { (s, d) =>
       import graft.operators.Multimodal.media_format
-      val k = (col("doc_id") % 19).cast("int")
+      val k = (col("doc_id") % 21).cast("int")
       val blob = when(k === 0, lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte,
           'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a)))
         .when(k === 1, lit("GIF89a").cast("binary"))
@@ -3039,6 +3039,9 @@ object Reference extends QueryPack {
         .when(k === 16, lit("OggS").cast("binary"))
         .when(k === 17, lit("BZh91AY&SY").cast("binary"))
         .when(k === 18, unhex(lit("04224D186040")))
+        // recognized-but-refused names: rar (v5 marker) and 7z
+        .when(k === 19, unhex(lit("526172211A070100")))
+        .when(k === 20, unhex(lit("377ABCAF271C")))
         .otherwise(lit("plain text bytes").cast("binary"))
       Tables.documents(s, d)
         .select(col("doc_id"), media_format(blob).as("fmt"))
@@ -4726,7 +4729,7 @@ object Reference extends QueryPack {
     // arithmetic with duration_ms = units * 1000 // timescale (the ISO
     "m4_media_format" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 19 AS INT)
+        |  CASE CAST(doc_id % 21 AS INT)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
         |    WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' WHEN 5 THEN 'mp4'
         |    WHEN 6 THEN 'mp3'
@@ -4735,6 +4738,7 @@ object Reference extends QueryPack {
         |    WHEN 14 THEN 'tar'
         |    WHEN 15 THEN 'xz' WHEN 16 THEN 'ogg'
         |    WHEN 17 THEN 'bzip2' WHEN 18 THEN 'lz4'
+        |    WHEN 19 THEN 'rar' WHEN 20 THEN '7z'
         |    ELSE 'unknown' END AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
 

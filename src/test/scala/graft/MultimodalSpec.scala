@@ -463,7 +463,11 @@ class MultimodalSpec extends AnyFunSuite {
       (24L, b(0x3B)),
       (25L, "BZh91AY&SY".getBytes("ISO-8859-1")),
       (26L, "BZh0".getBytes("ISO-8859-1")), // block-size digit out of range
-      (27L, b(0x04, 0x22, 0x4D, 0x18, 0x60, 0x40))
+      (27L, b(0x04, 0x22, 0x4D, 0x18, 0x60, 0x40)),
+      // recognized-but-refused names: magic present, decoder absent
+      (28L, "Rar!".getBytes("ISO-8859-1") ++ b(0x1A, 0x07, 0x01, 0x00)),
+      (29L, "Rar!".getBytes("ISO-8859-1") ++ b(0x1A, 0x07, 0x00)),
+      (30L, b(0x37, 0x7A, 0xBC, 0xAF, 0x27, 0x1C))
     )
     val got = rows.toDF("id", "blob")
       .select(col("id"), Multimodal.media_format(col("blob")).as("fmt"))
@@ -476,7 +480,8 @@ class MultimodalSpec extends AnyFunSuite {
       17L -> "pdf", 18L -> "flac", 19L -> "warc", 20L -> "tar",
       21L -> "unknown",
       22L -> "xz", 23L -> "ogg", 24L -> "unknown",
-      25L -> "bzip2", 26L -> "unknown", 27L -> "lz4"))
+      25L -> "bzip2", 26L -> "unknown", 27L -> "lz4",
+      28L -> "rar", 29L -> "rar", 30L -> "7z"))
   }
 
   /** PCM16 WAV with real samples (optionally a junk chunk before fmt). */
