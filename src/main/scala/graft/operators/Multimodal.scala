@@ -126,6 +126,27 @@ object Multimodal {
       .otherwise(lit("unknown"))
   }
 
+  /** Container-agnostic inflation: triage the magic, route to the
+    * matching decoder — gzip, zstd, xz, bzip2, lz4 (the engine's whole
+    * decode surface). Real mirrors ship MIXED encodings for the same
+    * corpus (a gzip era, a zstd migration, an xz long tail), and the
+    * pipeline downstream of inflation shouldn't care. NULL for NULL,
+    * for the named refusals (rar/7z/brotli-as-unknown), for plain
+    * 'unknown', and for any blob its own decoder refuses (torn/CRC/
+    * bomb) — one quarantine contract across all five codecs. CASE
+    * branches evaluate lazily per row, so exactly one decoder runs.
+    */
+  def inflate_any(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.GraftFunctions.{gunzip, zunbz2, zunlz4, zunstd, zunxz}
+    val fmt = media_format(c)
+    when(fmt === "gzip", gunzip(c))
+      .when(fmt === "zstd", zunstd(c))
+      .when(fmt === "xz", zunxz(c))
+      .when(fmt === "bzip2", zunbz2(c))
+      .when(fmt === "lz4", zunlz4(c))
+      .otherwise(lit(null).cast("binary"))
+  }
+
   case class MediaMeta(kind: String, width: Int, height: Int, nFrames: Int)
   case class MediaRow(media_id: Long, bytes: Array[Byte])
   case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,

@@ -2408,6 +2408,64 @@ object Reference extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // MIXED-CONTAINER MIRROR composed (x28, round 18 — the capstone of
+    // the compression matrix: real mirror feeds interleave gzip-era,
+    // zstd-migration, and xz/bz2/lz4 long-tail shards of the SAME
+    // corpus): per doc, the SAME class payload rides one of the five
+    // containers by doc_id % 5 — gzip/zstd/xz/lz4 assembled in column
+    // arithmetic, bzip2 through the encoder seam — and inflate_any
+    // routes by magic so the keep-first collides ACROSS containers
+    // (n_containers = 5 proves it; gcd(13,5)=1 spreads every content
+    // class over every container). The container arms live INSIDE the
+    // routing CASE so exactly one encoder runs per row (lazy branches;
+    // staging all five would run the bzip2 encoder for every row).
+    // Torn docs (doc_id % 7 == 0) truncate the blob — five decoders,
+    // ONE quarantine contract. Streaming twin: MixedMirrorStream
+    // (the 22nd batch==stream pair).
+    "x28_mixed_container_mirror" -> { (s, d) =>
+      import graft.functions.GraftFunctions.{bzip2_deflate, le_hex}
+      import graft.operators.Multimodal.inflate_any
+      val id = col("doc_id")
+      val m = pmod(id, lit(13))
+      val hc = (net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+        .hash(Array[Byte](0x60, 0x40), 0, 2, 0) >> 8) & 0xFF
+      def ph = col("ph")
+      def plen = col("plen")
+      val gzHex = concat(lit("1F8B08000000000000FF" + "01"),
+        le_hex(plen, 2), le_hex(lit(65535) - plen, 2), ph,
+        le_hex(crc32(col("p").cast("binary")), 4), le_hex(plen, 4))
+      val zstHex = concat(lit("28B52FFD" + "20"), le_hex(plen, 1),
+        le_hex(shiftleft(plen, 3).bitwiseOR(lit(1)), 3), ph)
+      val xzHex = xzWrapHex(ph, lit(0L))
+      val lz4Hex = concat(lit("04224D186040" + f"$hc%02X"),
+        le_hex(lit(2147483648L) + plen, 4), ph, lit("00000000"))
+      val bzHex = hex(bzip2_deflate(col("p").cast("binary")))
+      val staged = Tables.documents(s, d).select(id.as("doc_id"))
+        .withColumn("p", format_string("mirror doc class %02d corpus text body", m))
+        .withColumn("ph", hex(col("p")))
+        .withColumn("plen", (length(col("ph")) / 2).cast("int"))
+        .withColumn("k", pmod(col("doc_id"), lit(5)))
+        .withColumn("blobHex",
+          when(col("k") === 0, gzHex)
+            .when(col("k") === 1, zstHex)
+            .when(col("k") === 2, xzHex)
+            .when(col("k") === 3, bzHex)
+            .otherwise(lz4Hex))
+        .withColumn("blob", unhex(when(col("doc_id") % 7 === 0,
+          col("blobHex").substr(lit(1), length(col("blobHex")) - 6))
+          .otherwise(col("blobHex"))))
+        .select(col("doc_id"), col("k"), col("blob"))
+        .observe("x28_construction", count(lit(1)).as("docs_built"))
+        .withColumn("txt", decode(inflate_any(col("blob")), "UTF-8"))
+      staged
+        .filter(col("txt").isNotNull)
+        .groupBy(col("txt"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"),
+          countDistinct(col("k")).as("n_containers"))
+        .select(col("doc_id"), col("n_dups"), col("n_containers"), col("txt"))
+        .orderBy(col("doc_id"))
+    },
+
     // OGG CONTAINER walk under the gate (m27, round 17 — the Opus/
     // Vorbis half of the lossless/compressed-audio line m25 opened):
     // per doc, construct a complete two-page OGG stream in column
@@ -3955,6 +4013,21 @@ object Reference extends QueryPack {
         |    a_text, b_text
         |  FROM r GROUP BY a_text, b_text)
         |SELECT doc_id, n_dups, CAST(3 AS INT) AS n_entries, a_text, b_text
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the cross-container collision under the hash: every content
+    // class keeps ONE doc while its members arrived in five different
+    // containers (n_containers computed, not assumed); torn absent
+    "x28_mixed_container_mirror" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 13 AS m, doc_id % 5 AS k FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |g AS (
+        |  SELECT m, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |    CAST(COUNT(DISTINCT k) AS BIGINT) AS n_containers
+        |  FROM s GROUP BY m)
+        |SELECT doc_id, n_dups, n_containers,
+        |  'mirror doc class ' || printf('%02d', m) || ' corpus text body' AS txt
         |FROM g ORDER BY doc_id""".stripMargin,
 
     // decoded text restated; torn (flipped in-stream byte -> block CRC

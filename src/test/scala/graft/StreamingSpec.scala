@@ -1111,6 +1111,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("mixed-container ingest twins (22nd): five codecs, one magic-routed flow equals batch") {
+    import spark.implicits._
+    import graft.streaming.MixedMirrorStream
+    implicit val sctx = spark.sqlContext
+    // each class's text travels in a DIFFERENT container per doc —
+    // library encoders, one per codec (gzip via the JDK, the rest via
+    // the classpath libraries the decoders wrap)
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(bos); o.write(b); o.close()
+      bos.toByteArray
+    }
+    def zst(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new com.github.luben.zstd.ZstdOutputStream(bos); o.write(b); o.close()
+      bos.toByteArray
+    }
+    def xz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new org.tukaani.xz.XZOutputStream(bos,
+        new org.tukaani.xz.LZMA2Options(), org.tukaani.xz.XZ.CHECK_CRC32)
+      o.write(b); o.close()
+      bos.toByteArray
+    }
+    def bz2(b: Array[Byte]) = graft.functions.Bzip2Deflate.deflate(b)
+    def lz4(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new net.jpountz.lz4.LZ4FrameOutputStream(bos); o.write(b); o.close()
+      bos.toByteArray
+    }
+    val wraps = Seq(gz _, zst _, xz _, bz2 _, lz4 _)
+    val blobs: Seq[(Long, Array[Byte])] = (0L until 40L).map { id =>
+      val cls = id % 5
+      // short-doc arm (id%4): 2 tokens, below the 4-token floor
+      val text = if (id % 4 == 0) s"doc $cls"
+        else s"doc $cls mirrored corpus text here"
+      val z = wraps(((id + cls) % 5).toInt)(text.getBytes("UTF-8"))
+      // torn arm (id%7): every decoder refuses, one quarantine contract
+      (id, if (id % 7 == 0) z.dropRight(3) else z)
+    }
+    val batch = MixedMirrorStream.ingestBatch(blobs.toDF("doc_id", "blob"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch.size === 5, s"expected 5 content classes, got ${batch.size}")
+    assert(batch.map(_._1).forall(id => id % 7 != 0 && id % 4 != 0))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MixedMirrorStream.ingestStream(
+        input.toDF().toDF("doc_id", "blob"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mixed_ingest")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-mixed-ckpt").toString)
+      .start()
+    try {
+      input.addData(blobs.take(20)); q.processAllAvailable()
+      input.addData(blobs.drop(20)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mixed_ingest").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("lexical ingest twins (15th): streamed appendSaved equals batch-built BM25, scores included") {
     import spark.implicits._
     import graft.operators.InvertedIndex
