@@ -333,12 +333,27 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     val meas = scala.collection.mutable.Map[String, List[(Double, Boolean)]]()
       .withDefaultValue(Nil)
+    // OS 1-min load average captured alongside each rep (same prepend
+    // order as meas), so a contaminated epoch self-describes numerically
+    // in the durable record instead of narratively (r18 verdict task 7).
+    // -1 where the JVM can't read it.
+    val loads = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    def loadAvg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l < 0) -1.0 else math.rint(l * 10.0) / 10.0
+    }
+    def record(n: String, t: Double, clean: Boolean): Unit = {
+      meas(n) = (t, clean) :: meas(n)
+      loads(n) = loadAvg() :: loads(n)
+    }
     for (_ <- 1 to passes) {
       var prevQuiet = sentinelQuiet()
       for (n <- names) {
         val t = exec(n)
         val nextQuiet = sentinelQuiet()
-        if (t >= 0) meas(n) = (t, prevQuiet && nextQuiet) :: meas(n)
+        if (t >= 0) record(n, t, prevQuiet && nextQuiet)
         prevQuiet = nextQuiet
       }
     }
@@ -372,7 +387,7 @@ object Bench {
         if (sentinelQuiet()) {
           val t = exec(n)
           val quiet = sentinelQuiet()
-          if (t >= 0) meas(n) = (t, quiet) :: meas(n)
+          if (t >= 0) record(n, t, quiet)
           else fails += 1 // a query that ERRORS must not eat the budget
         } else Thread.sleep(5000)
       }
@@ -422,9 +437,14 @@ object Bench {
     // round 3's line, losing 13 entries and the total — the file is the
     // durable copy, with every raw (seconds, clean) measurement for audit.
     try {
+      // each rep as [seconds, clean, loadavg] — the load sentinel makes
+      // an epoch's contamination a per-rep measurement, not an inference
       val raw = names.map { n =>
-        val ms = meas(n).reverse
-          .map { case (t, c) => s"[${round3(t)},$c]" }.mkString("[", ",", "]")
+        val ls = loads(n)
+        val ms = meas(n).zipAll(ls.take(meas(n).size), (0.0, false), -1.0)
+          .reverse
+          .map { case ((t, c), l) => s"[${round3(t)},$c,$l]" }
+          .mkString("[", ",", "]")
         "\"" + n + "\":" + ms
       }.mkString("{", ",", "}")
       // warm floor: min of CLEAN measurements excluding the first

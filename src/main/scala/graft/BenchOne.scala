@@ -7,11 +7,12 @@ import org.apache.spark.sql.SparkSession
   * N warm repetitions, per-rep seconds on stdout. Not part of the driver
   * contract — `Bench` remains the measured record.
   *
-  * Usage: runMain graft.BenchOne <sfDir> <queryName> [reps=5]
+  * Usage: runMain graft.BenchOne <sfDir> <name[,name...]> [reps=5]
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0); val name = args(1)
+    val sfDir = args(0)
+    val qnames = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val reps = if (args.length > 2) args(2).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -24,17 +25,24 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations ++= Seq(graft.plans.SpatialFilterPushdown)
-    val fn = (SparkEntry.queries ++ SparkEntry.benchOnly)(name)
+    val qmap = SparkEntry.queries ++ SparkEntry.benchOnly
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val times = (1 to reps).map { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val t = (System.nanoTime() - t0) / 1e9
-      println(f"[benchone] $name rep $i: $t%.3f s")
-      t
+    for (name <- qnames) {
+      val fn = qmap(name)
+      val times = (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        // 1-min load average per rep: quiet-window adjudications need the
+        // host state ON the record, not asserted (r18 verdict task 7)
+        val load = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        println(f"[benchone] $name rep $i: $t%.3f s (load $load%.1f)")
+        t
+      }
+      println(f"[benchone] $name min of $reps: ${times.min}%.3f s")
     }
-    println(f"[benchone] $name min of $reps: ${times.min}%.3f s")
     spark.stop()
   }
 }

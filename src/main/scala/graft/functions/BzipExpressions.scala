@@ -74,6 +74,10 @@ object Zunbz2 {
       } finally in.close()
     } catch {
       case _: java.io.IOException => null // torn / CRC mismatch / garbage
+      // commons-compress bzip2 has historically thrown RuntimeExceptions
+      // (IndexOutOfBounds and friends) on crafted streams behind a valid
+      // "BZh" magic; those belong in the same quarantine (r18 ADVICE)
+      case _: RuntimeException => null
     }
   }
 }

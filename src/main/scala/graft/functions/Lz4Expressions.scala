@@ -85,6 +85,11 @@ object Zunlz4 {
       } finally in.close()
     } catch {
       case _: java.io.IOException => null // torn / checksum / garbage
+      // lz4-java raises LZ4Exception (a RuntimeException) when block
+      // DATA is malformed behind a valid magic/HC header — it must
+      // land in the same whole-blob-NULL quarantine, not escape and
+      // fail the task (r18 ADVICE)
+      case _: net.jpountz.lz4.LZ4Exception => null
     }
   }
 }

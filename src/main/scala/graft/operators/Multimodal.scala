@@ -136,9 +136,22 @@ object Multimodal {
     * bomb) — one quarantine contract across all five codecs. CASE
     * branches evaluate lazily per row, so exactly one decoder runs.
     */
-  def inflate_any(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def inflate_any(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    inflate_by(media_format(c), c)
+
+  /** Routing half of [[inflate_any]], keyed on an ALREADY-COMPUTED
+    * format column. Callers that can stage `media_format` as a named
+    * column should use this form: the inline form repeats the ~19-arm
+    * triage CASE in all five branch conditions, and conditionally-
+    * evaluated branches are excluded from codegen subexpression
+    * elimination — a future interpreted fallback would re-run triage
+    * per branch, and the duplicated tree bulks generated code toward
+    * the janino 64 KB method ceiling (r18 ADVICE). Here `fmt` appears
+    * once in the plan and the CASE stays five cheap string equalities.
+    */
+  def inflate_by(fmt: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import graft.functions.GraftFunctions.{gunzip, zunbz2, zunlz4, zunstd, zunxz}
-    val fmt = media_format(c)
     when(fmt === "gzip", gunzip(c))
       .when(fmt === "zstd", zunstd(c))
       .when(fmt === "xz", zunxz(c))

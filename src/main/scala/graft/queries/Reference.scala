@@ -206,7 +206,7 @@ object Reference extends QueryPack {
     * torn-quarantine arm. XzSpec pins the identical construction in
     * straight-line Scala against the library and the xz CLI.
     */
-  private def xzWrapHex(dataHex: Column, crcBump: Column): Column = {
+  private[graft] def xzWrapHex(dataHex: Column, crcBump: Column): Column = {
     def le32(v: Column) = graft.functions.GraftFunctions.le_hex(v, 4)
     def crcConst(bytes: Int*): Long = {
       val c = new java.util.zip.CRC32()
@@ -215,11 +215,19 @@ object Reference extends QueryPack {
     }
     def leHexConst(v: Long): String =
       f"${v & 255}%02X${(v >> 8) & 255}%02X${(v >> 16) & 255}%02X${(v >> 24) & 255}%02X"
-    // multi-byte varints are little-endian base-128 (spec §1.2)
+    // multi-byte varints are little-endian base-128 (spec §1.2); three
+    // 7-bit groups cover values < 2^21, past the 65536+12 max here —
+    // two groups alone would emit odd-length hex at unpadded >= 16384
+    // and silently tear the stream (r18 ADVICE)
     def varint(v: Column) = when(v < 128, format_string("%02X", v))
-      .otherwise(format_string("%02X%02X",
+      .when(v < 16384, format_string("%02X%02X",
         v.bitwiseAND(lit(127)).bitwiseOR(lit(128)), shiftright(v, 7)))
-    def vlen(v: Column) = when(v < 128, lit(1)).otherwise(lit(2))
+      .otherwise(format_string("%02X%02X%02X",
+        v.bitwiseAND(lit(127)).bitwiseOR(lit(128)),
+        shiftright(v, 7).bitwiseAND(lit(127)).bitwiseOR(lit(128)),
+        shiftright(v, 14)))
+    def vlen(v: Column) = when(v < 128, lit(1))
+      .when(v < 16384, lit(2)).otherwise(lit(3))
     val dlen = (length(dataHex) / 2).cast("long")
     // stream header: magic | flags 00 00 (check=None) | CRC32(flags)
     val hdrHex = lit("FD377A585A00" + "0000" + leHexConst(crcConst(0, 0)))
@@ -2424,7 +2432,7 @@ object Reference extends QueryPack {
     // (the 22nd batch==stream pair).
     "x28_mixed_container_mirror" -> { (s, d) =>
       import graft.functions.GraftFunctions.{bzip2_deflate, le_hex}
-      import graft.operators.Multimodal.inflate_any
+      import graft.operators.Multimodal.{inflate_by, media_format}
       val id = col("doc_id")
       val m = pmod(id, lit(13))
       val hc = (net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
@@ -2456,7 +2464,10 @@ object Reference extends QueryPack {
           .otherwise(col("blobHex"))))
         .select(col("doc_id"), col("k"), col("blob"))
         .observe("x28_construction", count(lit(1)).as("docs_built"))
-        .withColumn("txt", decode(inflate_any(col("blob")), "UTF-8"))
+        // fmt staged as a named column so the 19-arm triage appears
+        // ONCE in the plan; inflate_by routes on five string equalities
+        .withColumn("fmt", media_format(col("blob")))
+        .withColumn("txt", decode(inflate_by(col("fmt"), col("blob")), "UTF-8"))
       staged
         .filter(col("txt").isNotNull)
         .groupBy(col("txt"))

@@ -34,9 +34,13 @@ object MixedMirrorStream {
     */
   private def gated(blobs: DataFrame, minTokens: Int): DataFrame =
     blobs
+      // triage staged as a named column so the ~19-arm magic CASE
+      // appears once in the plan (see Multimodal.inflate_by scaladoc)
+      .select(col("doc_id"), col("blob"),
+        graft.operators.Multimodal.media_format(col("blob")).as("fmt"))
       .select(col("doc_id"),
-        decode(graft.operators.Multimodal.inflate_any(col("blob")), "UTF-8")
-          .as("txt"))
+        decode(graft.operators.Multimodal.inflate_by(col("fmt"), col("blob")),
+          "UTF-8").as("txt"))
       .filter(col("txt").isNotNull)
       .filter(size(split(regexp_replace(col("txt"), "^\\s+|\\s+$", ""),
         "\\s+")) >= minTokens)

@@ -97,4 +97,18 @@ class Lz4Spec extends AnyFunSuite {
     assert(bomb.length < (16 << 20), "fixture: the bomb is small")
     assert(Zunlz4.inflate(bomb) === null)
   }
+
+  test("malformed COMPRESSED block behind a valid header quarantines, never throws (r18 ADVICE)") {
+    // a block whose size word lacks the high bit claims LZ4-compressed
+    // data; garbage there makes lz4-java throw LZ4Exception (a
+    // RuntimeException, not IOException) — it must land in the same
+    // whole-blob NULL as every other refusal
+    val flgBd = Array[Byte](0x60, 0x40)
+    val hc = ((net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+      .hash(flgBd, 0, 2, 0) >> 8) & 0xFF).toByte
+    val garbage = Array.tabulate(32)(i => (0xF0 | (i % 7)).toByte)
+    val blob = Array[Byte](0x04, 0x22, 0x4D, 0x18) ++ flgBd ++ Array(hc) ++
+      le32(garbage.length.toLong) ++ garbage ++ le32(0) // compressed flag: high bit CLEAR
+    assert(Zunlz4.inflate(blob) === null) // and no exception escapes
+  }
 }

@@ -146,4 +146,25 @@ class XzSpec extends AnyFunSuite {
     // 3 GiB — the decoder must refuse BEFORE allocating (memlimit)
     assert(Zunxz.inflate(handBuilt("tiny".getBytes, dictProp = 0x27)) === null)
   }
+
+  test("column-form xzWrapHex survives payloads past the 2-group varint limit (r18 ADVICE)") {
+    // unpadded = 12 + payload + 4 crosses 16384 at payload ~16368; a
+    // 2-group varint there emitted odd-length hex and the stream tore
+    // silently. Straddle the boundary on both sides, up to the
+    // documented 65536-byte single-chunk max.
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions.{col, hex, lit, unhex}
+    for (n <- Seq(100, 16367, 16368, 16384, 40000, 65536)) {
+      val payload = Array.tabulate(n)(i => ((i * 37 + 11) % 251).toByte)
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(payload)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.BinaryType))))
+      val z = df.select(unhex(queries.Reference.xzWrapHex(hex(col("p")),
+        lit(0L))).as("z")).head.getAs[Array[Byte]]("z")
+      assert(Zunxz.inflate(z) != null, s"payload $n: stream refused")
+      assert(Zunxz.inflate(z).toSeq === payload.toSeq, s"payload $n")
+    }
+  }
 }
