@@ -1178,6 +1178,17 @@ object Relational extends QueryPack {
     // row-group skipping the layout exists for
     "q45_zorder_layout" -> { (s, d) =>
       val path = s"/dev/shm/graft_zorder_${new java.io.File(d).getName}"
+      // hermetic rep: remove any previous layout FIRST so every run
+      // does identical work whether or not the path exists (overwrite
+      // mode deletes too, but then rep 1 and rep N time different
+      // filesystem work — the r18 q45 floor-drift watch item; the
+      // adjudication showed the drift is host-epoch common-mode, and
+      // this removes the one query-local variance source)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
       graft.sources.ZOrderLayout.write(Tables.lineitem(s, d)
           .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
             col("l_returnflag")),
