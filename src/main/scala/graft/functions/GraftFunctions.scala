@@ -125,6 +125,15 @@ object GraftFunctions {
   /** One TAR regular file's bytes, bounds-checked — see [[TarExtract]]. */
   def tar_extract(bytes: Column, name: Column): Column =
     toCol(TarExtract(toExpr(bytes), toExpr(name)))
+  /** OLE2/CFB compound-file directory walk — see [[CfbEntries]]. */
+  def cfb_entries(bytes: Column): Column = toCol(CfbEntries(toExpr(bytes)))
+  /** One CFB stream's bytes (FAT or miniFAT chain) — see [[CfbExtract]]. */
+  def cfb_extract(bytes: Column, name: Column): Column =
+    toCol(CfbExtract(toExpr(bytes), toExpr(name)))
+  /** Legacy Word piece-table text extraction — see [[DocText]]. */
+  def doc_text(bytes: Column): Column = toCol(DocText(toExpr(bytes)))
+  /** Legacy Excel BIFF8 cell extraction — see [[XlsCells]]. */
+  def xls_cells(bytes: Column): Column = toCol(XlsCells(toExpr(bytes)))
   /** BOM/UTF-8/fallback charset sniff — see [[CharsetDetect]]. */
   def charset_detect(bytes: Column): Column = toCol(CharsetDetect(toExpr(bytes)))
   /** Strict decode on the detected branch — see [[CharsetDecode]]. */
