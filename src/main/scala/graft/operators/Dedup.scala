@@ -63,9 +63,11 @@ object Dedup {
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spread(docs).select(col(idCol).as("id"), shingle_set(col(textCol), n).as("shingles"))
 
-  /** Exact n-gram Jaccard near-dup pairs via a relational shingle join —
-    * no cross product: explode distinct shingles, self-join on shingle,
-    * count common per pair, compare against |A|+|B|-common.
+  /** Exact n-gram Jaccard near-dup pairs via relational shingle
+    * blocking — no cross product: explode distinct shingles, group each
+    * shingle's posting list into a sorted array (bounded by maxDf),
+    * generate each id1 < id2 pair once, count common per pair, compare
+    * against |A|+|B|-common.
     *
     * With `maxDf`, shingles present in more than that many documents are
     * removed from the universe BEFORE both the numerator and the sizes —
@@ -73,8 +75,8 @@ object Dedup {
     * biased estimate of the unfiltered one), so blocking never drops a
     * pair whose filtered-universe similarity clears the threshold.
     *
-    * Memory model: the exploded (doc x shingle) table is reused by three
-    * consumers (the sizes aggregate and both sides of the self-join), so
+    * Memory model: the exploded (doc x shingle) table is reused by two
+    * consumers (the sizes aggregate and the postings groupBy), so
     * by default it is cached via `shingleStorage` —
     * MEMORY_AND_DISK-shaped levels are right at gate scale where the
     * exploded table fits the cluster. At 100 TB the exploded table is far
@@ -144,9 +146,17 @@ object Dedup {
       ex = ex.persist(shingleStorage)
     // sizes over the same (possibly df-filtered) universe as the numerator
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = ex.toDF("id1", "s")
-    val b = ex.toDF("id2", "s")
-    val common = a.join(b, Seq("s")).filter(col("id1") < col("id2"))
+    // candidate pairs from per-shingle sorted POSTING ARRAYS (bounded by
+    // maxDf after blocking): one groupBy of the exploded table, then
+    // posexplode + slice emits each id1 < id2 pair once — the posting
+    // self-join generated df^2 rows per shingle and filtered half away
+    // (guide §2.3/§2.4: half the generated rows, one exchange instead of
+    // the join's pair)
+    val common = ex.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("common"))
     common
@@ -172,9 +182,10 @@ object Dedup {
     * Shape: distinct `w`-token windows per doc (shingle_set — one scan),
     * document-frequency blocking (a window in > maxDf docs is boilerplate
     * so ubiquitous it would emit O(df^2) rows on one join key — the d2
-    * hot-key argument verbatim), pair volume counted BEFORE the join and
-    * refused past the cap, then a self-join on the window with a per-pair
-    * count. The shuffle key is the window text (content blocking, no
+    * hot-key argument verbatim), pair volume counted BEFORE generation
+    * and refused past the cap, then per-window sorted posting arrays emit
+    * each pair once into a per-pair count. The shuffle key is the window
+    * text (content blocking, no
     * pair space materialized); a production run at 100 TB swaps the key
     * for a 128-bit fingerprint of the window to bound shuffle width —
     * the plan shape is unchanged, so the gate pins semantics on the
@@ -197,12 +208,16 @@ object Dedup {
             s"after maxDf=$maxDf blocking (> $maxPairEstimate): lower maxDf " +
             "(more aggressive boilerplate blocking), raise w (rarer " +
             "windows), or raise maxPairEstimate deliberately")
+        // single consumer downstream (the postings groupBy) — no persist
         ex.join(kept.select(col("win")), "win").select(col("id"), col("win"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } finally dfs.unpersist()
-    val a = keptEx.toDF("id1", "win")
-    val b = keptEx.toDF("id2", "win")
-    a.join(b, Seq("win")).filter(col("id1") < col("id2"))
+    // per-window sorted posting arrays (bounded by maxDf) -> each
+    // id1 < id2 pair once, instead of the df^2-row posting self-join
+    keptEx.groupBy(col("win"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("id1"), col("id2"))
@@ -501,10 +516,13 @@ object Dedup {
       val banded = sig
         .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val cand = banded.toDF("id1", "band", "bucket")
-        .join(banded.toDF("id2", "band", "bucket"), Seq("band", "bucket"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"))
+      // per-(band, bucket) sorted id arrays -> each colliding id1 < id2
+      // pair once, instead of the bucket self-join's |bucket|^2 rows
+      val cand = banded.groupBy(col("band"), col("bucket"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+        .select(col("id1"),
+          explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
         .distinct()
       // verify candidates with exact Jaccard (arrays are already distinct)
       cand
@@ -638,8 +656,13 @@ object Dedup {
     }
     ex = ex.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = ex.toDF("id1", "s").join(ex.toDF("id2", "s"), Seq("s"))
-      .filter(col("id1") < col("id2"))
+    // per-shingle sorted posting arrays (bounded by maxDf) -> each
+    // id1 < id2 pair once, instead of the df^2-row posting self-join
+    val common = ex.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("common"))
       .join(sizes.toDF("id1", "sz1"), "id1")

@@ -301,10 +301,13 @@ object Knn {
       .select(col(idCol).as("id"),
         posexplode(hyperplane_bands(col(embCol), bands, rowsPerBand, seed))
           .as(Seq("band", "bucket")))
-    banded.toDF("id1", "band", "bucket")
-      .join(banded.toDF("id2", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+    // per-(band, bucket) sorted id arrays -> each colliding id1 < id2
+    // pair once, instead of the bucket self-join's |bucket|^2 rows
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
       .distinct()
   }
 

@@ -42,11 +42,16 @@ object LabelProp {
   def run(edges: DataFrame, aCol: String, bCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"label_prop: rounds must be in [1, 16], got $rounds")
+    // hash-partitioned ON dst (the per-round join key) once: every
+    // round's join then exchanges only the node-count-sized label
+    // table, never the edge list (the PageRank `ew` discipline;
+    // guide §2.4 "two operations keyed the same way share one exchange")
     val sym = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
     try {
       var labels = sym.select(col("src").as("node"))

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * g1–g4 serve (Liben-Nowell & Kleinberg 2003).
   *
   * Shape: candidate pairs are exactly the WEDGES of the graph — for
-  * each center c, every unordered pair of its neighbors — counted per
-  * pair (one equi-join on the center key + one combinable count), then
-  * anti-joined against the edge set so only genuinely new links remain,
-  * then degree-joined for the Jaccard denominator. All arithmetic is
-  * integer (counts, degrees, ppm quotient), bit-stable across engines.
+  * each center c, every unordered pair of its neighbors — generated
+  * once each from per-center sorted adjacency arrays (one groupBy on
+  * the center key + posexplode/slice, no self-join) and counted with
+  * one combinable count, then anti-joined against the edge set so only
+  * genuinely new links remain, then degree-joined for the Jaccard
+  * denominator. All arithmetic is integer (counts, degrees, ppm
+  * quotient), bit-stable across engines.
   *
   * Scale posture: wedge volume is Σ_c deg(c)·(deg(c)−1)/2 — quadratic
   * in hub degree, the same regime Dedup.jaccardNearDupPairs guards.
@@ -53,30 +55,38 @@ object LinkPredict {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adjacency in both directions: (c = center, n = neighbor)
-    // cached: the guard aggregate, the degree table, and both wedge
-    // sides read the adjacency. Deliberately NOT pre-partitioned on the
-    // center: caching a repartition(c) would delete the two exchanges
-    // under the wedge self-join, but the measured cost of that extra
-    // up-front shuffle exceeds the win (20.3 s vs 17.9 s at sf0.1) —
-    // the (u, v) pair aggregation's wedge-volume shuffle dominates and
-    // no layout of the adjacency can reduce it.
+    // cached: the guard aggregate, the degree table, and the wedge
+    // groupBy all read the adjacency. The (u, v) pair aggregation's
+    // wedge-volume shuffle dominates and no layout of the adjacency can
+    // reduce it (a cached repartition(c) was measured at 20.3 s vs
+    // 17.9 s on the round-12 self-join shape — the up-front shuffle
+    // cost more than it saved).
     val adj = e.select(col("a").as("c"), col("b").as("n"))
       .unionAll(e.select(col("b").as("c"), col("a").as("n")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val est = deg.agg(sum(col("d") * (col("d") - lit(1L)))).head()
+      // the guard aggregate also reads off the id range: ids in
+      // [0, 2^31) let the dominant wedge aggregation key on ONE packed
+      // long instead of two (guide §2.3 "narrower types" — half the key
+      // bytes through the wedge-volume exchange and a primitive-long
+      // hash in the aggregate); out-of-range or non-castable ids keep
+      // the two-column key, same results either way
+      val est = deg.agg(sum(col("d") * (col("d") - lit(1L))),
+        min(col("c").cast("long")), max(col("c").cast("long"))).head()
       val wedgeVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
       require(wedgeVolume <= maxWedgeEstimate,
         s"commonNeighbors would enumerate ~$wedgeVolume wedges (sum of " +
           s"deg*(deg-1)/2 over centers) > maxWedgeEstimate=$maxWedgeEstimate; " +
           "cap hub degrees (commonNeighborsCapped) or sample centers, or " +
           "raise maxWedgeEstimate deliberately")
+      val packable = !est.isNullAt(1) && !est.isNullAt(2) &&
+        est.getLong(1) >= 0L && est.getLong(2) < (1L << 31)
       // realize the k-row result eagerly so the finally can release the
       // cached tables without a later action re-running the whole plan
       // uncached (the LabelProp/Occupancy cleanup pattern)
-      scoreWedges(e, adj, deg, k).localCheckpoint(true)
+      scoreWedges(e, adj, deg, k, packed = packable).localCheckpoint(true)
     } finally { e.unpersist(); adj.unpersist(); deg.unpersist() }
   }
 
@@ -111,17 +121,21 @@ object LinkPredict {
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // centers filtered BEFORE the wedge self-join: the low-degree
-      // center set reaches both adjacency sides, so the hub-quadratic
-      // blow-up never materializes
+      // centers filtered BEFORE wedge generation: the low-degree center
+      // set reaches the adjacency groupBy, so the hub-quadratic blow-up
+      // never materializes
       val okCenters = deg.filter(col("d") <= lit(maxDegree)).select(col("c"))
       val cappedAdj = adj.join(okCenters, "c")
-      val l = cappedAdj.select(col("c"), col("n").as("u"))
-      val r = cappedAdj.select(col("c"), col("n").as("v"))
       // candidate pool: top k*refineFactor NEW pairs by capped count,
       // realized eagerly (R rows) so everything downstream is
-      // candidate-bounded
-      val gen = l.join(r, "c").filter(col("u") < col("v"))
+      // candidate-bounded. (r19 note: the scoreWedges packed-pair key
+      // was tried here too — it needs a min/max pre-job over the cached
+      // tables whose extra synchronization cost MORE than the narrower
+      // capped-volume exchange saved: g7 16.0 -> 17.7 s, g7x 5.0 ->
+      // 7.0 s at sf0.1. Packing only pays where the wedge aggregation
+      // dominates AND an existing action can carry the range check —
+      // commonNeighbors' guard aggregate does, this path has none.)
+      val gen = wedgePairs(cappedAdj)
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("ccn"))
         .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
         .orderBy(col("ccn").desc, col("u").asc, col("v").asc)
@@ -149,16 +163,52 @@ object LinkPredict {
     } finally { e.unpersist(); adj.unpersist(); deg.unpersist() }
   }
 
+  /** Wedge pairs (u < v) generated from per-center adjacency ARRAYS:
+    * one groupBy of the adjacency (neighbors sorted ascending — distinct
+    * per center, so u < v strictly), then posexplode + slice emits each
+    * unordered pair exactly once. The self-join formulation produced
+    * sum-of-d^2 join rows and filtered half away; this emits the
+    * d(d-1)/2 wedges directly and removes the join (guide §2.3/§2.4).
+    * Skew is unchanged (a center's wedges were already generated in one
+    * task by the join's hash(c) partitioning); array size = degree.
+    */
+  private def wedgePairs(adj: DataFrame): DataFrame =
+    adj.groupBy(col("c"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+      .select(col("ns"), posexplode(col("ns")).as(Seq("i", "u")))
+      .select(col("u"), explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+
   /** Shared scoring tail: count co-neighbors per wedge pair, drop
-    * existing edges, join TRUE degrees, integer Jaccard, top-k. */
+    * existing edges, join TRUE degrees, integer Jaccard, top-k.
+    * With `packed` (caller proved ids in [0, 2^31)), the pair key
+    * through the dominant exchange is ONE long (u << 32 | v); the edge
+    * anti-join runs on the same packed key (so the aggregate's
+    * partitioning is reused, no extra exchange), and the pair unpacks —
+    * cast back to the input id type — only after the anti-join.
+    */
   private def scoreWedges(e: DataFrame, adj: DataFrame, deg: DataFrame,
-                          k: Int): DataFrame = {
-    val l = adj.select(col("c"), col("n").as("u"))
-    val r = adj.select(col("c"), col("n").as("v"))
-    val cn = l.join(r, "c").filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
-      // wedge pairs that are already edges are triangles, not predictions
-      .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+                          k: Int, packed: Boolean = false): DataFrame = {
+    val idType = adj.schema("n").dataType
+    def pack(u: Column, v: Column): Column =
+      shiftleft(u.cast("long"), 32) + v.cast("long")
+    val cn =
+      if (packed)
+        wedgePairs(adj)
+          .select(pack(col("u"), col("v")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("cn"))
+          // wedge pairs that are already edges are triangles, not
+          // predictions — dropped on the packed key so the aggregate's
+          // pk partitioning carries straight through
+          .join(e.select(pack(col("a"), col("b")).as("pk")),
+            Seq("pk"), "left_anti")
+          .select(shiftrightunsigned(col("pk"), 32).cast(idType).as("u"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast(idType).as("v"),
+            col("cn"))
+      else
+        wedgePairs(adj)
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+          // wedge pairs that are already edges are triangles, not predictions
+          .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
     cn.join(deg.select(col("c").as("u"), col("d").as("deg_a")), "u")
       .join(deg.select(col("c").as("v"), col("d").as("deg_b")), "v")
       .select(col("u").as("a"), col("v").as("b"), col("cn"),

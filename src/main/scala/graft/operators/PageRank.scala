@@ -45,9 +45,14 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // the caller's edge plan (g1's is an orders-lineitem join + distinct)
+    // is read three times below (nodes twice via the union, deg, ew) —
+    // persist it so the upstream join runs once (guide §2.4; released
+    // before returning, after ew/od materialize)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out"))
@@ -63,6 +68,7 @@ object PageRank {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ew.count()
+    e.unpersist()
     val perNode = scale / n
     val base = perNode * 15L / 100L
     // ONE action per iteration: the dangling-mass aggregate doubles as
@@ -116,9 +122,11 @@ object PageRank {
                    seedPred: Column, iters: Int = 5,
                    scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // persist the caller's edge plan across its three readers (see run)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out"))
@@ -132,6 +140,7 @@ object PageRank {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ew.count()
+    e.unpersist()
     val perSeed = scale / s
     val base = perSeed * 15L / 100L
     def dangOf(df: DataFrame): Long = {

@@ -16,23 +16,28 @@ import org.apache.spark.sql.functions._
   * regardless of how skewed the raw degree distribution is — a celebrity
   * node with 10^6 neighbors contributes wedges only through the ~sqrt(m)
   * neighbors that outrank it, not 10^12 pairs. Three shuffles total
-  * (degree aggregate, wedge self-join on the pivot node, closing-edge
+  * (degree aggregate, per-pivot adjacency groupBy, closing-edge
   * equi-join), each on plain equi-keys; each triangle materializes
-  * exactly once because the wedge pivot is the orientation-minimum and
-  * the closing edge is checked in its oriented direction only.
+  * exactly once because the wedge pivot is the orientation-minimum, the
+  * adjacency arrays are sorted in orientation order so each wedge is
+  * generated once, and the closing edge is checked in its oriented
+  * direction only.
   *
   * Deliberately NOT cached: the oriented-edge subtree is referenced
-  * three times, but AQE's exchange reuse collapses the identical
-  * subplans at runtime (measured at sf0.1: uncached 8.5-9.4 s vs
+  * twice (adjacency groupBy + closing join), but AQE's exchange reuse
+  * collapses identical subplans at runtime (measured at sf0.1 on the
+  * round-7 self-join shape: uncached 8.5-9.4 s vs
   * persist+localCheckpoint 9.6-12.8 s — the cache only added
   * materialization overhead). Keeping the plan fully declarative also
-  * leaves AQE free to re-plan the skewed wedge join.
+  * leaves AQE free to re-plan the skewed closing join.
   */
 object Triangles {
 
   /** Degree-oriented edge list: every undirected (srcCol, dstCol) edge
     * (self-loops dropped, parallel edges collapsed) directed from its
-    * (degree, id)-smaller endpoint `u` to the larger `v`.
+    * (degree, id)-smaller endpoint `u` to the larger `v`. Carries `dv` =
+    * deg(v) so [[wedgeClose]] can sort each pivot's neighbors by the SAME
+    * (degree, id) total order the orientation uses.
     */
   private def orient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges.select(
@@ -49,21 +54,39 @@ object Triangles {
     withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("u"), col("b").as("v")))
-        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
   }
 
   /** Wedge + close over an oriented edge list: wedges at the
     * orientation-minimum pivot; the closing edge is only ever probed in
-    * its oriented direction, so no pair-order filter is needed and no
-    * triangle is double-counted.
+    * its oriented direction, so no triangle is double-counted.
+    *
+    * Wedges are generated from per-pivot adjacency ARRAYS with neighbors
+    * sorted by the orientation key (deg, id): for positions i < j the
+    * closing edge, if present, can only be oriented ns[i] -> ns[j], so
+    * each wedge is emitted exactly ONCE. The previous self-join
+    * formulation generated both (v1, v2) and (v2, v1) — sum-of-d_out^2
+    * join output, 2x the wedge count — and let the closing join discard
+    * the wrong-order half. The array form halves both the generated rows
+    * and the bytes entering the closing join's exchange, and replaces the
+    * wedge self-join (two reads of the oriented subtree) with one groupBy
+    * of it (guide §2.3 "shuffle fewer bytes" / §2.4 "remove shuffles").
+    * Out-degree is O(sqrt m) under the orientation, so each adjacency
+    * array is O(sqrt m) — bounded regardless of skew.
     */
   private def wedgeClose(oriented: DataFrame): DataFrame = {
-    val tri = oriented.toDF("u", "v1")
-      .join(oriented.toDF("u", "v2"), "u")
-      .filter(col("v1") =!= col("v2"))
-      .join(oriented.toDF("v1", "v2"), Seq("v1", "v2"))
+    val adj = oriented
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nss"))
+      .select(col("u"), col("nss.v").as("ns"))
+    val wedges = adj
+      .select(col("u"), col("ns"), posexplode(col("ns")).as(Seq("i", "v1")))
+      .select(col("u"), col("v1"),
+        explode(expr("slice(ns, i + 2, size(ns))")).as("v2"))
+    val tri = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
       .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node")
@@ -82,13 +105,12 @@ object Triangles {
     * physical design for graphs whose orientation pipeline (distinct +
     * degree joins, or an expensive upstream edge construction) is costly
     * enough that computing it once beats AQE's partial exchange reuse:
-    * the declarative [[perNode]] plan reuses the u-keyed exchange across
-    * the two wedge sides, but the (v1,v2)-keyed closing exchange
+    * the declarative [[perNode]] plan reuses the u-keyed exchange for
+    * the adjacency groupBy, but the (v1,v2)-keyed closing exchange
     * RECOMPUTES the whole orientation subtree. Here the subtree runs
-    * exactly once; the wedge self-join then reads the bucket layout with
-    * NO exchange on either side (both sides are the same bucketed scan),
-    * and only the wedge output — the irreducible O(m^1.5) volume — is
-    * shuffled for the closing join.
+    * exactly once; the per-pivot adjacency groupBy then reads the bucket
+    * layout with NO exchange, and only the wedge output — the
+    * irreducible O(m^1.5) volume — is shuffled for the closing join.
     *
     * The price is one parquet write of the oriented edges (O(m), tiny
     * next to the wedge volume) — the [[graft.sources.BucketedTables]]

@@ -177,6 +177,29 @@ object Relational extends QueryPack {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def dsum(c: String): Column = dsum(col(c))
 
+  /** Co-purchase edge list (parts sharing an order, p1 < p2): each
+    * order's distinct parts grouped into ONE sorted array, pairs emitted
+    * by posexplode + slice — exactly k(k-1)/2 rows per k-part order,
+    * where the previous lo-on-lo self-join generated k^2 join rows and
+    * filtered half plus the diagonal away (guide §2.3 "shuffle fewer
+    * bytes" / §2.4 "remove shuffles outright": one groupBy exchange
+    * replaces the join's exchange pair). Pair multiset is identical to
+    * the join form: per order, each unordered pair once. Order sizes are
+    * bounded (TPC-H ships <= 7 lines/order), so the arrays are tiny.
+    * `maxLine` applies the g3/g4 sparsification filter before pairing.
+    */
+  private def coPurchasePairs(s: SparkSession, d: String,
+                              maxLine: Option[Int] = None): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val lo = maxLine.fold(li)(m => li.filter(col("l_linenumber") <= m))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    lo.groupBy(col("o"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+      .select(col("p1"), explode(expr("slice(ps, i + 2, size(ps))")).as("p2"))
+  }
+
   /** q53's oracle: one FNV -> splitmix64 -> trailing-zeros chain per
     * geometric draw (suffixes |r1|1 and |r1|2 mirror Privacy's tags);
     * tz = bit_count(u ^ (u-1)) - 1 with the zero-word and sign-bit-only
@@ -627,13 +650,7 @@ object Relational extends QueryPack {
     // the id-ordered 3-way self-join — a different formulation whose
     // equality is exactly the orientation argument.
     "g2_triangles" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-      graft.operators.Triangles.perNode(edges, "p1", "p2")
+      graft.operators.Triangles.perNode(coPurchasePairs(s, d), "p1", "p2")
         .orderBy(col("n_tri").desc, col("node").asc)
         .limit(15)
     },
@@ -644,13 +661,7 @@ object Relational extends QueryPack {
     // equi-join) + combinable count + edge anti-join + degree joins,
     // guarded against the hub-quadratic regime like d2
     "g5_link_prediction" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-        .distinct()
+      val edges = coPurchasePairs(s, d).distinct()
       // the cap is raised DELIBERATELY (d2-style): the bench scale
       // (sf0.1) carries ~148M wedges through the exact baseline (4.5x
       // faster than the DuckDB oracle's 82 s on the same data); the
@@ -668,14 +679,8 @@ object Relational extends QueryPack {
     // measured by g7b, not assumed. This gate COMPLETES at sf10 where
     // g5's exact wedge count (14.8B) refuses.
     "g7_link_prediction_capped" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-        .distinct()
-      graft.operators.LinkPredict.commonNeighborsCapped(edges, "p1", "p2",
+      graft.operators.LinkPredict.commonNeighborsCapped(
+        coPurchasePairs(s, d).distinct(), "p1", "p2",
         maxDegree = 140L, k = 20, refineFactor = 10)
     },
 
@@ -689,13 +694,7 @@ object Relational extends QueryPack {
     // that keeps g2 running when m^1.5 outgrows the budget. One row:
     // exact, sampled, estimate, measured error.
     "g8_sampled_triangles" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-        .distinct()
+      val edges = coPurchasePairs(s, d).distinct()
       val keep = expr("cast(conv(substring(md5(concat('tri:', " +
         "cast(p1 as string), ':', cast(p2 as string))), 1, 1), 16, 10) " +
         "as int) < 8")
@@ -754,19 +753,23 @@ object Relational extends QueryPack {
     // run, not 4 (operator-equality with commonNeighborsCapped is
     // pinned by LinkPredictSpec).
     "g7b_capped_recall" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
+      val e = coPurchasePairs(s, d)
         .select(col("p1").as("a"), col("p2").as("b"))
         .distinct()
       val adj = e.select(col("a").as("c"), col("b").as("n"))
         .unionAll(e.select(col("b").as("c"), col("a").as("n")))
-      val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("dg"))
-      val l = adj.join(deg, "c").select(col("c"), col("n").as("u"), col("dg"))
-      val r = adj.select(col("c"), col("n").as("v"))
-      val scored = l.join(r, "c").filter(col("u") < col("v"))
+      // per-center sorted adjacency arrays: the center's degree is
+      // size(ns) (neighbors are distinct), and posexplode + slice emits
+      // each wedge pair once — no deg join, no wedge self-join (the
+      // LinkPredict.wedgePairs shape with the degree carried along)
+      val adjList = adj.groupBy(col("c"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .select(col("ns"), size(col("ns")).cast("long").as("dg"))
+      val wedges = adjList
+        .select(col("ns"), col("dg"), posexplode(col("ns")).as(Seq("i", "u")))
+        .select(col("u"), col("dg"),
+          explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+      val scored = wedges
         .groupBy(col("u"), col("v")).agg(
           sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
           sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
@@ -803,14 +806,8 @@ object Relational extends QueryPack {
     // alternative to g2's fully-declarative plan, kept gated so the two
     // physical designs stay result-identical and bench-comparable
     "g2b_triangles_bucketed" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
       val path = s"/dev/shm/graft_tri_${new java.io.File(d).getName}"
-      graft.operators.Triangles.perNodeBucketed(edges, "p1", "p2",
+      graft.operators.Triangles.perNodeBucketed(coPurchasePairs(s, d), "p1", "p2",
         table = "graft_tri_oriented", path = path)
         .orderBy(col("n_tri").desc, col("node").asc)
         .limit(15)
@@ -1351,14 +1348,7 @@ object Relational extends QueryPack {
     // REFUSES past 12 rounds rather than silently returning a
     // non-fixpoint, so the bound is a shared contract, not a hidden cap.
     "g3_kcore" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .filter(col("l_linenumber") <= 2)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-      graft.operators.KCore.kCore(edges, "p1", "p2", k = 4)
+      graft.operators.KCore.kCore(coPurchasePairs(s, d, Some(2)), "p1", "p2", k = 4)
         .orderBy(col("node"))
     },
 
@@ -1369,14 +1359,8 @@ object Relational extends QueryPack {
     // per-round argmax is one combinable max(struct) aggregation, never
     // a partition-wide window
     "g4_label_prop" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .filter(col("l_linenumber") <= 2)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-      graft.operators.LabelProp.run(edges, "p1", "p2", rounds = 3)
+      graft.operators.LabelProp.run(coPurchasePairs(s, d, Some(2)),
+        "p1", "p2", rounds = 3)
         .orderBy(col("node"))
     },
 
@@ -2285,14 +2269,8 @@ object Relational extends QueryPack {
     // is the point: capped volume is n·D·(D−1)/2, so D comes down as n
     // goes up, and g7b prices what each position costs in recall.
     "g7x_capped_d100" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-        .distinct()
-      graft.operators.LinkPredict.commonNeighborsCapped(edges, "p1", "p2",
+      graft.operators.LinkPredict.commonNeighborsCapped(
+        coPurchasePairs(s, d).distinct(), "p1", "p2",
         maxDegree = 100L, k = 20, refineFactor = 10)
     },
 
@@ -2305,47 +2283,51 @@ object Relational extends QueryPack {
     // sums price what a production recall-knob sweep costs. The 24 s
     // exact arm stays gate-only (Verify), out of the hot bench suite.
     "g7bx_capped_sweep_only" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
+      val e = coPurchasePairs(s, d)
         .select(col("p1").as("a"), col("p2").as("b"))
         .distinct()
       val adj = e.select(col("a").as("c"), col("b").as("n"))
         .unionAll(e.select(col("b").as("c"), col("a").as("n")))
-      val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("dg"))
-        .filter(col("dg") <= 180L) // Dmax gate BEFORE the self-join
-      val l = adj.join(deg, "c").select(col("c"), col("n").as("u"), col("dg"))
-      val r = l.select(col("c"), col("u").as("v"))
-      val scored = l.join(r, "c").filter(col("u") < col("v"))
+      // per-center sorted adjacency arrays (degree = size, wedges via
+      // posexplode + slice — the g7b shape), Dmax-gated BEFORE any
+      // wedge is generated so volume stays n*Dmax*(Dmax-1)/2
+      val adjList = adj.groupBy(col("c"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .select(col("ns"), size(col("ns")).cast("long").as("dg"))
+        .filter(col("dg") <= 180L)
+      val wedges = adjList
+        .select(col("ns"), col("dg"), posexplode(col("ns")).as(Seq("i", "u")))
+        .select(col("u"), col("dg"),
+          explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+      val scored = wedges
         .groupBy(col("u"), col("v")).agg(
           sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
           sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
           count(lit(1)).as("ccn180"))
         .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      // (r19 note: a single-pass 3 x topk_by(200) ungrouped aggregate
+      // was tried in place of persist + 3 TakeOrdered and measured 2x
+      // SLOWER — 63.9 s vs 32.6 s at sf0.1: the TypedImperativeAggregate
+      // heap runs interpreted per row over the ~40M scored pairs while
+      // TakeOrderedAndProject stays inside whole-stage codegen. The
+      // persist shape stands.)
+      val scoredP = scored
         .persist() // ONE wedge pass feeds all three cap arms (the gate's shape)
       try {
         Seq("ccn100", "ccn140", "ccn180").map { ccn =>
-          scored.filter(col(ccn) > 0L)
+          scoredP.filter(col(ccn) > 0L)
             .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
             .select(lit(ccn.drop(3).toLong).as("max_degree"),
               col("u"), col("v"), col(ccn).as("ccn"))
         }.reduce(_ unionAll _).localCheckpoint(true)
-      } finally scored.unpersist()
+      } finally scoredP.unpersist()
     },
 
     // g8's PRODUCTION arm alone (the gate runs exact + sampled to
     // measure error; at scale only this runs): p=1/2 md5-threshold
     // edges -> triangle count -> exact 8x scale-up
     "g8x_sampled_only" -> { (s, d) =>
-      val lo = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = lo.toDF("o", "p1").join(lo.toDF("o", "p2"), "o")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-        .distinct()
+      val edges = coPurchasePairs(s, d).distinct()
       val keep = expr("cast(conv(substring(md5(concat('tri:', " +
         "cast(p1 as string), ':', cast(p2 as string))), 1, 1), 16, 10) " +
         "as int) < 8")
