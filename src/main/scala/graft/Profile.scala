@@ -38,6 +38,54 @@ object Profile {
       return
     }
 
+    // stage mode: runMain graft.Profile <sfDir> g5stages — break g5 into
+    // edge build / adjacency / wedge generation / pair aggregation / full
+    if (args.length >= 2 && args(1) == "g5stages") {
+      (1 to 2).foreach { pass =>
+        val lo = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = lo.groupBy(col("o"))
+          .agg(sort_array(collect_list(col("p"))).as("ps"))
+          .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+          .select(col("p1"), explode(expr("slice(ps, i + 2, size(ps))")).as("p2"))
+          .distinct()
+        time(s"pass $pass edges noop")(
+          edges.write.format("noop").mode("overwrite").save())
+        val adj = edges.select(col("p1").as("c"), col("p2").as("n"))
+          .unionAll(edges.select(col("p2").as("c"), col("p1").as("n")))
+        time(s"pass $pass adj noop")(
+          adj.write.format("noop").mode("overwrite").save())
+        val wedges = adj.groupBy(col("c"))
+          .agg(sort_array(collect_list(col("n"))).as("ns"))
+          .select(col("ns"), posexplode(col("ns")).as(Seq("i", "u")))
+          .select(col("u"), explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+        time(s"pass $pass wedge generate noop")(
+          wedges.write.format("noop").mode("overwrite").save())
+        val packed = wedges
+          .select((shiftleft(col("u").cast("long"), 32) + col("v")).as("pk"))
+        time(s"pass $pass wedge count + approx distinct")({
+          val r = packed.agg(count(lit(1)), approx_count_distinct(col("pk"))).head()
+          println(s"  wedges: ${r.getLong(0)}, ~distinct pairs: ${r.getLong(1)}")
+        })
+        time(s"pass $pass packed pair agg noop")(
+          packed.groupBy(col("pk")).agg(count(lit(1)).as("cn"))
+            .write.format("noop").mode("overwrite").save())
+        time(s"pass $pass repart(128)-first agg noop")(
+          packed.repartition(128, col("pk"))
+            .groupBy(col("pk")).agg(count(lit(1)).as("cn"))
+            .write.format("noop").mode("overwrite").save())
+        time(s"pass $pass repart(32)-first agg noop")(
+          packed.repartition(32, col("pk"))
+            .groupBy(col("pk")).agg(count(lit(1)).as("cn"))
+            .write.format("noop").mode("overwrite").save())
+        time(s"pass $pass full g5")(SparkEntry.queries("g5_link_prediction")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      }
+      spark.stop()
+      return
+    }
+
     // stage mode: runMain graft.Profile <sfDir> v8stages — break v8 into
     // vectorization / banding / candidates / full pipeline
     if (args.length >= 2 && args(1) == "v8stages") {

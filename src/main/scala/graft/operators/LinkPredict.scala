@@ -83,10 +83,23 @@ object LinkPredict {
           "raise maxWedgeEstimate deliberately")
       val packable = !est.isNullAt(1) && !est.isNullAt(2) &&
         est.getLong(1) >= 0L && est.getLong(2) < (1L << 31)
+      // pair-aggregation parallelism derived from the MEASURED wedge
+      // volume (profiled at sf0.1: the wedge stage inherits the
+      // adjacency exchange's AQE-coalesced partition count, so the
+      // 148M-row partial aggregate ran nearly unparallelized and
+      // spilled; distinct pairs are ~0.7x of wedges, so map-side
+      // combining is worthless here anyway — repartitioning the RAW
+      // pairs to volume-scaled partitions and aggregating ONCE measured
+      // 27 -> 11.4 s for the aggregation stage). ~1.5M pair rows
+      // (~12 MB packed) per task, floored at the session parallelism,
+      // capped to keep task counts bounded at any scale.
+      val parts = math.max(adj.sparkSession.sparkContext.defaultParallelism,
+        math.min(4096L, wedgeVolume / 1500000L + 1L).toInt)
       // realize the k-row result eagerly so the finally can release the
       // cached tables without a later action re-running the whole plan
       // uncached (the LabelProp/Occupancy cleanup pattern)
-      scoreWedges(e, adj, deg, k, packed = packable).localCheckpoint(true)
+      scoreWedges(e, adj, deg, k, packed = packable, aggParts = parts)
+        .localCheckpoint(true)
     } finally { e.unpersist(); adj.unpersist(); deg.unpersist() }
   }
 
@@ -126,21 +139,46 @@ object LinkPredict {
       // never materializes
       val okCenters = deg.filter(col("d") <= lit(maxDegree)).select(col("c"))
       val cappedAdj = adj.join(okCenters, "c")
+      // ONE pre-aggregate over the cached degree table reads off the
+      // capped wedge volume (for volume-scaled aggregation parallelism —
+      // the scoreWedges repartition-first treatment; the wedge stage
+      // otherwise inherits the adjacency exchange's AQE-coalesced
+      // partition count and the pair aggregate runs nearly
+      // unparallelized) and the id range (for the packed pair key).
+      val pre = deg.agg(
+        sum(when(col("d") <= lit(maxDegree), col("d") * (col("d") - lit(1L)))),
+        min(col("c").cast("long")), max(col("c").cast("long"))).head()
+      val cappedVolume = (if (pre.isNullAt(0)) 0L else pre.getLong(0)) / 2
+      val packable = !pre.isNullAt(1) && !pre.isNullAt(2) &&
+        pre.getLong(1) >= 0L && pre.getLong(2) < (1L << 31)
+      val parts = math.max(adj.sparkSession.sparkContext.defaultParallelism,
+        math.min(4096L, cappedVolume / 1500000L + 1L).toInt)
+      val idType = adj.schema("n").dataType
+      def pk(u: Column, v: Column): Column =
+        shiftleft(u.cast("long"), 32) + v.cast("long")
       // candidate pool: top k*refineFactor NEW pairs by capped count,
       // realized eagerly (R rows) so everything downstream is
-      // candidate-bounded. (r19 note: the scoreWedges packed-pair key
-      // was tried here too — it needs a min/max pre-job over the cached
-      // tables whose extra synchronization cost MORE than the narrower
-      // capped-volume exchange saved: g7 16.0 -> 17.7 s, g7x 5.0 ->
-      // 7.0 s at sf0.1. Packing only pays where the wedge aggregation
-      // dominates AND an existing action can carry the range check —
-      // commonNeighbors' guard aggregate does, this path has none.)
-      val gen = wedgePairs(cappedAdj)
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("ccn"))
-        .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
-        .orderBy(col("ccn").desc, col("u").asc, col("v").asc)
-        .limit(k * refineFactor)
-        .select(col("u"), col("v"))
+      // candidate-bounded; (ccn desc, pk) ordering == (ccn desc, u, v)
+      // for the non-negative packed ids
+      val gen = (if (packable)
+        wedgePairs(cappedAdj)
+          .select(pk(col("u"), col("v")).as("pk"))
+          .repartition(parts, col("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("ccn"))
+          .join(e.select(pk(col("a"), col("b")).as("pk")),
+            Seq("pk"), "left_anti")
+          .orderBy(col("ccn").desc, col("pk").asc)
+          .limit(k * refineFactor)
+          .select(shiftrightunsigned(col("pk"), 32).cast(idType).as("u"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast(idType).as("v"))
+      else
+        wedgePairs(cappedAdj)
+          .repartition(parts, col("u"), col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("ccn"))
+          .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+          .orderBy(col("ccn").desc, col("u").asc, col("v").asc)
+          .limit(k * refineFactor)
+          .select(col("u"), col("v")))
         .localCheckpoint(true)
       // exact rescore: per candidate pair, count the centers adjacent
       // to BOTH endpoints over the FULL adjacency. Join volume is
@@ -185,16 +223,23 @@ object LinkPredict {
     * anti-join runs on the same packed key (so the aggregate's
     * partitioning is reused, no extra exchange), and the pair unpacks —
     * cast back to the input id type — only after the anti-join.
+    * With `aggParts` > 0, the RAW pairs repartition to that count
+    * before ONE aggregation pass: distinct pairs run ~0.7x of wedges,
+    * so the default partial-then-final plan pays a near-useless
+    * map-side hash (spilling, at the upstream stage's AQE-coalesced
+    * parallelism) to save ~30% of exchange rows — measured 2.4x slower
+    * than exchanging the raw pairs at volume-scaled parallelism.
     */
   private def scoreWedges(e: DataFrame, adj: DataFrame, deg: DataFrame,
-                          k: Int, packed: Boolean = false): DataFrame = {
+                          k: Int, packed: Boolean = false,
+                          aggParts: Int = 0): DataFrame = {
     val idType = adj.schema("n").dataType
     def pack(u: Column, v: Column): Column =
       shiftleft(u.cast("long"), 32) + v.cast("long")
     val cn =
-      if (packed)
-        wedgePairs(adj)
-          .select(pack(col("u"), col("v")).as("pk"))
+      if (packed) {
+        val raw = wedgePairs(adj).select(pack(col("u"), col("v")).as("pk"))
+        (if (aggParts > 0) raw.repartition(aggParts, col("pk")) else raw)
           .groupBy(col("pk")).agg(count(lit(1)).as("cn"))
           // wedge pairs that are already edges are triangles, not
           // predictions — dropped on the packed key so the aggregate's
@@ -204,11 +249,13 @@ object LinkPredict {
           .select(shiftrightunsigned(col("pk"), 32).cast(idType).as("u"),
             col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast(idType).as("v"),
             col("cn"))
-      else
-        wedgePairs(adj)
+      } else {
+        val raw = wedgePairs(adj)
+        (if (aggParts > 0) raw.repartition(aggParts, col("u"), col("v")) else raw)
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
           // wedge pairs that are already edges are triangles, not predictions
           .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      }
     cn.join(deg.select(col("c").as("u"), col("d").as("deg_a")), "u")
       .join(deg.select(col("c").as("v"), col("d").as("deg_b")), "v")
       .select(col("u").as("a"), col("v").as("b"), col("cn"),

@@ -82,6 +82,13 @@ object Triangles {
       .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nss"))
       .select(col("u"), col("nss.v").as("ns"))
     val wedges = adj
+      // (r19 note: hash-repartitioning the arrays table to spread the
+      // generate stage — the LinkPredict repartition-first treatment —
+      // was tried and measured NEUTRAL-to-worse here (g8x 2.4 -> 3.4 s):
+      // the orientation caps wedge volume at O(m^1.5) with small
+      // constants, so the extra exchange outweighs the parallelism win
+      // at this volume. The closing join's own exchange already spreads
+      // the triangle-counting work.)
       .select(col("u"), col("ns"), posexplode(col("ns")).as(Seq("i", "v1")))
       .select(col("u"), col("v1"),
         explode(expr("slice(ns, i + 2, size(ns))")).as("v2"))

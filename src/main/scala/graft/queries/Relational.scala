@@ -770,6 +770,13 @@ object Relational extends QueryPack {
         .select(col("u"), col("dg"),
           explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
       val scored = wedges
+        // repartition the RAW wedges before the pair aggregate (the
+        // LinkPredict.scoreWedges lesson: distinct pairs ~0.7x wedges,
+        // so map-side combining at the generate stage's AQE-coalesced
+        // parallelism spills for nothing); 4x session parallelism,
+        // scale-adaptive via core count — no pre-job to size it here
+        .repartition(4 * s.sparkContext.defaultParallelism,
+          col("u"), col("v"))
         .groupBy(col("u"), col("v")).agg(
           sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
           sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
@@ -2300,6 +2307,9 @@ object Relational extends QueryPack {
         .select(col("u"), col("dg"),
           explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
       val scored = wedges
+        // raw-wedge repartition before the aggregate (the g7b note)
+        .repartition(4 * s.sparkContext.defaultParallelism,
+          col("u"), col("v"))
         .groupBy(col("u"), col("v")).agg(
           sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
           sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
