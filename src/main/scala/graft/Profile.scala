@@ -38,6 +38,24 @@ object Profile {
       return
     }
 
+    // plan mode: runMain graft.Profile <sfDir> g5plan — the LAZY
+    // common-neighbor scoring plan (g5's commonNeighbors realizes its
+    // k rows eagerly, so Explain shows only the checkpoint scan)
+    if (args.length >= 2 && args(1) == "g5plan") {
+      val lo = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.groupBy(col("o"))
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+        .select(col("p1"), explode(expr("slice(ps, i + 2, size(ps))")).as("p2"))
+        .distinct()
+      graft.operators.LinkPredict.commonNeighborsPlan(edges, "p1", "p2", k = 20)
+        .explain("formatted")
+      spark.stop()
+      return
+    }
+
     // stage mode: runMain graft.Profile <sfDir> g5stages — break g5 into
     // edge build / adjacency / wedge generation / pair aggregation / full
     if (args.length >= 2 && args(1) == "g5stages") {

@@ -23,6 +23,28 @@ class LinkPredictSpec extends AnyFunSuite {
       ((1L, 4L, 2L, 2L, 2L, 1000000L)))
   }
 
+  test("commonNeighbors: packed and unpacked pair keys agree (ids past 2^31 take the fallback)") {
+    import spark.implicits._
+    // same diamond twice: small ids exercise the packed (u << 32 | v)
+    // aggregation path, the +2^32 shift forces the two-column fallback —
+    // results must be the shifted image of each other
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val off = 1L << 32
+    val small = LinkPredict.commonNeighbors(base.toDF("a", "b"), "a", "b", k = 10)
+      .collect()
+    val big = LinkPredict.commonNeighbors(
+      base.map { case (a, b) => (a + off, b + off) }.toDF("a", "b"),
+      "a", "b", k = 10).collect()
+    assert(small.length === 1 && big.length === 1)
+    assert(big.head.getLong(0) === small.head.getLong(0) + off)
+    assert(big.head.getLong(1) === small.head.getLong(1) + off)
+    // cn, degrees, jaccard are shift-invariant
+    assert((big.head.getLong(2), big.head.getLong(3),
+      big.head.getLong(4), big.head.getLong(5)) ===
+      (small.head.getLong(2), small.head.getLong(3),
+        small.head.getLong(4), small.head.getLong(5)))
+  }
+
   test("commonNeighbors: refuses the hub-quadratic regime loudly") {
     import spark.implicits._
     // a 60-leaf star: 60*59/2 = 1770 wedges through the hub

@@ -167,15 +167,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the stats branch to reuse the per-doc aggregation exchange:\n$plan")
   }
 
-  test("g2 triangles: the two wedge sides share one reused u-keyed exchange") {
+  test("g2 triangles: wedges generate from adjacency arrays, oriented subtree exchanges reused") {
     val df = SparkEntry.queries("g2_triangles")(spark, sfDir)
     df.collect() // AQE exchange reuse materializes during execution
     val plan = df.queryExecution.executedPlan.toString
-    // the oriented-edge subtree feeds both wedge sides through the SAME
-    // hash(u) exchange — losing this reuse doubles the heaviest subtree
-    // (the measured regime BASELINE.md's g2 adjudications rest on)
+    // r19 shape: wedges come from per-pivot sorted adjacency arrays
+    // (groupBy + posexplode/slice), NOT a self-join of the oriented
+    // edges — the closing join is the only join fed by wedge volume,
+    // and the duplicated oriented subtree (adjacency groupBy + closing
+    // side) still shares its internal exchanges at runtime
     assert(plan.contains("ReusedExchange"),
-      s"expected the wedge self-join to reuse the oriented-edge exchange:\n$plan")
+      s"expected the duplicated oriented-edge subtree to reuse exchanges:\n$plan")
+    assert(plan.contains("posexplode"),
+      s"expected array-generated wedges (posexplode), got:\n$plan")
   }
 
   test("promoted kernels compile to direct static calls in generated code") {
