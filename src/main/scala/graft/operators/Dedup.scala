@@ -361,9 +361,22 @@ object Dedup {
     // survives executor loss at the cost of one FS round-trip per round.
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    var e = truncate(pairs
+    // the witness aggregates RIDE the round's checkpoint materialization
+    // as observe() metrics (CollectMetricsExec — no exchange, no second
+    // pass): one job per round instead of checkpoint + witness-scan
+    // (guide §1.4/§5 — don't re-scan what an action already computed)
+    def truncateObserved(df: DataFrame): (DataFrame, (Long, Long, Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs, count(lit(1)).as("n"),
+        sum(hash(col("a"), col("b")).cast("long")).as("h"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+      val cut = if (checkpointDir.isDefined) observed.checkpoint()
+        else observed.localCheckpoint()
+      def at(k: String) =
+        Option(obs.get(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      (cut, (at("n"), at("h"), at("sa"), at("sb")))
+    }
+    var (e, prev) = truncateObserved(pairs
       .select(least(col(idCol1), col(idCol2)).as("a"),
         greatest(col(idCol1), col(idCol2)).as("b"))
       .filter(col("a") =!= col("b"))
@@ -387,24 +400,16 @@ object Dedup {
         .distinct()
     }
 
-    // Four independent aggregates of the canonical edge set: cardinality,
+    // Four independent aggregates of the canonical edge set (observed
+    // during each round's checkpoint, see truncateObserved): cardinality,
     // a hash sum, and the two endpoint sums. A (count, hash-sum) pair can
     // in principle collide across different edge sets; requiring the
     // endpoint sums to also match makes a false convergence practically
-    // impossible while still costing one aggregate pass.
-    def witness(edges: DataFrame): (Long, Long, Long, Long) = {
-      val r = edges.agg(count(lit(1)), sum(hash(col("a"), col("b")).cast("long")),
-        sum(col("a")), sum(col("b"))).head()
-      def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
-      (r.getLong(0), at(1), at(2), at(3))
-    }
-
-    var prev = witness(e)
+    // impossible — and the witness costs NO extra pass at all.
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = truncate(star(star(e, large = true), large = false))
-      val w = witness(next)
+      val (next, w) = truncateObserved(star(star(e, large = true), large = false))
       e = next
       converged = w == prev
       prev = w
@@ -560,14 +565,22 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
     }
+    // per-(chunk, v) sorted (id, sig) arrays -> each colliding id1 < id2
+    // pair once (ids are unique, so the struct sort IS the id sort),
+    // instead of the chunk self-join's |bucket|^2 rows — the same
+    // guide §2.3/§2.4 restructure as the jaccard/minhash/wedge pair
+    // generators this round; the hamming verify runs BEFORE the
+    // distinct so its exchange only carries true near-dups (unchanged)
     val chunked = sigs
-      .select(col("id"), col("sig"), explode(array(chunkStructs: _*)).as("cc"))
-      .select(col("id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
-    chunked.toDF("id1", "sig1", "chunk", "v")
-      .join(chunked.toDF("id2", "sig2", "chunk", "v"), Seq("chunk", "v"))
-      .filter(col("id1") < col("id2") &&
-        bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHamming)
-      .select(col("id1"), col("id2"))
+      .select(explode(array(chunkStructs: _*)).as("cc"),
+        struct(col("id"), col("sig")).as("e"))
+      .select(col("cc.chunk").as("chunk"), col("cc.v").as("v"), col("e"))
+    chunked.groupBy(col("chunk"), col("v"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("es"), posexplode(col("es")).as(Seq("i", "e1")))
+      .select(col("e1"), explode(expr("slice(es, i + 2, size(es))")).as("e2"))
+      .filter(bit_count(col("e1.sig").bitwiseXOR(col("e2.sig"))) <= maxHamming)
+      .select(col("e1.id").as("id1"), col("e2.id").as("id2"))
       .distinct()
       .orderBy(col("id1"), col("id2"))
   }

@@ -35,24 +35,42 @@ object InvertedIndex {
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .filter(col("term") =!= "")
 
-  /** Build and persist the index. Returns the number of postings. */
+  /** Build and persist the index. Returns the number of postings.
+    *
+    * Job shape (guide §1.4/§5 — don't re-scan what a write already
+    * computed): the postings count and the stats aggregates ride the
+    * two writes as `observe()` metrics (CollectMetricsExec — no extra
+    * pass, no exchange), so save runs exactly TWO distributed jobs
+    * (postings write, doclens write) plus the one-row local stats
+    * write. The previous shape re-read the postings for doclens' stats
+    * and again for the return count — four scans of the just-written
+    * index per build.
+    */
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
            buckets: Int = 64): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     val toks = tokens(docs, idCol, textCol)
+    val nPost = org.apache.spark.sql.Observation()
     val postings = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash(col("term")), lit(buckets)))
+      .observe(nPost, count(lit(1)).as("n"))
     postings.write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    val dlStats = org.apache.spark.sql.Observation()
     val doclens = spark.read.parquet(s"$path/postings")
       .groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      .observe(dlStats, count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     doclens.write.mode("overwrite").parquet(s"$path/doclens")
-    val stats = spark.read.parquet(s"$path/doclens")
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      .withColumn("buckets", lit(buckets))
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    spark.read.parquet(s"$path/postings").count()
+    import spark.implicits._
+    // sumdl is null for an empty corpus, exactly as the replaced
+    // re-read's sum() aggregate produced — Option keeps the parquet
+    // schema/content bit-identical
+    Seq((dlStats.get("n").asInstanceOf[Long],
+        Option(dlStats.get("sumdl")).map(_.asInstanceOf[Long]), buckets))
+      .toDF("n", "sumdl", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    nPost.get("n").asInstanceOf[Long]
   }
 
   /** Append new documents to a saved index without rebuilding: their
@@ -74,25 +92,28 @@ object InvertedIndex {
     val statsRow = spark.read.parquet(s"$path/stats").head()
     val buckets = statsRow.getAs[Int]("buckets")
     val toks = tokens(docs, idCol, textCol)
+    // append-delta counts ride the two writes as observe() metrics (the
+    // save() job-shape note): two distributed jobs per append, no
+    // re-aggregation pass and no trailing count() over the cache
+    val nPost = org.apache.spark.sql.Observation()
     val postings = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash(col("term")), lit(buckets)))
       .persist()
     try {
-      postings.write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-      val doclens = postings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-        .persist()
-      try {
-        doclens.write.mode("append").parquet(s"$path/doclens")
-        val add = doclens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-        val n = statsRow.getAs[Long]("n") + add.getAs[Long]("n")
-        val sumdl = statsRow.getAs[Long]("sumdl") +
-          (if (add.isNullAt(1)) 0L else add.getAs[Long]("s"))
-        import spark.implicits._
-        Seq((n, sumdl, buckets)).toDF("n", "sumdl", "buckets")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-      } finally doclens.unpersist()
-      postings.count()
+      postings.observe(nPost, count(lit(1)).as("n"))
+        .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+      val dlStats = org.apache.spark.sql.Observation()
+      postings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+        .observe(dlStats, count(lit(1)).as("n"), sum(col("dl")).as("s"))
+        .write.mode("append").parquet(s"$path/doclens")
+      val n = statsRow.getAs[Long]("n") + dlStats.get("n").asInstanceOf[Long]
+      val sumdl = statsRow.getAs[Long]("sumdl") +
+        Option(dlStats.get("s")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      import spark.implicits._
+      Seq((n, sumdl, buckets)).toDF("n", "sumdl", "buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      nPost.get("n").asInstanceOf[Long]
     } finally postings.unpersist()
   }
 

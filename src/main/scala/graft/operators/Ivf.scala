@@ -381,13 +381,14 @@ object Ivf {
         iter.map { case (id, emb) => (id, emb, nearestCentroid(emb, cents)) }
       }
       .toDF("id", "emb", "bucket")
-    // persist so the returned count reuses the assignment instead of
-    // re-scanning newRows (the round-2 double-scan lesson)
-    assigned.persist()
-    try {
-      assigned.write.mode("append").partitionBy("bucket").parquet(s"$path/data")
-      assigned.count()
-    } finally assigned.unpersist()
+    // the returned count rides the append as an observe() metric
+    // (CollectMetricsExec — no extra pass): ONE job, no persist — the
+    // cache existed only so the count wouldn't re-scan newRows
+    // (guide §1.4/§5)
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/data")
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Split oversized buckets of a saved index WITHOUT retraining the

@@ -955,12 +955,16 @@ object Reference extends QueryPack {
       import graft.functions.GraftFunctions.{avi_frames, jpeg_pixel_stats, video_meta}
       val id = col("doc_id")
       val avi = unhex(mjpegAviHex(id))
+      // stage the demuxed frame array ONCE: `sig` lives in the Generate's
+      // child Project while posexplode lives in the Generate operator, so
+      // the un-staged form ran the full avi_frames container walk TWICE
+      // per row (subexpression elimination cannot cross the operator
+      // boundary — the m28/x25 staging lesson applied to video)
       val perFrame = Tables.documents(s, d)
-        .select(id,
-          video_meta(avi).as("meta"),
-          md5(array_join(transform(avi_frames(avi),
-            f => hex(f)), "")).as("sig"),
-          posexplode(avi_frames(avi)).as(Seq("idx", "frame")))
+        .select(id, video_meta(avi).as("meta"), avi_frames(avi).as("frames"))
+        .select(id, col("meta"),
+          md5(array_join(transform(col("frames"), f => hex(f)), "")).as("sig"),
+          posexplode(col("frames")).as(Seq("idx", "frame")))
         .select(id, col("meta"), col("sig"), col("idx"),
           jpeg_pixel_stats(col("frame")).as("p"))
       val perVideo = perFrame

@@ -893,6 +893,14 @@ object Relational extends QueryPack {
         .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
       li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("ship_month"))
+        // cluster by the partition column before the partitioned write
+        // (guide §6 small-files): without it every write task emits one
+        // file into every month directory — tasks x months tiny files
+        // (~2.6k at sf0.1, 84x that contribution at 100 TB), paid again
+        // by the read-back's per-file open cost. One exchange keyed on
+        // ship_month makes each month exactly one writer's file. Layout
+        // only — the gate's aggregate is over the same rows.
+        .repartition(col("ship_month"))
         .write.mode("overwrite").partitionBy("ship_month").parquet(factPath)
       li.select(col("ship_month")).distinct()
         .withColumn("quarter",
@@ -927,13 +935,22 @@ object Relational extends QueryPack {
           s.conf.get("spark.sql.warehouse.dir"), t)
         loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       }
+      // pre-shuffle each side by its bucket key into `buckets` partitions
+      // (guide §6 small-files): Spark's bucketed writer otherwise emits
+      // one file per (write task x bucket) — 32 x 8 = 256 tiny files per
+      // side here, every one re-opened by the join's scan. The
+      // repartition uses the SAME HashPartitioning the bucket-id
+      // assignment uses, so each task holds exactly one bucket and each
+      // bucket becomes exactly one file. Layout only; join rows unchanged.
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(s"graft_q39_ord_$sfx")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(s"graft_q39_li_$sfx")
@@ -2293,44 +2310,86 @@ object Relational extends QueryPack {
       val e = coPurchasePairs(s, d)
         .select(col("p1").as("a"), col("p2").as("b"))
         .distinct()
-      val adj = e.select(col("a").as("c"), col("b").as("n"))
-        .unionAll(e.select(col("b").as("c"), col("a").as("n")))
-      // per-center sorted adjacency arrays (degree = size, wedges via
-      // posexplode + slice — the g7b shape), Dmax-gated BEFORE any
-      // wedge is generated so volume stays n*Dmax*(Dmax-1)/2
-      val adjList = adj.groupBy(col("c"))
-        .agg(sort_array(collect_list(col("n"))).as("ns"))
-        .select(col("ns"), size(col("ns")).cast("long").as("dg"))
-        .filter(col("dg") <= 180L)
-      val wedges = adjList
-        .select(col("ns"), col("dg"), posexplode(col("ns")).as(Seq("i", "u")))
-        .select(col("u"), col("dg"),
-          explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
-      val scored = wedges
-        // raw-wedge repartition before the aggregate (the g7b note)
-        .repartition(4 * s.sparkContext.defaultParallelism,
-          col("u"), col("v"))
-        .groupBy(col("u"), col("v")).agg(
+        // persisted: read by the adjacency (twice), the anti-join, and
+        // the range/volume pre-aggregate below — the commonNeighbors
+        // lifecycle (the co-purchase construction runs once)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val adj = e.select(col("a").as("c"), col("b").as("n"))
+          .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+        // ONE pre-aggregate over the cached edges reads off the capped
+        // wedge volume (volume-scaled aggregation parallelism — the
+        // scoreWedges treatment replaces the blind 4x-cores constant)
+        // and the id range (for the packed ONE-long pair key through the
+        // dominant exchange, guide §2.3 "narrower types" — the
+        // commonNeighborsCapped proof-then-pack discipline)
+        val pre = adj.groupBy(col("c")).agg(count(lit(1)).as("dd"))
+          .agg(sum(when(col("dd") <= 180L, col("dd") * (col("dd") - lit(1L)))),
+            min(col("c").cast("long")), max(col("c").cast("long"))).head()
+        val cappedVolume = (if (pre.isNullAt(0)) 0L else pre.getLong(0)) / 2
+        val packable = !pre.isNullAt(1) && !pre.isNullAt(2) &&
+          pre.getLong(1) >= 0L && pre.getLong(2) < (1L << 31)
+        val parts = math.max(s.sparkContext.defaultParallelism,
+          math.min(4096L, cappedVolume / 1500000L + 1L).toInt)
+        val idType = e.schema("a").dataType
+        def pk(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+          shiftleft(u.cast("long"), 32) + v.cast("long")
+        // per-center sorted adjacency arrays (degree = size, wedges via
+        // posexplode + slice — the g7b shape), Dmax-gated BEFORE any
+        // wedge is generated so volume stays n*Dmax*(Dmax-1)/2
+        val adjList = adj.groupBy(col("c"))
+          .agg(sort_array(collect_list(col("n"))).as("ns"))
+          .select(col("ns"), size(col("ns")).cast("long").as("dg"))
+          .filter(col("dg") <= 180L)
+        val wedges = adjList
+          .select(col("ns"), col("dg"), posexplode(col("ns")).as(Seq("i", "u")))
+          .select(col("u"), col("dg"),
+            explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+        val sums = Seq(
           sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
           sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
           count(lit(1)).as("ccn180"))
-        .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
-      // (r19 note: a single-pass 3 x topk_by(200) ungrouped aggregate
-      // was tried in place of persist + 3 TakeOrdered and measured 2x
-      // SLOWER — 63.9 s vs 32.6 s at sf0.1: the TypedImperativeAggregate
-      // heap runs interpreted per row over the ~40M scored pairs while
-      // TakeOrderedAndProject stays inside whole-stage codegen. The
-      // persist shape stands.)
-      val scoredP = scored
-        .persist() // ONE wedge pass feeds all three cap arms (the gate's shape)
-      try {
-        Seq("ccn100", "ccn140", "ccn180").map { ccn =>
-          scoredP.filter(col(ccn) > 0L)
-            .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
-            .select(lit(ccn.drop(3).toLong).as("max_degree"),
-              col("u"), col("v"), col(ccn).as("ccn"))
-        }.reduce(_ unionAll _).localCheckpoint(true)
-      } finally scoredP.unpersist()
+        // raw-wedge repartition before the aggregate (the g7b note); on
+        // the packed key the groupBy takes the primitive-long fast path
+        // and the anti-join reuses the aggregate's pk partitioning
+        val scored =
+          if (packable)
+            wedges.select(pk(col("u"), col("v")).as("pkey"), col("dg"))
+              .repartition(parts, col("pkey"))
+              .groupBy(col("pkey")).agg(sums.head, sums.tail: _*)
+              .join(e.select(pk(col("a"), col("b")).as("pkey")),
+                Seq("pkey"), "left_anti")
+          else
+            wedges.repartition(parts, col("u"), col("v"))
+              .groupBy(col("u"), col("v")).agg(sums.head, sums.tail: _*)
+              .join(e, col("u") === col("a") && col("v") === col("b"),
+                "left_anti")
+        // (r19 note: a single-pass 3 x topk_by(200) ungrouped aggregate
+        // was tried in place of persist + 3 TakeOrdered and measured 2x
+        // SLOWER — 63.9 s vs 32.6 s at sf0.1: the TypedImperativeAggregate
+        // heap runs interpreted per row over the ~40M scored pairs while
+        // TakeOrderedAndProject stays inside whole-stage codegen. The
+        // persist shape stands.)
+        val scoredP = scored
+          .persist() // ONE wedge pass feeds all three cap arms (the gate's shape)
+        try {
+          Seq("ccn100", "ccn140", "ccn180").map { ccn =>
+            val top = scoredP.filter(col(ccn) > 0L)
+            // (ccn desc, pkey) == (ccn desc, u, v) for the proven
+            // non-negative sub-2^31 ids; unpack after the 200-row limit
+            if (packable)
+              top.orderBy(col(ccn).desc, col("pkey")).limit(200)
+                .select(lit(ccn.drop(3).toLong).as("max_degree"),
+                  shiftrightunsigned(col("pkey"), 32).cast(idType).as("u"),
+                  col("pkey").bitwiseAND(lit(0xFFFFFFFFL)).cast(idType).as("v"),
+                  col(ccn).as("ccn"))
+            else
+              top.orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
+                .select(lit(ccn.drop(3).toLong).as("max_degree"),
+                  col("u"), col("v"), col(ccn).as("ccn"))
+          }.reduce(_ unionAll _).localCheckpoint(true)
+        } finally scoredP.unpersist()
+      } finally e.unpersist()
     },
 
     // g8's PRODUCTION arm alone (the gate runs exact + sampled to

@@ -1253,9 +1253,15 @@ object Text extends QueryPack {
     // whole point is the exact baseline underneath.
     "d21_lsh_recall" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // the exact pair list (a few hundred rows) feeds BOTH the n_exact
+      // aggregate and the hit semi-join; without materialization the
+      // whole exact pair pipeline (shingle explode + posting arrays +
+      // pair aggregate) executes once per consumer (guide §5 — reuse
+      // beats recompute when recompute is a corpus-sized pass). The LSH
+      // side already exits minhashLshNearDupPairs localCheckpoint'ed.
       val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(100),
-        maxPairEstimate = 500000000L)
+        maxPairEstimate = 500000000L).localCheckpoint(true)
       val coarse = Dedup.minhashLshNearDupPairs(docs, "doc_id", "text",
         n = 3, numHashes = 128, bands = 8, minJaccard = 0.5)
       val hit = exact.join(coarse, Seq("id1", "id2"), "left_semi")
@@ -1277,11 +1283,13 @@ object Text extends QueryPack {
     // hamming threshold is tuned on.
     "d22_simhash_recall" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // both pair lists feed two consumers each (count + semi-join):
+      // materialize once — the d21 note
       val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(100),
-        maxPairEstimate = 500000000L)
+        maxPairEstimate = 500000000L).localCheckpoint(true)
       val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
-        n = 3, maxHamming = 3)
+        n = 3, maxHamming = 3).localCheckpoint(true)
       val hit = exact.join(sim, Seq("id1", "id2"), "left_semi")
       // 1-row x 1-row aggregate combines (see d21)
       exact.agg(count(lit(1)).as("n_exact"))

@@ -56,9 +56,16 @@ object ZOrderLayout {
     // loop would re-scan the table per column)
     val allCuts = df.stat.approxQuantile(cols.toArray, probs, 0.001)
     val buckets = cols.zip(allCuts).map { case (c, cuts) =>
-      // bucket = #boundaries <= value — an array scan in codegen over
-      // the literal boundary vector, skew-proof by construction
-      size(filter(typedlit(cuts.toSeq), x => x <= col(c).cast("double"))).cast("long")
+      // bucket = #boundaries <= value, as a SUM of plain comparisons:
+      // higher-order array functions (the previous size(filter(...))
+      // form) are CodegenFallback — evaluated interpreted per row, and
+      // the range partitioner's sampling pass pays that cost a second
+      // time. A literal comparison chain stays inside whole-stage
+      // codegen (guide §4: built-in expressions over closures/HOFs);
+      // same null/NaN semantics (null value -> 0, NaN -> all cuts).
+      val v = col(c).cast("double")
+      cuts.map(cut => when(lit(cut) <= v, 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L))
     }
     df.withColumn("__z", interleave(buckets, bits))
       .repartitionByRange(numPartitions, col("__z"))

@@ -428,13 +428,14 @@ class PlanShapeSpec extends AnyFunSuite {
   test("x18 curation: banded-pair + keep-first shuffles only; the anti-join may cross broadcast->SMJ") {
     val plan = planOf("x18_multimodal_curation")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    // the banded 16-bit-chunk candidate join + its DISTINCT cost 2-3
-    // exchanges; the keep-first anti-join side broadcasts at gate scale
-    // and crosses to an SMJ exchange pair at image-corpus scale — both
-    // are the designed shape (the x17 history-join convention), anything
-    // past the window is a regression
-    assert(hashExchanges >= 3 && hashExchanges <= 5,
-      s"x18 should pay banded pair + dedup (+ keep-first SMJ), found $hashExchanges:\n$plan")
+    // the banded candidate stage is ONE groupBy exchange (r19: per-chunk
+    // sorted posting arrays replaced the chunk self-join's exchange
+    // pair) + the pair DISTINCT; the keep-first anti-join side
+    // broadcasts at gate scale and crosses to an SMJ exchange pair at
+    // image-corpus scale — both are the designed shape (the x17
+    // history-join convention), anything past the window is a regression
+    assert(hashExchanges >= 2 && hashExchanges <= 4,
+      s"x18 should pay banded arrays + dedup (+ keep-first SMJ), found $hashExchanges:\n$plan")
     assert(plan.contains("LeftAnti"), s"x18 lost the keep-first anti-join:\n$plan")
     assert("(SortMergeJoin|BroadcastHashJoin) .*LeftAnti".r
       .findFirstIn(plan).nonEmpty,
