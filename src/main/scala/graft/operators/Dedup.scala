@@ -142,30 +142,44 @@ object Dedup {
     } catch {
       case e: Throwable => dfs.unpersist(); throw e
     }
-    if (shingleStorage != org.apache.spark.storage.StorageLevel.NONE)
-      ex = ex.persist(shingleStorage)
-    // sizes over the same (possibly df-filtered) universe as the numerator
-    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // candidate pairs from per-shingle sorted POSTING ARRAYS (bounded by
-    // maxDf after blocking): one groupBy of the exploded table, then
-    // posexplode + slice emits each id1 < id2 pair once — the posting
-    // self-join generated df^2 rows per shingle and filtered half away
-    // (guide §2.3/§2.4: half the generated rows, one exchange instead of
-    // the join's pair)
-    val common = ex.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
-      .select(col("id1"),
-        explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.toDF("id1", "sz1"), "id1")
-      .join(sizes.toDF("id2", "sz2"), "id2")
-      .filter(col("common").cast("double") /
-        (col("sz1") + col("sz2") - col("common")) >= minJaccard)
-      .select(col("id1"), col("id2"))
-      .orderBy(col("id1"), col("id2"))
+    val persistedEx =
+      shingleStorage != org.apache.spark.storage.StorageLevel.NONE
+    if (persistedEx) ex = ex.persist(shingleStorage)
+    try {
+      // sizes over the same (possibly df-filtered) universe as the numerator
+      val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      // candidate pairs from per-shingle sorted POSTING ARRAYS (bounded by
+      // maxDf after blocking): one groupBy of the exploded table, then
+      // posexplode + slice emits each id1 < id2 pair once — the posting
+      // self-join generated df^2 rows per shingle and filtered half away
+      // (guide §2.3/§2.4: half the generated rows, one exchange instead of
+      // the join's pair)
+      val common = ex.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+        .select(col("id1"),
+          explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.toDF("id1", "sz1"), "id1")
+        .join(sizes.toDF("id2", "sz2"), "id2")
+        .filter(col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common")) >= minJaccard)
+        .select(col("id1"), col("id2"))
+        // materialize the (tiny) verified pair list eagerly so the
+        // corpus-sized shingle/df caches release in the finally below
+        // instead of leaking for the session's lifetime (guide §5: a
+        // suite/pipeline that runs many of these bled storage-pool
+        // pressure into every LATER query — the r19 mid-bench measured
+        // the g-family paying for the d-family's leaked caches). Same
+        // lifecycle as minhashLshNearDupPairs/commonNeighbors.
+        .localCheckpoint(true)
+        .orderBy(col("id1"), col("id2"))
+    } finally {
+      if (persistedEx) ex.unpersist()
+      dfs.unpersist()
+    }
   }
 
   /** Exact substring-duplication signal — the distributed relational
@@ -668,29 +682,38 @@ object Dedup {
       case e: Throwable => dfs.unpersist(); throw e
     }
     ex = ex.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // per-shingle sorted posting arrays (bounded by maxDf) -> each
-    // id1 < id2 pair once, instead of the df^2-row posting self-join
-    val common = ex.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
-      .select(col("id1"),
-        explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.toDF("id1", "sz1"), "id1")
-      .join(sizes.toDF("id2", "sz2"), "id2")
-    val tau = lit(minContainment)
-    val fwd = common // id1 contained in id2
-      .filter(col("common").cast("double") / col("sz1") >= tau &&
-        (col("sz1") < col("sz2") ||
-          (col("sz1") === col("sz2") && col("id1") < col("id2"))))
-      .select(col("id1").as("contained"), col("id2").as("container"))
-    val bwd = common // id2 contained in id1 (strictly smaller only)
-      .filter(col("common").cast("double") / col("sz2") >= tau &&
-        col("sz2") < col("sz1"))
-      .select(col("id2").as("contained"), col("id1").as("container"))
-    fwd.unionByName(bwd).orderBy(col("contained"), col("container"))
+    try {
+      val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      // per-shingle sorted posting arrays (bounded by maxDf) -> each
+      // id1 < id2 pair once, instead of the df^2-row posting self-join
+      val common = ex.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+        .select(col("id1"),
+          explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.toDF("id1", "sz1"), "id1")
+        .join(sizes.toDF("id2", "sz2"), "id2")
+      val tau = lit(minContainment)
+      val fwd = common // id1 contained in id2
+        .filter(col("common").cast("double") / col("sz1") >= tau &&
+          (col("sz1") < col("sz2") ||
+            (col("sz1") === col("sz2") && col("id1") < col("id2"))))
+        .select(col("id1").as("contained"), col("id2").as("container"))
+      val bwd = common // id2 contained in id1 (strictly smaller only)
+        .filter(col("common").cast("double") / col("sz2") >= tau &&
+          col("sz2") < col("sz1"))
+        .select(col("id2").as("contained"), col("id1").as("container"))
+      // eager-materialize the (tiny) directed pair list so the
+      // corpus-sized shingle/df caches release below instead of leaking
+      // for the session (the jaccardNearDupPairs lifecycle note)
+      fwd.unionByName(bwd).localCheckpoint(true)
+        .orderBy(col("contained"), col("container"))
+    } finally {
+      ex.unpersist()
+      dfs.unpersist()
+    }
   }
 
   /** Corpus-order n-gram NOVELTY fractions — the incremental-value

@@ -56,6 +56,14 @@ object InvertedIndex {
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash(col("term")), lit(buckets)))
       .observe(nPost, count(lit(1)).as("n"))
+      // cluster by the bucket column before the partitioned write
+      // (guide §6 small files): un-clustered, every aggregate task
+      // emits one file into every tb= directory (tasks x buckets tiny
+      // segments); clustered, a bucket lands as ONE file per build —
+      // searches and compactions open `buckets` files, not hundreds.
+      // Accretion ACROSS appends (the compaction gate's subject) is
+      // untouched: each append still adds its own segment per bucket.
+      .repartition(col("tb"))
     postings.write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
     val dlStats = org.apache.spark.sql.Observation()
     val doclens = spark.read.parquet(s"$path/postings")
@@ -102,6 +110,10 @@ object InvertedIndex {
       .persist()
     try {
       postings.observe(nPost, count(lit(1)).as("n"))
+        // one segment per bucket per append (the save() clustering
+        // note) — the LSM accretion the compaction gate exercises is
+        // across appends, not within one
+        .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
       val dlStats = org.apache.spark.sql.Observation()
       postings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))

@@ -335,7 +335,16 @@ object Ivf {
   def save(index: IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    index.assigned.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
+    // cluster by the partition column before the partitioned write
+    // (guide §6 small files): un-clustered, every assignment task emits
+    // one file into every bucket directory (tasks x nlist tiny files,
+    // every one re-opened by each nprobe-pruned search); clustered, a
+    // bucket is one writer's file. One narrow exchange of (id, emb,
+    // bucket) — the write.distribution-mode=hash posture; at production
+    // nlist the buckets spread over all shuffle partitions, so write
+    // parallelism scales with the cluster, not with nlist.
+    index.assigned.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
     index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("bucket", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -387,6 +396,9 @@ object Ivf {
     // (guide §1.4/§5)
     val obs = org.apache.spark.sql.Observation()
     assigned.observe(obs, count(lit(1)).as("n"))
+      // cluster by bucket (the save() small-files note): one file per
+      // bucket per append instead of one per (task x bucket)
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/data")
     obs.get("n").asInstanceOf[Long]
   }
@@ -487,7 +499,9 @@ object Ivf {
           }
         }
         .toDF("id", "emb", "bucket")
-      reassigned.write.mode("append").partitionBy("bucket").parquet(s"$path/data")
+      // one file per split-target bucket (the save() clustering note)
+      reassigned.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/data")
       val oldDir = new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b")
       val scratchDir = new org.apache.hadoop.fs.Path(s"$path/data/bucket=$scratch")
       if (!fs.delete(oldDir, true))

@@ -48,6 +48,8 @@ object IvfPq {
         GraftColumnBridge.column(PqEncode(
           GraftColumnBridge.expression(col("emb").cast("array<float>")),
           model.flat, model.m, model.k, model.subDim)).as("code"))
+      // one file per bucket (the Ivf.save clustering note — guide §6)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
     index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("bucket", "centroid")
@@ -122,11 +124,14 @@ object IvfPq {
         GraftColumnBridge.column(PqEncode(
           GraftColumnBridge.expression(col("emb")),
           model.flat, model.m, model.k, model.subDim)).as("code"))
-    assigned.persist()
-    try {
-      assigned.write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
-      assigned.count()
-    } finally assigned.unpersist()
+    // appended-row count rides the write as an observe() metric (the
+    // Ivf.appendSaved treatment): one job, no persist; clustered by
+    // bucket so each append lands one file per bucket
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("n"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+    obs.get("n").asInstanceOf[Long]
   }
 
   // --- unattended maintenance (round 16 — the v38 posture on the
@@ -254,7 +259,9 @@ object IvfPq {
           }
         }
         .toDF("id", "code", "bucket")
-      reassigned.write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+      // one file per split-target bucket (the Ivf clustering note)
+      reassigned.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
       val oldDir = new org.apache.hadoop.fs.Path(s"$path/codes/bucket=$b")
       val scratchDir = new org.apache.hadoop.fs.Path(s"$path/codes/bucket=$scratch")
       if (!fs.delete(oldDir, true))

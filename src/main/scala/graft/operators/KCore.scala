@@ -42,31 +42,47 @@ object KCore {
     // directly, twice through the doomed set), so an un-truncated lineage
     // grows 3^rounds — eager checkpointing keeps the logical plan O(1)
     // deep and each round's work exactly one aggregate + two anti-joins
-    var e = edges.select(
+    // ONE job per peeling round (the d8 observe-witness treatment):
+    // the next edge set materializes eagerly with its own cardinality
+    // riding along as an observe() metric; the round converged iff the
+    // edge count did not move — doomed nodes all carry edges (their
+    // degrees were computed FROM e), so |e| unchanged <=> doomed empty.
+    // The previous shape paid a doomed.isEmpty job AND the checkpoint
+    // job per round; convergence now costs the one no-change round
+    // instead of a per-round second pass.
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cut = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      (cut, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, nEdges) = checkpointCounted(edges.select(
       least(col(srcCol), col(dstCol)).as("a"),
       greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var rounds = 0
-    var converged = false
+    var converged = nEdges == 0L
     while (!converged) {
+      // persisted because the anti-join references it twice; it
+      // materializes inside the round's single checkpoint job
       val doomed = degrees(e).filter(col("deg") < k).persist()
-      if (doomed.isEmpty) converged = true
-      else {
+      val (next, n) = checkpointCounted(e
+        .join(doomed.select(col("n").as("a")), Seq("a"), "left_anti")
+        .join(doomed.select(col("n").as("b")), Seq("b"), "left_anti"))
+      doomed.unpersist()
+      converged = n == nEdges
+      e = next
+      nEdges = n
+      if (!converged) {
+        // this round genuinely peeled — count it against the budget
+        // (the final no-change round is the convergence witness, free
+        // of charge, exactly like the old shape's empty-doomed check)
         rounds += 1
-        if (rounds > maxRounds) {
-          doomed.unpersist()
+        if (rounds > maxRounds)
           throw new IllegalStateException(
             s"k-core did not converge within $maxRounds peeling rounds; " +
               "raise maxRounds (each round is one aggregate + two anti-joins)")
-        }
-        e = e
-          .join(doomed.select(col("n").as("a")), Seq("a"), "left_anti")
-          .join(doomed.select(col("n").as("b")), Seq("b"), "left_anti")
-          .localCheckpoint(true)
       }
-      doomed.unpersist()
     }
     degrees(e).filter(col("deg") >= k)
       .select(col("n").as("node"), col("deg"))

@@ -211,13 +211,13 @@ object Pq {
     val model = loadModel(spark, path)
     val encoded = encode(newRows, idCol, embCol, model)
       .select(col(idCol).cast("long").as("id"), col("code"))
-    // persist so the returned count reuses the encoding instead of
-    // re-scanning newRows (the round-2 double-scan lesson)
-    encoded.persist()
-    try {
-      encoded.write.mode("append").parquet(s"$path/codes")
-      encoded.count()
-    } finally encoded.unpersist()
+    // the returned count rides the write as an observe() metric (the
+    // Ivf.appendSaved treatment): one job, no persist — the cache
+    // existed only so the count wouldn't re-scan newRows
+    val obs = org.apache.spark.sql.Observation()
+    encoded.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$path/codes")
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Query a saved PQ index: load the codebooks, ADC over the stored
