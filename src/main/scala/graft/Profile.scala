@@ -104,6 +104,77 @@ object Profile {
       return
     }
 
+    // A/B mode: runMain graft.Profile <sfDir> d2forms — the d2 pair
+    // stage as posting SELF-JOIN vs sorted POSTING ARRAYS, interleaved
+    // in ONE session so a host-epoch drift cannot masquerade as a form
+    // difference (the r19 serial BenchOne windows disagreed by 2x).
+    if (args.length >= 2 && args(1) == "d2forms") {
+      val docs = Tables.documents(spark, sfDir)
+      val ex = Tables.spread(docs)
+        .select(col("doc_id").as("id"),
+          explode(graft.functions.TextFunctions.shingle_set(col("text"), 3)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val kept = dfs.filter(col("df") <= 100)
+      val kx = ex.join(kept.select(col("s")), "s").select(col("id"), col("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kx.write.format("noop").mode("overwrite").save() // materialize both caches
+      def joinForm = kx.toDF("id1", "s").join(kx.toDF("id2", "s"), Seq("s"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
+      def arrayForm = kx.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+        .select(col("id1"), explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
+      (1 to 4).foreach { pass =>
+        time(s"pass $pass JOIN form noop")(
+          joinForm.write.format("noop").mode("overwrite").save())
+        time(s"pass $pass ARRAY form noop")(
+          arrayForm.write.format("noop").mode("overwrite").save())
+      }
+      kx.unpersist(); ex.unpersist()
+      spark.stop()
+      return
+    }
+
+    // A/B mode: runMain graft.Profile <sfDir> d10forms — the FULL d10
+    // pipeline (fresh explode + df-blocking, nothing pre-cached) with the
+    // pair stage as self-join vs posting arrays, interleaved in one
+    // session. Unlike d2forms (cached input), this times the realistic
+    // end-to-end shape the bench sees.
+    if (args.length >= 2 && args(1) == "d10forms") {
+      val docs = Tables.documents(spark, sfDir)
+      def keptEx = {
+        val ex = Tables.spread(docs).select(col("doc_id").as("id"),
+          explode(graft.functions.TextFunctions.shingle_set(col("text"), 8)).as("win"))
+        val dfs = ex.groupBy(col("win")).agg(count(lit(1)).as("df"))
+        ex.join(dfs.filter(col("df") <= 100).select(col("win")), "win")
+          .select(col("id"), col("win"))
+      }
+      def joinForm = {
+        val kx = keptEx
+        kx.toDF("id1", "win").join(kx.toDF("id2", "win"), Seq("win"))
+          .filter(col("id1") < col("id2"))
+          .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("id1"), col("id2"))
+      }
+      def arrayForm = keptEx.groupBy(col("win"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+        .select(col("id1"), explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("id1"), col("id2"))
+      (1 to 4).foreach { pass =>
+        time(s"pass $pass FULL JOIN form noop")(
+          joinForm.write.format("noop").mode("overwrite").save())
+        time(s"pass $pass FULL ARRAY form noop")(
+          arrayForm.write.format("noop").mode("overwrite").save())
+      }
+      spark.stop()
+      return
+    }
+
     // stage mode: runMain graft.Profile <sfDir> v8stages — break v8 into
     // vectorization / banding / candidates / full pipeline
     if (args.length >= 2 && args(1) == "v8stages") {
