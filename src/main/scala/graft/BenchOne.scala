@@ -28,17 +28,24 @@ object BenchOne {
     val qmap = SparkEntry.queries ++ SparkEntry.benchOnly
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     for (name <- qnames) {
       val fn = qmap(name)
       val times = (1 to reps).map { i =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         // 1-min load average per rep: quiet-window adjudications need the
-        // host state ON the record, not asserted (r18 verdict task 7)
+        // host state ON the record, not asserted (r18 verdict task 7);
+        // per-rep GC time separates heap-pressure warm-down from host
+        // epochs the same way (r19 close)
         val load = java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage
-        println(f"[benchone] $name rep $i: $t%.3f s (load $load%.1f)")
+        val gc = (gcMillis() - gc0) / 1000.0
+        println(f"[benchone] $name rep $i: $t%.3f s (load $load%.1f, gc $gc%.1f s)")
         t
       }
       println(f"[benchone] $name min of $reps: ${times.min}%.3f s")
