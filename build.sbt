@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through VERBATIM instead of re-logging
+// it with "[info] " prefixes (and its stderr as "[error] " lines on sbt's
+// stdout). The driver parses the bench's one-line JSON from the last 2000
+// chars of stdout: the logger prefix hid the line head in every round
+// (parsed:null r1-r19), and in r19 the re-logged stderr flag lines printed
+// after it beheaded the line outright. Forked stderr now goes to sbt's
+// stderr, out of the capture entirely.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...} —
-  * kept under ~1.9 KB (2-decimal, gate queries) because the driver
-  * records only the last ~2000 stdout chars. The full record (3-decimal
+  * kept under a 1600-char budget (2-decimal, gate queries), printed as
+  * the absolute last stdout line, because the driver records only the
+  * last ~2000 stdout chars. The full record (3-decimal
   * values incl. the benchOnly width variants, stall diagnostics, every
   * raw bracketed measurement) is written to BENCH_LAST.json in the repo.
   *
@@ -187,20 +188,26 @@ object Bench {
   }
 
   /** The one stdout JSON line, fitted to a HARD budget. The driver records
-    * only the LAST 2000 chars of stdout; "[info] " (7) + line + newline +
-    * sbt's success trailer (~80, longer when the total grows an "(MM:SS)"
-    * suffix) must all fit, so the line itself gets 1820. Round 6 capped
-    * only the 2-decimal form at 1900 and printed the 1-decimal fallback
-    * UNchecked at ~1919 — beheaded again (BENCH_r06 tail starts
-    * mid-prefix; every round so far shipped parsed:null). Degradation
-    * ladder: sub-second precision 2 -> 1 -> drop the CHEAPEST entries
-    * (their absolute regressions are smallest; the full 3-decimal map
-    * stays in BENCH_LAST.json) with an "omitted" count. Never truncate.
-    * Pure, so BenchSpec can pin the budget against the real gate names.
+    * only the LAST 2000 chars of stdout; line + newline + sbt's success
+    * trailer (~80 chars, longer when the total grows an "(MM:SS)" suffix)
+    * must all fit, so the line gets 1600 — deliberately conservative
+    * (round 19's 1820 budget left no slack, and a single re-logged stderr
+    * flag line printed after it beheaded the head out of the window).
+    * Two companion r20 fixes make the window safe: the line is printed as
+    * the ABSOLUTE LAST stdout act of main (after spark.stop(), after the
+    * BENCH_LAST.json write, after every stderr diagnostic), and build.sbt
+    * sets run/outputStrategy := StdoutOutput so the forked JVM's stdout
+    * passes through without the "[info] " logger prefix that hid the line
+    * head from the driver's parser in rounds 1-19, and forked stderr
+    * leaves the stdout capture entirely. Degradation ladder: sub-second
+    * precision 2 -> 1 -> drop the CHEAPEST entries (their absolute
+    * regressions are smallest; the full 3-decimal map stays in
+    * BENCH_LAST.json) with an "omitted" count. Never truncate. Pure, so
+    * BenchSpec can pin the budget against the real gate names.
     */
   private[graft] def fitStdoutLine(gateResults: Seq[(String, Double)],
                                    total: Double, sfLabel: String,
-                                   budget: Int = 1820): String = {
+                                   budget: Int = 1600): String = {
     def line(entries: Seq[(String, Double)], subSecDecimals: Int): String = {
       // hybrid precision: 1-decimal past 1 s (resolution proportional to
       // magnitude), subSecDecimals below — the sub-second entries are
@@ -424,14 +431,19 @@ object Bench {
     // own success trailer consumes ~72 of them — round 4's full line
     // (2.2 KB) was beheaded into parsed:null. The stdout line therefore
     // carries the contract fields at 2-decimal precision for the GATE
-    // queries only (~1.9 KB, fits with margin); the 3-decimal values for
-    // everything incl. the benchOnly width variants, the stall stats,
-    // and the raw bracketed measurements live in BENCH_LAST.json.
+    // queries only (fits with ample margin at the 1600 budget); the
+    // 3-decimal values for everything incl. the benchOnly width variants,
+    // the stall stats, and the raw bracketed measurements live in
+    // BENCH_LAST.json. The line is PRINTED at the very end of main —
+    // nothing may write to stdout after it (r19: the warm-floor flag
+    // lines, re-logged by sbt onto stdout, printed after the line and
+    // pushed its head out of the driver's window).
     val gateNames = SparkEntry.queries.keySet
     val gateResults = results.filter { case (k, _) => gateNames(k) }
     // the sf dir basename identifies the scale factor without spending 15
     // chars on a host path the driver already knows
-    println(fitStdoutLine(gateResults, total, new java.io.File(sfDirEnv).getName))
+    val stdoutLine =
+      fitStdoutLine(gateResults, total, new java.io.File(sfDirEnv).getName)
 
     // Full record to a repo file: the driver's stdout tail window truncated
     // round 3's line, losing 13 entries and the total — the file is the
@@ -488,6 +500,12 @@ object Bench {
       case e: Exception =>
         System.err.println(s"[bench] BENCH_LAST.json write failed: ${e.getMessage}")
     }
-    spark.stop()
+    // stop() before the println so any shutdown logging (stderr, but belt
+    // and braces) cannot land after the contract line; never let a stop
+    // failure eat the line itself
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    println(stdoutLine) // ABSOLUTE LAST stdout act — see fitStdoutLine docs
   }
 }
