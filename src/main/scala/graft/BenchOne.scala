@@ -29,8 +29,11 @@ object BenchOne {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     import scala.jdk.CollectionConverters._
+    // getCollectionTime returns -1 for collectors without timing support;
+    // filter them so they can't deflate the reported per-rep GC seconds
     def gcMillis(): Long = java.lang.management.ManagementFactory
-      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      .getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0).sum
     for (name <- qnames) {
       val fn = qmap(name)
       val times = (1 to reps).map { i =>
