@@ -570,11 +570,32 @@ object Dedup {
     * pigeonhole guarantee: hamming <= 3 forces at least one of 4 chunks
     * equal), verified by bit_count before the distinct so the dedup
     * shuffle only carries true near-dups.
+    *
+    * Bucket-volume guard (guide §2.5): the per-(chunk, v) posting arrays
+    * are UNbounded — a degenerate corpus (many all-zero simhashes, one
+    * hot 16-bit chunk value) makes one task materialize a |bucket|-sized
+    * array in a single row, a straight OOM/2 GB-row failure at 100 TB
+    * where the old self-join merely streamed |bucket|^2 rows. Candidate
+    * volume is EXACTLY sum over buckets of df*(df-1)/2 — one cheap
+    * combinable aggregate over the chunk table — so this refuses loudly
+    * past `maxPairEstimate` (which also bounds the largest single bucket
+    * at ~sqrt(2*cap) entries), the jaccardNearDupPairs/sharedWindowPairs
+    * discipline.
+    *
+    * The (id, sig) input is materialized ONCE via a lazy localCheckpoint
+    * (GC-released blocks — the docVectors lifecycle, no unpersist
+    * bookkeeping): sig columns are typically expensive per-row kernels
+    * (d4's simhash over shingles, d23/x18's image decode + aHash), and
+    * both the guard aggregate and the pair generation read them — without
+    * the checkpoint the guard would re-run the decode pass. One row of
+    * (id, long) per document: node-sized at any corpus scale.
     */
-  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3,
+                   maxPairEstimate: Long = 50000000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"hammingPairs: 4x16-bit chunks guarantee recall only for " +
         s"maxHamming <= 3, got $maxHamming")
+    val sg = sigs.localCheckpoint(false)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
@@ -585,10 +606,20 @@ object Dedup {
     // guide §2.3/§2.4 restructure as the jaccard/minhash/wedge pair
     // generators this round; the hamming verify runs BEFORE the
     // distinct so its exchange only carries true near-dups (unchanged)
-    val chunked = sigs
+    val chunked = sg
       .select(explode(array(chunkStructs: _*)).as("cc"),
         struct(col("id"), col("sig")).as("e"))
       .select(col("cc.chunk").as("chunk"), col("cc.v").as("v"), col("e"))
+    val est = chunked.groupBy(col("chunk"), col("v"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - lit(1L)))).head()
+    val pairVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+    require(pairVolume <= maxPairEstimate,
+      s"hammingPairs would materialize ~$pairVolume candidate pairs from " +
+        s"per-chunk posting buckets (> $maxPairEstimate): the signature " +
+        "distribution is too degenerate for 16-bit chunk blocking (hot " +
+        "chunk values own the corpus). Split or pre-filter the hot " +
+        "signatures, or raise maxPairEstimate deliberately")
     chunked.groupBy(col("chunk"), col("v"))
       .agg(sort_array(collect_list(col("e"))).as("es"))
       .select(col("es"), posexplode(col("es")).as(Seq("i", "e1")))

@@ -294,13 +294,34 @@ object Knn {
     * (band, bucket). The shuffle carries bands fixed-size keys per row —
     * the pair space never materializes. Exposed separately so tests (and
     * capacity planning) can measure the candidate volume.
+    *
+    * Bucket-volume guard (guide §2.5): the per-(band, bucket) id arrays
+    * are UNbounded — a degenerate corpus (e.g. near-identical embeddings
+    * hashing every row into one bucket per band) makes one task
+    * materialize a |bucket|-sized array in a single row, an OOM/2 GB-row
+    * failure at scale. Candidate volume is EXACTLY sum over buckets of
+    * df*(df-1)/2 — one cheap combinable aggregate over the banding — so
+    * this refuses loudly past `maxPairEstimate` (which also bounds the
+    * largest single bucket at ~sqrt(2*cap) ids), the Dedup pair-generator
+    * discipline. The generation plan for normal corpora is unchanged.
     */
   def lshCandidatePairs(corpus: DataFrame, idCol: String, embCol: String,
-                        bands: Int, rowsPerBand: Int, seed: Long): DataFrame = {
+                        bands: Int, rowsPerBand: Int, seed: Long,
+                        maxPairEstimate: Long = 50000000L): DataFrame = {
     val banded = corpus
       .select(col(idCol).as("id"),
         posexplode(hyperplane_bands(col(embCol), bands, rowsPerBand, seed))
           .as(Seq("band", "bucket")))
+    val est = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - lit(1L)))).head()
+    val pairVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+    require(pairVolume <= maxPairEstimate,
+      s"lshCandidatePairs would materialize ~$pairVolume candidate pairs " +
+        s"from per-band posting buckets (> $maxPairEstimate): the " +
+        "embedding distribution defeats hyperplane blocking (hot buckets " +
+        "own the corpus). Use more rowsPerBand (rarer buckets), pre-dedup " +
+        "exact duplicates first, or raise maxPairEstimate deliberately")
     // per-(band, bucket) sorted id arrays -> each colliding id1 < id2
     // pair once, instead of the bucket self-join's |bucket|^2 rows
     banded.groupBy(col("band"), col("bucket"))

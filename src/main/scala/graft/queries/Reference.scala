@@ -2011,6 +2011,12 @@ object Reference extends QueryPack {
         .filter(col("sig").isNotNull && col("p").isNotNull) // decode gate
         .filter(col("p.width") >= 9)                        // metadata gate
         .filter(token_count(col("caption")) >= 3)           // caption gate
+        // materialized once (lazy local checkpoint, GC-released blocks):
+        // the survivors feed BOTH the pair generation and the keep-first
+        // anti-join's left side — without this each consumer re-ran the
+        // double image decode (pixel stats + aHash) per blob (guide §5
+        // reuse-beats-recompute; one node-sized row per surviving image)
+        .localCheckpoint(false)
       val pairs = graft.operators.Dedup.hammingPairs(
         kept.select(bid, col("sig")), maxHamming = 3)
       kept.join(pairs.select(col("id2").as("id")), Seq("id"), "left_anti")

@@ -336,6 +336,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("hammingPairs bucket-volume guard refuses a degenerate signature corpus") {
+    import spark.implicits._
+    // 12 identical all-zero signatures: every doc lands in the SAME
+    // (chunk, v=0) bucket for all 4 chunks -> candidate volume
+    // 4 * 12*11/2 = 264, the hot-bucket shape that would make one task
+    // materialize the whole corpus as a single array row at scale
+    val degenerate = (1L to 12L).map(i => (i, 0L)).toDF("id", "sig")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(degenerate, maxHamming = 3, maxPairEstimate = 100L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxPairEstimate"),
+      s"guard message must name the knob: ${e.getMessage}")
+    // the same corpus under the default cap still computes exact pairs
+    val ok = Dedup.hammingPairs(degenerate, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok.size === 12 * 11 / 2, "all identical sigs must all pair")
+  }
+
   test("jaccard maxDf blocking: ubiquitous shingle pruned, sizes share the filtered universe") {
     // every doc carries the boilerplate shingle "c1 c2 c3"; docs 1/2 are
     // near-dups of each other beyond it, doc 3 shares ONLY the boilerplate

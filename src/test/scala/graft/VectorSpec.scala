@@ -1117,6 +1117,28 @@ class VectorSpec extends AnyFunSuite {
     dv.unpersist()
   }
 
+  test("lshCandidatePairs bucket-volume guard refuses a degenerate embedding corpus") {
+    import spark.implicits._
+    // 12 IDENTICAL embeddings: every doc lands in the same bucket of
+    // every band -> candidate volume bands * 12*11/2 = 264 with 4 bands,
+    // the hot-bucket shape that would make one task materialize the
+    // whole corpus as a single array row at scale
+    val vec = Array(1f, 2f, 3f, 4f)
+    val degenerate = (1L to 12L).map(i => (i, vec)).toDF("doc_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Knn.lshCandidatePairs(degenerate, "doc_id", "vec",
+        bands = 4, rowsPerBand = 2, seed = 42L, maxPairEstimate = 100L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxPairEstimate"),
+      s"guard message must name the knob: ${e.getMessage}")
+    // the same corpus under the default cap still emits every pair once
+    val ok = Knn.lshCandidatePairs(degenerate, "doc_id", "vec",
+      bands = 4, rowsPerBand = 2, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok.size === 12 * 11 / 2, "identical embeddings must all pair")
+  }
+
   test("LSH blocking prunes: candidates << n^2 and superset of true pairs") {
     val dv = graft.queries.Vectors.docVectors(spark, "/root/testdata/sf0.01")
     val n = dv.count()
