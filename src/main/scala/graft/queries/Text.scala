@@ -1253,15 +1253,18 @@ object Text extends QueryPack {
     // whole point is the exact baseline underneath.
     "d21_lsh_recall" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      // the exact pair list (a few hundred rows) feeds BOTH the n_exact
-      // aggregate and the hit semi-join; without materialization the
-      // whole exact pair pipeline (shingle explode + posting arrays +
-      // pair aggregate) executes once per consumer (guide §5 — reuse
-      // beats recompute when recompute is a corpus-sized pass). The LSH
-      // side already exits minhashLshNearDupPairs localCheckpoint'ed.
+      // the exact pair list already exits jaccardNearDupPairs
+      // MATERIALIZED (internal localCheckpoint since r19), so both
+      // consumers (the n_exact aggregate and the hit semi-join) re-run
+      // only a few-hundred-row scan — the r19 caller-level
+      // localCheckpoint on top re-materialized the orderBy for nothing
+      // (one extra job; the r20 interleaved A/B `graft.Profile
+      // recallforms` measured NO-OUTER faster in every warm pass:
+      // 5.36/4.69/4.48 vs 6.36/5.61/4.65 s). The LSH side also exits
+      // minhashLshNearDupPairs localCheckpoint'ed.
       val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(100),
-        maxPairEstimate = 500000000L).localCheckpoint(true)
+        maxPairEstimate = 500000000L)
       val coarse = Dedup.minhashLshNearDupPairs(docs, "doc_id", "text",
         n = 3, numHashes = 128, bands = 8, minJaccard = 0.5)
       val hit = exact.join(coarse, Seq("id1", "id2"), "left_semi")
@@ -1283,11 +1286,14 @@ object Text extends QueryPack {
     // hamming threshold is tuned on.
     "d22_simhash_recall" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      // both pair lists feed two consumers each (count + semi-join):
-      // materialize once — the d21 note
+      // the exact list exits the operator materialized (the d21 note;
+      // recallforms measured the outer checkpoint a tie-to-loss here).
+      // The SIM list keeps its caller-level checkpoint: hammingPairs has
+      // no internal one, and its two consumers would otherwise re-run
+      // the corpus-sized simhash + bucket pipeline each.
       val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(100),
-        maxPairEstimate = 500000000L).localCheckpoint(true)
+        maxPairEstimate = 500000000L)
       val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
         n = 3, maxHamming = 3).localCheckpoint(true)
       val hit = exact.join(sim, Seq("id1", "id2"), "left_semi")
