@@ -119,6 +119,9 @@ object Profile {
       val kx = ex.join(kept.select(col("s")), "s").select(col("id"), col("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       kx.write.format("noop").mode("overwrite").save() // materialize both caches
+      // both timed forms read only kx — release the exploded table now so
+      // its storage-pool pressure doesn't shadow the timing (r19 advice)
+      ex.unpersist()
       def joinForm = kx.toDF("id1", "s").join(kx.toDF("id2", "s"), Seq("s"))
         .filter(col("id1") < col("id2"))
         .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
@@ -127,13 +130,17 @@ object Profile {
         .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
         .select(col("id1"), explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
         .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
+      // alternate which form runs first per pass so within-pass warm-up
+      // (file cache, codegen, JIT) is shared evenly (r19 advice: the
+      // fixed JOIN-first order systematically favored the ARRAY form)
       (1 to 4).foreach { pass =>
-        time(s"pass $pass JOIN form noop")(
-          joinForm.write.format("noop").mode("overwrite").save())
-        time(s"pass $pass ARRAY form noop")(
-          arrayForm.write.format("noop").mode("overwrite").save())
+        val forms = Seq(
+          ("JOIN", () => joinForm.write.format("noop").mode("overwrite").save()),
+          ("ARRAY", () => arrayForm.write.format("noop").mode("overwrite").save()))
+        val ordered = if (pass % 2 == 0) forms.reverse else forms
+        ordered.foreach { case (l, f) => time(s"pass $pass $l form noop")(f()) }
       }
-      kx.unpersist(); ex.unpersist()
+      kx.unpersist()
       spark.stop()
       return
     }
@@ -165,11 +172,215 @@ object Profile {
         .select(col("id1"), explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
         .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
         .orderBy(col("id1"), col("id2"))
+      // alternate form order per pass — see d2forms
       (1 to 4).foreach { pass =>
-        time(s"pass $pass FULL JOIN form noop")(
-          joinForm.write.format("noop").mode("overwrite").save())
-        time(s"pass $pass FULL ARRAY form noop")(
-          arrayForm.write.format("noop").mode("overwrite").save())
+        val forms = Seq(
+          ("FULL JOIN", () => joinForm.write.format("noop").mode("overwrite").save()),
+          ("FULL ARRAY", () => arrayForm.write.format("noop").mode("overwrite").save()))
+        val ordered = if (pass % 2 == 0) forms.reverse else forms
+        ordered.foreach { case (l, f) => time(s"pass $pass $l form noop")(f()) }
+      }
+      spark.stop()
+      return
+    }
+
+    // A/B mode: runMain graft.Profile <sfDir> g2bforms — g2b's bucketed
+    // triangle pipeline with the oriented-edge write CLUSTERED
+    // (repartition(buckets, u) before bucketBy — each task one bucket)
+    // vs UNCLUSTERED (the r19 shape: at sf0.1 ONE AQE-coalesced task
+    // wrote all 32 buckets serially). Interleaved, order alternating.
+    // g2 (declarative) rides along as the crossover reference.
+    if (args.length >= 2 && args(1) == "g2bforms") {
+      def run(clusterFirst: Boolean, tag: String): Unit = {
+        val lo = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = lo.groupBy(col("o"))
+          .agg(sort_array(collect_list(col("p"))).as("ps"))
+          .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+          .select(col("p1"), explode(expr("slice(ps, i + 2, size(ps))")).as("p2"))
+        graft.operators.Triangles.perNodeBucketed(edges, "p1", "p2",
+            table = s"graft_tri_ab_$tag", path = s"/dev/shm/graft_tri_ab_$tag",
+            clusterFirst = clusterFirst)
+          .orderBy(col("n_tri").desc, col("node").asc).limit(15)
+          .write.format("noop").mode("overwrite").save()
+      }
+      (1 to 4).foreach { pass =>
+        val forms = Seq(
+          ("g2b CLUSTERED", () => run(clusterFirst = true, "c")),
+          ("g2b UNCLUSTERED", () => run(clusterFirst = false, "u")),
+          ("g2 declarative", () => SparkEntry.queries("g2_triangles")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()))
+        val ordered = if (pass % 2 == 0) forms.reverse else forms
+        ordered.foreach { case (l, f) => time(s"pass $pass $l noop")(f()) }
+      }
+      spark.stop()
+      return
+    }
+
+    // A/B mode: runMain graft.Profile <sfDir> g5forms — g5's scoring
+    // TAIL over identical cached inputs: the r19 shape (degree-join all
+    // ~0.7x-of-wedges distinct pairs, then TakeOrdered k) vs the r20
+    // shape (TakeOrdered k FIRST, then degree-join k rows). Interleaved
+    // in one session, order alternating per pass (d2forms discipline).
+    if (args.length >= 2 && args(1) == "g5forms") {
+      import org.apache.spark.storage.StorageLevel
+      val lo = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.groupBy(col("o"))
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+        .select(col("p1"), explode(expr("slice(ps, i + 2, size(ps))")).as("p2"))
+        .distinct()
+      val e = edges.select(col("p1").as("a"), col("p2").as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adj = e.select(col("a").as("c"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      deg.write.format("noop").mode("overwrite").save() // materialize caches
+      val est = deg.agg(sum(col("d") * (col("d") - lit(1L)))).head()
+      val wedgeVolume = (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2
+      val parts = math.max(spark.sparkContext.defaultParallelism,
+        math.min(4096L, wedgeVolume / 1500000L + 1L).toInt)
+      println(s"[profile] g5 wedges ~$wedgeVolume, aggParts $parts")
+      def pk(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        shiftleft(u.cast("long"), 32) + v.cast("long")
+      def wedges = adj.groupBy(col("c"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .select(col("ns"), posexplode(col("ns")).as(Seq("i", "u")))
+        .select(col("u"), explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+      def cn = wedges
+        .select(pk(col("u"), col("v")).as("pkc"))
+        .repartition(parts, col("pkc"))
+        .groupBy(col("pkc")).agg(count(lit(1)).as("cn"))
+        .join(e.select(pk(col("a"), col("b")).as("pkc")), Seq("pkc"), "left_anti")
+        .select(shiftrightunsigned(col("pkc"), 32).cast("int").as("u"),
+          col("pkc").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("v"),
+          col("cn"))
+      def tail(c: org.apache.spark.sql.DataFrame) = c
+        .join(deg.select(col("c").as("u"), col("d").as("deg_a")), "u")
+        .join(deg.select(col("c").as("v"), col("d").as("deg_b")), "v")
+        .select(col("u").as("a"), col("v").as("b"), col("cn"),
+          col("deg_a"), col("deg_b"),
+          expr("cast((cn * 1000000) div (deg_a + deg_b - cn) as bigint)")
+            .as("jac_ppm"))
+        .orderBy(col("cn").desc, col("a").asc, col("b").asc).limit(20)
+      def joinFirst = tail(cn)
+      def topkFirst = tail(cn.orderBy(col("cn").desc, col("u").asc,
+        col("v").asc).limit(20))
+      (1 to 4).foreach { pass =>
+        val forms = Seq(
+          ("JOIN-FIRST", () => joinFirst.write.format("noop").mode("overwrite").save()),
+          ("TOPK-FIRST", () => topkFirst.write.format("noop").mode("overwrite").save()))
+        val ordered = if (pass % 2 == 0) forms.reverse else forms
+        ordered.foreach { case (l, f) => time(s"pass $pass $l noop")(f()) }
+      }
+      e.unpersist(); adj.unpersist(); deg.unpersist()
+      spark.stop()
+      return
+    }
+
+    // probe mode: runMain graft.Profile <sfDir> g1loop — replicate ONE
+    // PageRank iteration's dataframes (g1's bipartite graph) and print
+    // the EXECUTED plans of the in-loop joins, to establish whether AQE
+    // already broadcasts the node-sized ranks/contrib sides (VERDICT r19
+    // item 7) before touching the operator.
+    if (args.length >= 2 && args(1) == "g1loop") {
+      import org.apache.spark.storage.StorageLevel
+      val edges = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000000L)).as("dst"))
+      val e = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out"))
+      val od = nodes.join(deg, Seq("node"), "left")
+        .na.fill(0L, Seq("out")).persist(StorageLevel.MEMORY_AND_DISK)
+      val n = od.count()
+      println(s"[profile] g1 nodes: $n")
+      val ew = e.join(od.withColumnRenamed("node", "src"), Seq("src"))
+        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[profile] g1 ew rows: ${ew.count()}")
+      e.unpersist()
+      val perNode = 1000000000000L / n
+      val ranks = od.select(col("node"), col("out"), lit(perNode).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ranks.count()
+      val contrib = ew
+        .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("node"),
+          call_function("div", col("r"), col("out")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      time("contrib noop")(contrib.write.format("noop").mode("overwrite").save())
+      println("=== contrib EXECUTED plan (post-AQE) ===")
+      println(contrib.queryExecution.executedPlan.toString.take(4000))
+      val next = od.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("out"),
+          (lit(perNode * 15L / 100L) + call_function("div",
+            coalesce(col("contrib"), lit(0L)) * lit(85L), lit(100L))).as("r"))
+      time("next noop")(next.write.format("noop").mode("overwrite").save())
+      println("=== next EXECUTED plan (post-AQE) ===")
+      println(next.queryExecution.executedPlan.toString.take(4000))
+      spark.stop()
+      return
+    }
+
+    // A/B mode: runMain graft.Profile <sfDir> recallforms — d21/d22 with
+    // the exact pair list's CALLER-level localCheckpoint(true) kept (the
+    // r19 form) vs dropped (jaccardNearDupPairs checkpoints INTERNALLY
+    // since r19, so the outer one re-materializes a few-hundred-row
+    // orderBy — one extra job per query that may be the r19 d21/d22
+    // in-suite residual). Interleaved in one session, order alternating
+    // per pass (the d2forms discipline).
+    if (args.length >= 2 && args(1) == "recallforms") {
+      val docs = Tables.documents(spark, sfDir)
+      def exactPairs(outerCkpt: Boolean) = {
+        val e = graft.operators.Dedup.jaccardNearDupPairs(docs, "doc_id",
+          "text", n = 3, minJaccard = 0.5, maxDf = Some(100),
+          maxPairEstimate = 500000000L)
+        if (outerCkpt) e.localCheckpoint(true) else e
+      }
+      def d21(outerCkpt: Boolean) = {
+        val exact = exactPairs(outerCkpt)
+        val coarse = graft.operators.Dedup.minhashLshNearDupPairs(docs,
+          "doc_id", "text", n = 3, numHashes = 128, bands = 8,
+          minJaccard = 0.5)
+        val hit = exact.join(coarse, Seq("id1", "id2"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(coarse.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"))
+      }
+      def d22(outerCkpt: Boolean) = {
+        val exact = exactPairs(outerCkpt)
+        val sim0 = graft.operators.Dedup.simhashNearDupPairs(docs, "doc_id",
+          "text", n = 3, maxHamming = 3)
+        // the sim list stays checkpointed in BOTH forms: hammingPairs has
+        // no internal checkpoint, and it feeds two consumers
+        val sim = sim0.localCheckpoint(true)
+        val hit = exact.join(sim, Seq("id1", "id2"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(sim.agg(count(lit(1)).as("n_sim")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_exact"), col("n_sim"), col("n_hit"),
+            expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"),
+            expr("(n_hit * 1000000L) div nullif(n_sim, 0)").as("precision_ppm"))
+      }
+      (1 to 4).foreach { pass =>
+        val forms = Seq(
+          ("d21 OUTER-CKPT", () => d21(true).write.format("noop").mode("overwrite").save()),
+          ("d21 NO-OUTER", () => d21(false).write.format("noop").mode("overwrite").save()),
+          ("d22 OUTER-CKPT", () => d22(true).write.format("noop").mode("overwrite").save()),
+          ("d22 NO-OUTER", () => d22(false).write.format("noop").mode("overwrite").save()))
+        val ordered = if (pass % 2 == 0) forms.reverse else forms
+        ordered.foreach { case (l, f) => time(s"pass $pass $l noop")(f()) }
       }
       spark.stop()
       return

@@ -229,6 +229,14 @@ object LinkPredict {
     * map-side hash (spilling, at the upstream stage's AQE-coalesced
     * parallelism) to save ~30% of exchange rows — measured 2.4x slower
     * than exchanging the raw pairs at volume-scaled parallelism.
+    *
+    * The top-k on (cn desc, u, v) runs BEFORE the degree joins: the
+    * ordering never reads degrees or Jaccard, and the inner joins drop
+    * nothing (every pair endpoint is some center's neighbor, so its
+    * degree row exists) — so only k rows pay the two degree joins and
+    * the ppm arithmetic, not the ~0.7x-of-wedges distinct pair set
+    * (guide §1.2 "don't compute things you throw away"). A final
+    * orderBy restores the k-row total order the joins may permute.
     */
   private def scoreWedges(e: DataFrame, adj: DataFrame, deg: DataFrame,
                           k: Int, packed: Boolean = false,
@@ -256,7 +264,9 @@ object LinkPredict {
           // wedge pairs that are already edges are triangles, not predictions
           .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
       }
-    cn.join(deg.select(col("c").as("u"), col("d").as("deg_a")), "u")
+    cn.orderBy(col("cn").desc, col("u").asc, col("v").asc)
+      .limit(k)
+      .join(deg.select(col("c").as("u"), col("d").as("deg_a")), "u")
       .join(deg.select(col("c").as("v"), col("d").as("deg_b")), "v")
       .select(col("u").as("a"), col("v").as("b"), col("cn"),
         col("deg_a"), col("deg_b"),
