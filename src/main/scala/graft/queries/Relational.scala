@@ -756,53 +756,92 @@ object Relational extends QueryPack {
       val e = coPurchasePairs(s, d)
         .select(col("p1").as("a"), col("p2").as("b"))
         .distinct()
-      val adj = e.select(col("a").as("c"), col("b").as("n"))
-        .unionAll(e.select(col("b").as("c"), col("a").as("n")))
-      // per-center sorted adjacency arrays: the center's degree is
-      // size(ns) (neighbors are distinct), and posexplode + slice emits
-      // each wedge pair once — no deg join, no wedge self-join (the
-      // LinkPredict.wedgePairs shape with the degree carried along)
-      val adjList = adj.groupBy(col("c"))
-        .agg(sort_array(collect_list(col("n"))).as("ns"))
-        .select(col("ns"), size(col("ns")).cast("long").as("dg"))
-      val wedges = adjList
-        .select(col("ns"), col("dg"), posexplode(col("ns")).as(Seq("i", "u")))
-        .select(col("u"), col("dg"),
-          explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
-      val scored = wedges
-        // repartition the RAW wedges before the pair aggregate (the
-        // LinkPredict.scoreWedges lesson: distinct pairs ~0.7x wedges,
-        // so map-side combining at the generate stage's AQE-coalesced
-        // parallelism spills for nothing); 4x session parallelism,
-        // scale-adaptive via core count — no pre-job to size it here
-        .repartition(4 * s.sparkContext.defaultParallelism,
-          col("u"), col("v"))
-        .groupBy(col("u"), col("v")).agg(
+        // persisted: read by the adjacency (twice), the anti-join, and
+        // the range/volume pre-aggregate below (the g7bx lifecycle — the
+        // co-purchase construction runs once)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val adj = e.select(col("a").as("c"), col("b").as("n"))
+          .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+        // ONE pre-aggregate over the cached edges reads off the FULL
+        // wedge volume (this gate runs the unguarded exact baseline, so
+        // the sweep is sized to the exact arm) and the id range for the
+        // packed ONE-long pair key — the volume-scaled parallelism and
+        // proof-then-pack discipline its g7bx production arm already
+        // uses (guide §2.3/§2.5), replacing the blind 4x-cores constant
+        val pre = adj.groupBy(col("c")).agg(count(lit(1)).as("dd"))
+          .agg(sum(col("dd") * (col("dd") - lit(1L))),
+            min(col("c").cast("long")), max(col("c").cast("long"))).head()
+        val wedgeVolume = (if (pre.isNullAt(0)) 0L else pre.getLong(0)) / 2
+        val packable = !pre.isNullAt(1) && !pre.isNullAt(2) &&
+          pre.getLong(1) >= 0L && pre.getLong(2) < (1L << 31)
+        val parts = math.max(s.sparkContext.defaultParallelism,
+          math.min(4096L, wedgeVolume / 1500000L + 1L).toInt)
+        def pkc(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+          shiftleft(u.cast("long"), 32) + v.cast("long")
+        // per-center sorted adjacency arrays: the center's degree is
+        // size(ns) (neighbors are distinct), and posexplode + slice emits
+        // each wedge pair once — no deg join, no wedge self-join (the
+        // LinkPredict.wedgePairs shape with the degree carried along)
+        val adjList = adj.groupBy(col("c"))
+          .agg(sort_array(collect_list(col("n"))).as("ns"))
+          .select(col("ns"), size(col("ns")).cast("long").as("dg"))
+        val wedges = adjList
+          .select(col("ns"), col("dg"), posexplode(col("ns")).as(Seq("i", "u")))
+          .select(col("u"), col("dg"),
+            explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+        val sums = Seq(
           sum(when(col("dg") <= 100L, 1L).otherwise(0L)).as("ccn100"),
           sum(when(col("dg") <= 140L, 1L).otherwise(0L)).as("ccn140"),
           sum(when(col("dg") <= 180L, 1L).otherwise(0L)).as("ccn180"),
           count(lit(1)).as("cn"))
-        .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
-        .persist()
-      try {
-        val exact20 = scored.orderBy(col("cn").desc, col("u"), col("v"))
-          .limit(20).select(col("u"), col("v")).localCheckpoint(true)
-        def cap20(ccn: String) = scored.filter(col(ccn) > 0L)
-          .orderBy(col(ccn).desc, col("u"), col("v")).limit(200)
-          .orderBy(col("cn").desc, col("u"), col("v")).limit(20)
-          .select(col("u"), col("v"))
-        Seq(100L -> "ccn100", 140L -> "ccn140", 180L -> "ccn180")
-          .map { case (dcap, ccn) =>
-            exact20.agg(count(lit(1)).as("n_exact"))
-              .crossJoin(exact20.join(cap20(ccn), Seq("u", "v"), "left_semi")
-                .agg(count(lit(1)).as("n_hit")))
-              .select(lit(dcap).as("max_degree"), col("n_exact"), col("n_hit"),
-                expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"))
-          }
-          .reduce(_ unionAll _)
-          .orderBy(col("max_degree"))
-          .localCheckpoint(true)
-      } finally scored.unpersist()
+        // raw-wedge repartition before the pair aggregate (the
+        // LinkPredict.scoreWedges lesson: distinct pairs ~0.7x wedges,
+        // so map-side combining at the generate stage's AQE-coalesced
+        // parallelism spills for nothing); on the packed key the groupBy
+        // takes the primitive-long fast path and the anti-join reuses
+        // the aggregate's partitioning. The pairs stay PACKED through
+        // the top-k arms and the semi-join — (x desc, pk) == (x desc,
+        // u, v) for the proven non-negative sub-2^31 ids, and the output
+        // is counts only, so nothing ever unpacks.
+        val scored =
+          (if (packable)
+            wedges.select(pkc(col("u"), col("v")).as("pkey"), col("dg"))
+              .repartition(parts, col("pkey"))
+              .groupBy(col("pkey")).agg(sums.head, sums.tail: _*)
+              .join(e.select(pkc(col("a"), col("b")).as("pkey")),
+                Seq("pkey"), "left_anti")
+          else
+            // fallback key is a STRUCT (ids unproven packable — maybe
+            // not castable at all): struct ordering is lexicographic by
+            // field, so (x desc, pkey) == (x desc, u, v) here too
+            wedges.repartition(parts, col("u"), col("v"))
+              .groupBy(col("u"), col("v")).agg(sums.head, sums.tail: _*)
+              .join(e, col("u") === col("a") && col("v") === col("b"),
+                "left_anti")
+              .select(struct(col("u"), col("v")).as("pkey"), col("ccn100"),
+                col("ccn140"), col("ccn180"), col("cn")))
+          .persist()
+        try {
+          val exact20 = scored.orderBy(col("cn").desc, col("pkey"))
+            .limit(20).select(col("pkey")).localCheckpoint(true)
+          def cap20(ccn: String) = scored.filter(col(ccn) > 0L)
+            .orderBy(col(ccn).desc, col("pkey")).limit(200)
+            .orderBy(col("cn").desc, col("pkey")).limit(20)
+            .select(col("pkey"))
+          Seq(100L -> "ccn100", 140L -> "ccn140", 180L -> "ccn180")
+            .map { case (dcap, ccn) =>
+              exact20.agg(count(lit(1)).as("n_exact"))
+                .crossJoin(exact20.join(cap20(ccn), Seq("pkey"), "left_semi")
+                  .agg(count(lit(1)).as("n_hit")))
+                .select(lit(dcap).as("max_degree"), col("n_exact"), col("n_hit"),
+                  expr("(n_hit * 1000000L) div nullif(n_exact, 0)").as("recall_ppm"))
+            }
+            .reduce(_ unionAll _)
+            .orderBy(col("max_degree"))
+            .localCheckpoint(true)
+        } finally scored.unpersist()
+      } finally e.unpersist()
     },
 
     // the same triangle count served through the BUCKETED physical
