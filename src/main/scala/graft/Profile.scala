@@ -218,6 +218,44 @@ object Profile {
       return
     }
 
+    // A/B mode: runMain graft.Profile <sfDir> aggparts — the g5 packed
+    // pair aggregate at different repartition counts, interleaved: the
+    // volume-scaled 99 (148M/1.5M) is 3.1 waves on 32 cores (a 3-task
+    // straggler tail holds the stage, guide §2.6); 128 is 4 full waves.
+    if (args.length >= 2 && args(1) == "aggparts") {
+      import org.apache.spark.storage.StorageLevel
+      val lo = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lo.groupBy(col("o"))
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+        .select(col("p1"), explode(expr("slice(ps, i + 2, size(ps))")).as("p2"))
+        .distinct()
+      val adj = edges.select(col("p1").as("c"), col("p2").as("n"))
+        .unionAll(edges.select(col("p2").as("c"), col("p1").as("n")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      adj.write.format("noop").mode("overwrite").save()
+      def packed = adj.groupBy(col("c"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .select(col("ns"), posexplode(col("ns")).as(Seq("i", "u")))
+        .select(col("u"), explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+        .select((shiftleft(col("u").cast("long"), 32) + col("v")).as("pk"))
+      def agg(parts: Int) = packed.repartition(parts, col("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("cn"))
+      (1 to 3).foreach { pass =>
+        val counts = Seq(160, 224, 320, 448)
+        val ordered = if (pass % 2 == 0) counts.reverse else counts
+        ordered.foreach { p =>
+          time(s"pass $pass agg parts=$p noop")(
+            agg(p).write.format("noop").mode("overwrite").save())
+        }
+      }
+      adj.unpersist()
+      spark.stop()
+      return
+    }
+
     // A/B mode: runMain graft.Profile <sfDir> g5forms — g5's scoring
     // TAIL over identical cached inputs: the r19 shape (degree-join all
     // ~0.7x-of-wedges distinct pairs, then TakeOrdered k) vs the r20
